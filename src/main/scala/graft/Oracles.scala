@@ -1,0 +1,168 @@
+package graft
+
+/** DuckDB oracle SQL for every SQL-expressible query in [[SparkEntry.queries]].
+  *
+  * Contract (driver compare): the oracle runs over the same parquet tables;
+  * columns are sorted by name before value hashing, so every computed
+  * column here is aliased EXACTLY as in the Spark query. Every query ends
+  * in a deterministic ORDER BY (unique key suffix) so row order matches.
+  * Money aggregates are rounded to 2 decimals on both sides so double
+  * summation order cannot flip a hash.
+  */
+object Oracles {
+
+  val relational: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT)) / 10000.0 AS sum_disc_price,
+        |  sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000.0) AS BIGINT)) / 1000000.0 AS sum_charge,
+        |  round(avg(l_quantity), 2) AS avg_qty,
+        |  round(avg(l_extendedprice), 2) AS avg_price,
+        |  round(avg(l_discount), 2) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q2_join_revenue_by_nation" ->
+      """SELECT r_name, n_name,
+        |  sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT)) / 10000.0 AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q3_order_lineitem_join" ->
+      """SELECT o_orderkey, o_totalprice, line_revenue, n_items, o_orderpriority
+        |FROM (SELECT l_orderkey,
+        |        sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT)) / 10000.0 AS line_revenue,
+        |        count(*) AS n_items
+        |      FROM lineitem GROUP BY l_orderkey) li
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus = 'F'
+        |ORDER BY o_orderkey
+        |LIMIT 500""".stripMargin,
+
+    "q4_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |ORDER BY c_custkey
+        |LIMIT 1000""".stripMargin,
+
+    "q5_anti_join" ->
+      """SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q6_window" ->
+      """SELECT o_custkey, rn, o_orderkey, totalprice, running_spend FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER w AS rn,
+        |    round(o_totalprice, 2) AS totalprice,
+        |    round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |) t WHERE rn <= 3
+        |ORDER BY o_custkey, rn
+        |LIMIT 2000""".stripMargin,
+
+    "q7_topk_per_group" ->
+      """SELECT p_brand, rk, p_partkey, p_name, retailprice FROM (
+        |  SELECT p_brand, p_partkey, p_name,
+        |    round(p_retailprice, 2) AS retailprice,
+        |    row_number() OVER (PARTITION BY p_brand
+        |      ORDER BY p_retailprice DESC, p_partkey) AS rk
+        |  FROM part) t
+        |WHERE rk <= 2
+        |ORDER BY p_brand, rk""".stripMargin,
+
+    "q8_global_topk" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
+
+    "q9_set_ops" ->
+      """WITH cn AS (SELECT DISTINCT CAST(c_nationkey AS INT) AS nationkey FROM customer),
+        |     sn AS (SELECT DISTINCT CAST(s_nationkey AS INT) AS nationkey FROM supplier)
+        |SELECT nationkey, src FROM (
+        |  SELECT nationkey, 'both' AS src FROM (SELECT nationkey FROM cn INTERSECT SELECT nationkey FROM sn)
+        |  UNION ALL
+        |  SELECT nationkey, 'cust_only' AS src FROM (SELECT nationkey FROM cn EXCEPT SELECT nationkey FROM sn)
+        |) u
+        |ORDER BY nationkey, src""".stripMargin,
+
+    "q10_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_suppkey) AS n_supp,
+        |  count(DISTINCT l_partkey) AS n_part,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q11_date_agg" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |  CAST(month(o_orderdate) AS INT) AS o_month,
+        |  count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS sum_total
+        |FROM orders
+        |GROUP BY 1, 2
+        |ORDER BY o_year, o_month""".stripMargin,
+
+    "q12_case_agg" ->
+      """SELECT o_orderpriority,
+        |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+        |  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+        |  sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p,
+        |  round(avg(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS avg_f_total
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q13_scalar_fns" ->
+      """SELECT p_partkey,
+        |  upper(p_brand) AS brand_u,
+        |  CAST(length(p_name) AS INT) AS name_len,
+        |  substring(p_type, 1, 5) AS type5,
+        |  round(sqrt(p_retailprice), 2) AS price_sqrt,
+        |  round(ln(p_retailprice + 1), 2) AS price_ln,
+        |  CAST(p_size % 7 AS INT) AS size_mod7,
+        |  round(abs(p_retailprice - 1000.0), 2) AS price_dev
+        |FROM part
+        |ORDER BY p_partkey
+        |LIMIT 1000""".stripMargin,
+
+    "q14_rollup" ->
+      """SELECT coalesce(n_name, 'ALL') AS nation,
+        |  round(sum(o_totalprice), 2) AS sum_total,
+        |  count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP (n_name)
+        |ORDER BY nation""".stripMargin,
+
+    "q15_having" ->
+      """SELECT o_custkey, round(sum(o_totalprice), 2) AS spend,
+        |  count(*) AS n_orders
+        |FROM orders
+        |GROUP BY o_custkey
+        |HAVING count(*) >= 3
+        |ORDER BY spend DESC, o_custkey
+        |LIMIT 200""".stripMargin,
+  )
+
+  def all: Map[String, String] = relational
+}

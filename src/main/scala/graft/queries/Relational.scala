@@ -1,0 +1,275 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Standard relational operator battery over the harness star schema.
+  *
+  * The reference pipeline (see SURVEY.md §2.8) expresses only a thin
+  * relational surface (projection, NaN filtering, column-mask select); the
+  * full set of relational categories — joins, grouped aggregation, windows,
+  * top-k, set ops — is provided here Spark-natively so a reference user has
+  * the complete query surface at 100 TB scale.
+  *
+  * Scale notes baked into each query:
+  *  - dimension joins (`region`, `nation`, `supplier`, `customer`, `part`)
+  *    are explicitly `broadcast(...)` — at 100 TB the fact tables shuffle
+  *    but dimensions never do;
+  *  - aggregates are declared via `functions._` so Catalyst plans
+  *    partial (map-side) aggregation before the exchange;
+  *  - every money aggregate is rounded at the final step only, keeping the
+  *    hot path in whole-stage codegen over raw doubles.
+  *
+  * Oracle parity: every computed column is aliased identically here and in
+  * [[graft.Oracles]]; every query ends in a deterministic ORDER BY.
+  */
+object Relational {
+
+  private def money(c: Column): Column = round(c, 2)
+
+  /** Order-insensitive sum of a fixed-decimal expression.
+    *
+    * A plain `sum(double)` depends on addition order (partition order is
+    * nondeterministic), and rounding can't fix it when the true total sits
+    * exactly on a rounding boundary — e.g. `price * (1 - discount)` lives
+    * on a 4-decimal grid, so `round(sum, 2)` flips on half-cent totals.
+    * Summing per-row integer units (exact in Long) is associative and
+    * therefore identical regardless of partitioning — at 32 cores or 1000
+    * executors.
+    */
+  private def gridSum(c: Column, decimals: Int): Column = {
+    val scale = math.pow(10, decimals)
+    sum(round(c * scale).cast("long")) / lit(scale)
+  }
+
+  /** TPC-H Q1-style pricing summary: scan + filter + groupBy agg + sort.
+    * Mirrors the canonical pricing-summary shape over `lineitem`.
+    */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        money(sum(col("l_extendedprice"))).as("sum_base_price"),
+        gridSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("sum_disc_price"),
+        gridSum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax")), 6).as("sum_charge"),
+        money(avg(col("l_quantity"))).as("avg_qty"),
+        money(avg(col("l_extendedprice"))).as("avg_price"),
+        money(avg(col("l_discount"))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Broadcast-join chain fact→dims: lineitem ⋈ supplier ⋈ nation ⋈ region,
+    * revenue per nation. Dimensions are broadcast — no shuffle of the fact
+    * side beyond the final group-by.
+    */
+  def q2JoinRevenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val sup = Tables.supplier(spark, dir)
+    val nat = Tables.nation(spark, dir)
+    val reg = Tables.region(spark, dir)
+    li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+      .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        gridSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** Shuffle join of two fact tables (orders ⋈ lineitem) with group-by on
+    * the join key side: order totals vs lineitem recomputation. Both sides
+    * are large at scale → sort-merge/shuffled-hash join on l_orderkey is
+    * the right plan; AQE coalesces post-shuffle partitions.
+    */
+  def q3OrderLineitemJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    li.groupBy(col("l_orderkey"))
+      .agg(gridSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+        .as("line_revenue"),
+        count(lit(1)).as("n_items"))
+      .join(o, col("l_orderkey") === o("o_orderkey"))
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_totalprice"), col("line_revenue"),
+        col("n_items"), col("o_orderpriority"))
+      .orderBy(col("o_orderkey"))
+      .limit(500)
+  }
+
+  /** Left semi join — EXISTS: customers that have at least one open order. */
+  def q4SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "O")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+      .limit(1000)
+  }
+
+  /** Left anti join — NOT EXISTS: customers with no orders at all. */
+  def q5AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), money(col("c_acctbal")).as("acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Window functions: rank order values within customer + running sum.
+    * Partition by o_custkey → single shuffle shared by both window specs.
+    */
+  def q6Window(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("running_spend",
+        money(sum(col("o_totalprice"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0))))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+        money(col("o_totalprice")).as("totalprice"), col("running_spend"))
+      .orderBy(col("o_custkey"), col("rn"))
+      .limit(2000)
+  }
+
+  /** Top-k per group via window: 2 most expensive parts per brand. */
+  def q7TopKPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    Tables.part(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2)
+      .select(col("p_brand"), col("rk"), col("p_partkey"), col("p_name"),
+        money(col("p_retailprice")).as("retailprice"))
+      .orderBy(col("p_brand"), col("rk"))
+  }
+
+  /** Global top-k: 100 highest-value orders — orderBy+limit plans as
+    * TakeOrderedAndProject (per-partition top-k, then k-merge on driver;
+    * no full sort, no full shuffle — the plan that survives 100×).
+    */
+  def q8GlobalTopK(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        money(col("o_totalprice")).as("totalprice"))
+      .limit(100)
+
+  /** Set operations: union / intersect / except over nation-key domains. */
+  def q9SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val custNations = Tables.customer(spark, dir)
+      .select(col("c_nationkey").cast("int").as("nationkey")).distinct()
+    val suppNations = Tables.supplier(spark, dir)
+      .select(col("s_nationkey").cast("int").as("nationkey")).distinct()
+    val both = custNations.intersect(suppNations)
+      .withColumn("src", lit("both"))
+    val custOnly = custNations.except(suppNations)
+      .withColumn("src", lit("cust_only"))
+    both.unionByName(custOnly)
+      .select(col("nationkey"), col("src"))
+      .orderBy(col("nationkey"), col("src"))
+  }
+
+  /** Distinct count + multi-distinct aggregation. */
+  def q10Distinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  /** Date/time functions: orders per year-month with avg value. */
+  def q11DateAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"))
+      .agg(count(lit(1)).as("n_orders"),
+        money(sum(col("o_totalprice"))).as("sum_total"))
+      .orderBy(col("o_year"), col("o_month"))
+
+  /** CASE/conditional aggregation — pivot-style without pivot. */
+  def q12CaseAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_f"),
+        sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("n_o"),
+        sum(when(col("o_orderstatus") === "P", 1).otherwise(0)).as("n_p"),
+        money(avg(when(col("o_orderstatus") === "F", col("o_totalprice"))))
+          .as("avg_f_total"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Scalar math/string functions over part. */
+  def q13ScalarFns(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        length(col("p_name")).as("name_len"),
+        substring(col("p_type"), 1, 5).as("type5"),
+        money(sqrt(col("p_retailprice"))).as("price_sqrt"),
+        money(log(col("p_retailprice") + 1)).as("price_ln"),
+        pmod(col("p_size"), lit(7)).as("size_mod7"),
+        money(abs(col("p_retailprice") - 1000.0)).as("price_dev"))
+      .orderBy(col("p_partkey"))
+      .limit(1000)
+
+  /** Grouping sets (rollup): revenue by region/nation hierarchy. */
+  def q14Rollup(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val nat = Tables.nation(spark, dir)
+    val o = Tables.orders(spark, dir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(nat), c("c_nationkey") === nat("n_nationkey"))
+      .rollup(col("n_name"))
+      .agg(money(sum(col("o_totalprice"))).as("sum_total"),
+        count(lit(1)).as("n_orders"))
+      .select(coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("sum_total"), col("n_orders"))
+      .orderBy(col("nation"))
+  }
+
+  /** Correlated-style aggregate filter (HAVING): customers whose total
+    * spend exceeds 10× the average order value.
+    */
+  def q15Having(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.groupBy(col("o_custkey"))
+      .agg(money(sum(col("o_totalprice"))).as("spend"),
+        count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 3)
+      .orderBy(col("spend").desc, col("o_custkey"))
+      .limit(200)
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "q2_join_revenue_by_nation" -> (q2JoinRevenueByNation _),
+    "q3_order_lineitem_join" -> (q3OrderLineitemJoin _),
+    "q4_semi_join" -> (q4SemiJoin _),
+    "q5_anti_join" -> (q5AntiJoin _),
+    "q6_window" -> (q6Window _),
+    "q7_topk_per_group" -> (q7TopKPerGroup _),
+    "q8_global_topk" -> (q8GlobalTopK _),
+    "q9_set_ops" -> (q9SetOps _),
+    "q10_distinct" -> (q10Distinct _),
+    "q11_date_agg" -> (q11DateAgg _),
+    "q12_case_agg" -> (q12CaseAgg _),
+    "q13_scalar_fns" -> (q13ScalarFns _),
+    "q14_rollup" -> (q14Rollup _),
+    "q15_having" -> (q15Having _),
+  )
+}
