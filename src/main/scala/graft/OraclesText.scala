@@ -1,0 +1,269 @@
+package graft
+
+/** DuckDB oracles for the dedup / text-analysis / similarity / events
+  * queries. Hash parity relies on `md5` producing identical lowercase hex
+  * in both engines; fold parity relies on DuckDB `list_reduce` and Spark
+  * `aggregate` sharing left-to-right association.
+  */
+object OraclesText {
+
+  /** doc_id → distinct word-3-gram shingles (mirrors TextDedup.shingleIndex). */
+  private val shingleCte =
+    """tok AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)-1),
+      |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+      |       FROM tok WHERE len(toks) >= 3),
+      |sidx AS (SELECT DISTINCT doc_id, shingle FROM sh)""".stripMargin
+
+  private val minhashSigCte: String = {
+    val mins = (0 until queries.TextDedup.MinhashK)
+      .map(i => s"min(md5('$i:' || shingle)) AS mh$i").mkString(", ")
+    s"sig AS (SELECT doc_id, $mins FROM sidx GROUP BY doc_id)"
+  }
+
+  /** `(strpos(...)-1)*16^k` polynomial turning 4 hex chars into an int. */
+  private def hex4ToInt(h: String): String =
+    (0 until 4).map { i =>
+      val mult = math.pow(16, 3 - i).toLong
+      s"(strpos('0123456789abcdef', substr($h, ${i + 1}, 1)) - 1) * $mult"
+    }.mkString("(", " + ", ")")
+
+  val dedup: Map[String, String] = Map(
+    "d1_exact_dedup" ->
+      """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS text_hash,
+        |  min(doc_id) AS canonical_id, count(*) AS n_docs
+        |FROM documents
+        |GROUP BY 1 ORDER BY canonical_id LIMIT 1000""".stripMargin,
+
+    "d2_minhash_signature" -> {
+      val mh = (0 until queries.TextDedup.MinhashK).map(i => s"mh$i").mkString(", ")
+      s"""WITH $shingleCte, $minhashSigCte
+         |SELECT doc_id, $mh FROM sig ORDER BY doc_id LIMIT 500""".stripMargin
+    },
+
+    "d3_minhash_lsh" -> {
+      val bands = (0 until queries.TextDedup.MinhashBands).map { b =>
+        s"SELECT doc_id, $b AS band, md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS bkey FROM sig"
+      }.mkString("\n  UNION ALL ")
+      val agree = (0 until queries.TextDedup.MinhashK)
+        .map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END")
+        .mkString("(", " + ", ")")
+      s"""WITH $shingleCte, $minhashSigCte,
+         |banded AS ($bands),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM banded a JOIN banded b
+         |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, $agree / 8.0 AS est_jaccard
+         |FROM cand JOIN sig sa ON id_a = sa.doc_id JOIN sig sb ON id_b = sb.doc_id
+         |WHERE $agree / 8.0 >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+  )
+
+  private val simhashCte: String = {
+    val votes = (0 until queries.TextDedup.SimhashBits)
+      .map(b => s"sum(CASE WHEN (th >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
+      .mkString(", ")
+    val bits = (0 until queries.TextDedup.SimhashBits)
+      .map(b => s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""tokens AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok FROM documents),
+       |th AS (SELECT doc_id, ${hex4ToInt("substr(md5(tok), 1, 4)")} AS th FROM tokens),
+       |votes AS (SELECT doc_id, $votes FROM th GROUP BY doc_id),
+       |sim AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM votes)""".stripMargin
+  }
+
+  val simhash: Map[String, String] = Map(
+    "d4_simhash" ->
+      s"""WITH $simhashCte
+         |SELECT doc_id, simhash FROM sim ORDER BY doc_id LIMIT 500""".stripMargin,
+
+    "d5_simhash_neardup" ->
+      s"""WITH $simhashCte,
+         |banded AS (SELECT doc_id, simhash, unnest([0,1,2,3]) AS band FROM sim),
+         |banded2 AS (SELECT doc_id, simhash, band, (simhash >> (4*band)) & 15 AS bval FROM banded),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |                a.simhash AS sh_a, b.simhash AS sh_b
+         |         FROM banded2 a JOIN banded2 b
+         |           ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+         |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "d6_ngram_jaccard" ->
+      s"""WITH $shingleCte,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sidx GROUP BY doc_id),
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+         |          FROM sidx a JOIN sidx b
+         |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) AS jaccard
+         |FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+         |WHERE round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin,
+  )
+
+  val text: Map[String, String] = Map(
+    "t1_token_stats" ->
+      """WITH x AS (SELECT doc_id, lang,
+        |    regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CAST(len(toks) AS INT) AS n_tokens,
+        |  CAST(len(list_distinct(toks)) AS INT) AS n_uniq,
+        |  round(CAST(length(norm) - (len(toks) - 1) AS DOUBLE) / len(toks), 6) AS avg_tok_len,
+        |  round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS ttr
+        |FROM x ORDER BY doc_id LIMIT 2000""".stripMargin,
+
+    "t2_regex_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS INT) AS n_alpha,
+        |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_num,
+        |  CAST(len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS INT) AS n_sym
+        |FROM documents ORDER BY doc_id LIMIT 2000""".stripMargin,
+
+    "t3_lang_id" ->
+      """WITH x AS (SELECT doc_id, lang,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |v AS (SELECT doc_id, lang,
+        |  CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','is','to'], t))) AS INT) AS v_en,
+        |  CAST(len(list_filter(toks, t -> list_contains(['der','die','das','und','ist'], t))) AS INT) AS v_de,
+        |  CAST(len(list_filter(toks, t -> list_contains(['el','la','de','y','es'], t))) AS INT) AS v_es,
+        |  CAST(len(list_filter(toks, t -> list_contains(['le','la','de','et','est'], t))) AS INT) AS v_fr
+        |  FROM x)
+        |SELECT doc_id, lang, v_en, v_de, v_es, v_fr,
+        |  CASE WHEN v_en >= v_de AND v_en >= v_es AND v_en >= v_fr THEN 'en'
+        |       WHEN v_de >= v_es AND v_de >= v_fr THEN 'de'
+        |       WHEN v_es >= v_fr THEN 'es'
+        |       ELSE 'fr' END AS predicted
+        |FROM v ORDER BY doc_id LIMIT 2000""".stripMargin,
+
+    "t4_quality_score" ->
+      """WITH x AS (SELECT doc_id, lang,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |r AS (SELECT doc_id, lang,
+        |  CAST(len(toks) AS INT) AS n_tokens,
+        |  CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','is','to'], t))) AS DOUBLE) / len(toks) AS stop_ratio,
+        |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+        |  CAST(len(list_filter(toks, t -> length(t) >= 4)) AS DOUBLE) / len(toks) AS long_ratio
+        |  FROM x)
+        |SELECT doc_id, lang, n_tokens,
+        |  round(stop_ratio, 6) AS stop_ratio,
+        |  round(ttr, 6) AS ttr,
+        |  round(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.3
+        |    + ttr * 0.3 + stop_ratio * 0.2 + long_ratio * 0.2, 6) AS quality
+        |FROM r ORDER BY doc_id LIMIT 2000""".stripMargin,
+
+    "t5_fingerprint" ->
+      s"""WITH $shingleCte
+         |SELECT doc_id, min(md5(shingle)) AS fingerprint, count(*) AS n_shingles
+         |FROM sidx GROUP BY doc_id ORDER BY doc_id LIMIT 2000""".stripMargin,
+  )
+
+  /** Sequential-fold dot product matching Spark's aggregate(zip_with(...)). */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, len($a)+1), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (s, x) -> s + x)"
+
+  private def cosineSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  /** Hyperplane sign-bit SQL with the same md5-derived literal weights as
+    * Embeddings.s3LshAnn (weights baked at build time on both sides).
+    */
+  private def planeSignSql(p: Int, emb: String): String = {
+    val terms = (0 until 64).map { j =>
+      val w = Integer.parseInt(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$p:$j".getBytes("UTF-8"))
+          .take(1).map("%02x".format(_)).mkString.take(1), 16) - 7.5
+      f"CAST($emb[${j + 1}] AS DOUBLE) * ($w%.1f)"
+    }.mkString(" + ")
+    s"CASE WHEN $terms > 0 THEN 1 ELSE 0 END"
+  }
+
+  val similarity: Map[String, String] = Map(
+    "s1_cosine_topk" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+         |scored AS (SELECT q_id, vec_id,
+         |    round(${cosineSql("q_emb", "embedding")}, 6) AS cos
+         |  FROM embeddings, q WHERE vec_id != q_id),
+         |rk AS (SELECT q_id, vec_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+         |  FROM scored)
+         |SELECT q_id, rk, vec_id, cos FROM rk WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+
+    "s2_ivf_neardup" ->
+      s"""SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round(${cosineSql("a.embedding", "b.embedding")}, 6) AS cos
+         |FROM embeddings a JOIN embeddings b
+         |  ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE round(${cosineSql("a.embedding", "b.embedding")}, 6) >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "s3_lsh_ann" -> {
+      val bucket = (0 until 4)
+        .map(p => s"(${planeSignSql(p, "embedding")}) * ${1 << p}")
+        .mkString(" + ")
+      s"""WITH bucketed AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket AS q_bucket
+         |      FROM bucketed WHERE vec_id < 10),
+         |cand AS (SELECT q_id, vec_id,
+         |    round(${cosineSql("q_emb", "embedding")}, 6) AS cos
+         |  FROM bucketed, q WHERE bucket = q_bucket AND vec_id != q_id),
+         |rk AS (SELECT q_id, vec_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+         |  FROM cand)
+         |SELECT q_id, rk, vec_id, cos FROM rk WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
+    },
+
+    "s4_label_centroids" ->
+      """SELECT label, CAST(i - 1 AS INT) AS dim,
+        |  round(avg(CAST(embedding[CAST(i AS INT)] AS DOUBLE)), 6) AS mean_v,
+        |  count(*) AS n
+        |FROM embeddings, range(1, 5) t(i)
+        |GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
+  )
+
+  val events: Map[String, String] = Map(
+    "e1_window_agg" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+        |  count(*) AS n,
+        |  sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "e2_sessionize" ->
+      """WITH x AS (SELECT user_id, event_id, value,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |f AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+        |        OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
+        |      FROM x WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id
+        |        ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |      FROM f)
+        |SELECT user_id, session_seq, count(*) AS n_events,
+        |  (max(us) - min(us)) / 1000000.0 AS duration_sec,
+        |  sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+        |FROM s GROUP BY 1, 2 ORDER BY user_id, session_seq LIMIT 3000""".stripMargin,
+
+    "e3_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "e4_top_users" ->
+      """WITH c AS (SELECT event_type, user_id, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, user_id, n,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY n DESC, user_id) AS rk
+        |  FROM c)
+        |SELECT event_type, rk, user_id, n FROM r WHERE rk <= 5
+        |ORDER BY event_type, rk""".stripMargin,
+  )
+
+  def all: Map[String, String] = dedup ++ simhash ++ text ++ similarity ++ events
+}

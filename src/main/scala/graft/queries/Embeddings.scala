@@ -1,0 +1,135 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (`Array[Float]`, 64-dim,
+  * unit-normalized by the generator).
+  *
+  * Determinism across engines: dot products are computed as a sequential
+  * left fold in DOUBLE (`aggregate(zip_with(...))` here ≙ `list_reduce`
+  * in DuckDB — identical association order, hence identical IEEE result),
+  * then rounded at 6 decimals.
+  *
+  * Scale design: the brute-force path broadcasts the (small) query set
+  * against the full collection — a map-only scan, no shuffle, linear in
+  * collection size. The ANN paths (label-IVF and md5-hyperplane LSH) cut
+  * the scanned fraction by bucketing; both sides of each bucket join are
+  * hash-partitioned on the bucket key.
+  */
+object Embeddings {
+
+  /** Sequential-fold dot product of two float arrays in double. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: for each query vector (vec_id < 10), the
+    * 5 nearest neighbours over the whole collection. The query side is
+    * broadcast; ranking is a per-query-partition window top-k
+    * (rank-then-filter — no global sort of the n×q score table).
+    */
+  def s1CosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val scored = emb.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosine(col("q_emb"), col("embedding")), 6).as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("cos"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** IVF-style near-dup: exact pairwise cosine *within* each coarse
+    * cluster (the `label` column plays the IVF centroid assignment).
+    * The pair join is per-label, so work is Σ n_c² instead of n² — the
+    * standard coarse-quantization cut at scale.
+    */
+  def s2IvfNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val a = emb.as("a")
+    val b = emb.as("b")
+    a.join(b, col("a.label") === col("b.label")
+        && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.label").as("label"),
+        col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(cosine(col("a.embedding"), col("b.embedding")), 6).as("cos"))
+      .filter(col("cos") >= 0.3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Random-hyperplane LSH bucketing: 4 sign bits from fixed pseudo-random
+    * hyperplanes (component j of plane p = hexdigit(md5("p:j")) − 7.5 —
+    * deterministic and engine-independent), then candidate generation
+    * within buckets and exact re-rank to top-3 per query. The bucket join
+    * replaces the full scan: at scale each query probes ~1/16 of the
+    * collection.
+    */
+  def s3LshAnn(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir)
+
+    // hyperplane component p,j as a deterministic literal array
+    def planeSign(p: Int): Column = {
+      // w_pj = hexval(first char of md5("p:j")) - 7.5
+      val terms = (0 until 64).map { j =>
+        val w = Integer.parseInt(
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(s"$p:$j".getBytes("UTF-8"))
+            .take(1).map("%02x".format(_)).mkString.take(1), 16) - 7.5
+        element_at(col("embedding"), j + 1).cast("double") * lit(w)
+      }
+      when(terms.reduce(_ + _) > 0, 1).otherwise(0)
+    }
+
+    val bucketed = emb.select(col("vec_id"), col("embedding"),
+      (0 until 4).map(p => planeSign(p) * (1 << p)).reduce(_ + _)
+        .as("bucket"))
+    val queries = bucketed.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("bucket").as("q_bucket"))
+    val cand = bucketed.join(broadcast(queries),
+        col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosine(col("q_emb"), col("embedding")), 6).as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    cand.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("cos"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** Per-label centroids (vector aggregation): posexplode → mean per
+    * (label, dim) → collect back into an ordered array. One shuffle on
+    * (label, dim) — 640 keys here, but the same plan handles 10⁶ labels.
+    */
+  def s4LabelCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(round(avg(col("v").cast("double")), 6).as("mean_v"),
+        count(lit(1)).as("n"))
+      .filter(col("dim") < 4)
+      .orderBy(col("label"), col("dim"))
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s1_cosine_topk" -> (s1CosineTopK _),
+    "s2_ivf_neardup" -> (s2IvfNearDup _),
+    "s3_lsh_ann" -> (s3LshAnn _),
+    "s4_label_centroids" -> (s4LabelCentroids _),
+  )
+}

@@ -1,0 +1,93 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over the `events` table, written batch-first so
+  * the identical aggregations re-run under Structured Streaming (see
+  * [[graft.streaming.EventStreams]]): tumbling-window aggregation,
+  * gap-based sessionization, and JSON property extraction.
+  *
+  * Scale: all three group on (windowed-time, type) or user_id — natural
+  * high-cardinality shuffle keys; the sessionize window function
+  * partitions by user, so state per task is one user's events.
+  */
+object Events {
+
+  /** Tumbling 1-hour windows per event_type: the batch twin of the
+    * streaming windowed aggregation.
+    */
+  def e1WindowAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * 100).cast("long")) / lit(100.0))
+          .as("sum_value"))
+      .orderBy(col("hour"), col("event_type"))
+
+  /** Gap-based sessionization: a new session starts after >30 min of
+    * user inactivity. lag → flag → running sum (session index) → session
+    * aggregates; everything partitions by user_id.
+    */
+  def e2Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gapUs = 30L * 60 * 1000 * 1000
+    val flagged = Tables.events(spark, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs, 1).otherwise(0))
+      .withColumn("session_seq",
+        sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    flagged.groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        ((max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+          / lit(1000000.0)).as("duration_sec"),
+        (sum(round(col("value") * 100).cast("long")) / lit(100.0))
+          .as("sum_value"))
+      .orderBy(col("user_id"), col("session_seq"))
+      .limit(3000)
+  }
+
+  /** JSON property extraction + aggregation: parse `props` (JSON string),
+    * pull `$.k`, aggregate per event_type. JSON path evaluation stays in
+    * codegen (`get_json_object`), no UDF.
+    */
+  def e3JsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  /** Top-5 busiest users per event type by event count — grouped agg
+    * feeding a per-group top-k window.
+    */
+  def e4TopUsers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("n").desc, col("user_id"))
+    counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("event_type"), col("rk"), col("user_id"), col("n"))
+      .orderBy(col("event_type"), col("rk"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e1_window_agg" -> (e1WindowAgg _),
+    "e2_sessionize" -> (e2Sessionize _),
+    "e3_json_extract" -> (e3JsonExtract _),
+    "e4_top_users" -> (e4TopUsers _),
+  )
+}

@@ -1,0 +1,315 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication + text-analysis operators over the `documents` table —
+  * the training-data-pipeline surface (exact dedup, MinHash+LSH, SimHash,
+  * n-gram Jaccard, language ID, quality scoring, token stats,
+  * fingerprinting).
+  *
+  * Cross-engine determinism: every hash is `md5` (identical output in
+  * Spark and DuckDB); every pipeline is expressed as explode → join →
+  * groupBy so it scales as an inverted index instead of an O(n²) cross
+  * join. At 100 TB the shingle/band joins shuffle on high-cardinality
+  * keys (shingle text, band hash) — well-distributed by construction —
+  * and never materialize the full pair matrix.
+  */
+object TextDedup {
+
+  /** Tokens of normalized text: lowercase, trimmed, split on whitespace. */
+  private def toks: Column = split(trim(lower(col("text"))), "\\s+")
+
+  /** Word 3-gram shingles (docs with ≥3 tokens). */
+  private def withShingles(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        transform(sequence(lit(0), size(col("toks")) - 3),
+          i => concat_ws(" ",
+            element_at(col("toks"), i + 1),
+            element_at(col("toks"), i + 2),
+            element_at(col("toks"), i + 3))).as("shingles"))
+
+  /** Distinct (doc_id, shingle) pairs — the inverted-index input. */
+  private def shingleIndex(df: DataFrame): DataFrame =
+    withShingles(df)
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .distinct()
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup: canonical-id mapping by md5 of whitespace-normalized
+    * text. Hash-groupBy — one shuffle on the 128-bit hash, no pairwise
+    * work; the canonical representative is min(doc_id).
+    */
+  def d1ExactDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")
+          .cast("binary")).as("text_hash"))
+      .groupBy(col("text_hash"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_docs"))
+      .orderBy(col("canonical_id"))
+      .limit(1000)
+
+  // -------------------------------------------------------------- minhash
+
+  val MinhashK = 8      // minhash functions
+  val MinhashBands = 4  // bands of 2 rows each
+
+  /** Per-doc MinHash signature: for seed i, min over shingles of
+    * md5(i ":" shingle). One explode + one groupBy; the k mins are
+    * computed as k parallel `min` aggregates (map-side partial agg).
+    */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val idx = shingleIndex(Tables.documents(spark, dir))
+    val mins = (0 until MinhashK).map { i =>
+      min(md5(concat(lit(s"$i:"), col("shingle")).cast("binary"))).as(s"mh$i")
+    }
+    idx.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** MinHash signatures as a query result (doc_id + k hash columns). */
+  def d2MinhashSignature(spark: SparkSession, dir: String): DataFrame =
+    minhashSignatures(spark, dir).orderBy(col("doc_id")).limit(500)
+
+  /** MinHash + LSH near-dup pairs: band the signature (4 bands × 2 rows),
+    * bucket-join on band hash, then estimate similarity as the fraction
+    * of agreeing minhashes. Only same-bucket pairs are compared — the
+    * LSH contract that keeps this sub-quadratic at scale.
+    */
+  def d3MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSignatures(spark, dir)
+    val bandCols = (0 until MinhashBands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws("|",
+          col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).cast("binary"))
+          .as("bkey"))
+    }
+    val banded = sig.select(col("doc_id"),
+      explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    val cand = a.join(b,
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val sa = sig.as("sa")
+    val sb = sig.as("sb")
+    val agree = (0 until MinhashK)
+      .map(i => when(col(s"sa.mh$i") === col(s"sb.mh$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(sa, col("id_a") === col("sa.doc_id"))
+      .join(sb, col("id_b") === col("sb.doc_id"))
+      .select(col("id_a"), col("id_b"),
+        (agree.cast("double") / MinhashK).as("est_jaccard"))
+      .filter(col("est_jaccard") >= 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // -------------------------------------------------------------- simhash
+
+  val SimhashBits = 16
+
+  /** 16-bit SimHash per doc from per-token md5s: bit b of the signature is
+    * set iff the ±1 vote sum over tokens' hash bits is positive.
+    */
+  def simhashes(spark: SparkSession, dir: String): DataFrame = {
+    val tokens = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .withColumn("th",
+        conv(substring(md5(col("tok").cast("binary")), 1, 4), 16, 10)
+          .cast("long"))
+    val votes = (0 until SimhashBits).map { b =>
+      sum(when(shiftright(col("th"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"v$b")
+    }
+    val bits = (0 until SimhashBits)
+      .map(b => when(col(s"v$b") > 0, 1L << b).otherwise(0L))
+      .reduce(_ + _)
+    tokens.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), bits.as("simhash"))
+  }
+
+  /** SimHash signatures as a query result. */
+  def d4Simhash(spark: SparkSession, dir: String): DataFrame =
+    simhashes(spark, dir).orderBy(col("doc_id")).limit(500)
+
+  /** SimHash near-dup pairs at Hamming distance ≤ 3, found via banded
+    * LSH: split 16 bits into 4 nibbles; any pair at distance ≤ 3 shares
+    * ≥ 1 identical nibble (pigeonhole), so joining per-nibble finds all
+    * such pairs without a cross join.
+    */
+  def d5SimhashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val sig = simhashes(spark, dir)
+    val nibbles = (0 until 4).map { j =>
+      struct(lit(j).as("band"),
+        shiftright(col("simhash"), 4 * j).bitwiseAND(15).as("bval"))
+    }
+    val banded = sig.select(col("doc_id"), col("simhash"),
+      explode(array(nibbles: _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"),
+        col("bb.band").as("band"), col("bb.bval").as("bval"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int"))
+      .filter(col("hamming") <= 3)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // -------------------------------------------------- n-gram Jaccard dedup
+
+  /** Word-3-gram Jaccard near-dup pairs via inverted-index self-join:
+    * explode distinct shingles, join docs sharing a shingle, count the
+    * intersection, compute |A∩B| / (|A|+|B|−|A∩B|). Never builds the
+    * n² pair matrix — only pairs sharing ≥1 shingle materialize.
+    */
+  def d6NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val idx = shingleIndex(Tables.documents(spark, dir))
+    val sizes = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = idx.as("a")
+    val b = idx.as("b")
+    val shared = a.join(b,
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(broadcast(sizes.as("sa")), col("id_a") === col("sa.doc_id"))
+      .join(broadcast(sizes.as("sb")), col("id_b") === col("sb.doc_id"))
+      .select(col("id_a"), col("id_b"),
+        round(col("shared").cast("double") /
+          (col("sa.n") + col("sb.n") - col("shared")), 6).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // -------------------------------------------------------- text analysis
+
+  /** Per-doc token statistics: counts, uniques, avg token length,
+    * type-token ratio. Pure per-row array math — no shuffle at all.
+    */
+  def t1TokenStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        regexp_replace(trim(lower(col("text"))), "\\s+", " ").as("norm"),
+        toks.as("toks"))
+      .select(col("doc_id"), col("lang"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_uniq"),
+        round((length(col("norm")) - (size(col("toks")) - 1)).cast("double")
+          / size(col("toks")), 6).as("avg_tok_len"),
+        round(size(array_distinct(col("toks"))).cast("double")
+          / size(col("toks")), 6).as("ttr"))
+      .orderBy(col("doc_id"))
+      .limit(2000)
+
+  /** BPE-ish regex token counting: alpha runs, digit runs, and single
+    * non-alnum symbols counted separately (the pre-tokenizer shape used
+    * by byte-pair encoders).
+    */
+  def t2RegexTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+"), lit(0))).as("n_alpha"),
+        size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))).as("n_num"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("[^a-z0-9 ]"), lit(0))).as("n_sym"))
+      .orderBy(col("doc_id"))
+      .limit(2000)
+
+  private val StopEn = Seq("the", "a", "of", "and", "is", "to")
+  private val StopDe = Seq("der", "die", "das", "und", "ist")
+  private val StopEs = Seq("el", "la", "de", "y", "es")
+  private val StopFr = Seq("le", "la", "de", "et", "est")
+
+  private def voteFor(words: Seq[String]): Column =
+    size(filter_(col("toks"), t => t.isin(words: _*)))
+
+  /** Language-ID heuristic: stopword votes per candidate language,
+    * deterministic priority tie-break. (The harness corpus shares one
+    * vocabulary across its `lang` labels, so the interesting part is the
+    * deterministic vote pipeline, not the accuracy.)
+    */
+  def t3LangId(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), toks.as("toks"))
+      .select(col("doc_id"), col("lang"),
+        voteFor(StopEn).as("v_en"), voteFor(StopDe).as("v_de"),
+        voteFor(StopEs).as("v_es"), voteFor(StopFr).as("v_fr"))
+      .withColumn("predicted",
+        when(col("v_en") >= col("v_de") && col("v_en") >= col("v_es")
+          && col("v_en") >= col("v_fr"), "en")
+          .when(col("v_de") >= col("v_es") && col("v_de") >= col("v_fr"), "de")
+          .when(col("v_es") >= col("v_fr"), "es")
+          .otherwise("fr"))
+      .orderBy(col("doc_id"))
+      .limit(2000)
+
+  /** Quality score in [0,1]: length saturation, lexical diversity,
+    * stopword presence, long-token share — the standard cheap pretraining
+    * quality heuristics, combined with fixed weights.
+    */
+  def t4QualityScore(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), toks.as("toks"))
+      .select(col("doc_id"), col("lang"),
+        size(col("toks")).as("n_tokens"),
+        (size(filter_(col("toks"), t => t.isin(StopEn: _*))).cast("double")
+          / size(col("toks"))).as("stop_ratio"),
+        (size(array_distinct(col("toks"))).cast("double") / size(col("toks")))
+          .as("ttr"),
+        (size(filter_(col("toks"), t => length(t) >= 4)).cast("double")
+          / size(col("toks"))).as("long_ratio"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        round(col("stop_ratio"), 6).as("stop_ratio"),
+        round(col("ttr"), 6).as("ttr"),
+        round(least(col("n_tokens").cast("double") / 50.0, lit(1.0)) * 0.3
+          + col("ttr") * 0.3 + col("stop_ratio") * 0.2
+          + col("long_ratio") * 0.2, 6).as("quality"))
+      .orderBy(col("doc_id"))
+      .limit(2000)
+
+  /** Document fingerprint: the minimum shingle md5 (winnowing-style
+    * content fingerprint) + shingle cardinality per doc.
+    */
+  def t5Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    shingleIndex(Tables.documents(spark, dir))
+      .groupBy(col("doc_id"))
+      .agg(min(md5(col("shingle").cast("binary"))).as("fingerprint"),
+        count(lit(1)).as("n_shingles"))
+      .orderBy(col("doc_id"))
+      .limit(2000)
+
+  // `filter` collides with DataFrame.filter inside select contexts
+  private def filter_(c: Column, f: Column => Column): Column =
+    org.apache.spark.sql.functions.filter(c, f)
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_exact_dedup" -> (d1ExactDedup _),
+    "d2_minhash_signature" -> (d2MinhashSignature _),
+    "d3_minhash_lsh" -> (d3MinhashLsh _),
+    "d4_simhash" -> (d4Simhash _),
+    "d5_simhash_neardup" -> (d5SimhashNearDup _),
+    "d6_ngram_jaccard" -> (d6NgramJaccard _),
+    "t1_token_stats" -> (t1TokenStats _),
+    "t2_regex_tokens" -> (t2RegexTokens _),
+    "t3_lang_id" -> (t3LangId _),
+    "t4_quality_score" -> (t4QualityScore _),
+    "t5_fingerprint" -> (t5Fingerprint _),
+  )
+}
