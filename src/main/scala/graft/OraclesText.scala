@@ -265,5 +265,21 @@ object OraclesText {
         |ORDER BY event_type, rk""".stripMargin,
   )
 
-  def all: Map[String, String] = dedup ++ simhash ++ text ++ similarity ++ events
+  val multimodal: Map[String, String] = Map(
+    // Mirrors Multimodal.FakeDecoder: width/height from the first 4 hex
+    // pairs of the payload md5, frame count from byte length mod 7.
+    "m1_media_features" ->
+      s"""WITH x AS (SELECT doc_id, 'text/plain' AS media_type,
+         |    CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+         |    md5(text) AS sig
+         |  FROM documents)
+         |SELECT doc_id, media_type, n_bytes, sig,
+         |  CAST(${hex4ToInt("substr(sig, 1, 4)")} % 1024 AS INT) AS width,
+         |  CAST(${hex4ToInt("substr(sig, 5, 4)")} % 1024 AS INT) AS height,
+         |  CAST(n_bytes % 7 AS INT) AS n_frames
+         |FROM x ORDER BY doc_id LIMIT 2000""".stripMargin,
+  )
+
+  def all: Map[String, String] =
+    dedup ++ simhash ++ text ++ similarity ++ events ++ multimodal
 }

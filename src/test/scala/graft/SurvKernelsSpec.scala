@@ -1,0 +1,168 @@
+package graft
+
+import graft.surv._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CIndexSpec extends AnyFunSuite {
+  val y = Array(Clinical(true, 1.0), Clinical(true, 2.0),
+    Clinical(false, 3.0), Clinical(true, 4.0))
+
+  test("perfect risk ordering gives C = 1") {
+    // earlier event = higher risk
+    assert(CIndex.concordance(y, Array(4, 3, 2, 1)) == 1.0)
+  }
+  test("reversed ordering gives C = 0") {
+    assert(CIndex.concordance(y, Array(1, 2, 3, 4)) == 0.0)
+  }
+  test("constant risk gives C = 0.5") {
+    assert(CIndex.concordance(y, Array(7, 7, 7, 7)) == 0.5)
+  }
+  test("hand-computed mixed example") {
+    // pairs (i earlier event, j later): (0,1),(0,2),(0,3),(1,2),(1,3),(3,-)
+    // censored sample 2 is never the earlier member.
+    // risk = [3, 1, 2, 4]: (0,1) conc 3>1; (0,2) conc 3>2; (0,3) disc 3<4;
+    // (1,2) disc 1<2; (1,3) disc 1<4 → 2/5; sample 3 (t=4) has no later j.
+    assert(CIndex.concordance(y, Array(3, 1, 2, 4)) == 2.0 / 5.0)
+  }
+  test("no comparable pairs gives 0.5") {
+    val cens = Array(Clinical(false, 1.0), Clinical(false, 2.0))
+    assert(CIndex.concordance(cens, Array(1, 2)) == 0.5)
+  }
+}
+
+class CoxPHSpec extends AnyFunSuite {
+  // group 1 dies much earlier than group 0 → positive beta (higher group
+  // value = higher hazard? group 1 earlier events ⇒ beta > 0)
+  val x: Array[Array[Double]] =
+    Array(0, 0, 0, 0, 1, 1, 1, 1).map(g => Array(g.toDouble))
+  val y: Array[Clinical] = Array(
+    Clinical(true, 10), Clinical(true, 12), Clinical(false, 15), Clinical(true, 14),
+    Clinical(true, 1), Clinical(true, 2), Clinical(true, 3), Clinical(false, 4))
+
+  test("beta sign follows the hazard direction") {
+    val fit = CoxPH.fit(x, y)
+    assert(fit.beta(0) > 1.0, s"expected strongly positive beta, got ${fit.beta(0)}")
+  }
+  test("fitted log-likelihood beats null model") {
+    val fit = CoxPH.fit(x, y)
+    assert(fit.logLik > CoxPH.logLikelihood(x, y, Array(0.0)))
+  }
+  test("gradient is ~zero at the optimum (stationarity)") {
+    val fit = CoxPH.fit(x, y)
+    val eps = 1e-5
+    val up = CoxPH.logLikelihood(x, y, Array(fit.beta(0) + eps))
+    val down = CoxPH.logLikelihood(x, y, Array(fit.beta(0) - eps))
+    assert(math.abs(up - down) / (2 * eps) < 1e-3)
+  }
+  test("two-sample hand-computed partial likelihood") {
+    // samples: (t=1, event, x=1), (t=2, event, x=0)
+    // ll(b) = [b - log(e^b + 1)] + [0 - log(1)] ⇒ maximized as b→∞;
+    // at b=0: ll = -log(2)
+    val xs = Array(Array(1.0), Array(0.0))
+    val ys = Array(Clinical(true, 1.0), Clinical(true, 2.0))
+    assert(math.abs(CoxPH.logLikelihood(xs, ys, Array(0.0)) + math.log(2)) < 1e-12)
+    val atOne = 1.0 - math.log(math.exp(1.0) + 1)
+    assert(math.abs(CoxPH.logLikelihood(xs, ys, Array(1.0)) - atOne) < 1e-12)
+  }
+  test("concordance score of the fit separates the groups") {
+    val fit = CoxPH.fit(x, y)
+    assert(CoxPH.scoreConcordance(fit, x, y) > 0.7)
+  }
+  test("log-likelihood score is the average partial log-likelihood") {
+    val fit = CoxPH.fit(x, y)
+    assert(math.abs(CoxPH.scoreLogLikelihood(fit, x, y) -
+      CoxPH.logLikelihood(x, y, fit.beta) / x.length) < 1e-12)
+  }
+}
+
+class KMeansLocalSpec extends AnyFunSuite {
+  val blobA: Array[Array[Double]] = Array.tabulate(20)(i => Array(0.0 + i * 0.01, 0.0))
+  val blobB: Array[Array[Double]] = Array.tabulate(20)(i => Array(10.0 + i * 0.01, 10.0))
+
+  test("separated blobs cluster cleanly and deterministically") {
+    val r1 = KMeansLocal.fit(blobA ++ blobB, 2, seed = 42)
+    val r2 = KMeansLocal.fit(blobA ++ blobB, 2, seed = 42)
+    assert(r1.labels.toSeq == r2.labels.toSeq)
+    val a = r1.labels.take(20).toSet
+    val b = r1.labels.drop(20).toSet
+    assert(a.size == 1 && b.size == 1 && a != b)
+  }
+  test("inertia is the within-cluster sum of squares") {
+    val r = KMeansLocal.fit(blobA ++ blobB, 2, seed = 1)
+    assert(r.inertia < 1.0)
+  }
+}
+
+class SpectralLocalSpec extends AnyFunSuite {
+  test("two well-separated rings/blobs split") {
+    val blobA = Array.tabulate(15)(i => Array(math.cos(i), math.sin(i)))
+    val blobB = Array.tabulate(15)(i => Array(20 + math.cos(i), 20 + math.sin(i)))
+    val labels = SpectralLocal.fit(blobA ++ blobB, 2, seed = 7)
+    assert(labels.take(15).toSet.size == 1)
+    assert(labels.drop(15).toSet.size == 1)
+    assert(labels.take(15).head != labels.drop(15).head)
+  }
+}
+
+class RandomSurvivalForestSpec extends AnyFunSuite {
+  // feature 0 drives survival: high value → early event
+  val rng = new scala.util.Random(5)
+  val n = 120
+  val x: Array[Array[Double]] = Array.fill(n)(Array.fill(4)(rng.nextDouble()))
+  val y: Array[Clinical] = x.map { row =>
+    val t = if (row(0) > 0.5) 1.0 + rng.nextDouble() else 5.0 + rng.nextDouble()
+    Clinical(rng.nextDouble() > 0.2, t)
+  }
+
+  test("learns the risk feature (train C-index well above chance)") {
+    val m = RandomSurvivalForest.fit(x, y, nEstimators = 20, seed = 3)
+    val c = CIndex.concordance(y, x.map(m.risk))
+    assert(c > 0.75, s"C-index $c")
+  }
+  test("log-rank statistic separates distinct survival groups") {
+    val idx1 = (0 until n).filter(i => x(i)(0) > 0.5).toArray
+    val idx2 = (0 until n).filter(i => x(i)(0) <= 0.5).toArray
+    assert(RandomSurvivalForest.logRank(y, idx1, idx2) > 10.0)
+    // identical groups → ~0
+    val half = (0 until n by 2).toArray
+    val otherHalf = (1 until n by 2).toArray
+    assert(RandomSurvivalForest.logRank(y, half, otherHalf) <
+      RandomSurvivalForest.logRank(y, idx1, idx2))
+  }
+  test("deterministic under a fixed seed") {
+    val a = RandomSurvivalForest.fit(x, y, nEstimators = 5, seed = 11)
+    val b = RandomSurvivalForest.fit(x, y, nEstimators = 5, seed = 11)
+    assert(x.map(a.risk).toSeq == x.map(b.risk).toSeq)
+  }
+}
+
+class SurvivalSVMSpec extends AnyFunSuite {
+  val rng = new scala.util.Random(9)
+  val n = 80
+  val x: Array[Array[Double]] = Array.fill(n)(Array.fill(3)(rng.nextDouble() * 2 - 1))
+  val y: Array[Clinical] = x.map { row =>
+    Clinical(true, math.exp(-2.0 * row(0)) * (1 + 0.1 * rng.nextDouble()))
+  }
+
+  test("ranking mode recovers the risk direction") {
+    val m = SurvivalSVM.fit(x, y, isRegression = false, maxIter = 500)
+    val c = CIndex.concordance(y, x.map(m.risk))
+    assert(c > 0.8, s"C-index $c")
+  }
+  test("regression mode fits log-time") {
+    val m = SurvivalSVM.fit(x, y, isRegression = true, maxIter = 500)
+    val c = CIndex.concordance(y, x.map(m.risk))
+    assert(c > 0.8, s"C-index $c")
+  }
+  test("rbf/cosine/poly/sigmoid kernels run and beat chance") {
+    for (k <- Seq("rbf", "cosine", "poly", "sigmoid")) {
+      val m = SurvivalSVM.fit(x, y, kernel = k, isRegression = false, maxIter = 300)
+      val c = CIndex.concordance(y, x.map(m.risk))
+      assert(c > 0.6, s"kernel $k C-index $c")
+    }
+  }
+  test("iteration count is reported") {
+    val m = SurvivalSVM.fit(x, y, maxIter = 50)
+    assert(m.iterations > 0 && m.iterations <= 50)
+  }
+}
