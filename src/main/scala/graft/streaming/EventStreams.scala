@@ -1,0 +1,115 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the `events` stream.
+  *
+  * The reference is batch-only (SURVEY §2.8 — its single streaming-ish
+  * element is the async job-state callback); this module extends the
+  * engine with the standard streaming trio a large-scale event pipeline
+  * needs — watermarked tumbling-window aggregation, stateful
+  * sessionization via `flatMapGroupsWithState`, and streaming dedup —
+  * written so the batch queries in [[graft.queries.Events]] are the exact
+  * batch twins of these plans.
+  *
+  * Scale: state is keyed by user_id / event key — Spark partitions state
+  * across executors by key hash; watermarks bound state size; parquet
+  * source paths become Kafka topics in production with no plan change.
+  */
+object EventStreams {
+
+  /** events schema with ts as raw nanos (see Tables.events). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Streaming read of an events parquet directory, ts → µs timestamp. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(rawSchema)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour windowed counts/sums per event_type with a 2-hour
+    * watermark — the streaming twin of Events.e1WindowAgg.
+    */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * 100).cast("long")) / lit(100.0))
+          .as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Streaming exact dedup on event_id within the watermark horizon —
+    * `dropDuplicates` keyed state, bounded by the watermark.
+    */
+  def dedupedStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .dropDuplicates("event_id")
+
+  case class EventIn(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class SessionState(start: Long, last: Long, n: Int, sum: Double)
+  case class SessionOut(user_id: Long, n_events: Int, duration_sec: Double,
+      sum_value: Double)
+
+  /** Gap-based sessionization with explicit keyed state
+    * (`flatMapGroupsWithState`): a session closes after 30 min of
+    * inactivity (processing-time timeout in streaming; the batch twin is
+    * Events.e2Sessionize). State per key = one running session — O(1).
+    */
+  def sessionize(events: Dataset[EventIn]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = 30L * 60 * 1000
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (userId: Long, rows: Iterator[EventIn], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, s.n, (s.last - s.start) / 1000.0, s.sum))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(s.copy(last = t, n = s.n + 1, sum = s.sum + e.value))
+                case Some(s) =>
+                  closed ::= SessionOut(userId, s.n, (s.last - s.start) / 1000.0, s.sum)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutDuration(gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Runs a streaming query to completion over a static directory (the
+    * local smoke path: batch parquet drives the stream synchronously).
+    */
+  def runToMemorySink(df: DataFrame, name: String,
+      outputMode: String = "append"): StreamingQuery = {
+    val q = df.writeStream.outputMode(outputMode)
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q
+  }
+}

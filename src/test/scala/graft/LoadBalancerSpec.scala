@@ -1,0 +1,66 @@
+package graft
+
+import graft.bbha.{ImprovedBbha, Star}
+import graft.dist.{FitnessExecutor, LoadBalancerModel}
+import graft.fitness.FitnessResult
+import org.scalatest.funsuite.AnyFunSuite
+
+class ImprovedBbhaSpec extends AnyFunSuite {
+  private def toyFitness(mask: Array[Int]): Double =
+    mask.take(3).sum - 0.01 * mask.sum
+
+  val cfg = ImprovedBbha.Config(nStars = 8, nIterations = 10,
+    randomState = Some(5L))
+
+  test("coefficient validation matches the paper grid") {
+    intercept[IllegalArgumentException] {
+      ImprovedBbha.run(cfg.copy(coeff1 = 9.9), 10, toyFitness)
+    }
+    intercept[IllegalArgumentException] {
+      ImprovedBbha.run(cfg.copy(coeff2 = 0.7), 10, toyFitness)
+    }
+  }
+
+  test("deterministic under a fixed seed and improves the objective") {
+    val a = ImprovedBbha.run(cfg, 10, toyFitness)
+    val b = ImprovedBbha.run(cfg, 10, toyFitness)
+    assert(a.bestMask.toSeq == b.bestMask.toSeq)
+    assert(a.bestFitness >= 1.0, s"fitness ${a.bestFitness}")
+    assert(a.bestMask.forall(v => v == 0 || v == 1))
+  }
+}
+
+class LoadBalancerModelSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("GBT pipeline learns a feature-count cost model; bins balance") {
+    import spark.implicits._
+    val rng = new scala.util.Random(4)
+    // synthetic history: time grows quadratically with n_features
+    val hist = (1 to 300).map { _ =>
+      val f = 1 + rng.nextInt(50)
+      val s = 100
+      val t = 0.01 * f * f + 0.5 + rng.nextGaussian() * 0.05
+      (f, s, "linear", "avltree", t)
+    }.toDF("n_features", "n_samples", "kernel", "optimizer", "execution_time")
+    val model = LoadBalancerModel.train(spark, hist)
+
+    val stars = Array.tabulate(12) { i =>
+      Star(i, Array.tabulate(50)(j => if (j < (i + 1) * 4) 1 else 0))
+    }
+    val params = LoadBalancerModel.SvmParameters(100, "linear", "avltree")
+    val times = LoadBalancerModel.predict(spark, model, stars, params)
+    assert(times.size == 12)
+    // bigger subsets must predict as slower (monotone trend on extremes)
+    assert(times(11) > times(0), s"t11=${times(11)} t0=${times(0)}")
+    // unknown kernel must not throw (handleInvalid=keep ≙ unknown −1)
+    val unknown = LoadBalancerModel.predict(spark, model, stars.take(2),
+      params.copy(kernel = "mystery"))
+    assert(unknown.size == 2)
+
+    // LPT bins over predictions are balanced within the largest item
+    val bins = graft.dist.LoadBalancer.binPack(times, 3)
+    val loads = bins.groupBy(_._2).view.mapValues(_.keys.map(times).sum)
+    assert(loads.values.max - loads.values.min <= times.values.max + 1e-9)
+  }
+}

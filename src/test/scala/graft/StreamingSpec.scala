@@ -1,0 +1,84 @@
+package graft
+
+import graft.queries.Events
+import graft.streaming.EventStreams
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val dir = "/root/testdata/sf0.001"
+
+  /** The file stream source wants a directory; the harness table is a
+    * single parquet file — stage it into a temp dir.
+    */
+  lazy val streamDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      d.resolve("events.parquet"))
+    d.toString
+  }
+
+  test("streaming windowed agg equals the batch twin") {
+    import spark.implicits._
+    val stream = EventStreams.readEvents(spark, streamDir)
+    // append-mode windows only emit below the watermark; complete mode
+    // over the static file emits everything — compare against batch
+    val q = EventStreams.windowedAgg(stream)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("win_agg")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("win_agg")
+      .select($"hour", $"event_type", $"n", $"sum_value")
+      .collect().map(_.toSeq).toSet
+    val batch = Events.e1WindowAgg(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch, s"stream=${streamed.size} batch=${batch.size}")
+    assert(streamed.nonEmpty)
+  }
+
+  test("streaming dedup keeps one row per event_id") {
+    val stream = EventStreams.readEvents(spark, streamDir)
+    val q = EventStreams.dedupedStream(stream)
+      .groupBy().count()
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("dedup_count")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val n = spark.table("dedup_count").collect()(0).getLong(0)
+    val distinct = graft.Tables.events(spark, dir)
+      .select("event_id").distinct().count()
+    assert(n == distinct)
+  }
+
+  test("stateful sessionization emits gap-closed sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStreams.EventIn]
+    val base = 1700000000000L
+    // user 1: two sessions split by a 40-min gap; user 2: one session
+    mem.addData(
+      EventStreams.EventIn(1, new java.sql.Timestamp(base), 1.0),
+      EventStreams.EventIn(1, new java.sql.Timestamp(base + 5 * 60000), 2.0),
+      EventStreams.EventIn(1, new java.sql.Timestamp(base + 45 * 60000), 3.0),
+      EventStreams.EventIn(2, new java.sql.Timestamp(base), 4.0))
+    val q = EventStreams.sessionize(mem.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sessions").start()
+    // ProcessingTimeTimeout keeps scheduling timeout-check batches, so
+    // processAllAvailable never settles — poll for the in-batch gap close
+    val deadline = System.nanoTime() + 30L * 1000000000L
+    var closed = Array.empty[EventStreams.SessionOut]
+    while (closed.isEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(200)
+      closed = spark.table("sessions").as[EventStreams.SessionOut].collect()
+    }
+    q.stop()
+    // the 40-min gap closes user 1's first session within the batch
+    assert(closed.exists(s => s.user_id == 1 && s.n_events == 2 &&
+      s.duration_sec == 300.0 && s.sum_value == 3.0), closed.mkString(", "))
+  }
+}
