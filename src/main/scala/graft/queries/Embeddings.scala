@@ -20,16 +20,26 @@ import org.apache.spark.sql.functions._
   */
 object Embeddings {
 
-  /** Sequential-fold dot product of two float arrays in double. */
+  /** Sequential-fold dot product of two float arrays in double — a
+    * native codegen'd Expression (the `aggregate(zip_with(...))`
+    * formulation computes the same value but interprets the lambdas per
+    * element, and gets duplicated into join residual conditions).
+    */
   private def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    org.apache.spark.sql.graftfn.GraftExpressions.floatVecDot(a, b)
 
   private def norm(a: Column): Column = sqrt(dot(a, a))
 
   private def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine with per-side precomputed norms: the pairwise step does ONE
+    * 64-element fold instead of three. The value is bit-identical to
+    * [[cosine]] (same folds, same IEEE order), so the oracles are
+    * unchanged; at n² pair counts the hoisted norms are a 3× cut.
+    */
+  private def cosinePre(a: Column, na: Column, b: Column, nb: Column): Column =
+    dot(a, b) / (na * nb)
 
   /** Brute-force cosine top-k: for each query vector (vec_id < 10), the
     * 5 nearest neighbours over the whole collection. The query side is
@@ -39,11 +49,14 @@ object Embeddings {
   def s1CosineTopK(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(spark, dir)
+      .withColumn("nrm", norm(col("embedding")))
     val queries = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
     val scored = emb.join(broadcast(queries), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        round(cosine(col("q_emb"), col("embedding")), 6).as("cos"))
+        round(cosinePre(col("q_emb"), col("q_nrm"),
+          col("embedding"), col("nrm")), 6).as("cos"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rk", row_number().over(w))
@@ -59,14 +72,16 @@ object Embeddings {
     */
   def s2IvfNearDup(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"), col("embedding"))
+      .select(col("vec_id"), col("label"), col("embedding"),
+        norm(col("embedding")).as("nrm"))
     val a = emb.as("a")
     val b = emb.as("b")
     a.join(b, col("a.label") === col("b.label")
         && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.label").as("label"),
         col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        round(cosine(col("a.embedding"), col("b.embedding")), 6).as("cos"))
+        round(cosinePre(col("a.embedding"), col("a.nrm"),
+          col("b.embedding"), col("b.nrm")), 6).as("cos"))
       .filter(col("cos") >= 0.3)
       .orderBy(col("id_a"), col("id_b"))
   }
@@ -82,29 +97,33 @@ object Embeddings {
     import org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(spark, dir)
 
-    // hyperplane component p,j as a deterministic literal array
+    // hyperplane component p,j as a deterministic literal weight array;
+    // the projection is one codegen'd dot against the literal (a 64-term
+    // Add chain costs every Catalyst pass dearly — see GraftExpressions)
     def planeSign(p: Int): Column = {
       // w_pj = hexval(first char of md5("p:j")) - 7.5
-      val terms = (0 until 64).map { j =>
-        val w = Integer.parseInt(
+      val weights = Array.tabulate(64) { j =>
+        Integer.parseInt(
           java.security.MessageDigest.getInstance("MD5")
             .digest(s"$p:$j".getBytes("UTF-8"))
             .take(1).map("%02x".format(_)).mkString.take(1), 16) - 7.5
-        element_at(col("embedding"), j + 1).cast("double") * lit(w)
       }
-      when(terms.reduce(_ + _) > 0, 1).otherwise(0)
+      when(org.apache.spark.sql.graftfn.GraftExpressions
+        .floatDotWeights(col("embedding"), weights) > 0, 1).otherwise(0)
     }
 
     val bucketed = emb.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"),
       (0 until 4).map(p => planeSign(p) * (1 << p)).reduce(_ + _)
         .as("bucket"))
     val queries = bucketed.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("bucket").as("q_bucket"))
+        col("nrm").as("q_nrm"), col("bucket").as("q_bucket"))
     val cand = bucketed.join(broadcast(queries),
         col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        round(cosine(col("q_emb"), col("embedding")), 6).as("cos"))
+        round(cosinePre(col("q_emb"), col("q_nrm"),
+          col("embedding"), col("nrm")), 6).as("cos"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     cand.withColumn("rk", row_number().over(w))

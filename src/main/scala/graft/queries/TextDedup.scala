@@ -18,25 +18,30 @@ import org.apache.spark.sql.functions._
   */
 object TextDedup {
 
+  import graft.functions.FastMd5.fastMd5
+
   /** Tokens of normalized text: lowercase, trimmed, split on whitespace. */
   private def toks: Column = split(trim(lower(col("text"))), "\\s+")
 
-  /** Word 3-gram shingles (docs with ≥3 tokens). */
-  private def withShingles(df: DataFrame): DataFrame =
-    df.select(col("doc_id"), toks.as("toks"))
-      .filter(size(col("toks")) >= 3)
+  /** Distinct (doc_id, shingle) word-3-gram pairs — the inverted-index
+    * input. Built generator-first: `posexplode` evaluates the regex
+    * split ONCE per document, then `lead` windows assemble the 3-grams.
+    * (The tempting `transform(sequence(...), i => element_at(toks, ...))`
+    * formulation is quadratic: CollapseProject inlines the split into
+    * every element_at inside the lambda, re-splitting the whole document
+    * per shingle — measured 10× slower at sf0.1.)
+    */
+  private def shingleIndex(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    df.select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
+      .withColumn("t1", lead(col("tok"), 1).over(w))
+      .withColumn("t2", lead(col("tok"), 2).over(w))
+      .filter(col("t2").isNotNull) // docs with <3 tokens yield no shingles
       .select(col("doc_id"),
-        transform(sequence(lit(0), size(col("toks")) - 3),
-          i => concat_ws(" ",
-            element_at(col("toks"), i + 1),
-            element_at(col("toks"), i + 2),
-            element_at(col("toks"), i + 3))).as("shingles"))
-
-  /** Distinct (doc_id, shingle) pairs — the inverted-index input. */
-  private def shingleIndex(df: DataFrame): DataFrame =
-    withShingles(df)
-      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+        concat_ws(" ", col("tok"), col("t1"), col("t2")).as("shingle"))
       .distinct()
+  }
 
   // ---------------------------------------------------------------- exact
 
@@ -47,8 +52,7 @@ object TextDedup {
   def d1ExactDedup(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"),
-        md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")
-          .cast("binary")).as("text_hash"))
+        fastMd5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")).as("text_hash"))
       .groupBy(col("text_hash"))
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_docs"))
       .orderBy(col("canonical_id"))
@@ -66,7 +70,7 @@ object TextDedup {
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
     val idx = shingleIndex(Tables.documents(spark, dir))
     val mins = (0 until MinhashK).map { i =>
-      min(md5(concat(lit(s"$i:"), col("shingle")).cast("binary"))).as(s"mh$i")
+      min(fastMd5(concat(lit(s"$i:"), col("shingle")))).as(s"mh$i")
     }
     idx.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
@@ -81,11 +85,14 @@ object TextDedup {
     * LSH contract that keeps this sub-quadratic at scale.
     */
   def d3MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSignatures(spark, dir)
+    // the signature table feeds three join branches — materialize once
+    // (at lake scale this is a checkpointed signature table)
+    val sig = minhashSignatures(spark, dir).persist()
+    sig.count() // eager: three consumers racing a cold cache each recompute it
     val bandCols = (0 until MinhashBands).map { b =>
       struct(lit(b).as("band"),
-        md5(concat_ws("|",
-          col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).cast("binary"))
+        fastMd5(concat_ws("|",
+          col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))
           .as("bkey"))
     }
     val banded = sig.select(col("doc_id"),
@@ -122,7 +129,7 @@ object TextDedup {
     val tokens = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(toks).as("tok"))
       .withColumn("th",
-        conv(substring(md5(col("tok").cast("binary")), 1, 4), 16, 10)
+        conv(substring(fastMd5(col("tok")), 1, 4), 16, 10)
           .cast("long"))
     val votes = (0 until SimhashBits).map { b =>
       sum(when(shiftright(col("th"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
@@ -146,7 +153,8 @@ object TextDedup {
     * such pairs without a cross join.
     */
   def d5SimhashNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val sig = simhashes(spark, dir)
+    val sig = simhashes(spark, dir).persist() // feeds both join sides
+    sig.count() // eager materialization (see d3)
     val nibbles = (0 until 4).map { j =>
       struct(lit(j).as("band"),
         shiftright(col("simhash"), 4 * j).bitwiseAND(15).as("bval"))
@@ -161,11 +169,12 @@ object TextDedup {
         col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
-      .distinct()
-      .withColumn("hamming",
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int"))
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast("int").as("hamming"))
+      // filter BEFORE the cross-band dedup: hamming is pair-determined,
+      // so the distinct sees only surviving pairs (~4× smaller shuffle)
       .filter(col("hamming") <= 3)
+      .distinct()
       .select(col("id_a"), col("id_b"), col("hamming"))
       .orderBy(col("id_a"), col("id_b"))
   }
@@ -178,7 +187,9 @@ object TextDedup {
     * n² pair matrix — only pairs sharing ≥1 shingle materialize.
     */
   def d6NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val idx = shingleIndex(Tables.documents(spark, dir))
+    // inverted index feeds both self-join sides plus the size table
+    val idx = shingleIndex(Tables.documents(spark, dir)).persist()
+    idx.count() // eager materialization (see d3)
     val sizes = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = idx.as("a")
     val b = idx.as("b")
@@ -290,7 +301,7 @@ object TextDedup {
   def t5Fingerprint(spark: SparkSession, dir: String): DataFrame =
     shingleIndex(Tables.documents(spark, dir))
       .groupBy(col("doc_id"))
-      .agg(min(md5(col("shingle").cast("binary"))).as("fingerprint"),
+      .agg(min(fastMd5(col("shingle"))).as("fingerprint"),
         count(lit(1)).as("n_shingles"))
       .orderBy(col("doc_id"))
       .limit(2000)

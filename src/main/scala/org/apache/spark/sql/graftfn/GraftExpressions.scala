@@ -1,0 +1,89 @@
+package org.apache.spark.sql.graftfn
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, BinaryType, DataType, DoubleType, FloatType, StringType}
+
+/** Bridge into the `private[sql]` Column↔Expression API for graft's
+  * native Catalyst expressions (the supported pattern for libraries
+  * adding codegen-friendly functions without forking Spark).
+  */
+object GraftExpressions {
+  def fastMd5(c: Column): Column =
+    ExpressionUtils.column(FastMd5Expr(ExpressionUtils.expression(c.cast("binary"))))
+
+  def floatVecDot(a: Column, b: Column): Column =
+    ExpressionUtils.column(FloatVecDot(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Dot of a float-array column against a fixed double-array weight
+    * vector (hyperplane projections): two expression nodes instead of a
+    * ~4×64-term Add chain, whose deep tree cost shows up in every
+    * planning/codegen pass.
+    */
+  def floatDotWeights(a: Column, weights: Array[Double]): Column =
+    ExpressionUtils.column(FloatDoubleVecDot(
+      ExpressionUtils.expression(a),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        weights, ArrayType(DoubleType))))
+}
+
+/** Σ (double)a[i] * w[i], sequential — same association order as the
+  * left-assoc `a[1]*w1 + a[2]*w2 + …` SQL chain the oracle uses.
+  */
+case class FloatDoubleVecDot(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    graft.functions.VecOps.dotFloatDouble(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecOps.dotFloatDouble($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): FloatDoubleVecDot = copy(left = newLeft, right = newRight)
+  override def prettyName: String = "float_double_vec_dot"
+}
+
+/** Sequential left-fold dot product of two float arrays in double —
+  * the codegen'd replacement for `aggregate(zip_with(a, b, _*_), 0d, _+_)`,
+  * whose lambda interpretation costs ~µs/element and, worse, gets
+  * duplicated into join residual conditions. Bit-identical result
+  * (same products, same left-to-right additions in double), so DuckDB
+  * `list_reduce` oracles are unchanged.
+  */
+case class FloatVecDot(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    graft.functions.VecOps.dotFloat(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecOps.dotFloat($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): FloatVecDot = copy(left = newLeft, right = newRight)
+  override def prettyName: String = "float_vec_dot"
+}
+
+/** Codegen'd md5-hex via [[graft.functions.FastMd5.hexOf]] (thread-local
+  * digest reuse instead of per-row `MessageDigest.getInstance`).
+  */
+case class FastMd5Expr(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    graft.functions.FastMd5.hexOf(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.FastMd5.hexOf($c)")
+  override protected def withNewChildInternal(newChild: Expression): FastMd5Expr =
+    copy(child = newChild)
+  override def prettyName: String = "fast_md5"
+}
