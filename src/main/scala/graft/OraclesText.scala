@@ -280,6 +280,42 @@ object OraclesText {
          |FROM x ORDER BY doc_id LIMIT 2000""".stripMargin,
   )
 
+  val survival: Map[String, String] = Map(
+    // Pairwise-SQL twin of the CIndexAggregator: comparable pairs are
+    // (a earlier with event, b later); concordant when a.risk > b.risk,
+    // ties 0.5; no comparable pairs → 0.5 (CIndex.concordance contract).
+    "v1_cindex" ->
+      """WITH s AS (SELECT c_mktsegment AS seg,
+        |    (c_custkey % 2 = 0) AS event,
+        |    CAST(c_custkey % 97 AS DOUBLE) AS time,
+        |    c_acctbal AS risk
+        |  FROM customer WHERE c_custkey <= 2000),
+        |pairs AS (
+        |  SELECT a.seg,
+        |    sum(CASE WHEN a.risk > b.risk THEN 1.0
+        |             WHEN a.risk = b.risk THEN 0.5 ELSE 0.0 END) AS conc,
+        |    count(*) AS comp
+        |  FROM s a JOIN s b
+        |    ON a.seg = b.seg AND a.event AND a.time < b.time
+        |  GROUP BY a.seg),
+        |counts AS (SELECT seg, count(*) AS n FROM s GROUP BY seg)
+        |SELECT c.seg, CAST(c.n AS INT) AS n,
+        |  round(CASE WHEN p.comp IS NULL OR p.comp = 0 THEN 0.5
+        |             ELSE p.conc / p.comp END, 6) AS cindex
+        |FROM counts c LEFT JOIN pairs p ON c.seg = p.seg
+        |ORDER BY c.seg""".stripMargin,
+
+    // The cleaning contract: f_disc carries an injected NaN (→ column
+    // dropped), f_price carries injected Inf for partkey≡7 (mod 1000)
+    // (→ those rows dropped). The oracle bakes in the same injection.
+    "v2_clean_matrix" ->
+      """SELECT concat(l_orderkey, '-', l_linenumber) AS row_id,
+        |  l_quantity AS f_qty, l_extendedprice AS f_price, l_tax AS f_tax
+        |FROM lineitem
+        |WHERE l_orderkey <= 4000 AND l_partkey % 1000 != 7
+        |ORDER BY row_id, f_price, f_qty, f_tax LIMIT 3000""".stripMargin,
+  )
+
   def all: Map[String, String] =
-    dedup ++ simhash ++ text ++ similarity ++ events ++ multimodal
+    dedup ++ simhash ++ text ++ similarity ++ events ++ multimodal ++ survival
 }

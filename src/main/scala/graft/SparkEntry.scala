@@ -11,7 +11,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Rel.all ++ graft.queries.TextDedup.all ++ graft.queries.Embeddings.all ++
-      graft.queries.Events.all ++ graft.multimodal.Multimodal.all
+      graft.queries.Events.all ++ graft.multimodal.Multimodal.all ++
+      graft.queries.Survival.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -32,12 +32,20 @@ object Experiment {
 
   def run(spark: SparkSession, cfg: Config): Result = {
     val sc = spark.sparkContext
+    // worker discovery (main.py:259-262): executors minus the driver;
+    // in local mode that is 0, so fall back to local parallelism
+    val discovered = sc.statusTracker.getExecutorInfos.length - 1
     val workers = if (cfg.numberOfWorkers > 0) cfg.numberOfWorkers
+      else if (discovered > 0) discovered
       else math.max(sc.defaultParallelism, 1)
     require(workers > 0, s"invalid number of workers $workers")
 
     val appFolder = Paths.get(cfg.resultsPath, cfg.appName)
     Files.createDirectories(appFolder)
+    // 0o777 like create_folder_with_permissions (core.py:41-49)
+    try Files.setPosixFilePermissions(appFolder,
+      java.nio.file.attribute.PosixFilePermissions.fromString("rwxrwxrwx"))
+    catch { case _: UnsupportedOperationException => () }
 
     val data = SurvivalData.read(spark, cfg.moleculesPath, cfg.clinicalPath)
     val nFeatures = data.featureNames.length
@@ -75,6 +83,14 @@ object Experiment {
       "best_metric" -> result.bestMetric,
       "features" -> result.features.mkString(" | "),
       "execution_time" -> result.executionTime))
+
+    // model sink (core.py:265-269's model.pkl): one targeted refit of
+    // the winning subset instead of collecting every star's estimator
+    val model = Fitness.fitModel(fitCfg, data.x, data.y,
+      outcome.bestMask.map(_ == 1))
+    val oos = new java.io.ObjectOutputStream(
+      Files.newOutputStream(appFolder.resolve("model.bin")))
+    try oos.writeObject(model) finally oos.close()
 
     // metrics JSON (metaheuristics.py:717-732 + core.py json_extra_data)
     writeJson(appFolder.resolve("metrics.json").toString,

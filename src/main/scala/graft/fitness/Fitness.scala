@@ -191,6 +191,33 @@ object Fitness {
       modelBytes = None)
   }
 
+  /** Refit the model for one mask and return the trained artifact — used
+    * once on the winning subset after the search. The reference collects
+    * every star's fitted estimator through the result plane each
+    * iteration (metaheuristics.py:167-179); SURVEY §4.2 flags that as an
+    * inefficiency to not replicate, so search rows stay slim and the
+    * black hole's model comes from this single targeted refit.
+    */
+  def fitModel(cfg: FitnessConfig, x: Array[Array[Double]],
+      y: Array[Clinical], mask: Array[Boolean]): java.io.Serializable = {
+    val subset = maskColumns(x, mask)
+    cfg.model match {
+      case "clustering" => cfg.clusteringAlgorithm match {
+        case "k_means" =>
+          KMeansLocal.fit(subset, cfg.numberOfClusters,
+            seed = cfg.randomState.getOrElse(0L))
+        case "spectral" =>
+          graft.surv.SpectralLocal.fit(subset, cfg.numberOfClusters,
+            seed = cfg.randomState.getOrElse(0L))
+      }
+      case "rf" => graft.surv.RandomSurvivalForest.fit(subset, y,
+        nEstimators = cfg.rfNEstimators, seed = cfg.randomState.getOrElse(0L))
+      case "svm" => graft.surv.SurvivalSVM.fit(subset, y,
+        kernel = cfg.svmKernel, maxIter = cfg.svmMaxIterations,
+        isRegression = cfg.svmIsRegression, seed = cfg.randomState.getOrElse(0L))
+    }
+  }
+
   private def hostname: String =
     try java.net.InetAddress.getLocalHost.getHostName
     catch { case _: Throwable => "unknown" }

@@ -1,0 +1,95 @@
+package graft.queries
+
+import graft.Tables
+import graft.io.SurvivalClean
+import graft.surv.{CIndex, Clinical}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** DataFrame-level exposure of the survival operators so the DuckDB gate
+  * covers them too: the concordance index as a typed `Aggregator` (the
+  * optional surface SURVEY §2.5 sketches) and the cleaning pipeline as a
+  * distributed relational op.
+  */
+object Survival {
+
+  case class SurvRow(event: Boolean, time: Double, risk: Double)
+
+  /** Harrell's C as a typed Aggregator — the DataFrame-level metric
+    * surface SURVEY §2.5 sketches. The buffer collects the group's
+    * (event, time, risk) triples (a group = one cohort, the
+    * fitness-kernel scale of hundreds of samples); the all-pairs count
+    * runs once in `finish`.
+    */
+  case class CIdxResult(n: Int, cindex: Double)
+
+  object CIndexAggregator extends Aggregator[SurvRow, List[SurvRow], CIdxResult] {
+    def zero: List[SurvRow] = Nil
+    def reduce(b: List[SurvRow], a: SurvRow): List[SurvRow] = a :: b
+    def merge(a: List[SurvRow], b: List[SurvRow]): List[SurvRow] = a ++ b
+    def finish(rows: List[SurvRow]): CIdxResult = {
+      val arr = rows.toArray
+      CIdxResult(arr.length, CIndex.concordance(
+        arr.map(r => Clinical(r.event, r.time)), arr.map(_.risk)))
+    }
+    def bufferEncoder: org.apache.spark.sql.Encoder[List[SurvRow]] =
+      org.apache.spark.sql.Encoders.kryo[List[SurvRow]]
+    def outputEncoder: org.apache.spark.sql.Encoder[CIdxResult] =
+      org.apache.spark.sql.Encoders.product[CIdxResult]
+  }
+
+  /** Per-segment C-index of "account balance as risk" against a synthetic
+    * survival target over the first 2000 customers — exercises the
+    * concordance Aggregator end-to-end against a pure-SQL pairwise
+    * oracle (which stays cheap at this sample size).
+    */
+  def v1CIndex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_custkey") <= 2000)
+      .select(col("c_mktsegment").as("seg"),
+        (col("c_custkey") % 2 === 0).as("event"),
+        (col("c_custkey") % 97).cast("double").as("time"),
+        col("c_acctbal").as("risk"))
+      .as[(String, Boolean, Double, Double)]
+    c.groupByKey(_._1)
+      .mapValues(r => SurvRow(r._2, r._3, r._4))
+      .agg(CIndexAggregator.toColumn.name("res"))
+      .toDF("seg", "res")
+      .select(col("seg"), col("res.n").as("n"),
+        round(col("res.cindex"), 6).as("cindex"))
+      .orderBy(col("seg"))
+  }
+
+  /** The reference's cleaning pipeline as a distributed op over a wide
+    * numeric matrix synthesized from lineitem: inject NaN into one
+    * column (→ column dropped) and Inf into some rows (→ rows dropped),
+    * then run SurvivalClean.cleanDistributed. The oracle hardcodes the
+    * same deterministic injection.
+    */
+  def v2CleanMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") <= 4000)
+      .select(
+        concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("row_id"),
+        col("l_quantity").as("f_qty"),
+        // f_price catches Inf for one partkey residue class → rows drop
+        when(col("l_partkey") % 1000 === 7, lit(Double.PositiveInfinity))
+          .otherwise(col("l_extendedprice")).as("f_price"),
+        // f_disc catches NaN for one suppkey residue → whole column drops
+        when(col("l_suppkey") % 500 === 3, lit(Double.NaN))
+          .otherwise(col("l_discount")).as("f_disc"),
+        col("l_tax").as("f_tax"))
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic data, so
+    // order by every output column for a deterministic limit
+    SurvivalClean.cleanDistributed(m, Seq("row_id"))
+      .orderBy(col("row_id"), col("f_price"), col("f_qty"), col("f_tax"))
+      .limit(3000)
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v1_cindex" -> (v1CIndex _),
+    "v2_clean_matrix" -> (v2CleanMatrix _),
+  )
+}
