@@ -162,6 +162,44 @@ object Oracles {
         |HAVING count(*) >= 3
         |ORDER BY spend DESC, o_custkey
         |LIMIT 200""".stripMargin,
+    "q16_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS p50_qty,
+        |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
+        |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q17_string_fns" ->
+      """SELECT p_partkey,
+        |  replace(p_name, ' ', '_') AS name_u,
+        |  lpad(p_brand, 12, '#') AS brand_pad,
+        |  split_part(p_type, ' ', 1) AS type_head,
+        |  CAST(strpos(p_name, 'a') AS INT) AS first_a,
+        |  (strpos(p_name, 'z') > 0) AS has_z
+        |FROM part WHERE p_name LIKE '%a%'
+        |ORDER BY p_partkey LIMIT 1000""".stripMargin,
+
+    "q18_above_brand_avg" ->
+      """SELECT p_partkey, p_brand,
+        |  round(p_retailprice, 2) AS retailprice,
+        |  round(brand_avg, 2) AS brand_avg_price
+        |FROM part
+        |JOIN (SELECT p_brand AS b_brand, avg(p_retailprice) AS brand_avg
+        |      FROM part GROUP BY 1) b ON p_brand = b_brand
+        |WHERE p_retailprice > brand_avg
+        |ORDER BY p_partkey LIMIT 2000""".stripMargin,
+
+    "q19_null_semantics" ->
+      """WITH x AS (SELECT o_orderkey,
+        |    nullif(o_orderstatus, 'P') AS status_or_null,
+        |    coalesce(nullif(o_orderpriority, '1-URGENT'), 'OTHER') AS prio_c,
+        |    CASE WHEN o_totalprice > 200000 THEN o_totalprice END AS big_or_null
+        |  FROM orders)
+        |SELECT prio_c, count(*) AS n_rows,
+        |  count(status_or_null) AS n_status,
+        |  count(big_or_null) AS n_big,
+        |  round(avg(big_or_null), 2) AS avg_big
+        |FROM x GROUP BY prio_c ORDER BY prio_c""".stripMargin,
   )
 
   def all: Map[String, String] = relational

@@ -23,7 +23,8 @@ object Experiment {
       fitness: FitnessConfig = FitnessConfig(),
       bbha: Bbha.Config = Bbha.Config(),
       numberOfWorkers: Int = 0, // 0 = use defaultParallelism
-      useBroadcast: Boolean = true)
+      useBroadcast: Boolean = true,
+      algorithm: Int = 1) // 0 = blind search (exhaustive), 1 = BBHA
 
   case class Result(
       dataset: String, improved: Int, model: String,
@@ -64,7 +65,15 @@ object Experiment {
 
     val executor = new FitnessExecutor(sc, workers, fitnessFn)
     val start = System.nanoTime()
-    val outcome = Bbha.run(cfg.bbha, nFeatures, executor.evaluate)
+    val outcome =
+      if (cfg.algorithm == 0) {
+        val bs = graft.bbha.BlindSearch.run(sc, nFeatures,
+          fitCfg.moreIsBetter,
+          m => fitnessFn(m.map(_ == 1), -1).fitness)
+        graft.bbha.Bbha.Outcome(bs.bestMask, bs.bestFitness,
+          fitnessFn(bs.bestMask.map(_ == 1), -1),
+          Map("evaluated_subsets" -> bs.evaluated))
+      } else Bbha.run(cfg.bbha, nFeatures, executor.evaluate)
     val fsSeconds = (System.nanoTime() - start) / 1e9
 
     val selected = data.featureNames.zip(outcome.bestMask)

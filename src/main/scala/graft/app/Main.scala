@@ -57,7 +57,8 @@ object Main {
           case None => Some(0.6)
         }),
       numberOfWorkers = a.getOrElse("number-of-workers", "0").toInt,
-      useBroadcast = a.getOrElse("use-broadcast", "true") == "true")
+      useBroadcast = a.getOrElse("use-broadcast", "true") == "true",
+      algorithm = a.getOrElse("algorithm", "1").toInt)
   }
 
   def main(args: Array[String]): Unit = {

@@ -255,6 +255,66 @@ object Relational {
       .limit(200)
   }
 
+  /** Exact percentiles (interpolating, SQL `percentile`) per group —
+    * sort-based within groups; at scale prefer approx_percentile, kept
+    * exact here for oracle parity.
+    */
+  def q16Percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25_price"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75_price"))
+      .orderBy(col("l_returnflag"))
+
+  /** String-function battery: LIKE, replace, lpad, split_part, instr. */
+  def q17StringFns(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .filter(col("p_name").like("%a%"))
+      .select(col("p_partkey"),
+        regexp_replace(col("p_name"), " ", "_").as("name_u"),
+        lpad(col("p_brand"), 12, "#").as("brand_pad"),
+        split(col("p_type"), " ").getItem(0).as("type_head"),
+        instr(col("p_name"), "a").cast("int").as("first_a"),
+        (instr(col("p_name"), "z") > 0).as("has_z"))
+      .orderBy(col("p_partkey"))
+      .limit(1000)
+
+  /** Correlated-aggregate pattern: parts priced above their brand's
+    * average — rewritten as an aggregate + broadcast self-join (the
+    * scale-correct decorrelation Catalyst would also pick).
+    */
+  def q18AboveBrandAvg(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    val brandAvg = p.groupBy(col("p_brand").as("b_brand"))
+      .agg(avg(col("p_retailprice")).as("brand_avg"))
+    p.join(broadcast(brandAvg), col("p_brand") === col("b_brand"))
+      .filter(col("p_retailprice") > col("brand_avg"))
+      .select(col("p_partkey"), col("p_brand"),
+        money(col("p_retailprice")).as("retailprice"),
+        money(col("brand_avg")).as("brand_avg_price"))
+      .orderBy(col("p_partkey"))
+      .limit(2000)
+  }
+
+  /** Null semantics: null-producing division, coalesce, nullif,
+    * null-safe equality, and null-aware aggregation.
+    */
+  def q19NullSemantics(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        nullif(col("o_orderstatus"), lit("P")).as("status_or_null"),
+        coalesce(nullif(col("o_orderpriority"), lit("1-URGENT")),
+          lit("OTHER")).as("prio_c"),
+        when(col("o_totalprice") > 200000, col("o_totalprice")).as("big_or_null"))
+      .groupBy(col("prio_c"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("status_or_null")).as("n_status"), // nulls not counted
+        count(col("big_or_null")).as("n_big"),
+        money(avg(col("big_or_null"))).as("avg_big")) // null-skipping avg
+      .orderBy(col("prio_c"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_join_revenue_by_nation" -> (q2JoinRevenueByNation _),
@@ -271,5 +331,9 @@ object Relational {
     "q13_scalar_fns" -> (q13ScalarFns _),
     "q14_rollup" -> (q14Rollup _),
     "q15_having" -> (q15Having _),
+    "q16_percentiles" -> (q16Percentiles _),
+    "q17_string_fns" -> (q17StringFns _),
+    "q18_above_brand_avg" -> (q18AboveBrandAvg _),
+    "q19_null_semantics" -> (q19NullSemantics _),
   )
 }

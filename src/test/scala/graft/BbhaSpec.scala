@@ -160,3 +160,37 @@ class PartitionerSpec extends AnyFunSuite {
     assert(p.getPartition(0) == 1 && p.getPartition(3) == 0)
   }
 }
+
+object BlindToy extends Serializable {
+  val fitness: Array[Int] => Double =
+    mask => mask.take(3).sum - 0.01 * mask.sum
+}
+
+class BlindSearchSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("exhaustive search finds the exact optimum {0,1,2}") {
+    val out = graft.bbha.BlindSearch.run(spark.sparkContext, 8,
+      moreIsBetter = true, BlindToy.fitness)
+    assert(out.bestMask.toSeq == Seq(1, 1, 1, 0, 0, 0, 0, 0))
+    assert(math.abs(out.bestFitness - 2.97) < 1e-9)
+    assert(out.evaluated == 255)
+  }
+
+  test("mask materializes the subset index bit-for-bit") {
+    assert(graft.bbha.BlindSearch.mask(0b1011L, 4).toSeq == Seq(1, 1, 0, 1))
+  }
+
+  test("tie-break prefers fewer features then lower index, any order") {
+    // constant fitness: winner must be the single-feature subset idx 1
+    val out = graft.bbha.BlindSearch.run(spark.sparkContext, 6,
+      moreIsBetter = true, graft.bbha.BlindSearchSpecHelpers.const)
+    assert(out.bestMask.toSeq == Seq(1, 0, 0, 0, 0, 0))
+  }
+
+  test("feature bound is enforced") {
+    intercept[IllegalArgumentException] {
+      graft.bbha.BlindSearch.run(spark.sparkContext, 21, true, graft.bbha.BlindSearchSpecHelpers.const)
+    }
+  }
+}
