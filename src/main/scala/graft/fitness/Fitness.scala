@@ -163,7 +163,8 @@ object Fitness {
         case "svm" => graft.surv.SurvivalSVM.fit(xTr, yTr,
           kernel = cfg.svmKernel, maxIter = cfg.svmMaxIterations,
           isRegression = cfg.svmIsRegression,
-          seed = cfg.randomState.getOrElse(0L))
+          seed = cfg.randomState.getOrElse(0L),
+          optimizer = cfg.svmOptimizer)
       }
       val fitSecs = (System.nanoTime() - fitStart) / 1e9
       val t0 = System.nanoTime()

@@ -54,7 +54,8 @@ object SurvivalSVM {
 
   def fit(x: Array[Array[Double]], y: Array[Clinical], kernel: String = "linear",
       maxIter: Int = 1000, tol: Double = 1e-5, isRegression: Boolean = true,
-      alphaReg: Double = 1.0, seed: Long = 0L): Model = {
+      alphaReg: Double = 1.0, seed: Long = 0L,
+      optimizer: String = "avltree"): Model = {
     val n = x.length
     val k = kernelFn(kernel)
     // Gram matrix once — n is task-local small
@@ -63,13 +64,22 @@ object SurvivalSVM {
     val s = new Array[Double](n) // current scores = gram * a
     val grad = new Array[Double](n)
     val logT = y.map(c => math.log(math.max(c.time, 1e-12)))
-    // comparable pairs for ranking mode, precomputed
-    val pairs: Array[(Int, Int)] =
-      if (isRegression) Array.empty
-      else (for {
-        i <- 0 until n if y(i).event
-        j <- 0 until n if i != j && y(i).time < y(j).time
-      } yield (i, j)).toArray
+    // comparable-pair count for ranking-loss normalization: for each
+    // event sample, how many samples outlive it (O(n log n) via sort)
+    val nPairs: Long =
+      if (isRegression) 0L
+      else {
+        val times = y.map(_.time).sorted
+        def countGreater(t: Double): Long = {
+          var lo = 0; var hi = times.length
+          while (lo < hi) { val m = (lo + hi) >>> 1; if (times(m) <= t) lo = m + 1 else hi = m }
+          (times.length - lo).toLong
+        }
+        y.iterator.filter(_.event).map(c => countGreater(c.time)).sum
+      }
+    // avltree/rbtree select the O(n log n) order-statistic gradient;
+    // anything else sweeps the pairs directly (small-n debugging path)
+    val useTree = optimizer == "avltree" || optimizer == "rbtree"
 
     var iter = 0
     var prevLoss = Double.MaxValue
@@ -85,7 +95,7 @@ object SurvivalSVM {
         i += 1
       }
       // loss + dLoss/ds
-      val dLds = new Array[Double](n)
+      var dLds = new Array[Double](n)
       var loss = 0.0
       if (isRegression) {
         i = 0
@@ -96,21 +106,18 @@ object SurvivalSVM {
           i += 1
         }
       } else {
-        var pIdx = 0
-        while (pIdx < pairs.length) {
-          val (pi, pj) = pairs(pIdx)
-          val m = 1.0 - (s(pj) - s(pi))
-          if (m > 0) { loss += m * m; dLds(pj) -= 2 * m; dLds(pi) += 2 * m }
-          pIdx += 1
-        }
-        if (pairs.nonEmpty) loss /= pairs.length
+        val (l, g) =
+          if (useTree) RankingGradient.lossAndGradient(y, s)
+          else RankingGradient.lossAndGradientNaive(y, s)
+        dLds = g
+        loss = if (nPairs > 0) l / nPairs else 0.0
       }
       // L2 in RKHS: alphaReg * aᵀ G a ; total gradient wrt a: G·dLds + 2λ G a
       i = 0
       while (i < n) {
         var acc = 0.0; var j = 0
         while (j < n) { acc += gram(j)(i) * dLds(j); j += 1 }
-        val scale = if (!isRegression && pairs.nonEmpty) pairs.length.toDouble else 1.0
+        val scale = if (!isRegression && nPairs > 0) nPairs.toDouble else 1.0
         grad(i) = acc / scale + 2 * alphaReg * s(i) / n
         i += 1
       }

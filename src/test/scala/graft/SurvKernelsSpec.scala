@@ -166,3 +166,49 @@ class SurvivalSVMSpec extends AnyFunSuite {
     assert(m.iterations > 0 && m.iterations <= 50)
   }
 }
+
+class RankingGradientSpec extends AnyFunSuite {
+  val rng = new scala.util.Random(13)
+
+  private def randomCase(n: Int): (Array[Clinical], Array[Double]) = {
+    val y = Array.fill(n)(Clinical(rng.nextDouble() < 0.7,
+      (rng.nextInt(20) + 1).toDouble)) // deliberate time ties
+    val s = Array.fill(n)(math.floor(rng.nextDouble() * 10) / 2.0) // score ties
+    (y, s)
+  }
+
+  test("order-statistic-tree gradient equals the naive pair sweep") {
+    for (trial <- 1 to 20) {
+      val (y, s) = randomCase(5 + rng.nextInt(60))
+      val (lT, gT) = RankingGradient.lossAndGradient(y, s)
+      val (lN, gN) = RankingGradient.lossAndGradientNaive(y, s)
+      assert(math.abs(lT - lN) <= 1e-8 * math.max(1.0, math.abs(lN)),
+        s"trial $trial loss $lT vs $lN")
+      gT.zip(gN).zipWithIndex.foreach { case ((a, b), i) =>
+        assert(math.abs(a - b) <= 1e-8 * math.max(1.0, math.abs(b)),
+          s"trial $trial grad[$i] $a vs $b")
+      }
+    }
+  }
+
+  test("empty and all-censored inputs give zero loss and gradient") {
+    assert(RankingGradient.lossAndGradient(Array.empty, Array.empty)._1 == 0.0)
+    val cens = Array.fill(5)(Clinical(false, 1.0))
+    val (l, g) = RankingGradient.lossAndGradient(cens, Array(1.0, 2, 3, 4, 5))
+    assert(l == 0.0 && g.forall(_ == 0.0))
+  }
+
+  test("avltree and rbtree optimizers fit identically; naive path agrees") {
+    val x = Array.fill(40)(Array.fill(3)(rng.nextDouble() * 2 - 1))
+    val y = x.map(r => Clinical(true, math.exp(-2.0 * r(0))))
+    val risks = Seq("avltree", "rbtree", "direct").map { opt =>
+      val m = SurvivalSVM.fit(x, y, isRegression = false, maxIter = 200,
+        optimizer = opt)
+      x.map(m.risk).toSeq
+    }
+    assert(risks(0) == risks(1))
+    risks(0).zip(risks(2)).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-6, s"$a vs $b")
+    }
+  }
+}
