@@ -156,6 +156,12 @@ object OraclesText {
         |    + ttr * 0.3 + stop_ratio * 0.2 + long_ratio * 0.2, 6) AS quality
         |FROM r ORDER BY doc_id LIMIT 2000""".stripMargin,
 
+    "t6_word_count" ->
+      """SELECT token, count(*) AS n FROM (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents) t
+        |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
+
     "t5_fingerprint" ->
       s"""WITH $shingleCte
          |SELECT doc_id, min(md5(shingle)) AS fingerprint, count(*) AS n_shingles
@@ -254,6 +260,21 @@ object OraclesText {
         |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "e5_funnel" ->
+      """WITH f AS (SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS first_view,
+        |    min(CASE WHEN event_type = 'click' THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS first_click,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS first_purchase
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id,
+        |  (first_view IS NOT NULL) AS viewed,
+        |  coalesce(first_click IS NOT NULL AND first_view IS NOT NULL
+        |    AND first_click > first_view, FALSE) AS clicked_after_view,
+        |  coalesce(first_purchase IS NOT NULL AND first_click IS NOT NULL
+        |    AND first_view IS NOT NULL AND first_click > first_view
+        |    AND first_purchase > first_click, FALSE) AS full_funnel
+        |FROM f ORDER BY user_id""".stripMargin,
 
     "e4_top_users" ->
       """WITH c AS (SELECT event_type, user_id, count(*) AS n

@@ -84,10 +84,36 @@ object Events {
       .orderBy(col("event_type"), col("rk"))
   }
 
+  /** Conversion funnel: users whose first view precedes their first
+    * click precedes their first purchase — per-user min-timestamps per
+    * stage (conditional aggregation, one shuffle on user_id), then
+    * ordering predicates. The standard product-analytics funnel shape.
+    */
+  def e5Funnel(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", unix_micros(col("ts"))))
+          .as("first_view"),
+        min(when(col("event_type") === "click", unix_micros(col("ts"))))
+          .as("first_click"),
+        min(when(col("event_type") === "purchase", unix_micros(col("ts"))))
+          .as("first_purchase"))
+      .select(col("user_id"),
+        col("first_view").isNotNull.as("viewed"),
+        (col("first_click").isNotNull && col("first_view").isNotNull &&
+          col("first_click") > col("first_view")).as("clicked_after_view"),
+        (col("first_purchase").isNotNull && col("first_click").isNotNull &&
+          col("first_view").isNotNull &&
+          col("first_click") > col("first_view") &&
+          col("first_purchase") > col("first_click")).as("full_funnel"))
+      .orderBy(col("user_id"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_window_agg" -> (e1WindowAgg _),
     "e2_sessionize" -> (e2Sessionize _),
     "e3_json_extract" -> (e3JsonExtract _),
     "e4_top_users" -> (e4TopUsers _),
+    "e5_funnel" -> (e5Funnel _),
   )
 }

@@ -306,6 +306,18 @@ object TextDedup {
       .orderBy(col("doc_id"))
       .limit(2000)
 
+  /** Corpus word frequencies — the canonical explode → count shape; at
+    * lake scale this is the vocabulary-building pass of a tokenizer
+    * pipeline (one shuffle on the token).
+    */
+  def t6WordCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(toks).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(50)
+
   // `filter` collides with DataFrame.filter inside select contexts
   private def filter_(c: Column, f: Column => Column): Column =
     org.apache.spark.sql.functions.filter(c, f)
@@ -322,5 +334,6 @@ object TextDedup {
     "t3_lang_id" -> (t3LangId _),
     "t4_quality_score" -> (t4QualityScore _),
     "t5_fingerprint" -> (t5Fingerprint _),
+    "t6_word_count" -> (t6WordCount _),
   )
 }
