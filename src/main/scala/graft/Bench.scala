@@ -27,7 +27,9 @@ object Bench {
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache() // per-query persists must not leak
+        name -> elapsed
       }
 
     // One untimed warmup pass (Janino codegen compilation + JVM JIT),

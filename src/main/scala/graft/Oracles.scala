@@ -15,12 +15,12 @@ object Oracles {
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) / 100.0 AS sum_base_price,
         |  sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT)) / 10000.0 AS sum_disc_price,
         |  sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000.0) AS BIGINT)) / 1000000.0 AS sum_charge,
         |  round(avg(l_quantity), 2) AS avg_qty,
-        |  round(avg(l_extendedprice), 2) AS avg_price,
-        |  round(avg(l_discount), 2) AS avg_disc,
+        |  round(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) / 100.0 / count(l_extendedprice), 6) AS avg_price,
+        |  round(sum(CAST(round(l_discount * 100.0) AS BIGINT)) / 100.0 / count(l_discount), 6) AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -116,7 +116,7 @@ object Oracles {
       """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
         |  CAST(month(o_orderdate) AS INT) AS o_month,
         |  count(*) AS n_orders,
-        |  round(sum(o_totalprice), 2) AS sum_total
+        |  sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) / 100.0 AS sum_total
         |FROM orders
         |GROUP BY 1, 2
         |ORDER BY o_year, o_month""".stripMargin,
@@ -126,7 +126,7 @@ object Oracles {
         |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
         |  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
         |  sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p,
-        |  round(avg(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS avg_f_total
+        |  round(sum(CAST(round(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END * 100.0) AS BIGINT)) / 100.0 / count(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 6) AS avg_f_total
         |FROM orders
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
@@ -146,7 +146,7 @@ object Oracles {
 
     "q14_rollup" ->
       """SELECT coalesce(n_name, 'ALL') AS nation,
-        |  round(sum(o_totalprice), 2) AS sum_total,
+        |  sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) / 100.0 AS sum_total,
         |  count(*) AS n_orders
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
@@ -155,7 +155,7 @@ object Oracles {
         |ORDER BY nation""".stripMargin,
 
     "q15_having" ->
-      """SELECT o_custkey, round(sum(o_totalprice), 2) AS spend,
+      """SELECT o_custkey, sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) / 100.0 AS spend,
         |  count(*) AS n_orders
         |FROM orders
         |GROUP BY o_custkey
@@ -198,7 +198,7 @@ object Oracles {
         |SELECT prio_c, count(*) AS n_rows,
         |  count(status_or_null) AS n_status,
         |  count(big_or_null) AS n_big,
-        |  round(avg(big_or_null), 2) AS avg_big
+        |  round(sum(CAST(round(big_or_null * 100.0) AS BIGINT)) / 100.0 / count(big_or_null), 6) AS avg_big
         |FROM x GROUP BY prio_c ORDER BY prio_c""".stripMargin,
   )
 

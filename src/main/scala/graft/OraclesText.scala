@@ -185,7 +185,8 @@ object OraclesText {
         java.security.MessageDigest.getInstance("MD5")
           .digest(s"$p:$j".getBytes("UTF-8"))
           .take(1).map("%02x".format(_)).mkString.take(1), 16) - 7.5
-      f"CAST($emb[${j + 1}] AS DOUBLE) * ($w%.1f)"
+      "CAST(%s[%d] AS DOUBLE) * (%s)".format(emb, j + 1,
+        String.format(java.util.Locale.ROOT, "%.1f", Double.box(w)))
     }.mkString(" + ")
     s"CASE WHEN $terms > 0 THEN 1 ELSE 0 END"
   }

@@ -68,28 +68,31 @@ object JobService {
     def cancel(job: Job): Boolean
   }
 
-  /** In-process backend: runs the marshalled job on a daemon thread. */
+  /** In-process backend: runs the marshalled job on a daemon thread.
+    * Cancellation wins races: once `cancel` succeeds, a late task
+    * completion must not resurrect the job (the terminal-state guard in
+    * onFinish below), and the future is registered BEFORE submission so
+    * finish-before-put cannot leak a map entry.
+    */
   class InProcessBackend(run: Job => Unit) extends JobBackend {
     private val pool = Executors.newCachedThreadPool { r =>
       val t = new Thread(r); t.setDaemon(true); t
     }
-    private val running = new ConcurrentHashMap[String, java.util.concurrent.Future[_]]()
+    private val running = new ConcurrentHashMap[String, java.util.concurrent.FutureTask[_]]()
     def submit(job: Job, onFinish: (JobState, Option[String]) => Unit): Unit = {
-      val fut = pool.submit(new Runnable {
-        def run(): Unit =
-          try { run0(job); onFinish(JobState.Completed, None) }
-          catch {
-            case _: InterruptedException =>
-              onFinish(JobState.Cancelled, Some("cancelled"))
-            case e: Throwable =>
-              onFinish(JobState.Failed, Some(e.toString))
-          } finally running.remove(job.id)
-      })
-      running.put(job.id, fut)
+      val task = new java.util.concurrent.FutureTask[Unit](() =>
+        try { run(job); onFinish(JobState.Completed, None) }
+        catch {
+          case _: InterruptedException =>
+            onFinish(JobState.Cancelled, Some("cancelled"))
+          case e: Throwable =>
+            onFinish(JobState.Failed, Some(e.toString))
+        } finally running.remove(job.id))
+      running.put(job.id, task)
+      pool.execute(task)
     }
-    private def run0(job: Job): Unit = run(job)
     def cancel(job: Job): Boolean =
-      Option(running.get(job.id)).exists(_.cancel(true))
+      Option(running.remove(job.id)).exists(_.cancel(true))
   }
 
   /** `[{name, value}] → ["--name", "value", ...]` with the `--` prefix
@@ -150,8 +153,14 @@ object JobService {
     case other => JsonMethods.compact(JsonMethods.render(other))
   }
 
+  def jsonQuote(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .flatMap(c => if (c < ' ') f"\\u${c.toInt}%04x" else c.toString) + "\""
+
+  def errorJson(msg: String): String = s"""{"error": ${jsonQuote(msg)}}"""
+
   def jobJson(j: Job): String = {
-    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    def q(s: String) = jsonQuote(s)
     val fin = j.finishedAt.map(t => q(t.toString)).getOrElse("null")
     val det = j.stateDetails.map(q).getOrElse("null")
     s"""{"id": ${q(j.id)}, "createdAt": ${q(j.createdAt.toString)}, """ +
@@ -198,13 +207,17 @@ class JobService(backend: JobService.JobBackend,
         }
       case ("DELETE", JobPath(id)) =>
         getJob(id) match {
-          case Some(j) if j.state == JobState.Pending || j.state == JobState.Running =>
-            if (backend.cancel(j)) {
-              j.state = JobState.Cancelled
-              j.finishedAt = Some(Instant.now())
-              respond(ex, 200, jobJson(j))
-            } else respond(ex, 409, """{"error": "could not cancel"}""")
-          case Some(_) => respond(ex, 409, """{"error": "job not cancellable"}""")
+          case Some(j) =>
+            val cancelled = j.synchronized {
+              if ((j.state == JobState.Pending || j.state == JobState.Running)
+                  && backend.cancel(j)) {
+                j.state = JobState.Cancelled
+                j.finishedAt = Some(Instant.now())
+                true
+              } else false
+            }
+            if (cancelled) respond(ex, 200, jobJson(j))
+            else respond(ex, 409, """{"error": "job not cancellable"}""")
           case None => respond(ex, 404, """{"error": "unknown job"}""")
         }
       case ("PATCH", JobPath(id)) =>
@@ -216,7 +229,7 @@ class JobService(backend: JobService.JobBackend,
       case _ => respond(ex, 404, """{"error": "not found"}""")
     }
   } catch {
-    case e: Throwable => respond(ex, 500, s"""{"error": "${e.getMessage}"}""")
+    case e: Throwable => respond(ex, 500, errorJson(String.valueOf(e.getMessage)))
   }
 
   private object JobPath {
@@ -231,7 +244,7 @@ class JobService(backend: JobService.JobBackend,
       catch { case _: Throwable => JNothing }
     validateSchedule(parsed) match {
       case Left(err) =>
-        respond(ex, 400, s"""{"error": "$err"}""")
+        respond(ex, 400, errorJson(err))
       case Right((nameOpt, algo, args)) =>
         try {
           val id = java.util.UUID.randomUUID().toString
@@ -239,16 +252,20 @@ class JobService(backend: JobService.JobBackend,
           val job = Job(id, name, algo, marshalArgs(args), Instant.now())
           jobs.put(id, job)
           job.state = JobState.Running
-          backend.submit(job, (st, details) => {
-            job.state = st
-            job.stateDetails = details
-            job.finishedAt = Some(Instant.now())
+          backend.submit(job, (st, details) => job.synchronized {
+            // a DELETE that already moved the job to a terminal state
+            // wins over a late task completion
+            if (job.state == JobState.Running || job.state == JobState.Pending) {
+              job.state = st
+              job.stateDetails = details
+              job.finishedAt = Some(Instant.now())
+            }
           })
           ex.getResponseHeaders.add("Location", s"/job/$id")
           respond(ex, 201, s"""{"id": "$id"}""")
         } catch {
           case e: Throwable =>
-            respond(ex, 500, s"""{"error": "${e.getMessage}"}""")
+            respond(ex, 500, errorJson(String.valueOf(e.getMessage)))
         }
     }
   }

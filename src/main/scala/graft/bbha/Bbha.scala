@@ -138,8 +138,6 @@ object Bbha {
     var bhMask = stars(bhIdx).mask.clone()
     var bhFitness = bhData.fitness
 
-    val lastData = mutable.Map[Int, FitnessResult]()
-
     // ---- iterations
     for (i <- 0 until cfg.nIterations) {
       val round = evaluate(stars)
@@ -198,7 +196,6 @@ object Bbha {
           d += 1
         }
       }
-      round.results.foreach { case (idx, d) => lastData(idx) = d }
     }
 
     // idle-time mean/std per host — np.std is POPULATION std (ddof=0)

@@ -82,14 +82,13 @@ object SurvivalData {
     val clin = spark.read
       .option("sep", "\t").option("header", "true")
       .csv(clinicalPath)
-    val clinCols = clin.columns
+    require(clin.columns.length == 3,
+      s"clinical TSV must be (index, event, time); got ${clin.columns.mkString(",")}")
     val clinical: Map[String, Clinical] = clin.collect().map { r =>
-      val ev = r.getString(1)
+      val ev = Option(r.getString(1)).getOrElse("")
       val event = ev == "1" || ev.equalsIgnoreCase("true")
       r.getString(0) -> Clinical(event, parseDouble(r.getString(2)))
     }.toMap
-    require(clinCols.length == 3,
-      s"clinical TSV must be (index, event, time); got ${clinCols.mkString(",")}")
 
     // explicit alignment join (inner) on sample id
     val aligned = keepS.filter(i => clinical.contains(sampleIdsAll(i)))

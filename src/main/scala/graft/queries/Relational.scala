@@ -43,6 +43,12 @@ object Relational {
     sum(round(c * scale).cast("long")) / lit(scale)
   }
 
+  /** Order-insensitive mean of a fixed-decimal expression (see gridSum);
+    * nulls are skipped like avg.
+    */
+  private def gridAvg(c: Column, decimals: Int): Column =
+    gridSum(c, decimals) / count(c)
+
   /** TPC-H Q1-style pricing summary: scan + filter + groupBy agg + sort.
     * Mirrors the canonical pricing-summary shape over `lineitem`.
     */
@@ -52,14 +58,14 @@ object Relational {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(col("l_quantity")).as("sum_qty"),
-        money(sum(col("l_extendedprice"))).as("sum_base_price"),
+        gridSum(col("l_extendedprice"), 2).as("sum_base_price"),
         gridSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
           .as("sum_disc_price"),
         gridSum(col("l_extendedprice") * (lit(1) - col("l_discount"))
           * (lit(1) + col("l_tax")), 6).as("sum_charge"),
         money(avg(col("l_quantity"))).as("avg_qty"),
-        money(avg(col("l_extendedprice"))).as("avg_price"),
-        money(avg(col("l_discount"))).as("avg_disc"),
+        round(gridAvg(col("l_extendedprice"), 2), 6).as("avg_price"),
+        round(gridAvg(col("l_discount"), 2), 6).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
@@ -197,7 +203,7 @@ object Relational {
       .groupBy(year(col("o_orderdate")).as("o_year"),
         month(col("o_orderdate")).as("o_month"))
       .agg(count(lit(1)).as("n_orders"),
-        money(sum(col("o_totalprice"))).as("sum_total"))
+        gridSum(col("o_totalprice"), 2).as("sum_total"))
       .orderBy(col("o_year"), col("o_month"))
 
   /** CASE/conditional aggregation — pivot-style without pivot. */
@@ -208,8 +214,8 @@ object Relational {
         sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_f"),
         sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("n_o"),
         sum(when(col("o_orderstatus") === "P", 1).otherwise(0)).as("n_p"),
-        money(avg(when(col("o_orderstatus") === "F", col("o_totalprice"))))
-          .as("avg_f_total"))
+        round(gridAvg(when(col("o_orderstatus") === "F",
+          col("o_totalprice")), 2), 6).as("avg_f_total"))
       .orderBy(col("o_orderpriority"))
 
   /** Scalar math/string functions over part. */
@@ -235,7 +241,7 @@ object Relational {
     o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .join(broadcast(nat), c("c_nationkey") === nat("n_nationkey"))
       .rollup(col("n_name"))
-      .agg(money(sum(col("o_totalprice"))).as("sum_total"),
+      .agg(gridSum(col("o_totalprice"), 2).as("sum_total"),
         count(lit(1)).as("n_orders"))
       .select(coalesce(col("n_name"), lit("ALL")).as("nation"),
         col("sum_total"), col("n_orders"))
@@ -248,7 +254,7 @@ object Relational {
   def q15Having(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     o.groupBy(col("o_custkey"))
-      .agg(money(sum(col("o_totalprice"))).as("spend"),
+      .agg(gridSum(col("o_totalprice"), 2).as("spend"),
         count(lit(1)).as("n_orders"))
       .filter(col("n_orders") >= 3)
       .orderBy(col("spend").desc, col("o_custkey"))
@@ -312,7 +318,7 @@ object Relational {
       .agg(count(lit(1)).as("n_rows"),
         count(col("status_or_null")).as("n_status"), // nulls not counted
         count(col("big_or_null")).as("n_big"),
-        money(avg(col("big_or_null"))).as("avg_big")) // null-skipping avg
+        round(gridAvg(col("big_or_null"), 2), 6).as("avg_big"))
       .orderBy(col("prio_c"))
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -198,9 +198,11 @@ object TextDedup {
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("shared"))
+    // sizes is one row per document — unbounded at corpus scale, so no
+    // forced broadcast; AQE picks broadcast vs shuffle from actual size
     shared
-      .join(broadcast(sizes.as("sa")), col("id_a") === col("sa.doc_id"))
-      .join(broadcast(sizes.as("sb")), col("id_b") === col("sb.doc_id"))
+      .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
       .select(col("id_a"), col("id_b"),
         round(col("shared").cast("double") /
           (col("sa.n") + col("sb.n") - col("shared")), 6).as("jaccard"))

@@ -76,6 +76,22 @@ object KMeansLocal {
       prevInertia = inertia
       iter += 1
     }
+    // final assignment so labels/inertia are consistent with the RETURNED
+    // centers (the loop's labels refer to the pre-update centers)
+    inertia = 0.0
+    var i = 0
+    while (i < n) {
+      var bestC = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < k) {
+        val d = sqDist(x(i), centers(c))
+        if (d < bestD) { bestD = d; bestC = c }
+        c += 1
+      }
+      labels(i) = bestC
+      inertia += bestD
+      i += 1
+    }
     Result(labels, centers, inertia)
   }
 

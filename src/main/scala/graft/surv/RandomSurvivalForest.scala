@@ -89,7 +89,9 @@ object RandomSurvivalForest {
   }
 
   /** Nelson–Aalen cumulative hazard of the node's samples, evaluated on
-    * the global event-time grid.
+    * the global event-time grid: d_t / n_t at each DISTINCT event time t,
+    * with the at-risk set counting every sample whose time ≥ t (ties,
+    * censored included) — the counting-process definition sksurv uses.
     */
   private def leaf(y: Array[Clinical], idx: Array[Int],
       times: Array[Double]): Node = {
@@ -101,12 +103,16 @@ object RandomSurvivalForest {
     while (ti < times.length) {
       val t = times(ti)
       while (k < sorted.length && y(sorted(k)).time <= t) {
-        // hazard increment d/n at this sample's event time
-        if (y(sorted(k)).event) {
-          val atRisk = sorted.length - k
-          cum += 1.0 / atRisk
+        val tk = y(sorted(k)).time
+        val atRisk = sorted.length - k // every sample with time >= tk
+        var d = 0
+        var k2 = k
+        while (k2 < sorted.length && y(sorted(k2)).time == tk) {
+          if (y(sorted(k2)).event) d += 1
+          k2 += 1
         }
-        k += 1
+        if (d > 0) cum += d.toDouble / atRisk
+        k = k2
       }
       chf(ti) = cum
       ti += 1
