@@ -104,6 +104,23 @@ object OraclesText {
          |ORDER BY id_a, id_b""".stripMargin,
   )
 
+  val dedupDecision: Map[String, String] = Map(
+    "d7_dedup_decision" ->
+      s"""WITH $shingleCte,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sidx GROUP BY doc_id),
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+         |          FROM sidx a JOIN sidx b
+         |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |drops AS (SELECT DISTINCT id_b AS doc_id
+         |          FROM pairs JOIN sizes sa ON id_a = sa.doc_id
+         |                     JOIN sizes sb ON id_b = sb.doc_id
+         |          WHERE round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) >= 0.8)
+         |SELECT d.doc_id, (drops.doc_id IS NULL) AS keep
+         |FROM documents d LEFT JOIN drops ON d.doc_id = drops.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+  )
+
   val text: Map[String, String] = Map(
     "t1_token_stats" ->
       """WITH x AS (SELECT doc_id, lang,
@@ -339,5 +356,5 @@ object OraclesText {
   )
 
   def all: Map[String, String] =
-    dedup ++ simhash ++ text ++ similarity ++ events ++ multimodal ++ survival
+    dedup ++ dedupDecision ++ simhash ++ text ++ similarity ++ events ++ multimodal ++ survival
 }

@@ -210,6 +210,22 @@ object TextDedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** End-to-end dedup decision: a document survives unless it is the
+    * higher-id member of a Jaccard ≥ 0.8 near-dup pair — the composition
+    * a real pretraining pipeline runs (pair generation → canonical
+    * survivor selection via anti-join). Keeps the smaller doc_id of each
+    * duplicate cluster edge.
+    */
+  def d7DedupDecision(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val drops = d6NgramJaccard(spark, dir)
+      .select(col("id_b").as("doc_id")).distinct()
+    docs.join(drops, Seq("doc_id"), "left_anti")
+      .withColumn("keep", lit(true))
+      .unionByName(drops.withColumn("keep", lit(false)))
+      .orderBy(col("doc_id"))
+  }
+
   // -------------------------------------------------------- text analysis
 
   /** Per-doc token statistics: counts, uniques, avg token length,
@@ -331,6 +347,7 @@ object TextDedup {
     "d4_simhash" -> (d4Simhash _),
     "d5_simhash_neardup" -> (d5SimhashNearDup _),
     "d6_ngram_jaccard" -> (d6NgramJaccard _),
+    "d7_dedup_decision" -> (d7DedupDecision _),
     "t1_token_stats" -> (t1TokenStats _),
     "t2_regex_tokens" -> (t2RegexTokens _),
     "t3_lang_id" -> (t3LangId _),
