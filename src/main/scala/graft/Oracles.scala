@@ -11,16 +11,30 @@ package graft
   */
 object Oracles {
 
+  /** `round(avg(e), outDecimals)` as exact integer arithmetic — the DuckDB
+    * twin of [[graft.queries.GridMath.gridAvgRound]]: identical per-row
+    * grid snap, HUGEINT sum (no overflow), and the literally identical
+    * `(num + den // 2) // den` half-up integral division, so both engines
+    * agree by construction. DuckDB `//` gives null on a zero divisor
+    * (empty group), matching the Spark LEGACY `div`.
+    */
+  private[graft] def exactAvg(e: String, decimals: Int, outDecimals: Int): String = {
+    val scale = math.pow(10, decimals).toLong
+    val out = math.pow(10, outDecimals).toLong
+    s"CAST((CAST(sum(CAST(round(($e) * $scale.0) AS BIGINT)) AS HUGEINT) * $out" +
+      s" + (count($e) * $scale) // 2) // (count($e) * $scale) AS BIGINT) / $out.0"
+  }
+
   val relational: Map[String, String] = Map(
     "q1_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
+      s"""SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
         |  sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) / 100.0 AS sum_base_price,
         |  sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT)) / 10000.0 AS sum_disc_price,
         |  sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000.0) AS BIGINT)) / 1000000.0 AS sum_charge,
-        |  round(avg(l_quantity), 2) AS avg_qty,
-        |  round(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) / 100.0 / count(l_extendedprice), 6) AS avg_price,
-        |  round(sum(CAST(round(l_discount * 100.0) AS BIGINT)) / 100.0 / count(l_discount), 6) AS avg_disc,
+        |  ${exactAvg("l_quantity", 2, 2)} AS avg_qty,
+        |  ${exactAvg("l_extendedprice", 2, 6)} AS avg_price,
+        |  ${exactAvg("l_discount", 2, 6)} AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -122,11 +136,11 @@ object Oracles {
         |ORDER BY o_year, o_month""".stripMargin,
 
     "q12_case_agg" ->
-      """SELECT o_orderpriority,
+      s"""SELECT o_orderpriority,
         |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
         |  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
         |  sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p,
-        |  round(sum(CAST(round(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END * 100.0) AS BIGINT)) / 100.0 / count(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 6) AS avg_f_total
+        |  ${exactAvg("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END", 2, 6)} AS avg_f_total
         |FROM orders
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
@@ -155,11 +169,12 @@ object Oracles {
         |ORDER BY nation""".stripMargin,
 
     "q15_having" ->
-      """SELECT o_custkey, sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) / 100.0 AS spend,
+      s"""SELECT o_custkey, sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) / 100.0 AS spend,
         |  count(*) AS n_orders
         |FROM orders
         |GROUP BY o_custkey
-        |HAVING count(*) >= 3
+        |HAVING sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) / 100.0 >
+        |  (SELECT ${exactAvg("o_totalprice", 2, 6)} FROM orders) * 10
         |ORDER BY spend DESC, o_custkey
         |LIMIT 200""".stripMargin,
     "q16_percentiles" ->
@@ -180,17 +195,19 @@ object Oracles {
         |ORDER BY p_partkey LIMIT 1000""".stripMargin,
 
     "q18_above_brand_avg" ->
-      """SELECT p_partkey, p_brand,
+      s"""SELECT p_partkey, p_brand,
         |  round(p_retailprice, 2) AS retailprice,
-        |  round(brand_avg, 2) AS brand_avg_price
+        |  brand_avg_price
         |FROM part
-        |JOIN (SELECT p_brand AS b_brand, avg(p_retailprice) AS brand_avg
+        |JOIN (SELECT p_brand AS b_brand,
+        |        ${exactAvg("p_retailprice", 2, 6)} AS brand_avg,
+        |        ${exactAvg("p_retailprice", 2, 2)} AS brand_avg_price
         |      FROM part GROUP BY 1) b ON p_brand = b_brand
         |WHERE p_retailprice > brand_avg
         |ORDER BY p_partkey LIMIT 2000""".stripMargin,
 
     "q19_null_semantics" ->
-      """WITH x AS (SELECT o_orderkey,
+      s"""WITH x AS (SELECT o_orderkey,
         |    nullif(o_orderstatus, 'P') AS status_or_null,
         |    coalesce(nullif(o_orderpriority, '1-URGENT'), 'OTHER') AS prio_c,
         |    CASE WHEN o_totalprice > 200000 THEN o_totalprice END AS big_or_null
@@ -198,7 +215,7 @@ object Oracles {
         |SELECT prio_c, count(*) AS n_rows,
         |  count(status_or_null) AS n_status,
         |  count(big_or_null) AS n_big,
-        |  round(sum(CAST(round(big_or_null * 100.0) AS BIGINT)) / 100.0 / count(big_or_null), 6) AS avg_big
+        |  ${exactAvg("big_or_null", 2, 6)} AS avg_big
         |FROM x GROUP BY prio_c ORDER BY prio_c""".stripMargin,
   )
 

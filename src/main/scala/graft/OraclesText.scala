@@ -244,8 +244,8 @@ object OraclesText {
     },
 
     "s4_label_centroids" ->
-      """SELECT label, CAST(i - 1 AS INT) AS dim,
-        |  round(avg(CAST(embedding[CAST(i AS INT)] AS DOUBLE)), 6) AS mean_v,
+      s"""SELECT label, CAST(i - 1 AS INT) AS dim,
+        |  ${Oracles.exactAvg("CAST(embedding[CAST(i AS INT)] AS DOUBLE)", 6, 6)} AS mean_v,
         |  count(*) AS n
         |FROM embeddings, range(1, 5) t(i)
         |GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,

@@ -281,7 +281,9 @@ class JobService(backend: JobService.JobBackend,
           val client = HttpClient.newBuilder()
             .connectTimeout(java.time.Duration.ofSeconds(100)).build()
           val req = HttpRequest.newBuilder()
-            .uri(java.net.URI.create(s"$url/$id/"))
+            // strip a trailing slash from the env value (reference:
+            // app.py rstrip('/')) so the callback never doubles the '/'
+            .uri(java.net.URI.create(s"${url.stripSuffix("/")}/$id/"))
             .timeout(java.time.Duration.ofSeconds(100))
             .header("Content-Type", "application/json")
             .POST(HttpRequest.BodyPublishers.ofString(jobJson(job)))

@@ -135,12 +135,15 @@ object Embeddings {
   /** Per-label centroids (vector aggregation): posexplode → mean per
     * (label, dim) → collect back into an ordered array. One shuffle on
     * (label, dim) — 640 keys here, but the same plan handles 10⁶ labels.
+    * The mean is an exact micro-unit grid average ([[GridMath]]) — a raw
+    * `round(avg(double), 6)` is summation-order-dependent and rounds
+    * differently across engines on half-ulp boundaries.
     */
   def s4LabelCentroids(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .groupBy(col("label"), col("dim"))
-      .agg(round(avg(col("v").cast("double")), 6).as("mean_v"),
+      .agg(GridMath.gridAvgRound(col("v").cast("double"), 6, 6).as("mean_v"),
         count(lit(1)).as("n"))
       .filter(col("dim") < 4)
       .orderBy(col("label"), col("dim"))

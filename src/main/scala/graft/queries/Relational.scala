@@ -38,16 +38,15 @@ object Relational {
     * therefore identical regardless of partitioning — at 32 cores or 1000
     * executors.
     */
-  private def gridSum(c: Column, decimals: Int): Column = {
-    val scale = math.pow(10, decimals)
-    sum(round(c * scale).cast("long")) / lit(scale)
-  }
+  private def gridSum(c: Column, decimals: Int): Column =
+    GridMath.gridSum(c, decimals)
 
-  /** Order-insensitive mean of a fixed-decimal expression (see gridSum);
-    * nulls are skipped like avg.
+  /** `round(avg, outDec)` as one half-up integral division over grid units
+    * (see [[GridMath.gridAvgRound]]) — the round-after-float-divide this
+    * replaces was the round-1 q12 hash flake.
     */
-  private def gridAvg(c: Column, decimals: Int): Column =
-    gridSum(c, decimals) / count(c)
+  private def gridAvgRound(c: Column, decimals: Int, outDec: Int): Column =
+    GridMath.gridAvgRound(c, decimals, outDec)
 
   /** TPC-H Q1-style pricing summary: scan + filter + groupBy agg + sort.
     * Mirrors the canonical pricing-summary shape over `lineitem`.
@@ -63,9 +62,9 @@ object Relational {
           .as("sum_disc_price"),
         gridSum(col("l_extendedprice") * (lit(1) - col("l_discount"))
           * (lit(1) + col("l_tax")), 6).as("sum_charge"),
-        money(avg(col("l_quantity"))).as("avg_qty"),
-        round(gridAvg(col("l_extendedprice"), 2), 6).as("avg_price"),
-        round(gridAvg(col("l_discount"), 2), 6).as("avg_disc"),
+        gridAvgRound(col("l_quantity"), 2, 2).as("avg_qty"),
+        gridAvgRound(col("l_extendedprice"), 2, 6).as("avg_price"),
+        gridAvgRound(col("l_discount"), 2, 6).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
@@ -214,8 +213,8 @@ object Relational {
         sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_f"),
         sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("n_o"),
         sum(when(col("o_orderstatus") === "P", 1).otherwise(0)).as("n_p"),
-        round(gridAvg(when(col("o_orderstatus") === "F",
-          col("o_totalprice")), 2), 6).as("avg_f_total"))
+        gridAvgRound(when(col("o_orderstatus") === "F",
+          col("o_totalprice")), 2, 6).as("avg_f_total"))
       .orderBy(col("o_orderpriority"))
 
   /** Scalar math/string functions over part. */
@@ -249,14 +248,22 @@ object Relational {
   }
 
   /** Correlated-style aggregate filter (HAVING): customers whose total
-    * spend exceeds 10× the average order value.
+    * spend exceeds 10× the global average order value. The scalar
+    * subquery is decorrelated as a 1-row aggregate cross-joined
+    * (broadcast) against the grouped spend — the scale-correct plan; the
+    * average is an exact grid average so the comparison itself is
+    * deterministic across engines.
     */
   def q15Having(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
+    val avgOrder = o.agg(
+      gridAvgRound(col("o_totalprice"), 2, 6).as("avg_order"))
     o.groupBy(col("o_custkey"))
       .agg(gridSum(col("o_totalprice"), 2).as("spend"),
         count(lit(1)).as("n_orders"))
-      .filter(col("n_orders") >= 3)
+      .crossJoin(broadcast(avgOrder))
+      .filter(col("spend") > col("avg_order") * 10)
+      .select(col("o_custkey"), col("spend"), col("n_orders"))
       .orderBy(col("spend").desc, col("o_custkey"))
       .limit(200)
   }
@@ -293,13 +300,17 @@ object Relational {
     */
   def q18AboveBrandAvg(spark: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(spark, dir)
+    // both the 6-decimal filter value and the 2-decimal reported value are
+    // exact grid averages — a raw avg(double) is summation-order-dependent
+    // and would make the `>` filter itself nondeterministic near ties
     val brandAvg = p.groupBy(col("p_brand").as("b_brand"))
-      .agg(avg(col("p_retailprice")).as("brand_avg"))
+      .agg(gridAvgRound(col("p_retailprice"), 2, 6).as("brand_avg"),
+        gridAvgRound(col("p_retailprice"), 2, 2).as("brand_avg_price"))
     p.join(broadcast(brandAvg), col("p_brand") === col("b_brand"))
       .filter(col("p_retailprice") > col("brand_avg"))
       .select(col("p_partkey"), col("p_brand"),
         money(col("p_retailprice")).as("retailprice"),
-        money(col("brand_avg")).as("brand_avg_price"))
+        col("brand_avg_price"))
       .orderBy(col("p_partkey"))
       .limit(2000)
   }
@@ -318,7 +329,7 @@ object Relational {
       .agg(count(lit(1)).as("n_rows"),
         count(col("status_or_null")).as("n_status"), // nulls not counted
         count(col("big_or_null")).as("n_big"),
-        round(gridAvg(col("big_or_null"), 2), 6).as("avg_big"))
+        gridAvgRound(col("big_or_null"), 2, 6).as("avg_big"))
       .orderBy(col("prio_c"))
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

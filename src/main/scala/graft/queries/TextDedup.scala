@@ -218,8 +218,15 @@ object TextDedup {
     */
   def d7DedupDecision(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    // the drop set feeds TWO consumers (anti-join + union). Without an
+    // eager persist each consumer re-executes the whole Jaccard pair
+    // pipeline — the most expensive shuffle in the engine, run twice
+    // (round-1 bench: d7 ≈ 2×d6+overhead). At lake scale this
+    // materialization is the checkpointed "duplicates" table.
     val drops = d6NgramJaccard(spark, dir)
       .select(col("id_b").as("doc_id")).distinct()
+      .persist()
+    drops.count() // eager: consumers racing a cold cache each recompute
     docs.join(drops, Seq("doc_id"), "left_anti")
       .withColumn("keep", lit(true))
       .unionByName(drops.withColumn("keep", lit(false)))

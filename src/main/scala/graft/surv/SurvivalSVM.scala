@@ -37,6 +37,11 @@ object SurvivalSVM {
 
   def kernelFn(name: String): (Array[Double], Array[Double]) => Double =
     name match {
+      case "precomputed" =>
+        // handled in fit (the input IS the Gram matrix); scoring a model
+        // against a precomputed row k(x_test, X_train) is Σ α_i row_i,
+        // expressed below as dot against an identity-basis xTrain
+        dot
       case "linear" => dot
       case "poly" => (a, b) => math.pow(dot(a, b) + 1.0, 3)
       case "rbf" => (a, b) => {
@@ -58,8 +63,20 @@ object SurvivalSVM {
       optimizer: String = "avltree"): Model = {
     val n = x.length
     val k = kernelFn(kernel)
-    // Gram matrix once — n is task-local small
-    val gram = Array.tabulate(n, n)((i, j) => k(x(i), x(j)))
+    // Gram matrix once — n is task-local small. `precomputed` is the
+    // reference's 6th kernel choice (parameters.py:107-109, sksurv
+    // semantics): the caller passes the n×n Gram matrix as x, and at
+    // prediction time passes rows of K(x_test, X_train); a model over the
+    // identity basis with a dot kernel makes score(row) = Σ α_i row_i.
+    val precomputed = kernel == "precomputed"
+    if (precomputed) {
+      require(x.forall(_.length == n),
+        s"precomputed kernel needs a square n×n Gram matrix, got " +
+          s"${x.length}×${x.headOption.map(_.length).getOrElse(0)}")
+    }
+    val gram =
+      if (precomputed) x
+      else Array.tabulate(n, n)((i, j) => k(x(i), x(j)))
     val a = new Array[Double](n)
     val s = new Array[Double](n) // current scores = gram * a
     val grad = new Array[Double](n)
@@ -133,7 +150,10 @@ object SurvivalSVM {
       }
       iter += 1
     }
-    new Model(x, a, k, isRegression, iter)
+    val basis =
+      if (precomputed) Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+      else x
+    new Model(basis, a, k, isRegression, iter)
   }
 
   private def dot(a: Array[Double], b: Array[Double]): Double = {

@@ -1,7 +1,7 @@
 package org.apache.spark.sql.graftfn
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, EvalMode, ExpectsInputTypes, Expression, IntegralDivide, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types.{AbstractDataType, ArrayType, BinaryType, DataType, DoubleType, FloatType, StringType}
@@ -13,6 +13,15 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, BinaryType, Data
 object GraftExpressions {
   def fastMd5(c: Column): Column =
     ExpressionUtils.column(FastMd5Expr(ExpressionUtils.expression(c.cast("binary"))))
+
+  /** Truncating integral division (SQL `div`), LEGACY eval so divisor 0
+    * yields null — DuckDB's `//` behavior — instead of the ANSI error the
+    * Spark-4 default session would raise on an empty group.
+    */
+  def intDiv(a: Column, b: Column): Column =
+    ExpressionUtils.column(IntegralDivide(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b),
+      EvalMode.LEGACY))
 
   def floatVecDot(a: Column, b: Column): Column =
     ExpressionUtils.column(FloatVecDot(

@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Embeddings, Relational}
+import graft.queries.{Embeddings, Relational, TextDedup}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Guards the SCALE.md plan-shape claims: these properties are what make
@@ -41,5 +41,35 @@ class PlanShapeSpec extends AnyFunSuite {
   test("q3: partial aggregation runs before the join") {
     val p = plan(Relational.q3OrderLineitemJoin(spark, dir))
     assert(p.contains("HashAggregate"), p.take(300))
+  }
+
+  test("d7: pair generation runs once — consumers read the materialized drop set") {
+    val df = TextDedup.d7DedupDecision(spark, dir)
+    try {
+      // traverse the actual node tree (the string render inlines cached
+      // subtrees, which would double-count): a cached table's plan is not
+      // a child of its InMemoryTableScan, so only re-EXECUTED joins count
+      val root = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.inputPlan
+        case p => p
+      }
+      // both consumers (anti-join + union) must scan the persisted drops
+      // table, not re-execute the Jaccard pair pipeline (round-1 perf bug:
+      // the most expensive shuffle in the engine ran twice)
+      val scans = root.collect {
+        case n if n.nodeName.contains("InMemoryTableScan") => n }.length
+      assert(scans >= 2, s"expected 2 cached-drops scans:\n${root.toString.take(800)}")
+      val joins = root.collect {
+        case n if n.nodeName.contains("Join") => n }.length
+      assert(joins <= 2,
+        s"d7's executed plan re-runs the pair pipeline ($joins joins):\n${root.toString.take(800)}")
+    } finally spark.catalog.clearCache()
+  }
+
+  test("q15: the scalar average subquery broadcasts; no shuffle of the grouped side for the filter") {
+    val p = plan(Relational.q15Having(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(500))
   }
 }

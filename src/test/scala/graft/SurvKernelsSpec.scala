@@ -165,6 +165,28 @@ class SurvivalSVMSpec extends AnyFunSuite {
     val m = SurvivalSVM.fit(x, y, maxIter = 50)
     assert(m.iterations > 0 && m.iterations <= 50)
   }
+
+  test("precomputed kernel ≡ linear kernel bit-identically (parameters.py:107-109)") {
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (p, q) => p * q }.sum
+    val gram = Array.tabulate(n, n)((i, j) => dot(x(i), x(j)))
+    val lin = SurvivalSVM.fit(x, y, kernel = "linear", isRegression = false,
+      maxIter = 300)
+    val pre = SurvivalSVM.fit(gram, y, kernel = "precomputed",
+      isRegression = false, maxIter = 300)
+    assert(lin.iterations == pre.iterations)
+    // scoring: the precomputed model takes rows of K(x_test, X_train)
+    x.indices.foreach { i =>
+      assert(lin.risk(x(i)) == pre.risk(gram(i)), s"row $i")
+    }
+  }
+
+  test("precomputed kernel rejects a non-square matrix") {
+    val bad = Array.fill(4)(Array.fill(3)(0.5))
+    intercept[IllegalArgumentException] {
+      SurvivalSVM.fit(bad, y.take(4), kernel = "precomputed")
+    }
+  }
 }
 
 class RankingGradientSpec extends AnyFunSuite {
