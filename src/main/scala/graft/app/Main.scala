@@ -41,6 +41,7 @@ object Main {
         numberOfClusters = a.getOrElse("number-of-clusters", "2").toInt,
         cvFolds = a.getOrElse("cv-folds", "10").toInt,
         rfNEstimators = a.getOrElse("rf-n-estimators", "10").toInt,
+        rfTreeNJobs = a.getOrElse("tree-n-jobs", "1").toInt,
         svmKernel = a.getOrElse("svm-kernel", "linear"),
         svmOptimizer = a.getOrElse("svm-optimizer", "avltree"),
         svmMaxIterations = a.getOrElse("svm-max-iterations", "1000").toInt,

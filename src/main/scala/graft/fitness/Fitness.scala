@@ -50,6 +50,10 @@ case class FitnessConfig(
     numberOfClusters: Int = 2,
     cvFolds: Int = 10,
     rfNEstimators: Int = 10,
+    // --tree-n-jobs (parameters.py:119-121; ≤0 = all cores). Default 1:
+    // inside a Spark task the scheduler already owns the cores
+    // (spark.task.cpus), so intra-task threading is opt-in.
+    rfTreeNJobs: Int = 1,
     svmKernel: String = "linear",
     svmOptimizer: String = "avltree",
     svmMaxIterations: Int = 1000,
@@ -159,7 +163,8 @@ object Fitness {
       val model: SurvivalEstimator = cfg.model match {
         case "rf" => graft.surv.RandomSurvivalForest.fit(xTr, yTr,
           nEstimators = cfg.rfNEstimators,
-          seed = cfg.randomState.getOrElse(0L))
+          seed = cfg.randomState.getOrElse(0L),
+          treeNJobs = cfg.rfTreeNJobs)
         case "svm" => graft.surv.SurvivalSVM.fit(xTr, yTr,
           kernel = cfg.svmKernel, maxIter = cfg.svmMaxIterations,
           isRegression = cfg.svmIsRegression,
@@ -212,7 +217,8 @@ object Fitness {
             seed = cfg.randomState.getOrElse(0L))
       }
       case "rf" => graft.surv.RandomSurvivalForest.fit(subset, y,
-        nEstimators = cfg.rfNEstimators, seed = cfg.randomState.getOrElse(0L))
+        nEstimators = cfg.rfNEstimators, seed = cfg.randomState.getOrElse(0L),
+        treeNJobs = cfg.rfTreeNJobs)
       case "svm" => graft.surv.SurvivalSVM.fit(subset, y,
         kernel = cfg.svmKernel, maxIter = cfg.svmMaxIterations,
         isRegression = cfg.svmIsRegression, seed = cfg.randomState.getOrElse(0L))

@@ -70,13 +70,46 @@ object Embeddings {
     * The pair join is per-label, so work is Σ n_c² instead of n² — the
     * standard coarse-quantization cut at scale.
     */
-  def s2IvfNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
+  def s2IvfNearDup(spark: SparkSession, dir: String): DataFrame =
+    ivfNearDup(spark, dir, cellCap = None)
+
+  /** s2 with the cell-size cap engaged: a hot coarse cell degrades the
+    * per-cell pair join toward n², so cells are deterministically split
+    * into sub-cells of at most `cap` members (row_number over vec_id →
+    * sub-cell = (rn−1) div cap). Work becomes Σ ceil(n_c/cap)·cap² ≤
+    * n·cap — linear in collection size — at the cost of missing
+    * cross-sub-cell pairs (the standard IVF recall/cost dial; at lake
+    * scale the split key would be a finer quantizer, same plan shape).
+    */
+  def s2bIvfCapped(spark: SparkSession, dir: String): DataFrame =
+    ivfNearDup(spark, dir, cellCap = Some(32))
+
+  /** Assigns the coarse cell: the `label` column, sub-split into cells of
+    * at most `cellCap` members when the cap is engaged (row_number over
+    * vec_id is deterministic — vec_id is unique).
+    */
+  private[graft] def ivfCells(base: DataFrame, cellCap: Option[Int]): DataFrame =
+    cellCap match {
+      case Some(cap) =>
+        import org.apache.spark.sql.expressions.Window
+        val rn = row_number().over(
+          Window.partitionBy(col("label")).orderBy(col("vec_id")))
+        base.withColumn("cell",
+          org.apache.spark.sql.graftfn.GraftExpressions
+            .intDiv(rn - 1, lit(cap.toLong)))
+      case None => base.withColumn("cell", lit(0L))
+    }
+
+  private[graft] def ivfNearDup(spark: SparkSession, dir: String,
+      cellCap: Option[Int]): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), col("embedding"),
         norm(col("embedding")).as("nrm"))
+    val emb = ivfCells(base, cellCap)
     val a = emb.as("a")
     val b = emb.as("b")
     a.join(b, col("a.label") === col("b.label")
+        && col("a.cell") === col("b.cell")
         && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.label").as("label"),
         col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
@@ -151,6 +184,7 @@ object Embeddings {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_cosine_topk" -> (s1CosineTopK _),
     "s2_ivf_neardup" -> (s2IvfNearDup _),
+    "s2b_ivf_capped" -> (s2bIvfCapped _),
     "s3_lsh_ann" -> (s3LshAnn _),
     "s4_label_centroids" -> (s4LabelCentroids _),
   )

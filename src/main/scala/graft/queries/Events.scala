@@ -109,11 +109,46 @@ object Events {
           col("first_purchase") > col("first_click")).as("full_funnel"))
       .orderBy(col("user_id"))
 
+  /** As-of join: each purchase matched to the user's most recent view at
+    * or before it. Composed from existing operators (the preference-order
+    * rule: compose before custom plans): tag-union both sides is implicit
+    * — ONE pass over events, ONE window per user carrying the last view
+    * forward (`last(..., ignoreNulls)` over unbounded-preceding rows).
+    * No join node at all, so there is nothing to mis-partition at scale:
+    * a single shuffle on user_id, O(1) running state per row — the plan
+    * an `ASOF JOIN` physical operator would aspire to.
+    *
+    * Tie semantics (shared timestamp) are pinned by the (ts, event_id)
+    * ordering, mirrored exactly in the oracle — native DuckDB ASOF JOIN
+    * is deliberately NOT used there because its strict `<`/`<=` choice
+    * would not reproduce this tiebreak.
+    */
+  def e6AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.events(spark, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("view_id",
+        last(when(col("event_type") === "view", col("event_id")), ignoreNulls = true)
+          .over(w))
+      .withColumn("view_us",
+        last(when(col("event_type") === "view", col("us")), ignoreNulls = true)
+          .over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("view_id"),
+        ((col("us") - col("view_us")) / lit(1000000.0)).as("lag_sec"))
+      .orderBy(col("user_id"), col("event_id"))
+      .limit(3000)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_window_agg" -> (e1WindowAgg _),
     "e2_sessionize" -> (e2Sessionize _),
     "e3_json_extract" -> (e3JsonExtract _),
     "e4_top_users" -> (e4TopUsers _),
     "e5_funnel" -> (e5Funnel _),
+    "e6_asof_join" -> (e6AsofJoin _),
   )
 }

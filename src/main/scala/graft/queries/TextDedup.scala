@@ -31,7 +31,7 @@ object TextDedup {
     * every element_at inside the lambda, re-splitting the whole document
     * per shingle — measured 10× slower at sf0.1.)
     */
-  private def shingleIndex(df: DataFrame): DataFrame = {
+  private[graft] def shingleIndex(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     df.select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
@@ -186,9 +186,37 @@ object TextDedup {
     * intersection, compute |A∩B| / (|A|+|B|−|A∩B|). Never builds the
     * n² pair matrix — only pairs sharing ≥1 shingle materialize.
     */
-  def d6NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  def d6NgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccard(spark, dir, maxShingleDf = None)
+
+  /** d6 with the stop-shingle valve engaged (SCALE.md): shingles whose
+    * document frequency exceeds the cap are dropped before the self-join.
+    * A hot shingle contributes df² candidate pairs while carrying almost
+    * no similarity signal — on a skewed corpus the cut is the difference
+    * between Σ df² and n². Jaccard is then computed in the filtered
+    * shingle space (the standard stop-word approximation; sizes and
+    * intersections use the same filtered index, so the ratio stays
+    * consistent).
+    */
+  def d6bJaccardCapped(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccard(spark, dir, maxShingleDf = Some(4))
+
+  /** Drops shingles with document frequency above the cap. The window
+    * count shuffles on `shingle` — the same key the self-join hashes on,
+    * so the guard adds no new partitioning axis.
+    */
+  private[graft] def capShingleDf(idx: DataFrame, cap: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    idx.withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      .filter(col("df") <= cap)
+      .drop("df")
+  }
+
+  private[queries] def ngramJaccard(spark: SparkSession, dir: String,
+      maxShingleDf: Option[Long]): DataFrame = {
     // inverted index feeds both self-join sides plus the size table
-    val idx = shingleIndex(Tables.documents(spark, dir)).persist()
+    val raw = shingleIndex(Tables.documents(spark, dir))
+    val idx = maxShingleDf.fold(raw)(capShingleDf(raw, _)).persist()
     idx.count() // eager materialization (see d3)
     val sizes = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = idx.as("a")
@@ -354,6 +382,7 @@ object TextDedup {
     "d4_simhash" -> (d4Simhash _),
     "d5_simhash_neardup" -> (d5SimhashNearDup _),
     "d6_ngram_jaccard" -> (d6NgramJaccard _),
+    "d6b_jaccard_capped" -> (d6bJaccardCapped _),
     "d7_dedup_decision" -> (d7DedupDecision _),
     "t1_token_stats" -> (t1TokenStats _),
     "t2_regex_tokens" -> (t2RegexTokens _),

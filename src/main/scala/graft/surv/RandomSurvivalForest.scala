@@ -40,19 +40,52 @@ object RandomSurvivalForest {
     def iterations: Int = trees.length
   }
 
+  /** Fits `nEstimators` bootstrapped trees, optionally on a task-local
+    * thread pool (`treeNJobs` — the reference's `--tree-n-jobs`,
+    * /root/reference/scripts/parameters.py:119-121; ≤0 = all cores).
+    * Each tree draws from its own splitmix-derived RNG stream, so the
+    * fitted model is bit-identical for any `treeNJobs` — parallelism is
+    * a schedule, never a semantic.
+    */
   def fit(x: Array[Array[Double]], y: Array[Clinical], nEstimators: Int = 10,
       minSamplesSplit: Int = 10, minSamplesLeaf: Int = 15,
-      seed: Long = 0L): Model = {
+      seed: Long = 0L, treeNJobs: Int = 1): Model = {
     val n = x.length
     val p = x(0).length
     val mtry = math.max(1, math.sqrt(p).round.toInt)
     val times = y.filter(_.event).map(_.time).distinct.sorted
-    val rng = new Random(seed)
-    val trees = Array.tabulate(nEstimators) { _ =>
+    def growTree(t: Int): Node = {
+      val rng = new Random(mixSeed(seed, t))
       val boot = Array.fill(n)(rng.nextInt(n))
       grow(x, y, boot, times, mtry, minSamplesSplit, minSamplesLeaf, rng)
     }
+    val jobs = math.min(
+      if (treeNJobs <= 0) Runtime.getRuntime.availableProcessors() else treeNJobs,
+      nEstimators)
+    val trees =
+      if (jobs <= 1) Array.tabulate(nEstimators)(growTree)
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(jobs)
+        try {
+          val futures = (0 until nEstimators).map { t =>
+            pool.submit(new java.util.concurrent.Callable[Node] {
+              def call(): Node = growTree(t)
+            })
+          }
+          futures.map(_.get()).toArray
+        } finally pool.shutdown()
+      }
     new Model(trees, times)
+  }
+
+  /** splitmix64 finalizer over (seed, tree index): decorrelated per-tree
+    * streams independent of execution order.
+    */
+  private def mixSeed(seed: Long, t: Int): Long = {
+    var z = seed + 0x9E3779B97F4A7C15L * (t + 1)
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
   }
 
   private def grow(x: Array[Array[Double]], y: Array[Clinical],

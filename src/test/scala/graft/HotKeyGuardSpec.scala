@@ -1,0 +1,52 @@
+package graft
+
+import graft.queries.{Embeddings, TextDedup}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The hot-key guards exist for skewed corpora: one hot shingle / one hot
+  * IVF cell contributes O(df²) candidate pairs. These specs build exactly
+  * that corpus and assert the capped plans generate a fraction of the
+  * candidates — the property that keeps the joins sub-quadratic at
+  * 100 TB.
+  */
+class HotKeyGuardSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def pairCandidates(idx: DataFrame): Long =
+    idx.as("a").join(idx.as("b"),
+      col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id")).count()
+
+  test("stop-shingle df cap collapses the hot-shingle candidate blowup") {
+    import spark.implicits._
+    // every doc shares the shingle "hot hot hot"; everything else unique
+    val docs = (0 until 40)
+      .map(i => (i.toLong, s"hot hot hot u$i x$i y$i z$i"))
+      .toDF("doc_id", "text")
+    val idx = TextDedup.shingleIndex(docs)
+    val uncapped = pairCandidates(idx)
+    val capped = pairCandidates(TextDedup.capShingleDf(idx, 4))
+    assert(uncapped == 40L * 39 / 2, s"hot shingle should give C(40,2), got $uncapped")
+    assert(capped == 0, s"df cap must drop the hot shingle, got $capped")
+  }
+
+  test("IVF cell cap bounds per-cell pair counts on a hot cell") {
+    import spark.implicits._
+    // one hot label with 100 members
+    val emb = (0 until 100).map(i => (i.toLong, 1)).toDF("vec_id", "label")
+    def candidates(cap: Option[Int]): Long = {
+      val cells = Embeddings.ivfCells(emb, cap)
+      cells.as("a").join(cells.as("b"),
+        col("a.label") === col("b.label") &&
+          col("a.cell") === col("b.cell") &&
+          col("a.vec_id") < col("b.vec_id")).count()
+    }
+    val uncapped = candidates(None)
+    val capped = candidates(Some(10))
+    assert(uncapped == 100L * 99 / 2)
+    // 10 sub-cells of 10 members: 10 × C(10,2) = 450 — n·cap, not n²
+    assert(capped == 10L * 45, s"expected 450 capped candidates, got $capped")
+  }
+}

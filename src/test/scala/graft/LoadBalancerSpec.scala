@@ -63,4 +63,29 @@ class LoadBalancerModelSpec extends AnyFunSuite {
     val loads = bins.groupBy(_._2).view.mapValues(_.keys.map(times).sum)
     assert(loads.values.max - loads.values.min <= times.values.max + 1e-9)
   }
+
+  test("debug report enumerates every pipeline variant (metaheuristics.py:29-102)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(8)
+    val hist = (1 to 60).map { _ =>
+      val f = 1 + rng.nextInt(30)
+      (f, 100, "linear", "avltree", 0.02 * f + rng.nextGaussian() * 0.01)
+    }.toDF("n_features", "n_samples", "kernel", "optimizer", "execution_time")
+    val stars = Array.tabulate(3)(i =>
+      Star(i, Array.tabulate(30)(j => if (j <= i * 10) 1 else 0)))
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    LoadBalancerModel.reportAllModels(spark, hist, stars,
+      LoadBalancerModel.SvmParameters(100, "linear", "avltree"), lines += _)
+    val expected = Seq(
+      "Linear d=1 with MinMax", "Linear d=1 NO MinMax",
+      "Linear d=2 with MinMax", "Linear d=2 NO MinMax",
+      "Linear d=3 with MinMax", "Linear d=3 NO MinMax",
+      "Gradient booster with MinMax", "Gradient booster NO MinMax")
+    assert(lines.size == expected.size)
+    expected.zip(lines).foreach { case (label, line) =>
+      assert(line.contains(s"Predicted $label"), line)
+      // one rounded prediction per star, reference log shape
+      assert(line.matches(""".*\{0: -?[\d.]+, 1: -?[\d.]+, 2: -?[\d.]+\}"""), line)
+    }
+  }
 }

@@ -72,4 +72,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       p.take(500))
   }
+
+  test("bucketed tables co-locate a sort-merge join: no hash-partition exchange") {
+    import org.apache.spark.sql.functions.col
+    val wh = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
+    try {
+      // the pre-partitioning pattern a 100-TB deployment would use for
+      // its recurring join keys: bucket both fact tables on the key at
+      // write time, and the join needs no shuffle at read time
+      graft.Tables.orders(spark, dir)
+        .write.format("parquet").bucketBy(8, "o_custkey")
+        .option("path", s"$wh/orders_b").saveAsTable("orders_b")
+      graft.Tables.customer(spark, dir)
+        .write.format("parquet").bucketBy(8, "c_custkey")
+        .option("path", s"$wh/cust_b").saveAsTable("cust_b")
+      // merge hint: keep the small test tables off the broadcast path so
+      // the assertion exercises the shuffle-avoidance, not broadcast
+      val joined = spark.table("orders_b").hint("merge")
+        .join(spark.table("cust_b"), col("o_custkey") === col("c_custkey"))
+      val p = plan(joined)
+      assert(p.contains("SortMergeJoin"), p.take(400))
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n${p.take(800)}")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS cust_b")
+    }
+  }
 }

@@ -134,6 +134,37 @@ class RandomSurvivalForestSpec extends AnyFunSuite {
     val b = RandomSurvivalForest.fit(x, y, nEstimators = 5, seed = 11)
     assert(x.map(a.risk).toSeq == x.map(b.risk).toSeq)
   }
+  test("treeNJobs is a schedule, not a semantic: 1 ≡ 4 ≡ all-cores bit-identically") {
+    val serial = RandomSurvivalForest.fit(x, y, nEstimators = 12, seed = 11,
+      treeNJobs = 1)
+    val par4 = RandomSurvivalForest.fit(x, y, nEstimators = 12, seed = 11,
+      treeNJobs = 4)
+    val parAll = RandomSurvivalForest.fit(x, y, nEstimators = 12, seed = 11,
+      treeNJobs = -1)
+    assert(x.map(serial.risk).toSeq == x.map(par4.risk).toSeq)
+    assert(x.map(serial.risk).toSeq == x.map(parAll.risk).toSeq)
+  }
+  test("parallel tree growth is faster than serial (--tree-n-jobs)") {
+    // heavier forest so per-tree work dominates pool overhead; serial runs
+    // first, which also warms the JIT in the parallel run's favor — the
+    // assertion is intentionally lenient (any speedup) to survive
+    // co-tenant CPU steal on this box
+    val bigX = Array.fill(400)(Array.fill(6)(rng.nextDouble()))
+    val bigY = bigX.map { row =>
+      val t = if (row(0) > 0.5) 1.0 + rng.nextDouble() else 5.0 + rng.nextDouble()
+      Clinical(rng.nextDouble() > 0.2, t)
+    }
+    def time(jobs: Int): Double = {
+      val t0 = System.nanoTime()
+      RandomSurvivalForest.fit(bigX, bigY, nEstimators = 16, seed = 7,
+        treeNJobs = jobs)
+      (System.nanoTime() - t0) / 1e9
+    }
+    time(4) // JIT warmup, untimed
+    val serial = time(1)
+    val par = time(4)
+    assert(par < serial, f"parallel $par%.2fs not faster than serial $serial%.2fs")
+  }
 }
 
 class SurvivalSVMSpec extends AnyFunSuite {
