@@ -101,6 +101,47 @@ object EventStreams {
       }
   }
 
+  case class AsofIn(user_id: Long, event_id: Long, event_type: String,
+      ts: java.sql.Timestamp)
+  /** Last view seen per user — the entire as-of state: O(1) per key. */
+  case class AsofState(viewId: Long, viewUs: Long)
+  case class AsofOut(user_id: Long, event_id: Long, view_id: Option[Long],
+      lag_sec: Option[Double])
+
+  private def micros(ts: java.sql.Timestamp): Long =
+    ts.getTime * 1000 + (ts.getNanos / 1000) % 1000
+
+  /** Streaming as-of join — the twin of Events.e6AsofJoin: each purchase
+    * is matched to the user's most recent view at or before it. Keyed
+    * state carries just the latest view (id, µs) per user, so state is
+    * O(1)/key and never needs a watermark to stay bounded; within a batch
+    * rows are processed in the batch twin's (µs, event_id) order, so the
+    * outputs agree exactly when the stream delivers in order.
+    */
+  def asofViews(events: Dataset[AsofIn]): Dataset[AsofOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofState, AsofOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[AsofIn], state: GroupState[AsofState]) =>
+          val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var last = state.getOption
+          val out = Seq.newBuilder[AsofOut]
+          sorted.foreach { e =>
+            val us = micros(e.ts)
+            e.event_type match {
+              case "view" => last = Some(AsofState(e.event_id, us))
+              case "purchase" =>
+                out += AsofOut(userId, e.event_id, last.map(_.viewId),
+                  last.map(s => (us - s.viewUs) / 1000000.0))
+              case _ => // other event types don't participate
+            }
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Runs a streaming query to completion over a static directory (the
     * local smoke path: batch parquet drives the stream synchronously).
     */

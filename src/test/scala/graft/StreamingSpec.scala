@@ -54,6 +54,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(n == distinct)
   }
 
+  test("streaming as-of join equals the batch twin (e6)") {
+    import spark.implicits._
+    val stream = EventStreams.readEvents(spark, streamDir)
+      .select($"user_id", $"event_id", $"event_type", $"ts")
+      .as[EventStreams.AsofIn]
+    val q = EventStreams.asofViews(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("asof")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("asof")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))
+      .toSet
+    val batch = Events.e6AsofJoin(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))
+      .toSet
+    assert(streamed == batch, s"stream=${streamed.size} batch=${batch.size}")
+    assert(streamed.nonEmpty)
+  }
+
   test("stateful sessionization emits gap-closed sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
