@@ -217,6 +217,32 @@ object Oracles {
         |  count(big_or_null) AS n_big,
         |  ${exactAvg("big_or_null", 2, 6)} AS avg_big
         |FROM x GROUP BY prio_c ORDER BY prio_c""".stripMargin,
+    "q20_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n_orders,
+        |  sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) / 100.0 AS sum_total
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+
+    "q21_pivot" ->
+      """SELECT o_orderpriority,
+        |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+        |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+        |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q22_unpivot" ->
+      """SELECT p_partkey, attr, val FROM (
+        |  SELECT p_partkey, 'p_retailprice' AS attr, p_retailprice AS val FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+        |) u
+        |ORDER BY p_partkey, attr
+        |LIMIT 3000""".stripMargin,
   )
 
   def all: Map[String, String] = relational

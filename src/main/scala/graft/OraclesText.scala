@@ -356,6 +356,18 @@ object OraclesText {
   )
 
   val multimodal: Map[String, String] = Map(
+    // Mirrors Multimodal.m2FrameSample: n_frames = byte length mod 7
+    // (FakeDecoder), every-2nd frame index, md5(sig ':' idx) fingerprint.
+    "m2_frame_sample" ->
+      """WITH x AS (SELECT doc_id, md5(text) AS sig,
+        |    CAST(octet_length(encode(text)) % 7 AS INT) AS n_frames
+        |  FROM documents),
+        |f AS (SELECT doc_id, sig, unnest(range(0, n_frames, 2)) AS frame_idx
+        |  FROM x WHERE n_frames > 0)
+        |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+        |  md5(sig || ':' || frame_idx) AS frame_sig
+        |FROM f ORDER BY doc_id, frame_idx LIMIT 2000""".stripMargin,
+
     // Mirrors Multimodal.FakeDecoder: width/height from the first 4 hex
     // pairs of the payload md5, frame count from byte length mod 7.
     "m1_media_features" ->

@@ -96,7 +96,34 @@ object Multimodal {
       .limit(2000)
   }
 
+  /** Frame-sampling pipeline: features → every-2nd-frame plan → explode
+    * to one row per sampled frame with a per-frame fingerprint. The
+    * explode happens AFTER feature extraction, so only the small feature
+    * columns fan out — the binary payload never multiplies. (A real
+    * deployment decodes the sampled frames in a second mapPartitions
+    * pass keyed by (doc_id, frame_idx); the plan shape is identical.)
+    */
+  def m2FrameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.FastMd5.fastMd5
+    val media = Tables.documents(spark, dir)
+      .select(col("doc_id"), lit("text/plain").as("media_type"),
+        col("text").cast("binary").as("content"))
+      .as[MediaRow]
+    frameSamplePlan(extractFeatures(media).toDF(), everyK = 2)
+      .filter(col("n_frames") > 0)
+      .select(col("doc_id"), col("sig"),
+        explode(col("sampled_frames")).as("frame_idx"))
+      .select(col("doc_id"),
+        col("frame_idx").cast("int").as("frame_idx"),
+        fastMd5(concat(col("sig"), lit(":"), col("frame_idx").cast("string")))
+          .as("frame_sig"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+      .limit(2000)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_media_features" -> (m1MediaFeatures _),
+    "m2_frame_sample" -> (m2FrameSample _),
   )
 }

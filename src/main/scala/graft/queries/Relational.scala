@@ -332,6 +332,47 @@ object Relational {
         gridAvgRound(col("big_or_null"), 2, 6).as("avg_big"))
       .orderBy(col("prio_c"))
 
+  /** Full cube over (status, priority): all four grouping-set levels in
+    * one pass — partial aggregation runs before the single shuffle, same
+    * as rollup (q14).
+    */
+  def q20Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        gridSum(col("o_totalprice"), 2).as("sum_total"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("sum_total"))
+      .orderBy(col("status"), col("priority"))
+
+  /** Pivot with an explicit value list (fixed output schema — the only
+    * pivot shape that scales: value discovery would need an extra pass):
+    * order counts per priority × status.
+    */
+  def q21Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Unpivot (melt) — wide→long without a shuffle: each row fans out to
+    * one row per measured attribute, map-only.
+    */
+  def q22Unpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_retailprice"),
+        col("p_size").cast("double").as("p_size"))
+      .unpivot(Array(col("p_partkey")),
+        Array(col("p_retailprice"), col("p_size")), "attr", "val")
+      .orderBy(col("p_partkey"), col("attr"))
+      .limit(3000)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_join_revenue_by_nation" -> (q2JoinRevenueByNation _),
@@ -352,5 +393,8 @@ object Relational {
     "q17_string_fns" -> (q17StringFns _),
     "q18_above_brand_avg" -> (q18AboveBrandAvg _),
     "q19_null_semantics" -> (q19NullSemantics _),
+    "q20_cube" -> (q20Cube _),
+    "q21_pivot" -> (q21Pivot _),
+    "q22_unpivot" -> (q22Unpivot _),
   )
 }

@@ -32,6 +32,30 @@ class HotKeyGuardSpec extends AnyFunSuite {
     assert(capped == 0, s"df cap must drop the hot shingle, got $capped")
   }
 
+  test("salted join on a hot key is row-identical to the plain join and spreads the key") {
+    import graft.queries.SkewJoin
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    // 90% of the fact rows hit key 7 — the classic hot-partition shape
+    val big = (0 until 2000)
+      .map(i => (i.toLong, if (rng.nextInt(10) < 9) 7L else rng.nextInt(20).toLong))
+      .toDF("row_id", "k")
+    val small = (0L until 20L).map(k => (k, s"dim$k")).toDF("k", "name")
+    val plain = big.join(small, Seq("k"))
+      .select("row_id", "k", "name").collect().map(_.toSeq).toSet
+    val salted = SkewJoin.saltedEquiJoin(big, small, "k",
+        saltBy = col("row_id"), buckets = 8)
+      .select("row_id", "k", "name").collect().map(_.toSeq).toSet
+    assert(salted == plain, s"salted=${salted.size} plain=${plain.size}")
+    // the hot key really does spread over the salt space
+    val spread = big.filter(col("k") === 7)
+      .select(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.hash(col("row_id")),
+        org.apache.spark.sql.functions.lit(8)).as("salt"))
+      .distinct().count()
+    assert(spread == 8, s"expected the hot key in all 8 salt buckets, got $spread")
+  }
+
   test("IVF cell cap bounds per-cell pair counts on a hot cell") {
     import spark.implicits._
     // one hot label with 100 members
