@@ -203,6 +203,22 @@ object OraclesText {
       s"""WITH $shingleCte
          |SELECT doc_id, min(md5(shingle)) AS fingerprint, count(*) AS n_shingles
          |FROM sidx GROUP BY doc_id ORDER BY doc_id LIMIT 2000""".stripMargin,
+
+    // TextHash.rollingHash twin: identical BIGINT recurrence
+    // h = (h*31 + codepoint) % (2^31-1) folded left over the normalized
+    // text (prepended 0 = the h0 = 0 seed; list_reduce has no init arg).
+    "t7_rolling_fingerprint" ->
+      """WITH x AS (SELECT doc_id,
+        |    regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+        |  FROM documents)
+        |SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(norm) + 1),
+        |        i -> CAST(unicode(substr(norm, CAST(i AS INT), 1)) AS BIGINT))),
+        |    (h, c) -> (h * 31 + c) % 2147483647) AS rhash,
+        |  CAST(length(norm) AS INT) AS n_chars
+        |FROM x ORDER BY doc_id LIMIT 2000""".stripMargin,
   )
 
   /** Sequential-fold dot product matching Spark's aggregate(zip_with(...)). */

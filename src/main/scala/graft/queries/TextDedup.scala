@@ -359,6 +359,22 @@ object TextDedup {
       .orderBy(col("doc_id"))
       .limit(2000)
 
+  /** Per-doc polynomial rolling-hash fingerprint over the normalized
+    * text — one codegen'd O(len) pass per row, no shuffle at all
+    * (`RollingHashExpr`; the md5-min fingerprint in t5 is
+    * shingle-level, this is the whole-document content hash).
+    */
+  def t7RollingFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        regexp_replace(trim(lower(col("text"))), "\\s+", " ").as("norm"))
+      .select(col("doc_id"),
+        org.apache.spark.sql.graftfn.GraftExpressions
+          .rollingHash(col("norm")).as("rhash"),
+        length(col("norm")).as("n_chars"))
+      .orderBy(col("doc_id"))
+      .limit(2000)
+
   /** Corpus word frequencies — the canonical explode → count shape; at
     * lake scale this is the vocabulary-building pass of a tokenizer
     * pipeline (one shuffle on the token).
@@ -390,5 +406,6 @@ object TextDedup {
     "t4_quality_score" -> (t4QualityScore _),
     "t5_fingerprint" -> (t5Fingerprint _),
     "t6_word_count" -> (t6WordCount _),
+    "t7_rolling_fingerprint" -> (t7RollingFingerprint _),
   )
 }

@@ -27,6 +27,9 @@ object GraftExpressions {
     ExpressionUtils.column(FloatVecDot(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
+  def rollingHash(c: Column): Column =
+    ExpressionUtils.column(RollingHashExpr(ExpressionUtils.expression(c)))
+
   /** Dot of a float-array column against a fixed double-array weight
     * vector (hyperplane projections): two expression nodes instead of a
     * ~4×64-term Add chain, whose deep tree cost shows up in every
@@ -79,6 +82,24 @@ case class FloatVecDot(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): FloatVecDot = copy(left = newLeft, right = newRight)
   override def prettyName: String = "float_vec_dot"
+}
+
+/** Codegen'd polynomial rolling hash over code points
+  * ([[graft.functions.TextHash.rollingHash]]) — the per-document
+  * fingerprint primitive; exact BIGINT twin exists in DuckDB.
+  */
+case class RollingHashExpr(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullSafeEval(v: Any): Any =
+    graft.functions.TextHash.rollingHash(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.rollingHash($c)")
+  override protected def withNewChildInternal(newChild: Expression): RollingHashExpr =
+    copy(child = newChild)
+  override def prettyName: String = "rolling_hash"
 }
 
 /** Codegen'd md5-hex via [[graft.functions.FastMd5.hexOf]] (thread-local

@@ -33,6 +33,9 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("fast_md5"),
       new ExpressionInfo(classOf[FastMd5Expr].getName, "fast_md5"),
       (children: Seq[Expression]) => FastMd5Expr(children.head)))
+    ext.injectFunction((FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHashExpr].getName, "rolling_hash"),
+      (children: Seq[Expression]) => RollingHashExpr(children.head)))
     ext.injectOptimizerRule(_ => FloatDotRewrite)
   }
 }
