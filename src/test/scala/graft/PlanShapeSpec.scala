@@ -73,6 +73,28 @@ class PlanShapeSpec extends AnyFunSuite {
       p.take(500))
   }
 
+  test("q22 unpivot is map-only: top-k, no hash-partition exchange") {
+    val p = plan(Relational.q22Unpivot(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), p.take(400))
+    assert(!p.contains("Exchange hashpartitioning"), p.take(600))
+  }
+
+  test("e6 as-of join: exactly one shuffle (user_id), no join node") {
+    val p = plan(graft.queries.Events.e6AsofJoin(spark, dir))
+    assert(!p.contains("Join"), s"as-of must not plan a join:\n${p.take(500)}")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 1, s"expected 1 shuffle, got $shuffles:\n${p.take(600)}")
+  }
+
+  test("t7 rolling hash: codegen'd expression over a pruned scan, no shuffle") {
+    val p = plan(graft.queries.TextDedup.t7RollingFingerprint(spark, dir))
+    assert(p.contains("rolling_hash"), p.take(400))
+    assert(!p.contains("Exchange hashpartitioning"), p.take(600))
+    val readSchema = p.split("ReadSchema: ")(1).split("\n")(0)
+    assert(readSchema.contains("doc_id") && readSchema.contains("text")
+      && !readSchema.contains("lang"), s"expected pruned documents read: $readSchema")
+  }
+
   test("bucketed tables co-locate a sort-merge join: no hash-partition exchange") {
     import org.apache.spark.sql.functions.col
     val wh = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
