@@ -361,6 +361,20 @@ object OraclesText {
         |FROM m WHERE event_type = 'purchase'
         |ORDER BY user_id, event_id LIMIT 3000""".stripMargin,
 
+    // Events.e7RangeCount — value-based RANGE frame: tie-order-proof.
+    "e7_range_count" ->
+      """WITH x AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |m AS (SELECT user_id, event_id, event_type,
+        |    CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY us
+        |            RANGE BETWEEN 1800000000 PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS views_30m
+        |  FROM x)
+        |SELECT user_id, event_id, views_30m
+        |FROM m WHERE event_type = 'click'
+        |ORDER BY user_id, event_id LIMIT 3000""".stripMargin,
+
     "e4_top_users" ->
       """WITH c AS (SELECT event_type, user_id, count(*) AS n
         |  FROM events GROUP BY 1, 2),

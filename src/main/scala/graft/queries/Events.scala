@@ -143,6 +143,31 @@ object Events {
       .limit(3000)
   }
 
+  /** Time-range aggregation: views in the 30 minutes strictly before
+    * each click, per user — the range-join pattern expressed as a
+    * VALUE-based window frame (`rangeBetween` on µs), so it is one
+    * shuffle on user_id and, unlike row frames, independent of
+    * tie-ordering (the frame bound `-1` excludes same-µs rows by value).
+    * The equi+interval join formulation of the same question needs a
+    * time-bucketized self-join at scale; the range frame is strictly
+    * better when one side is "events of the same key".
+    */
+  def e7RangeCount(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapUs = 30L * 60 * 1000 * 1000
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-gapUs, -1)
+    Tables.events(spark, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("views_30m",
+        coalesce(sum(when(col("event_type") === "view", 1).otherwise(0)).over(w),
+          lit(0)).cast("long"))
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("views_30m"))
+      .orderBy(col("user_id"), col("event_id"))
+      .limit(3000)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_window_agg" -> (e1WindowAgg _),
     "e2_sessionize" -> (e2Sessionize _),
@@ -150,5 +175,6 @@ object Events {
     "e4_top_users" -> (e4TopUsers _),
     "e5_funnel" -> (e5Funnel _),
     "e6_asof_join" -> (e6AsofJoin _),
+    "e7_range_count" -> (e7RangeCount _),
   )
 }
