@@ -201,15 +201,24 @@ object TextDedup {
   def d6bJaccardCapped(spark: SparkSession, dir: String): DataFrame =
     ngramJaccard(spark, dir, maxShingleDf = Some(4))
 
-  /** Drops shingles with document frequency above the cap. The window
-    * count shuffles on `shingle` — the same key the self-join hashes on,
-    * so the guard adds no new partitioning axis.
+  /** Drops shingles with document frequency above the cap.
+    *
+    * Df is computed by groupBy — partial aggregation collapses a hot
+    * shingle to ONE row per map partition before the shuffle. (A window
+    * `count over (partition by shingle)` computes the same number but
+    * funnels every row of the hot key into a single task — the exact
+    * hotspot this valve exists to remove.) The over-cap list is then
+    * anti-joined back: it is small by construction (#{df > cap} ≤
+    * total postings / cap), so AQE broadcasts it and the cut is
+    * map-only; if a pathological corpus makes it large, the same plan
+    * degrades to a shuffle anti-join that AQE skew-splits.
     */
   private[graft] def capShingleDf(idx: DataFrame, cap: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    idx.withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
-      .filter(col("df") <= cap)
-      .drop("df")
+    val hot = idx.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap)
+      .select(col("shingle"))
+    idx.join(hot, Seq("shingle"), "left_anti")
   }
 
   private[queries] def ngramJaccard(spark: SparkSession, dir: String,
