@@ -263,12 +263,14 @@ object OraclesText {
          |WHERE round(${cosineSql("a.embedding", "b.embedding")}, 6) >= 0.3
          |ORDER BY id_a, id_b""".stripMargin,
 
-    // Embeddings.s2bIvfCapped: cells deterministically split into
-    // sub-cells of ≤32 members; pairs only within (label, sub-cell).
+    // Embeddings.s2bIvfCapped: labels split into ceil(n/32) sub-cells by
+    // vec_id modulo (deterministic, map-side — no row_number hotspot);
+    // pairs only within (label, sub-cell).
     "s2b_ivf_capped" ->
-      s"""WITH cells AS (SELECT vec_id, label, embedding,
-         |    (row_number() OVER (PARTITION BY label ORDER BY vec_id) - 1) // 32 AS cell
-         |  FROM embeddings)
+      s"""WITH counts AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1),
+         |cells AS (SELECT e.vec_id, e.label, e.embedding,
+         |    e.vec_id % ((c.n + 31) // 32) AS cell
+         |  FROM embeddings e JOIN counts c ON e.label = c.label)
          |SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
          |  round(${cosineSql("a.embedding", "b.embedding")}, 6) AS cos
          |FROM cells a JOIN cells b

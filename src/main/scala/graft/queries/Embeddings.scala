@@ -84,19 +84,28 @@ object Embeddings {
   def s2bIvfCapped(spark: SparkSession, dir: String): DataFrame =
     ivfNearDup(spark, dir, cellCap = Some(32))
 
-  /** Assigns the coarse cell: the `label` column, sub-split into cells of
-    * at most `cellCap` members when the cap is engaged (row_number over
-    * vec_id is deterministic — vec_id is unique).
+  /** Assigns the coarse cell: the `label` column, sub-split into
+    * `ceil(n_label / cellCap)` sub-cells when the cap is engaged.
+    *
+    * The split key is `vec_id mod nSubcells` — deterministic and
+    * map-side. (A `row_number` window over the label would give exactly
+    * ≤cap members per sub-cell, but funnels every row of a hot label
+    * through ONE task — the hotspot the cap exists to remove.) Sub-cell
+    * sizes are ≈cap in expectation instead of exactly ≤cap; the pair-work
+    * bound n·cap holds in expectation, with no single-task stage
+    * anywhere. The per-label count table is one row per label — AQE
+    * broadcasts the join.
     */
   private[graft] def ivfCells(base: DataFrame, cellCap: Option[Int]): DataFrame =
     cellCap match {
       case Some(cap) =>
-        import org.apache.spark.sql.expressions.Window
-        val rn = row_number().over(
-          Window.partitionBy(col("label")).orderBy(col("vec_id")))
-        base.withColumn("cell",
-          org.apache.spark.sql.graftfn.GraftExpressions
-            .intDiv(rn - 1, lit(cap.toLong)))
+        val counts = base.groupBy(col("label")).agg(count(lit(1)).as("n"))
+        base.join(counts, "label")
+          .withColumn("cell",
+            pmod(col("vec_id"),
+              org.apache.spark.sql.graftfn.GraftExpressions
+                .intDiv(col("n") + (cap - 1), lit(cap.toLong))))
+          .drop("n")
       case None => base.withColumn("cell", lit(0L))
     }
 
