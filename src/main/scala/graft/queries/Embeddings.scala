@@ -47,7 +47,6 @@ object Embeddings {
     * (rank-then-filter — no global sort of the n×q score table).
     */
   def s1CosineTopK(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(spark, dir)
       .withColumn("nrm", norm(col("embedding")))
     val queries = emb.filter(col("vec_id") < 10)
@@ -57,10 +56,10 @@ object Embeddings {
       .select(col("q_id"), col("vec_id"),
         round(cosinePre(col("q_emb"), col("q_nrm"),
           col("embedding"), col("nrm")), 6).as("cos"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 5)
+    // two-phase salted top-k: ten query groups over the whole collection
+    // would otherwise rank each query's n scores inside a single task
+    TopK.saltedTopK(scored, Seq(col("q_id")),
+        Seq(col("cos").desc, col("vec_id")), k = 5, saltBy = col("vec_id"))
       .select(col("q_id"), col("rk"), col("vec_id"), col("cos"))
       .orderBy(col("q_id"), col("rk"))
   }
@@ -136,7 +135,6 @@ object Embeddings {
     * collection.
     */
   def s3LshAnn(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(spark, dir)
 
     // hyperplane component p,j as a deterministic literal weight array;
@@ -166,10 +164,10 @@ object Embeddings {
       .select(col("q_id"), col("vec_id"),
         round(cosinePre(col("q_emb"), col("q_nrm"),
           col("embedding"), col("nrm")), 6).as("cos"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    cand.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 3)
+    // two-phase salted top-k (see s1): per-query candidate lists are
+    // ~1/16 of the collection — still too big for one task at scale
+    TopK.saltedTopK(cand, Seq(col("q_id")),
+        Seq(col("cos").desc, col("vec_id")), k = 3, saltBy = col("vec_id"))
       .select(col("q_id"), col("rk"), col("vec_id"), col("cos"))
       .orderBy(col("q_id"), col("rk"))
   }

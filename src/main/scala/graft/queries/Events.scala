@@ -69,17 +69,17 @@ object Events {
       .orderBy(col("event_type"))
 
   /** Top-5 busiest users per event type by event count — grouped agg
-    * feeding a per-group top-k window.
+    * feeding a two-phase salted top-k ([[TopK.saltedTopK]]): with only a
+    * handful of event types, a plain per-type window would funnel every
+    * user row of a type into one task; the salted form bounds each task
+    * at ~1/32 of a type and returns the identical rows.
     */
   def e4TopUsers(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val counts = Tables.events(spark, dir)
       .groupBy(col("event_type"), col("user_id"))
       .agg(count(lit(1)).as("n"))
-    val w = Window.partitionBy(col("event_type"))
-      .orderBy(col("n").desc, col("user_id"))
-    counts.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 5)
+    TopK.saltedTopK(counts, Seq(col("event_type")),
+        Seq(col("n").desc, col("user_id")), k = 5, saltBy = col("user_id"))
       .select(col("event_type"), col("rk"), col("user_id"), col("n"))
       .orderBy(col("event_type"), col("rk"))
   }

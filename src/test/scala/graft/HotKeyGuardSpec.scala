@@ -56,6 +56,28 @@ class HotKeyGuardSpec extends AnyFunSuite {
     assert(spread == 8, s"expected the hot key in all 8 salt buckets, got $spread")
   }
 
+  test("salted two-phase top-k returns exactly the plain window top-k") {
+    import graft.queries.TopK
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.row_number
+    import spark.implicits._
+    val rng = new scala.util.Random(17)
+    // deliberate score ties so the tiebreak ordering is exercised
+    val df = (0 until 500)
+      .map(i => (s"g${i % 3}", i.toLong, rng.nextInt(40)))
+      .toDF("grp", "id", "score")
+    val order = Seq(col("score").desc, col("id"))
+    val plain = df.withColumn("rk",
+        row_number().over(Window.partitionBy(col("grp")).orderBy(order: _*)))
+      .filter(col("rk") <= 7)
+      .select("grp", "rk", "id", "score").collect().map(_.toSeq).toSet
+    val salted = TopK.saltedTopK(df, Seq(col("grp")), order, k = 7,
+        saltBy = col("id"), salts = 8)
+      .select("grp", "rk", "id", "score").collect().map(_.toSeq).toSet
+    assert(salted == plain)
+    assert(plain.size == 21)
+  }
+
   test("IVF cell cap bounds per-cell pair counts on a hot cell") {
     import spark.implicits._
     // one hot label with 100 members
