@@ -168,6 +168,19 @@ object Events {
       .limit(3000)
   }
 
+  /** HLL++ distinct users per event type — the mergeable-sketch form of
+    * a distinct count: map-side sketches merge in the shuffle, so memory
+    * per task is the sketch size, not the user-id set. Sketch estimates
+    * are engine-specific → rows-only check (e4/q10 carry the exact,
+    * oracle-gated counting).
+    */
+  def e8ApproxUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_window_agg" -> (e1WindowAgg _),
     "e2_sessionize" -> (e2Sessionize _),
@@ -176,5 +189,6 @@ object Events {
     "e5_funnel" -> (e5Funnel _),
     "e6_asof_join" -> (e6AsofJoin _),
     "e7_range_count" -> (e7RangeCount _),
+    "e8_approx_users" -> (e8ApproxUsers _),
   )
 }

@@ -373,6 +373,23 @@ object Relational {
       .orderBy(col("p_partkey"), col("attr"))
       .limit(3000)
 
+  /** q16's 100-TB form: `approx_percentile` (t-digest) — a mergeable
+    * sketch with bounded memory per group, no within-group sort. Sketch
+    * internals differ between engines, so this is deliberately NOT
+    * oracle-hashed (driver records the weaker rows-only check); q16 is
+    * the exact, oracle-gated twin.
+    */
+  def q16bApproxPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_quantity, 0.5, 1000)").as("p50_qty"),
+        round(expr("approx_percentile(l_extendedprice, 0.25, 1000)"), 4)
+          .as("p25_price"),
+        round(expr("approx_percentile(l_extendedprice, 0.75, 1000)"), 4)
+          .as("p75_price"))
+      .orderBy(col("l_returnflag"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_join_revenue_by_nation" -> (q2JoinRevenueByNation _),
@@ -396,5 +413,6 @@ object Relational {
     "q20_cube" -> (q20Cube _),
     "q21_pivot" -> (q21Pivot _),
     "q22_unpivot" -> (q22Unpivot _),
+    "q16b_approx_percentiles" -> (q16bApproxPercentiles _),
   )
 }
