@@ -235,6 +235,16 @@ object Oracles {
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
 
+    "q23_native_topk" ->
+      """SELECT o_orderpriority, rk, o_orderkey, totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    round(o_totalprice, 2) AS totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) t
+        |WHERE rk <= 3
+        |ORDER BY o_orderpriority, rk""".stripMargin,
+
     "q22_unpivot" ->
       """SELECT p_partkey, attr, val FROM (
         |  SELECT p_partkey, 'p_retailprice' AS attr, p_retailprice AS val FROM part

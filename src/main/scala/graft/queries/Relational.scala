@@ -390,6 +390,27 @@ object Relational {
           .as("p75_price"))
       .orderBy(col("l_returnflag"))
 
+  /** Top-3 highest-value orders per priority through the NATIVE top-k
+    * physical operator ([[org.apache.spark.sql.graftfn.TopKPerGroupNative]]
+    * — custom LogicalPlan → Strategy → SparkPlan, bounded heaps instead
+    * of a per-group sort). Oracle-gated with a plain `row_number` SQL
+    * twin: the custom operator's semantics are held to the same DuckDB
+    * hash-match as every built-in composition.
+    */
+  def q23NativeTopK(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftfn.TopKPerGroupNative
+    TopKPerGroupNative.topKPerGroup(
+        Tables.orders(spark, dir)
+          .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice")),
+        group = Seq("o_orderpriority"),
+        order = Seq(TopKPerGroupNative.Key("o_totalprice", desc = true),
+          TopKPerGroupNative.Key("o_orderkey")),
+        k = 3)
+      .select(col("o_orderpriority"), col("rk"), col("o_orderkey"),
+        money(col("o_totalprice")).as("totalprice"))
+      .orderBy(col("o_orderpriority"), col("rk"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_join_revenue_by_nation" -> (q2JoinRevenueByNation _),
@@ -414,5 +435,6 @@ object Relational {
     "q21_pivot" -> (q21Pivot _),
     "q22_unpivot" -> (q22Unpivot _),
     "q16b_approx_percentiles" -> (q16bApproxPercentiles _),
+    "q23_native_topk" -> (q23NativeTopK _),
   )
 }
