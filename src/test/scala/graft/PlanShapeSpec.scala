@@ -95,6 +95,25 @@ class PlanShapeSpec extends AnyFunSuite {
       && !readSchema.contains("lang"), s"expected pruned documents read: $readSchema")
   }
 
+  test("hive-partitioned writes prune partitions at the scan") {
+    import org.apache.spark.sql.functions.col
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-part").toString
+    // lake layout: documents partitioned by lang — the layout a 100-TB
+    // corpus uses so per-language pipelines read 1/n of the data
+    graft.Tables.documents(spark, dir)
+      .write.partitionBy("lang").parquet(s"$dir2/docs_by_lang")
+    val q = spark.read.parquet(s"$dir2/docs_by_lang")
+      .filter(col("lang") === "en")
+      .select(col("doc_id"))
+    val p = plan(q)
+    assert(p.contains("PartitionFilters: [isnotnull(lang"),
+      s"lang filter must prune partitions, not scan+filter:\n${p.take(600)}")
+    val read = q.count()
+    val expected = graft.Tables.documents(spark, dir)
+      .filter(col("lang") === "en").count()
+    assert(read == expected && read > 0)
+  }
+
   test("bucketed tables co-locate a sort-merge join: no hash-partition exchange") {
     import org.apache.spark.sql.functions.col
     val wh = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
