@@ -147,24 +147,43 @@ class EmrBackend(client: EmrBackend.EmrContainersClient,
   private def poll(job: Job, runId: String,
       onFinish: (JobState, Option[String]) => Unit): Unit = {
     var done = false
+    // once terminal, finish exactly once even if the callback throws
+    def finish(state: JobState, details: Option[String]): Unit = {
+      done = true
+      try onFinish(state, details)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          log(s"[emr-backend] onFinish for ${job.id} threw: $e")
+      }
+    }
     while (!done) {
       try {
         val st = client.describeJobRun(runId, cfg.virtualClusterId)
         mapState(st.state) match {
-          case Some((jobState, true)) =>
-            onFinish(jobState, st.stateDetails); done = true
+          case Some((jobState, true)) => finish(jobState, st.stateDetails)
           case _ => // still running (or unknown state — keep watching)
         }
       } catch {
         case e: ResourceNotFoundException =>
           // the run vanished server-side: terminal, nothing to re-describe
-          logEmr(e); onFinish(JobState.Failed, Some(e.message)); done = true
+          logEmr(e); finish(JobState.Failed, Some(e.message))
         case e: ValidationException =>
-          logEmr(e); onFinish(JobState.Failed, Some(e.message)); done = true
+          logEmr(e); finish(JobState.Failed, Some(e.message))
         case e: InternalServerException =>
           logEmr(e) // transient server fault — re-describe next tick
+        case _: InterruptedException =>
+          // shutdown: stop watching without inventing a terminal state
+          log(s"[emr-backend] monitor for ${job.id} interrupted"); done = true
+        case scala.util.control.NonFatal(e) =>
+          // a real SDK client throws beyond the modeled taxonomy (network
+          // blips, credential refresh) — the monitor must survive those,
+          // not die silently and leave the job Running forever
+          log(s"[emr-backend] monitor error for ${job.id} (will retry): $e")
       }
-      if (!done) Thread.sleep(cfg.pollIntervalMs)
+      if (!done) {
+        try Thread.sleep(cfg.pollIntervalMs)
+        catch { case _: InterruptedException => done = true }
+      }
     }
     runIds.remove(job.id)
   }

@@ -246,8 +246,8 @@ class JobService(backend: JobService.JobBackend,
       case Left(err) =>
         respond(ex, 400, errorJson(err))
       case Right((nameOpt, algo, args)) =>
+        val id = java.util.UUID.randomUUID().toString
         try {
-          val id = java.util.UUID.randomUUID().toString
           val name = nameOpt.getOrElse(generateJobName(algo, rng))
           val job = Job(id, name, algo, marshalArgs(args), Instant.now())
           jobs.put(id, job)
@@ -265,6 +265,9 @@ class JobService(backend: JobService.JobBackend,
           respond(ex, 201, s"""{"id": "$id"}""")
         } catch {
           case e: Throwable =>
+            // a failed submission must not leave a zombie Running record
+            // (the reference persists nothing when schedule returns None)
+            jobs.remove(id)
             respond(ex, 500, errorJson(String.valueOf(e.getMessage)))
         }
     }
@@ -281,9 +284,9 @@ class JobService(backend: JobService.JobBackend,
           val client = HttpClient.newBuilder()
             .connectTimeout(java.time.Duration.ofSeconds(100)).build()
           val req = HttpRequest.newBuilder()
-            // strip a trailing slash from the env value (reference:
+            // strip ALL trailing slashes from the env value (reference:
             // app.py rstrip('/')) so the callback never doubles the '/'
-            .uri(java.net.URI.create(s"${url.stripSuffix("/")}/$id/"))
+            .uri(java.net.URI.create(s"${url.replaceAll("/+$", "")}/$id/"))
             .timeout(java.time.Duration.ofSeconds(100))
             .header("Content-Type", "application/json")
             .POST(HttpRequest.BodyPublishers.ofString(jobJson(job)))

@@ -73,12 +73,13 @@ object Embeddings {
     ivfNearDup(spark, dir, cellCap = None)
 
   /** s2 with the cell-size cap engaged: a hot coarse cell degrades the
-    * per-cell pair join toward n², so cells are deterministically split
-    * into sub-cells of at most `cap` members (row_number over vec_id →
-    * sub-cell = (rn−1) div cap). Work becomes Σ ceil(n_c/cap)·cap² ≤
-    * n·cap — linear in collection size — at the cost of missing
-    * cross-sub-cell pairs (the standard IVF recall/cost dial; at lake
-    * scale the split key would be a finer quantizer, same plan shape).
+    * per-cell pair join toward n², so each label is deterministically
+    * split into `ceil(n_label/cap)` sub-cells by `vec_id mod nSubcells`
+    * (see [[ivfCells]] — map-side, no hot-key window). Sub-cell sizes
+    * are ≈cap in expectation, so pair work is bounded at ~n·cap —
+    * linear in collection size — at the cost of missing cross-sub-cell
+    * pairs (the standard IVF recall/cost dial; at lake scale the split
+    * key would be a finer quantizer, same plan shape).
     */
   def s2bIvfCapped(spark: SparkSession, dir: String): DataFrame =
     ivfNearDup(spark, dir, cellCap = Some(32))

@@ -85,7 +85,10 @@ object FloatDotRewrite extends Rule[LogicalPlan] {
             Literal(zero: Double, DoubleType),
             LambdaFunction(merge, Seq(acc: NamedLambdaVariable, v: NamedLambdaVariable), _),
             LambdaFunction(fin, Seq(finArg: NamedLambdaVariable), _))
-          if zero == 0.0 && isFloatArray(a) && isFloatArray(b) &&
+          // raw-bits zero check: a -0.0 seed would make the HOF return
+          // -0.0 on empty arrays where FloatVecDot returns +0.0
+          if java.lang.Double.doubleToRawLongBits(zero) == 0L &&
+            isFloatArray(a) && isFloatArray(b) &&
             isDoubleProduct(mul, x, y) && isSum(merge, acc, v) &&
             sameVar(fin, finArg) =>
         FloatVecDot(a, b)

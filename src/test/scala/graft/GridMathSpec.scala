@@ -31,6 +31,25 @@ class GridMathSpec extends AnyFunSuite {
     ref.foreach { case (g, v) => assert(got(g) == v, s"group $g: ${got(g)} != $v") }
   }
 
+  test("rollingHash byte-decoder matches the String code-point reference (incl. multibyte)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def reference(str: String): Long = {
+      var h = 0L; var i = 0
+      while (i < str.length) {
+        val cp = str.codePointAt(i)
+        h = (h * graft.functions.TextHash.Base + cp) % graft.functions.TextHash.Mod
+        i += Character.charCount(cp)
+      }
+      h
+    }
+    val samples = Seq("", "hello world", "héllo wörld", "日本語テキスト",
+      "emoji 😀 beyond the BMP", "mixed ascii ünd ünïcode 123")
+    samples.foreach { s =>
+      assert(graft.functions.TextHash.rollingHash(UTF8String.fromString(s))
+        == reference(s), s)
+    }
+  }
+
   test("empty-group average is null, not an ANSI division error") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

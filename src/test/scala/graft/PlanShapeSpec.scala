@@ -14,6 +14,13 @@ class PlanShapeSpec extends AnyFunSuite {
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  private def deleteRecursively(path: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(path))
+      java.nio.file.Files.walk(path).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+  }
+
   test("q1: shipdate filter reaches the parquet scan; schema pruned") {
     val p = plan(Relational.q1PricingSummary(spark, dir))
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
@@ -97,26 +104,29 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("hive-partitioned writes prune partitions at the scan") {
     import org.apache.spark.sql.functions.col
-    val dir2 = java.nio.file.Files.createTempDirectory("graft-part").toString
-    // lake layout: documents partitioned by lang — the layout a 100-TB
-    // corpus uses so per-language pipelines read 1/n of the data
-    graft.Tables.documents(spark, dir)
-      .write.partitionBy("lang").parquet(s"$dir2/docs_by_lang")
-    val q = spark.read.parquet(s"$dir2/docs_by_lang")
-      .filter(col("lang") === "en")
-      .select(col("doc_id"))
-    val p = plan(q)
-    assert(p.contains("PartitionFilters: [isnotnull(lang"),
-      s"lang filter must prune partitions, not scan+filter:\n${p.take(600)}")
-    val read = q.count()
-    val expected = graft.Tables.documents(spark, dir)
-      .filter(col("lang") === "en").count()
-    assert(read == expected && read > 0)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-part")
+    try {
+      // lake layout: documents partitioned by lang — the layout a 100-TB
+      // corpus uses so per-language pipelines read 1/n of the data
+      graft.Tables.documents(spark, dir)
+        .write.partitionBy("lang").parquet(s"$dir2/docs_by_lang")
+      val q = spark.read.parquet(s"$dir2/docs_by_lang")
+        .filter(col("lang") === "en")
+        .select(col("doc_id"))
+      val p = plan(q)
+      assert(p.contains("PartitionFilters: [isnotnull(lang"),
+        s"lang filter must prune partitions, not scan+filter:\n${p.take(600)}")
+      val read = q.count()
+      val expected = graft.Tables.documents(spark, dir)
+        .filter(col("lang") === "en").count()
+      assert(read == expected && read > 0)
+    } finally deleteRecursively(dir2)
   }
 
   test("bucketed tables co-locate a sort-merge join: no hash-partition exchange") {
     import org.apache.spark.sql.functions.col
-    val wh = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
+    val whPath = java.nio.file.Files.createTempDirectory("graft-bucketed")
+    val wh = whPath.toString
     try {
       // the pre-partitioning pattern a 100-TB deployment would use for
       // its recurring join keys: bucket both fact tables on the key at
@@ -138,6 +148,8 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally {
       spark.sql("DROP TABLE IF EXISTS orders_b")
       spark.sql("DROP TABLE IF EXISTS cust_b")
+      // external tables: DROP leaves the files — remove the dir too
+      deleteRecursively(whPath)
     }
   }
 }
