@@ -1,7 +1,8 @@
 package graft.surv
 
-/** Cox proportional-hazards regression via Newton–Raphson on the Breslow
-  * partial likelihood.
+/** Cox proportional-hazards regression via Newton–Raphson on the partial
+  * likelihood, with Efron (default — lifelines' default) or Breslow tie
+  * handling.
   *
   * The reference fits `lifelines.CoxPHFitter` on a frame
   * `{E, T, group}` where `group` is the cluster id as a single *numeric*
@@ -10,8 +11,9 @@ package graft.surv
   * `concordance_index` | `log_likelihood`
   * (/root/reference/scripts/main.py:100-102). This implementation keeps
   * exactly that shape: p covariates (p = 1 for the clustering fitness),
-  * Breslow tie handling, score = average partial log-likelihood or
-  * C-index of the linear predictor.
+  * Efron ties like `CoxPHFitter()`'s default, score = average partial
+  * log-likelihood or C-index of the linear predictor. Without tied event
+  * times the two tie methods coincide exactly.
   *
   * Runs driver/task-local over ≤ a few hundred samples — no Spark here;
   * the engine fans *whole fitness calls* out, not the Newton iterations.
@@ -21,26 +23,27 @@ object CoxPH {
   case class Fit(beta: Array[Double], logLik: Double, iterations: Int,
       converged: Boolean)
 
-  /** Newton–Raphson on the Breslow partial likelihood.
+  /** Newton–Raphson on the partial likelihood.
     * @param x n×p covariate matrix
+    * @param ties "efron" (lifelines default) | "breslow"
     */
   def fit(x: Array[Array[Double]], y: Array[Clinical], maxIter: Int = 100,
-      tol: Double = 1e-9): Fit = {
+      tol: Double = 1e-9, ties: String = "efron"): Fit = {
     val n = x.length
     val p = if (n == 0) 0 else x(0).length
     val beta = new Array[Double](p)
-    var ll = logLikelihood(x, y, beta)
+    var ll = logLikelihood(x, y, beta, ties)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      val (grad, hess) = gradHess(x, y, beta)
+      val (grad, hess) = gradHess(x, y, beta, ties)
       // solve hess * delta = grad  (hess is the negative Hessian, p.d.)
       val delta = solve(hess, grad)
       var step = 1.0
       var improved = false
       while (step > 1e-4 && !improved) { // halving line search
         val cand = Array.tabulate(p)(k => beta(k) + step * delta(k))
-        val candLl = logLikelihood(x, y, cand)
+        val candLl = logLikelihood(x, y, cand, ties)
         if (candLl >= ll - 1e-12) {
           System.arraycopy(cand, 0, beta, 0, p)
           converged = math.abs(candLl - ll) < tol
@@ -54,36 +57,63 @@ object CoxPH {
     Fit(beta, ll, iter, converged)
   }
 
-  /** Breslow partial log-likelihood at beta. */
+  /** Partial log-likelihood at beta.
+    *
+    * Walks distinct times descending, accumulating the risk-set
+    * denominator; a block of d tied events at time t contributes
+    *  - Breslow: Σ η_i − d·log(S₀)
+    *  - Efron:   Σ η_i − Σ_{j=0}^{d−1} log(S₀ − (j/d)·T₀)
+    * where S₀ sums exp(η) over the risk set and T₀ over the tied events.
+    */
   def logLikelihood(x: Array[Array[Double]], y: Array[Clinical],
-      beta: Array[Double]): Double = {
+      beta: Array[Double], ties: String = "efron"): Double = {
     val n = x.length
     val eta = Array.tabulate(n)(i => dot(x(i), beta))
-    // sort by time ascending; risk set = samples with t_j >= t_i
     val order = (0 until n).sortBy(i => y(i).time).toArray
     var ll = 0.0
-    // iterate distinct event times; Breslow: each event at time t
-    // contributes eta_i - log(sum_{t_j >= t} exp(eta_j))
     var k = n - 1
     var riskSum = 0.0
-    // walk times descending, accumulating the risk-set denominator
     var idx = n - 1
     while (idx >= 0) {
       val t = y(order(idx)).time
-      // add all samples with this time into the risk set
       while (k >= 0 && y(order(k)).time >= t) {
         riskSum += math.exp(eta(order(k)))
         k -= 1
       }
-      if (y(order(idx)).event) ll += eta(order(idx)) - math.log(riskSum)
-      idx -= 1
+      var blockStart = idx
+      while (blockStart - 1 >= 0 && y(order(blockStart - 1)).time == t)
+        blockStart -= 1
+      var d = 0
+      var etaSum = 0.0
+      var tiedExp = 0.0
+      var i = blockStart
+      while (i <= idx) {
+        val s = order(i)
+        if (y(s).event) { d += 1; etaSum += eta(s); tiedExp += math.exp(eta(s)) }
+        i += 1
+      }
+      if (d > 0) {
+        ll += etaSum
+        if (ties == "breslow") ll -= d * math.log(riskSum)
+        else {
+          var j = 0
+          while (j < d) {
+            ll -= math.log(riskSum - j.toDouble / d * tiedExp)
+            j += 1
+          }
+        }
+      }
+      idx = blockStart - 1
     }
     ll
   }
 
-  /** Gradient and negative Hessian of the Breslow partial likelihood. */
+  /** Gradient and negative Hessian of the partial likelihood. For a tied
+    * block, Efron subtracts the j-th fraction of the tied-event sums from
+    * every moment: Z_j = S − (j/d)·T, with per-j weighted means.
+    */
   private def gradHess(x: Array[Array[Double]], y: Array[Clinical],
-      beta: Array[Double]): (Array[Double], Array[Array[Double]]) = {
+      beta: Array[Double], ties: String): (Array[Double], Array[Array[Double]]) = {
     val n = x.length
     val p = beta.length
     val eta = Array.tabulate(n)(i => dot(x(i), beta))
@@ -110,21 +140,53 @@ object CoxPH {
         }
         k -= 1
       }
-      if (y(order(idx)).event) {
-        val i = order(idx)
-        var a = 0
-        while (a < p) {
-          val ez1 = s1(a) / s0
-          grad(a) += x(i)(a) - ez1
-          var b = 0
-          while (b < p) {
-            hess(a)(b) += s2(a)(b) / s0 - ez1 * (s1(b) / s0)
-            b += 1
+      var blockStart = idx
+      while (blockStart - 1 >= 0 && y(order(blockStart - 1)).time == t)
+        blockStart -= 1
+      // tied-event moments for this block
+      var d = 0
+      var t0 = 0.0
+      val t1 = new Array[Double](p)
+      val t2 = Array.ofDim[Double](p, p)
+      var i = blockStart
+      while (i <= idx) {
+        val s = order(i)
+        if (y(s).event) {
+          d += 1
+          val w = math.exp(eta(s))
+          t0 += w
+          var a = 0
+          while (a < p) {
+            grad(a) += x(s)(a) // Σ x_i over tied events
+            t1(a) += w * x(s)(a)
+            var b = 0
+            while (b < p) { t2(a)(b) += w * x(s)(a) * x(s)(b); b += 1 }
+            a += 1
           }
-          a += 1
+        }
+        i += 1
+      }
+      if (d > 0) {
+        var j = 0
+        while (j < d) {
+          val f = if (ties == "breslow") 0.0 else j.toDouble / d
+          val denom = s0 - f * t0
+          var a = 0
+          while (a < p) {
+            val z1a = (s1(a) - f * t1(a)) / denom
+            grad(a) -= z1a
+            var b = 0
+            while (b < p) {
+              hess(a)(b) += (s2(a)(b) - f * t2(a)(b)) / denom -
+                z1a * ((s1(b) - f * t1(b)) / denom)
+              b += 1
+            }
+            a += 1
+          }
+          j += 1
         }
       }
-      idx -= 1
+      idx = blockStart - 1
     }
     (grad, hess)
   }
@@ -133,8 +195,8 @@ object CoxPH {
     * log-likelihood per observation.
     */
   def scoreLogLikelihood(fit: Fit, x: Array[Array[Double]],
-      y: Array[Clinical]): Double =
-    logLikelihood(x, y, fit.beta) / x.length
+      y: Array[Clinical], ties: String = "efron"): Double =
+    logLikelihood(x, y, fit.beta, ties) / x.length
 
   /** lifelines `score(df, 'concordance_index')`: C-index of the linear
     * predictor (higher eta = higher risk).

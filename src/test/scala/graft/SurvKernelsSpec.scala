@@ -64,6 +64,40 @@ class CoxPHSpec extends AnyFunSuite {
     val atOne = 1.0 - math.log(math.exp(1.0) + 1)
     assert(math.abs(CoxPH.logLikelihood(xs, ys, Array(1.0)) - atOne) < 1e-12)
   }
+  test("efron ≡ breslow without ties; hand-computed efron values with ties") {
+    // this suite's y has no tied times: the methods must coincide exactly
+    assert(CoxPH.logLikelihood(x, y, Array(0.7), "efron")
+      == CoxPH.logLikelihood(x, y, Array(0.7), "breslow"))
+    // two tied events among three at risk: at beta
+    //   efron ll = b − log(e^b+2) − log((e^b+3)/2)   (j/d = 1/2 correction)
+    //   breslow  = b − 2·log(e^b+2)
+    val xs = Array(Array(1.0), Array(0.0), Array(0.0))
+    val ys = Array(Clinical(true, 1.0), Clinical(true, 1.0), Clinical(false, 2.0))
+    assert(math.abs(CoxPH.logLikelihood(xs, ys, Array(0.0), "efron")
+      + (math.log(3) + math.log(2))) < 1e-12)
+    assert(math.abs(CoxPH.logLikelihood(xs, ys, Array(0.0), "breslow")
+      + 2 * math.log(3)) < 1e-12)
+    val b = 0.8
+    val expected = b - math.log(math.exp(b) + 2) - math.log((math.exp(b) + 3) / 2)
+    assert(math.abs(CoxPH.logLikelihood(xs, ys, Array(b), "efron") - expected) < 1e-12)
+  }
+
+  test("efron gradient is ~zero at the efron optimum when ties are present") {
+    // deliberate tied event times across the two groups
+    val xs = Array(0, 0, 0, 1, 1, 1, 0, 1).map(g => Array(g.toDouble))
+    val ys = Array(
+      Clinical(true, 5), Clinical(true, 5), Clinical(false, 8), Clinical(true, 2),
+      Clinical(true, 2), Clinical(true, 3), Clinical(true, 6), Clinical(false, 4))
+    val fit = CoxPH.fit(xs, ys) // default ties = efron
+    val eps = 1e-5
+    val up = CoxPH.logLikelihood(xs, ys, Array(fit.beta(0) + eps))
+    val down = CoxPH.logLikelihood(xs, ys, Array(fit.beta(0) - eps))
+    assert(math.abs(up - down) / (2 * eps) < 1e-3)
+    // and the efron fit differs from the breslow fit on tied data
+    val breslow = CoxPH.fit(xs, ys, ties = "breslow")
+    assert(fit.beta(0) != breslow.beta(0))
+  }
+
   test("concordance score of the fit separates the groups") {
     val fit = CoxPH.fit(x, y)
     assert(CoxPH.scoreConcordance(fit, x, y) > 0.7)
