@@ -142,6 +142,52 @@ object EventStreams {
       }
   }
 
+  case class RangeIn(user_id: Long, event_id: Long, event_type: String,
+      ts: java.sql.Timestamp)
+  /** Recent view timestamps per user — pruned to the 30-min horizon on
+    * every batch, so state is bounded by the per-user view rate, not
+    * history length.
+    */
+  case class RangeState(viewUs: List[Long])
+  case class RangeOut(user_id: Long, event_id: Long, views_30m: Long)
+
+  /** Streaming twin of Events.e7RangeCount: for each click, how many of
+    * the user's views fell in the strictly-preceding 30 minutes. Keyed
+    * state is the user's view timestamps within the horizon (a true
+    * sliding range, so unlike the windowed aggregations it cannot be a
+    * tumbling-window groupBy); state is pruned against the newest
+    * timestamp seen per key.
+    */
+  def rangeViewCounts(events: Dataset[RangeIn]): Dataset[RangeOut] = {
+    import events.sparkSession.implicits._
+    val gapUs = 30L * 60 * 1000 * 1000
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[RangeState, RangeOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[RangeIn], state: GroupState[RangeState]) =>
+          def us(ts: java.sql.Timestamp): Long =
+            ts.getTime * 1000 + (ts.getNanos / 1000) % 1000
+          val sorted = rows.toSeq.sortBy(e => (us(e.ts), e.event_id))
+          var views = state.getOption.map(_.viewUs).getOrElse(Nil)
+          val out = Seq.newBuilder[RangeOut]
+          var newest = views.headOption.getOrElse(Long.MinValue)
+          sorted.foreach { e =>
+            val t = us(e.ts)
+            newest = math.max(newest, t)
+            e.event_type match {
+              case "view" => views = t :: views
+              case "click" =>
+                out += RangeOut(userId, e.event_id,
+                  views.count(v => v >= t - gapUs && v < t).toLong)
+              case _ =>
+            }
+          }
+          views = views.filter(_ > newest - gapUs) // horizon prune
+          if (views.nonEmpty) state.update(RangeState(views)) else state.remove()
+          out.result().iterator
+      }
+  }
+
   /** Runs a streaming query to completion over a static directory (the
     * local smoke path: batch parquet drives the stream synchronously).
     */

@@ -81,6 +81,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming range-count equals the batch twin (e7)") {
+    import spark.implicits._
+    val stream = EventStreams.readEvents(spark, streamDir)
+      .select($"user_id", $"event_id", $"event_type", $"ts")
+      .as[EventStreams.RangeIn]
+    val q = EventStreams.rangeViewCounts(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("range_counts")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("range_counts")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = Events.e7RangeCount(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch, s"stream=${streamed.size} batch=${batch.size}")
+    assert(streamed.nonEmpty)
+  }
+
   test("stateful sessionization emits gap-closed sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
