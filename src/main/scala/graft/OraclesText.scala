@@ -193,6 +193,19 @@ object OraclesText {
         |    + ttr * 0.3 + stop_ratio * 0.2 + long_ratio * 0.2, 6) AS quality
         |FROM r ORDER BY doc_id LIMIT 2000""".stripMargin,
 
+    // TextDedup.t8Chunking — 64-token chunks at stride 48; DuckDB
+    // list_slice's inclusive end bound ≡ Spark slice's length bound.
+    "t8_chunking" ->
+      """WITH tok AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |starts AS (SELECT doc_id, toks,
+        |    unnest(range(0, len(toks), 48)) AS start FROM tok)
+        |SELECT doc_id, CAST(start // 48 AS INT) AS chunk_idx,
+        |  array_to_string(list_slice(toks, start + 1,
+        |    least(start + 64, len(toks))), ' ') AS chunk_text,
+        |  CAST(least(start + 64, len(toks)) - start AS INT) AS n_tokens
+        |FROM starts ORDER BY doc_id, chunk_idx LIMIT 3000""".stripMargin,
+
     "t6_word_count" ->
       """SELECT token, count(*) AS n FROM (
         |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token

@@ -384,6 +384,29 @@ object TextDedup {
       .orderBy(col("doc_id"))
       .limit(2000)
 
+  val ChunkLen = 64
+  val ChunkStride = 48
+
+  /** Context-window chunking: every document fans out to overlapping
+    * 64-token chunks at stride 48 — the op a pretraining pipeline runs to
+    * fit documents into model context windows. Map-only (explode of
+    * chunk starts, slice per start); the token array is materialized
+    * below the Generate, so the split runs once per document, not once
+    * per chunk (the CollapseProject inlining trap).
+    */
+  def t8Chunking(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(0), size(col("toks")) - 1, lit(ChunkStride)))
+          .as(Seq("chunk_idx", "start")))
+      .select(col("doc_id"), col("chunk_idx"),
+        array_join(slice(col("toks"), col("start") + 1, lit(ChunkLen)), " ")
+          .as("chunk_text"),
+        size(slice(col("toks"), col("start") + 1, lit(ChunkLen))).as("n_tokens"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+      .limit(3000)
+
   /** Corpus word frequencies — the canonical explode → count shape; at
     * lake scale this is the vocabulary-building pass of a tokenizer
     * pipeline (one shuffle on the token).
@@ -416,5 +439,6 @@ object TextDedup {
     "t5_fingerprint" -> (t5Fingerprint _),
     "t6_word_count" -> (t6WordCount _),
     "t7_rolling_fingerprint" -> (t7RollingFingerprint _),
+    "t8_chunking" -> (t8Chunking _),
   )
 }
