@@ -34,24 +34,32 @@ object Bench {
 
     // One untimed warmup pass (Janino codegen compilation + JVM JIT) —
     // measured warmup inflates first-query numbers 5-10× and is pure JVM
-    // startup, not plan cost. Then THREE timed interleaved passes with
-    // the per-query MINIMUM reported: this box suffers bursty co-tenant
-    // CPU steal (round-1's recorded total was 2.6× inflated), and a
-    // steal burst hits each query in at most one of three spaced passes,
-    // so the min is the steal-resistant estimate of plan cost.
+    // startup, not plan cost. Then FIVE timed interleaved passes. Two
+    // aggregates are reported: the per-query MIN of the first three
+    // (round-comparable, steal-resistant when a burst hits ≤1 pass) and
+    // the per-query MEDIAN of all five — a burst spanning every pass
+    // inflates the min silently but leaves median ≈ min, so divergence
+    // between the two aggregates is the tell that the box, not the plan,
+    // was slow (round-2's recorded d3/d5 were exactly this artifact).
     pass()
-    val timedPasses = 3
+    val timedPasses = 5
     val passes = (1 to timedPasses).map { _ =>
       spark.sqlContext.clearCache() // no pass donates cached inputs
       pass().toMap
     }
     val names = passes.head.keys.toSeq.sorted
-    val best = names.map(n => n -> passes.map(_(n)).min)
+    val best = names.map(n => n -> passes.take(3).map(_(n)).min)
+    val median = names.map { n =>
+      n -> passes.map(_(n)).sorted.apply(timedPasses / 2)
+    }
 
-    val qs = best.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def obj(kv: Seq[(String, Double)]): String =
+      kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val passTotals = passes.map(p => names.map(p).sum)
+      .mkString("[", ",", "]")
     val total = best.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","warmup_passes":1,"timed_passes":$timedPasses,"agg":"per-query min"}""")
+    val totalMedian = median.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(best)},"sf":"$sfDir","warmup_passes":1,"timed_passes":$timedPasses,"agg":"per-query min of first 3","total_median5":$totalMedian,"queries_median5":${obj(median)},"pass_totals":$passTotals}""")
     spark.stop()
   }
 }

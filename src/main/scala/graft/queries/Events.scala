@@ -20,7 +20,12 @@ object Events {
     */
   def e1WindowAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
-      .groupBy(date_trunc("hour", col("ts")).as("hour"),
+      // timestamp_ntz: parquet-written as naive µs — the same physical
+      // unit+zone DuckDB's date_trunc returns, so the dtype-sensitive
+      // driver hash sees identical datetime64[us] on both sides (the
+      // zoned TimestampType writes INT96 ns / tz-aware, a q12-class
+      // drift away from a red row)
+      .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"),
         col("event_type"))
       .agg(count(lit(1)).as("n"),
         (sum(round(col("value") * 100).cast("long")) / lit(100.0))

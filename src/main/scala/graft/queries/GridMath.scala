@@ -20,11 +20,14 @@ object GridMath {
 
   /** Order-insensitive sum of a fixed-decimal expression: per-row integer
     * units (exact in Long) are associative, so the result is identical at
-    * 32 cores or 1000 executors.
+    * 32 cores or 1000 executors. The ACCUMULATION runs in DECIMAL(38,0)
+    * — a LongType sum wraps silently (non-ANSI) near 9.2e18 unit-micros,
+    * which a 100-TB group can reach; the DuckDB twin promotes to HUGEINT,
+    * so decimal is what keeps the engines equal exactly at scale.
     */
   def gridSum(c: Column, decimals: Int): Column = {
     val scale = math.pow(10, decimals).toLong
-    sum(round(c * scale).cast("long")) / lit(scale.toDouble)
+    sum(round(c * scale).cast("long").cast("decimal(38,0)")) / lit(scale.toDouble)
   }
 
   /** `round(avg(c), outDecimals)` with no engine-dependent rounding: rows
@@ -44,7 +47,7 @@ object GridMath {
   def gridAvgRound(c: Column, decimals: Int, outDecimals: Int): Column = {
     val scale = math.pow(10, decimals).toLong
     val out = math.pow(10, outDecimals).toLong
-    val units = sum(round(c * scale).cast("long")).cast("decimal(38,0)")
+    val units = sum(round(c * scale).cast("long").cast("decimal(38,0)"))
     val den = (count(c) * scale).cast("decimal(38,0)")
     intDiv(units * out + intDiv(den, lit(2L)), den).cast("double") / out
   }

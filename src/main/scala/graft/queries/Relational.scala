@@ -136,7 +136,7 @@ object Relational {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate"), col("o_orderkey"))
     Tables.orders(spark, dir)
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .withColumn("running_spend",
         money(sum(col("o_totalprice"))
           .over(w.rowsBetween(Window.unboundedPreceding, 0))))
@@ -153,7 +153,7 @@ object Relational {
     val w = Window.partitionBy(col("p_brand"))
       .orderBy(col("p_retailprice").desc, col("p_partkey"))
     Tables.part(spark, dir)
-      .withColumn("rk", row_number().over(w))
+      .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= 2)
       .select(col("p_brand"), col("rk"), col("p_partkey"), col("p_name"),
         money(col("p_retailprice")).as("retailprice"))

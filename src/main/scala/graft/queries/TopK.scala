@@ -32,7 +32,9 @@ object TopK {
     df.withColumn("__rk1", row_number().over(phase1))
       .filter(col("__rk1") <= k)
       .drop("__rk1")
-      .withColumn(rankCol, row_number().over(phase2))
+      // long rank: DuckDB row_number() is BIGINT; keeping the emitted
+      // rank int32 is the same dtype-drift class that broke q12
+      .withColumn(rankCol, row_number().over(phase2).cast("long"))
       .filter(col(rankCol) <= k)
   }
 }

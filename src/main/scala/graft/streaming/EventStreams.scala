@@ -45,8 +45,46 @@ object EventStreams {
       .agg(count(lit(1)).as("n"),
         (sum(round(col("value") * 100).cast("long")) / lit(100.0))
           .as("sum_value"))
-      .select(col("window.start").as("hour"), col("event_type"),
-        col("n"), col("sum_value"))
+      // timestamp_ntz to match the batch twin's gate-hardened schema
+      // (naive µs on both engines — see Events.e1WindowAgg)
+      .select(col("window.start").cast("timestamp_ntz").as("hour"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Streaming half of the e4 top-users twin: per-(window, event_type,
+    * user_id) counts maintained incrementally — state is one counter per
+    * active key and the watermark retires closed windows. This is the
+    * unbounded, heavy part; the exact top-k over each closed window is a
+    * bounded follow-up ([[topUsersPerWindow]]), the standard
+    * streaming-pre-agg / serving-rank split.
+    */
+  def windowedUserCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("timestamp_ntz").as("hour"),
+        col("event_type"), col("user_id"), col("n"))
+
+  /** Ranking half of the e4 twin: exact top-k users per (window, type)
+    * over the streamed counts, via the same two-phase salted top-k the
+    * batch side uses (per-(window,type) ranking is a few-group hotspot;
+    * salting bounds every task — [[graft.queries.TopK.saltedTopK]]).
+    */
+  def topUsersPerWindow(counts: DataFrame, k: Int = 5): DataFrame =
+    graft.queries.TopK.saltedTopK(counts,
+        Seq(col("hour"), col("event_type")),
+        Seq(col("n").desc, col("user_id")), k, saltBy = col("user_id"))
+      .select(col("hour"), col("event_type"), col("rk"), col("user_id"), col("n"))
+
+  /** Streaming twin of Events.e8ApproxUsers: HLL++ sketches AS the
+    * streaming state — mergeable and register-max-commutative, so the
+    * running estimate is identical to the batch estimate over the same
+    * rows regardless of arrival order, and state per event_type is the
+    * sketch size (KBs), never the user-id set.
+    */
+  def approxUsersStream(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        count(lit(1)).as("n_events"))
 
   /** Streaming exact dedup on event_id within the watermark horizon —
     * `dropDuplicates` keyed state, bounded by the watermark.

@@ -41,10 +41,13 @@ object CoxPH {
       val delta = solve(hess, grad)
       var step = 1.0
       var improved = false
-      while (step > 1e-4 && !improved) { // halving line search
+      while (step > 1e-4 && !improved) { // halving line search (lifelines-style)
         val cand = Array.tabulate(p)(k => beta(k) + step * delta(k))
         val candLl = logLikelihood(x, y, cand, ties)
-        if (candLl >= ll - 1e-12) {
+        // a full Newton step on a separation-prone fit overflows exp(eta)
+        // → candLl NaN/-Inf; treat exactly like a likelihood decrease and
+        // halve, so beta only ever moves to finite, non-worse points
+        if (!candLl.isNaN && !candLl.isInfinite && candLl >= ll - 1e-12) {
           System.arraycopy(cand, 0, beta, 0, p)
           converged = math.abs(candLl - ll) < tol
           ll = candLl
@@ -112,7 +115,7 @@ object CoxPH {
     * block, Efron subtracts the j-th fraction of the tied-event sums from
     * every moment: Z_j = S − (j/d)·T, with per-j weighted means.
     */
-  private def gradHess(x: Array[Array[Double]], y: Array[Clinical],
+  private[graft] def gradHess(x: Array[Array[Double]], y: Array[Clinical],
       beta: Array[Double], ties: String): (Array[Double], Array[Array[Double]]) = {
     val n = x.length
     val p = beta.length
@@ -212,7 +215,7 @@ object CoxPH {
   }
 
   /** Gaussian elimination with partial pivoting (p ≤ a handful). */
-  private def solve(m: Array[Array[Double]], v: Array[Double]): Array[Double] = {
+  private[graft] def solve(m: Array[Array[Double]], v: Array[Double]): Array[Double] = {
     val p = v.length
     val a = Array.tabulate(p, p + 1)((i, j) => if (j < p) m(i)(j) else v(i))
     var col = 0

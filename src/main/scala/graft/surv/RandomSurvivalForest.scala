@@ -72,7 +72,16 @@ object RandomSurvivalForest {
               def call(): Node = growTree(t)
             })
           }
-          futures.map(_.get()).toArray
+          try futures.map(_.get()).toArray
+          catch {
+            // surface the ORIGINAL tree-grow failure (the serial path's
+            // behavior) so error-sentinel matching is schedule-independent,
+            // and stop still-running sibling trees instead of letting the
+            // pool drain them
+            case e: java.util.concurrent.ExecutionException =>
+              pool.shutdownNow()
+              throw Option(e.getCause).getOrElse(e)
+          }
         } finally pool.shutdown()
       }
     new Model(trees, times)

@@ -66,19 +66,29 @@ case class FloatDoubleVecDot(left: Expression, right: Expression)
   * whose lambda interpretation costs ~µs/element and, worse, gets
   * duplicated into join residual conditions. Bit-identical result
   * (same products, same left-to-right additions in double), so DuckDB
-  * `list_reduce` oracles are unchanged.
+  * `list_reduce` oracles are unchanged. Degenerate inputs also mirror
+  * the HOF form exactly — unequal lengths or a null element yield null
+  * (zip_with pads with null, which poisons the fold) — so
+  * [[FloatDotRewrite]] can match globally without changing user results.
   */
 case class FloatVecDot(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
+  // null even for non-null children (length mismatch / null element)
+  override def nullable: Boolean = true
   override def nullSafeEval(a: Any, b: Any): Any =
     graft.functions.VecOps.dotFloat(
       a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
       b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecOps.dotFloat($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val boxed = ctx.freshName("dot")
+      s"""java.lang.Double $boxed = graft.functions.VecOps.dotFloat($a, $b);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $boxed.doubleValue(); }""".stripMargin
+    })
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): FloatVecDot = copy(left = newLeft, right = newRight)
   override def prettyName: String = "float_vec_dot"

@@ -48,6 +48,12 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
   * and the rewrite would change results), the zero must be literal double
   * 0.0, the merge a pure two-term sum of the lambda's own variables, and
   * the finish the identity — anything else is left untouched.
+  *
+  * Degenerate inputs are safe because [[FloatVecDot]] itself mirrors the
+  * HOF's null semantics (null on unequal lengths or a null element —
+  * zip_with pads the shorter array with null and the null product poisons
+  * the fold), so the rule may match `ArrayType(FloatType, _)` with any
+  * `containsNull` and stay a pure performance rewrite.
   */
 object FloatDotRewrite extends Rule[LogicalPlan] {
 

@@ -9,7 +9,8 @@ import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
+import org.apache.spark.sql.types.LongType
 
 /** Native per-group top-k — the full custom-operator spectrum
   * (LogicalPlan → Strategy → SparkPlan), for the case where the window
@@ -55,7 +56,9 @@ object TopKPerGroupNative {
       SortOrder(UnresolvedAttribute.quoted(key.name),
         if (key.desc) Descending else Ascending)
     }
-    val rank = AttributeReference(rankCol, IntegerType, nullable = false)()
+    // LongType rank: matches SQL row_number()'s BIGINT (DuckDB and the
+    // driver hash are dtype-sensitive — see the q12 HUGEINT incident)
+    val rank = AttributeReference(rankCol, LongType, nullable = false)()
     val plan = TopKPerGroupPlan(
       group.map(UnresolvedAttribute.quoted(_): Expression),
       sortOrders, k, rank, df.queryExecution.analyzed)
@@ -95,6 +98,18 @@ case class TopKPerGroupExec(group: Seq[Expression], order: Seq[SortOrder],
     if (partial) Seq(UnspecifiedDistribution)
     else Seq(ClusteredDistribution(group))
 
+  /** numGroups on the final node is the true group count (exchange
+    * clusters each group into one partition); on the partial node it is
+    * the sum of per-partition group occurrences. maxHeapRows accumulates
+    * each task's PEAK heap size, so its merged value is ≤ k · tasks iff
+    * every task honored the bounded-memory contract — the assertable
+    * form of "no task ever buffered more than k rows per group".
+    */
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numGroups" -> SQLMetrics.createMetric(sparkContext, "number of groups"),
+    "maxHeapRows" -> SQLMetrics.createMetric(sparkContext, "sum of per-task peak heap rows"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val groupExprs = group
     val sortExprs = order
@@ -102,6 +117,9 @@ case class TopKPerGroupExec(group: Seq[Expression], order: Seq[SortOrder],
     val limit = k
     val isPartial = partial
     val outAttrs = output
+    val numOutputRows = longMetric("numOutputRows")
+    val numGroups = longMetric("numGroups")
+    val maxHeapRows = longMetric("maxHeapRows")
     child.execute().mapPartitionsInternal { rows =>
       val keyProj = UnsafeProjection.create(groupExprs, childOutput)
       // rank-1-first total order; the heap keeps the k best by evicting
@@ -123,6 +141,11 @@ case class TopKPerGroupExec(group: Seq[Expression], order: Seq[SortOrder],
           heap.poll(); heap.add(row.copy())
         }
       }
+      numGroups.add(heaps.size())
+      var peakHeap = 0L
+      val sizeIt = heaps.values().iterator()
+      while (sizeIt.hasNext) peakHeap = math.max(peakHeap, sizeIt.next().size())
+      maxHeapRows.add(peakHeap) // size-metric max stat across tasks = global peak
       val groupsIter = heaps.values().iterator()
       if (isPartial) {
         // emit survivors unranked; the final node re-prunes after the
@@ -134,7 +157,7 @@ case class TopKPerGroupExec(group: Seq[Expression], order: Seq[SortOrder],
               cur = groupsIter.next().iterator()
             cur != null && cur.hasNext
           }
-          def next(): InternalRow = cur.next()
+          def next(): InternalRow = { numOutputRows += 1; cur.next() }
         }
       } else {
         val joined = new JoinedRow
@@ -149,13 +172,13 @@ case class TopKPerGroupExec(group: Seq[Expression], order: Seq[SortOrder],
               var i = arr.length - 1
               while (i >= 0) { arr(i) = heap.poll(); i -= 1 } // worst out first
               cur = arr.iterator.zipWithIndex.map { case (r, idx) =>
-                rankRow.update(0, idx + 1)
+                rankRow.update(0, (idx + 1).toLong)
                 proj(joined(r, rankRow)): InternalRow
               }
             }
             cur.hasNext
           }
-          def next(): InternalRow = cur.next()
+          def next(): InternalRow = { numOutputRows += 1; cur.next() }
         }
       }
     }

@@ -87,6 +87,43 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("rewrite is null-semantics-identical on ragged and null-element arrays") {
+    withExtendedSession { sp =>
+      import sp.implicits._
+      // ragged lengths, null elements, null arrays, empty arrays — the
+      // degenerate inputs where zip_with pads/poisons with null; the
+      // rewritten plan must produce the identical null-or-value per row
+      val rows: Seq[(Int, Array[java.lang.Float], Array[java.lang.Float])] = Seq(
+        (0, Array[java.lang.Float](1f, 2f), Array[java.lang.Float](3f, 4f)),
+        (1, Array[java.lang.Float](1f, 2f, 3f), Array[java.lang.Float](4f, 5f)), // ragged
+        (2, Array[java.lang.Float](1f, null, 3f), Array[java.lang.Float](4f, 5f, 6f)), // null elem
+        (3, null, Array[java.lang.Float](1f)), // null array
+        (4, Array[java.lang.Float](), Array[java.lang.Float]())) // empty
+      val df = rows.toDF("id", "a", "b")
+      df.createOrReplaceTempView("vecs5")
+      val q = sp.sql(s"SELECT id, $hofDot AS d FROM vecs5")
+      assert(q.queryExecution.optimizedPlan.toString.contains("float_vec_dot"),
+        "rule should match nullable-element arrays now that semantics mirror")
+      val rewritten = q.orderBy(col("id")).collect()
+        .map(r => if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+      // reference: the interpreted HOF in a plain session (no extension)
+      val plain = SparkTestSession.spark
+      val plainDf = {
+        val sqlc = plain.sqlContext
+        import sqlc.implicits._
+        rows.toDF("id", "a", "b")
+      }
+      plainDf.createOrReplaceTempView("vecs5p")
+      val expected = plain.sql(s"SELECT id, $hofDot AS d FROM vecs5p")
+        .orderBy(col("id")).collect()
+        .map(r => if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+      assert(rewritten.toSeq == expected.toSeq,
+        s"rewritten=${rewritten.toSeq} expected=${expected.toSeq}")
+      assert(rewritten(1).isEmpty && rewritten(2).isEmpty && rewritten(3).isEmpty)
+      assert(rewritten(0).contains(11.0) && rewritten(4).contains(0.0))
+    }
+  }
+
   test("rewrite leaves float products (no double cast) untouched") {
     withExtendedSession { sp =>
       import sp.implicits._

@@ -1,0 +1,59 @@
+package graft
+
+import graft.multimodal.Multimodal
+import graft.multimodal.Multimodal.{FakeDecoder, ImageIoDecoder, MediaGen, MediaRow}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The image path of the multimodal operator decodes REAL bytes: dims come
+  * out of `javax.imageio` parsing the payload, not from any fingerprint of
+  * it. FakeDecoder remains only behind non-image media types.
+  */
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("ImageIoDecoder decodes generated PNG and BMP to their true dimensions") {
+    for (fmt <- Seq("png", "bmp"); (w, h) <- Seq((1, 1), (17, 5), (64, 48))) {
+      val bytes = MediaGen.imageBytes(fmt, w, h, seed = 42L)
+      assert(bytes.length > 0, s"$fmt encoder produced no bytes")
+      val dims = ImageIoDecoder.decode(s"image/$fmt", bytes)
+      assert(dims.width == w && dims.height == h && dims.nFrames == 1,
+        s"$fmt ${w}x$h decoded as ${dims.width}x${dims.height}")
+      // non-stub proof: the fake (md5-derived) dims disagree with the real ones
+      val fake = FakeDecoder.decode(s"image/$fmt", bytes)
+      assert(fake.width != dims.width || fake.height != dims.height,
+        s"fake decoder accidentally matches real dims for $fmt ${w}x$h")
+    }
+  }
+
+  test("non-image media falls back to FakeDecoder (documented video stub)") {
+    val payload = "not an image".getBytes("UTF-8")
+    assert(ImageIoDecoder.decode("video/synthetic", payload) ==
+      FakeDecoder.decode("video/synthetic", payload))
+  }
+
+  test("extractFeatures runs ImageIoDecoder distributed; dims match doc-id arithmetic") {
+    import spark.implicits._
+    val media = spark.range(0, 60).as[Long].map { id =>
+      (id % 3) match {
+        case 0 => MediaRow(id, "image/bmp",
+          MediaGen.imageBytes("bmp", (1 + id % 64).toInt, (1 + id % 48).toInt, id))
+        case 1 => MediaRow(id, "image/png",
+          MediaGen.imageBytes("png", (1 + id % 64).toInt, (1 + id % 48).toInt, id))
+        case _ => MediaRow(id, "video/synthetic", s"doc-$id".getBytes("UTF-8"))
+      }
+    }.repartition(4)
+    val feats = Multimodal.extractFeatures(media, ImageIoDecoder)
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(feats.size == 60)
+    feats.values.filter(_.media_type.startsWith("image/")).foreach { f =>
+      assert(f.width == 1 + f.doc_id % 64, s"doc ${f.doc_id} width ${f.width}")
+      assert(f.height == 1 + f.doc_id % 48, s"doc ${f.doc_id} height ${f.height}")
+      assert(f.n_frames == 1)
+    }
+    feats.values.filter(_.media_type == "video/synthetic").foreach { f =>
+      val expect = FakeDecoder.decode(f.media_type, s"doc-${f.doc_id}".getBytes("UTF-8"))
+      assert(f.width == expect.width && f.height == expect.height &&
+        f.n_frames == expect.nFrames)
+    }
+  }
+}

@@ -39,6 +39,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming windowed top-users equals the per-window batch rank (e4 twin)") {
+    import org.apache.spark.sql.functions._
+    val stream = EventStreams.readEvents(spark, streamDir)
+    val q = EventStreams.windowedUserCounts(stream)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("user_counts")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = EventStreams.topUsersPerWindow(spark.table("user_counts"), k = 5)
+      .collect().map(_.toSeq).toSet
+    // batch reference: identical per-(hour, type) counting + salted rank
+    val counts = Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"),
+        col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val batch = EventStreams.topUsersPerWindow(counts, k = 5)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch, s"stream=${streamed.size} batch=${batch.size}")
+    assert(streamed.nonEmpty)
+  }
+
+  test("streaming approx distinct users matches batch sketch exactly, exact count within 5% (e8 twin)") {
+    val stream = EventStreams.readEvents(spark, streamDir)
+    val q = EventStreams.approxUsersStream(stream)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("approx_users")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("approx_users")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val batch = Events.e8ApproxUsers(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // HLL++ register-merge is order-invariant → stream estimate ≡ batch
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    // and the sketch is honest: within the 2% sketch's 5% envelope of exact
+    val exact = Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.countDistinct("user_id").as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (t, d) =>
+      val est = streamed(t)._1
+      assert(math.abs(est - d).toDouble / d < 0.05, s"$t: est=$est exact=$d")
+    }
+  }
+
   test("streaming dedup keeps one row per event_id") {
     val stream = EventStreams.readEvents(spark, streamDir)
     val q = EventStreams.dedupedStream(stream)

@@ -107,6 +107,38 @@ class CoxPHSpec extends AnyFunSuite {
     assert(math.abs(CoxPH.scoreLogLikelihood(fit, x, y) -
       CoxPH.logLikelihood(x, y, fit.beta) / x.length) < 1e-12)
   }
+
+  test("separation-prone fit: plain Newton diverges, step-halving stays finite and monotone") {
+    // perfect separation: strictly higher covariate → strictly earlier
+    // event, so the partial likelihood is maximized only as beta → ∞ and
+    // an unguarded Newton step overflows exp(eta)
+    val n = 40
+    val xs = Array.tabulate(n)(i => Array(i.toDouble))
+    val ys = Array.tabulate(n)(i => Clinical(event = true, time = (n - i).toDouble))
+
+    // plain Newton (no line search): reproduce divergence
+    var beta = 0.0
+    var prev = CoxPH.logLikelihood(xs, ys, Array(0.0))
+    var broke = false
+    var it = 0
+    while (it < 60 && !broke) {
+      val (g, h) = CoxPH.gradHess(xs, ys, Array(beta), "efron")
+      beta += CoxPH.solve(h, g)(0)
+      val ll = CoxPH.logLikelihood(xs, ys, Array(beta))
+      if (ll.isNaN || ll.isInfinite || beta.isNaN || ll < prev - 1e-9) broke = true
+      else prev = ll
+      it += 1
+    }
+    assert(broke, s"fixture not separation-prone: plain Newton survived 60 iters (beta=$beta)")
+
+    // guarded fit: finite beta/ll, and ll is monotone in the iteration budget
+    val lls = (1 to 15).map(k => CoxPH.fit(xs, ys, maxIter = k).logLik)
+    lls.foreach(l => assert(!l.isNaN && !l.isInfinite, s"non-finite ll in $lls"))
+    lls.sliding(2).foreach { case Seq(a, b) => assert(b >= a - 1e-9, s"ll decreased: $lls") }
+    val fit = CoxPH.fit(xs, ys)
+    assert(fit.beta.forall(b => !b.isNaN && !b.isInfinite), s"non-finite beta ${fit.beta.toSeq}")
+    assert(fit.logLik >= CoxPH.logLikelihood(xs, ys, Array(0.0)))
+  }
 }
 
 class KMeansLocalSpec extends AnyFunSuite {

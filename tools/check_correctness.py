@@ -29,16 +29,42 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_integer_dtype(s):
             out[c] = s.astype("int64")
         elif pd.api.types.is_datetime64_any_dtype(s):
+            if getattr(s.dtype, "tz", None) is not None:
+                s = s.dt.tz_convert("UTC").dt.tz_localize(None)
             out[c] = s.astype("datetime64[us]")
         else:
             out[c] = s.astype(str)
     return pd.DataFrame(out).reset_index(drop=True)
 
 
+def dtype_class(s: pd.Series) -> str:
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    return "other"
+
+
 def cmp(name: str, got: pd.DataFrame, want: pd.DataFrame) -> bool:
     g, w = norm(got), norm(want)
     if list(g.columns) != list(w.columns):
         print(f"FAIL {name}: columns {list(g.columns)} != {list(w.columns)}")
+        return False
+    # The driver's hash is type-sensitive for int-vs-float (q12 class):
+    # fail loudly on dtype-class drift instead of silently coercing.
+    raw_g = got.reindex(sorted(got.columns), axis=1)
+    raw_w = want.reindex(sorted(want.columns), axis=1)
+    dtype_ok = True
+    for c in raw_g.columns:
+        cg, cw = dtype_class(raw_g[c]), dtype_class(raw_w[c])
+        if cg != cw:
+            print(f"FAIL {name}: dtype drift col {c}: spark={raw_g[c].dtype} ({cg}) oracle={raw_w[c].dtype} ({cw})")
+            dtype_ok = False
+    if not dtype_ok:
         return False
     if len(g) != len(w):
         print(f"FAIL {name}: rows {len(g)} != {len(w)}")
