@@ -398,6 +398,20 @@ object OraclesText {
         |  FROM c)
         |SELECT event_type, rk, user_id, n FROM r WHERE rk <= 5
         |ORDER BY event_type, rk""".stripMargin,
+
+    // Events.e4bWindowedTopUsers — per-(hour, type) leaderboard; the
+    // salted two-phase rank on the Spark side is row-identical to this
+    // plain row_number (any per-bucket winner wins its bucket).
+    "e4b_windowed_top_users" ->
+      """WITH c AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+        |    event_type, user_id, count(*) AS n
+        |  FROM events GROUP BY 1, 2, 3),
+        |r AS (SELECT hour, event_type, user_id, n,
+        |    row_number() OVER (PARTITION BY hour, event_type
+        |      ORDER BY n DESC, user_id) AS rk
+        |  FROM c)
+        |SELECT hour, event_type, rk, user_id, n FROM r WHERE rk <= 3
+        |ORDER BY hour, event_type, rk LIMIT 3000""".stripMargin,
   )
 
   val multimodal: Map[String, String] = Map(

@@ -89,6 +89,25 @@ object Events {
       .orderBy(col("event_type"), col("rk"))
   }
 
+  /** Hourly top-3 users per event type — the time-windowed leaderboard,
+    * and the exact batch twin of the streaming split in
+    * [[graft.streaming.EventStreams.windowedUserCounts]] →
+    * `topUsersPerWindow`: counts per (hour, type, user) first (map-side
+    * partials, one shuffle), then the two-phase salted rank per
+    * (hour, type) so even a hot window never funnels into one task.
+    */
+  def e4bWindowedTopUsers(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"),
+        col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    TopK.saltedTopK(counts, Seq(col("hour"), col("event_type")),
+        Seq(col("n").desc, col("user_id")), k = 3, saltBy = col("user_id"))
+      .select(col("hour"), col("event_type"), col("rk"), col("user_id"), col("n"))
+      .orderBy(col("hour"), col("event_type"), col("rk"))
+      .limit(3000)
+  }
+
   /** Conversion funnel: users whose first view precedes their first
     * click precedes their first purchase — per-user min-timestamps per
     * stage (conditional aggregation, one shuffle on user_id), then
@@ -191,6 +210,7 @@ object Events {
     "e2_sessionize" -> (e2Sessionize _),
     "e3_json_extract" -> (e3JsonExtract _),
     "e4_top_users" -> (e4TopUsers _),
+    "e4b_windowed_top_users" -> (e4bWindowedTopUsers _),
     "e5_funnel" -> (e5Funnel _),
     "e6_asof_join" -> (e6AsofJoin _),
     "e7_range_count" -> (e7RangeCount _),
