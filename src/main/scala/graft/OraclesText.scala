@@ -399,6 +399,23 @@ object OraclesText {
         |SELECT event_type, rk, user_id, n FROM r WHERE rk <= 5
         |ORDER BY event_type, rk""".stripMargin,
 
+    // Events.e9IntervalJoin — the oracle states the interval join
+    // directly (inequality join); the Spark side's bucketized
+    // (user, 30-min bucket) ∪ (user, bucket−1) equi-join must produce
+    // the identical pair set.
+    "e9_interval_join" ->
+      """WITH x AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events)
+        |SELECT c.user_id,
+        |  c.event_id AS click_id,
+        |  v.event_id AS view_id,
+        |  (c.us - v.us) / 1000000.0 AS gap_sec
+        |FROM x c JOIN x v
+        |  ON c.event_type = 'click' AND v.event_type = 'view'
+        |  AND c.user_id = v.user_id
+        |  AND v.us >= c.us - 1800000000 AND v.us < c.us
+        |ORDER BY c.user_id, click_id, view_id LIMIT 3000""".stripMargin,
+
     // Events.e4bWindowedTopUsers — per-(hour, type) leaderboard; the
     // salted two-phase rank on the Spark side is row-identical to this
     // plain row_number (any per-bucket winner wins its bucket).

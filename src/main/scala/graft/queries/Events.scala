@@ -192,6 +192,49 @@ object Events {
       .limit(3000)
   }
 
+  /** Bucketized interval self-join: every (click, view) PAIR where the
+    * view fell in the 30 minutes strictly before the click, same user —
+    * e7's question as an actual join (pairs, not counts), because
+    * sometimes downstream needs the matched rows. A naive formulation is
+    * an equi+inequality join whose range predicate lands in the
+    * post-shuffle filter of a join keyed only on user_id — fine until one
+    * user is hot. The scale pattern: quantize time into gap-width buckets
+    * and equi-join on (user, bucket) ∪ (user, bucket−1) — every candidate
+    * pair is at most one bucket apart, so the join key carries the time
+    * locality and the range predicate only filters within-bucket pairs.
+    * Join keys are (user × bucket) — far finer than user alone.
+    */
+  def e9IntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000 * 1000
+    val ev = Tables.events(spark, dir)
+      .withColumn("us", unix_micros(col("ts")))
+    // integer `div`, not `/`: µs-since-epoch exceeds 2^53, so a double
+    // divide would corrupt bucket boundaries
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("us").as("click_us"),
+        expr(s"us div $gapUs").as("bucket"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user_id"), col("event_id").as("view_id"),
+        col("us").as("view_us"),
+        expr(s"us div $gapUs").as("v_bucket"))
+    // each click probes its own bucket and the previous one — the two
+    // equi-joins cover the whole 30-min window exactly once each
+    val probes = clicks.select(col("user_id"), col("click_id"),
+        col("click_us"), col("bucket").as("probe_bucket"))
+      .union(clicks.select(col("user_id"), col("click_id"),
+        col("click_us"), (col("bucket") - 1).as("probe_bucket")))
+    probes.join(views,
+        col("user_id") === col("v_user_id") &&
+          col("probe_bucket") === col("v_bucket") &&
+          col("view_us") >= col("click_us") - gapUs &&
+          col("view_us") < col("click_us"))
+      .select(col("user_id"), col("click_id"), col("view_id"),
+        ((col("click_us") - col("view_us")) / lit(1000000.0)).as("gap_sec"))
+      .orderBy(col("user_id"), col("click_id"), col("view_id"))
+      .limit(3000)
+  }
+
   /** HLL++ distinct users per event type — the mergeable-sketch form of
     * a distinct count: map-side sketches merge in the shuffle, so memory
     * per task is the sketch size, not the user-id set. Sketch estimates
@@ -214,6 +257,7 @@ object Events {
     "e5_funnel" -> (e5Funnel _),
     "e6_asof_join" -> (e6AsofJoin _),
     "e7_range_count" -> (e7RangeCount _),
+    "e9_interval_join" -> (e9IntervalJoin _),
     "e8_approx_users" -> (e8ApproxUsers _),
   )
 }

@@ -34,6 +34,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllIn(p).length == 3, p.take(500))
   }
 
+  test("e9: bucketized interval join is pair-identical to the naive inequality join, with bucket in the join key") {
+    import org.apache.spark.sql.functions._
+    val bucketized = graft.queries.Events.e9IntervalJoin(spark, dir)
+    // naive reference: equi-join on user only, range as a filter — the
+    // formulation that funnels a hot user's full history into one task
+    val gapUs = 30L * 60 * 1000 * 1000
+    val ev = Tables.events(spark, dir).withColumn("us", unix_micros(col("ts")))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("us").as("click_us"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("vu"), col("event_id").as("view_id"), col("us").as("view_us"))
+    val naive = clicks.join(views, col("user_id") === col("vu") &&
+        col("view_us") >= col("click_us") - gapUs && col("view_us") < col("click_us"))
+      .select(col("user_id"), col("click_id"), col("view_id"),
+        ((col("click_us") - col("view_us")) / lit(1000000.0)).as("gap_sec"))
+      .orderBy(col("user_id"), col("click_id"), col("view_id"))
+      .limit(3000)
+    assert(bucketized.collect().map(_.toSeq).toSeq ==
+      naive.collect().map(_.toSeq).toSeq)
+    // the join must be keyed on (user, bucket), not user alone — the
+    // whole point of bucketization is a finer shuffle key
+    val p = plan(bucketized)
+    assert(p.contains("probe_bucket"), p.take(800))
+  }
+
   test("q8: global top-k plans as TakeOrderedAndProject, not a full sort") {
     val p = plan(Relational.q8GlobalTopK(spark, dir))
     assert(p.contains("TakeOrderedAndProject"), p.take(500))
