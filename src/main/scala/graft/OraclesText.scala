@@ -141,7 +141,45 @@ object OraclesText {
          |ORDER BY d.doc_id""".stripMargin,
   )
 
+  val dedupComponents: Map[String, String] = Map(
+    // TextDedup.d8DedupComponents: the oracle computes components by
+    // transitive closure (recursive CTE) over the same Jaccard ≥ 0.8
+    // pair graph; component = min reachable doc_id. The Spark side's
+    // min-label propagation must converge to exactly this labeling.
+    "d8_dedup_components" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sidx GROUP BY doc_id),
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+         |          FROM sidx a JOIN sidx b
+         |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |np AS (SELECT id_a, id_b
+         |       FROM pairs JOIN sizes sa ON id_a = sa.doc_id
+         |                  JOIN sizes sb ON id_b = sb.doc_id
+         |       WHERE round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) >= 0.8),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM np
+         |          UNION SELECT id_b, id_a FROM np),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src)
+         |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+  )
+
   val text: Map[String, String] = Map(
+    // TextDedup.t9SplitAssign: content-hash 80/10/10 split — first 16
+    // bits of md5(normalized text) mod 100, identical polynomial hex
+    // decode on both engines.
+    "t9_split_assign" ->
+      s"""WITH x AS (SELECT doc_id,
+        |    ${hex4ToInt("substr(md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), 1, 4)")} % 100 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+        |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM x ORDER BY doc_id LIMIT 2000""".stripMargin,
+
     "t1_token_stats" ->
       """WITH x AS (SELECT doc_id, lang,
         |    regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm,
@@ -503,6 +541,6 @@ object OraclesText {
   )
 
   def all: Map[String, String] =
-    dedup ++ dedupCapped ++ dedupDecision ++ simhash ++ text ++ similarity ++
-      events ++ multimodal ++ survival
+    dedup ++ dedupCapped ++ dedupDecision ++ dedupComponents ++ simhash ++
+      text ++ similarity ++ events ++ multimodal ++ survival
 }

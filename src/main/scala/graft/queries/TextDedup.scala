@@ -270,6 +270,48 @@ object TextDedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Near-dup cluster ids (d8): connected components over the
+    * Jaccard ≥ 0.8 pair graph, by iterative min-label propagation — each
+    * round every node takes the minimum label among itself and its
+    * neighbors; fixpoint = every member carries the component's smallest
+    * doc_id. The iterative-join pattern (persist + eager count per round,
+    * previous round unpersisted) is the Pregel shape: lineage stays one
+    * round deep, so retries never recompute the whole history. Rounds ≤
+    * component diameter; production graph dedup adds large-star/
+    * small-star contraction to make that logarithmic, same inner join.
+    * Singleton documents are their own component.
+    */
+  def d8DedupComponents(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val pairs = d6NgramJaccard(spark, dir).select(col("id_a"), col("id_b"))
+    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    sym.count() // eager: read once per round, not rebuilt from shingles
+    var labels = docs.select(col("doc_id").as("id"), col("doc_id").as("label"))
+      .persist()
+    labels.count()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val nmin = sym.join(labels, col("dst") === col("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nmin"))
+      val next = labels.join(nmin, col("id") === col("src"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .persist()
+      next.count() // materialize BEFORE dropping the previous round
+      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    sym.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("component"))
+      .orderBy(col("doc_id"))
+  }
+
   // -------------------------------------------------------- text analysis
 
   /** Per-doc token statistics: counts, uniques, avg token length,
@@ -423,6 +465,27 @@ object TextDedup {
   private def filter_(c: Column, f: Column => Column): Column =
     org.apache.spark.sql.functions.filter(c, f)
 
+  /** Deterministic content-hash train/val/test split (t9): bucket =
+    * first 16 bits of md5(normalized text) mod 100 → 80/10/10. Hashing
+    * CONTENT (never doc_id, never `rand()`) is the reproducible-split
+    * pattern a training pipeline needs: the assignment survives
+    * re-sharding, re-identification, and task retries, and identical
+    * texts land in the same split so near-dup leakage across train/test
+    * cannot happen via exact copies. Map-only — no shuffle.
+    */
+  def t9SplitAssign(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        (conv(substring(fastMd5(
+            regexp_replace(trim(lower(col("text"))), "\\s+", " ")), 1, 4),
+          16, 10).cast("long") % 100).as("bucket"))
+      .select(col("doc_id"), col("bucket"),
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+      .limit(2000)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> (d1ExactDedup _),
     "d2_minhash_signature" -> (d2MinhashSignature _),
@@ -432,6 +495,7 @@ object TextDedup {
     "d6_ngram_jaccard" -> (d6NgramJaccard _),
     "d6b_jaccard_capped" -> (d6bJaccardCapped _),
     "d7_dedup_decision" -> (d7DedupDecision _),
+    "d8_dedup_components" -> (d8DedupComponents _),
     "t1_token_stats" -> (t1TokenStats _),
     "t2_regex_tokens" -> (t2RegexTokens _),
     "t3_lang_id" -> (t3LangId _),
@@ -440,5 +504,6 @@ object TextDedup {
     "t6_word_count" -> (t6WordCount _),
     "t7_rolling_fingerprint" -> (t7RollingFingerprint _),
     "t8_chunking" -> (t8Chunking _),
+    "t9_split_assign" -> (t9SplitAssign _),
   )
 }
