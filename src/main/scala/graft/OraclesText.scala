@@ -180,6 +180,22 @@ object OraclesText {
         |       ELSE 'test' END AS split
         |FROM x ORDER BY doc_id LIMIT 2000""".stripMargin,
 
+    // TextDedup.t10SequencePacking: greedy per-shard packing into
+    // 512-token budgets. The window sum is CAST to BIGINT before the
+    // integral divide (DuckDB promotes integer window sums to HUGEINT —
+    // the q12 dtype class).
+    "t10_sequence_packing" ->
+      s"""WITH x AS (SELECT doc_id, doc_id % 32 AS shard,
+        |    len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT shard, doc_id, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        |  FROM x)
+        |SELECT shard, cum_before // 512 AS pack_id, doc_id,
+        |  CAST(n_tokens AS INT) AS n_tokens
+        |FROM c ORDER BY shard, pack_id, doc_id LIMIT 3000""".stripMargin,
+
     "t1_token_stats" ->
       """WITH x AS (SELECT doc_id, lang,
         |    regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm,

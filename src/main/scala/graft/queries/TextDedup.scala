@@ -486,6 +486,32 @@ object TextDedup {
       .orderBy(col("doc_id"))
       .limit(2000)
 
+  /** Sequence packing (t10): assign documents to fixed-token-budget
+    * training packs. Documents are packed greedily in doc_id order
+    * WITHIN a shard (doc_id mod 32 — the writer-task unit a real
+    * pipeline packs per output shard): pack_id = tokens-before div
+    * budget, so a document straddling a boundary stays in the pack where
+    * it started (overflow bounded by the longest document). The window
+    * partitions by shard — each task sees one shard's slim (id, count)
+    * rows, so the sort is bounded by shard size, which scales with the
+    * writer count, not the corpus.
+    */
+  def t10SequencePacking(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 512
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), (col("doc_id") % 32).as("shard"),
+        size(toks).as("n_tokens"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("shard"), expr(s"cum_before div $budget").as("pack_id"),
+        col("doc_id"), col("n_tokens"))
+      .orderBy(col("shard"), col("pack_id"), col("doc_id"))
+      .limit(3000)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> (d1ExactDedup _),
     "d2_minhash_signature" -> (d2MinhashSignature _),
@@ -505,5 +531,6 @@ object TextDedup {
     "t7_rolling_fingerprint" -> (t7RollingFingerprint _),
     "t8_chunking" -> (t8Chunking _),
     "t9_split_assign" -> (t9SplitAssign _),
+    "t10_sequence_packing" -> (t10SequencePacking _),
   )
 }
