@@ -290,21 +290,28 @@ object TextDedup {
     sym.count() // eager: read once per round, not rebuilt from shingles
     var labels = docs.select(col("doc_id").as("id"), col("doc_id").as("label"))
       .persist()
-    labels.count()
-    var changed = 1L
+    // convergence check rides the materializing action: labels are
+    // monotone non-increasing, so the label-sum strictly decreases iff
+    // ANY node changed — one aggregate per round instead of a count
+    // plus a self-join diff. decimal(38,0) so the sum has headroom at
+    // lake-scale id ranges.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var rounds = 0
-    while (changed > 0 && rounds < 50) {
+    var converged = false
+    while (!converged && rounds < 50) {
       val nmin = sym.join(labels, col("dst") === col("id"))
         .groupBy(col("src")).agg(min(col("label")).as("nmin"))
       val next = labels.join(nmin, col("id") === col("src"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
         .persist()
-      next.count() // materialize BEFORE dropping the previous round
-      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .filter(col("label") =!= col("old")).count()
+      val newSum = labelSum(next) // materializes BEFORE dropping the previous round
       labels.unpersist()
       labels = next
+      converged = newSum.compareTo(prevSum) == 0
+      prevSum = newSum
       rounds += 1
     }
     sym.unpersist()
