@@ -59,6 +59,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("probe_bucket"), p.take(800))
   }
 
+  test("t9 split assign is map-only: no exchange, top-k sink") {
+    val p = plan(TextDedup.t9SplitAssign(spark, dir))
+    assert(!p.contains("Exchange"), p.take(800))
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
+  test("t10 sequence packing shuffles once, on the writer-shard key") {
+    val p = plan(graft.queries.TextDedup.t10SequencePacking(spark, dir))
+    // one hashpartitioning exchange for the per-shard window; the final
+    // ordered limit is a TakeOrderedAndProject, not a second shuffle
+    assert("hashpartitioning".r.findAllIn(p).length >= 1, p.take(800))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p.take(800))
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
   test("q8: global top-k plans as TakeOrderedAndProject, not a full sort") {
     val p = plan(Relational.q8GlobalTopK(spark, dir))
     assert(p.contains("TakeOrderedAndProject"), p.take(500))
