@@ -245,6 +245,15 @@ object Oracles {
         |WHERE rk <= 3
         |ORDER BY o_orderpriority, rk""".stripMargin,
 
+    "q24_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n_orders,
+        |  sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) / 100.0 AS sum_total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY status, priority""".stripMargin,
+
     "q22_unpivot" ->
       """SELECT p_partkey, attr, val FROM (
         |  SELECT p_partkey, 'p_retailprice' AS attr, p_retailprice AS val FROM part

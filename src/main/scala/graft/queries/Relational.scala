@@ -346,6 +346,24 @@ object Relational {
         col("n_orders"), col("sum_total"))
       .orderBy(col("status"), col("priority"))
 
+  /** Arbitrary grouping sets — the rollup/cube sibling where the sets
+    * are chosen, not derived: per-status totals and per-priority totals
+    * in ONE pass over orders (an Expand node fans each row into its
+    * grouping sets before a single hash aggregate — two separate
+    * groupBys would scan the fact table twice).
+    */
+  def q24GroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        gridSum(col("o_totalprice"), 2).as("sum_total"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("sum_total"))
+      .orderBy(col("status"), col("priority"))
+
   /** Pivot with an explicit value list (fixed output schema — the only
     * pivot shape that scales: value discovery would need an extra pass):
     * order counts per priority × status.
@@ -436,5 +454,6 @@ object Relational {
     "q22_unpivot" -> (q22Unpivot _),
     "q16b_approx_percentiles" -> (q16bApproxPercentiles _),
     "q23_native_topk" -> (q23NativeTopK _),
+    "q24_grouping_sets" -> (q24GroupingSets _),
   )
 }
