@@ -8,7 +8,8 @@ import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Attribut
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.execution.{BlockingOperatorWithCodegen, CodegenSupport, SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.types.LongType
 
@@ -87,12 +88,101 @@ object TopKStrategy extends SparkStrategy {
   }
 }
 
+/** Per-partition runtime of [[TopKPerGroupExec]] — shared by the
+  * interpreted path and generated code (which sees it as a plain class
+  * with `insert` / `resultIterator` / metric getters). One instance per
+  * task; heaps are bounded at k rows per group by construction.
+  */
+final class TopKPartitionState(groupExprs: Seq[Expression],
+    sortExprs: Seq[SortOrder], childOutput: Seq[Attribute], limit: Int,
+    isPartial: Boolean, outAttrs: Seq[Attribute]) {
+  private val keyProj = UnsafeProjection.create(groupExprs, childOutput)
+  // rank-1-first total order; the heap keeps the k best by evicting
+  // the current worst (a max-heap under the reversed ordering)
+  private val better = RowOrdering.create(sortExprs, childOutput)
+  private val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+  private val worstFirst = new java.util.Comparator[InternalRow] {
+    def compare(a: InternalRow, b: InternalRow): Int = better.compare(b, a)
+  }
+  // stored rows are ALWAYS UnsafeRow copies: the codegen produce loop
+  // hands partial-node output to the parent pipeline typed as UnsafeRow
+  private val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
+
+  def insert(row: InternalRow): Unit = {
+    val key = keyProj(row)
+    var heap = heaps.get(key)
+    if (heap == null) {
+      heap = new java.util.PriorityQueue[InternalRow](limit + 1, worstFirst)
+      heaps.put(key.copy(), heap)
+    }
+    def stored: InternalRow = row match {
+      case u: UnsafeRow => u.copy()
+      case r => toUnsafe(r).copy()
+    }
+    if (heap.size() < limit) heap.add(stored)
+    else if (better.compare(row, heap.peek()) < 0) {
+      heap.poll(); heap.add(stored)
+    }
+  }
+
+  def numGroups: Long = heaps.size().toLong
+
+  def peakHeapRows: Long = {
+    var peak = 0L
+    val it = heaps.values().iterator()
+    while (it.hasNext) peak = math.max(peak, it.next().size())
+    peak
+  }
+
+  def resultIterator(): Iterator[InternalRow] = {
+    val groupsIter = heaps.values().iterator()
+    if (isPartial) {
+      // emit survivors unranked; the final node re-prunes after the
+      // exchange co-locates each group
+      new Iterator[InternalRow] {
+        private var cur: java.util.Iterator[InternalRow] = _
+        def hasNext: Boolean = {
+          while ((cur == null || !cur.hasNext) && groupsIter.hasNext)
+            cur = groupsIter.next().iterator()
+          cur != null && cur.hasNext
+        }
+        def next(): InternalRow = cur.next()
+      }
+    } else {
+      val joined = new JoinedRow
+      val proj = UnsafeProjection.create(outAttrs, outAttrs)
+      val rankRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+      new Iterator[InternalRow] {
+        private var cur: Iterator[InternalRow] = Iterator.empty
+        def hasNext: Boolean = {
+          while (!cur.hasNext && groupsIter.hasNext) {
+            val heap = groupsIter.next()
+            val arr = new Array[InternalRow](heap.size())
+            var i = arr.length - 1
+            while (i >= 0) { arr(i) = heap.poll(); i -= 1 } // worst out first
+            cur = arr.iterator.zipWithIndex.map { case (r, idx) =>
+              rankRow.update(0, (idx + 1).toLong)
+              proj(joined(r, rankRow)): InternalRow
+            }
+          }
+          cur.hasNext
+        }
+        def next(): InternalRow = cur.next()
+      }
+    }
+  }
+}
+
 case class TopKPerGroupExec(group: Seq[Expression], order: Seq[SortOrder],
     k: Int, rankAttr: AttributeReference, partial: Boolean, child: SparkPlan)
-    extends UnaryExecNode {
+    extends UnaryExecNode with BlockingOperatorWithCodegen {
 
   override def output: Seq[Attribute] =
     if (partial) child.output else child.output :+ rankAttr
+
+  // rankAttr is an operator argument, not an input reference — without
+  // this the plan prints the missing-input `!` marker
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
 
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) Seq(UnspecifiedDistribution)
@@ -110,79 +200,81 @@ case class TopKPerGroupExec(group: Seq[Expression], order: Seq[SortOrder],
     "numGroups" -> SQLMetrics.createMetric(sparkContext, "number of groups"),
     "maxHeapRows" -> SQLMetrics.createMetric(sparkContext, "sum of per-task peak heap rows"))
 
+  /** Called from generated code (and the interpreted path) once per task. */
+  def createPartitionState(): TopKPartitionState =
+    new TopKPartitionState(group, order, child.output, k, partial, output)
+
   override protected def doExecute(): RDD[InternalRow] = {
-    val groupExprs = group
-    val sortExprs = order
-    val childOutput = child.output
-    val limit = k
-    val isPartial = partial
-    val outAttrs = output
     val numOutputRows = longMetric("numOutputRows")
     val numGroups = longMetric("numGroups")
     val maxHeapRows = longMetric("maxHeapRows")
     child.execute().mapPartitionsInternal { rows =>
-      val keyProj = UnsafeProjection.create(groupExprs, childOutput)
-      // rank-1-first total order; the heap keeps the k best by evicting
-      // the current worst (a max-heap under the reversed ordering)
-      val better = RowOrdering.create(sortExprs, childOutput)
-      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-      val worstFirst = new java.util.Comparator[InternalRow] {
-        def compare(a: InternalRow, b: InternalRow): Int = better.compare(b, a)
-      }
-      rows.foreach { row =>
-        val key = keyProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](limit + 1, worstFirst)
-          heaps.put(key.copy(), heap)
-        }
-        if (heap.size() < limit) heap.add(row.copy())
-        else if (better.compare(row, heap.peek()) < 0) {
-          heap.poll(); heap.add(row.copy())
-        }
-      }
-      numGroups.add(heaps.size())
-      var peakHeap = 0L
-      val sizeIt = heaps.values().iterator()
-      while (sizeIt.hasNext) peakHeap = math.max(peakHeap, sizeIt.next().size())
-      maxHeapRows.add(peakHeap) // size-metric max stat across tasks = global peak
-      val groupsIter = heaps.values().iterator()
-      if (isPartial) {
-        // emit survivors unranked; the final node re-prunes after the
-        // exchange co-locates each group
-        new Iterator[InternalRow] {
-          private var cur: java.util.Iterator[InternalRow] = _
-          def hasNext: Boolean = {
-            while ((cur == null || !cur.hasNext) && groupsIter.hasNext)
-              cur = groupsIter.next().iterator()
-            cur != null && cur.hasNext
-          }
-          def next(): InternalRow = { numOutputRows += 1; cur.next() }
-        }
-      } else {
-        val joined = new JoinedRow
-        val proj = UnsafeProjection.create(outAttrs, outAttrs)
-        val rankRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
-        new Iterator[InternalRow] {
-          private var cur: Iterator[InternalRow] = Iterator.empty
-          def hasNext: Boolean = {
-            while (!cur.hasNext && groupsIter.hasNext) {
-              val heap = groupsIter.next()
-              val arr = new Array[InternalRow](heap.size())
-              var i = arr.length - 1
-              while (i >= 0) { arr(i) = heap.poll(); i -= 1 } // worst out first
-              cur = arr.iterator.zipWithIndex.map { case (r, idx) =>
-                rankRow.update(0, (idx + 1).toLong)
-                proj(joined(r, rankRow)): InternalRow
-              }
-            }
-            cur.hasNext
-          }
-          def next(): InternalRow = { numOutputRows += 1; cur.next() }
-        }
-      }
+      val state = createPartitionState()
+      rows.foreach(state.insert)
+      numGroups.add(state.numGroups)
+      maxHeapRows.add(state.peakHeapRows)
+      state.resultIterator().map { r => numOutputRows += 1; r }
     }
   }
+
+  // ---- whole-stage codegen (SortExec-style blocking operator): the
+  // child pipeline stays fused — its generated loop calls insert() per
+  // row with no iterator boundary — and the pruned output feeds the
+  // parent pipeline row by row.
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    child.asInstanceOf[CodegenSupport].inputRDDs()
+
+  // the final node re-projects every output through one reused UnsafeRow
+  // buffer, so in-pipeline parents that buffer rows must copy; the
+  // partial node emits the distinct stored heap rows
+  override def needCopyResult: Boolean = !partial
+
+  // set in doProduce, read by doConsume (doConsume runs while generating
+  // the child's produce inside doProduce — same trick SortExec uses)
+  private var stateTerm: String = _
+
+  override def doProduce(ctx: CodegenContext): String = {
+    val needInput = ctx.addMutableState("boolean", "topkNeedInput", v => s"$v = true;")
+    val thisPlan = ctx.addReferenceObj("topkPlan", this)
+    stateTerm = ctx.addMutableState(classOf[TopKPartitionState].getName, "topkState")
+    val outIter = ctx.addMutableState("scala.collection.Iterator", "topkOutput")
+    val addInput = ctx.freshName("addInputToTopK")
+    val addInputFunc = ctx.addNewFunction(addInput,
+      s"""
+         |private void $addInput() throws java.io.IOException {
+         |  ${child.asInstanceOf[CodegenSupport].produce(ctx, this)}
+         |}
+       """.stripMargin)
+    val numOutput = metricTerm(ctx, "numOutputRows")
+    val numGroups = metricTerm(ctx, "numGroups")
+    val maxHeap = metricTerm(ctx, "maxHeapRows")
+    val outputRow = ctx.freshName("topkOutputRow")
+    s"""
+       |if ($needInput) {
+       |  $stateTerm = $thisPlan.createPartitionState();
+       |  $addInputFunc();
+       |  $numGroups.add($stateTerm.numGroups());
+       |  $maxHeap.add($stateTerm.peakHeapRows());
+       |  $outIter = $stateTerm.resultIterator();
+       |  $needInput = false;
+       |}
+       |while ($limitNotReachedCond $outIter.hasNext()) {
+       |  org.apache.spark.sql.catalyst.expressions.UnsafeRow $outputRow =
+       |    (org.apache.spark.sql.catalyst.expressions.UnsafeRow) $outIter.next();
+       |  $numOutput.add(1);
+       |  ${consume(ctx, null, outputRow)}
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin
+  }
+
+  override def doConsume(ctx: CodegenContext, input: Seq[ExprCode],
+      row: ExprCode): String =
+    s"""
+       |${row.code}
+       |$stateTerm.insert(${row.value});
+     """.stripMargin
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
     copy(child = newChild)

@@ -96,6 +96,12 @@ class NativeTopKSpec extends AnyFunSuite {
       assert(a == b)
       assert(a.size == 101 * k) // hot + 100 cold groups, all larger than k
 
+      val planStr = native.queryExecution.executedPlan.toString
+      // both exec nodes participate in whole-stage codegen (starred):
+      // the child pipeline's generated loop calls insert() directly —
+      // no iterator boundary below the operator
+      assert("""\*\(\d+\) TopKPerGroup""".r.findAllIn(planStr).length == 2,
+        s"expected both exec nodes inside WholeStageCodegen:\n${planStr.take(900)}")
       val execs = native.queryExecution.executedPlan.collect {
         case e: TopKPerGroupExec => e
       }
