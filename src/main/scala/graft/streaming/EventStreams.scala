@@ -86,6 +86,84 @@ object EventStreams {
       .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
         count(lit(1)).as("n_events"))
 
+  /** Streaming twin of Events.e3JsonExtract: JSON property extraction
+    * stays codegen (`get_json_object`) on the stream side too; the
+    * per-type min/max/sum state is O(1) per key.
+    */
+  def jsonExtractStream(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+
+  /** Streaming twin of Events.e5Funnel: the per-user funnel state is
+    * three conditional-min timestamps — an ordinary streaming aggregate
+    * (O(1) state per user), with the ordering predicates projected after
+    * the aggregation exactly as in batch.
+    */
+  def funnelStream(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", unix_micros(col("ts"))))
+          .as("first_view"),
+        min(when(col("event_type") === "click", unix_micros(col("ts"))))
+          .as("first_click"),
+        min(when(col("event_type") === "purchase", unix_micros(col("ts"))))
+          .as("first_purchase"))
+      .select(col("user_id"),
+        col("first_view").isNotNull.as("viewed"),
+        (col("first_click").isNotNull && col("first_view").isNotNull &&
+          col("first_click") > col("first_view")).as("clicked_after_view"),
+        (col("first_purchase").isNotNull && col("first_click").isNotNull &&
+          col("first_view").isNotNull &&
+          col("first_click") > col("first_view") &&
+          col("first_purchase") > col("first_click")).as("full_funnel"))
+
+  case class PairOut(user_id: Long, click_id: Long, view_id: Long,
+      gap_sec: Double)
+
+  /** Streaming twin of Events.e9IntervalJoin: every (click, view) pair
+    * within the preceding 30 minutes, same user. Keyed state is the
+    * user's in-horizon view (id, µs) list — the pair-emitting sibling of
+    * [[rangeViewCounts]]'s counter; pruned against the newest timestamp
+    * per batch, so state is bounded by the per-user view rate.
+    */
+  def intervalPairs(events: Dataset[RangeIn]): Dataset[PairOut] = {
+    import events.sparkSession.implicits._
+    val gapUs = 30L * 60 * 1000 * 1000
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[RangePairState, PairOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[RangeIn], state: GroupState[RangePairState]) =>
+          def us(ts: java.sql.Timestamp): Long =
+            ts.getTime * 1000 + (ts.getNanos / 1000) % 1000
+          val sorted = rows.toSeq.sortBy(e => (us(e.ts), e.event_id))
+          var views = state.getOption.map(_.views).getOrElse(Nil)
+          val out = Seq.newBuilder[PairOut]
+          var newest = views.headOption.map(_._2).getOrElse(Long.MinValue)
+          sorted.foreach { e =>
+            val t = us(e.ts)
+            newest = math.max(newest, t)
+            e.event_type match {
+              case "view" => views = (e.event_id, t) :: views
+              case "click" =>
+                views.foreach { case (vid, vt) =>
+                  if (vt >= t - gapUs && vt < t)
+                    out += PairOut(userId, e.event_id, vid, (t - vt) / 1000000.0)
+                }
+              case _ =>
+            }
+          }
+          views = views.filter(_._2 > newest - gapUs) // horizon prune
+          if (views.nonEmpty) state.update(RangePairState(views)) else state.remove()
+          out.result().iterator
+      }
+  }
+  case class RangePairState(views: List[(Long, Long)])
+
   /** Streaming exact dedup on event_id within the watermark horizon —
     * `dropDuplicates` keyed state, bounded by the watermark.
     */

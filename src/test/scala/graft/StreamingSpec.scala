@@ -86,6 +86,59 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming JSON extraction equals the batch twin (e3)") {
+    import spark.implicits._
+    val stream = EventStreams.readEvents(spark, streamDir)
+    val q = EventStreams.jsonExtractStream(stream)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("json_extract")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("json_extract")
+      .select($"event_type", $"n", $"sum_k", $"min_k", $"max_k")
+      .collect().map(_.toSeq).toSet
+    val batch = Events.e3JsonExtract(spark, dir).collect().map(_.toSeq).toSet
+    assert(streamed == batch, s"stream=${streamed.size} batch=${batch.size}")
+    assert(streamed.nonEmpty)
+  }
+
+  test("streaming funnel equals the batch twin (e5)") {
+    import spark.implicits._
+    val stream = EventStreams.readEvents(spark, streamDir)
+    val q = EventStreams.funnelStream(stream)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("funnel")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("funnel")
+      .select($"user_id", $"viewed", $"clicked_after_view", $"full_funnel")
+      .collect().map(_.toSeq).toSet
+    val batch = Events.e5Funnel(spark, dir).collect().map(_.toSeq).toSet
+    assert(streamed == batch, s"stream=${streamed.size} batch=${batch.size}")
+    assert(streamed.nonEmpty)
+  }
+
+  test("streaming interval pairs equal the batch twin (e9)") {
+    import spark.implicits._
+    val stream = EventStreams.readEvents(spark, streamDir)
+      .select($"user_id", $"event_id", $"event_type", $"ts")
+      .as[EventStreams.RangeIn]
+    val q = EventStreams.intervalPairs(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("interval_pairs")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("interval_pairs")
+      .collect().map(_.toSeq).toSet
+    val batch = Events.e9IntervalJoin(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch, s"stream=${streamed.size} batch=${batch.size}")
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming dedup keeps one row per event_id") {
     val stream = EventStreams.readEvents(spark, streamDir)
     val q = EventStreams.dedupedStream(stream)
