@@ -53,6 +53,27 @@ class NativeTopKSpec extends AnyFunSuite {
     assert(out == Set(Seq("a", 1L, 1L), Seq("a", 2L, 2L), Seq("b", 1L, 3L)))
   }
 
+  test("null group keys and null sort values rank exactly like the window form") {
+    import spark.implicits._
+    // null group = its own group (UnsafeRow key equality); null scores
+    // exercise the SortOrder null ordering inside the heaps
+    val df = Seq[(String, java.lang.Long, java.lang.Integer)](
+        ("a", 1L, 5), ("a", 2L, null), ("a", 3L, 5), (null, 4L, 9),
+        (null, 5L, null), ("b", 6L, 1), (null, 7L, 2))
+      .toDF("grp", "id", "score")
+    val native = TopKPerGroupNative.topKPerGroup(df, Seq("grp"),
+        Seq(TopKPerGroupNative.Key("score", desc = true),
+          TopKPerGroupNative.Key("id")), k = 2)
+      .select("grp", "rk", "id", "score").collect().map(_.toSeq).toSet
+    val windowed = df.withColumn("rk",
+        row_number().over(Window.partitionBy(col("grp"))
+          .orderBy(col("score").desc, col("id"))).cast("long"))
+      .filter(col("rk") <= 2)
+      .select("grp", "rk", "id", "score").collect().map(_.toSeq).toSet
+    assert(native == windowed, s"native=$native\nwindow=$windowed")
+    assert(native.size == 5) // groups a (2), b (1), null (2)
+  }
+
   test("rank column is BIGINT, matching SQL row_number()") {
     import spark.implicits._
     val df = Seq(("a", 1L, 1)).toDF("grp", "id", "score")
