@@ -167,6 +167,45 @@ object OraclesText {
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
   )
 
+  val pipeline: Map[String, String] = Map(
+    // TextDedup.p1CorpusManifest: the end-to-end corpus construction —
+    // d7's drop set + t4's quality formula + t9's split buckets and the
+    // final selection predicate, composed exactly as the Spark plan
+    // composes them.
+    "p1_corpus_manifest" ->
+      s"""WITH $shingleCte,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sidx GROUP BY doc_id),
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+         |          FROM sidx a JOIN sidx b
+         |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |drops AS (SELECT DISTINCT id_b AS doc_id
+         |          FROM pairs JOIN sizes sa ON id_a = sa.doc_id
+         |                     JOIN sizes sb ON id_b = sb.doc_id
+         |          WHERE round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) >= 0.8),
+         |x AS (SELECT doc_id,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS toks,
+         |    ${hex4ToInt("substr(md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), 1, 4)")} % 100 AS bucket
+         |  FROM documents),
+         |r AS (SELECT doc_id, bucket,
+         |    CAST(len(toks) AS INT) AS n_tokens,
+         |    CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','is','to'], t))) AS DOUBLE) / len(toks) AS stop_ratio,
+         |    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+         |    CAST(len(list_filter(toks, t -> length(t) >= 4)) AS DOUBLE) / len(toks) AS long_ratio
+         |  FROM x),
+         |q AS (SELECT doc_id,
+         |    CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+         |         ELSE 'test' END AS split,
+         |    round(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.3
+         |      + ttr * 0.3 + stop_ratio * 0.2 + long_ratio * 0.2, 6) AS quality
+         |  FROM r)
+         |SELECT q.doc_id, split, quality,
+         |  (drops.doc_id IS NOT NULL) AS is_dup,
+         |  (drops.doc_id IS NULL AND quality >= 0.57) AS selected
+         |FROM q LEFT JOIN drops ON q.doc_id = drops.doc_id
+         |ORDER BY q.doc_id""".stripMargin,
+  )
+
   val text: Map[String, String] = Map(
     // TextDedup.t9SplitAssign: content-hash 80/10/10 split — first 16
     // bits of md5(normalized text) mod 100, identical polynomial hex
@@ -558,5 +597,5 @@ object OraclesText {
 
   def all: Map[String, String] =
     dedup ++ dedupCapped ++ dedupDecision ++ dedupComponents ++ simhash ++
-      text ++ similarity ++ events ++ multimodal ++ survival
+      text ++ pipeline ++ similarity ++ events ++ multimodal ++ survival
 }

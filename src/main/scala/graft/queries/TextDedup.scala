@@ -386,7 +386,8 @@ object TextDedup {
     * stopword presence, long-token share — the standard cheap pretraining
     * quality heuristics, combined with fixed weights.
     */
-  def t4QualityScore(spark: SparkSession, dir: String): DataFrame =
+  /** Un-limited quality frame — shared by t4 and the p1 manifest. */
+  private def qualityFrame(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), toks.as("toks"))
       .select(col("doc_id"), col("lang"),
@@ -403,6 +404,9 @@ object TextDedup {
         round(least(col("n_tokens").cast("double") / 50.0, lit(1.0)) * 0.3
           + col("ttr") * 0.3 + col("stop_ratio") * 0.2
           + col("long_ratio") * 0.2, 6).as("quality"))
+
+  def t4QualityScore(spark: SparkSession, dir: String): DataFrame =
+    qualityFrame(spark, dir)
       .orderBy(col("doc_id"))
       .limit(2000)
 
@@ -480,18 +484,60 @@ object TextDedup {
     * texts land in the same split so near-dup leakage across train/test
     * cannot happen via exact copies. Map-only — no shuffle.
     */
-  def t9SplitAssign(spark: SparkSession, dir: String): DataFrame =
+  /** md5-bucket and split-name columns over a `text` column — shared by
+    * t9 and the p1 manifest.
+    */
+  private def splitCols: (Column, Column) = {
+    val bucket = conv(substring(fastMd5(
+        regexp_replace(trim(lower(col("text"))), "\\s+", " ")), 1, 4),
+      16, 10).cast("long") % 100
+    val split = when(bucket < 80, "train")
+      .when(bucket < 90, "val").otherwise("test")
+    (bucket, split)
+  }
+
+  def t9SplitAssign(spark: SparkSession, dir: String): DataFrame = {
+    val (bucket, split) = splitCols
     Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        (conv(substring(fastMd5(
-            regexp_replace(trim(lower(col("text"))), "\\s+", " ")), 1, 4),
-          16, 10).cast("long") % 100).as("bucket"))
-      .select(col("doc_id"), col("bucket"),
-        when(col("bucket") < 80, "train")
-          .when(col("bucket") < 90, "val")
-          .otherwise("test").as("split"))
+      .select(col("doc_id"), bucket.as("bucket"), split.as("split"))
       .orderBy(col("doc_id"))
       .limit(2000)
+  }
+
+  /** End-to-end training-corpus manifest (p1): the composition a real
+    * pretraining pipeline runs as its final step — per document, its
+    * quality score (t4), content-hash split (t9), near-dup verdict (the
+    * d7 drop set), and the resulting selection decision
+    * (non-duplicate ∧ quality ≥ 0.57). One scan of documents computes
+    * quality and split together; the small drop set left-joins on
+    * doc_id (AQE broadcasts it). This is the integration query: four
+    * operator families composing into one plan.
+    */
+  def p1CorpusManifest(spark: SparkSession, dir: String): DataFrame = {
+    val (_, split) = splitCols
+    val drops = d6NgramJaccard(spark, dir)
+      .select(col("id_b").as("doc_id")).distinct()
+      .withColumn("dup", lit(true))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"), toks.as("toks"))
+      .select(col("doc_id"), col("lang"), split.as("split"),
+        size(col("toks")).as("n_tokens"),
+        (size(filter_(col("toks"), t => t.isin(StopEn: _*))).cast("double")
+          / size(col("toks"))).as("stop_ratio"),
+        (size(array_distinct(col("toks"))).cast("double") / size(col("toks")))
+          .as("ttr"),
+        (size(filter_(col("toks"), t => length(t) >= 4)).cast("double")
+          / size(col("toks"))).as("long_ratio"))
+      .select(col("doc_id"), col("split"),
+        round(least(col("n_tokens").cast("double") / 50.0, lit(1.0)) * 0.3
+          + col("ttr") * 0.3 + col("stop_ratio") * 0.2
+          + col("long_ratio") * 0.2, 6).as("quality"))
+      .join(drops, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("split"), col("quality"),
+        coalesce(col("dup"), lit(false)).as("is_dup"))
+      .withColumn("selected", !col("is_dup") && col("quality") >= 0.57)
+      .orderBy(col("doc_id"))
+  }
 
   /** Sequence packing (t10): assign documents to fixed-token-budget
     * training packs. Documents are packed greedily in doc_id order
@@ -539,5 +585,6 @@ object TextDedup {
     "t8_chunking" -> (t8Chunking _),
     "t9_split_assign" -> (t9SplitAssign _),
     "t10_sequence_packing" -> (t10SequencePacking _),
+    "p1_corpus_manifest" -> (p1CorpusManifest _),
   )
 }
