@@ -219,7 +219,11 @@ object Events {
         col("us").as("view_us"),
         expr(s"us div $gapUs").as("v_bucket"))
     // each click probes its own bucket and the previous one — the two
-    // equi-joins cover the whole 30-min window exactly once each
+    // equi-joins cover the whole 30-min window exactly once each.
+    // Residual skew boundary (honest): a user bursting within one gap
+    // width still concentrates in ~2 (user, bucket) keys; at that scale
+    // compose with SkewJoin.saltedEquiJoin on the view side — the bucket
+    // key already bounds the blowup to one gap of history, not all of it
     val probes = clicks.select(col("user_id"), col("click_id"),
         col("click_us"), col("bucket").as("probe_bucket"))
       .union(clicks.select(col("user_id"), col("click_id"),
