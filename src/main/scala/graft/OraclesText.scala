@@ -400,6 +400,29 @@ object OraclesText {
          |SELECT q_id, rk, vec_id, cos FROM rk WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
     },
 
+    // Embeddings.s5LshNearDup — banded hyperplane near-dup pairs; the
+    // oracle replicates the BANDING (same md5-derived planes), not just
+    // the cosine, so the candidate-generation semantics are gated too.
+    "s5_lsh_neardup" -> {
+      val b0 = (0 until 4)
+        .map(p => s"(${planeSignSql(p, "embedding")}) * ${1 << p}")
+        .mkString(" + ")
+      val b1 = (4 until 8)
+        .map(p => s"(${planeSignSql(p, "embedding")}) * ${1 << (p - 4)}")
+        .mkString(" + ")
+      s"""WITH sig AS (SELECT vec_id, embedding, $b0 AS b0, $b1 AS b1 FROM embeddings),
+         |cand AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    round(${cosineSql("a.embedding", "b.embedding")}, 6) AS cos
+         |  FROM sig a JOIN sig b ON a.b0 = b.b0 AND a.vec_id < b.vec_id
+         |  UNION ALL
+         |  SELECT a.vec_id, b.vec_id,
+         |    round(${cosineSql("a.embedding", "b.embedding")}, 6) AS cos
+         |  FROM sig a JOIN sig b ON a.b1 = b.b1 AND a.vec_id < b.vec_id)
+         |SELECT DISTINCT id_a, id_b, cos FROM cand WHERE cos >= 0.35
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
     "s4_label_centroids" ->
       s"""SELECT label, CAST(i - 1 AS INT) AS dim,
         |  ${Oracles.exactAvg("CAST(embedding[CAST(i AS INT)] AS DOUBLE)", 6, 6)} AS mean_v,

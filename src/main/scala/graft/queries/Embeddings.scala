@@ -135,23 +135,25 @@ object Embeddings {
     * replaces the full scan: at scale each query probes ~1/16 of the
     * collection.
     */
+  /** Hyperplane sign bit p over `embedding`, as a deterministic literal
+    * weight array (w_pj = hexval(first md5 hex char of "p:j") − 7.5 —
+    * engine-independent, mirrored in the SQL oracles). The projection is
+    * one codegen'd dot against the literal (a 64-term Add chain costs
+    * every Catalyst pass dearly — see GraftExpressions).
+    */
+  private def planeSign(p: Int): Column = {
+    val weights = Array.tabulate(64) { j =>
+      Integer.parseInt(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$p:$j".getBytes("UTF-8"))
+          .take(1).map("%02x".format(_)).mkString.take(1), 16) - 7.5
+    }
+    when(org.apache.spark.sql.graftfn.GraftExpressions
+      .floatDotWeights(col("embedding"), weights) > 0, 1).otherwise(0)
+  }
+
   def s3LshAnn(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-
-    // hyperplane component p,j as a deterministic literal weight array;
-    // the projection is one codegen'd dot against the literal (a 64-term
-    // Add chain costs every Catalyst pass dearly — see GraftExpressions)
-    def planeSign(p: Int): Column = {
-      // w_pj = hexval(first char of md5("p:j")) - 7.5
-      val weights = Array.tabulate(64) { j =>
-        Integer.parseInt(
-          java.security.MessageDigest.getInstance("MD5")
-            .digest(s"$p:$j".getBytes("UTF-8"))
-            .take(1).map("%02x".format(_)).mkString.take(1), 16) - 7.5
-      }
-      when(org.apache.spark.sql.graftfn.GraftExpressions
-        .floatDotWeights(col("embedding"), weights) > 0, 1).otherwise(0)
-    }
 
     val bucketed = emb.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"),
@@ -171,6 +173,39 @@ object Embeddings {
         Seq(col("cos").desc, col("vec_id")), k = 3, saltBy = col("vec_id"))
       .select(col("q_id"), col("rk"), col("vec_id"), col("cos"))
       .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** Corpus-wide embedding-cosine near-dup PAIRS (s5) — the embedding
+    * twin of d5's banded SimHash, unrestricted by labels: 8 hyperplane
+    * sign bits split into two 4-bit bands; a pair is a candidate iff it
+    * agrees on at least one band (pigeonhole: signatures differing in
+    * ≤ 1 bit of 8 must agree on a whole band), then the exact cosine
+    * verifies ≥ 0.35. Never all-pairs: each band join hash-partitions on
+    * the (band value) key — candidate work is Σ bucket², ~1/16 of n²
+    * per band — and the Hamming-style verify runs only on candidates.
+    * A pair agreeing on both bands enters twice → distinct after the
+    * cosine filter (filter first, so the distinct shuffles survivors
+    * only).
+    */
+  def s5LshNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val sig = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("nrm"),
+        (0 until 4).map(p => planeSign(p) * (1 << p)).reduce(_ + _).as("b0"),
+        (4 until 8).map(p => planeSign(p) * (1 << (p - 4))).reduce(_ + _).as("b1"))
+      .persist()
+    sig.count() // eager: both band joins read the cached signatures
+    val pairs = Seq("b0", "b1").map { band =>
+      sig.as("a").join(sig.as("b"),
+          col(s"a.$band") === col(s"b.$band") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+          round(cosinePre(col("a.embedding"), col("a.nrm"),
+            col("b.embedding"), col("b.nrm")), 6).as("cos"))
+        .filter(col("cos") >= 0.35)
+    }.reduce(_ unionByName _)
+    pairs.distinct()
+      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** Per-label centroids (vector aggregation): posexplode → mean per
@@ -194,6 +229,7 @@ object Embeddings {
     "s2_ivf_neardup" -> (s2IvfNearDup _),
     "s2b_ivf_capped" -> (s2bIvfCapped _),
     "s3_lsh_ann" -> (s3LshAnn _),
+    "s5_lsh_neardup" -> (s5LshNearDup _),
     "s4_label_centroids" -> (s4LabelCentroids _),
   )
 }
