@@ -560,26 +560,22 @@ object OraclesText {
         |  md5(sig || ':' || frame_idx) AS frame_sig
         |FROM f ORDER BY doc_id, frame_idx LIMIT 2000""".stripMargin,
 
-    // Mirrors Multimodal.m1MediaFeatures. Image rows (doc_id mod 3 in
-    // (0,1)) carry real BMP/PNG payloads with dims 1 + doc_id mod 64/48 —
-    // the oracle predicts them from doc_id arithmetic, Spark must DECODE
-    // the bytes (javax.imageio) to agree. Video rows mirror FakeDecoder:
-    // dims from the payload md5, frame count from byte length mod 7.
+    // Mirrors Multimodal.m1MediaFeatures. All rows now carry REAL
+    // payloads — BMP/PNG stills (doc_id mod 3 in (0,1)) and multi-frame
+    // animated GIFs standing in for video — generated with dims
+    // 1 + doc_id mod 64/48 and (for GIFs) 1 + doc_id mod 5 frames. The
+    // oracle predicts those from doc_id arithmetic; Spark must DECODE
+    // the bytes (javax.imageio, getNumImages(true) for frame count) to
+    // agree.
     "m1_media_features" ->
-      s"""WITH x AS (SELECT doc_id,
-         |    CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-         |    md5(text) AS sig
-         |  FROM documents)
-         |SELECT doc_id,
-         |  CASE doc_id % 3 WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'image/png'
-         |       ELSE 'video/synthetic' END AS media_type,
-         |  CAST(CASE WHEN doc_id % 3 IN (0, 1) THEN 1 + doc_id % 64
-         |       ELSE ${hex4ToInt("substr(sig, 1, 4)")} % 1024 END AS INT) AS width,
-         |  CAST(CASE WHEN doc_id % 3 IN (0, 1) THEN 1 + doc_id % 48
-         |       ELSE ${hex4ToInt("substr(sig, 5, 4)")} % 1024 END AS INT) AS height,
-         |  CAST(CASE WHEN doc_id % 3 IN (0, 1) THEN 1
-         |       ELSE n_bytes % 7 END AS INT) AS n_frames
-         |FROM x ORDER BY doc_id LIMIT 2000""".stripMargin,
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'image/png'
+        |       ELSE 'video/gif' END AS media_type,
+        |  CAST(1 + doc_id % 64 AS INT) AS width,
+        |  CAST(1 + doc_id % 48 AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 3 IN (0, 1) THEN 1
+        |       ELSE 1 + doc_id % 5 END AS INT) AS n_frames
+        |FROM documents ORDER BY doc_id LIMIT 2000""".stripMargin,
   )
 
   val survival: Map[String, String] = Map(

@@ -10,11 +10,13 @@ import org.apache.spark.sql.functions._
   * the JVM analog of `mapInPandas` (partition = batch; the decoder is
   * instantiated once per partition, not per row).
   *
-  * The actual codec is stubbed ([[FakeDecoder]]) because no image/audio
-  * libraries ship in this environment; the Spark-side contract — schema,
-  * encoder, batch shape, partitioning — is real and is what matters at
-  * 100 TB: binary payloads never shuffle (feature extraction is map-only),
-  * and downstream joins/agg use only the small extracted-feature columns.
+  * Images and animated GIFs decode for REAL via the JDK's `javax.imageio`
+  * ([[ImageIoDecoder]]); only codecs the JDK lacks (video containers,
+  * audio) fall back to the deterministic [[FakeDecoder]] stub. The
+  * Spark-side contract — schema, encoder, batch shape, partitioning — is
+  * what matters at 100 TB: binary payloads never shuffle (feature
+  * extraction is map-only), and downstream joins/agg use only the small
+  * extracted-feature columns.
   */
 object Multimodal {
 
@@ -35,9 +37,10 @@ object Multimodal {
     case class Dims(width: Int, height: Int, nFrames: Int)
   }
 
-  /** Deterministic stand-in for VIDEO codecs only (no ffmpeg binding in
-    * the JVM): dimensions derived from the md5 of the payload, frame
-    * count from byte length. Images decode for real — [[ImageIoDecoder]].
+  /** Deterministic stand-in for codecs the JDK does not ship (e.g. real
+    * video containers / audio): dimensions derived from the md5 of the
+    * payload, frame count from byte length. Images AND animated GIFs
+    * decode for real — [[ImageIoDecoder]].
     */
   object FakeDecoder extends MediaDecoder {
     def decode(mediaType: String, bytes: Array[Byte]): MediaFeatures.Dims = {
@@ -50,18 +53,31 @@ object Multimodal {
     }
   }
 
-  /** Real image decode via the JDK's `javax.imageio` (PNG/BMP/GIF/JPEG
-    * readers ship in the JRE — no external codec needed): width/height
-    * come from actually parsing the payload bytes, a still image is one
-    * frame. Non-image media falls back to [[FakeDecoder]], the one
-    * remaining (documented) stub.
+  /** Real decode via the JDK's `javax.imageio` (PNG/BMP/GIF/JPEG readers
+    * ship in the JRE — no external codec needed): width/height come from
+    * actually parsing the payload bytes, and the frame count from
+    * `ImageReader.getNumImages(true)` — a still image is one frame, an
+    * animated GIF reports its true frame count (the JDK GIF reader walks
+    * the image-descriptor blocks). Media the JDK has no reader for
+    * (real video containers, audio) falls back to [[FakeDecoder]], the
+    * one remaining (documented) stub.
     */
   object ImageIoDecoder extends MediaDecoder {
     def decode(mediaType: String, bytes: Array[Byte]): MediaFeatures.Dims =
-      if (mediaType.startsWith("image/")) {
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-        require(img != null, s"undecodable $mediaType payload (${bytes.length} bytes)")
-        MediaFeatures.Dims(img.getWidth, img.getHeight, nFrames = 1)
+      if (mediaType.startsWith("image/") || mediaType == "video/gif") {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          require(readers.hasNext,
+            s"undecodable $mediaType payload (${bytes.length} bytes)")
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            MediaFeatures.Dims(reader.getWidth(0), reader.getHeight(0),
+              nFrames = reader.getNumImages(true))
+          } finally reader.dispose()
+        } finally iis.close()
       } else FakeDecoder.decode(mediaType, bytes)
   }
 
@@ -71,7 +87,7 @@ object Multimodal {
     * decode path runs on genuine image bytes.
     */
   object MediaGen {
-    def imageBytes(format: String, width: Int, height: Int, seed: Long): Array[Byte] = {
+    private def frame(width: Int, height: Int, seed: Long): java.awt.image.BufferedImage = {
       val img = new java.awt.image.BufferedImage(
         width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
       var y = 0
@@ -83,8 +99,45 @@ object Multimodal {
         }
         y += 1
       }
+      img
+    }
+
+    def imageBytes(format: String, width: Int, height: Int, seed: Long): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, format, bos)
+      // write() returns false when no writer exists for the format —
+      // fail HERE, not later as a confusing "undecodable" on the read side
+      require(javax.imageio.ImageIO.write(frame(width, height, seed), format, bos),
+        s"no imageio writer for format '$format'")
+      bos.toByteArray
+    }
+
+    /** A real multi-frame animated GIF (the JDK GIF writer supports
+      * sequence writing): frame f's pixels are a pure function of
+      * (seed, f, x, y), so every frame is a distinct image and the only
+      * way to recover `nFrames` from the payload is to genuinely parse
+      * the GIF block structure.
+      */
+    def gifBytes(width: Int, height: Int, nFrames: Int, seed: Long): Array[Byte] = {
+      require(nFrames >= 1, s"nFrames must be >= 1, got $nFrames")
+      val writers = javax.imageio.ImageIO.getImageWritersByFormatName("gif")
+      require(writers.hasNext, "no imageio writer for format 'gif'")
+      val writer = writers.next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < nFrames) {
+          writer.writeToSequence(new javax.imageio.IIOImage(
+            frame(width, height, seed + 7919L * f), null, null), null)
+          f += 1
+        }
+        writer.endWriteSequence()
+      } finally {
+        writer.dispose()
+        ios.close()
+      }
       bos.toByteArray
     }
   }
@@ -119,13 +172,14 @@ object Multimodal {
         .otherwise(array()))
 
   /** The harness has no binary table, so the query derives one from
-    * `documents`: every third doc becomes a real BMP, the next a real PNG
-    * (dimensions `1 + doc_id mod 64/48`, pixels a pure function of
-    * doc_id — [[MediaGen]]), the rest a "video" blob of the raw text
-    * bytes. [[ImageIoDecoder]] then runs the REAL decode — the emitted
-    * width/height can only match the oracle's doc_id arithmetic if the
-    * PNG/BMP bytes were genuinely parsed. Only the video rows still go
-    * through [[FakeDecoder]].
+    * `documents`: every third doc becomes a real BMP, the next a real
+    * PNG, the rest a real multi-frame animated GIF standing in for video
+    * (dimensions `1 + doc_id mod 64/48`, frame count `1 + doc_id mod 5`,
+    * pixels a pure function of doc_id — [[MediaGen]]).
+    * [[ImageIoDecoder]] then runs the REAL decode — the emitted
+    * width/height/n_frames can only match the oracle's doc_id arithmetic
+    * if the PNG/BMP/GIF bytes were genuinely parsed (for GIFs,
+    * `getNumImages(true)` walks the actual image-descriptor blocks).
     *
     * n_bytes/sig are intentionally not part of the gated output: PNG
     * deflate bytes are encoder-implementation-defined, so only
@@ -136,13 +190,15 @@ object Multimodal {
     val media = Tables.documents(spark, dir)
       .select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
-      .map { case (id, text) =>
+      .map { case (id, _) =>
         (id % 3) match {
           case 0 => MediaRow(id, "image/bmp",
             MediaGen.imageBytes("bmp", (1 + id % 64).toInt, (1 + id % 48).toInt, id))
           case 1 => MediaRow(id, "image/png",
             MediaGen.imageBytes("png", (1 + id % 64).toInt, (1 + id % 48).toInt, id))
-          case _ => MediaRow(id, "video/synthetic", text.getBytes("UTF-8"))
+          case _ => MediaRow(id, "video/gif",
+            MediaGen.gifBytes((1 + id % 64).toInt, (1 + id % 48).toInt,
+              (1 + id % 5).toInt, id))
         }
       }
     extractFeatures(media, ImageIoDecoder).toDF()

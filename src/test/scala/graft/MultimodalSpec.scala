@@ -25,10 +25,32 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
-  test("non-image media falls back to FakeDecoder (documented video stub)") {
+  test("ImageIoDecoder counts the true frames of a multi-frame animated GIF") {
+    for (n <- Seq(1, 3, 5)) {
+      val bytes = MediaGen.gifBytes(width = 32, height = 12, nFrames = n, seed = 7L)
+      assert(bytes.length > 0, "gif encoder produced no bytes")
+      val dims = ImageIoDecoder.decode("video/gif", bytes)
+      assert(dims.width == 32 && dims.height == 12 && dims.nFrames == n,
+        s"$n-frame gif decoded as ${dims.width}x${dims.height}x${dims.nFrames}")
+      // non-stub proof: the fake (byte-length-derived) frame count disagrees
+      val fake = FakeDecoder.decode("video/gif", bytes)
+      assert(fake.nFrames != dims.nFrames || fake.width != dims.width ||
+        fake.height != dims.height,
+        s"fake decoder accidentally matches real dims for $n-frame gif")
+    }
+  }
+
+  test("media with no JDK reader falls back to FakeDecoder (documented stub)") {
     val payload = "not an image".getBytes("UTF-8")
-    assert(ImageIoDecoder.decode("video/synthetic", payload) ==
-      FakeDecoder.decode("video/synthetic", payload))
+    assert(ImageIoDecoder.decode("video/mp4", payload) ==
+      FakeDecoder.decode("video/mp4", payload))
+  }
+
+  test("MediaGen fails loudly when no imageio writer exists for the format") {
+    val e = intercept[IllegalArgumentException] {
+      MediaGen.imageBytes("not-a-format", 4, 4, seed = 1L)
+    }
+    assert(e.getMessage.contains("no imageio writer"))
   }
 
   test("extractFeatures runs ImageIoDecoder distributed; dims match doc-id arithmetic") {
@@ -39,21 +61,20 @@ class MultimodalSpec extends AnyFunSuite {
           MediaGen.imageBytes("bmp", (1 + id % 64).toInt, (1 + id % 48).toInt, id))
         case 1 => MediaRow(id, "image/png",
           MediaGen.imageBytes("png", (1 + id % 64).toInt, (1 + id % 48).toInt, id))
-        case _ => MediaRow(id, "video/synthetic", s"doc-$id".getBytes("UTF-8"))
+        case _ => MediaRow(id, "video/gif",
+          MediaGen.gifBytes((1 + id % 64).toInt, (1 + id % 48).toInt,
+            (1 + id % 5).toInt, id))
       }
     }.repartition(4)
     val feats = Multimodal.extractFeatures(media, ImageIoDecoder)
       .collect().map(f => f.doc_id -> f).toMap
     assert(feats.size == 60)
-    feats.values.filter(_.media_type.startsWith("image/")).foreach { f =>
+    feats.values.foreach { f =>
       assert(f.width == 1 + f.doc_id % 64, s"doc ${f.doc_id} width ${f.width}")
       assert(f.height == 1 + f.doc_id % 48, s"doc ${f.doc_id} height ${f.height}")
-      assert(f.n_frames == 1)
-    }
-    feats.values.filter(_.media_type == "video/synthetic").foreach { f =>
-      val expect = FakeDecoder.decode(f.media_type, s"doc-${f.doc_id}".getBytes("UTF-8"))
-      assert(f.width == expect.width && f.height == expect.height &&
-        f.n_frames == expect.nFrames)
+      val expectFrames = if (f.media_type == "video/gif") 1 + f.doc_id % 5 else 1
+      assert(f.n_frames == expectFrames,
+        s"doc ${f.doc_id} (${f.media_type}) frames ${f.n_frames} != $expectFrames")
     }
   }
 }
