@@ -74,6 +74,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(800))
   }
 
+  test("t10 per-task window input scales as corpus/nShards; default follows writer parallelism") {
+    import org.apache.spark.sql.functions._
+    def maxShardRows(n: Int): Long =
+      TextDedup.sequencePacking(spark, dir, nShards = n)
+        .groupBy(col("shard")).count().agg(max("count")).head.getLong(0)
+    val m4 = maxShardRows(4)
+    val m16 = maxShardRows(16)
+    // doc_id mod nShards spreads uniformly: 4× the writers → the biggest
+    // per-task window input drops ~4× (allow slack for residue rounding)
+    assert(m16 * 3 <= m4, s"per-shard max did not scale: nShards=4 → $m4 rows, nShards=16 → $m16 rows")
+    val defaultShards = TextDedup.sequencePacking(spark, dir)
+      .agg(max(col("shard"))).head.getLong(0)
+    assert(defaultShards < spark.sparkContext.defaultParallelism,
+      s"default shard ids $defaultShards must stay under writer parallelism ${spark.sparkContext.defaultParallelism}")
+  }
+
   test("q8: global top-k plans as TakeOrderedAndProject, not a full sort") {
     val p = plan(Relational.q8GlobalTopK(spark, dir))
     assert(p.contains("TakeOrderedAndProject"), p.take(500))
