@@ -59,7 +59,13 @@ object Bench {
       .mkString("[", ",", "]")
     val total = best.map(_._2).sum
     val totalMedian = median.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(best)},"sf":"$sfDir","warmup_passes":1,"timed_passes":$timedPasses,"agg":"per-query min of first 3","total_median5":$totalMedian,"queries_median5":${obj(median)},"pass_totals":$passTotals}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(best)},"sf":"$sfDir","warmup_passes":1,"timed_passes":$timedPasses,"agg":"per-query min of first 3","total_median5":$totalMedian,"queries_median5":${obj(median)},"pass_totals":$passTotals,"queries_per_pass":${passes.map(p => obj(names.map(n => n -> p(n)))).mkString("[", ",", "]")}}"""
+    println(json)
+    // stdout tails get truncated in driver logs (BENCH_r03 lost d1–d4 and
+    // parsed as null) — ALSO write the full artifact as a file the driver
+    // can archive intact.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
     spark.stop()
   }
 }

@@ -43,7 +43,10 @@ def dtype_class(s: pd.Series) -> str:
     if pd.api.types.is_integer_dtype(s):
         return "int"
     if pd.api.types.is_datetime64_any_dtype(s):
-        return "datetime"
+        # tz-aware vs naive is a real drift class (the parquet
+        # isAdjustedToUTC flag) — norm() would silently strip the tz, so
+        # classify them apart to fail loudly like int-vs-float.
+        return "datetime-tz" if getattr(s.dtype, "tz", None) is not None else "datetime"
     if pd.api.types.is_bool_dtype(s):
         return "bool"
     return "other"
