@@ -129,37 +129,56 @@ object EventStreams {
     * within the preceding 30 minutes, same user. Keyed state is the
     * user's in-horizon view (id, µs) list — the pair-emitting sibling of
     * [[rangeViewCounts]]'s counter; pruned against the newest timestamp
-    * per batch, so state is bounded by the per-user view rate.
+    * per batch, AND garbage-collected for users that simply go quiet: an
+    * event-time timeout fires once the watermark passes the newest
+    * view's horizon, so idle keys don't retain their last views forever
+    * (with unbounded user cardinality that leak would grow state without
+    * bound even though each entry is small).
     */
   def intervalPairs(events: Dataset[RangeIn]): Dataset[PairOut] = {
     import events.sparkSession.implicits._
     val gapUs = 30L * 60 * 1000 * 1000
-    events.groupByKey(_.user_id)
+    val gapMs = 30L * 60 * 1000
+    events.withWatermark("ts", "30 minutes")
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState[RangePairState, PairOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[RangeIn], state: GroupState[RangePairState]) =>
-          def us(ts: java.sql.Timestamp): Long =
-            ts.getTime * 1000 + (ts.getNanos / 1000) % 1000
-          val sorted = rows.toSeq.sortBy(e => (us(e.ts), e.event_id))
-          var views = state.getOption.map(_.views).getOrElse(Nil)
-          val out = Seq.newBuilder[PairOut]
-          var newest = views.headOption.map(_._2).getOrElse(Long.MinValue)
-          sorted.foreach { e =>
-            val t = us(e.ts)
-            newest = math.max(newest, t)
-            e.event_type match {
-              case "view" => views = (e.event_id, t) :: views
-              case "click" =>
-                views.foreach { case (vid, vt) =>
-                  if (vt >= t - gapUs && vt < t)
-                    out += PairOut(userId, e.event_id, vid, (t - vt) / 1000000.0)
-                }
-              case _ =>
+          if (state.hasTimedOut) {
+            // watermark passed the horizon: nothing retained can pair
+            // with any future in-watermark click — drop the key
+            state.remove()
+            Iterator.empty
+          } else {
+            def us(ts: java.sql.Timestamp): Long =
+              ts.getTime * 1000 + (ts.getNanos / 1000) % 1000
+            val sorted = rows.toSeq.sortBy(e => (us(e.ts), e.event_id))
+            var views = state.getOption.map(_.views).getOrElse(Nil)
+            val out = Seq.newBuilder[PairOut]
+            var newest = views.headOption.map(_._2).getOrElse(Long.MinValue)
+            sorted.foreach { e =>
+              val t = us(e.ts)
+              newest = math.max(newest, t)
+              e.event_type match {
+                case "view" => views = (e.event_id, t) :: views
+                case "click" =>
+                  views.foreach { case (vid, vt) =>
+                    if (vt >= t - gapUs && vt < t)
+                      out += PairOut(userId, e.event_id, vid, (t - vt) / 1000000.0)
+                  }
+                case _ =>
+              }
             }
+            views = views.filter(_._2 > newest - gapUs) // horizon prune
+            if (views.nonEmpty) {
+              state.update(RangePairState(views))
+              // clamp above the current watermark (API requirement) so an
+              // already-expired key still times out on the next batch
+              state.setTimeoutTimestamp(
+                math.max(newest / 1000 + gapMs, state.getCurrentWatermarkMs + 1))
+            } else state.remove()
+            out.result().iterator
           }
-          views = views.filter(_._2 > newest - gapUs) // horizon prune
-          if (views.nonEmpty) state.update(RangePairState(views)) else state.remove()
-          out.result().iterator
       }
   }
   case class RangePairState(views: List[(Long, Long)])
@@ -178,15 +197,23 @@ object EventStreams {
 
   /** Gap-based sessionization with explicit keyed state
     * (`flatMapGroupsWithState`): a session closes after 30 min of
-    * inactivity (processing-time timeout in streaming; the batch twin is
-    * Events.e2Sessionize). State per key = one running session — O(1).
+    * inactivity in EVENT time — the timeout fires when the WATERMARK
+    * passes last+gap, not after pipeline wall-clock idleness, so
+    * replaying historical data (backfill, reprocessing, a two-burst
+    * catch-up) closes exactly the same sessions as live ingestion. A
+    * processing-time timeout provably breaks replay: trailing sessions
+    * would wait 30 wall-clock minutes (or never close under
+    * AvailableNow), and fast-forwarded history would close on pipeline
+    * speed, not data gaps. State per key = one running session — O(1),
+    * retired by the watermark. Batch twin: Events.e2Sessionize.
     */
-  def sessionize(events: Dataset[EventIn]): Dataset[SessionOut] = {
+  def sessionize(events: Dataset[EventIn], gapMin: Int = 30): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-    val gapMs = 30L * 60 * 1000
-    events.groupByKey(_.user_id)
+    val gapMs = gapMin * 60L * 1000
+    events.withWatermark("ts", s"$gapMin minutes")
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[EventIn], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val s = state.get
@@ -210,7 +237,12 @@ object EventStreams {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutDuration(gapMs)
+              // close when the event-time watermark passes the gap
+              // horizon; clamp above the current watermark (API
+              // requirement) so an already-expired session still times
+              // out on the next batch
+              state.setTimeoutTimestamp(
+                math.max(s.last + gapMs, state.getCurrentWatermarkMs + 1))
             }
             closed.reverseIterator
           }
@@ -272,35 +304,48 @@ object EventStreams {
     * state is the user's view timestamps within the horizon (a true
     * sliding range, so unlike the windowed aggregations it cannot be a
     * tumbling-window groupBy); state is pruned against the newest
-    * timestamp seen per key.
+    * timestamp seen per key, and — like [[intervalPairs]] — idle keys
+    * are garbage-collected by an event-time timeout once the watermark
+    * passes their horizon.
     */
   def rangeViewCounts(events: Dataset[RangeIn]): Dataset[RangeOut] = {
     import events.sparkSession.implicits._
     val gapUs = 30L * 60 * 1000 * 1000
-    events.groupByKey(_.user_id)
+    val gapMs = 30L * 60 * 1000
+    events.withWatermark("ts", "30 minutes")
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState[RangeState, RangeOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[RangeIn], state: GroupState[RangeState]) =>
-          def us(ts: java.sql.Timestamp): Long =
-            ts.getTime * 1000 + (ts.getNanos / 1000) % 1000
-          val sorted = rows.toSeq.sortBy(e => (us(e.ts), e.event_id))
-          var views = state.getOption.map(_.viewUs).getOrElse(Nil)
-          val out = Seq.newBuilder[RangeOut]
-          var newest = views.headOption.getOrElse(Long.MinValue)
-          sorted.foreach { e =>
-            val t = us(e.ts)
-            newest = math.max(newest, t)
-            e.event_type match {
-              case "view" => views = t :: views
-              case "click" =>
-                out += RangeOut(userId, e.event_id,
-                  views.count(v => v >= t - gapUs && v < t).toLong)
-              case _ =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            def us(ts: java.sql.Timestamp): Long =
+              ts.getTime * 1000 + (ts.getNanos / 1000) % 1000
+            val sorted = rows.toSeq.sortBy(e => (us(e.ts), e.event_id))
+            var views = state.getOption.map(_.viewUs).getOrElse(Nil)
+            val out = Seq.newBuilder[RangeOut]
+            var newest = views.headOption.getOrElse(Long.MinValue)
+            sorted.foreach { e =>
+              val t = us(e.ts)
+              newest = math.max(newest, t)
+              e.event_type match {
+                case "view" => views = t :: views
+                case "click" =>
+                  out += RangeOut(userId, e.event_id,
+                    views.count(v => v >= t - gapUs && v < t).toLong)
+                case _ =>
+              }
             }
+            views = views.filter(_ > newest - gapUs) // horizon prune
+            if (views.nonEmpty) {
+              state.update(RangeState(views))
+              state.setTimeoutTimestamp(
+                math.max(newest / 1000 + gapMs, state.getCurrentWatermarkMs + 1))
+            } else state.remove()
+            out.result().iterator
           }
-          views = views.filter(_ > newest - gapUs) // horizon prune
-          if (views.nonEmpty) state.update(RangeState(views)) else state.remove()
-          out.result().iterator
       }
   }
 

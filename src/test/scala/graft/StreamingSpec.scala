@@ -200,31 +200,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
-  test("stateful sessionization emits gap-closed sessions") {
+  /** Runs sessionize over the given event bursts (one addData +
+    * processAllAvailable per burst) and returns the emitted session set.
+    */
+  private def runSessions(name: String,
+      bursts: Seq[Seq[EventStreams.EventIn]]): Set[EventStreams.SessionOut] = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStreams.EventIn]
-    val base = 1700000000000L
-    // user 1: two sessions split by a 40-min gap; user 2: one session
-    mem.addData(
-      EventStreams.EventIn(1, new java.sql.Timestamp(base), 1.0),
-      EventStreams.EventIn(1, new java.sql.Timestamp(base + 5 * 60000), 2.0),
-      EventStreams.EventIn(1, new java.sql.Timestamp(base + 45 * 60000), 3.0),
-      EventStreams.EventIn(2, new java.sql.Timestamp(base), 4.0))
     val q = EventStreams.sessionize(mem.toDS())
       .writeStream.outputMode("append").format("memory")
-      .queryName("sessions").start()
-    // ProcessingTimeTimeout keeps scheduling timeout-check batches, so
-    // processAllAvailable never settles — poll for the in-batch gap close
-    val deadline = System.nanoTime() + 30L * 1000000000L
-    var closed = Array.empty[EventStreams.SessionOut]
-    while (closed.isEmpty && System.nanoTime() < deadline) {
-      Thread.sleep(200)
-      closed = spark.table("sessions").as[EventStreams.SessionOut].collect()
-    }
-    q.stop()
-    // the 40-min gap closes user 1's first session within the batch
-    assert(closed.exists(s => s.user_id == 1 && s.n_events == 2 &&
-      s.duration_sec == 300.0 && s.sum_value == 3.0), closed.mkString(", "))
+      .queryName(name).start()
+    try {
+      bursts.foreach { b =>
+        mem.addData(b: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table(name).as[EventStreams.SessionOut].collect().toSet
+  }
+
+  test("event-time sessionization: sessions close on watermark passage, and a two-burst replay equals the single-burst run") {
+    val base = 1700000000000L
+    def ev(u: Long, offMin: Long, v: Double) =
+      EventStreams.EventIn(u, new java.sql.Timestamp(base + offMin * 60000), v)
+    // user 1: two sessions split by a 40-min gap; user 2: one session;
+    // user 99 is the watermark pusher (its own trailing session stays
+    // open — no later event ever moves the watermark past it)
+    val all = Seq(
+      ev(1, 0, 1.0), ev(1, 5, 2.0),   // session A: 2 events, 300 s, sum 3
+      ev(2, 0, 4.0),                  // session C: 1 event
+      ev(1, 45, 3.0),                 // session B: 1 event (40-min gap)
+      ev(99, 600, 0.0))               // pushes watermark to +570 min
+    val expected = Set(
+      EventStreams.SessionOut(1, 2, 300.0, 3.0),
+      EventStreams.SessionOut(1, 1, 0.0, 3.0),
+      EventStreams.SessionOut(2, 1, 0.0, 4.0))
+    // replay as one burst and as two historical bursts: the session set
+    // must be identical — the event-time timeout fires on WATERMARK
+    // passage, not pipeline wall-clock (the processing-time form fails
+    // this: trailing sessions B and C would wait 30 wall-clock minutes)
+    val oneBurst = runSessions("sessions_one", Seq(all))
+    val twoBursts = runSessions("sessions_two",
+      Seq(all.take(3), all.drop(3)))
+    assert(oneBurst == expected, s"one-burst got $oneBurst")
+    assert(twoBursts == expected, s"two-burst got $twoBursts")
   }
 }
