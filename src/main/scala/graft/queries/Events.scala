@@ -204,10 +204,24 @@ object Events {
     * locality and the range predicate only filters within-bucket pairs.
     * Join keys are (user × bucket) — far finer than user alone.
     */
-  def e9IntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+  def e9IntervalJoin(spark: SparkSession, dir: String): DataFrame =
+    intervalJoinPairs(Tables.events(spark, dir)
+      .withColumn("us", unix_micros(col("ts"))))
+
+  /** e9's core over any (user_id, event_id, event_type, us) frame.
+    *
+    * Residual skew boundary (honest): a user bursting within one gap
+    * width still concentrates in ~2 (user, bucket) keys — the bucket key
+    * bounds the blowup to one gap of history, not all of it. For that
+    * scale `saltBuckets` engages the composition with
+    * [[SkewJoin.saltedEquiJoin]]: the (user, bucket) pair collapses into
+    * one synthetic equi-key, probes spread over `b` deterministic salts
+    * (by click_id), views replicate ×b, and the range predicate stays a
+    * residual filter within (user, bucket, salt). Row-identical to the
+    * plain join — spec-pinned on a burst corpus.
+    */
+  def intervalJoinPairs(ev: DataFrame, saltBuckets: Option[Int] = None): DataFrame = {
     val gapUs = 30L * 60 * 1000 * 1000
-    val ev = Tables.events(spark, dir)
-      .withColumn("us", unix_micros(col("ts")))
     // integer `div`, not `/`: µs-since-epoch exceeds 2^53, so a double
     // divide would corrupt bucket boundaries
     val clicks = ev.filter(col("event_type") === "click")
@@ -220,19 +234,27 @@ object Events {
         expr(s"us div $gapUs").as("v_bucket"))
     // each click probes its own bucket and the previous one — the two
     // equi-joins cover the whole 30-min window exactly once each.
-    // Residual skew boundary (honest): a user bursting within one gap
-    // width still concentrates in ~2 (user, bucket) keys; at that scale
-    // compose with SkewJoin.saltedEquiJoin on the view side — the bucket
-    // key already bounds the blowup to one gap of history, not all of it
     val probes = clicks.select(col("user_id"), col("click_id"),
         col("click_us"), col("bucket").as("probe_bucket"))
       .union(clicks.select(col("user_id"), col("click_id"),
         col("click_us"), (col("bucket") - 1).as("probe_bucket")))
-    probes.join(views,
-        col("user_id") === col("v_user_id") &&
-          col("probe_bucket") === col("v_bucket") &&
-          col("view_us") >= col("click_us") - gapUs &&
-          col("view_us") < col("click_us"))
+    val inRange = col("view_us") >= col("click_us") - gapUs &&
+      col("view_us") < col("click_us")
+    val joined = saltBuckets match {
+      case None =>
+        probes.join(views,
+          col("user_id") === col("v_user_id") &&
+            col("probe_bucket") === col("v_bucket") && inRange)
+      case Some(b) =>
+        SkewJoin.saltedEquiJoin(
+            probes.withColumn("jk",
+              concat_ws(":", col("user_id"), col("probe_bucket"))),
+            views.withColumn("jk",
+              concat_ws(":", col("v_user_id"), col("v_bucket"))),
+            "jk", saltBy = col("click_id"), buckets = b)
+          .where(inRange)
+    }
+    joined
       .select(col("user_id"), col("click_id"), col("view_id"),
         ((col("click_us") - col("view_us")) / lit(1000000.0)).as("gap_sec"))
       .orderBy(col("user_id"), col("click_id"), col("view_id"))

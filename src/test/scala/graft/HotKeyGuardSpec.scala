@@ -78,6 +78,33 @@ class HotKeyGuardSpec extends AnyFunSuite {
     assert(plain.size == 21)
   }
 
+  test("e9's salted-join hatch is pair-identical to plain e9 on a burst corpus") {
+    import graft.queries.Events
+    import spark.implicits._
+    // burst-within-one-gap skew: user 7 fires 120 views and 40 clicks
+    // inside a single 30-min window (all land in ~2 (user, bucket)
+    // keys — exactly the residual boundary the hatch exists for), plus
+    // normal users spread over hours
+    val gapUs = 30L * 60 * 1000 * 1000
+    val base = 1700000000L * 1000000
+    val burst = (0 until 120).map(i =>
+        (7L, 1000L + i, "view", base + i * (gapUs / 200))) ++
+      (0 until 40).map(i =>
+        (7L, 2000L + i, "click", base + gapUs / 3 + i * (gapUs / 100)))
+    val normal = (0 until 50).flatMap { i =>
+      val u = 100L + i % 5
+      Seq((u, 3000L + 2 * i, "view", base + i * gapUs),
+        (u, 3001L + 2 * i, "click", base + i * gapUs + gapUs / 2))
+    }
+    val ev = (burst ++ normal).toDF("user_id", "event_id", "event_type", "us")
+    val plain = Events.intervalJoinPairs(ev).collect().map(_.toSeq).toSeq
+    val salted = Events.intervalJoinPairs(ev, saltBuckets = Some(8))
+      .collect().map(_.toSeq).toSeq
+    assert(plain.nonEmpty, "burst corpus must produce pairs")
+    assert(salted == plain,
+      s"salted hatch diverged: ${salted.size} vs ${plain.size} pairs")
+  }
+
   test("IVF cell cap bounds per-cell pair counts on a hot cell") {
     import spark.implicits._
     // one hot label with 100 members
