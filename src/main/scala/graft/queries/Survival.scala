@@ -24,17 +24,41 @@ object Survival {
     */
   case class CIdxResult(n: Int, cindex: Double)
 
-  object CIndexAggregator extends Aggregator[SurvRow, List[SurvRow], CIdxResult] {
-    def zero: List[SurvRow] = Nil
-    def reduce(b: List[SurvRow], a: SurvRow): List[SurvRow] = a :: b
-    def merge(a: List[SurvRow], b: List[SurvRow]): List[SurvRow] = a ++ b
-    def finish(rows: List[SurvRow]): CIdxResult = {
-      val arr = rows.toArray
+  /** Counted cohort buffer — the count makes the cap check O(1). */
+  case class CBuf(n: Long, rows: List[SurvRow])
+
+  object CIndexAggregator extends Aggregator[SurvRow, CBuf, CIdxResult] {
+    /** Hard cohort cap. The exact C-index is a PAIRWISE statistic: every
+      * triple of the group must meet in one buffer and `finish` compares
+      * O(n²) pairs — ~4·10⁸ comparisons at 20k rows is the feasibility
+      * edge. Beyond it this aggregator REFUSES loudly instead of
+      * stalling or OOMing a task: at lake scale compute the C-index per
+      * stratum (smaller cohorts) or over an upstream sample — an exact
+      * single-cohort C over 10⁶ rows is 10¹² comparisons and is the
+      * wrong tool regardless of memory.
+      */
+    val MaxCohortRows = 20000
+    private def guard(n: Long): Unit =
+      if (n > MaxCohortRows) throw new IllegalStateException(
+        s"CIndexAggregator cohort exceeds $MaxCohortRows rows; the exact " +
+          "C-index is pairwise (all rows buffered, O(n²) compare). " +
+          "Stratify into smaller cohorts or subsample upstream.")
+    def zero: CBuf = CBuf(0, Nil)
+    def reduce(b: CBuf, a: SurvRow): CBuf = {
+      guard(b.n + 1)
+      CBuf(b.n + 1, a :: b.rows)
+    }
+    def merge(a: CBuf, b: CBuf): CBuf = {
+      guard(a.n + b.n)
+      CBuf(a.n + b.n, a.rows ++ b.rows)
+    }
+    def finish(b: CBuf): CIdxResult = {
+      val arr = b.rows.toArray
       CIdxResult(arr.length, CIndex.concordance(
         arr.map(r => Clinical(r.event, r.time)), arr.map(_.risk)))
     }
-    def bufferEncoder: org.apache.spark.sql.Encoder[List[SurvRow]] =
-      org.apache.spark.sql.Encoders.kryo[List[SurvRow]]
+    def bufferEncoder: org.apache.spark.sql.Encoder[CBuf] =
+      org.apache.spark.sql.Encoders.kryo[CBuf]
     def outputEncoder: org.apache.spark.sql.Encoder[CIdxResult] =
       org.apache.spark.sql.Encoders.product[CIdxResult]
   }

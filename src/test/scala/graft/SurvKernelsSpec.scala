@@ -336,3 +336,45 @@ class RankingGradientSpec extends AnyFunSuite {
     }
   }
 }
+
+/** The cohort-buffer scale boundary (flagged two rounds running): the
+  * exact C-index is a pairwise statistic — all of a group's triples must
+  * meet in one buffer and finish() compares O(n²) pairs — so the
+  * aggregator hard-caps the cohort and REFUSES loudly beyond it instead
+  * of stalling or OOMing a task. Lake-scale cohorts belong in stratified
+  * or sampled estimates, not the exact aggregator.
+  */
+class CIndexAggregatorScaleSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("small cohorts (the fitness-kernel scale) aggregate exactly") {
+    import spark.implicits._
+    import graft.queries.Survival
+    val rows = (0 until 100).map(i =>
+      Survival.SurvRow(i % 2 == 0, (i % 7).toDouble, (i * 37 % 101).toDouble))
+    val res = rows.toDS().groupByKey(_ => 1)
+      .agg(Survival.CIndexAggregator.toColumn.name("res"))
+      .collect().head._2
+    val expect = CIndex.concordance(
+      rows.map(r => Clinical(r.event, r.time)).toArray, rows.map(_.risk).toArray)
+    assert(res.n == 100 && math.abs(res.cindex - expect) < 1e-12,
+      s"got $res expect $expect")
+  }
+
+  test("a 10^6-row cohort is refused loudly with the pairwise-cap message") {
+    import spark.implicits._
+    import graft.queries.Survival
+    val big = spark.range(0, 1000000L)
+      .map(i => Survival.SurvRow(i % 2 == 0, (i % 97).toDouble, i.toDouble))
+    val e = intercept[Exception] {
+      big.groupByKey(_ => 1L)
+        .agg(Survival.CIndexAggregator.toColumn.name("res"))
+        .collect()
+    }
+    def chain(t: Throwable, n: Int = 0): List[Throwable] =
+      if (t == null || n > 10) Nil else t :: chain(t.getCause, n + 1)
+    assert(chain(e).exists(c => c.getMessage != null &&
+        c.getMessage.contains("pairwise")),
+      s"expected the cohort-cap refusal, got: $e")
+  }
+}
