@@ -28,21 +28,22 @@ object Survival {
   case class CBuf(n: Long, rows: List[SurvRow])
 
   object CIndexAggregator extends Aggregator[SurvRow, CBuf, CIdxResult] {
-    /** Hard cohort cap. The exact C-index is a PAIRWISE statistic: every
-      * triple of the group must meet in one buffer and `finish` compares
-      * O(n²) pairs — ~4·10⁸ comparisons at 20k rows is the feasibility
-      * edge. Beyond it this aggregator REFUSES loudly instead of
-      * stalling or OOMing a task: at lake scale compute the C-index per
-      * stratum (smaller cohorts) or over an upstream sample — an exact
-      * single-cohort C over 10⁶ rows is 10¹² comparisons and is the
-      * wrong tool regardless of memory.
+    /** Hard cohort cap. The exact C-index is a PAIRWISE statistic, so
+      * every triple of the group must meet in one buffer; `finish` runs
+      * the O(n log n) Fenwick-tree twin of the pairwise loop
+      * ([[CIndex.concordanceLogN]] — bit-identical credits), which makes
+      * 10⁶-row cohorts compute exactly in seconds. The cap is therefore
+      * a MEMORY bound (one serialized buffer per group), not a compute
+      * bound; beyond it this aggregator REFUSES loudly instead of
+      * OOMing a task — at that scale compute the C-index per stratum
+      * (smaller cohorts) or over an upstream sample.
       */
-    val MaxCohortRows = 20000
+    val MaxCohortRows = 2000000
     private def guard(n: Long): Unit =
       if (n > MaxCohortRows) throw new IllegalStateException(
         s"CIndexAggregator cohort exceeds $MaxCohortRows rows; the exact " +
-          "C-index is pairwise (all rows buffered, O(n²) compare). " +
-          "Stratify into smaller cohorts or subsample upstream.")
+          "C-index is pairwise — the whole cohort colocates in one " +
+          "buffer. Stratify into smaller cohorts or subsample upstream.")
     def zero: CBuf = CBuf(0, Nil)
     def reduce(b: CBuf, a: SurvRow): CBuf = {
       guard(b.n + 1)
@@ -54,7 +55,7 @@ object Survival {
     }
     def finish(b: CBuf): CIdxResult = {
       val arr = b.rows.toArray
-      CIdxResult(arr.length, CIndex.concordance(
+      CIdxResult(arr.length, CIndex.concordanceLogN(
         arr.map(r => Clinical(r.event, r.time)), arr.map(_.risk)))
     }
     def bufferEncoder: org.apache.spark.sql.Encoder[CBuf] =

@@ -339,13 +339,30 @@ class RankingGradientSpec extends AnyFunSuite {
 
 /** The cohort-buffer scale boundary (flagged two rounds running): the
   * exact C-index is a pairwise statistic — all of a group's triples must
-  * meet in one buffer and finish() compares O(n²) pairs — so the
-  * aggregator hard-caps the cohort and REFUSES loudly beyond it instead
-  * of stalling or OOMing a task. Lake-scale cohorts belong in stratified
-  * or sampled estimates, not the exact aggregator.
+  * meet in one buffer — so the aggregator (a) runs the O(n log n)
+  * Fenwick twin in finish, making 10⁶-row cohorts compute exactly, and
+  * (b) hard-caps the buffered cohort at the memory bound and REFUSES
+  * loudly beyond it. Lake-scale cohorts beyond the cap belong in
+  * stratified or sampled estimates.
   */
 class CIndexAggregatorScaleSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
+
+  test("concordanceLogN is bit-identical to the pairwise loop under heavy ties") {
+    for (seed <- Seq(1, 7, 42)) {
+      val rng = new scala.util.Random(seed)
+      val n = 500
+      // small value domains force time AND risk ties; sprinkle NaN risks
+      val y = Array.fill(n)(Clinical(rng.nextBoolean(), rng.nextInt(20).toDouble))
+      val risk = Array.fill(n) {
+        val r = rng.nextInt(15).toDouble
+        if (rng.nextInt(50) == 0) Double.NaN else if (r == 3.0) -0.0 else r
+      }
+      val naive = CIndex.concordance(y, risk)
+      val fast = CIndex.concordanceLogN(y, risk)
+      assert(fast == naive, s"seed $seed: fast=$fast naive=$naive")
+    }
+  }
 
   test("small cohorts (the fitness-kernel scale) aggregate exactly") {
     import spark.implicits._
@@ -361,10 +378,23 @@ class CIndexAggregatorScaleSpec extends AnyFunSuite {
       s"got $res expect $expect")
   }
 
-  test("a 10^6-row cohort is refused loudly with the pairwise-cap message") {
+  test("a 10^6-row cohort computes exactly (perfect ordering gives C = 1)") {
     import spark.implicits._
     import graft.queries.Survival
+    // distinct times, risk = -time: every comparable pair concordant
     val big = spark.range(0, 1000000L)
+      .map(i => Survival.SurvRow(i % 2 == 0, i.toDouble, -i.toDouble))
+    val res = big.groupByKey(_ => 1L)
+      .agg(Survival.CIndexAggregator.toColumn.name("res"))
+      .collect().head._2
+    assert(res.n == 1000000 && res.cindex == 1.0, s"got $res")
+  }
+
+  test("beyond the memory cap the cohort is refused loudly, not OOMed") {
+    import spark.implicits._
+    import graft.queries.Survival
+    val big = spark.range(0, Survival.CIndexAggregator.MaxCohortRows + 1L)
+      .repartition(1)
       .map(i => Survival.SurvRow(i % 2 == 0, (i % 97).toDouble, i.toDouble))
     val e = intercept[Exception] {
       big.groupByKey(_ => 1L)
