@@ -167,6 +167,37 @@ object OraclesText {
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
   )
 
+  val containment: Map[String, String] = Map(
+    // TextDedup.d9Containment: shared shingles / contained doc's shingle
+    // count, both directions of each candidate pair, threshold 0.9.
+    "d9_containment" ->
+      s"""WITH $shingleCte,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sidx GROUP BY doc_id),
+         |pairs AS (SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+         |            count(*) AS shared
+         |          FROM sidx a JOIN sidx b
+         |            ON a.shingle = b.shingle AND a.doc_id != b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT contained_id, container_id,
+         |  round(CAST(shared AS DOUBLE) / sa.n, 6) AS containment
+         |FROM pairs JOIN sizes sa ON contained_id = sa.doc_id
+         |WHERE round(CAST(shared AS DOUBLE) / sa.n, 6) >= 0.9
+         |ORDER BY contained_id, container_id LIMIT 3000""".stripMargin,
+
+    // TextDedup.t11RepetitionRatio: duplicate-bigram fraction per doc.
+    "t11_repetition_ratio" ->
+      """WITH x AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |b AS (SELECT doc_id, list_transform(range(1, len(toks)),
+        |        i -> toks[i] || ' ' || toks[i+1]) AS bigrams
+        |      FROM x WHERE len(toks) >= 2)
+        |SELECT doc_id, CAST(len(bigrams) AS INT) AS n_bigrams,
+        |  CAST(len(list_distinct(bigrams)) AS INT) AS n_uniq_bigrams,
+        |  round(1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams), 6)
+        |    AS dup_frac
+        |FROM b ORDER BY doc_id LIMIT 2000""".stripMargin,
+  )
+
   val pipeline: Map[String, String] = Map(
     // TextDedup.p1CorpusManifest: the end-to-end corpus construction —
     // d7's drop set + t4's quality formula + t9's split buckets and the
@@ -432,6 +463,22 @@ object OraclesText {
   )
 
   val events: Map[String, String] = Map(
+    // Events.e10CohortRetention: first-activity-hour cohorts, distinct
+    // users active exactly +1h / +24h after their cohort hour.
+    "e10_cohort_retention" ->
+      """WITH ev AS (SELECT user_id,
+        |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h FROM events),
+        |f AS (SELECT user_id, min(h) AS h0 FROM ev GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, h FROM ev)
+        |SELECT CAST(f.h0 AS TIMESTAMP) AS cohort_hour,
+        |  count(DISTINCT f.user_id) AS n_users,
+        |  count(DISTINCT CASE WHEN epoch_us(a.h) - epoch_us(f.h0) = 3600000000
+        |    THEN f.user_id END) AS ret_1h,
+        |  count(DISTINCT CASE WHEN epoch_us(a.h) - epoch_us(f.h0) = 86400000000
+        |    THEN f.user_id END) AS ret_24h
+        |FROM f JOIN a ON f.user_id = a.user_id
+        |GROUP BY 1 ORDER BY cohort_hour""".stripMargin,
+
     "e1_window_agg" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
         |  count(*) AS n,
@@ -615,6 +662,6 @@ object OraclesText {
   )
 
   def all: Map[String, String] =
-    dedup ++ dedupCapped ++ dedupDecision ++ dedupComponents ++ simhash ++
+    dedup ++ dedupCapped ++ dedupDecision ++ dedupComponents ++ containment ++ simhash ++
       text ++ pipeline ++ similarity ++ events ++ multimodal ++ survival
 }

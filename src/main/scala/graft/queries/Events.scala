@@ -274,8 +274,40 @@ object Events {
         count(lit(1)).as("n_events"))
       .orderBy(col("event_type"))
 
+  /** Cohort retention (e10): users grouped by their first-activity hour;
+    * how many were active exactly 1 hour / 24 hours after that first
+    * hour — the canonical product-analytics retention matrix, reduced to
+    * two offsets so it stays oracle-gateable. Shape at scale: one
+    * shuffle for first-hour per user, one distinct on (user, hour), an
+    * equi-join on user_id (both sides pre-aggregated, orders of
+    * magnitude smaller than raw events), and a final few-group rollup.
+    * The conditional distinct counts ride Spark's Expand-based
+    * multi-distinct rewrite — keyed by (cohort, user), so no hot single
+    * task.
+    */
+  def e10CohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000000
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+    val firsts = ev.groupBy(col("user_id")).agg(min(col("h")).as("h0"))
+    val activity = ev.distinct()
+    firsts.join(activity, Seq("user_id"))
+      .groupBy(col("h0"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        countDistinct(when(
+          unix_micros(col("h")) - unix_micros(col("h0")) === hourUs,
+          col("user_id"))).as("ret_1h"),
+        countDistinct(when(
+          unix_micros(col("h")) - unix_micros(col("h0")) === 24 * hourUs,
+          col("user_id"))).as("ret_24h"))
+      .select(col("h0").cast("timestamp_ntz").as("cohort_hour"),
+        col("n_users"), col("ret_1h"), col("ret_24h"))
+      .orderBy(col("cohort_hour"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_window_agg" -> (e1WindowAgg _),
+    "e10_cohort_retention" -> (e10CohortRetention _),
     "e2_sessionize" -> (e2Sessionize _),
     "e3_json_extract" -> (e3JsonExtract _),
     "e4_top_users" -> (e4TopUsers _),

@@ -247,6 +247,39 @@ object TextDedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Containment near-dup (d9): |shingles(a) ∩ shingles(b)| /
+    * |shingles(a)| ≥ 0.9 — the asymmetric cousin of Jaccard that catches
+    * quote-inclusion: a short document wholly contained in a long one
+    * scores low Jaccard (the union is large) but containment 1.0, and
+    * real pretraining corpora are full of exactly that shape (quoted
+    * articles, boilerplate-wrapped reposts). Same inverted-index
+    * candidate machinery as d6 — bucketed by shingle, never all-pairs;
+    * the unordered pair counts are computed ONCE (id_a < id_b) and then
+    * emitted in both directions, since containment is per-side.
+    */
+  def d9Containment(spark: SparkSession, dir: String): DataFrame = {
+    val idx = shingleIndex(Tables.documents(spark, dir)).persist()
+    idx.count() // eager materialization (see d3)
+    val sizes = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val shared = idx.as("a").join(idx.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    val both = shared.select(col("id_a").as("contained_id"),
+        col("id_b").as("container_id"), col("shared"))
+      .unionByName(shared.select(col("id_b").as("contained_id"),
+        col("id_a").as("container_id"), col("shared")))
+    both
+      .join(sizes.withColumnRenamed("doc_id", "contained_id"), Seq("contained_id"))
+      .withColumn("containment",
+        round(col("shared").cast("double") / col("n"), 6))
+      .filter(col("containment") >= 0.9)
+      .select(col("contained_id"), col("container_id"), col("containment"))
+      .orderBy(col("contained_id"), col("container_id"))
+      .limit(3000)
+  }
+
   /** End-to-end dedup decision: a document survives unless it is the
     * higher-id member of a Jaccard ≥ 0.8 near-dup pair — the composition
     * a real pretraining pipeline runs (pair generation → canonical
@@ -513,6 +546,32 @@ object TextDedup {
       .orderBy(col("doc_id"), col("chunk_idx"))
       .limit(3000)
 
+  /** Bigram repetition ratio (t11): the Gopher/C4-style repetitive-junk
+    * filter — the fraction of a document's word bigrams that are
+    * duplicates (1 − distinct/total). Boilerplate, keyword stuffing, and
+    * degenerate generations score high; clean prose scores near 0. Pure
+    * per-row array math (zip of the token array with its own tail), no
+    * shuffle at all — at 100 TB this runs inside the scan's codegen
+    * stage like t1/t4.
+    */
+  def t11RepetitionRatio(spark: SparkSession, dir: String): DataFrame = {
+    val n = size(col("toks"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(n >= 2)
+      .select(col("doc_id"),
+        zip_with(slice(col("toks"), lit(1), n - 1),
+          slice(col("toks"), lit(2), n - 1),
+          (a, b) => concat(a, lit(" "), b)).as("bigrams"))
+      .select(col("doc_id"),
+        size(col("bigrams")).as("n_bigrams"),
+        size(array_distinct(col("bigrams"))).as("n_uniq_bigrams"),
+        round(lit(1.0) - size(array_distinct(col("bigrams"))).cast("double")
+          / size(col("bigrams")), 6).as("dup_frac"))
+      .orderBy(col("doc_id"))
+      .limit(2000)
+  }
+
   /** Corpus word frequencies — the canonical explode → count shape; at
     * lake scale this is the vocabulary-building pass of a tokenizer
     * pipeline (one shuffle on the token).
@@ -637,7 +696,9 @@ object TextDedup {
     "d6b_jaccard_capped" -> (d6bJaccardCapped _),
     "d7_dedup_decision" -> (d7DedupDecision _),
     "d8_dedup_components" -> (d8DedupComponents _),
+    "d9_containment" -> (d9Containment _),
     "t1_token_stats" -> (t1TokenStats _),
+    "t11_repetition_ratio" -> (t11RepetitionRatio _),
     "t2_regex_tokens" -> (t2RegexTokens _),
     "t3_lang_id" -> (t3LangId _),
     "t4_quality_score" -> (t4QualityScore _),

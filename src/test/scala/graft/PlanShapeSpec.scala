@@ -65,6 +65,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(800))
   }
 
+  test("t11 repetition ratio is map-only: per-row array math, no exchange") {
+    val p = plan(TextDedup.t11RepetitionRatio(spark, dir))
+    assert(!p.contains("Exchange"), p.take(800))
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
   test("t10 sequence packing shuffles once, on the writer-shard key") {
     val p = plan(graft.queries.TextDedup.t10SequencePacking(spark, dir))
     // one hashpartitioning exchange for the per-shard window; the final
