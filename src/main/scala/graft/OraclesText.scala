@@ -198,6 +198,37 @@ object OraclesText {
         |FROM b ORDER BY doc_id LIMIT 2000""".stripMargin,
   )
 
+  val decontamination: Map[String, String] = Map(
+    // TextDedup.d10Decontamination: d6's Jaccard pairs emitted both
+    // ways, gated on t9's split buckets — eval side val/test, source
+    // side train.
+    "d10_decontamination" ->
+      s"""WITH $shingleCte,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sidx GROUP BY doc_id),
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+         |          FROM sidx a JOIN sidx b
+         |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |jac AS (SELECT id_a, id_b,
+         |          round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) AS jaccard
+         |        FROM pairs JOIN sizes sa ON id_a = sa.doc_id
+         |                   JOIN sizes sb ON id_b = sb.doc_id
+         |        WHERE round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) >= 0.8),
+         |sym AS (SELECT id_a AS eval_id, id_b AS train_id, jaccard FROM jac
+         |        UNION ALL SELECT id_b, id_a, jaccard FROM jac),
+         |sp AS (SELECT doc_id,
+         |         CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+         |              ELSE 'test' END AS split
+         |       FROM (SELECT doc_id,
+         |         ${hex4ToInt("substr(md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), 1, 4)")} % 100 AS bucket
+         |         FROM documents))
+         |SELECT eval_id, se.split AS eval_split, train_id, jaccard
+         |FROM sym JOIN sp se ON eval_id = se.doc_id
+         |         JOIN sp st ON train_id = st.doc_id
+         |WHERE se.split IN ('val', 'test') AND st.split = 'train'
+         |ORDER BY eval_id, train_id""".stripMargin,
+  )
+
   val pipeline: Map[String, String] = Map(
     // TextDedup.p1CorpusManifest: the end-to-end corpus construction —
     // d7's drop set + t4's quality formula + t9's split buckets and the
@@ -235,6 +266,44 @@ object OraclesText {
          |  (drops.doc_id IS NULL AND quality >= 0.57) AS selected
          |FROM q LEFT JOIN drops ON q.doc_id = drops.doc_id
          |ORDER BY q.doc_id""".stripMargin,
+
+    // TextDedup.p2CorpusMixing: per-language sampling rates over a
+    // salted content-hash bucket ("mix:" decorrelates from t9's split).
+    "p2_corpus_mixing" ->
+      s"""WITH x AS (SELECT doc_id, lang,
+         |    ${hex4ToInt("substr(md5('mix:' || regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), 1, 4)")} % 1000 AS bucket
+         |  FROM documents)
+         |SELECT doc_id, lang, CAST(bucket AS BIGINT) AS bucket,
+         |  bucket < (CASE lang WHEN 'en' THEN 500 WHEN 'es' THEN 900
+         |            WHEN 'zh' THEN 1000 WHEN 'de' THEN 800 WHEN 'fr' THEN 800
+         |            ELSE 700 END) AS keep
+         |FROM x ORDER BY doc_id LIMIT 2000""".stripMargin,
+
+    // TextDedup.p3TokenBudget: quality-descending cumulative token sum,
+    // docs whose preceding total is under the budget. The window sum is
+    // CAST to BIGINT (DuckDB promotes integer window sums to HUGEINT —
+    // the q12 dtype class).
+    "p3_token_budget" ->
+      """WITH x AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |r AS (SELECT doc_id,
+        |    CAST(len(toks) AS INT) AS n_tokens,
+        |    CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','is','to'], t))) AS DOUBLE) / len(toks) AS stop_ratio,
+        |    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+        |    CAST(len(list_filter(toks, t -> length(t) >= 4)) AS DOUBLE) / len(toks) AS long_ratio
+        |  FROM x),
+        |q AS (SELECT doc_id, n_tokens,
+        |    round(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.3
+        |      + ttr * 0.3 + stop_ratio * 0.2 + long_ratio * 0.2, 6) AS quality
+        |  FROM r),
+        |c AS (SELECT doc_id, quality, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS cum_before
+        |  FROM q)
+        |SELECT doc_id, quality, n_tokens, cum_before FROM c
+        |WHERE cum_before < 10000
+        |ORDER BY quality DESC, doc_id""".stripMargin,
   )
 
   val text: Map[String, String] = Map(
@@ -381,6 +450,28 @@ object OraclesText {
     s"CASE WHEN $terms > 0 THEN 1 ELSE 0 END"
   }
 
+  val xent: Map[String, String] = Map(
+    // TextDedup.t12UnigramXent: corpus-unigram cross-entropy per doc.
+    // ln c is snapped to integer micro-nats per vocab row so the per-doc
+    // sum is exact integer math (order-independent in both engines);
+    // integer sums CAST to BIGINT (HUGEINT class).
+    "t12_unigram_xent" ->
+      """WITH tok AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |tf AS (SELECT doc_id, unnest(toks) AS token FROM tok),
+        |tfm AS (SELECT doc_id, token, count(*) AS m FROM tf GROUP BY 1, 2),
+        |vocab AS (SELECT token, CAST(sum(m) AS BIGINT) AS c FROM tfm GROUP BY 1),
+        |n AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM vocab),
+        |d AS (SELECT doc_id,
+        |        CAST(sum(m * CAST(round(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT)) AS BIGINT) AS slnc,
+        |        CAST(sum(m) AS BIGINT) AS n_tokens
+        |      FROM tfm JOIN vocab USING (token) GROUP BY 1)
+        |SELECT doc_id, n_tokens,
+        |  round(ln(CAST(n_total AS DOUBLE))
+        |    - CAST(slnc AS DOUBLE) / (n_tokens * 1000000.0), 6) AS xent
+        |FROM d, n ORDER BY doc_id LIMIT 2000""".stripMargin,
+  )
+
   val similarity: Map[String, String] = Map(
     "s1_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
@@ -478,6 +569,15 @@ object OraclesText {
         |    THEN f.user_id END) AS ret_24h
         |FROM f JOIN a ON f.user_id = a.user_id
         |GROUP BY 1 ORDER BY cohort_hour""".stripMargin,
+
+    // Events.e11GapFill: last purchase amount carried forward per user
+    // (IGNORE NULLS forward fill over an unbounded-preceding frame).
+    "e11_gap_fill" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+        |  last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase
+        |FROM events ORDER BY event_id LIMIT 3000""".stripMargin,
 
     "e1_window_agg" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
@@ -662,6 +762,7 @@ object OraclesText {
   )
 
   def all: Map[String, String] =
-    dedup ++ dedupCapped ++ dedupDecision ++ dedupComponents ++ containment ++ simhash ++
-      text ++ pipeline ++ similarity ++ events ++ multimodal ++ survival
+    dedup ++ dedupCapped ++ dedupDecision ++ dedupComponents ++ containment ++
+      decontamination ++ simhash ++ text ++ xent ++ pipeline ++ similarity ++
+      events ++ multimodal ++ survival
 }

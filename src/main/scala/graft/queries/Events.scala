@@ -305,9 +305,36 @@ object Events {
       .orderBy(col("cohort_hour"))
   }
 
+  /** Gap-fill / LOCF (e11): carry each user's most recent purchase
+    * amount forward onto every subsequent event — the classic
+    * last-observation-carried-forward feature backfill an event
+    * pipeline runs before training on tabular event features. One
+    * window partitioned by user_id (per-task state = one user's
+    * events, the natural key); `last(_, ignoreNulls=true)` over an
+    * unbounded-preceding frame is Spark's IGNORE-NULLS forward fill,
+    * value-identical to DuckDB's `last_value(... IGNORE NULLS)` since
+    * the carried double passes through un-rearranged.
+    */
+  def e11GapFill(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("last_purchase",
+        last(when(col("event_type") === "purchase", col("value")),
+          ignoreNulls = true).over(w))
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("timestamp_ntz").as("ts"),
+        col("event_type"), col("last_purchase"))
+      .orderBy(col("event_id"))
+      .limit(3000)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_window_agg" -> (e1WindowAgg _),
     "e10_cohort_retention" -> (e10CohortRetention _),
+    "e11_gap_fill" -> (e11GapFill _),
     "e2_sessionize" -> (e2Sessionize _),
     "e3_json_extract" -> (e3JsonExtract _),
     "e4_top_users" -> (e4TopUsers _),

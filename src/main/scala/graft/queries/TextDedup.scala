@@ -651,6 +651,155 @@ object TextDedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Benchmark decontamination (d10): eval-split documents (t9's
+    * val/test buckets) that near-duplicate a train-split document — the
+    * train→benchmark leakage check a pretraining pipeline runs before
+    * trusting an eval number. Composes the t9 content-hash split with
+    * the d6 inverted-index Jaccard pairs: candidate generation stays
+    * banded by shingle (never all-pairs), and the per-doc split table is
+    * a slim (doc_id, split) projection joined twice on doc_id — at
+    * corpus scale both joins shuffle on doc_id or broadcast, AQE's
+    * call. Pairs are computed ONCE undirected (id_a < id_b) and emitted
+    * in both directions because contamination is directional
+    * (train → eval): either side of an undirected pair may be the
+    * eval document.
+    */
+  def d10Decontamination(spark: SparkSession, dir: String): DataFrame = {
+    val (_, split) = splitCols
+    val splits = Tables.documents(spark, dir)
+      .select(col("doc_id"), split.as("split"))
+    val jac = d6NgramJaccard(spark, dir)
+    val sym = jac.select(col("id_a").as("eval_id"),
+        col("id_b").as("train_id"), col("jaccard"))
+      .unionAll(jac.select(col("id_b").as("eval_id"),
+        col("id_a").as("train_id"), col("jaccard")))
+    sym
+      .join(splits.as("se"), col("eval_id") === col("se.doc_id"))
+      .join(splits.as("st"), col("train_id") === col("st.doc_id"))
+      .filter(col("se.split").isin("val", "test") &&
+        col("st.split") === "train")
+      .select(col("eval_id"), col("se.split").as("eval_split"),
+        col("train_id"), col("jaccard"))
+      .orderBy(col("eval_id"), col("train_id"))
+  }
+
+  /** Per-language sampling rates out of 1000 — the p2 mixture weights
+    * (downsample the over-represented language, keep the rest near-full).
+    */
+  val MixRates: Seq[(String, Int)] =
+    Seq("en" -> 500, "es" -> 900, "zh" -> 1000, "de" -> 800, "fr" -> 800)
+  val MixDefaultRate = 700
+
+  /** Corpus mixing (p2): deterministic per-language sampling — the
+    * data-mixture step that re-weights sources/languages before
+    * training. The keep decision is per-row arithmetic on a salted
+    * content hash (the "mix:" salt decorrelates the sample from t9's
+    * split buckets, which hash the same normalized text), so the op is
+    * map-only with NO shuffle, reproducible under retries and
+    * re-sharding, and identical texts sample identically everywhere —
+    * rerunning the pipeline at 100 TB yields the same corpus bit for
+    * bit.
+    */
+  def p2CorpusMixing(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = conv(substring(fastMd5(concat(lit("mix:"),
+        regexp_replace(trim(lower(col("text"))), "\\s+", " "))), 1, 4),
+      16, 10).cast("long") % 1000
+    val rate = MixRates.foldLeft(lit(MixDefaultRate)) {
+      case (els, (l, r)) => when(col("lang") === l, r).otherwise(els)
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), bucket.as("bucket"),
+        (bucket < rate).as("keep"))
+      .orderBy(col("doc_id"))
+      .limit(2000)
+  }
+
+  /** Token-budget corpus selection (p3): take documents in descending
+    * quality order until the token budget is exhausted (the straddling
+    * document is kept, mirroring t10's packing rule) — the "best N
+    * billion tokens" selection step of a data-constrained training run.
+    *
+    * The cumulative sum is a DISTRIBUTED prefix sum, not a single-task
+    * global window: range-partition on the sort key (so partition i
+    * holds strictly better-quality docs than partition i+1), cum-sum
+    * WITHIN each partition by window, and add per-partition offsets
+    * computed from a #partitions-row side table (its own window is over
+    * that tiny table only) broadcast back. Per-task state is one range
+    * partition; nothing global ever funnels into a single task — the
+    * textbook scalable prefix sum. The partitioned frame persists so
+    * the offset branch and the window branch see the SAME partitioner
+    * sample (spark_partition_id must agree between the two reads).
+    */
+  def tokenBudgetSelection(spark: SparkSession, dir: String,
+      budget: Long = 10000L, nParts: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = qualityFrame(spark, dir)
+      .select(col("doc_id"), col("quality"), col("n_tokens"))
+    val parts = q.repartitionByRange(nParts, col("quality").desc, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .persist()
+    parts.count() // freeze the range sample + pid assignment (see d3)
+    val wIn = Window.partitionBy(col("pid"))
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wOff = Window.orderBy(col("pid")) // ≤ nParts rows — driver-sized
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parts.groupBy(col("pid"))
+      .agg(sum(col("n_tokens")).as("ptotal"))
+      .withColumn("offset", coalesce(sum(col("ptotal")).over(wOff), lit(0L)))
+      .select(col("pid"), col("offset"))
+    parts
+      .withColumn("cum_in", coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+      .join(broadcast(offsets), Seq("pid"))
+      .select(col("doc_id"), col("quality"), col("n_tokens"),
+        (col("cum_in") + col("offset")).as("cum_before"))
+      .filter(col("cum_before") < budget)
+      .orderBy(col("quality").desc, col("doc_id"))
+  }
+
+  def p3TokenBudget(spark: SparkSession, dir: String): DataFrame =
+    tokenBudgetSelection(spark, dir)
+
+  /** Unigram cross-entropy scoring (t12): the CCNet-style "perplexity
+    * filter" with the language model reduced to corpus unigram counts —
+    * score(d) = ln N − (Σ_t m_t·ln c_t)/|d| where c_t is the corpus
+    * count of token t and m_t its in-doc multiplicity; low = in-
+    * distribution text, high = out-of-distribution junk. Three
+    * aggregations, each on a naturally high-cardinality key — term
+    * frequency per (doc, token), vocabulary per token, score per doc —
+    * so every shuffle is well-spread. ln c is snapped to integer
+    * micro-nats per VOCAB row (round-then-cast: the rounded value is an
+    * integer-valued double, so the long cast is exact in both engines)
+    * and the per-doc accumulation is integer math — order-independent
+    * under any partitioning, the GridMath discipline. The tf table
+    * persists: it feeds both the vocabulary aggregation and the scoring
+    * join.
+    */
+  def t12UnigramXent(spark: SparkSession, dir: String): DataFrame = {
+    val tfm = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("m"))
+      .persist()
+    tfm.count() // eager materialization (see d3)
+    val vocab = tfm.groupBy(col("token"))
+      .agg(sum(col("m")).as("c"))
+      .withColumn("lnc_micro",
+        round(log(col("c").cast("double")) * 1e6).cast("long"))
+    val nTotal = vocab.agg(sum(col("c")).as("n_total"))
+    tfm.join(vocab.select(col("token"), col("lnc_micro")), Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m") * col("lnc_micro")).as("slnc"),
+        sum(col("m")).as("n_tokens"))
+      .crossJoin(broadcast(nTotal))
+      .select(col("doc_id"), col("n_tokens"),
+        round(log(col("n_total").cast("double")) -
+          col("slnc").cast("double") / (col("n_tokens") * lit(1e6)), 6)
+          .as("xent"))
+      .orderBy(col("doc_id"))
+      .limit(2000)
+  }
+
   /** Sequence packing (t10): assign documents to fixed-token-budget
     * training packs. Documents are packed greedily in doc_id order
     * WITHIN a shard (doc_id mod nShards — the writer-task unit a real
@@ -697,6 +846,7 @@ object TextDedup {
     "d7_dedup_decision" -> (d7DedupDecision _),
     "d8_dedup_components" -> (d8DedupComponents _),
     "d9_containment" -> (d9Containment _),
+    "d10_decontamination" -> (d10Decontamination _),
     "t1_token_stats" -> (t1TokenStats _),
     "t11_repetition_ratio" -> (t11RepetitionRatio _),
     "t2_regex_tokens" -> (t2RegexTokens _),
@@ -708,6 +858,9 @@ object TextDedup {
     "t8_chunking" -> (t8Chunking _),
     "t9_split_assign" -> (t9SplitAssign _),
     "t10_sequence_packing" -> (t10SequencePacking _),
+    "t12_unigram_xent" -> (t12UnigramXent _),
     "p1_corpus_manifest" -> (p1CorpusManifest _),
+    "p2_corpus_mixing" -> (p2CorpusMixing _),
+    "p3_token_budget" -> (p3TokenBudget _),
   )
 }
