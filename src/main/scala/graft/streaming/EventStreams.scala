@@ -349,6 +349,131 @@ object EventStreams {
       }
   }
 
+  case class LocfIn(event_id: Long, user_id: Long, event_type: String,
+      ts: java.sql.Timestamp, value: Option[Double])
+  /** The last purchase amount seen per user — the entire LOCF state. */
+  case class LocfState(lastPurchase: Double)
+  case class LocfOut(event_id: Long, user_id: Long, event_type: String,
+      last_purchase: Option[Double])
+
+  /** Streaming twin of Events.e11GapFill: every event carries the
+    * user's most recent purchase amount forward (LOCF). Keyed state is
+    * ONE double per user — the semantic minimum: the batch window
+    * carries the observation forward unboundedly, so the carried value
+    * must outlive any horizon and a timeout would change the answer
+    * (same justification as [[asofViews]]'s NoTimeout). Within a batch
+    * rows are processed in the batch twin's (µs, event_id) order — a
+    * purchase updates the carry BEFORE emitting its own row, matching
+    * the window frame's `currentRow` upper bound — so the outputs agree
+    * exactly when the stream delivers in order.
+    */
+  def locfStream(events: Dataset[LocfIn]): Dataset[LocfOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LocfState, LocfOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[LocfIn], state: GroupState[LocfState]) =>
+          val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var carry = state.getOption.map(_.lastPurchase)
+          val out = Seq.newBuilder[LocfOut]
+          sorted.foreach { e =>
+            // null purchase amounts are skipped, matching the batch
+            // twin's last(..., ignoreNulls = true)
+            if (e.event_type == "purchase" && e.value.isDefined)
+              carry = e.value
+            out += LocfOut(e.event_id, userId, e.event_type, carry)
+          }
+          carry.foreach(v => state.update(LocfState(v)))
+          out.result().iterator
+      }
+  }
+
+  case class RetIn(user_id: Long, ts: java.sql.Timestamp)
+  /** First-activity hour plus which retention facts were already
+    * emitted — O(1) per user, and removable once both offsets fire or
+    * the watermark passes the 24-hour horizon.
+    */
+  case class RetState(h0Us: Long, ret1Done: Boolean, ret24Done: Boolean)
+  /** One retention fact per (user, kind): `new` at first sight, `ret1h`
+    * / `ret24h` the first time the user is active exactly that offset
+    * after their first-activity hour.
+    */
+  case class RetFact(user_id: Long, cohort_us: Long, kind: String)
+
+  /** Streaming half of the e10 twin: per-user first-seen-hour state
+    * emitting each retention fact exactly once. This is the unbounded,
+    * heavy part — the batch twin's `min(h)`-per-user shuffle becomes
+    * keyed state here. State is GARBAGE-COLLECTED two ways: a user whose
+    * 1-hour and 24-hour facts have both fired can never emit again and
+    * is dropped immediately; otherwise an event-time timeout fires once
+    * the watermark passes the user's h0+24h horizon (no event after
+    * that can land exactly on either offset, so nothing is lost). The
+    * cohort matrix itself is the bounded follow-up
+    * ([[retentionMatrix]]) — the same streaming-pre-agg / serving-finish
+    * split as the e4 top-users twin. In-order delivery caveat as in
+    * [[asofViews]]: a row older than a user's recorded first hour would
+    * retroactively move the batch twin's cohort; Append mode cannot
+    * retract, so the twin assumes per-user in-order arrival.
+    */
+  def retentionFacts(events: Dataset[RetIn]): Dataset[RetFact] = {
+    import events.sparkSession.implicits._
+    val hourUs = 3600L * 1000000
+    events.withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RetState, RetFact](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[RetIn], state: GroupState[RetState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed h0+24h: neither offset can fire anymore
+            state.remove()
+            Iterator.empty
+          } else {
+            val hours = rows.map(e => {
+              val t = micros(e.ts); t - java.lang.Math.floorMod(t, hourUs)
+            }).toSeq.sorted
+            val out = Seq.newBuilder[RetFact]
+            var st = state.getOption match {
+              case Some(s) => s
+              case None =>
+                out += RetFact(userId, hours.min, "new")
+                RetState(hours.min, ret1Done = false, ret24Done = false)
+            }
+            hours.foreach { h =>
+              if (!st.ret1Done && h == st.h0Us + hourUs) {
+                st = st.copy(ret1Done = true)
+                out += RetFact(userId, st.h0Us, "ret1h")
+              }
+              if (!st.ret24Done && h == st.h0Us + 24 * hourUs) {
+                st = st.copy(ret24Done = true)
+                out += RetFact(userId, st.h0Us, "ret24h")
+              }
+            }
+            if (st.ret1Done && st.ret24Done) state.remove() // emitted all
+            else {
+              state.update(st)
+              state.setTimeoutTimestamp(math.max(
+                st.h0Us / 1000 + 25 * 3600 * 1000,
+                state.getCurrentWatermarkMs + 1))
+            }
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Bounded finish of the e10 twin: roll the per-user retention facts
+    * up to the cohort matrix. Each fact is emitted exactly once per
+    * (user, kind) upstream, so plain conditional counts — no distinct —
+    * reproduce the batch twin's `countDistinct` exactly.
+    */
+  def retentionMatrix(facts: DataFrame): DataFrame =
+    facts.groupBy(col("cohort_us"))
+      .agg(count(when(col("kind") === "new", 1)).as("n_users"),
+        count(when(col("kind") === "ret1h", 1)).as("ret_1h"),
+        count(when(col("kind") === "ret24h", 1)).as("ret_24h"))
+      .select(timestamp_micros(col("cohort_us")).cast("timestamp_ntz")
+          .as("cohort_hour"),
+        col("n_users"), col("ret_1h"), col("ret_24h"))
+
   /** Runs a streaming query to completion over a static directory (the
     * local smoke path: batch parquet drives the stream synchronously).
     */

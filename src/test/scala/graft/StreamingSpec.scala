@@ -246,4 +246,97 @@ class StreamingSpec extends AnyFunSuite {
     assert(oneBurst == expected, s"one-burst got $oneBurst")
     assert(twoBursts == expected, s"two-burst got $twoBursts")
   }
+
+  test("streaming LOCF equals the batch twin (e11)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val in = EventStreams.readEvents(spark, streamDir)
+      .select($"event_id", $"user_id", $"event_type", $"ts", $"value")
+      .as[EventStreams.LocfIn]
+    EventStreams.runToMemorySink(EventStreams.locfStream(in).toDF(), "locf")
+    val streamed = spark.table("locf")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Long.MinValue, 0)
+    val batch = graft.Tables.events(spark, dir)
+      .withColumn("last_purchase",
+        last(when($"event_type" === "purchase", $"value"),
+          ignoreNulls = true).over(w))
+      .select($"event_id", $"user_id", $"event_type", $"last_purchase")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+    assert(streamed == batch, s"stream=${streamed.size} batch=${batch.size}")
+    assert(streamed.nonEmpty)
+  }
+
+  test("streaming retention facts roll up to the batch cohort matrix (e10)") {
+    import spark.implicits._
+    val in = EventStreams.readEvents(spark, streamDir)
+      .select($"user_id", $"ts").as[EventStreams.RetIn]
+    EventStreams.runToMemorySink(
+      EventStreams.retentionFacts(in).toDF(), "ret_facts")
+    val streamed = EventStreams.retentionMatrix(spark.table("ret_facts"))
+      .collect().map(r => (r.getAs[java.time.LocalDateTime](0),
+        r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = Events.e10CohortRetention(spark, dir)
+      .collect().map(r => (r.getAs[java.time.LocalDateTime](0),
+        r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == batch, s"stream=${streamed.size} batch=${batch.size}")
+    assert(streamed.nonEmpty)
+  }
+
+  test("LOCF carry and retention state survive a multi-burst replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000L // ms
+    def ts(offMin: Long) = new java.sql.Timestamp(base + offMin * 60000)
+
+    // LOCF: purchase in burst 1 must be carried onto burst-2 events
+    val locfMem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventStreams.LocfIn]
+    val locfQ = EventStreams.locfStream(locfMem.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("locf_burst").start()
+    try {
+      locfMem.addData(
+        EventStreams.LocfIn(1, 7, "view", ts(0), Some(0.0)),
+        EventStreams.LocfIn(2, 7, "purchase", ts(1), Some(42.5)))
+      locfQ.processAllAvailable()
+      locfMem.addData(EventStreams.LocfIn(3, 7, "click", ts(2), Some(0.0)))
+      locfQ.processAllAvailable()
+    } finally locfQ.stop()
+    val locfOut = spark.table("locf_burst")
+      .as[EventStreams.LocfOut].collect().toSet
+    assert(locfOut == Set(
+      EventStreams.LocfOut(1, 7, "view", None),
+      EventStreams.LocfOut(2, 7, "purchase", Some(42.5)),
+      EventStreams.LocfOut(3, 7, "click", Some(42.5))), s"got $locfOut")
+
+    // retention: h0 from burst 1; the +1h and +24h facts arrive in
+    // later bursts and must fire against the remembered first hour
+    val retMem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventStreams.RetIn]
+    val retQ = EventStreams.retentionFacts(retMem.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ret_burst").start()
+    try {
+      retMem.addData(EventStreams.RetIn(7, ts(5)))           // h0
+      retQ.processAllAvailable()
+      retMem.addData(EventStreams.RetIn(7, ts(65)))          // h0 + 1h
+      retQ.processAllAvailable()
+      retMem.addData(EventStreams.RetIn(7, ts(24 * 60 + 5)), // h0 + 24h
+        EventStreams.RetIn(8, ts(24 * 60 + 10)))             // new cohort
+      retQ.processAllAvailable()
+    } finally retQ.stop()
+    val h0Us = (base - java.lang.Math.floorMod(base, 3600000L)) * 1000
+    val retOut = spark.table("ret_burst")
+      .as[EventStreams.RetFact].collect().toSet
+    assert(retOut == Set(
+      EventStreams.RetFact(7, h0Us, "new"),
+      EventStreams.RetFact(7, h0Us, "ret1h"),
+      EventStreams.RetFact(7, h0Us, "ret24h"),
+      EventStreams.RetFact(8, h0Us + 24L * 3600000000L, "new")), s"got $retOut")
+  }
 }
