@@ -53,27 +53,34 @@ object Bench {
       n -> passes.map(_(n)).sorted.apply(timedPasses / 2)
     }
 
-    // 4 decimal places (0.1 ms grain) — full-precision doubles double the
+    // 3 decimal places (1 ms grain) — full-precision doubles double the
     // line length for no information, and the stdout line must stay small
     // enough to survive the driver's log-tail capture (see below)
-    def r4(v: Double): String = // Locale.ROOT: never a decimal comma
-      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    def r3(v: Double): String = // Locale.ROOT: never a decimal comma
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def obj(kv: Seq[(String, Double)]): String =
-      kv.map { case (k, v) => "\"" + k + "\":" + r4(v) }.mkString("{", ",", "}")
+      kv.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val passTotals = passes.map(p => names.map(p).sum)
-      .map(r4).mkString("[", ",", "]")
-    val total = best.map(_._2).sum
+      .map(r3).mkString("[", ",", "]")
+    // The headline total is the sum of the ROUNDED per-query values, so
+    // a consumer cross-checking sum(queries) against "value" sees an
+    // exact match (full-precision detail lives in bench_result.json).
+    val total = best.map(kv => r3(kv._2).toDouble).sum
     val totalMedian = median.map(_._2).sum
     // Two artifacts from one run:
-    //  - stdout: ONE compact line (headline total + per-query min3 +
-    //    median-vs-min divergence tell). The driver captures a bounded
-    //    log TAIL — BENCH_r03 and _r04 both clipped mid-line and parsed
-    //    as null because this line used to carry every pass at full
-    //    precision (~20 KB). Compact (~2.5 KB) fits any sane tail.
+    //  - stdout: ONE line with the BARE contract fields only
+    //    ({"metric","value","unit","queries","sf"}, ~1.9 KB). The driver
+    //    captures a bounded log TAIL whose budget is ~2.8 KB: r03/r04
+    //    carried per-pass detail (~20 KB) and clipped; r05's "compact"
+    //    line (~2.9 KB of agg trailers) STILL clipped by ~130 bytes.
+    //    Nothing beyond the contract goes on stdout anymore.
     //  - bench_result.json: the full per-pass detail, committed to the
     //    repo each round so the complete artifact survives regardless.
-    val headline = s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":${obj(best)},"sf":"$sfDir","warmup_passes":1,"timed_passes":$timedPasses,"agg":"per-query min of first 3","total_median5":${r4(totalMedian)},"pass_totals":$passTotals}"""
-    val full = s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":${obj(best)},"sf":"$sfDir","warmup_passes":1,"timed_passes":$timedPasses,"agg":"per-query min of first 3","total_median5":${r4(totalMedian)},"queries_median5":${obj(median)},"pass_totals":$passTotals,"queries_per_pass":${passes.map(p => obj(names.map(n => n -> p(n)))).mkString("[", ",", "]")}}"""
+    val sfShort = sfDir.replaceAll(".*sf", "") // "/root/testdata/sf0.1" → 0.1
+    val sfJson =
+      if (sfShort.matches("""\d+(\.\d+)?""")) sfShort else "\"" + sfDir + "\""
+    val headline = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${obj(best)},"sf":$sfJson}"""
+    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${obj(best)},"sf":"$sfDir","warmup_passes":1,"timed_passes":$timedPasses,"agg":"per-query min of first 3","total_median5":${r3(totalMedian)},"queries_median5":${obj(median)},"pass_totals":$passTotals,"queries_per_pass":${passes.map(p => obj(names.map(n => n -> p(n)))).mkString("[", ",", "]")}}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), full + "\n")
     // LAST line of output, flushed: the driver tails the log

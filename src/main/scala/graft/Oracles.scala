@@ -184,6 +184,17 @@ object Oracles {
         |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
+    // Relational.q16bApproxPercentiles — bounded-error gate: the exact
+    // percentiles hash-match; the _ok booleans (Spark-side sketch-vs-
+    // exact-band checks) must all come back TRUE.
+    "q16b_approx_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS p50_qty,
+        |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
+        |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75_price,
+        |  TRUE AS p50_ok, TRUE AS p25_ok, TRUE AS p75_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "q17_string_fns" ->
       """SELECT p_partkey,
         |  replace(p_name, ' ', '_') AS name_u,

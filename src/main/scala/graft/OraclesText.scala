@@ -653,6 +653,14 @@ object OraclesText {
         |FROM m WHERE event_type = 'click'
         |ORDER BY user_id, event_id LIMIT 3000""".stripMargin,
 
+    // Events.e8ApproxUsers — bounded-error gate: exact distinct count
+    // hash-matches; approx_ok (Spark-side |hll − exact| ≤ 6% check,
+    // 3σ of rsd 0.02) must come back TRUE.
+    "e8_approx_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |  count(*) AS n_events, TRUE AS approx_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "e4_top_users" ->
       """WITH c AS (SELECT event_type, user_id, count(*) AS n
         |  FROM events GROUP BY 1, 2),

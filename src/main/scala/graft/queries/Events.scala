@@ -264,14 +264,25 @@ object Events {
   /** HLL++ distinct users per event type — the mergeable-sketch form of
     * a distinct count: map-side sketches merge in the shuffle, so memory
     * per task is the sketch size, not the user-id set. Sketch estimates
-    * are engine-specific → rows-only check (e4/q10 carry the exact,
-    * oracle-gated counting).
+    * are engine-specific, so the raw estimate cannot hash-match a DuckDB
+    * oracle; instead the gate output is the BOUNDED-ERROR CHECK itself:
+    * the exact distinct count (oracle-reproducible) plus `approx_ok` =
+    * |hll − exact| / exact ≤ 0.06 (3σ of the requested rsd 0.02). The
+    * oracle asserts TRUE, so a sketch drifting out of tolerance turns
+    * the row red — every entry in the gate is now checked against
+    * something, not `no_oracle`. The exact count rides the same Expand
+    * rewrite as any mixed distinct/non-distinct agg; the sketch stays
+    * the production operator (partial-agg mergeable, O(sketch) memory).
     */
   def e8ApproxUsers(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
-        count(lit(1)).as("n_events"))
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n_events"),
+        approx_count_distinct(col("user_id"), 0.02).as("hll"))
+      .select(col("event_type"), col("exact_users"), col("n_events"),
+        (abs(col("hll") - col("exact_users")) <=
+          col("exact_users") * lit(0.06)).as("approx_ok"))
       .orderBy(col("event_type"))
 
   /** Cohort retention (e10): users grouped by their first-activity hour;

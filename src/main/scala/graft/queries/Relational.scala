@@ -391,22 +391,38 @@ object Relational {
       .orderBy(col("p_partkey"), col("attr"))
       .limit(3000)
 
-  /** q16's 100-TB form: `approx_percentile` (t-digest) — a mergeable
-    * sketch with bounded memory per group, no within-group sort. Sketch
-    * internals differ between engines, so this is deliberately NOT
-    * oracle-hashed (driver records the weaker rows-only check); q16 is
-    * the exact, oracle-gated twin.
+  /** q16's 100-TB form: `approx_percentile` (Greenwald-Khanna quantile
+    * summary) — a mergeable sketch with bounded memory per group, no
+    * within-group sort. Sketch internals differ between engines, so the
+    * raw estimates cannot hash-match DuckDB; instead the gate output is
+    * the BOUNDED-ERROR CHECK: the exact percentiles (q16's idiom,
+    * oracle-reproducible) plus one `_ok` boolean per sketch asserting
+    * the estimate lies inside the exact-value band at rank p ± 2ε
+    * (accuracy 1000 ⇒ guaranteed rank error ε = 1e-3; the extra ε
+    * absorbs quantile_cont interpolation slop at the band edges, which
+    * a value-at-discrete-rank bound wouldn't need). The oracle asserts
+    * TRUE, so a sketch outside its guarantee turns the row red.
     */
-  def q16bApproxPercentiles(spark: SparkSession, dir: String): DataFrame =
+  def q16bApproxPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    def band(c: String, p: Double, a: Column): Column = {
+      val eps = 0.002
+      a.between(expr(s"percentile($c, ${p - eps})"),
+        expr(s"percentile($c, ${p + eps})"))
+    }
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        expr("approx_percentile(l_quantity, 0.5, 1000)").as("p50_qty"),
-        round(expr("approx_percentile(l_extendedprice, 0.25, 1000)"), 4)
-          .as("p25_price"),
-        round(expr("approx_percentile(l_extendedprice, 0.75, 1000)"), 4)
-          .as("p75_price"))
+        expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25_price"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75_price"),
+        band("l_quantity", 0.5,
+          expr("approx_percentile(l_quantity, 0.5, 1000)")).as("p50_ok"),
+        band("l_extendedprice", 0.25,
+          expr("approx_percentile(l_extendedprice, 0.25, 1000)")).as("p25_ok"),
+        band("l_extendedprice", 0.75,
+          expr("approx_percentile(l_extendedprice, 0.75, 1000)")).as("p75_ok"))
       .orderBy(col("l_returnflag"))
+  }
 
   /** Top-3 highest-value orders per priority through the NATIVE top-k
     * physical operator ([[org.apache.spark.sql.graftfn.TopKPerGroupNative]]

@@ -403,11 +403,14 @@ object EventStreams {
   /** Streaming half of the e10 twin: per-user first-seen-hour state
     * emitting each retention fact exactly once. This is the unbounded,
     * heavy part — the batch twin's `min(h)`-per-user shuffle becomes
-    * keyed state here. State is GARBAGE-COLLECTED two ways: a user whose
-    * 1-hour and 24-hour facts have both fired can never emit again and
-    * is dropped immediately; otherwise an event-time timeout fires once
-    * the watermark passes the user's h0+24h horizon (no event after
-    * that can land exactly on either offset, so nothing is lost). The
+    * keyed state here. A user whose 1-hour and 24-hour facts have both
+    * fired (or whose h0+24h horizon passed via the event-time timeout)
+    * collapses to an O(1) TOMBSTONE — both done-flags set, no further
+    * timeout — rather than being removed: the state doubles as the
+    * record that `new` was already emitted, and removing it would let
+    * any later activity re-emit `new` into a later cohort. Unbounded
+    * tombstone count is the price of exactly-once facts, the same
+    * one-small-record-per-user trade locfStream makes. The
     * cohort matrix itself is the bounded follow-up
     * ([[retentionMatrix]]) — the same streaming-pre-agg / serving-finish
     * split as the e4 top-users twin. In-order delivery caveat as in
@@ -424,11 +427,25 @@ object EventStreams {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[RetIn], state: GroupState[RetState]) =>
           if (state.hasTimedOut) {
-            // watermark passed h0+24h: neither offset can fire anymore
-            state.remove()
+            // Watermark passed h0+24h: neither offset can fire anymore.
+            // Do NOT remove the state — it is also the only record that
+            // this user's `new` fact was already emitted. Removing it
+            // would make any later activity re-emit `new` with a later
+            // cohort (and potentially spurious ret1h/ret24h against the
+            // new h0), inflating later cohorts vs the batch twin's
+            // min(h)-per-user semantics. Collapse to a tombstone (both
+            // flags done) and set no further timeout — O(1)/user
+            // unbounded state, the same justification as locfStream's
+            // NoTimeout.
+            state.getOption.foreach(s =>
+              state.update(s.copy(ret1Done = true, ret24Done = true)))
             Iterator.empty
           } else {
             val hours = rows.map(e => {
+              // floorMod on UTC epoch micros ≡ the batch twin's
+              // date_trunc("hour") ONLY when the session tz offset is a
+              // whole hour — the repo pins spark.sql.session.timeZone=
+              // UTC everywhere, so this holds; revisit if that changes.
               val t = micros(e.ts); t - java.lang.Math.floorMod(t, hourUs)
             }).toSeq.sorted
             val out = Seq.newBuilder[RetFact]
@@ -448,13 +465,17 @@ object EventStreams {
                 out += RetFact(userId, st.h0Us, "ret24h")
               }
             }
-            if (st.ret1Done && st.ret24Done) state.remove() // emitted all
-            else {
-              state.update(st)
+            // Both facts fired → tombstone (update WITHOUT a timeout:
+            // the state must outlive the 24h horizon to suppress `new`
+            // re-emission on later activity — see the hasTimedOut
+            // branch). Otherwise keep the live state with its horizon
+            // timeout so an inactive user still collapses to the
+            // tombstone once the watermark passes h0+25h.
+            state.update(st)
+            if (!(st.ret1Done && st.ret24Done))
               state.setTimeoutTimestamp(math.max(
                 st.h0Us / 1000 + 25 * 3600 * 1000,
                 state.getCurrentWatermarkMs + 1))
-            }
             out.result().iterator
           }
       }

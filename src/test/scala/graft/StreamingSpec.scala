@@ -339,4 +339,44 @@ class StreamingSpec extends AnyFunSuite {
       EventStreams.RetFact(7, h0Us, "ret24h"),
       EventStreams.RetFact(8, h0Us + 24L * 3600000000L, "new")), s"got $retOut")
   }
+
+  test("retention tombstones suppress `new` re-emission after state settles") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000L // ms
+    def ts(offMin: Long) = new java.sql.Timestamp(base + offMin * 60000)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventStreams.RetIn]
+    val q = EventStreams.retentionFacts(mem.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ret_tomb").start()
+    try {
+      // user 1 fires ALL facts (→ both-done tombstone); user 2 only `new`
+      mem.addData(EventStreams.RetIn(1, ts(5)), EventStreams.RetIn(2, ts(5)))
+      q.processAllAvailable()
+      mem.addData(EventStreams.RetIn(1, ts(65)),
+        EventStreams.RetIn(1, ts(24 * 60 + 5)))
+      q.processAllAvailable()
+      // user 3 pushes the watermark past user 2's h0+25h horizon, so
+      // user 2's event-time timeout fires (→ timeout tombstone)
+      mem.addData(EventStreams.RetIn(3, ts(50 * 60)))
+      q.processAllAvailable()
+      // later activity from BOTH settled users: pre-fix this re-emitted
+      // `new` with a 100h cohort (state had been removed); post-fix the
+      // tombstones swallow it
+      mem.addData(EventStreams.RetIn(1, ts(100 * 60)),
+        EventStreams.RetIn(2, ts(100 * 60)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val h0Us = (base - java.lang.Math.floorMod(base, 3600000L)) * 1000
+    val got = spark.table("ret_tomb")
+      .as[EventStreams.RetFact].collect().toSet
+    assert(got == Set(
+      EventStreams.RetFact(1, h0Us, "new"),
+      EventStreams.RetFact(1, h0Us, "ret1h"),
+      EventStreams.RetFact(1, h0Us, "ret24h"),
+      EventStreams.RetFact(2, h0Us, "new"),
+      EventStreams.RetFact(3, h0Us + 50L * 60 * 60000000L, "new")),
+      s"got $got")
+  }
 }
