@@ -184,6 +184,25 @@ object OraclesText {
          |WHERE round(CAST(shared AS DOUBLE) / sa.n, 6) >= 0.9
          |ORDER BY contained_id, container_id LIMIT 3000""".stripMargin,
 
+    // TextDedup.d9bContainmentCapped: df cut at 4, containment computed
+    // entirely in the filtered shingle space (sizes AND intersections).
+    "d9b_containment_capped" ->
+      s"""WITH $shingleCte,
+         |capped AS (SELECT doc_id, shingle FROM (
+         |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+         |    FROM sidx) t WHERE df <= 4),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY doc_id),
+         |pairs AS (SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+         |            count(*) AS shared
+         |          FROM capped a JOIN capped b
+         |            ON a.shingle = b.shingle AND a.doc_id != b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT contained_id, container_id,
+         |  round(CAST(shared AS DOUBLE) / sa.n, 6) AS containment
+         |FROM pairs JOIN sizes sa ON contained_id = sa.doc_id
+         |WHERE round(CAST(shared AS DOUBLE) / sa.n, 6) >= 0.9
+         |ORDER BY contained_id, container_id LIMIT 3000""".stripMargin,
+
     // TextDedup.t11RepetitionRatio: duplicate-bigram fraction per doc.
     "t11_repetition_ratio" ->
       """WITH x AS (SELECT doc_id,

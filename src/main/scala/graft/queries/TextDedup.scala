@@ -257,8 +257,30 @@ object TextDedup {
     * the unordered pair counts are computed ONCE (id_a < id_b) and then
     * emitted in both directions, since containment is per-side.
     */
-  def d9Containment(spark: SparkSession, dir: String): DataFrame = {
-    val idx = shingleIndex(Tables.documents(spark, dir)).persist()
+  def d9Containment(spark: SparkSession, dir: String): DataFrame =
+    containmentPairs(spark, dir, maxShingleDf = None)
+
+  /** d9 with the stop-shingle valve engaged — the same df cut d6b
+    * applies to Jaccard, proven to compose with containment semantics:
+    * the per-side denominator |shingles(contained)| is recomputed in
+    * the FILTERED shingle space (sizes derive from the capped index,
+    * not the raw one), so the ratio stays internally consistent — a
+    * document made mostly of hot boilerplate shingles has a small
+    * filtered size, not a deflated score against a raw size. Without
+    * the shared-space discipline a capped numerator over a raw
+    * denominator would silently under-report containment.
+    */
+  def d9bContainmentCapped(spark: SparkSession, dir: String): DataFrame =
+    containmentPairs(spark, dir, maxShingleDf = Some(4))
+
+  private[queries] def containmentPairs(spark: SparkSession, dir: String,
+      maxShingleDf: Option[Long]): DataFrame =
+    containmentOf(Tables.documents(spark, dir), maxShingleDf)
+
+  private[graft] def containmentOf(docs: DataFrame,
+      maxShingleDf: Option[Long]): DataFrame = {
+    val raw = shingleIndex(docs)
+    val idx = maxShingleDf.fold(raw)(capShingleDf(raw, _)).persist()
     idx.count() // eager materialization (see d3)
     val sizes = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val shared = idx.as("a").join(idx.as("b"),
@@ -846,6 +868,7 @@ object TextDedup {
     "d7_dedup_decision" -> (d7DedupDecision _),
     "d8_dedup_components" -> (d8DedupComponents _),
     "d9_containment" -> (d9Containment _),
+    "d9b_containment_capped" -> (d9bContainmentCapped _),
     "d10_decontamination" -> (d10Decontamination _),
     "t1_token_stats" -> (t1TokenStats _),
     "t11_repetition_ratio" -> (t11RepetitionRatio _),

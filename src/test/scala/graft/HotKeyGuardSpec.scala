@@ -32,6 +32,36 @@ class HotKeyGuardSpec extends AnyFunSuite {
     assert(capped == 0, s"df cap must drop the hot shingle, got $capped")
   }
 
+  test("capped containment collapses hot-shingle candidates and scores in the filtered space") {
+    import spark.implicits._
+    // Six boilerplate docs make "k1 k2 k3" and "m1 m2 m3" hot (df 7 > 4).
+    // Doc 100 is doc 200's content (w1..w42, 40 shared shingles) wrapped
+    // in that boilerplate: 2 hot + 4 unique crossing shingles → raw
+    // containment 40/46 ≈ 0.870 (hidden below the 0.9 threshold), capped
+    // containment 40/44 ≈ 0.909 (hot dropped from numerator AND
+    // denominator). The reverse direction (200 ⊂ 100, 40/41 ≈ 0.976)
+    // carries no hot shingles and must be identical in both variants.
+    val ws = (1 to 42).map("w" + _).mkString(" ")
+    val docs = ((0 until 6).map(i => (i.toLong, s"k1 k2 k3 s$i m1 m2 m3")) ++
+      Seq((100L, s"k1 k2 k3 m1 m2 m3 $ws"), (200L, s"$ws z1")))
+      .toDF("doc_id", "text")
+    def rows(df: DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val raw = rows(TextDedup.containmentOf(docs, None))
+    val capped = rows(TextDedup.containmentOf(docs, Some(4)))
+    assert(raw == Set((200L, 100L, 0.97561)), s"raw=$raw")
+    assert(capped == Set((100L, 200L, 0.909091), (200L, 100L, 0.97561)),
+      s"capped=$capped")
+    // and the valve still kills the candidate blowup: the six hot docs
+    // pair-join only through the hot shingles, gone after the cap
+    val idx = TextDedup.shingleIndex(docs)
+    val uncapped = pairCandidates(idx)
+    val cappedCands = pairCandidates(TextDedup.capShingleDf(idx, 4))
+    assert(uncapped > cappedCands,
+      s"uncapped=$uncapped cappedCands=$cappedCands")
+    assert(cappedCands == 40, "only the 40 shared w-shingles remain")
+  }
+
   test("salted join on a hot key is row-identical to the plain join and spreads the key") {
     import graft.queries.SkewJoin
     import spark.implicits._
