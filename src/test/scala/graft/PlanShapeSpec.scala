@@ -136,6 +136,97 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.catalog.clearCache()
   }
 
+  private def physicalRoot(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.inputPlan
+      case p => p
+    }
+
+  test("p3: the only global funnel is the per-partition totals table; data windows stay keyed on pid") {
+    import org.apache.spark.sql.catalyst.plans.physical.{HashPartitioning, SinglePartition}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // AQE's AdaptiveSparkPlanExec exposes exchanges only after
+    // EnsureRequirements — disable it so the executed plan is a plain
+    // tree whose exchange nodes collect() can see (inputPlan is
+    // pre-EnsureRequirements and has none)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val root = try TextDedup.p3TokenBudget(spark, dir).queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try {
+      // exactly ONE SinglePartition exchange, and what flows into it is
+      // the ≤nParts-row per-partition token totals (HashAggregate on
+      // pid) — never the corpus itself. This is the distributed prefix
+      // sum's load-bearing property at 100 TB.
+      val singles = root.collect {
+        case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e
+      }
+      assert(singles.length == 1, s"want 1 SinglePartition exchange:\n${root.toString.take(1200)}")
+      assert(singles.head.toString.contains("HashAggregate(keys=[pid"),
+        s"the global funnel must carry per-pid totals only:\n${singles.head.toString.take(800)}")
+      // every hash exchange is keyed on pid (window + totals agg) — no
+      // re-shuffle of the corpus on a document-level key
+      val hashed = root.collect {
+        case e: ShuffleExchangeExec => e.outputPartitioning match {
+          case h: HashPartitioning => Some(h)
+          case _ => None
+        }
+      }.flatten
+      assert(hashed.nonEmpty &&
+        hashed.forall(_.expressions.exists(_.toString.contains("pid"))),
+        s"hash exchanges keyed off pid:\n${hashed.mkString("\n")}")
+      // the corpus-sized cumulative window runs per pid partition, and
+      // the tiny offsets table reaches it as a broadcast
+      val p = root.toString
+      assert(p.contains("windowspecdefinition(pid"), p.take(1200))
+      assert(p.contains("BroadcastHashJoin [pid"), p.take(1200))
+    } finally spark.catalog.clearCache()
+  }
+
+  test("d10: consumes the materialized pair table — two broadcast joins, no hash re-shuffle") {
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val root = physicalRoot(TextDedup.d10Decontamination(spark, dir))
+    // both directions of the pair table come from the run-scoped parquet
+    // materialization, not a re-run of the shingle self-join
+    val pairScans = root.collect {
+      case s: FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains("graft-pairs")) => s
+    }
+    assert(pairScans.length == 2, s"want 2 pair-parquet scans:\n${root.toString.take(1200)}")
+    assert(!root.toString.contains("shingle"),
+      "d10 must not re-derive shingles — that is dupPairs' job, done once")
+    // the two slim doc_id/split joins broadcast; the pair table itself is
+    // never hash-shuffled (the only exchange is the final presentation sort)
+    val bjoins = root.collect { case j: BroadcastHashJoinExec => j }
+    assert(bjoins.length == 2, s"want 2 broadcast joins:\n${root.toString.take(1200)}")
+    val hashEx = root.collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+    }
+    assert(hashEx.isEmpty, s"unexpected hash exchange:\n${hashEx.mkString("\n").take(800)}")
+  }
+
+  test("e10: multi-distinct rides Expand keyed by (cohort, user) — no window, no single-task funnel") {
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val root = physicalRoot(graft.queries.Events.e10CohortRetention(spark, dir))
+    val p = root.toString
+    // Spark's Expand-based rewrite of the three countDistincts: the
+    // distinct de-dup shuffle is keyed on (h0, …, user_id, gid), so a
+    // hot cohort spreads over its users instead of one task
+    assert(root.collect { case n if n.nodeName == "Expand" => n }.length == 1, p.take(1200))
+    assert(root.collect {
+      case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e
+    }.isEmpty, s"single-task funnel in e10:\n${p.take(1200)}")
+    // first-activity hour comes from a partial-aggregating groupBy min,
+    // not a per-user window sort
+    assert(root.collect { case n if n.nodeName.startsWith("Window") => n }.isEmpty,
+      s"e10 must not use windows:\n${p.take(1200)}")
+  }
+
   test("q15: the scalar average subquery broadcasts; no shuffle of the grouped side for the filter") {
     val p = plan(Relational.q15Having(spark, dir))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
