@@ -205,8 +205,32 @@ object Events {
     * Join keys are (user × bucket) — far finer than user alone.
     */
   def e9IntervalJoin(spark: SparkSession, dir: String): DataFrame =
-    intervalJoinPairs(Tables.events(spark, dir)
+    intervalJoinPairsAuto(Tables.events(spark, dir)
       .withColumn("us", unix_micros(col("ts"))))
+
+  /** e9 with the salted-join hatch AUTO-ENGAGED: a cheap df probe on
+    * the views side — groupBy (user, bucket), partial-agg collapses
+    * each key to one row per map partition, existence check on any key
+    * over the threshold — decides whether the corpus needs the salted
+    * composition, the same probe-then-engage pattern as
+    * [[TextDedup.capShingleDf]]. A burst corpus (any user with more
+    * than `burstThreshold` views inside one 30-minute bucket) takes the
+    * salted path; a plain corpus keeps the bucketized equi-join and its
+    * plan shape. Both paths are pair-identical (spec-pinned), so the
+    * switch is purely a physical-distribution decision — which is why
+    * it can be automated on a probe instead of left as a manual knob.
+    */
+  def intervalJoinPairsAuto(ev: DataFrame, burstThreshold: Long = 5000,
+      buckets: Int = 8): DataFrame = {
+    val burst = !ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), expr(s"us div $GapUs").as("bucket"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > burstThreshold)
+      .isEmpty
+    intervalJoinPairs(ev, if (burst) Some(buckets) else None)
+  }
+
+  private val GapUs = 30L * 60 * 1000 * 1000
 
   /** e9's core over any (user_id, event_id, event_type, us) frame.
     *
@@ -221,7 +245,7 @@ object Events {
     * plain join — spec-pinned on a burst corpus.
     */
   def intervalJoinPairs(ev: DataFrame, saltBuckets: Option[Int] = None): DataFrame = {
-    val gapUs = 30L * 60 * 1000 * 1000
+    val gapUs = GapUs
     // integer `div`, not `/`: µs-since-epoch exceeds 2^53, so a double
     // divide would corrupt bucket boundaries
     val clicks = ev.filter(col("event_type") === "click")

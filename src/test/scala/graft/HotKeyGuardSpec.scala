@@ -133,6 +133,25 @@ class HotKeyGuardSpec extends AnyFunSuite {
     assert(plain.nonEmpty, "burst corpus must produce pairs")
     assert(salted == plain,
       s"salted hatch diverged: ${salted.size} vs ${plain.size} pairs")
+
+    // the hatch engages ITSELF from the (user, bucket) df probe: user 7's
+    // 120-view burst trips a threshold of 100, so auto takes the salted
+    // path (synthetic jk equi-key in the plan) — and stays pair-identical
+    val auto = Events.intervalJoinPairsAuto(ev, burstThreshold = 100,
+      buckets = 8)
+    assert(auto.queryExecution.executedPlan.toString.contains("jk"),
+      "burst corpus must auto-engage the salted path")
+    assert(auto.collect().map(_.toSeq).toSeq == plain)
+    // the normal users alone stay under the threshold: auto keeps the
+    // plain bucketized equi-join (probe_bucket in the join key, no jk)
+    val calm = normal.toDF("user_id", "event_id", "event_type", "us")
+    val autoCalm = Events.intervalJoinPairsAuto(calm, burstThreshold = 100,
+      buckets = 8)
+    val calmPlan = autoCalm.queryExecution.executedPlan.toString
+    assert(calmPlan.contains("probe_bucket") && !calmPlan.contains("jk"),
+      s"calm corpus must keep the plain path:\n${calmPlan.take(600)}")
+    assert(autoCalm.collect().map(_.toSeq).toSeq ==
+      Events.intervalJoinPairs(calm).collect().map(_.toSeq).toSeq)
   }
 
   test("IVF cell cap bounds per-cell pair counts on a hot cell") {
