@@ -203,6 +203,65 @@ object OraclesText {
          |WHERE round(CAST(shared AS DOUBLE) / sa.n, 6) >= 0.9
          |ORDER BY contained_id, container_id LIMIT 3000""".stripMargin,
 
+    // TextDedup.d11ChunkDedup: non-overlapping 32-token chunks; a chunk
+    // is duplicated when its hash appears in ≥2 distinct docs; keep =
+    // at most half a doc's chunks duplicated (integer compare).
+    "d11_chunk_dedup" ->
+      """WITH tok AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |chunks AS (SELECT doc_id,
+        |    md5(array_to_string(list_slice(toks, start + 1,
+        |      least(start + 32, len(toks))), ' ')) AS chash
+        |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks), 32)) AS start
+        |        FROM tok)),
+        |dup AS (SELECT chash FROM (
+        |    SELECT chash, count(DISTINCT doc_id) AS nd FROM chunks GROUP BY 1)
+        |  WHERE nd >= 2)
+        |SELECT c.doc_id,
+        |  count(*) AS n_chunks,
+        |  count(dup.chash) AS n_dup_chunks,
+        |  round(CAST(count(dup.chash) AS DOUBLE) / count(*), 6) AS dup_frac,
+        |  (count(dup.chash) * 2 <= count(*)) AS keep
+        |FROM chunks c LEFT JOIN dup ON c.chash = dup.chash
+        |GROUP BY c.doc_id ORDER BY c.doc_id LIMIT 2000""".stripMargin,
+
+    // TextDedup.d12TrainOverlap: per-eval-doc fraction of 3-gram
+    // shingles present anywhere in the train split's vocabulary.
+    "d12_train_overlap" ->
+      s"""WITH $shingleCte,
+         |sp AS (SELECT doc_id,
+         |    CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |      ${hex4ToInt("substr(md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), 1, 4)")} % 100 AS bucket
+         |    FROM documents)),
+         |tv AS (SELECT DISTINCT shingle FROM sidx JOIN sp USING (doc_id)
+         |       WHERE split = 'train'),
+         |ev AS (SELECT s.doc_id, sp.split, s.shingle
+         |       FROM sidx s JOIN sp ON s.doc_id = sp.doc_id
+         |       WHERE sp.split IN ('val', 'test'))
+         |SELECT ev.doc_id, ev.split,
+         |  count(*) AS n_shingles,
+         |  count(tv.shingle) AS n_in_train,
+         |  round(CAST(count(tv.shingle) AS DOUBLE) / count(*), 6) AS overlap
+         |FROM ev LEFT JOIN tv ON ev.shingle = tv.shingle
+         |GROUP BY ev.doc_id, ev.split ORDER BY ev.doc_id LIMIT 2000""".stripMargin,
+
+    // TextDedup.t13TopBigramFrac: share of all bigrams taken by the
+    // single most frequent one (Gopher's degenerate-loop rule).
+    "t13_top_bigram_frac" ->
+      """WITH x AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |b AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |        i -> toks[i] || ' ' || toks[i+1])) AS bigram
+        |      FROM x WHERE len(toks) >= 2),
+        |c AS (SELECT doc_id, bigram, count(*) AS m FROM b GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(sum(m) AS BIGINT) AS n_bigrams,
+        |  CAST(max(m) AS BIGINT) AS top_count,
+        |  round(CAST(max(m) AS DOUBLE) / sum(m), 6) AS top_frac
+        |FROM c GROUP BY doc_id ORDER BY doc_id LIMIT 2000""".stripMargin,
+
     // TextDedup.t11RepetitionRatio: duplicate-bigram fraction per doc.
     "t11_repetition_ratio" ->
       """WITH x AS (SELECT doc_id,
@@ -509,6 +568,17 @@ object OraclesText {
          |  ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE round(${cosineSql("a.embedding", "b.embedding")}, 6) >= 0.3
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // Embeddings.s6SemanticDedup: drop the higher vec_id of each
+    // within-cell cosine ≥ 0.3 pair; survivors keep=true.
+    "s6_semantic_dedup" ->
+      s"""WITH drops AS (SELECT DISTINCT b.vec_id
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE round(${cosineSql("a.embedding", "b.embedding")}, 6) >= 0.3)
+         |SELECT e.vec_id, e.label, (d.vec_id IS NULL) AS keep
+         |FROM embeddings e LEFT JOIN drops d ON e.vec_id = d.vec_id
+         |ORDER BY e.vec_id""".stripMargin,
 
     // Embeddings.s2bIvfCapped: labels split into ceil(n/32) sub-cells by
     // vec_id modulo (deterministic, map-side — no row_number hotspot);

@@ -224,8 +224,33 @@ object Embeddings {
       .filter(col("dim") < 4)
       .orderBy(col("label"), col("dim"))
 
+  /** Semantic dedup decision (s6, the SemDeDup shape): within each IVF
+    * coarse cell, cosine ≥ 0.3 pairs are semantic near-duplicates (s2's
+    * candidate machinery — never all-pairs across cells); the higher
+    * vec_id of each pair is dropped, mirroring d7's canonical-survivor
+    * rule on the text side. This is the embedding-space stage a
+    * pretraining pipeline runs AFTER lexical dedup: paraphrases and
+    * re-encodings share no shingles but collapse in embedding space.
+    * The drop set is persisted once and feeds both the survivor
+    * anti-join and the dropped-row semi-join.
+    */
+  def s6SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"))
+    val drops = ivfNearDup(spark, dir, cellCap = None)
+      .select(col("id_b").as("vec_id")).distinct()
+      .persist()
+    drops.count() // eager: consumers racing a cold cache each recompute
+    vecs.join(drops, Seq("vec_id"), "left_anti")
+      .withColumn("keep", lit(true))
+      .unionByName(vecs.join(drops, Seq("vec_id"), "left_semi")
+        .withColumn("keep", lit(false)))
+      .orderBy(col("vec_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_cosine_topk" -> (s1CosineTopK _),
+    "s6_semantic_dedup" -> (s6SemanticDedup _),
     "s2_ivf_neardup" -> (s2IvfNearDup _),
     "s2b_ivf_capped" -> (s2bIvfCapped _),
     "s3_lsh_ann" -> (s3LshAnn _),

@@ -580,6 +580,107 @@ object TextDedup {
 
   val ChunkLen = 64
   val ChunkStride = 48
+  val DedupChunkLen = 32
+
+  /** Chunk-level exact-substring dedup (d11): the RefinedWeb/Dolma
+    * "exact substring" stage reduced to non-overlapping 32-token
+    * windows — a document whose chunks also appear verbatim in OTHER
+    * documents is boilerplate-heavy or a partial copy even when whole-
+    * document hashes (d1) and shingle Jaccard (d6) both miss it (e.g. a
+    * long doc embedding one copied passage). Per doc: chunk count,
+    * cross-doc-duplicated chunk count, their ratio, and the RefinedWeb
+    * keep rule (drop when over half the chunks are duplicated). Shape
+    * at scale: map-only explode → one partial-agg shuffle on the chunk
+    * hash (high cardinality) → the duplicated-hash set joins back on
+    * the same key → one per-doc rollup. Never all-pairs; the `keep`
+    * decision is integer arithmetic (2·dup ≤ n), no float compare.
+    */
+  def d11ChunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(0), size(col("toks")) - 1,
+          lit(DedupChunkLen))).as(Seq("chunk_idx", "start")))
+      .select(col("doc_id"),
+        fastMd5(array_join(
+          slice(col("toks"), col("start") + 1, lit(DedupChunkLen)), " "))
+          .as("chash"))
+    // hashes seen in ≥2 distinct docs; partial aggregation collapses a
+    // hot chunk to one row per map partition before the shuffle
+    val dupHashes = chunks.groupBy(col("chash"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("chash"), lit(true).as("dup"))
+    chunks.join(dupHashes, Seq("chash"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"), count(col("dup")).as("n_dup_chunks"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+        round(col("n_dup_chunks").cast("double") / col("n_chunks"), 6)
+          .as("dup_frac"),
+        (col("n_dup_chunks") * 2 <= col("n_chunks")).as("keep"))
+      .orderBy(col("doc_id"))
+      .limit(2000)
+  }
+
+  /** Train-vocabulary n-gram overlap (d12): for every val/test document,
+    * the fraction of its 3-gram shingles that occur anywhere in the
+    * train split — the vocabulary-level contamination diagnostic that
+    * complements d10's pair-level decontamination (d10 finds WHICH
+    * train doc leaked; d12 scores HOW derivative each eval doc is even
+    * when no single train doc crosses the pair threshold). Shape at
+    * scale: the split assignment is map-only (t9's hash), the train
+    * vocabulary is a partial-agg distinct on the shingle key, and the
+    * scoring join is keyed on shingle — the inverted-index discipline,
+    * never all-pairs.
+    */
+  def d12TrainOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val (_, split) = splitCols
+    val docs = Tables.documents(spark, dir)
+    val withSplit = shingleIndex(docs)
+      .join(docs.select(col("doc_id"), split.as("split")), Seq("doc_id"))
+    val trainVocab = withSplit.filter(col("split") === "train")
+      .select(col("shingle")).distinct()
+      .withColumn("seen", lit(true))
+    withSplit.filter(col("split").isin("val", "test"))
+      .join(trainVocab, Seq("shingle"), "left")
+      .groupBy(col("doc_id"), col("split"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("seen")).as("n_in_train"))
+      .select(col("doc_id"), col("split"), col("n_shingles"),
+        col("n_in_train"),
+        round(col("n_in_train").cast("double") / col("n_shingles"), 6)
+          .as("overlap"))
+      .orderBy(col("doc_id"))
+      .limit(2000)
+  }
+
+  /** Top-bigram fraction (t13): the Gopher repetition rule t11 does not
+    * cover — the fraction of all word bigrams occupied by the single
+    * most frequent one. t11's duplicate-bigram ratio flags broad
+    * repetition; t13 catches the degenerate single-phrase loop ("buy
+    * now buy now …") that can hide under a low duplicate ratio in a
+    * long document. Shape at scale: per-row bigram array (zip with own
+    * tail, no shuffle) → explode → two partial-agg shuffles on
+    * naturally high-cardinality keys ((doc, bigram), then doc).
+    */
+  def t13TopBigramFrac(spark: SparkSession, dir: String): DataFrame = {
+    val n = size(col("toks"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(n >= 2)
+      .select(col("doc_id"),
+        explode(zip_with(slice(col("toks"), lit(1), n - 1),
+          slice(col("toks"), lit(2), n - 1),
+          (a, b) => concat(a, lit(" "), b))).as("bigram"))
+      .groupBy(col("doc_id"), col("bigram"))
+      .agg(count(lit(1)).as("m"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_bigrams"), max(col("m")).as("top_count"))
+      .select(col("doc_id"), col("n_bigrams"), col("top_count"),
+        round(col("top_count").cast("double") / col("n_bigrams"), 6)
+          .as("top_frac"))
+      .orderBy(col("doc_id"))
+      .limit(2000)
+  }
 
   /** Context-window chunking: every document fans out to overlapping
     * 64-token chunks at stride 48 — the op a pretraining pipeline runs to
@@ -903,8 +1004,11 @@ object TextDedup {
     "d9_containment" -> (d9Containment _),
     "d9b_containment_capped" -> (d9bContainmentCapped _),
     "d10_decontamination" -> (d10Decontamination _),
+    "d11_chunk_dedup" -> (d11ChunkDedup _),
+    "d12_train_overlap" -> (d12TrainOverlap _),
     "t1_token_stats" -> (t1TokenStats _),
     "t11_repetition_ratio" -> (t11RepetitionRatio _),
+    "t13_top_bigram_frac" -> (t13TopBigramFrac _),
     "t2_regex_tokens" -> (t2RegexTokens _),
     "t3_lang_id" -> (t3LangId _),
     "t4_quality_score" -> (t4QualityScore _),
