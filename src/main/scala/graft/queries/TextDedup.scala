@@ -595,8 +595,11 @@ object TextDedup {
     * the same key → one per-doc rollup. Never all-pairs; the `keep`
     * decision is integer arithmetic (2·dup ≤ n), no float compare.
     */
-  def d11ChunkDedup(spark: SparkSession, dir: String): DataFrame = {
-    val chunks = Tables.documents(spark, dir)
+  def d11ChunkDedup(spark: SparkSession, dir: String): DataFrame =
+    chunkDedupOf(Tables.documents(spark, dir))
+
+  private[graft] def chunkDedupOf(docs: DataFrame): DataFrame = {
+    val chunks = docs
       .select(col("doc_id"), toks.as("toks"))
       .select(col("doc_id"), col("toks"),
         posexplode(sequence(lit(0), size(col("toks")) - 1,
@@ -662,9 +665,12 @@ object TextDedup {
     * tail, no shuffle) → explode → two partial-agg shuffles on
     * naturally high-cardinality keys ((doc, bigram), then doc).
     */
-  def t13TopBigramFrac(spark: SparkSession, dir: String): DataFrame = {
+  def t13TopBigramFrac(spark: SparkSession, dir: String): DataFrame =
+    topBigramFracOf(Tables.documents(spark, dir))
+
+  private[graft] def topBigramFracOf(docs: DataFrame): DataFrame = {
     val n = size(col("toks"))
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), toks.as("toks"))
       .filter(n >= 2)
       .select(col("doc_id"),

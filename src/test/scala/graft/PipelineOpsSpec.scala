@@ -1,0 +1,64 @@
+package graft
+
+import graft.queries.TextDedup
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic edges of the round-6 pipeline operators that the oracle's
+  * synthetic corpus doesn't force: d11's cross-doc vs within-doc chunk
+  * distinction and t13's top-bigram multiplicity.
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("d11: within-doc repeated chunks are NOT duplicates; cross-doc chunks are") {
+    import spark.implicits._
+    val x = (1 to 32).map("c" + _).mkString(" ") // one full 32-token chunk
+    val y = (1 to 32).map("y" + _).mkString(" ")
+    val docs = Seq(
+      (1L, s"$x $x"), // chunk X twice — within-doc only, unless X leaks
+      (2L, x),        // …and it does: doc 2 is exactly X
+      (3L, (1 to 32).map("u" + _).mkString(" ")), // unique doc
+      (4L, s"$y $y")  // repeated chunk Y appears in NO other doc
+    ).toDF("doc_id", "text")
+    val got = TextDedup.chunkDedupOf(docs)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    // doc 1: both X instances are cross-doc-duplicated (X lives in doc 2
+    // too) → 2/2 dup, dropped
+    assert(got(1L) == (2L, 2L, 1.0, false), s"doc1=${got(1L)}")
+    assert(got(2L) == (1L, 1L, 1.0, false), s"doc2=${got(2L)}")
+    assert(got(3L) == (1L, 0L, 0.0, true), s"doc3=${got(3L)}")
+    // doc 4: Y repeats within the doc but exists nowhere else — the
+    // countDistinct(doc_id) >= 2 rule must NOT flag it
+    assert(got(4L) == (2L, 0L, 0.0, true), s"doc4=${got(4L)}")
+  }
+
+  test("d11: exactly-half duplication keeps the doc (2·dup ≤ n boundary)") {
+    import spark.implicits._
+    val shared = (1 to 32).map("s" + _).mkString(" ")
+    val docs = Seq(
+      (1L, s"$shared ${(1 to 32).map("a" + _).mkString(" ")}"), // 1 of 2 dup
+      (2L, shared)
+    ).toDF("doc_id", "text")
+    val got = TextDedup.chunkDedupOf(docs)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        r.getBoolean(4)))).toMap
+    assert(got(1L) == (2L, 1L, true), s"doc1=${got(1L)}") // 2·1 ≤ 2 → keep
+    assert(got(2L) == (1L, 1L, false), s"doc2=${got(2L)}") // 2·1 > 1 → drop
+  }
+
+  test("t13: top-bigram fraction counts multiplicity of the modal bigram") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a b"),    // bigrams: ab ba ab ba ab → top "a b" ×3 of 5
+      (2L, "x y z w"),        // all 3 bigrams distinct → top 1 of 3
+      (3L, "q")               // <2 tokens → filtered out
+    ).toDF("doc_id", "text")
+    val got = TextDedup.topBigramFracOf(docs)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(got(1L) == (5L, 3L, 0.6), s"doc1=${got(1L)}")
+    assert(got(2L) == (3L, 1L, 0.333333), s"doc2=${got(2L)}")
+    assert(!got.contains(3L), "single-token docs have no bigrams")
+  }
+}

@@ -9,9 +9,10 @@ object PlanProbeMain {
     val spark = SparkTestSession.spark
     val dir = "/root/testdata/sf0.001"
     for ((n, df) <- Seq(
-      "p3" -> graft.queries.TextDedup.p3TokenBudget(spark, dir),
-      "d10" -> graft.queries.TextDedup.d10Decontamination(spark, dir),
-      "e10" -> graft.queries.Events.e10CohortRetention(spark, dir))) {
+      "d11" -> graft.queries.TextDedup.d11ChunkDedup(spark, dir),
+      "d12" -> graft.queries.TextDedup.d12TrainOverlap(spark, dir),
+      "t13" -> graft.queries.TextDedup.t13TopBigramFrac(spark, dir),
+      "s6" -> graft.queries.Embeddings.s6SemanticDedup(spark, dir))) {
       println(s"===== $n =====")
       println(df.queryExecution.executedPlan.toString)
     }
