@@ -820,6 +820,26 @@ object OraclesText {
         |  CAST(CASE WHEN doc_id % 3 IN (0, 1) THEN 1
         |       ELSE 1 + doc_id % 5 END AS INT) AS n_frames
         |FROM documents ORDER BY doc_id LIMIT 2000""".stripMargin,
+
+    // Mirrors Multimodal.m3Thumbnail: aspect-fit into a 16² box, never
+    // upscaled, floor division, min dimension 1. Spark's emitted dims
+    // come from re-decoding the actually-resized PNG bytes; the oracle
+    // predicts them arithmetically from the generator's doc_id dims.
+    "m3_thumbnail" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(1 + doc_id % 64 AS BIGINT) AS w,
+        |    CAST(1 + doc_id % 48 AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'image/png'
+        |       ELSE 'video/gif' END AS media_type,
+        |  CAST(w AS INT) AS width,
+        |  CAST(h AS INT) AS height,
+        |  CAST(CASE WHEN greatest(w, h) <= 16 THEN w
+        |       ELSE greatest(1, w * 16 // greatest(w, h)) END AS INT) AS thumb_w,
+        |  CAST(CASE WHEN greatest(w, h) <= 16 THEN h
+        |       ELSE greatest(1, h * 16 // greatest(w, h)) END AS INT) AS thumb_h
+        |FROM d ORDER BY doc_id LIMIT 2000""".stripMargin,
   )
 
   val survival: Map[String, String] = Map(

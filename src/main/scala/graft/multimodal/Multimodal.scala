@@ -186,8 +186,21 @@ object Multimodal {
     * decode-verifiable columns are compared.
     */
   def m1MediaFeatures(spark: SparkSession, dir: String): DataFrame = {
+    extractFeatures(syntheticMedia(spark, dir), ImageIoDecoder).toDF()
+      .select(col("doc_id"), col("media_type"),
+        col("width"), col("height"), col("n_frames"))
+      .orderBy(col("doc_id"))
+      .limit(2000)
+  }
+
+  /** The shared binary media derivation for m1/m3 (the harness has no
+    * binary table): every third doc a real BMP, the next a real PNG,
+    * the rest a real multi-frame animated GIF standing in for video.
+    */
+  private def syntheticMedia(spark: SparkSession,
+      dir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    val media = Tables.documents(spark, dir)
+    Tables.documents(spark, dir)
       .select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .map { case (id, _) =>
@@ -201,9 +214,47 @@ object Multimodal {
               (1 + id % 5).toInt, id))
         }
       }
-    extractFeatures(media, ImageIoDecoder).toDF()
-      .select(col("doc_id"), col("media_type"),
-        col("width"), col("height"), col("n_frames"))
+  }
+
+  val ThumbMax = 16
+
+  /** Thumbnail resize (m3): the remaining multimodal primitive after
+    * decode (m1) and frame sampling (m2). Each payload's FIRST frame is
+    * decoded, aspect-fit downscaled into a [[ThumbMax]]² box with a
+    * real `Graphics2D` raster scale (never upscaled — scale clamps at
+    * 1), re-encoded as PNG, and then RE-DECODED; the emitted thumb
+    * dimensions come from that second decode. They match the oracle's
+    * doc_id arithmetic (`max(1, w·16 div max(w,h))`) only if
+    * decode → resize → encode → decode all genuinely ran — the same
+    * only-decode-verifiable-columns discipline as m1 (PNG bytes are
+    * encoder-defined, so byte-level outputs are not gated). Scale
+    * shape: pure mapPartitions, one codec pass per row, thumbnails die
+    * map-side, binary never shuffles.
+    */
+  def m3Thumbnail(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    syntheticMedia(spark, dir).mapPartitions { rows =>
+      rows.map { r =>
+        val src = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.content))
+        require(src != null, s"undecodable payload for doc ${r.doc_id}")
+        val (w, h) = (src.getWidth, src.getHeight)
+        val m = math.max(w, h)
+        val (tw, th) =
+          if (m <= ThumbMax) (w, h)
+          else (math.max(1, w * ThumbMax / m), math.max(1, h * ThumbMax / m))
+        val thumb = new java.awt.image.BufferedImage(
+          tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = thumb.createGraphics()
+        try g.drawImage(src, 0, 0, tw, th, null) finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        require(javax.imageio.ImageIO.write(thumb, "png", bos),
+          "no png writer in this JRE")
+        val re = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bos.toByteArray))
+        (r.doc_id, r.media_type, w, h, re.getWidth, re.getHeight)
+      }
+    }.toDF("doc_id", "media_type", "width", "height", "thumb_w", "thumb_h")
       .orderBy(col("doc_id"))
       .limit(2000)
   }
@@ -237,5 +288,6 @@ object Multimodal {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_media_features" -> (m1MediaFeatures _),
     "m2_frame_sample" -> (m2FrameSample _),
+    "m3_thumbnail" -> (m3Thumbnail _),
   )
 }

@@ -40,6 +40,36 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("m3 thumbnail really resizes: re-decoded dims are the aspect-fit box, content preserved") {
+    // 64×48 downscales to 16×12; 5×3 (inside the box) is untouched
+    for (((w, h), (tw, th)) <- Seq((64, 48) -> (16, 12), (5, 3) -> (5, 3),
+        (64, 2) -> (16, 1), (1, 48) -> (1, 16))) {
+      val bytes = MediaGen.imageBytes("png", w, h, seed = 9L)
+      val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val m = math.max(src.getWidth, src.getHeight)
+      val (gw, gh) =
+        if (m <= Multimodal.ThumbMax) (src.getWidth, src.getHeight)
+        else (math.max(1, src.getWidth * Multimodal.ThumbMax / m),
+          math.max(1, src.getHeight * Multimodal.ThumbMax / m))
+      assert((gw, gh) == (tw, th), s"${w}x$h → ${gw}x$gh, want ${tw}x$th")
+      val thumb = new java.awt.image.BufferedImage(gw, gh,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = thumb.createGraphics()
+      try g.drawImage(src, 0, 0, gw, gh, null) finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(thumb, "png", bos))
+      val re = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bos.toByteArray))
+      assert(re.getWidth == tw && re.getHeight == th)
+      // the raster scale carried real pixels: an untouched-size thumb is
+      // pixel-identical to its source
+      if ((w, h) == (tw, th))
+        for (y <- 0 until h; x <- 0 until w)
+          assert((re.getRGB(x, y) & 0xffffff) == (src.getRGB(x, y) & 0xffffff),
+            s"pixel ($x,$y) changed in pass-through resize")
+    }
+  }
+
   test("media with no JDK reader falls back to FakeDecoder (documented stub)") {
     val payload = "not an image".getBytes("UTF-8")
     assert(ImageIoDecoder.decode("video/mp4", payload) ==
