@@ -569,6 +569,39 @@ object OraclesText {
          |WHERE round(${cosineSql("a.embedding", "b.embedding")}, 6) >= 0.3
          |ORDER BY id_a, id_b""".stripMargin,
 
+    // Embeddings.s7IvfProbe2: computed coarse quantizer (exact per-dim
+    // centroid means, the s4 exactAvg discipline), each query probes its
+    // top-2 centroid cells, top-3 cosine within the probed cells. The
+    // oracle replicates centroid DERIVATION + cell RANKING + search, so
+    // the whole IVF architecture is hash-gated, not just the cosine.
+    "s7_ivf_probe2" -> {
+      val centAvg =
+        Oracles.exactAvg("CAST(embedding[CAST(i AS INT)] AS DOUBLE)", 6, 6)
+      s"""WITH cd AS (SELECT label, CAST(i AS INT) AS dim, $centAvg AS m
+         |  FROM embeddings, range(1, 65) t(i) GROUP BY label, i),
+         |cent AS (SELECT label, list(m ORDER BY dim) AS centroid
+         |         FROM cd GROUP BY label),
+         |qc AS (SELECT q.vec_id AS q_id, q.embedding AS q_emb, c.label AS c_label,
+         |    round(${dotSql("q_emb", "centroid")} /
+         |      (sqrt(${dotSql("q_emb", "q_emb")}) *
+         |       sqrt(${dotSql("centroid", "centroid")})), 6) AS ccos
+         |  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q,
+         |       cent c),
+         |cells AS (SELECT q_id, q_emb, c_label FROM (
+         |    SELECT q_id, q_emb, c_label,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY ccos DESC, c_label) AS crk
+         |    FROM qc) WHERE crk <= 2),
+         |cand AS (SELECT q_id, e.vec_id,
+         |    round(${cosineSql("q_emb", "e.embedding")}, 6) AS cos
+         |  FROM cells JOIN embeddings e
+         |    ON e.label = cells.c_label AND e.vec_id != cells.q_id),
+         |rk AS (SELECT q_id, vec_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+         |  FROM cand)
+         |SELECT q_id, rk, vec_id, cos FROM rk WHERE rk <= 3
+         |ORDER BY q_id, rk""".stripMargin
+    },
+
     // Embeddings.s6SemanticDedup: drop the higher vec_id of each
     // within-cell cosine ≥ 0.3 pair; survivors keep=true.
     "s6_semantic_dedup" ->

@@ -224,6 +224,64 @@ object Embeddings {
       .filter(col("dim") < 4)
       .orderBy(col("label"), col("dim"))
 
+  /** IVF ANN with a COMPUTED coarse quantizer and nprobe = 2 (s7): the
+    * full inverted-file architecture rather than s2's pre-assigned
+    * cells. Per-cell centroids are exact order-insensitive per-dim means
+    * (the s4 GridMath discipline, so both engines derive bit-identical
+    * centroid vectors), each query ranks the centroid table and probes
+    * its TOP TWO cells — the recall/cost dial real IVF indexes turn
+    * (nprobe=1 misses neighbors that fall just across a cell boundary;
+    * this query IS that boundary case made gateable). Shape at scale:
+    * the centroid table is nCells rows (broadcast), centroid ranking is
+    * nQueries × nCells (bounded by construction — no salt needed), the
+    * candidate join is keyed on the cell label, and the final top-k is
+    * the two-phase salted rank. The query↔centroid fold is the
+    * codegen'd float×double [[org.apache.spark.sql.graftfn.FloatDoubleVecDot]];
+    * the centroid self-norm uses the HOF fold whose association order
+    * the DuckDB `list_reduce` twin shares.
+    */
+  def s7IvfProbe2(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        norm(col("embedding")).as("nrm"))
+    val centVec = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(GridMath.gridAvgRound(col("v").cast("double"), 6, 6).as("m"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+      .select(col("label").as("c_label"),
+        expr("transform(dm, x -> x.m)").as("centroid"))
+      .withColumn("c_nrm", sqrt(expr(
+        "aggregate(zip_with(centroid, centroid, (x, y) -> x * y)," +
+          " 0D, (s, x) -> s + x)")))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    // nQueries × nCells rows — bounded by the coarse-quantizer size, not
+    // the corpus, so a plain window rank is safe here (unlike the
+    // corpus-sized rankings, which go through saltedTopK)
+    val cells = queries.crossJoin(broadcast(centVec))
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("c_label"),
+        round(org.apache.spark.sql.graftfn.GraftExpressions
+            .floatDoubleVecDot(col("q_emb"), col("centroid"))
+          / (col("q_nrm") * col("c_nrm")), 6).as("ccos"))
+      .withColumn("crk", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("ccos").desc, col("c_label"))))
+      .filter(col("crk") <= 2)
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("c_label"))
+    val cand = emb.join(broadcast(cells),
+        col("label") === col("c_label") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosinePre(col("q_emb"), col("q_nrm"),
+          col("embedding"), col("nrm")), 6).as("cos"))
+    TopK.saltedTopK(cand, Seq(col("q_id")),
+        Seq(col("cos").desc, col("vec_id")), k = 3, saltBy = col("vec_id"))
+      .select(col("q_id"), col("rk"), col("vec_id"), col("cos"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   /** Semantic dedup decision (s6, the SemDeDup shape): within each IVF
     * coarse cell, cosine ≥ 0.3 pairs are semantic near-duplicates (s2's
     * candidate machinery — never all-pairs across cells); the higher
@@ -251,6 +309,7 @@ object Embeddings {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_cosine_topk" -> (s1CosineTopK _),
     "s6_semantic_dedup" -> (s6SemanticDedup _),
+    "s7_ivf_probe2" -> (s7IvfProbe2 _),
     "s2_ivf_neardup" -> (s2IvfNearDup _),
     "s2b_ivf_capped" -> (s2bIvfCapped _),
     "s3_lsh_ann" -> (s3LshAnn _),

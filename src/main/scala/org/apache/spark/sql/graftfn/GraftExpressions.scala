@@ -40,6 +40,13 @@ object GraftExpressions {
       ExpressionUtils.expression(a),
       org.apache.spark.sql.catalyst.expressions.Literal.create(
         weights, ArrayType(DoubleType))))
+
+  /** Column form of [[FloatDoubleVecDot]] — float-array × double-array
+    * sequential fold (e.g. an embedding against a computed centroid).
+    */
+  def floatDoubleVecDot(a: Column, b: Column): Column =
+    ExpressionUtils.column(FloatDoubleVecDot(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }
 
 /** Σ (double)a[i] * w[i], sequential — same association order as the
