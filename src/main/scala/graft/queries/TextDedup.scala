@@ -639,8 +639,14 @@ object TextDedup {
   def d12TrainOverlap(spark: SparkSession, dir: String): DataFrame = {
     val (_, split) = splitCols
     val docs = Tables.documents(spark, dir)
+    // the split-tagged shingle index feeds BOTH the train-vocabulary
+    // distinct and the eval-side scoring join — persist once (the d6
+    // eager-materialization discipline) or each consumer re-runs the
+    // posexplode + lead-window shingle derivation
     val withSplit = shingleIndex(docs)
       .join(docs.select(col("doc_id"), split.as("split")), Seq("doc_id"))
+      .persist()
+    withSplit.count() // eager materialization (see d3)
     val trainVocab = withSplit.filter(col("split") === "train")
       .select(col("shingle")).distinct()
       .withColumn("seen", lit(true))
