@@ -227,6 +227,24 @@ class PlanShapeSpec extends AnyFunSuite {
       s"e10 must not use windows:\n${p.take(1200)}")
   }
 
+  test("s7: centroid table and probed cells broadcast; corpus side never hash-shuffles before the salted rank") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val root = physicalRoot(Embeddings.s7IvfProbe2(spark, dir))
+    val p = root.toString
+    // the candidate search reaches the corpus as a broadcast of the
+    // (query, cell) table — the big side is never re-partitioned to meet
+    // the index; the codegen'd float×double fold scores the centroids
+    assert(root.collect { case j: BroadcastHashJoinExec => j }.nonEmpty, p.take(1200))
+    assert(p.contains("float_double_vec_dot"), p.take(1200))
+    // the only window rank over unsalted keys is the nQueries × nCells
+    // centroid ranking (bounded by the index size, not the corpus): every
+    // other rank goes through the salted two-phase top-k
+    assert(p.contains("windowspecdefinition(q_id"), p.take(1200))
+    // saltedTopK's phase-1 rank column + the pmod(hash(...)) salt key
+    assert(p.contains("__rk1") && p.contains("pmod(hash(vec_id"),
+      "final top-k must be the salted two-phase rank")
+  }
+
   test("q15: the scalar average subquery broadcasts; no shuffle of the grouped side for the filter") {
     val p = plan(Relational.q15Having(spark, dir))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
