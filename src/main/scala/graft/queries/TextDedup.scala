@@ -242,9 +242,11 @@ object TextDedup {
     * requesters on the map entry, so the pipeline runs at most once.
     */
   private[graft] def dupPairs(spark: SparkSession, dir: String): DataFrame = {
+    // a per-dir counter, not dir.hashCode, names the file — hash
+    // collisions between two corpus dirs must not alias their pair tables
     val path = dupPairPaths.computeIfAbsent(dir, _ => {
       val p = s"${System.getProperty("java.io.tmpdir")}/graft-pairs-" +
-        s"$dupPairRunId-${java.lang.Integer.toHexString(dir.hashCode)}.parquet"
+        s"$dupPairRunId-${dupPairSeq.getAndIncrement()}.parquet"
       jaccardPairsUnordered(spark, dir, maxShingleDf = None)
         .write.mode("overwrite").parquet(p)
       p
@@ -252,6 +254,7 @@ object TextDedup {
     spark.read.parquet(path)
   }
   private val dupPairRunId = java.util.UUID.randomUUID().toString.take(8)
+  private val dupPairSeq = new java.util.concurrent.atomic.AtomicInteger(0)
   private val dupPairPaths =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 

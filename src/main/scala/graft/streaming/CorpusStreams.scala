@@ -1,0 +1,39 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming surface over the documents corpus — ingest-time operators.
+  *
+  * A production pretraining pipeline doesn't only dedup a finished
+  * corpus snapshot (the batch d-family); it also filters AT INGEST, as
+  * crawl shards arrive. This module carries those twins: the plans are
+  * the streaming halves of [[graft.queries.TextDedup]] queries, proven
+  * equivalent in `StreamingSpec`.
+  */
+object CorpusStreams {
+
+  /** Ingest-time exact dedup — the streaming twin of d1's decision: a
+    * document is admitted iff its normalized-content hash was never seen
+    * before (`dropDuplicates` keyed on the d1 hash — the same
+    * `fast_md5(regexp_replace(trim(lower(text))))` normalization, so the
+    * streaming filter and the batch canonical-set agree on what "same
+    * document" means). Across micro-batches the earlier arrival always
+    * wins (keyed state); within one micro-batch the survivor among
+    * simultaneous duplicates is arbitrary — at ingest that tie is
+    * meaningless (the copies are identical by construction). State is
+    * one (hash) entry per distinct document, unbounded by design: exact
+    * corpus-lifetime dedup IS an unbounded-state problem; the bounded
+    * variant is `dropDuplicatesWithinWatermark` when the product only
+    * needs near-arrival dedup (crawler re-fetch suppression), which
+    * trades completeness for GC — the same completeness/state dial as
+    * the batch d6b/d9b caps.
+    */
+  def ingestDedup(docs: DataFrame): DataFrame = {
+    import graft.functions.FastMd5.fastMd5
+    docs.select(col("doc_id"),
+        fastMd5(regexp_replace(trim(lower(col("text"))), "\\s+", " "))
+          .as("text_hash"))
+      .dropDuplicates("text_hash")
+  }
+}

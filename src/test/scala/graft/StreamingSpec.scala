@@ -340,6 +340,42 @@ class StreamingSpec extends AnyFunSuite {
       EventStreams.RetFact(8, h0Us + 24L * 3600000000L, "new")), s"got $retOut")
   }
 
+  test("ingest dedup admits first arrival, rejects later copies, and matches d1's hash space") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = graft.streaming.CorpusStreams
+      .ingestDedup(mem.toDS().toDF("doc_id", "text"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ingest_dedup").start()
+    try {
+      mem.addData((1L, "alpha beta gamma"), (2L, "delta epsilon"))
+      q.processAllAvailable()
+      // doc 3 is doc 1 up to the d1 normalization (case + whitespace) —
+      // must be rejected by the keyed state from the earlier burst
+      mem.addData((3L, "  Alpha   BETA  gamma"), (4L, "zeta eta"))
+      q.processAllAvailable()
+      mem.addData((5L, "delta epsilon")) // exact copy of doc 2
+      q.processAllAvailable()
+    } finally q.stop()
+    val admitted = spark.table("ingest_dedup")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(admitted.map(_._1).toSet == Set(1L, 2L, 4L),
+      s"admitted=${admitted.map(_._1).toSet}")
+    // the stream's hash space IS d1's: batch-normalizing the full corpus
+    // yields exactly the admitted hash set
+    val batchHashes = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon"),
+        (3L, "  Alpha   BETA  gamma"), (4L, "zeta eta"), (5L, "delta epsilon"))
+      .toDF("doc_id", "text")
+      .select(graft.functions.FastMd5.fastMd5(
+        org.apache.spark.sql.functions.regexp_replace(
+          org.apache.spark.sql.functions.trim(
+            org.apache.spark.sql.functions.lower($"text")), "\\s+", " ")))
+      .distinct().as[String].collect().toSet
+    assert(admitted.map(_._2).toSet == batchHashes)
+  }
+
   test("retention tombstones suppress `new` re-emission after state settles") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
