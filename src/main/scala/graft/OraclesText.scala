@@ -357,6 +357,21 @@ object OraclesText {
          |            ELSE 700 END) AS keep
          |FROM x ORDER BY doc_id LIMIT 2000""".stripMargin,
 
+    // TextDedup.p5LangRebalance: cap any language at 20% of the corpus;
+    // integer keep rule (bucket·5·n_lang < 1000·n_total) so the decision
+    // can't drift across engines on a double-rate boundary.
+    "p5_lang_rebalance" ->
+      s"""WITH x AS (SELECT doc_id, lang,
+         |    ${hex4ToInt("substr(md5('bal:' || regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), 1, 4)")} % 1000 AS bucket
+         |  FROM documents),
+         |c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),
+         |tot AS (SELECT count(*) AS n_total FROM documents)
+         |SELECT x.doc_id, x.lang, CAST(x.bucket AS BIGINT) AS bucket,
+         |  c.n_lang,
+         |  (x.bucket * 5 * c.n_lang < 1000 * t.n_total) AS keep
+         |FROM x JOIN c ON x.lang = c.lang CROSS JOIN tot t
+         |ORDER BY doc_id LIMIT 2000""".stripMargin,
+
     // TextDedup.p3TokenBudget: quality-descending cumulative token sum,
     // docs whose preceding total is under the budget. The window sum is
     // CAST to BIGINT (DuckDB promotes integer window sums to HUGEINT —
@@ -911,8 +926,119 @@ object OraclesText {
         |ORDER BY row_id, f_price, f_qty, f_tax LIMIT 3000""".stripMargin,
   )
 
+  val ingest: Map[String, String] = Map(
+    // Ingest.p4QualityFilter: t4's quality formula + t11's duplicate-
+    // bigram fraction + the first-failing-rule admission decision. Both
+    // ratios rounded at 6 decimals BEFORE the thresholds, mirroring the
+    // Spark side, so a half-ulp straddle can't flip `keep` across
+    // engines.
+    "p4_quality_filter" ->
+      """WITH x AS (SELECT doc_id, lang,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |sig AS (SELECT doc_id, lang,
+        |  CAST(len(toks) AS INT) AS n_tokens,
+        |  round(least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) * 0.3
+        |    + (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.3
+        |    + (CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','is','to'], t))) AS DOUBLE) / len(toks)) * 0.2
+        |    + (CAST(len(list_filter(toks, t -> length(t) >= 4)) AS DOUBLE) / len(toks)) * 0.2, 6) AS quality,
+        |  round(1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i+1]))) AS DOUBLE) / (len(toks) - 1), 6) AS rep_frac
+        |  FROM x)
+        |SELECT doc_id, lang, n_tokens, quality, rep_frac,
+        |  CASE WHEN n_tokens < 20 THEN 'too_short'
+        |       WHEN rep_frac > 0.10 THEN 'repetitive'
+        |       WHEN quality < 0.55 THEN 'low_quality'
+        |       ELSE 'kept' END AS reject_reason,
+        |  (n_tokens >= 20 AND rep_frac <= 0.10 AND quality >= 0.55) AS keep
+        |FROM sig ORDER BY doc_id LIMIT 2000""".stripMargin,
+
+    // Ingest.t14PiiRedact: the oracle PREDICTS the injection from doc_id
+    // arithmetic (the m1 discipline) and constructs the redacted text
+    // directly; the Spark side must actually find the PII with real
+    // regexes — an under- or over-matching detector breaks the hash.
+    "t14_pii_redact" ->
+      """WITH r AS (SELECT doc_id,
+        |    text || CASE WHEN doc_id % 3 = 0 THEN ' reach me at <EMAIL>' ELSE '' END
+        |         || CASE WHEN doc_id % 4 = 0 THEN ' call <PHONE>' ELSE '' END
+        |         || CASE WHEN doc_id % 5 = 0 THEN ' from <IP>' ELSE '' END AS red
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INT) AS n_emails,
+        |  CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS INT) AS n_phones,
+        |  CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS INT) AS n_ips,
+        |  md5(red) AS redacted_hash,
+        |  CAST(length(red) AS INT) AS n_chars
+        |FROM r ORDER BY doc_id LIMIT 2000""".stripMargin,
+
+    // Ingest.d13IncrementalDedup: new batch (src18/src19) deduped
+    // against the standing corpus — exact by d1's normalized hash,
+    // near by d6's shingle Jaccard, new×existing only.
+    "d13_incremental_dedup" ->
+      s"""WITH $shingleCte,
+         |tag AS (SELECT doc_id, (source IN ('src18', 'src19')) AS is_new
+         |        FROM documents),
+         |hx AS (SELECT doc_id,
+         |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h,
+         |    (source IN ('src18', 'src19')) AS is_new
+         |  FROM documents),
+         |oldh AS (SELECT DISTINCT h FROM hx WHERE NOT is_new),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sidx GROUP BY doc_id),
+         |shared AS (SELECT a.doc_id AS new_id, b.doc_id AS old_id,
+         |             count(*) AS shared
+         |           FROM sidx a JOIN tag ta ON a.doc_id = ta.doc_id AND ta.is_new
+         |                JOIN sidx b ON a.shingle = b.shingle
+         |                JOIN tag tb ON b.doc_id = tb.doc_id AND NOT tb.is_new
+         |           GROUP BY 1, 2),
+         |near AS (SELECT new_id, min(old_id) AS ndof
+         |         FROM shared JOIN sizes sa ON new_id = sa.doc_id
+         |                     JOIN sizes sb ON old_id = sb.doc_id
+         |         WHERE round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) >= 0.8
+         |         GROUP BY 1)
+         |SELECT hx.doc_id, (oldh.h IS NOT NULL) AS exact_dup,
+         |  CAST(coalesce(near.ndof, -1) AS BIGINT) AS near_dup_of,
+         |  (oldh.h IS NULL AND near.ndof IS NULL) AS admitted
+         |FROM hx LEFT JOIN oldh ON hx.h = oldh.h
+         |        LEFT JOIN near ON hx.doc_id = near.new_id
+         |WHERE hx.is_new ORDER BY doc_id""".stripMargin,
+
+    // Embeddings.s8AnnRecall: recall@3 of the s3 (LSH) and s7 (IVF)
+    // paths against the exact brute-force top-3. The ANN legs reuse the
+    // gated s3/s7 oracle SQL verbatim as nested CTEs, so this gate
+    // composes three already-gated pipelines rather than restating them.
+    "s8_ann_recall" -> {
+      val exact3 =
+        s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+           |           FROM embeddings WHERE vec_id < 10),
+           |scored AS (SELECT q_id, vec_id,
+           |    round(${cosineSql("q_emb", "embedding")}, 6) AS cos
+           |  FROM embeddings, q WHERE vec_id != q_id),
+           |rk AS (SELECT q_id, vec_id,
+           |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+           |  FROM scored)
+           |SELECT q_id, vec_id FROM rk WHERE rk <= 3""".stripMargin
+      s"""WITH exact3 AS ($exact3),
+         |lsh AS (${similarity("s3_lsh_ann")}),
+         |ivf AS (${similarity("s7_ivf_probe2")}),
+         |base AS (SELECT q_id, count(*) AS n_exact FROM exact3 GROUP BY 1),
+         |lh AS (SELECT l.q_id, count(*) AS lsh_hits FROM lsh l
+         |       JOIN exact3 e ON l.q_id = e.q_id AND l.vec_id = e.vec_id
+         |       GROUP BY 1),
+         |ih AS (SELECT i.q_id, count(*) AS ivf_hits FROM ivf i
+         |       JOIN exact3 e ON i.q_id = e.q_id AND i.vec_id = e.vec_id
+         |       GROUP BY 1)
+         |SELECT base.q_id, CAST(n_exact AS BIGINT) AS n_exact,
+         |  CAST(coalesce(lsh_hits, 0) AS BIGINT) AS lsh_hits,
+         |  CAST(coalesce(ivf_hits, 0) AS BIGINT) AS ivf_hits,
+         |  round(CAST(coalesce(lsh_hits, 0) AS DOUBLE) / n_exact, 6) AS recall_lsh,
+         |  round(CAST(coalesce(ivf_hits, 0) AS DOUBLE) / n_exact, 6) AS recall_ivf
+         |FROM base LEFT JOIN lh ON base.q_id = lh.q_id
+         |          LEFT JOIN ih ON base.q_id = ih.q_id
+         |ORDER BY base.q_id""".stripMargin
+    },
+  )
+
   def all: Map[String, String] =
     dedup ++ dedupCapped ++ dedupDecision ++ dedupComponents ++ containment ++
       decontamination ++ simhash ++ text ++ xent ++ pipeline ++ similarity ++
-      events ++ multimodal ++ survival
+      events ++ multimodal ++ survival ++ ingest
 }

@@ -12,7 +12,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Rel.all ++ graft.queries.TextDedup.all ++ graft.queries.Embeddings.all ++
       graft.queries.Events.all ++ graft.multimodal.Multimodal.all ++
-      graft.queries.Survival.all
+      graft.queries.Survival.all ++ graft.queries.Ingest.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

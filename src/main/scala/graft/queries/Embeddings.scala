@@ -306,8 +306,50 @@ object Embeddings {
       .orderBy(col("vec_id"))
   }
 
+  /** ANN recall evaluation (s8): per query, recall@3 of the two
+    * approximate indexes — s3's hyperplane LSH and s7's IVF nprobe=2 —
+    * against the exact brute-force top-3. This is the evaluation harness
+    * every ANN deployment runs before turning a recall/cost dial: the
+    * approximate paths are only worth their speedup if measured recall
+    * stays acceptable, and the measurement itself must be a first-class,
+    * gated operator (an unmeasured index silently degrades as the
+    * collection drifts). Composes the three gated pipelines and joins on
+    * (q_id, vec_id) — the added work beyond the indexes themselves is a
+    * few 10-row aggregates. The ground-truth side is the s1 brute-force
+    * scan: at lake scale that is the one genuinely expensive leg, which
+    * is why real systems evaluate on a query SAMPLE (here: the 10 gate
+    * queries) rather than the full workload — the pattern this operator
+    * pins.
+    */
+  def s8AnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    // exact ground truth = the gated brute-force ranking, cut at k=3 to
+    // match the ANN paths' k; persist — it feeds both hit joins
+    val exact3 = s1CosineTopK(spark, dir)
+      .filter(col("rk") <= 3)
+      .select(col("q_id"), col("vec_id"))
+      .persist()
+    exact3.count() // eager: consumers racing a cold cache each recompute
+    val base = exact3.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact"))
+    def hits(ann: DataFrame, name: String): DataFrame =
+      ann.select(col("q_id"), col("vec_id"))
+        .join(exact3, Seq("q_id", "vec_id"), "left_semi")
+        .groupBy(col("q_id")).agg(count(lit(1)).as(name))
+    base
+      .join(hits(s3LshAnn(spark, dir), "lsh_hits"), Seq("q_id"), "left")
+      .join(hits(s7IvfProbe2(spark, dir), "ivf_hits"), Seq("q_id"), "left")
+      .select(col("q_id"), col("n_exact"),
+        coalesce(col("lsh_hits"), lit(0L)).as("lsh_hits"),
+        coalesce(col("ivf_hits"), lit(0L)).as("ivf_hits"),
+        round(coalesce(col("lsh_hits"), lit(0L)).cast("double")
+          / col("n_exact"), 6).as("recall_lsh"),
+        round(coalesce(col("ivf_hits"), lit(0L)).cast("double")
+          / col("n_exact"), 6).as("recall_ivf"))
+      .orderBy(col("q_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_cosine_topk" -> (s1CosineTopK _),
+    "s8_ann_recall" -> (s8AnnRecall _),
     "s6_semantic_dedup" -> (s6SemanticDedup _),
     "s7_ivf_probe2" -> (s7IvfProbe2 _),
     "s2_ivf_neardup" -> (s2IvfNearDup _),

@@ -1,0 +1,218 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Ingest-side corpus operators: the admission filter a pipeline runs on
+  * every arriving shard (p4), PII scrubbing (t14), and incremental
+  * new-batch-vs-existing-corpus dedup (d13).
+  *
+  * These are the operators that run BEFORE a corpus snapshot exists — a
+  * 100 TB corpus is never rebuilt from scratch; it grows by increments,
+  * and each increment is filtered, scrubbed, and deduped against the
+  * standing corpus. All three are designed so the per-increment cost is
+  * proportional to the increment, not the corpus: p4 and t14 are
+  * map-only (zero shuffle — they ride the scan's codegen stage), and
+  * d13's joins are keyed on content hash / shingle against what would be
+  * precomputed corpus-side index assets at lake scale.
+  */
+object Ingest {
+
+  import graft.functions.FastMd5.fastMd5
+
+  private def toks: Column = split(trim(lower(col("text"))), "\\s+")
+
+  // `filter` collides with DataFrame.filter inside select contexts
+  private def filter_(c: Column, f: Column => Column): Column =
+    org.apache.spark.sql.functions.filter(c, f)
+
+  // ------------------------------------------------- p4 admission filter
+
+  /** Per-document admission signals: token count, the t4 quality score,
+    * and the t11 duplicate-bigram fraction — computed in ONE projection
+    * over the token array so the batch filter and its streaming twin
+    * ([[graft.streaming.CorpusStreams.qualityAdmission]]) share the
+    * exact column expressions. Both ratios are rounded at 6 decimals
+    * BEFORE the thresholds compare them, so the keep decision is
+    * engine-independent (a raw double straddling a threshold by half an
+    * ulp would flip keep across engines).
+    */
+  private[graft] def admissionSignals(docs: DataFrame): DataFrame = {
+    val n = size(col("toks"))
+    docs
+      .select(col("doc_id"), col("lang"), toks.as("toks"))
+      .select(col("doc_id"), col("lang"), n.as("n_tokens"),
+        round(least(n.cast("double") / 50.0, lit(1.0)) * 0.3
+          + (size(array_distinct(col("toks"))).cast("double") / n) * 0.3
+          + (size(filter_(col("toks"), t => t.isin(TextDedup.StopEn: _*)))
+            .cast("double") / n) * 0.2
+          + (size(filter_(col("toks"), t => length(t) >= 4))
+            .cast("double") / n) * 0.2, 6).as("quality"),
+        round(when(n >= 2,
+          lit(1.0) - size(array_distinct(
+            zip_with(slice(col("toks"), lit(1), n - 1),
+              slice(col("toks"), lit(2), n - 1),
+              (a, b) => concat(a, lit(" "), b)))).cast("double") / (n - 1))
+          .otherwise(0.0), 6).as("rep_frac"))
+  }
+
+  /** The admission decision over precomputed signals — shared verbatim
+    * by the batch query and the streaming twin. First failing rule wins
+    * (the diagnostic shape real pipelines emit: a rejected document
+    * carries WHY, so filter-rate dashboards can decompose by rule).
+    */
+  private[graft] def admissionDecision(signals: DataFrame): DataFrame =
+    signals
+      .withColumn("reject_reason",
+        when(col("n_tokens") < 20, "too_short")
+          .when(col("rep_frac") > 0.10, "repetitive")
+          .when(col("quality") < 0.55, "low_quality")
+          .otherwise("kept"))
+      .withColumn("keep", col("reject_reason") === "kept")
+
+  /** Composite quality-admission filter (p4): the C4/Gopher-style keep
+    * rule a pretraining pipeline applies to every arriving document —
+    * minimum length, bigram-repetition cap (t11's signal), and quality
+    * floor (t4's score), with the first failing rule reported. Pure
+    * per-row array math: zero shuffle, the whole operator runs inside
+    * the scan's whole-stage codegen like t1/t4/t11 — at 100 TB this is
+    * a map-only pass whose cost is the scan itself.
+    */
+  def p4QualityFilter(spark: SparkSession, dir: String): DataFrame =
+    admissionDecision(admissionSignals(Tables.documents(spark, dir)))
+      .orderBy(col("doc_id"))
+      .limit(2000)
+
+  // --------------------------------------------------- t14 PII redaction
+
+  // Real-world PII shapes; the corpus text is digit/@/hyphen-free by
+  // construction (verified across all SFs), so injected PII is the only
+  // possible match and the oracle can predict counts arithmetically.
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PhoneRe = "\\b555-[0-9]{4}\\b"
+  private val IpRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** doc_id-derived PII injection — the m1 discipline (Multimodal.scala):
+    * the oracle predicts WHAT was injected from doc_id arithmetic, while
+    * the Spark side must actually FIND it with the real regexes; a
+    * detector that under- or over-matches breaks the redacted-text hash.
+    */
+  private[graft] def injectPii(text: Column, docId: Column): Column =
+    concat(text,
+      when(docId % 3 === 0, concat(lit(" reach me at user"),
+        docId.cast("string"), lit("@example.com"))).otherwise(""),
+      when(docId % 4 === 0, concat(lit(" call 555-"),
+        lpad((docId % 10000).cast("string"), 4, "0"))).otherwise(""),
+      when(docId % 5 === 0, concat(lit(" from 10."),
+        (docId % 256).cast("string"), lit("."),
+        // integral divide: `docId / 7` would be a DOUBLE division
+        (org.apache.spark.sql.graftfn.GraftExpressions
+          .intDiv(docId, lit(7L)) % 256).cast("string"), lit("."),
+        (docId % 100).cast("string"))).otherwise(""))
+
+  /** PII detection + redaction over text columns (t14): emails, NANP-555
+    * phone numbers, and IPv4 literals are counted and replaced with
+    * typed placeholders — the scrubbing stage every training pipeline
+    * runs before text leaves the ingest boundary. Redaction order is
+    * email → IP → phone (an email's local part may contain digits; once
+    * emails collapse to `<EMAIL>` the remaining digit runs are
+    * unambiguous). Map-only: three regex extracts + three replaces per
+    * row, no shuffle anywhere — the operator rides the scan's codegen
+    * stage, and at 100 TB costs one pass over the text bytes.
+    */
+  def t14PiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val injected = injectPii(col("text"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), injected.as("txt"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("txt"), lit(EmailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("txt"), lit(PhoneRe), lit(0))).as("n_phones"),
+        size(regexp_extract_all(col("txt"), lit(IpRe), lit(0))).as("n_ips"),
+        regexp_replace(regexp_replace(regexp_replace(col("txt"),
+          EmailRe, "<EMAIL>"), IpRe, "<IP>"), PhoneRe, "<PHONE>")
+          .as("redacted"))
+      .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
+        fastMd5(col("redacted")).as("redacted_hash"),
+        length(col("redacted")).as("n_chars"))
+      .orderBy(col("doc_id"))
+      .limit(2000)
+  }
+
+  // ------------------------------------------- d13 incremental dedup
+
+  // The "new batch": a deterministic source split standing in for the
+  // daily crawl increment. Everything else is the standing corpus.
+  private[graft] val NewSources = Seq("src18", "src19")
+
+  /** Incremental new-batch-vs-corpus dedup (d13): the shape a growing
+    * corpus actually runs — never re-dedup the 100 TB snapshot; dedup
+    * the arriving increment AGAINST it. Each new document is checked
+    * (a) exactly, by d1's normalized content hash against the standing
+    * hash set, and (b) near-exactly, by d6's shingle Jaccard against
+    * standing documents only (new×existing, never existing×existing —
+    * the corpus-side work was already paid when those documents were
+    * admitted). Emits per new doc: exact_dup, the smallest existing
+    * near-dup partner (−1 sentinel when none; the gate hash treats
+    * NULL-vs-NaN ambiguously across engines), and the admission verdict.
+    *
+    * Scale shape: at lake scale the existing-corpus hash set and shingle
+    * inverted index are precomputed, incrementally-maintained assets
+    * (exactly like the run-scoped [[TextDedup.dupPairs]] materialization);
+    * the per-increment cost is |new| hash probes + the new side's
+    * postings joined against the standing index on the shingle key —
+    * proportional to the increment, never corpus². Both joins key on
+    * high-cardinality values (128-bit hash, shingle text); the hot-
+    * shingle valve (d6b's `capShingleDf`) composes here unchanged if an
+    * increment hits boilerplate.
+    */
+  def d13IncrementalDedup(spark: SparkSession, dir: String): DataFrame =
+    incrementalDedupOf(Tables.documents(spark, dir)
+      .withColumn("is_new", col("source").isin(NewSources: _*)))
+
+  /** The increment-vs-corpus pipeline over a pre-tagged frame
+    * (`doc_id`, `text`, `is_new`) — split out so specs can drive crafted
+    * corpora through the exact production plan.
+    */
+  private[graft] def incrementalDedupOf(docs: DataFrame): DataFrame = {
+    val hashes = docs.select(col("doc_id"), col("is_new"),
+      fastMd5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")).as("h"))
+    val existingH = hashes.filter(!col("is_new"))
+      .select(col("h")).distinct().withColumn("hit", lit(true))
+    val exact = hashes.filter(col("is_new"))
+      .join(existingH, Seq("h"), "left")
+      .select(col("doc_id"), coalesce(col("hit"), lit(false)).as("exact_dup"))
+
+    // split-tagged shingle index feeds sizes + both join sides: persist
+    // once (the d3/d12 eager-materialization discipline)
+    val idx = TextDedup.shingleIndex(docs)
+      .join(docs.select(col("doc_id"), col("is_new")), Seq("doc_id"))
+      .persist()
+    idx.count() // eager: consumers racing a cold cache each recompute
+    val sizes = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val shared = idx.filter(col("is_new")).as("a")
+      .join(idx.filter(!col("is_new")).as("b"),
+        col("a.shingle") === col("b.shingle"))
+      .groupBy(col("a.doc_id").as("new_id"), col("b.doc_id").as("old_id"))
+      .agg(count(lit(1)).as("shared"))
+    val nearest = shared
+      .join(sizes.as("sa"), col("new_id") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("old_id") === col("sb.doc_id"))
+      .filter(round(col("shared").cast("double")
+        / (col("sa.n") + col("sb.n") - col("shared")), 6) >= 0.8)
+      .groupBy(col("new_id"))
+      .agg(min(col("old_id")).as("ndof"))
+
+    exact.join(nearest, col("doc_id") === col("new_id"), "left")
+      .select(col("doc_id"), col("exact_dup"),
+        coalesce(col("ndof"), lit(-1L)).as("near_dup_of"),
+        (!col("exact_dup") && col("ndof").isNull).as("admitted"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p4_quality_filter" -> (p4QualityFilter _),
+    "t14_pii_redact" -> (t14PiiRedact _),
+    "d13_incremental_dedup" -> (d13IncrementalDedup _),
+  )
+}

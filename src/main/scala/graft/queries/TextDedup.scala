@@ -498,7 +498,7 @@ object TextDedup {
       .orderBy(col("doc_id"))
       .limit(2000)
 
-  private val StopEn = Seq("the", "a", "of", "and", "is", "to")
+  private[graft] val StopEn = Seq("the", "a", "of", "and", "is", "to")
   private val StopDe = Seq("der", "die", "das", "und", "ist")
   private val StopEs = Seq("el", "la", "de", "y", "es")
   private val StopFr = Seq("le", "la", "de", "et", "est")
@@ -885,6 +885,42 @@ object TextDedup {
       .limit(2000)
   }
 
+  /** Language rebalancing (p5): downsample any language exceeding 20%
+    * of the corpus to 20% — the adaptive counterpart of p2's FIXED
+    * mixture weights (real pipelines run both: configured mixtures for
+    * known sources, statistical caps against an over-represented crawl
+    * language drowning the rest). Rates derive from corpus counts, so
+    * the op is: one partial-agg count per language (5 rows), one global
+    * count (1 row), both broadcast back, then a map-only per-row
+    * decision on a salted content hash ("bal:" decorrelates from t9's
+    * split and p2's "mix:" sample). The keep rule is INTEGER
+    * arithmetic — `bucket · 5 · n_lang < 1000 · n_total` ⇔
+    * bucket/1000 < 0.2·total/n_lang — so the decision is exact on both
+    * engines (a double rate straddling a bucket boundary by half an
+    * ulp would flip rows); BIGINT headroom holds to ~10¹² documents.
+    * Reproducible under retries/re-sharding like every sampling op
+    * here: the hash is of content, never of position or rand().
+    */
+  def p5LangRebalance(spark: SparkSession, dir: String): DataFrame =
+    langRebalanceOf(Tables.documents(spark, dir))
+
+  private[graft] def langRebalanceOf(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    val bucket = conv(substring(fastMd5(concat(lit("bal:"),
+        regexp_replace(trim(lower(col("text"))), "\\s+", " "))), 1, 4),
+      16, 10).cast("long") % 1000
+    docs
+      .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+      .join(broadcast(counts), Seq("lang"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("lang"), col("bucket"), col("n_lang"),
+        (col("bucket") * 5 * col("n_lang") < lit(1000) * col("n_total"))
+          .as("keep"))
+      .orderBy(col("doc_id"))
+      .limit(2000)
+  }
+
   /** Token-budget corpus selection (p3): take documents in descending
     * quality order until the token budget is exhausted (the straddling
     * document is kept, mirroring t10's packing rule) — the "best N
@@ -1036,6 +1072,7 @@ object TextDedup {
     "t12_unigram_xent" -> (t12UnigramXent _),
     "p1_corpus_manifest" -> (p1CorpusManifest _),
     "p2_corpus_mixing" -> (p2CorpusMixing _),
+    "p5_lang_rebalance" -> (p5LangRebalance _),
     "p3_token_budget" -> (p3TokenBudget _),
   )
 }

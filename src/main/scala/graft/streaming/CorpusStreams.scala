@@ -36,4 +36,18 @@ object CorpusStreams {
           .as("text_hash"))
       .dropDuplicates("text_hash")
   }
+
+  /** Ingest-time quality admission — the streaming twin of p4's filter.
+    * The batch operator is stateless per-row math, so the twin IS the
+    * same code: [[graft.queries.Ingest.admissionSignals]] +
+    * [[graft.queries.Ingest.admissionDecision]] applied to a streaming
+    * DataFrame. No watermark, no state store, no shuffle — each arriving
+    * micro-batch is filtered inside its own scan stage, which is exactly
+    * why a pipeline runs this rule AT ingest rather than batching it:
+    * rejected documents never cost downstream storage or dedup work.
+    * `StreamingSpec` proves stream ≡ batch row-for-row.
+    */
+  def qualityAdmission(docs: DataFrame): DataFrame =
+    graft.queries.Ingest.admissionDecision(
+      graft.queries.Ingest.admissionSignals(docs))
 }

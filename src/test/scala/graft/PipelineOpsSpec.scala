@@ -61,4 +61,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got(2L) == (3L, 1L, 0.333333), s"doc2=${got(2L)}")
     assert(!got.contains(3L), "single-token docs have no bigrams")
   }
+
+  test("p5: over-represented language downsampled to the 20% cap, minority kept whole") {
+    import spark.implicits._
+    // lang A: 80/100 docs (rate 0.2·100/80 = 0.25 → bucket < 250);
+    // lang B: 20/100 (rate 1.0 → always kept)
+    val docs = ((0 until 80).map(i => (i.toLong, s"alpha doc $i unique words", "A"))
+      ++ (80 until 100).map(i => (i.toLong, s"beta doc $i other words", "B")))
+      .toDF("doc_id", "text", "lang")
+    val got = TextDedup.langRebalanceOf(docs)
+      .collect().map(r => (r.getLong(0),
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    val aKept = got.filter(_._2._1 == "A").count(_._2._4)
+    val bKept = got.filter(_._2._1 == "B").count(_._2._4)
+    assert(bKept == 20, s"minority language must be untouched, kept $bKept/20")
+    // the A sample is the exact bucket rule, not a float rate
+    val aExpected = got.filter(_._2._1 == "A").count(_._2._2 < 250)
+    assert(aKept == aExpected, s"kept $aKept != bucket<250 count $aExpected")
+    assert(aKept > 0 && aKept < 80, s"cap must bite: kept $aKept/80")
+    // content-hash decision ⇒ bit-identical on a rerun
+    val again = TextDedup.langRebalanceOf(docs)
+      .collect().map(r => (r.getLong(0), r.getBoolean(4))).toMap
+    assert(got.map { case (k, v) => k -> v._4 } == again)
+  }
 }

@@ -71,6 +71,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(800))
   }
 
+  test("p4 admission filter is map-only: signals + decision ride the scan, no exchange") {
+    val p = plan(graft.queries.Ingest.p4QualityFilter(spark, dir))
+    assert(!p.contains("Exchange"), p.take(800))
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
+  test("t14 PII redaction is map-only: three regex passes per row, no exchange") {
+    val p = plan(graft.queries.Ingest.t14PiiRedact(spark, dir))
+    assert(!p.contains("Exchange"), p.take(800))
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
   test("t10 sequence packing shuffles once, on the writer-shard key") {
     val p = plan(graft.queries.TextDedup.t10SequencePacking(spark, dir))
     // one hashpartitioning exchange for the per-shard window; the final

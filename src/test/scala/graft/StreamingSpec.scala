@@ -376,6 +376,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(admitted.map(_._2).toSet == batchHashes)
   }
 
+  test("streaming quality admission equals the batch p4 decision row-for-row") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, (1 to 44).map(i => s"word$i").mkString(" ") + " the of and is to done"),
+      (2L, "too short to pass the length gate"),
+      (3L, (1 to 30).map(_ => "buy now").mkString(" ")),
+      (4L, (1 to 25).map(i => s"a$i").mkString(" ")))
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = graft.streaming.CorpusStreams
+      .qualityAdmission(mem.toDS().toDF("doc_id", "text")
+        .withColumn("lang", lit("en")))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("quality_admission").start()
+    try {
+      // split across two micro-batches: the decision is stateless, so
+      // batching must not matter
+      mem.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("quality_admission")
+      .collect().map(_.toSeq).toSet
+    val batch = graft.queries.Ingest.admissionDecision(
+        graft.queries.Ingest.admissionSignals(
+          docs.toDF("doc_id", "text").withColumn("lang", lit("en"))))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    assert(streamed.size == 4)
+    // and the mix is real: one kept, three distinct reject reasons
+    val reasons = spark.table("quality_admission")
+      .select(col("reject_reason")).as[String].collect().toSet
+    assert(reasons == Set("kept", "too_short", "repetitive", "low_quality"))
+  }
+
   test("retention tombstones suppress `new` re-emission after state settles") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
