@@ -121,23 +121,29 @@ object Ingest {
     * row, no shuffle anywhere — the operator rides the scan's codegen
     * stage, and at 100 TB costs one pass over the text bytes.
     */
-  def t14PiiRedact(spark: SparkSession, dir: String): DataFrame = {
-    val injected = injectPii(col("text"), col("doc_id"))
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), injected.as("txt"))
+  def t14PiiRedact(spark: SparkSession, dir: String): DataFrame =
+    piiScrubOf(Tables.documents(spark, dir)
+      .select(col("doc_id"), injectPii(col("text"), col("doc_id")).as("text")))
+      .orderBy(col("doc_id"))
+      .limit(2000)
+
+  /** The scrub itself over a (`doc_id`, `text`) frame — shared verbatim
+    * by the batch query and the streaming twin
+    * ([[graft.streaming.CorpusStreams.piiScrub]]): detection counts on
+    * the raw text, then email → IP → phone replacement.
+    */
+  private[graft] def piiScrubOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
-        size(regexp_extract_all(col("txt"), lit(EmailRe), lit(0))).as("n_emails"),
-        size(regexp_extract_all(col("txt"), lit(PhoneRe), lit(0))).as("n_phones"),
-        size(regexp_extract_all(col("txt"), lit(IpRe), lit(0))).as("n_ips"),
-        regexp_replace(regexp_replace(regexp_replace(col("txt"),
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))).as("n_phones"),
+        size(regexp_extract_all(col("text"), lit(IpRe), lit(0))).as("n_ips"),
+        regexp_replace(regexp_replace(regexp_replace(col("text"),
           EmailRe, "<EMAIL>"), IpRe, "<IP>"), PhoneRe, "<PHONE>")
           .as("redacted"))
       .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
         fastMd5(col("redacted")).as("redacted_hash"),
         length(col("redacted")).as("n_chars"))
-      .orderBy(col("doc_id"))
-      .limit(2000)
-  }
 
   // ------------------------------------------- d13 incremental dedup
 

@@ -50,4 +50,17 @@ object CorpusStreams {
   def qualityAdmission(docs: DataFrame): DataFrame =
     graft.queries.Ingest.admissionDecision(
       graft.queries.Ingest.admissionSignals(docs))
+
+  /** Ingest-time PII scrub — the streaming twin of t14's redaction
+    * layer, sharing [[graft.queries.Ingest.piiScrubOf]] verbatim (the
+    * batch query additionally injects its deterministic test PII; the
+    * stream scrubs whatever arrives). Stateless map pass like
+    * [[qualityAdmission]] — PII never crosses the ingest boundary, the
+    * posture a production pipeline wants (scrubbing a 100 TB corpus
+    * after the fact still leaves the raw crawl on disk). Together the
+    * three CorpusStreams operators are the full ingest trio: admit
+    * (quality), scrub (PII), dedup (content hash).
+    */
+  def piiScrub(docs: DataFrame): DataFrame =
+    graft.queries.Ingest.piiScrubOf(docs)
 }

@@ -83,6 +83,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(800))
   }
 
+  test("d13: increment joins the standing corpus on keyed columns — never a cartesian") {
+    val p = plan(graft.queries.Ingest.d13IncrementalDedup(spark, dir))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    // the near-dup candidate join is keyed on the shingle — the inverted-
+    // index discipline (shuffle on high-cardinality shingle text)
+    assert(p.contains("shingle"), p.take(800))
+  }
+
   test("t10 sequence packing shuffles once, on the writer-shard key") {
     val p = plan(graft.queries.TextDedup.t10SequencePacking(spark, dir))
     // one hashpartitioning exchange for the per-shard window; the final

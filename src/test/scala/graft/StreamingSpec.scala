@@ -414,6 +414,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(reasons == Set("kept", "too_short", "repetitive", "low_quality"))
   }
 
+  test("streaming PII scrub equals the batch redaction row-for-row") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "contact user1@example.com or call 555-0042 from 10.1.2.3"),
+      (2L, "no pii in this one"),
+      (3L, "double a@b.co c@d.org trailing"))
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = graft.streaming.CorpusStreams
+      .piiScrub(mem.toDS().toDF("doc_id", "text"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("pii_scrub").start()
+    try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("pii_scrub").collect().map(_.toSeq).toSet
+    val batch = graft.queries.Ingest.piiScrubOf(docs.toDF("doc_id", "text"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch, s"stream=$streamed")
+    val counts = spark.table("pii_scrub")
+      .select($"doc_id", $"n_emails", $"n_phones", $"n_ips")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    assert(counts(1L) == ((1, 1, 1)))
+    assert(counts(2L) == ((0, 0, 0)))
+    assert(counts(3L) == ((2, 0, 0)))
+  }
+
   test("retention tombstones suppress `new` re-emission after state settles") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
