@@ -1001,6 +1001,25 @@ object OraclesText {
          |        LEFT JOIN near ON hx.doc_id = near.new_id
          |WHERE hx.is_new ORDER BY doc_id""".stripMargin,
 
+    // Embeddings.s9IncrementalSemDedup: new batch (vec_id ≡ 0 mod 20)
+    // checked within its IVF cell against STANDING vectors only;
+    // cosine ≥ 0.3 ⇒ semantic duplicate, not admitted.
+    "s9_incr_semdedup" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding,
+         |    (vec_id % 20 = 0) AS is_new FROM embeddings),
+         |m AS (SELECT a.vec_id AS new_id, count(*) AS n_matches,
+         |        min(b.vec_id) AS dof
+         |      FROM e a JOIN e b
+         |        ON a.label = b.label AND a.is_new AND NOT b.is_new
+         |      WHERE round(${cosineSql("a.embedding", "b.embedding")}, 6) >= 0.3
+         |      GROUP BY 1)
+         |SELECT e.vec_id, e.label,
+         |  CAST(coalesce(m.n_matches, 0) AS BIGINT) AS n_semdup_matches,
+         |  CAST(coalesce(m.dof, -1) AS BIGINT) AS dup_of,
+         |  (m.dof IS NULL) AS admitted
+         |FROM e LEFT JOIN m ON e.vec_id = m.new_id
+         |WHERE e.is_new ORDER BY e.vec_id""".stripMargin,
+
     // Embeddings.s8AnnRecall: recall@3 of the s3 (LSH) and s7 (IVF)
     // paths against the exact brute-force top-3. The ANN legs reuse the
     // gated s3/s7 oracle SQL verbatim as nested CTEs, so this gate

@@ -306,6 +306,49 @@ object Embeddings {
       .orderBy(col("vec_id"))
   }
 
+  /** Incremental semantic dedup (s9): the embedding-space twin of d13 —
+    * an arriving embedding batch (vec_id ≡ 0 mod 20, the deterministic
+    * stand-in for the daily increment) is checked against the STANDING
+    * collection only: within its IVF coarse cell, a new vector with
+    * cosine ≥ 0.3 against any standing vector is a semantic duplicate
+    * (s6's SemDeDup threshold) and is not admitted. new×existing only,
+    * never existing×existing — the standing side's intra-cell pairs
+    * were already resolved when those vectors were admitted. Per new
+    * vector: the match count, the smallest matching standing vec_id
+    * (−1 when none), and the admission verdict.
+    *
+    * Scale shape: at lake scale the standing collection is the
+    * IVF-bucketed index asset; the increment joins it on the cell key,
+    * so per-increment cost is |new| × (standing cell size), bounded by
+    * s2b's cell cap when a cell runs hot — proportional to the
+    * increment, never collection².
+    */
+  def s9IncrementalSemDedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        norm(col("embedding")).as("nrm"),
+        (pmod(col("vec_id"), lit(20)) === 0).as("is_new"))
+      .persist()
+    emb.count() // eager: the new side, old side, and verdict base all read it
+    val matches = emb.filter(col("is_new")).as("a")
+      .join(emb.filter(!col("is_new")).as("b"),
+        col("a.label") === col("b.label"))
+      .select(col("a.vec_id").as("new_id"), col("b.vec_id").as("old_id"),
+        round(cosinePre(col("a.embedding"), col("a.nrm"),
+          col("b.embedding"), col("b.nrm")), 6).as("cos"))
+      .filter(col("cos") >= 0.3)
+      .groupBy(col("new_id"))
+      .agg(count(lit(1)).as("n_matches"), min(col("old_id")).as("dof"))
+    emb.filter(col("is_new"))
+      .select(col("vec_id"), col("label"))
+      .join(matches, col("vec_id") === col("new_id"), "left")
+      .select(col("vec_id"), col("label"),
+        coalesce(col("n_matches"), lit(0L)).as("n_semdup_matches"),
+        coalesce(col("dof"), lit(-1L)).as("dup_of"),
+        col("dof").isNull.as("admitted"))
+      .orderBy(col("vec_id"))
+  }
+
   /** ANN recall evaluation (s8): per query, recall@3 of the two
     * approximate indexes — s3's hyperplane LSH and s7's IVF nprobe=2 —
     * against the exact brute-force top-3. This is the evaluation harness
@@ -350,6 +393,7 @@ object Embeddings {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_cosine_topk" -> (s1CosineTopK _),
     "s8_ann_recall" -> (s8AnnRecall _),
+    "s9_incr_semdedup" -> (s9IncrementalSemDedup _),
     "s6_semantic_dedup" -> (s6SemanticDedup _),
     "s7_ivf_probe2" -> (s7IvfProbe2 _),
     "s2_ivf_neardup" -> (s2IvfNearDup _),
