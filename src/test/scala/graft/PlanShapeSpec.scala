@@ -92,6 +92,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("shingle"), p.take(800))
   }
 
+  test("s9: increment joins standing vectors on the cell key — never a cartesian") {
+    val p = plan(graft.queries.Embeddings.s9IncrementalSemDedup(spark, dir))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
   test("t10 sequence packing shuffles once, on the writer-shard key") {
     val p = plan(graft.queries.TextDedup.t10SequencePacking(spark, dir))
     // one hashpartitioning exchange for the per-shard window; the final
