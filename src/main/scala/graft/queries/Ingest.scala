@@ -129,18 +129,24 @@ object Ingest {
 
   /** The scrub itself over a (`doc_id`, `text`) frame — shared verbatim
     * by the batch query and the streaming twin
-    * ([[graft.streaming.CorpusStreams.piiScrub]]): detection counts on
-    * the raw text, then email → IP → phone replacement.
+    * ([[graft.streaming.CorpusStreams.piiScrub]]). Each class counts on
+    * the PREVIOUS stage's redacted text (emails on raw, IPs after email
+    * redaction, phones after both), so the counts are exactly the
+    * replacements the scrub performed: a phone-shaped digit run inside
+    * an email's local part is one redacted email, not an email plus a
+    * phantom phone (spec-pinned in `IngestSpec`).
     */
   private[graft] def piiScrubOf(docs: DataFrame): DataFrame =
     docs
+      .select(col("doc_id"), col("text"),
+        regexp_replace(col("text"), EmailRe, "<EMAIL>").as("t1"))
+      .select(col("doc_id"), col("text"), col("t1"),
+        regexp_replace(col("t1"), IpRe, "<IP>").as("t2"))
       .select(col("doc_id"),
         size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).as("n_emails"),
-        size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))).as("n_phones"),
-        size(regexp_extract_all(col("text"), lit(IpRe), lit(0))).as("n_ips"),
-        regexp_replace(regexp_replace(regexp_replace(col("text"),
-          EmailRe, "<EMAIL>"), IpRe, "<IP>"), PhoneRe, "<PHONE>")
-          .as("redacted"))
+        size(regexp_extract_all(col("t2"), lit(PhoneRe), lit(0))).as("n_phones"),
+        size(regexp_extract_all(col("t1"), lit(IpRe), lit(0))).as("n_ips"),
+        regexp_replace(col("t2"), PhoneRe, "<PHONE>").as("redacted"))
       .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
         fastMd5(col("redacted")).as("redacted_hash"),
         length(col("redacted")).as("n_chars"))

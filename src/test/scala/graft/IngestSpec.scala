@@ -95,6 +95,20 @@ class IngestSpec extends AnyFunSuite {
     assert(red(55L)._4 == "ip case from <IP>")
   }
 
+  test("t14 counts are staged: a phone-shaped run inside an email is one email, no phantom phone") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail user555-1234x@example.com now"), // phone shape in local part
+      (2L, "mail a@b.co and call 555-1234"))      // genuinely both
+      .toDF("doc_id", "text")
+    val got = Ingest.piiScrubOf(docs)
+      .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    assert(got(1L) == ((1, 0, 0)), s"staged counts: ${got(1L)}")
+    assert(got(2L) == ((1, 1, 0)), s"real email+phone: ${got(2L)}")
+  }
+
   // --- d13 incremental dedup ------------------------------------------
 
   test("d13 verdicts: exact dup, near dup, unique — against existing only") {
