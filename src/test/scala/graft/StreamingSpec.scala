@@ -444,6 +444,81 @@ class StreamingSpec extends AnyFunSuite {
     assert(counts(3L) == ((2, 0, 0)))
   }
 
+  test("streaming incremental dedup: exact gate + near-dup alerts equal the batch d13 verdicts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val base = (1 to 40).map("w" + _).mkString(" ")
+    val standing = Seq(
+      (1L, base),
+      (2L, "alpha beta gamma delta five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val arrivals = Seq(
+      (10L, base),                                   // exact copy of 1
+      (11L, base + " tail"),                         // near dup of 1 (38/39)
+      (12L, (1 to 20).map("q" + _).mkString(" ")),   // unique
+      (13L, base))                                   // within-stream copy of 10
+    // exact admission: stream-static anti join + within-stream state
+    val memA = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val qa = graft.streaming.CorpusStreams
+      .ingestDedupAgainst(memA.toDS().toDF("doc_id", "text"), standing)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("incr_exact").start()
+    try {
+      memA.addData(arrivals.take(2): _*)
+      qa.processAllAvailable()
+      memA.addData(arrivals.drop(2): _*)
+      qa.processAllAvailable()
+    } finally qa.stop()
+    val admitted = spark.table("incr_exact")
+      .select(col("doc_id")).as[Long].collect().toSet
+    // 10 exact-dups standing doc 1 → rejected; 13 loses to 10's
+    // within-stream state even though 10 itself was rejected (the hash
+    // is what's seen, matching d1's normalization space)
+    assert(admitted == Set(11L, 12L), s"admitted=$admitted")
+
+    // near-dup alerts: stream-static shingle join + streaming agg
+    val memB = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val qb = graft.streaming.CorpusStreams
+      .nearDupAlerts(memB.toDS().toDF("doc_id", "text"), standing)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("incr_alerts").start()
+    try {
+      memB.addData(arrivals: _*)
+      qb.processAllAvailable()
+    } finally qb.stop()
+    val alerts = spark.table("incr_alerts")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // batch d13 on the same tagged corpus finds the same near pairs
+    val batch = graft.queries.Ingest.incrementalDedupOf(
+        (standing.withColumn("is_new", org.apache.spark.sql.functions.lit(false)))
+          .unionByName(arrivals.toDF("doc_id", "text")
+            .withColumn("is_new", org.apache.spark.sql.functions.lit(true))))
+      .filter(col("near_dup_of") >= 0)
+      .select(col("doc_id"), col("near_dup_of"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(alerts.map(a => (a._1, a._2)).groupBy(_._1).view
+      .mapValues(_.map(_._2).min).toMap ==
+      batch.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap,
+      s"alerts=$alerts batch=$batch")
+    // exact copies are ALSO jaccard-1.0 alerts; the near-dup value is
+    // carried exactly (38 shared / 39 union)
+    assert(alerts.contains((11L, 1L, 0.974359)), s"alerts=$alerts")
+    assert(alerts.contains((10L, 1L, 1.0)))
+
+    // the streaming shingle space IS the batch index's
+    val streamed = graft.streaming.CorpusStreams
+      .streamShingles(arrivals.toDF("doc_id", "text"))
+      .select(col("doc_id"), col("shingle"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val batchIdx = graft.queries.TextDedup
+      .shingleIndex(arrivals.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed == batchIdx)
+  }
+
   test("retention tombstones suppress `new` re-emission after state settles") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
