@@ -183,6 +183,37 @@ object EventStreams {
   }
   case class RangePairState(views: List[(Long, Long)])
 
+  /** Native STREAM-STREAM join variant of [[intervalPairs]]: the same
+    * (click, view-within-30-min) pairs expressed as Spark's built-in
+    * watermarked stream-stream inner join with an event-time range
+    * condition, instead of hand-rolled `flatMapGroupsWithState`. The
+    * two formulations trade differently at scale: the native join
+    * shuffles BOTH streams on user_id and sizes its view-side state
+    * buffer from the watermark ± range bound automatically (state GC
+    * owned by the engine, skew handled by AQE-less streaming exchange),
+    * while [[intervalPairs]] owns its state layout (one pruned list per
+    * user) and can cut memory further than the join's generic buffer —
+    * the engine keeps both because the right choice is corpus-shaped.
+    * `StreamingSpec` pins both equal to the batch e9 pairs.
+    */
+  def intervalPairsJoin(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "30 minutes")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "30 minutes")
+    views.join(clicks,
+        expr("""user_id = v_user_id
+          AND view_ts >= click_ts - interval 30 minutes
+          AND view_ts < click_ts"""))
+      .select(col("user_id"), col("click_id"), col("view_id"),
+        ((unix_micros(col("click_ts")) - unix_micros(col("view_ts")))
+          / lit(1000000.0)).as("gap_sec"))
+  }
+
   /** Streaming exact dedup on event_id within the watermark horizon —
     * `dropDuplicates` keyed state, bounded by the watermark.
     */

@@ -139,6 +139,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("native stream-stream interval join equals the batch twin (e9)") {
+    val stream = EventStreams.readEvents(spark, streamDir)
+    val q = EventStreams.intervalPairsJoin(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("interval_pairs_join")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("interval_pairs_join")
+      .collect().map(_.toSeq).toSet
+    val batch = Events.e9IntervalJoin(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch, s"stream=${streamed.size} batch=${batch.size}")
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming dedup keeps one row per event_id") {
     val stream = EventStreams.readEvents(spark, streamDir)
     val q = EventStreams.dedupedStream(stream)
