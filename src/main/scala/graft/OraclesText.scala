@@ -776,6 +776,20 @@ object OraclesText {
         |FROM m WHERE event_type = 'purchase'
         |ORDER BY user_id, event_id LIMIT 3000""".stripMargin,
 
+    // Events.e12UnconvertedViews: per view, following clicks by the
+    // same user within 30 minutes; unmatched views are unconverted.
+    "e12_unconverted_views" ->
+      """WITH x AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |m AS (SELECT v.user_id, v.event_id AS view_id,
+        |    CAST(count(c.event_id) AS BIGINT) AS n_clicks_30m
+        |  FROM x v LEFT JOIN x c
+        |    ON c.event_type = 'click' AND c.user_id = v.user_id
+        |    AND c.us > v.us AND c.us <= v.us + 1800000000
+        |  WHERE v.event_type = 'view' GROUP BY 1, 2)
+        |SELECT user_id, view_id, n_clicks_30m, n_clicks_30m > 0 AS converted
+        |FROM m ORDER BY view_id LIMIT 3000""".stripMargin,
+
     // Events.e7RangeCount — value-based RANGE frame: tie-order-proof.
     "e7_range_count" ->
       """WITH x AS (SELECT user_id, event_id, event_type,

@@ -208,6 +208,49 @@ object Events {
     intervalJoinPairsAuto(Tables.events(spark, dir)
       .withColumn("us", unix_micros(col("ts"))))
 
+  /** Unconverted views (e12): for every view, did ANY click by the same
+    * user follow within 30 minutes — the impression-conversion metric
+    * that is e9's complement (e9 enumerates the matches; e12 must also
+    * name the non-matches, which is what makes it a LEFT join and gives
+    * its streaming twin the watermark-close semantics worth pinning).
+    * Same bucketized discipline as e9, probing forward: a following
+    * click lies in the view's gap-bucket or the next one, so the match
+    * join keys on (user, bucket) ∪ (user, bucket+1) and the range
+    * predicate filters within buckets; matches aggregate per view and
+    * LEFT-join back to the full view set (unmatched ⇒ unconverted).
+    */
+  def e12UnconvertedViews(spark: SparkSession, dir: String): DataFrame =
+    unconvertedViewsOf(Tables.events(spark, dir)
+      .withColumn("us", unix_micros(col("ts"))))
+
+  private[graft] def unconvertedViewsOf(ev: DataFrame): DataFrame = {
+    val gapUs = GapUs
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("us").as("view_us"), expr(s"us div $gapUs").as("bucket"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("us").as("click_us"),
+        expr(s"us div $gapUs").as("c_bucket"))
+    val probes = views.select(col("user_id"), col("view_id"),
+        col("view_us"), col("bucket").as("probe_bucket"))
+      .union(views.select(col("user_id"), col("view_id"),
+        col("view_us"), (col("bucket") + 1).as("probe_bucket")))
+    // a click has ONE bucket, the two probes carry disjoint bucket
+    // keys — no pair can match twice, so the count needs no distinct
+    val matched = probes.join(clicks,
+        col("user_id") === col("c_user_id") &&
+          col("probe_bucket") === col("c_bucket") &&
+          col("click_us") > col("view_us") &&
+          col("click_us") <= col("view_us") + gapUs)
+      .groupBy(col("view_id")).agg(count(lit(1)).as("n"))
+    views.join(matched, Seq("view_id"), "left")
+      .select(col("user_id"), col("view_id"),
+        coalesce(col("n"), lit(0L)).as("n_clicks_30m"),
+        col("n").isNotNull.as("converted"))
+      .orderBy(col("view_id"))
+      .limit(3000)
+  }
+
   /** e9 with the salted-join hatch AUTO-ENGAGED: a cheap df probe on
     * the views side — groupBy (user, bucket), partial-agg collapses
     * each key to one row per map partition, existence check on any key
@@ -378,6 +421,7 @@ object Events {
     "e6_asof_join" -> (e6AsofJoin _),
     "e7_range_count" -> (e7RangeCount _),
     "e9_interval_join" -> (e9IntervalJoin _),
+    "e12_unconverted_views" -> (e12UnconvertedViews _),
     "e8_approx_users" -> (e8ApproxUsers _),
   )
 }

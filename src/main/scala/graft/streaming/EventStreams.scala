@@ -214,6 +214,35 @@ object EventStreams {
           / lit(1000000.0)).as("gap_sec"))
   }
 
+  /** Streaming twin of Events.e12UnconvertedViews: a watermarked
+    * LEFT-OUTER stream-stream join — the capability whose semantics are
+    * worth pinning, because the null (unconverted) rows are emitted
+    * only when the WATERMARK CLOSES a view's match window: an open
+    * stream cannot prove a click will never come until event time has
+    * provably passed view_ts + 30 min. Downstream sees one row per
+    * (view, click) match as they join, plus one null-click row per
+    * unconverted view after close — `StreamingSpec` aggregates those to
+    * the batch verdicts and pins that tail views (window still open at
+    * end of input) are exactly the ones withheld.
+    */
+  def unconvertedViews(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "30 minutes")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "30 minutes")
+    views.join(clicks,
+        expr("""user_id = v_user_id
+          AND click_ts > view_ts
+          AND click_ts <= view_ts + interval 30 minutes"""),
+        "left_outer")
+      .select(col("v_user_id").as("user_id"), col("view_id"),
+        col("click_id"))
+  }
+
   /** Streaming exact dedup on event_id within the watermark horizon —
     * `dropDuplicates` keyed state, bounded by the watermark.
     */

@@ -155,6 +155,63 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("left-outer stream-stream join: unconverted views emit on watermark close only (e12 twin)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, unix_micros}
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000L // ms
+    def ts(offMin: Long) = new java.sql.Timestamp(base + offMin * 60000)
+    // user 1: v100 converted by c101 (+10m); v102 (+5m) has NO click in
+    // (v, v+30m] — c101 at +10m DOES convert it too (within 30m of +5m)…
+    // make v102 at +40m instead so nothing follows it.
+    // user 2: v200, click at +31m — outside the window, unconverted.
+    val real = Seq(
+      (1L, 100L, "view", ts(0)), (1L, 101L, "click", ts(10)),
+      (1L, 102L, "view", ts(40)),
+      (2L, 200L, "view", ts(0)), (2L, 201L, "click", ts(31)))
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String, java.sql.Timestamp)]
+    val q = EventStreams.unconvertedViews(
+        mem.toDS().toDF("user_id", "event_id", "event_type", "ts"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("unconv").start()
+    try {
+      mem.addData(real: _*)
+      q.processAllAvailable()
+      // nothing emitted for the unmatched views yet: their windows are
+      // still open (watermark from THIS batch applies next batch)
+      val early = spark.table("unconv")
+        .filter(col("click_id").isNull).count()
+      assert(early == 0, s"open windows must withhold null rows, got $early")
+      // sentinels push the watermark past every window — on BOTH sides:
+      // the global watermark is the MIN of the view- and click-side
+      // watermarks, so a view-only sentinel would leave it pinned at the
+      // last real click
+      mem.addData((9L, 900L, "view", ts(10000)), (9L, 902L, "click", ts(10000)))
+      q.processAllAvailable()
+      mem.addData((9L, 901L, "view", ts(20000)), (9L, 903L, "click", ts(20000)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("unconv")
+      .filter(col("user_id") =!= 9L)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    // v100 matched by c101; v102 and v200 closed unconverted
+    assert(rows == Set((1L, 100L, 101L), (1L, 102L, -1L), (2L, 200L, -1L)),
+      s"rows=$rows")
+    // and the aggregated verdicts equal the batch twin on the same events
+    val batch = graft.queries.Events.unconvertedViewsOf(
+        real.toDF("user_id", "event_id", "event_type", "ts")
+          .withColumn("us", unix_micros(col("ts"))))
+      .select(col("view_id"), col("n_clicks_30m"), col("converted"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val streamedAgg = rows.groupBy(_._2).map { case (vid, rs) =>
+      val n = rs.count(_._3 >= 0)
+      (vid, n.toLong, n > 0)
+    }.toSet
+    assert(streamedAgg == batch, s"stream=$streamedAgg batch=$batch")
+  }
+
   test("streaming dedup keeps one row per event_id") {
     val stream = EventStreams.readEvents(spark, streamDir)
     val q = EventStreams.dedupedStream(stream)
