@@ -92,6 +92,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("shingle"), p.take(800))
   }
 
+  test("e12: forward probes join clicks on (user, bucket) keys — never a cartesian") {
+    val p = plan(graft.queries.Events.e12UnconvertedViews(spark, dir))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
   test("s9: increment joins standing vectors on the cell key — never a cartesian") {
     val p = plan(graft.queries.Embeddings.s9IncrementalSemDedup(spark, dir))
     assert(!p.contains("CartesianProduct"), p.take(800))
