@@ -1015,6 +1015,41 @@ object OraclesText {
          |        LEFT JOIN near ON hx.doc_id = near.new_id
          |WHERE hx.is_new ORDER BY doc_id""".stripMargin,
 
+    // Ingest.d13bIncrementalCapped: d13 with the df-4 stop-shingle
+    // valve — sizes, intersections, and Jaccard all in the capped
+    // shingle space (the d9b discipline); the exact-hash verdict is
+    // untouched by the valve.
+    "d13b_incremental_capped" ->
+      s"""WITH $shingleCte,
+         |capped AS (SELECT doc_id, shingle FROM (
+         |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+         |    FROM sidx) t WHERE df <= 4),
+         |tag AS (SELECT doc_id, (source IN ('src18', 'src19')) AS is_new
+         |        FROM documents),
+         |hx AS (SELECT doc_id,
+         |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h,
+         |    (source IN ('src18', 'src19')) AS is_new
+         |  FROM documents),
+         |oldh AS (SELECT DISTINCT h FROM hx WHERE NOT is_new),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY doc_id),
+         |shared AS (SELECT a.doc_id AS new_id, b.doc_id AS old_id,
+         |             count(*) AS shared
+         |           FROM capped a JOIN tag ta ON a.doc_id = ta.doc_id AND ta.is_new
+         |                JOIN capped b ON a.shingle = b.shingle
+         |                JOIN tag tb ON b.doc_id = tb.doc_id AND NOT tb.is_new
+         |           GROUP BY 1, 2),
+         |near AS (SELECT new_id, min(old_id) AS ndof
+         |         FROM shared JOIN sizes sa ON new_id = sa.doc_id
+         |                     JOIN sizes sb ON old_id = sb.doc_id
+         |         WHERE round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) >= 0.8
+         |         GROUP BY 1)
+         |SELECT hx.doc_id, (oldh.h IS NOT NULL) AS exact_dup,
+         |  CAST(coalesce(near.ndof, -1) AS BIGINT) AS near_dup_of,
+         |  (oldh.h IS NULL AND near.ndof IS NULL) AS admitted
+         |FROM hx LEFT JOIN oldh ON hx.h = oldh.h
+         |        LEFT JOIN near ON hx.doc_id = near.new_id
+         |WHERE hx.is_new ORDER BY doc_id""".stripMargin,
+
     // Embeddings.s9IncrementalSemDedup: new batch (vec_id ≡ 0 mod 20)
     // checked within its IVF cell against STANDING vectors only;
     // cosine ≥ 0.3 ⇒ semantic duplicate, not admitted.

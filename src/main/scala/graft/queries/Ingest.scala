@@ -182,11 +182,30 @@ object Ingest {
     incrementalDedupOf(Tables.documents(spark, dir)
       .withColumn("is_new", col("source").isin(NewSources: _*)))
 
+  /** d13 with the stop-shingle valve engaged (the d6b/d9b discipline
+    * carried to the incremental path): shingles whose document frequency
+    * across the TAGGED index (standing + increment together — a
+    * boilerplate shingle is hot regardless of which side carries it)
+    * exceeds the cap are dropped before sizes and the candidate join,
+    * so an increment full of boilerplate cannot blow the new×existing
+    * join up toward |new|·|corpus|. Jaccard is computed entirely in the
+    * filtered space — numerator AND both denominators — keeping the
+    * ratio internally consistent. The EXACT verdict is unaffected (the
+    * d1 hash never sees shingles). `HotKeyGuardSpec` shows a hot-
+    * boilerplate increment collapsing its candidate count while the
+    * true near-dup verdict survives in the filtered space.
+    */
+  def d13bIncrementalCapped(spark: SparkSession, dir: String): DataFrame =
+    incrementalDedupOf(Tables.documents(spark, dir)
+      .withColumn("is_new", col("source").isin(NewSources: _*)),
+      maxShingleDf = Some(4))
+
   /** The increment-vs-corpus pipeline over a pre-tagged frame
     * (`doc_id`, `text`, `is_new`) — split out so specs can drive crafted
     * corpora through the exact production plan.
     */
-  private[graft] def incrementalDedupOf(docs: DataFrame): DataFrame = {
+  private[graft] def incrementalDedupOf(docs: DataFrame,
+      maxShingleDf: Option[Long] = None): DataFrame = {
     val hashes = docs.select(col("doc_id"), col("is_new"),
       fastMd5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")).as("h"))
     val existingH = hashes.filter(!col("is_new"))
@@ -196,8 +215,11 @@ object Ingest {
       .select(col("doc_id"), coalesce(col("hit"), lit(false)).as("exact_dup"))
 
     // split-tagged shingle index feeds sizes + both join sides: persist
-    // once (the d3/d12 eager-materialization discipline)
-    val idx = TextDedup.shingleIndex(docs)
+    // once (the d3/d12 eager-materialization discipline); the optional
+    // df valve cuts hot shingles BEFORE the tag join, sizes, and the
+    // candidate join, so the whole pipeline lives in the filtered space
+    val raw = TextDedup.shingleIndex(docs)
+    val idx = maxShingleDf.fold(raw)(TextDedup.capShingleDf(raw, _))
       .join(docs.select(col("doc_id"), col("is_new")), Seq("doc_id"))
       .persist()
     idx.count() // eager: consumers racing a cold cache each recompute
@@ -226,5 +248,6 @@ object Ingest {
     "p4_quality_filter" -> (p4QualityFilter _),
     "t14_pii_redact" -> (t14PiiRedact _),
     "d13_incremental_dedup" -> (d13IncrementalDedup _),
+    "d13b_incremental_capped" -> (d13bIncrementalCapped _),
   )
 }

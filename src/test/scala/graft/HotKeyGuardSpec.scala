@@ -154,6 +154,50 @@ class HotKeyGuardSpec extends AnyFunSuite {
       Events.intervalJoinPairs(calm).collect().map(_.toSeq).toSeq)
   }
 
+  test("d13b: hot boilerplate in the increment collapses candidates; verdicts survive in the filtered space") {
+    import spark.implicits._
+    // Standing corpus: 120 docs all carrying the same boilerplate
+    // shingles ("k1 k2 k3" / "m1 m2 m3"), plus one real content doc.
+    // Increment: a near-copy of the content doc wrapped in that
+    // boilerplate, and a unique doc. Raw space: the increment joins all
+    // 120 boilerplate docs through the two hot shingles (240 candidate
+    // postings) on top of the 40 genuine content matches; capped space:
+    // only the content shingles join.
+    val ws = (1 to 42).map("w" + _).mkString(" ")
+    val standing = (0 until 120)
+      .map(i => (i.toLong, s"k1 k2 k3 s$i m1 m2 m3", false)) ++
+      Seq((500L, ws, false))
+    val increment = Seq(
+      (600L, s"k1 k2 k3 $ws m1 m2 m3", true), // near-dup of 500 + boilerplate
+      (601L, (1 to 20).map("q" + _).mkString(" "), true))
+    val docs = (standing ++ increment).toDF("doc_id", "text", "is_new")
+
+    def candidates(cap: Option[Long]): Long = {
+      val raw = graft.queries.TextDedup.shingleIndex(docs)
+      val idx = cap.fold(raw)(graft.queries.TextDedup.capShingleDf(raw, _))
+        .join(docs.select(col("doc_id"), col("is_new")), Seq("doc_id"))
+      idx.filter(col("is_new")).as("a")
+        .join(idx.filter(!col("is_new")).as("b"),
+          col("a.shingle") === col("b.shingle")).count()
+    }
+    val rawCands = candidates(None)
+    val cappedCands = candidates(Some(4L))
+    assert(rawCands > cappedCands * 5,
+      s"hot boilerplate must dominate raw candidates: raw=$rawCands capped=$cappedCands")
+
+    // verdicts survive the cut: doc 600 stays 500's near-dup in the
+    // FILTERED space (shared 40 content shingles over a 44∪40 union =
+    // 0.909 — the two hot shingles leave both numerator and
+    // denominator), and the unique doc stays admitted
+    def verdicts(cap: Option[Long]) =
+      graft.queries.Ingest.incrementalDedupOf(docs, cap)
+        .collect().map(r => r.getLong(0) ->
+          (r.getBoolean(1), r.getLong(2), r.getBoolean(3))).toMap
+    val capped = verdicts(Some(4L))
+    assert(capped(600L) == ((false, 500L, false)), s"capped: ${capped(600L)}")
+    assert(capped(601L) == ((false, -1L, true)), s"capped: ${capped(601L)}")
+  }
+
   test("IVF cell cap bounds per-cell pair counts on a hot cell") {
     import spark.implicits._
     // one hot label with 100 members
