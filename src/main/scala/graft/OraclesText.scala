@@ -902,6 +902,26 @@ object OraclesText {
         |  CAST(CASE WHEN greatest(w, h) <= 16 THEN h
         |       ELSE greatest(1, h * 16 // greatest(w, h)) END AS INT) AS thumb_h
         |FROM d ORDER BY doc_id LIMIT 2000""".stripMargin,
+
+    // Multimodal.m4AudioFeatures: the WAV payload's samples are an
+    // exact integer formula of (doc_id, i), so the oracle reproduces
+    // the PCM stream with a correlated range and checks the EXACT
+    // energy sum the decoder must extract from the real RIFF container.
+    "m4_audio_features" ->
+      """WITH p AS (SELECT doc_id,
+        |    1000 + (doc_id % 500) * 8 AS n,
+        |    CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate
+        |  FROM documents),
+        |s AS (SELECT p.doc_id, p.sample_rate, p.n,
+        |    CAST(sum(((p.doc_id * 2654435761 + i * 40503) % 65536 - 32768)
+        |      * ((p.doc_id * 2654435761 + i * 40503) % 65536 - 32768))
+        |      AS BIGINT) AS sum_sq
+        |  FROM p, range(0, 4992) t(i) -- max n; correlated bounds unsupported
+        |  WHERE i < p.n
+        |  GROUP BY 1, 2, 3)
+        |SELECT doc_id, sample_rate, CAST(n AS BIGINT) AS n_samples, sum_sq,
+        |  round(sqrt(CAST(sum_sq AS DOUBLE) / n), 6) AS rms
+        |FROM s ORDER BY doc_id LIMIT 2000""".stripMargin,
   )
 
   val survival: Map[String, String] = Map(

@@ -37,10 +37,12 @@ object Multimodal {
     case class Dims(width: Int, height: Int, nFrames: Int)
   }
 
-  /** Deterministic stand-in for codecs the JDK does not ship (e.g. real
-    * video containers / audio): dimensions derived from the md5 of the
-    * payload, frame count from byte length. Images AND animated GIFs
-    * decode for real — [[ImageIoDecoder]].
+  /** Deterministic stand-in for codecs the JDK does not ship (real
+    * video containers like mp4/webm — the one remaining stub):
+    * dimensions derived from the md5 of the payload, frame count from
+    * byte length. Images AND animated GIFs decode for real
+    * ([[ImageIoDecoder]]); PCM WAV audio decodes for real
+    * ([[WavDecoder]], m4).
     */
   object FakeDecoder extends MediaDecoder {
     def decode(mediaType: String, bytes: Array[Byte]): MediaFeatures.Dims = {
@@ -59,8 +61,9 @@ object Multimodal {
     * `ImageReader.getNumImages(true)` — a still image is one frame, an
     * animated GIF reports its true frame count (the JDK GIF reader walks
     * the image-descriptor blocks). Media the JDK has no reader for
-    * (real video containers, audio) falls back to [[FakeDecoder]], the
-    * one remaining (documented) stub.
+    * (real video containers) falls back to [[FakeDecoder]], the one
+    * remaining (documented) stub; audio decodes for real via
+    * [[WavDecoder]].
     */
   object ImageIoDecoder extends MediaDecoder {
     def decode(mediaType: String, bytes: Array[Byte]): MediaFeatures.Dims =
@@ -140,6 +143,111 @@ object Multimodal {
       }
       bos.toByteArray
     }
+  }
+
+  /** Deterministic audio payload generator: a REAL RIFF/WAVE PCM mono
+    * 16-bit file whose samples are a pure function of (seed, i) —
+    * s(i) = ((seed·2654435761 + i·40503) mod 65536) − 32768, all
+    * exact Long arithmetic so the oracle can reproduce the sample
+    * stream (and thus the energy sum) in SQL while the Spark side must
+    * genuinely parse the WAV container and PCM frames.
+    */
+  object AudioGen {
+    def wavBytes(sampleRate: Int, nSamples: Int, seed: Long): Array[Byte] = {
+      val dataLen = nSamples * 2
+      val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1) // PCM
+        .putShort(1) // mono
+        .putInt(sampleRate)
+        .putInt(sampleRate * 2) // byte rate
+        .putShort(2)            // block align
+        .putShort(16)           // bits/sample
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      var i = 0
+      while (i < nSamples) {
+        buf.putShort(sample(seed, i))
+        i += 1
+      }
+      buf.array()
+    }
+
+    def sample(seed: Long, i: Int): Short =
+      (((seed * 2654435761L + i.toLong * 40503L) % 65536L) - 32768L).toShort
+  }
+
+  /** Decoded audio facts: sample rate and count from the parsed
+    * container, the energy sum as an EXACT integer (sum of squared
+    * 16-bit samples — associative, partitioning-independent).
+    */
+  case class AudioFeatures(doc_id: Long, sample_rate: Int,
+      n_samples: Long, sum_sq: Long)
+
+  /** Real WAV decode via the JDK's `javax.sound.sampled` (the PCM WAV
+    * reader ships in the JRE, like the PNG/BMP/GIF image readers):
+    * sample rate comes from the parsed `fmt ` chunk, samples from the
+    * decoded PCM stream. With this, audio leaves the [[FakeDecoder]]
+    * boundary — only real video containers (mp4/webm) remain behind
+    * the documented stub.
+    */
+  object WavDecoder extends Serializable {
+    def decode(bytes: Array[Byte]): AudioFeatures.Raw = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+          s"unsupported wav layout: $fmt")
+        val data = ais.readAllBytes()
+        var sumSq = 0L
+        var i = 0
+        while (i + 1 < data.length) {
+          val s = ((data(i + 1) << 8) | (data(i) & 0xff)).toShort
+          sumSq += s.toLong * s
+          i += 2
+        }
+        AudioFeatures.Raw(fmt.getSampleRate.toInt, data.length / 2, sumSq)
+      } finally ais.close()
+    }
+  }
+  object AudioFeatures {
+    case class Raw(sampleRate: Int, nSamples: Long, sumSq: Long)
+  }
+
+  /** Audio features (m4): the audio modality decoded FOR REAL — each
+    * document derives a genuine PCM WAV payload ([[AudioGen]]; rate and
+    * length from doc_id arithmetic, samples an exact integer formula),
+    * and the operator must parse the RIFF container and PCM frames to
+    * emit (rate, sample count, energy). The oracle reproduces the
+    * sample formula in SQL (a correlated `range` per document) and
+    * checks the EXACT integer energy sum — a decoder that misreads the
+    * header, drops frames, or sign-flips a sample cannot hash-match.
+    * Same scale shape as m1: one decoder per partition, binary never
+    * shuffles, features are slim rows.
+    */
+  def m4AudioFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long"))
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val rate = 8000 + (id % 3).toInt * 4000
+          val n = 1000 + (id % 500).toInt * 8
+          val raw = WavDecoder.decode(AudioGen.wavBytes(rate, n, id))
+          AudioFeatures(id, raw.sampleRate, raw.nSamples, raw.sumSq)
+        }
+      }
+      .toDF()
+      .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+        col("sum_sq"),
+        round(sqrt(col("sum_sq").cast("double") / col("n_samples")), 6)
+          .as("rms"))
+      .orderBy(col("doc_id"))
+      .limit(2000)
   }
 
   private def hex(bytes: Array[Byte]): String =
@@ -289,5 +397,6 @@ object Multimodal {
     "m1_media_features" -> (m1MediaFeatures _),
     "m2_frame_sample" -> (m2FrameSample _),
     "m3_thumbnail" -> (m3Thumbnail _),
+    "m4_audio_features" -> (m4AudioFeatures _),
   )
 }

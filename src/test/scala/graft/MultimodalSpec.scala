@@ -107,4 +107,28 @@ class MultimodalSpec extends AnyFunSuite {
         s"doc ${f.doc_id} (${f.media_type}) frames ${f.n_frames} != $expectFrames")
     }
   }
+
+  test("WAV roundtrip: generated PCM parses back with exact rate, count, and energy") {
+    val rate = 12000
+    val n = 1234
+    val seed = 42L
+    val raw = Multimodal.WavDecoder.decode(
+      Multimodal.AudioGen.wavBytes(rate, n, seed))
+    assert(raw.sampleRate == rate)
+    assert(raw.nSamples == n.toLong)
+    // energy recomputed directly from the sample formula
+    val expected = (0 until n).map { i =>
+      val s = Multimodal.AudioGen.sample(seed, i).toLong; s * s
+    }.sum
+    assert(raw.sumSq == expected, s"sumSq ${raw.sumSq} != $expected")
+    // sign-sensitive: at least one negative sample must exist, so a
+    // decoder reading unsigned bytes would break the energy sum
+    assert((0 until n).exists(Multimodal.AudioGen.sample(seed, _) < 0))
+  }
+
+  test("WAV decoder fails loudly on garbage bytes") {
+    intercept[Exception] {
+      Multimodal.WavDecoder.decode(Array.fill[Byte](64)(7))
+    }
+  }
 }
