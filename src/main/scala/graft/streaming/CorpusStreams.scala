@@ -88,6 +88,33 @@ object CorpusStreams {
       .toDF("doc_id", "shingle", "n_shingles")
   }
 
+  /** The admitted-corpus SINK: quality admission → keep-filter →
+    * parquet file sink with a checkpoint. This is the write half of the
+    * ingest pipeline, and the part whose guarantee matters most in
+    * production: the file sink's `_spark_metadata` commit log plus the
+    * source offsets in the checkpoint give EXACTLY-ONCE output across
+    * restarts — a crashed-and-resumed ingest job neither drops nor
+    * duplicates admitted documents, with no dedup-on-read needed
+    * downstream. `StreamingSpec` proves it by killing the query between
+    * micro-batches and restarting from the same checkpoint: the second
+    * run processes only the unseen files, and a reader sees each
+    * admitted doc exactly once. At scale the sink partitions by
+    * arrival date like any lake table; the guarantee is per-file-sink
+    * semantics, not corpus size.
+    */
+  def admittedCorpusSink(docs: DataFrame, outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    qualityAdmission(docs)
+      .filter(col("keep"))
+      .drop("keep", "reject_reason")
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Ingest-time EXACT dedup against a standing corpus — the streaming
     * half of d13's exact verdict: a stream-static LEFT ANTI join on the
     * d1 content hash (append-safe, zero state) composed with

@@ -592,6 +592,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batchIdx)
   }
 
+  test("admitted-corpus sink is exactly-once across a kill-and-restart") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val root = java.nio.file.Files.createTempDirectory("admit_sink")
+    val srcDir = root.resolve("src"); java.nio.file.Files.createDirectory(srcDir)
+    val outDir = root.resolve("out").toString
+    val ckpt = root.resolve("ckpt").toString
+    val good = (n: Int) => (1 to 44).map(i => s"word$n$i").mkString(" ") +
+      " the of and is to different"
+    def writeFile(name: String, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").withColumn("lang", lit("en"))
+        .coalesce(1).write.parquet(srcDir.resolve(name).toString)
+    def readSrc = spark.readStream
+      .schema("doc_id LONG, text STRING, lang STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir.toString + "/*")
+
+    // run 1: two docs (one admitted, one too short), then the query ends
+    writeFile("f1", Seq(1L -> good(1), 2L -> "too short to pass"))
+    val q1 = graft.streaming.CorpusStreams
+      .admittedCorpusSink(readSrc, outDir, ckpt)
+    q1.awaitTermination()
+    val after1 = spark.read.parquet(outDir).select(col("doc_id"))
+      .as[Long].collect().toSet
+    assert(after1 == Set(1L), s"run 1 admitted $after1")
+
+    // run 2: same checkpoint, one NEW file — the old file must not be
+    // reprocessed (offsets) and doc 1 must not duplicate (sink log)
+    writeFile("f2", Seq(3L -> good(3), 4L -> "also way too short"))
+    val q2 = graft.streaming.CorpusStreams
+      .admittedCorpusSink(readSrc, outDir, ckpt)
+    q2.awaitTermination()
+    val after2 = spark.read.parquet(outDir)
+      .groupBy(col("doc_id")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after2 == Map(1L -> 1L, 3L -> 1L),
+      s"exactly-once violated: $after2")
+  }
+
   test("retention tombstones suppress `new` re-emission after state settles") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
