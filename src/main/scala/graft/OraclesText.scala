@@ -907,6 +907,26 @@ object OraclesText {
     // exact integer formula of (doc_id, i), so the oracle reproduces
     // the PCM stream with a correlated range and checks the EXACT
     // energy sum the decoder must extract from the real RIFF container.
+    // Multimodal.m5VideoFeatures: the AVI payload's frame bytes are an
+    // exact integer formula of (doc_id, frame, offset); the oracle
+    // replays the byte sum, so the Spark side's RIFF walk (dims from
+    // avih, frames counted in movi, bytes summed per 00db chunk) is
+    // hash-gated end to end.
+    "m5_video_features" ->
+      """WITH p AS (SELECT doc_id,
+        |    CAST(1 + doc_id % 16 AS INT) AS width,
+        |    CAST(1 + doc_id % 12 AS INT) AS height,
+        |    1 + doc_id % 6 AS nf
+        |  FROM documents),
+        |s AS (SELECT p.doc_id, p.width, p.height, p.nf,
+        |    CAST(sum((p.doc_id * 31 + f.i * 7919 + j.i * 2654435761) % 256)
+        |      AS BIGINT) AS byte_sum
+        |  FROM p, range(0, 6) f(i), range(0, 576) j(i)
+        |  WHERE f.i < p.nf AND j.i < p.width * p.height * 3
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT doc_id, width, height, CAST(nf AS BIGINT) AS n_frames, byte_sum
+        |FROM s ORDER BY doc_id LIMIT 2000""".stripMargin,
+
     "m4_audio_features" ->
       """WITH p AS (SELECT doc_id,
         |    1000 + (doc_id % 500) * 8 AS n,

@@ -37,12 +37,13 @@ object Multimodal {
     case class Dims(width: Int, height: Int, nFrames: Int)
   }
 
-  /** Deterministic stand-in for codecs the JDK does not ship (real
-    * video containers like mp4/webm — the one remaining stub):
-    * dimensions derived from the md5 of the payload, frame count from
-    * byte length. Images AND animated GIFs decode for real
+  /** Deterministic stand-in for COMPRESSED video codecs (mp4/webm —
+    * the one remaining stub; they need external codec libraries by
+    * nature): dimensions derived from the md5 of the payload, frame
+    * count from byte length. Images AND animated GIFs decode for real
     * ([[ImageIoDecoder]]); PCM WAV audio decodes for real
-    * ([[WavDecoder]], m4).
+    * ([[WavDecoder]], m4); AVI video containers parse for real
+    * ([[AviParser]], m5).
     */
   object FakeDecoder extends MediaDecoder {
     def decode(mediaType: String, bytes: Array[Byte]): MediaFeatures.Dims = {
@@ -60,10 +61,10 @@ object Multimodal {
     * actually parsing the payload bytes, and the frame count from
     * `ImageReader.getNumImages(true)` — a still image is one frame, an
     * animated GIF reports its true frame count (the JDK GIF reader walks
-    * the image-descriptor blocks). Media the JDK has no reader for
-    * (real video containers) falls back to [[FakeDecoder]], the one
-    * remaining (documented) stub; audio decodes for real via
-    * [[WavDecoder]].
+    * the image-descriptor blocks). Compressed video codecs fall back to
+    * [[FakeDecoder]], the one remaining (documented) stub; audio
+    * decodes for real via [[WavDecoder]] and AVI containers parse for
+    * real via [[AviParser]].
     */
   object ImageIoDecoder extends MediaDecoder {
     def decode(mediaType: String, bytes: Array[Byte]): MediaFeatures.Dims =
@@ -215,6 +216,166 @@ object Multimodal {
   }
   object AudioFeatures {
     case class Raw(sampleRate: Int, nSamples: Long, sumSq: Long)
+  }
+
+  /** Deterministic video payload generator: a REAL RIFF-AVI container
+    * (the same chunk grammar as WAV, which is why no external codec is
+    * needed to build or walk it): LIST hdrl with a spec-shaped `avih`
+    * main header and a `vids`/`DIB ` stream header, then LIST movi
+    * carrying one uncompressed `00db` frame chunk per frame. Frame
+    * bytes are a pure function of (seed, frame, offset), so the oracle
+    * can replay the whole payload's byte sum in SQL while the Spark
+    * side must genuinely walk the chunk tree.
+    */
+  object VideoGen {
+    def aviBytes(width: Int, height: Int, nFrames: Int, seed: Long): Array[Byte] = {
+      val frameLen = width * height * 3
+      val framePad = frameLen & 1
+      val moviBody = 4 + nFrames * (8 + frameLen + framePad)
+      val strf = 40
+      val strh = 56
+      val strl = 4 + (8 + strh) + (8 + strf)
+      val avih = 56
+      val hdrl = 4 + (8 + avih) + (8 + strl)
+      val riffBody = 4 + (8 + hdrl) + (8 + moviBody)
+      val buf = java.nio.ByteBuffer.allocate(8 + riffBody)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def fourcc(s: String) = buf.put(s.getBytes("US-ASCII"))
+      fourcc("RIFF"); buf.putInt(riffBody); fourcc("AVI ")
+      fourcc("LIST"); buf.putInt(hdrl); fourcc("hdrl")
+      fourcc("avih"); buf.putInt(avih)
+      buf.putInt(40000) // µs per frame
+        .putInt(0).putInt(0).putInt(0)
+        .putInt(nFrames) // dwTotalFrames
+        .putInt(0)
+        .putInt(1) // dwStreams
+        .putInt(frameLen)
+        .putInt(width).putInt(height)
+        .putInt(0).putInt(0).putInt(0).putInt(0)
+      fourcc("LIST"); buf.putInt(strl); fourcc("strl")
+      fourcc("strh"); buf.putInt(strh)
+      fourcc("vids"); fourcc("DIB ")
+      buf.putInt(0).putShort(0).putShort(0).putInt(0)
+        .putInt(1)      // scale
+        .putInt(25)     // rate
+        .putInt(0)
+        .putInt(nFrames) // dwLength
+        .putInt(frameLen).putInt(-1).putInt(0)
+        .putShort(0).putShort(0).putShort(width.toShort).putShort(height.toShort)
+      fourcc("strf"); buf.putInt(strf)
+      buf.putInt(40).putInt(width).putInt(height)
+        .putShort(1).putShort(24).putInt(0).putInt(frameLen)
+        .putInt(0).putInt(0).putInt(0).putInt(0)
+      fourcc("LIST"); buf.putInt(moviBody); fourcc("movi")
+      var f = 0
+      while (f < nFrames) {
+        fourcc("00db"); buf.putInt(frameLen)
+        var j = 0
+        while (j < frameLen) {
+          buf.put(frameByte(seed, f, j))
+          j += 1
+        }
+        if (framePad == 1) buf.put(0.toByte) // RIFF even-size padding
+        f += 1
+      }
+      buf.array()
+    }
+
+    def frameByte(seed: Long, f: Int, j: Int): Byte =
+      ((seed * 31L + f.toLong * 7919L + j.toLong * 2654435761L) % 256L).toByte
+  }
+
+  case class VideoFeatures(doc_id: Long, width: Int, height: Int,
+      n_frames: Long, byte_sum: Long)
+
+  /** Real AVI container walk — a strict RIFF chunk parser (fourcc +
+    * little-endian size + even-byte padding, LIST recursion): dims from
+    * the `avih` main header, frame count by COUNTING `00db`/`00dc`
+    * chunks inside LIST movi (cross-checked against the header's
+    * dwTotalFrames — a container whose index lies fails loudly), and
+    * the unsigned byte sum over all frame payloads. No JDK codec exists
+    * for AVI; this is the same kind of structural parse the JDK's GIF
+    * reader does for m1's frame counting, written against the published
+    * RIFF grammar.
+    */
+  object AviParser extends Serializable {
+    def parse(bytes: Array[Byte]): VideoFeatures.Raw = {
+      val buf = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def fourcc(): String = {
+        val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+      }
+      require(fourcc() == "RIFF", "not a RIFF container")
+      buf.getInt // riff size
+      require(fourcc() == "AVI ", "not an AVI RIFF form")
+      var width = -1; var height = -1
+      var declaredFrames = -1
+      var countedFrames = 0L
+      var byteSum = 0L
+      def walk(end: Int): Unit = {
+        while (buf.position() < end) {
+          val id = fourcc()
+          val size = buf.getInt
+          val next = buf.position() + size + (size & 1)
+          id match {
+            case "LIST" =>
+              fourcc() // list type (hdrl/strl/movi) — walk them all
+              walk(buf.position() + size - 4 + (size & 1))
+            case "avih" =>
+              val base = buf.position()
+              declaredFrames = buf.getInt(base + 16)
+              width = buf.getInt(base + 32)
+              height = buf.getInt(base + 36)
+              buf.position(next)
+            case "00db" | "00dc" =>
+              countedFrames += 1
+              var i = buf.position()
+              val stop = buf.position() + size
+              while (i < stop) { byteSum += buf.get(i) & 0xff; i += 1 }
+              buf.position(next)
+            case _ =>
+              buf.position(next)
+          }
+        }
+      }
+      walk(bytes.length)
+      require(width > 0 && height > 0, "missing avih header")
+      require(countedFrames == declaredFrames.toLong,
+        s"frame index lies: header $declaredFrames, movi $countedFrames")
+      VideoFeatures.Raw(width, height, countedFrames, byteSum)
+    }
+  }
+  object VideoFeatures {
+    case class Raw(width: Int, height: Int, nFrames: Long, byteSum: Long)
+  }
+
+  /** Video features (m5): the video modality behind a REAL container —
+    * each document derives a genuine RIFF-AVI payload with uncompressed
+    * frame chunks ([[VideoGen]]), and the operator must walk the actual
+    * chunk tree to emit dims, the counted-not-trusted frame count, and
+    * the exact unsigned byte sum over frame payloads (the oracle
+    * replays the byte formula in SQL). With m1 (images + animated GIF),
+    * m4 (WAV audio), and this, every modality decodes real bytes —
+    * FakeDecoder now covers only compressed video codecs (mp4/webm),
+    * which need external codec libraries by nature. Scale shape: one
+    * parser per partition, payloads die map-side, features are slim.
+    */
+  def m5VideoFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long"))
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val (w, h, nf) =
+            ((1 + id % 16).toInt, (1 + id % 12).toInt, (1 + id % 6).toInt)
+          val raw = AviParser.parse(VideoGen.aviBytes(w, h, nf, id))
+          VideoFeatures(id, raw.width, raw.height, raw.nFrames, raw.byteSum)
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+      .limit(2000)
   }
 
   /** Audio features (m4): the audio modality decoded FOR REAL — each
@@ -398,5 +559,6 @@ object Multimodal {
     "m2_frame_sample" -> (m2FrameSample _),
     "m3_thumbnail" -> (m3Thumbnail _),
     "m4_audio_features" -> (m4AudioFeatures _),
+    "m5_video_features" -> (m5VideoFeatures _),
   )
 }

@@ -131,4 +131,26 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.WavDecoder.decode(Array.fill[Byte](64)(7))
     }
   }
+
+  test("AVI roundtrip: RIFF walk recovers dims, counted frames, and exact byte sum") {
+    val (w, h, nf, seed) = (5, 3, 4, 99L) // odd frame length (45) → padding
+    val raw = Multimodal.AviParser.parse(
+      Multimodal.VideoGen.aviBytes(w, h, nf, seed))
+    assert(raw.width == w && raw.height == h)
+    assert(raw.nFrames == nf.toLong)
+    val expected = (for (f <- 0 until nf; j <- 0 until w * h * 3)
+      yield (Multimodal.VideoGen.frameByte(seed, f, j) & 0xff).toLong).sum
+    assert(raw.byteSum == expected, s"byteSum ${raw.byteSum} != $expected")
+  }
+
+  test("AVI parser rejects a container whose header lies about the frame count") {
+    val good = Multimodal.VideoGen.aviBytes(4, 4, 3, 7L)
+    // dwTotalFrames lives at avih body offset 16; avih body starts at
+    // RIFF(12) + LIST hdr(12) + 'avih'+size(8) = byte 32
+    val lying = good.clone()
+    lying(32 + 16) = 9 // declare 9 frames, movi still carries 3
+    intercept[IllegalArgumentException] {
+      Multimodal.AviParser.parse(lying)
+    }
+  }
 }
