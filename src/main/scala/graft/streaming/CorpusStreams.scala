@@ -78,7 +78,10 @@ object CorpusStreams {
     docs.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
-        val toks = text.trim.toLowerCase.split("\\s+")
+        // Locale.ROOT: Scala's bare toLowerCase is default-locale
+        // sensitive (Turkish dotless-ı would diverge from Spark SQL's
+        // locale-independent lower())
+        val toks = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
         if (toks.length < 3) Iterator.empty
         else {
           val distinct = toks.sliding(3).map(_.mkString(" ")).toSet

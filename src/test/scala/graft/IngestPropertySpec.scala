@@ -25,7 +25,7 @@ class IngestPropertySpec extends AnyFunSuite {
     * definition, not from the Spark expressions.
     */
   private def ref(text: String): (Int, Double, Double) = {
-    val toks = text.trim.toLowerCase.split("\\s+").toSeq
+    val toks = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+").toSeq
     val n = toks.length
     val quality = round6(
       math.min(n / 50.0, 1.0) * 0.3
