@@ -61,13 +61,19 @@ object Ingest {
     * by the batch query and the streaming twin. First failing rule wins
     * (the diagnostic shape real pipelines emit: a rejected document
     * carries WHY, so filter-rate dashboards can decompose by rule).
+    * Thresholds are parameters — in production they are tuned config,
+    * not constants; the gate pins the defaults. Because the signals are
+    * rounded at 6 decimals before comparison, any threshold choice is
+    * engine-exact, not only the defaults.
     */
-  private[graft] def admissionDecision(signals: DataFrame): DataFrame =
+  private[graft] def admissionDecision(signals: DataFrame,
+      minTokens: Int = 20, maxRepFrac: Double = 0.10,
+      minQuality: Double = 0.55): DataFrame =
     signals
       .withColumn("reject_reason",
-        when(col("n_tokens") < 20, "too_short")
-          .when(col("rep_frac") > 0.10, "repetitive")
-          .when(col("quality") < 0.55, "low_quality")
+        when(col("n_tokens") < minTokens, "too_short")
+          .when(col("rep_frac") > maxRepFrac, "repetitive")
+          .when(col("quality") < minQuality, "low_quality")
           .otherwise("kept"))
       .withColumn("keep", col("reject_reason") === "kept")
 

@@ -52,6 +52,16 @@ class IngestSpec extends AnyFunSuite {
     assert(got(7L) == ("low_quality", false), s"got ${got(7L)}")
   }
 
+  test("p4 thresholds are tunable: the same doc flips verdict under a laxer config") {
+    import spark.implicits._
+    val lowQ = (1 to 25).map(i => s"a$i").mkString(" ") // quality 0.45
+    val signals = Ingest.admissionSignals(
+      Seq(7L -> lowQ).toDF("doc_id", "text").withColumn("lang", lit("en")))
+    val lax = Ingest.admissionDecision(signals, minQuality = 0.4)
+      .select(col("reject_reason"), col("keep")).collect().head
+    assert(lax.getString(0) == "kept" && lax.getBoolean(1))
+  }
+
   // --- t14 PII redaction ---------------------------------------------
 
   test("t14 injects by doc_id arithmetic, detects with real regexes, and scrubs completely") {
