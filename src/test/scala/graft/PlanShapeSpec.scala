@@ -92,6 +92,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("shingle"), p.take(800))
   }
 
+  test("m4/m5: media decode is map-side — no hash exchange below the top-k") {
+    for (q <- Seq(graft.multimodal.Multimodal.m4AudioFeatures(spark, dir),
+        graft.multimodal.Multimodal.m5VideoFeatures(spark, dir))) {
+      val p = plan(q)
+      assert(!p.contains("Exchange hashpartitioning"), p.take(800))
+      assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    }
+  }
+
   test("e12: forward probes join clicks on (user, bucket) keys — never a cartesian") {
     val p = plan(graft.queries.Events.e12UnconvertedViews(spark, dir))
     assert(!p.contains("CartesianProduct"), p.take(800))
