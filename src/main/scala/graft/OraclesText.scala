@@ -463,6 +463,28 @@ object OraclesText {
         |       ELSE 'fr' END AS predicted
         |FROM v ORDER BY doc_id LIMIT 2000""".stripMargin,
 
+    // TextDedup.t15LabelAudit: per declared lang, t3-prediction
+    // disagreement counts — the exact t3 vote pipeline rolled up.
+    "t15_label_audit" ->
+      """WITH x AS (SELECT doc_id, lang,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |v AS (SELECT doc_id, lang,
+        |  len(list_filter(toks, t -> list_contains(['the','a','of','and','is','to'], t))) AS v_en,
+        |  len(list_filter(toks, t -> list_contains(['der','die','das','und','ist'], t))) AS v_de,
+        |  len(list_filter(toks, t -> list_contains(['el','la','de','y','es'], t))) AS v_es,
+        |  len(list_filter(toks, t -> list_contains(['le','la','de','et','est'], t))) AS v_fr
+        |  FROM x),
+        |p AS (SELECT lang,
+        |  CASE WHEN v_en >= v_de AND v_en >= v_es AND v_en >= v_fr THEN 'en'
+        |       WHEN v_de >= v_es AND v_de >= v_fr THEN 'de'
+        |       WHEN v_es >= v_fr THEN 'es'
+        |       ELSE 'fr' END AS predicted
+        |  FROM v)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN predicted != lang THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+        |  round(CAST(sum(CASE WHEN predicted != lang THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS mismatch_rate
+        |FROM p GROUP BY lang ORDER BY lang""".stripMargin,
+
     "t4_quality_score" ->
       """WITH x AS (SELECT doc_id, lang,
         |    string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),

@@ -526,6 +526,37 @@ object TextDedup {
       .orderBy(col("doc_id"))
       .limit(2000)
 
+  /** Label audit (t15): per DECLARED language, how often the t3
+    * language-ID prediction disagrees — the label-noise dashboard a
+    * pipeline consults before trusting upstream metadata (crawl-supplied
+    * language tags are notoriously wrong, and a high mismatch rate for
+    * one source/language is the signal to re-route those documents
+    * through detection instead of trusting the tag). One map-only pass
+    * computes the per-doc verdict (t3's exact vote pipeline, so the
+    * audit and the gated classifier can never disagree), then a
+    * partial-agg rollup on the 5-value lang key; `sum(int)` CAST to
+    * BIGINT per the cross-engine dtype discipline.
+    */
+  def t15LabelAudit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), toks.as("toks"))
+      .select(col("lang"),
+        voteFor(StopEn).as("v_en"), voteFor(StopDe).as("v_de"),
+        voteFor(StopEs).as("v_es"), voteFor(StopFr).as("v_fr"))
+      .withColumn("predicted",
+        when(col("v_en") >= col("v_de") && col("v_en") >= col("v_es")
+          && col("v_en") >= col("v_fr"), "en")
+          .when(col("v_de") >= col("v_es") && col("v_de") >= col("v_fr"), "de")
+          .when(col("v_es") >= col("v_fr"), "es")
+          .otherwise("fr"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("predicted") =!= col("lang"), 1).otherwise(0))
+          .cast("long").as("n_mismatch"))
+      .withColumn("mismatch_rate",
+        round(col("n_mismatch").cast("double") / col("n_docs"), 6))
+      .orderBy(col("lang"))
+
   /** Quality score in [0,1]: length saturation, lexical diversity,
     * stopword presence, long-token share — the standard cheap pretraining
     * quality heuristics, combined with fixed weights.
@@ -1060,6 +1091,7 @@ object TextDedup {
     "t1_token_stats" -> (t1TokenStats _),
     "t11_repetition_ratio" -> (t11RepetitionRatio _),
     "t13_top_bigram_frac" -> (t13TopBigramFrac _),
+    "t15_label_audit" -> (t15LabelAudit _),
     "t2_regex_tokens" -> (t2RegexTokens _),
     "t3_lang_id" -> (t3LangId _),
     "t4_quality_score" -> (t4QualityScore _),
