@@ -308,6 +308,34 @@ object OraclesText {
   )
 
   val pipeline: Map[String, String] = Map(
+    // TextDedup.q25ContaminationSpread: bounded-hop spread from the
+    // test split over the d6 near-dup graph — the SAME WITH RECURSIVE
+    // text Spark executes natively.
+    "q25_contamination_spread" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sidx GROUP BY doc_id),
+         |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+         |       FROM sidx a JOIN sidx b
+         |         ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2),
+         |jac AS (SELECT id_a, id_b FROM pr
+         |        JOIN sizes sa ON id_a = sa.doc_id
+         |        JOIN sizes sb ON id_b = sb.doc_id
+         |        WHERE round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) >= 0.8),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM jac
+         |          UNION ALL SELECT id_b, id_a FROM jac),
+         |seeds AS (SELECT doc_id FROM (SELECT doc_id,
+         |    ${hex4ToInt("substr(md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), 1, 4)")} % 100 AS bucket
+         |  FROM documents) WHERE bucket >= 90),
+         |spread(doc_id, depth) AS (
+         |  SELECT doc_id, 0 FROM seeds
+         |  UNION ALL
+         |  SELECT e.dst, s.depth + 1
+         |  FROM spread s JOIN edges e ON s.doc_id = e.src
+         |  WHERE s.depth < 3)
+         |SELECT doc_id, CAST(min(depth) AS BIGINT) AS hops
+         |FROM spread GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // TextDedup.p1CorpusManifest: the end-to-end corpus construction —
     // d7's drop set + t4's quality formula + t9's split buckets and the
     // final selection predicate, composed exactly as the Spark plan

@@ -774,6 +774,44 @@ object TextDedup {
       .limit(2000)
   }
 
+  /** Bounded-hop contamination spread (q25) via Spark's NATIVE
+    * `WITH RECURSIVE` (new in Spark 4.x): starting from every test-split
+    * document, walk the near-dup pair graph up to 3 hops and report the
+    * minimum hop count per reached document — the transitive question a
+    * decontamination pass actually asks ("if this eval doc leaked,
+    * which training docs are within k rewrite steps of it?"; d10 only
+    * answers the 1-hop case). The recursion reads the run-scoped
+    * materialized pair table, so the spread costs 3 small self-joins,
+    * not 3 corpus re-shingles. Engine note: Spark's recursive CTEs
+    * support UNION ALL only (no UNION-distinct step), so an UNBOUNDED
+    * closure on a cyclic graph would re-derive paths forever — the hop
+    * bound is what makes the declarative form terminate, and the
+    * unbounded component labeling stays with d8's large-star/small-star
+    * contraction (the scale path). The oracle runs the textually
+    * identical recursion in DuckDB.
+    */
+  def q25ContaminationSpread(spark: SparkSession, dir: String): DataFrame = {
+    val (_, split) = splitCols
+    val pairs = dupPairs(spark, dir)
+    pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .createOrReplaceTempView("q25_edges")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split.as("split"))
+      .filter(col("split") === "test")
+      .select(col("doc_id"))
+      .createOrReplaceTempView("q25_seeds")
+    spark.sql(
+      """WITH RECURSIVE spread(doc_id, depth) AS (
+        |  SELECT doc_id, 0 FROM q25_seeds
+        |  UNION ALL
+        |  SELECT e.dst, s.depth + 1
+        |  FROM spread s JOIN q25_edges e ON s.doc_id = e.src
+        |  WHERE s.depth < 3)
+        |SELECT doc_id, CAST(min(depth) AS BIGINT) AS hops
+        |FROM spread GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+  }
+
   /** Corpus word frequencies — the canonical explode → count shape; at
     * lake scale this is the vocabulary-building pass of a tokenizer
     * pipeline (one shuffle on the token).
@@ -1092,6 +1130,7 @@ object TextDedup {
     "t11_repetition_ratio" -> (t11RepetitionRatio _),
     "t13_top_bigram_frac" -> (t13TopBigramFrac _),
     "t15_label_audit" -> (t15LabelAudit _),
+    "q25_contamination_spread" -> (q25ContaminationSpread _),
     "t2_regex_tokens" -> (t2RegexTokens _),
     "t3_lang_id" -> (t3LangId _),
     "t4_quality_score" -> (t4QualityScore _),
