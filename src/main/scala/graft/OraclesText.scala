@@ -1140,6 +1140,61 @@ object OraclesText {
          |        LEFT JOIN near ON hx.doc_id = near.new_id
          |WHERE hx.is_new ORDER BY doc_id""".stripMargin,
 
+    // Ingest.p6IngestManifest: the arriving batch's end-to-end verdict —
+    // p4's signal formulas + t14's doc_id-arithmetic PII counts + d13's
+    // dedup CTEs composed, exactly as the Spark plan composes them.
+    "p6_ingest_manifest" ->
+      s"""WITH $shingleCte,
+         |tag AS (SELECT doc_id, (source IN ('src18', 'src19')) AS is_new
+         |        FROM documents),
+         |hx AS (SELECT doc_id,
+         |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h,
+         |    (source IN ('src18', 'src19')) AS is_new
+         |  FROM documents),
+         |oldh AS (SELECT DISTINCT h FROM hx WHERE NOT is_new),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sidx GROUP BY doc_id),
+         |shared AS (SELECT a.doc_id AS new_id, b.doc_id AS old_id,
+         |             count(*) AS shared
+         |           FROM sidx a JOIN tag ta ON a.doc_id = ta.doc_id AND ta.is_new
+         |                JOIN sidx b ON a.shingle = b.shingle
+         |                JOIN tag tb ON b.doc_id = tb.doc_id AND NOT tb.is_new
+         |           GROUP BY 1, 2),
+         |near AS (SELECT new_id, min(old_id) AS ndof
+         |         FROM shared JOIN sizes sa ON new_id = sa.doc_id
+         |                     JOIN sizes sb ON old_id = sb.doc_id
+         |         WHERE round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) >= 0.8
+         |         GROUP BY 1),
+         |newx AS (SELECT doc_id,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS toks,
+         |    CAST(doc_id % 3 = 0 AS INT) + CAST(doc_id % 4 = 0 AS INT)
+         |      + CAST(doc_id % 5 = 0 AS INT) AS n_pii
+         |  FROM documents WHERE source IN ('src18', 'src19')),
+         |sig AS (SELECT doc_id, n_pii,
+         |  CAST(len(toks) AS INT) AS n_tokens,
+         |  round(least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) * 0.3
+         |    + (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.3
+         |    + (CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','is','to'], t))) AS DOUBLE) / len(toks)) * 0.2
+         |    + (CAST(len(list_filter(toks, t -> length(t) >= 4)) AS DOUBLE) / len(toks)) * 0.2, 6) AS quality,
+         |  round(1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks)),
+         |    i -> toks[i] || ' ' || toks[i+1]))) AS DOUBLE) / (len(toks) - 1), 6) AS rep_frac
+         |  FROM newx),
+         |dec AS (SELECT *,
+         |  CASE WHEN n_tokens < 20 THEN 'too_short'
+         |       WHEN rep_frac > 0.10 THEN 'repetitive'
+         |       WHEN quality < 0.55 THEN 'low_quality'
+         |       ELSE 'kept' END AS reject_reason
+         |  FROM sig)
+         |SELECT d.doc_id, d.n_tokens, d.quality, d.rep_frac, d.reject_reason,
+         |  CAST(d.n_pii AS INT) AS n_pii,
+         |  (oldh.h IS NOT NULL) AS exact_dup,
+         |  CAST(coalesce(near.ndof, -1) AS BIGINT) AS near_dup_of,
+         |  (d.reject_reason = 'kept' AND oldh.h IS NULL AND near.ndof IS NULL)
+         |    AS ingest
+         |FROM dec d JOIN hx ON d.doc_id = hx.doc_id
+         |        LEFT JOIN oldh ON hx.h = oldh.h
+         |        LEFT JOIN near ON d.doc_id = near.new_id
+         |ORDER BY d.doc_id""".stripMargin,
+
     // Embeddings.s9IncrementalSemDedup: new batch (vec_id ≡ 0 mod 20)
     // checked within its IVF cell against STANDING vectors only;
     // cosine ≥ 0.3 ⇒ semantic duplicate, not admitted.

@@ -250,10 +250,51 @@ object Ingest {
       .orderBy(col("doc_id"))
   }
 
+  /** Ingest manifest (p6): the end-to-end verdict for an ARRIVING batch,
+    * composed into one plan — p1's integration proof applied to the
+    * ingest side. Per new document: the admission signals and decision
+    * (p4), the PII the scrub would redact (t14's counts, summed), the
+    * increment-vs-corpus dedup verdict (d13), and the final ingest
+    * decision (admitted ∧ quality-kept). One scan of the increment
+    * computes every per-row column (signals AND scrub counts together);
+    * the dedup verdict — the only part that must look at the standing
+    * corpus — joins in on doc_id. This is the row a production ingest
+    * job writes to its manifest table per arriving document.
+    */
+  def p6IngestManifest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("is_new", col("source").isin(NewSources: _*))
+    val newDocs = docs.filter(col("is_new"))
+    // per-row leg: admission signals + decision + injected-PII counts,
+    // one projection chain over one scan
+    val injected = injectPii(col("text"), col("doc_id"))
+    val perRow = admissionDecision(admissionSignals(newDocs))
+      .join(newDocs.select(col("doc_id"),
+          size(regexp_extract_all(injected, lit(EmailRe), lit(0)))
+            .as("n_emails"),
+          size(regexp_extract_all(injected, lit(PhoneRe), lit(0)))
+            .as("n_phones"),
+          size(regexp_extract_all(injected, lit(IpRe), lit(0))).as("n_ips")),
+        Seq("doc_id"))
+      .withColumn("n_pii",
+        col("n_emails") + col("n_phones") + col("n_ips"))
+    // corpus leg: the d13 verdict
+    val ded = incrementalDedupOf(docs)
+      .select(col("doc_id"), col("exact_dup"), col("near_dup_of"),
+        col("admitted"))
+    perRow.join(ded, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("quality"),
+        col("rep_frac"), col("reject_reason"), col("n_pii"),
+        col("exact_dup"), col("near_dup_of"),
+        (col("keep") && col("admitted")).as("ingest"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p4_quality_filter" -> (p4QualityFilter _),
     "t14_pii_redact" -> (t14PiiRedact _),
     "d13_incremental_dedup" -> (d13IncrementalDedup _),
     "d13b_incremental_capped" -> (d13bIncrementalCapped _),
+    "p6_ingest_manifest" -> (p6IngestManifest _),
   )
 }
