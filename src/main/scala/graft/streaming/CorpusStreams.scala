@@ -118,6 +118,23 @@ object CorpusStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Ingest-time media feature extraction — the streaming twin of m1's
+    * decode: [[graft.multimodal.Multimodal.extractFeatures]] applied to
+    * a streaming Dataset of media rows (a stateless typed mapPartitions
+    * works on streams unchanged — one decoder per partition per
+    * micro-batch, binary never enters state or shuffle). With this, the
+    * ingest surface covers all four stages a multimodal pipeline runs
+    * on arrival: admit (quality), scrub (PII), dedup (content hash),
+    * extract (decode features, so the raw payload can be tiered to cold
+    * storage immediately). `StreamingSpec` pins stream ≡ batch on real
+    * decoded payloads.
+    */
+  def mediaFeatures(media: org.apache.spark.sql.Dataset[
+      graft.multimodal.Multimodal.MediaRow]): DataFrame =
+    graft.multimodal.Multimodal
+      .extractFeatures(media, graft.multimodal.Multimodal.ImageIoDecoder)
+      .toDF()
+
   /** Ingest-time EXACT dedup against a standing corpus — the streaming
     * half of d13's exact verdict: a stream-static LEFT ANTI join on the
     * d1 content hash (append-safe, zero state) composed with

@@ -592,6 +592,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batchIdx)
   }
 
+  test("streaming media feature extraction equals the batch decode (m1 twin)") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    implicit val sqlCtx = spark.sqlContext
+    def row(id: Long): Multimodal.MediaRow =
+      if (id % 2 == 0)
+        Multimodal.MediaRow(id, "image/png",
+          Multimodal.MediaGen.imageBytes("png",
+            (2 + id % 16).toInt, (2 + id % 12).toInt, id))
+      else
+        Multimodal.MediaRow(id, "video/gif",
+          Multimodal.MediaGen.gifBytes(
+            (2 + id % 16).toInt, (2 + id % 12).toInt, (1 + id % 4).toInt, id))
+    val rows = (0L until 8L).map(row)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Multimodal.MediaRow]
+    val q = graft.streaming.CorpusStreams.mediaFeatures(mem.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("media_feats").start()
+    try {
+      mem.addData(rows.take(4): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(4): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("media_feats").collect().map(_.toSeq).toSet
+    val batch = Multimodal.extractFeatures(rows.toDS(),
+        Multimodal.ImageIoDecoder)
+      .toDF().collect().map(_.toSeq).toSet
+    assert(streamed == batch, s"stream=${streamed.size} batch=${batch.size}")
+    // the decode was real: a GIF row carries its true multi-frame count
+    val frames = spark.table("media_feats")
+      .filter(org.apache.spark.sql.functions.col("media_type") === "video/gif")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("n_frames"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    frames.foreach { case (id, nf) => assert(nf == 1 + id % 4, s"doc $id: $nf") }
+  }
+
   test("admitted-corpus sink is exactly-once across a kill-and-restart") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit}
