@@ -969,7 +969,7 @@ object OraclesText {
         |    1 + doc_id % 6 AS nf
         |  FROM documents),
         |s AS (SELECT p.doc_id, p.width, p.height, p.nf,
-        |    CAST(sum((p.doc_id * 31 + f.i * 7919 + j.i * 2654435761) % 256)
+        |    CAST(sum(((p.doc_id % 256) * 31 + f.i * 7919 + j.i * 2654435761) % 256)
         |      AS BIGINT) AS byte_sum
         |  FROM p, range(0, 6) f(i), range(0, 576) j(i)
         |  WHERE f.i < p.nf AND j.i < p.width * p.height * 3
@@ -983,8 +983,8 @@ object OraclesText {
         |    CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate
         |  FROM documents),
         |s AS (SELECT p.doc_id, p.sample_rate, p.n,
-        |    CAST(sum(((p.doc_id * 2654435761 + i * 40503) % 65536 - 32768)
-        |      * ((p.doc_id * 2654435761 + i * 40503) % 65536 - 32768))
+        |    CAST(sum((((p.doc_id % 65536) * 2654435761 + i * 40503) % 65536 - 32768)
+        |      * (((p.doc_id % 65536) * 2654435761 + i * 40503) % 65536 - 32768))
         |      AS BIGINT) AS sum_sq
         |  FROM p, range(0, 4992) t(i) -- max n; correlated bounds unsupported
         |  WHERE i < p.n
@@ -1045,8 +1045,10 @@ object OraclesText {
         |    + (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.3
         |    + (CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','is','to'], t))) AS DOUBLE) / len(toks)) * 0.2
         |    + (CAST(len(list_filter(toks, t -> length(t) >= 4)) AS DOUBLE) / len(toks)) * 0.2, 6) AS quality,
-        |  round(1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks)),
-        |    i -> toks[i] || ' ' || toks[i+1]))) AS DOUBLE) / (len(toks) - 1), 6) AS rep_frac
+        |  CASE WHEN len(toks) >= 2 THEN
+        |    round(1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i+1]))) AS DOUBLE) / (len(toks) - 1), 6)
+        |    ELSE 0.0 END AS rep_frac
         |  FROM x)
         |SELECT doc_id, lang, n_tokens, quality, rep_frac,
         |  CASE WHEN n_tokens < 20 THEN 'too_short'
@@ -1175,8 +1177,10 @@ object OraclesText {
          |    + (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.3
          |    + (CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','is','to'], t))) AS DOUBLE) / len(toks)) * 0.2
          |    + (CAST(len(list_filter(toks, t -> length(t) >= 4)) AS DOUBLE) / len(toks)) * 0.2, 6) AS quality,
-         |  round(1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks)),
-         |    i -> toks[i] || ' ' || toks[i+1]))) AS DOUBLE) / (len(toks) - 1), 6) AS rep_frac
+         |  CASE WHEN len(toks) >= 2 THEN
+         |    round(1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks)),
+         |      i -> toks[i] || ' ' || toks[i+1]))) AS DOUBLE) / (len(toks) - 1), 6)
+         |    ELSE 0.0 END AS rep_frac
          |  FROM newx),
          |dec AS (SELECT *,
          |  CASE WHEN n_tokens < 20 THEN 'too_short'

@@ -148,7 +148,7 @@ object Multimodal {
 
   /** Deterministic audio payload generator: a REAL RIFF/WAVE PCM mono
     * 16-bit file whose samples are a pure function of (seed, i) —
-    * s(i) = ((seed·2654435761 + i·40503) mod 65536) − 32768, all
+    * s(i) = (((seed mod 65536)·2654435761 + i·40503) mod 65536) − 32768, all
     * exact Long arithmetic so the oracle can reproduce the sample
     * stream (and thus the energy sum) in SQL while the Spark side must
     * genuinely parse the WAV container and PCM frames.
@@ -176,8 +176,14 @@ object Multimodal {
       buf.array()
     }
 
+    // seed pre-reduced mod 65536: mathematically a no-op (65536 divides
+    // 2^64 so reduction commutes with the multiply), but it keeps the
+    // product inside 63 bits for ANY doc_id — the unreduced form wraps
+    // silently on the JVM above doc_id ~3.4e9 while DuckDB BIGINT
+    // multiply ABORTS, so the gate would error instead of compare.
     def sample(seed: Long, i: Int): Short =
-      (((seed * 2654435761L + i.toLong * 40503L) % 65536L) - 32768L).toShort
+      ((((seed % 65536L) * 2654435761L + i.toLong * 40503L) % 65536L)
+        - 32768L).toShort
   }
 
   /** Decoded audio facts: sample rate and count from the parsed
@@ -281,8 +287,11 @@ object Multimodal {
       buf.array()
     }
 
+    // seed mod 256 first, same discipline as AudioGen.sample: exact for
+    // every doc_id on both engines instead of JVM-wrap vs DuckDB-abort.
     def frameByte(seed: Long, f: Int, j: Int): Byte =
-      ((seed * 31L + f.toLong * 7919L + j.toLong * 2654435761L) % 256L).toByte
+      (((seed % 256L) * 31L + f.toLong * 7919L
+        + j.toLong * 2654435761L) % 256L).toByte
   }
 
   case class VideoFeatures(doc_id: Long, width: Int, height: Int,

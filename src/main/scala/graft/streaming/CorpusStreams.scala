@@ -80,8 +80,12 @@ object CorpusStreams {
       .flatMap { case (id, text) =>
         // Locale.ROOT: Scala's bare toLowerCase is default-locale
         // sensitive (Turkish dotless-ı would diverge from Spark SQL's
-        // locale-independent lower())
-        val toks = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+        // locale-independent lower()). Space-only trim: Java's
+        // String.trim strips every char <= U+0020 (tabs, newlines) but
+        // the batch index and every oracle use SQL trim (U+0020 only) —
+        // a leading tab must produce the same leading empty token here.
+        val toks = text.replaceAll("^ +| +$", "")
+          .toLowerCase(java.util.Locale.ROOT).split("\\s+")
         if (toks.length < 3) Iterator.empty
         else {
           val distinct = toks.sliding(3).map(_.mkString(" ")).toSet
@@ -89,6 +93,31 @@ object CorpusStreams {
         }
       }
       .toDF("doc_id", "shingle", "n_shingles")
+  }
+
+  /** [[streamShingles]] with the document's arrival timestamp carried
+    * through the flatMap — every shingle of a document shares its
+    * arrival instant, which is what lets the watermarked alert
+    * aggregation below group by event-time window without splitting a
+    * document's shingles across state keys. Input columns
+    * `(doc_id, text, arrival_ts)`.
+    */
+  private[graft] def streamShinglesTs(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"),
+        col("arrival_ts").cast("timestamp"))
+      .as[(Long, String, java.sql.Timestamp)]
+      .flatMap { case (id, text, ts) =>
+        val toks = text.replaceAll("^ +| +$", "")
+          .toLowerCase(java.util.Locale.ROOT).split("\\s+")
+        if (toks.length < 3) Iterator.empty
+        else {
+          val distinct = toks.sliding(3).map(_.mkString(" ")).toSet
+          distinct.iterator.map(s => (id, ts, s, distinct.size))
+        }
+      }
+      .toDF("doc_id", "arrival_ts", "shingle", "n_shingles")
   }
 
   /** The admitted-corpus SINK: quality admission → keep-filter →
@@ -161,6 +190,14 @@ object CorpusStreams {
     * drops arrive as an asynchronous alert stream the catalog consumes.
     * `StreamingSpec` pins alert pairs ≡ the batch d13 near-dup pairs,
     * Jaccard values included.
+    *
+    * CONSTRAINT: this form has no event-time key, so the aggregation
+    * state is unbounded and only `complete` output mode is supported —
+    * a bounded-run/backfill shape (each trigger re-emits the full alert
+    * table). The production, unbounded-stream form is
+    * [[nearDupAlertsWatermarked]]: arriving documents carry an ingest
+    * timestamp, state evicts at the watermark, and alerts emit once in
+    * append mode.
     */
   def nearDupAlerts(newDocs: DataFrame, standing: DataFrame): DataFrame = {
     val sIdx = graft.queries.TextDedup.shingleIndex(standing)
@@ -170,6 +207,39 @@ object CorpusStreams {
     streamShingles(newDocs)
       .join(sFull, Seq("shingle")) // stream-static inner join
       .groupBy(col("doc_id").as("new_id"), col("old_id"))
+      .agg(count(lit(1)).as("shared"),
+        max(col("n_shingles")).as("n_new"), max(col("n_old")).as("n_o"))
+      .select(col("new_id"), col("old_id"),
+        round(col("shared").cast("double")
+          / (col("n_new") + col("n_o") - col("shared")), 6).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+  }
+
+  /** [[nearDupAlerts]] with bounded state: arriving documents carry an
+    * `arrival_ts` column, the shingle stream is watermarked on it, and
+    * the per-pair shared-shingle count is grouped under an event-time
+    * window alongside the pair key. A document arrives at ONE instant,
+    * so all its shingles land in the same window and the per-pair count
+    * within that window is the document's complete count — windowing
+    * changes nothing about the Jaccard verdict, it only gives the state
+    * store an eviction clock. Consequences, both spec-pinned: alerts
+    * emit exactly once in APPEND mode (when the watermark passes the
+    * window end), and pair state older than the watermark delay is
+    * dropped instead of accumulating forever — the difference between a
+    * demo and an ingest daemon that runs for months.
+    */
+  def nearDupAlertsWatermarked(newDocs: DataFrame, standing: DataFrame,
+      watermarkDelay: String = "10 minutes",
+      windowDur: String = "10 minutes"): DataFrame = {
+    val sIdx = graft.queries.TextDedup.shingleIndex(standing)
+    val sSizes = sIdx.groupBy(col("doc_id")).agg(count(lit(1)).as("n_old"))
+    val sFull = sIdx.join(sSizes, Seq("doc_id"))
+      .select(col("doc_id").as("old_id"), col("shingle"), col("n_old"))
+    streamShinglesTs(newDocs)
+      .withWatermark("arrival_ts", watermarkDelay)
+      .join(sFull, Seq("shingle")) // stream-static inner join
+      .groupBy(window(col("arrival_ts"), windowDur),
+        col("doc_id").as("new_id"), col("old_id"))
       .agg(count(lit(1)).as("shared"),
         max(col("n_shingles")).as("n_new"), max(col("n_old")).as("n_o"))
       .select(col("new_id"), col("old_id"),

@@ -592,6 +592,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batchIdx)
   }
 
+  test("watermarked near-dup alerts emit once in append mode and equal the unwatermarked verdicts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val base = (1 to 40).map("w" + _).mkString(" ")
+    val standing = Seq(
+      (1L, base),
+      (2L, "alpha beta gamma delta five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val burst1 = Seq(
+      (10L, base, ts("2026-01-01 10:00:00")),               // exact → 1.0
+      (11L, base + " tail", ts("2026-01-01 10:01:00")),     // near dup
+      (12L, (1 to 20).map("q" + _).mkString(" "), ts("2026-01-01 10:02:00")))
+    val burst2 = Seq( // 1h later: advances the watermark past burst 1
+      (14L, base + " coda", ts("2026-01-01 11:00:00")))
+    val burst3 = Seq( // flushes burst 2's window
+      (15L, "zz yy xx", ts("2026-01-01 12:00:00")))
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = graft.streaming.CorpusStreams
+      .nearDupAlertsWatermarked(
+        mem.toDS().toDF("doc_id", "text", "arrival_ts"), standing)
+      .writeStream.outputMode("append").format("memory") // append NEEDS the watermark
+      .queryName("incr_alerts_wm").start()
+    try {
+      mem.addData(burst1: _*); q.processAllAvailable()
+      mem.addData(burst2: _*); q.processAllAvailable()
+      mem.addData(burst3: _*); q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("incr_alerts_wm")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // exactly once per pair across all triggers (append re-emission would
+    // duplicate), and the verdicts are the unwatermarked ones
+    assert(rows.size == rows.toSet.size, s"re-emitted alerts: $rows")
+    assert(rows.toSet == Set(
+      (10L, 1L, 1.0), (11L, 1L, 0.974359), (14L, 1L, 0.974359)),
+      s"rows=$rows")
+  }
+
   test("streaming media feature extraction equals the batch decode (m1 twin)") {
     import spark.implicits._
     import graft.multimodal.Multimodal
