@@ -58,6 +58,40 @@ object OraclesText {
          |WHERE $agree / 8.0 >= 0.5
          |ORDER BY id_a, id_b""".stripMargin
     },
+
+    // TextDedup.d14LshRecall: exact d6 truth LEFT JOIN the d3 candidate
+    // estimates — the dedup-path recall measurement (s8's analog).
+    "d14_lsh_recall" -> {
+      val bands = (0 until queries.TextDedup.MinhashBands).map { b =>
+        s"SELECT doc_id, $b AS band, md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS bkey FROM sig"
+      }.mkString("\n  UNION ALL ")
+      val agree = (0 until queries.TextDedup.MinhashK)
+        .map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END")
+        .mkString("(", " + ", ")")
+      s"""WITH $shingleCte, $minhashSigCte,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sidx GROUP BY doc_id),
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+         |          FROM sidx a JOIN sidx b
+         |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |truth AS (SELECT id_a, id_b,
+         |    round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) AS jaccard
+         |  FROM pairs JOIN sizes sa ON id_a = sa.doc_id
+         |             JOIN sizes sb ON id_b = sb.doc_id
+         |  WHERE round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) >= 0.8),
+         |banded AS ($bands),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM banded a JOIN banded b
+         |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |est AS (SELECT id_a, id_b, $agree / 8.0 AS est_jaccard
+         |  FROM cand JOIN sig sa ON id_a = sa.doc_id
+         |            JOIN sig sb ON id_b = sb.doc_id)
+         |SELECT t.id_a, t.id_b, t.jaccard,
+         |  (e.est_jaccard IS NOT NULL) AS candidate, e.est_jaccard,
+         |  coalesce(e.est_jaccard >= 0.5, false) AS hit
+         |FROM truth t LEFT JOIN est e ON t.id_a = e.id_a AND t.id_b = e.id_b
+         |ORDER BY t.id_a, t.id_b""".stripMargin
+    },
   )
 
   private val simhashCte: String = {
@@ -400,6 +434,25 @@ object OraclesText {
          |FROM x JOIN c ON x.lang = c.lang CROSS JOIN tot t
          |ORDER BY doc_id LIMIT 2000""".stripMargin,
 
+    // TextDedup.p7TempRebalance: α=0.5 temperature resampling — keep
+    // rate √(n_min/n_l) per mille; sqrt is IEEE-correctly-rounded on
+    // both engines so the rate needs no micro-snap, and the keep is
+    // integer bucket < rate.
+    "p7_temp_rebalance" ->
+      s"""WITH x AS (SELECT doc_id, lang,
+         |    ${hex4ToInt("substr(md5('tmp:' || regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), 1, 4)")} % 1000 AS bucket
+         |  FROM documents),
+         |c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),
+         |m AS (SELECT min(n_lang) AS n_min FROM c),
+         |r AS (SELECT x.doc_id, x.lang, CAST(x.bucket AS BIGINT) AS bucket,
+         |    c.n_lang,
+         |    CAST(round(sqrt(CAST(m.n_min AS DOUBLE) / c.n_lang) * 1000)
+         |      AS BIGINT) AS rate_pm
+         |  FROM x JOIN c ON x.lang = c.lang CROSS JOIN m)
+         |SELECT doc_id, lang, bucket, n_lang, rate_pm,
+         |  (bucket < rate_pm) AS keep
+         |FROM r ORDER BY doc_id LIMIT 2000""".stripMargin,
+
     // TextDedup.p3TokenBudget: quality-descending cumulative token sum,
     // docs whose preceding total is under the budget. The window sum is
     // CAST to BIGINT (DuckDB promotes integer window sums to HUGEINT —
@@ -613,6 +666,46 @@ object OraclesText {
         |  round(ln(CAST(n_total AS DOUBLE))
         |    - CAST(slnc AS DOUBLE) / (n_tokens * 1000000.0), 6) AS xent
         |FROM d, n ORDER BY doc_id LIMIT 2000""".stripMargin,
+
+    // TextDedup.t16BigramLmXent: Laplace-smoothed bigram LM trained on
+    // the t9 'train' split, every doc scored under it. ln P per distinct
+    // bigram is snapped to integer micro-nats (the t12 discipline), so
+    // the per-doc accumulation is order-independent integer math.
+    "t16_bigram_lm_xent" ->
+      s"""WITH tok AS (SELECT doc_id,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS toks,
+         |    ${hex4ToInt("substr(md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), 1, 4)")} % 100 AS bucket
+         |  FROM documents),
+         |tagged AS (SELECT doc_id, toks,
+         |    CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM tok),
+         |bg AS (SELECT doc_id, split,
+         |    unnest(list_transform(range(1, len(toks)),
+         |      i -> toks[i] || ' ' || toks[i+1])) AS bigram
+         |  FROM tagged),
+         |tfm AS (SELECT doc_id, split, bigram, count(*) AS m
+         |  FROM bg GROUP BY 1, 2, 3),
+         |cb AS (SELECT bigram, split_part(bigram, ' ', 1) AS w1,
+         |    CAST(sum(m) AS BIGINT) AS cb
+         |  FROM tfm WHERE split = 'train' GROUP BY 1, 2),
+         |cw AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cw FROM cb GROUP BY 1),
+         |v AS (SELECT CAST(count(DISTINCT u.token) AS BIGINT) AS v
+         |  FROM (SELECT unnest(toks) AS token FROM tagged
+         |        WHERE split = 'train') u),
+         |d AS (SELECT t.doc_id, t.split,
+         |    CAST(sum(t.m * CAST(round(
+         |      (ln(CAST(coalesce(cb.cb, 0) + 1 AS DOUBLE))
+         |       - ln(CAST(coalesce(cw.cw, 0) + v.v AS DOUBLE))) * 1000000)
+         |      AS BIGINT)) AS BIGINT) AS slnp,
+         |    CAST(sum(t.m) AS BIGINT) AS n_bigrams
+         |  FROM tfm t LEFT JOIN cb ON t.bigram = cb.bigram
+         |       LEFT JOIN cw ON split_part(t.bigram, ' ', 1) = cw.w1
+         |       CROSS JOIN v
+         |  GROUP BY 1, 2)
+         |SELECT doc_id, split, n_bigrams,
+         |  round(-CAST(slnp AS DOUBLE) / (n_bigrams * 1000000.0), 6) AS xent
+         |FROM d ORDER BY doc_id LIMIT 2000""".stripMargin,
   )
 
   val similarity: Map[String, String] = Map(

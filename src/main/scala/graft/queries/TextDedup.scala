@@ -89,6 +89,17 @@ object TextDedup {
     // (at lake scale this is a checkpointed signature table)
     val sig = minhashSignatures(spark, dir).persist()
     sig.count() // eager: three consumers racing a cold cache each recompute it
+    lshEstimates(sig, lshCandidates(sig))
+      .filter(col("est_jaccard") >= 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** The banded-bucket candidate generator shared by d3 and d14: band
+    * the signature (4 bands × 2 rows), self-join on (band, bucket-key).
+    * Only same-bucket pairs ever meet — the LSH contract that keeps
+    * near-dup detection sub-quadratic at scale.
+    */
+  private def lshCandidates(sig: DataFrame): DataFrame = {
     val bandCols = (0 until MinhashBands).map { b =>
       struct(lit(b).as("band"),
         fastMd5(concat_ws("|",
@@ -98,23 +109,50 @@ object TextDedup {
     val banded = sig.select(col("doc_id"),
       explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-    val a = banded.as("a")
-    val b = banded.as("b")
-    val cand = a.join(b,
+    banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    val sa = sig.as("sa")
-    val sb = sig.as("sb")
+  }
+
+  /** Estimated Jaccard (fraction of agreeing minhashes) for a candidate
+    * pair set — exact eighths with MinhashK = 8, so the double is
+    * bit-identical across engines.
+    */
+  private def lshEstimates(sig: DataFrame, cand: DataFrame): DataFrame = {
     val agree = (0 until MinhashK)
       .map(i => when(col(s"sa.mh$i") === col(s"sb.mh$i"), 1).otherwise(0))
       .reduce(_ + _)
-    cand.join(sa, col("id_a") === col("sa.doc_id"))
-      .join(sb, col("id_b") === col("sb.doc_id"))
+    cand.join(sig.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sig.as("sb"), col("id_b") === col("sb.doc_id"))
       .select(col("id_a"), col("id_b"),
         (agree.cast("double") / MinhashK).as("est_jaccard"))
-      .filter(col("est_jaccard") >= 0.5)
+  }
+
+  /** LSH candidate recall against exact truth (d14): for every TRUE
+    * near-dup pair (d6's exact Jaccard ≥ 0.8), did the d3 banded
+    * MinHash-LSH surface it — as a bucket candidate at all, and as a
+    * final verdict after the agreement-estimate filter? The dedup-path
+    * analog of s8's ANN-recall measurement: before anyone turns the
+    * band/row dial on a 100-TB dedup run, this is the query that says
+    * what the current dial MISSES (false negatives are invisible in
+    * d3's own output by construction — only a join against exact truth
+    * can show them). Scale shape: the expensive exact leg is the
+    * already-bucketed d6 pipeline (never all-pairs), the LSH leg reuses
+    * the persisted signature table, and the final comparison joins two
+    * already-small pair sets.
+    */
+  def d14LshRecall(spark: SparkSession, dir: String): DataFrame = {
+    val truth = d6NgramJaccard(spark, dir)
+    val sig = minhashSignatures(spark, dir).persist()
+    sig.count() // eager materialization (see d3)
+    truth.join(lshEstimates(sig, lshCandidates(sig)),
+        Seq("id_a", "id_b"), "left")
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        col("est_jaccard").isNotNull.as("candidate"),
+        col("est_jaccard"),
+        coalesce(col("est_jaccard") >= 0.5, lit(false)).as("hit"))
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -990,6 +1028,41 @@ object TextDedup {
       .limit(2000)
   }
 
+  /** Temperature-based language resampling (p7): the smooth counterpart
+    * of p5's hard 20% cap — per-language keep rate ∝ p_lang^(α−1) with
+    * α = 0.5, normalized so the rarest language keeps everything:
+    * rate_l = √(n_min / n_l). The majority language is down-sampled
+    * toward the tail instead of cliff-capped — the α-temperature
+    * mixing every multilingual pretraining run tunes. The decision
+    * stays engine-exact WITHOUT the micro-nat snap: IEEE-754 `sqrt` is
+    * correctly rounded on both engines (unlike ln), so
+    * round(1000·√(n_min/n_l)) is bit-identical, and the per-doc keep is
+    * then pure integer comparison of a salted content-hash bucket
+    * against the per-mille rate ("tmp:" salt decorrelates from the
+    * t9/p2/p5 hash spaces). Shape at scale: one broadcast-sized
+    * language-count aggregate, the keep rule map-only, bit-reproducible
+    * under retries and any partitioning.
+    */
+  def p7TempRebalance(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val nMin = counts.agg(min(col("n_lang")).as("n_min"))
+    val bucket = conv(substring(fastMd5(concat(lit("tmp:"),
+        regexp_replace(trim(lower(col("text"))), "\\s+", " "))), 1, 4),
+      16, 10).cast("long") % 1000
+    docs
+      .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+      .join(broadcast(counts), Seq("lang"))
+      .crossJoin(broadcast(nMin))
+      .withColumn("rate_pm",
+        round(sqrt(col("n_min").cast("double") / col("n_lang")) * 1000)
+          .cast("long"))
+      .select(col("doc_id"), col("lang"), col("bucket"), col("n_lang"),
+        col("rate_pm"), (col("bucket") < col("rate_pm")).as("keep"))
+      .orderBy(col("doc_id"))
+      .limit(2000)
+  }
+
   /** Token-budget corpus selection (p3): take documents in descending
     * quality order until the token budget is exhausted (the straddling
     * document is kept, mirroring t10's packing rule) — the "best N
@@ -1076,6 +1149,63 @@ object TextDedup {
       .limit(2000)
   }
 
+  /** Bigram-LM cross-entropy scoring (t16): the full CCNet shape that
+    * t12 reduces to unigrams — train a Laplace-smoothed bigram language
+    * model on the t9 'train' split and score EVERY document under it:
+    * xent(d) = −(1/|bigrams(d)|) Σ m_b · ln[(c_b+1)/(c_{w1}+V)], where
+    * c_b is the bigram's train count, c_{w1} its left-context count
+    * (= Σ over continuations, derived from the bigram table with one
+    * more agg, never a second corpus pass), and V the train unigram
+    * vocabulary. Held-out text the model finds surprising scores high —
+    * the production quality-filter signal, with the reference corpus
+    * role played by the pipeline's own train split. Cross-engine
+    * exactness is the t12 discipline: each distinct bigram's ln P is
+    * snapped to integer micro-nats once, per-doc accumulation is pure
+    * integer math (order-independent under any partitioning). Shape at
+    * scale: every shuffle keys on naturally high-cardinality
+    * (doc,bigram)/(bigram)/(w1) columns; the slim tf table persists to
+    * feed both the LM aggregation and the scoring join; unseen bigrams
+    * cost nothing extra (left joins + coalesce-to-zero, no OOV table).
+    */
+  def t16BigramLmXent(spark: SparkSession, dir: String): DataFrame = {
+    val (_, split) = splitCols
+    val docs = Tables.documents(spark, dir)
+    val tagged = docs.select(col("doc_id"), split.as("split"), toks.as("toks"))
+    val n = size(col("toks"))
+    val tfm = tagged
+      .select(col("doc_id"), col("split"),
+        explode(zip_with(slice(col("toks"), lit(1), n - 1),
+          slice(col("toks"), lit(2), n - 1),
+          (a, b) => concat(a, lit(" "), b))).as("bigram"))
+      .groupBy(col("doc_id"), col("split"), col("bigram"))
+      .agg(count(lit(1)).as("m"))
+      .persist()
+    tfm.count() // eager materialization (see d3)
+    val cb = tfm.filter(col("split") === "train")
+      .groupBy(col("bigram")).agg(sum(col("m")).as("cb"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+    val cw = cb.groupBy(col("w1")).agg(sum(col("cb")).as("cw"))
+    val vocabN = tagged.filter(col("split") === "train")
+      .select(explode(col("toks")).as("token")).distinct()
+      .agg(count(lit(1)).as("v"))
+    tfm.withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .join(cb.select(col("bigram"), col("cb")), Seq("bigram"), "left")
+      .join(cw, Seq("w1"), "left")
+      .crossJoin(broadcast(vocabN))
+      .withColumn("lnp_micro",
+        round((log(coalesce(col("cb"), lit(0L)).cast("double") + 1.0)
+          - log(coalesce(col("cw"), lit(0L)).cast("double")
+            + col("v").cast("double"))) * 1e6).cast("long"))
+      .groupBy(col("doc_id"), col("split"))
+      .agg(sum(col("m") * col("lnp_micro")).as("slnp"),
+        sum(col("m")).as("n_bigrams"))
+      .select(col("doc_id"), col("split"), col("n_bigrams"),
+        round(-col("slnp").cast("double")
+          / (col("n_bigrams") * lit(1e6)), 6).as("xent"))
+      .orderBy(col("doc_id"))
+      .limit(2000)
+  }
+
   /** Sequence packing (t10): assign documents to fixed-token-budget
     * training packs. Documents are packed greedily in doc_id order
     * WITHIN a shard (doc_id mod nShards — the writer-task unit a real
@@ -1126,6 +1256,7 @@ object TextDedup {
     "d10_decontamination" -> (d10Decontamination _),
     "d11_chunk_dedup" -> (d11ChunkDedup _),
     "d12_train_overlap" -> (d12TrainOverlap _),
+    "d14_lsh_recall" -> (d14LshRecall _),
     "t1_token_stats" -> (t1TokenStats _),
     "t11_repetition_ratio" -> (t11RepetitionRatio _),
     "t13_top_bigram_frac" -> (t13TopBigramFrac _),
@@ -1141,9 +1272,11 @@ object TextDedup {
     "t9_split_assign" -> (t9SplitAssign _),
     "t10_sequence_packing" -> (t10SequencePacking _),
     "t12_unigram_xent" -> (t12UnigramXent _),
+    "t16_bigram_lm_xent" -> (t16BigramLmXent _),
     "p1_corpus_manifest" -> (p1CorpusManifest _),
     "p2_corpus_mixing" -> (p2CorpusMixing _),
     "p5_lang_rebalance" -> (p5LangRebalance _),
+    "p7_temp_rebalance" -> (p7TempRebalance _),
     "p3_token_budget" -> (p3TokenBudget _),
   )
 }
