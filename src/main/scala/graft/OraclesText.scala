@@ -997,6 +997,36 @@ object OraclesText {
   )
 
   val multimodal: Map[String, String] = Map(
+    // Multimodal.m6ImagePhash: 8×8 nearest-neighbor average-hash over
+    // the decoded raster, hash-bucket clustering. The oracle replays
+    // the generator's pixel formula v = (seed·31 + y·W + x) mod 2^24
+    // (seed pre-reduced — the m4/m5 overflow discipline) at the same
+    // integer-division grid points; Spark must decode the real
+    // PNG/BMP payloads to agree bit-for-bit on all 64 threshold bits.
+    "m6_image_phash" ->
+      """WITH p AS (SELECT doc_id,
+        |    CAST(1 + doc_id % 64 AS BIGINT) AS w,
+        |    CAST(1 + doc_id % 48 AS BIGINT) AS h
+        |  FROM documents WHERE doc_id % 3 IN (0, 1)),
+        |g AS (SELECT p.doc_id, i.i AS i, j.i AS j,
+        |    ((p.doc_id % 16777216) * 31
+        |      + (j.i * p.h // 8) * p.w + (i.i * p.w // 8)) % 16777216 AS v
+        |  FROM p, range(0, 8) i(i), range(0, 8) j(i)),
+        |l AS (SELECT doc_id, i, j,
+        |    299 * (v // 65536) + 587 * ((v // 256) % 256) + 114 * (v % 256) AS lum
+        |  FROM g),
+        |s AS (SELECT doc_id, CAST(sum(lum) AS BIGINT) AS total
+        |  FROM l GROUP BY 1),
+        |bits AS (SELECT l.doc_id,
+        |    string_agg(CASE WHEN 64 * l.lum > s.total THEN '1' ELSE '0' END,
+        |      '' ORDER BY l.j, l.i) AS phash
+        |  FROM l JOIN s USING (doc_id) GROUP BY 1),
+        |c AS (SELECT phash, count(*) AS n_cluster, min(doc_id) AS canonical
+        |  FROM bits GROUP BY 1)
+        |SELECT b.doc_id, b.phash, c.n_cluster, c.canonical
+        |FROM bits b JOIN c USING (phash)
+        |ORDER BY doc_id LIMIT 2000""".stripMargin,
+
     // Mirrors Multimodal.m2FrameSample: n_frames = byte length mod 7
     // (FakeDecoder), every-2nd frame index, md5(sig ':' idx) fingerprint.
     "m2_frame_sample" ->

@@ -563,11 +563,71 @@ object Multimodal {
       .limit(2000)
   }
 
+  /** Image perceptual-hash dedup (m6): an 8×8 average-hash over the
+    * REAL decoded pixel raster, then hash-bucket clustering — the
+    * image-space analog of d1's content-hash dedup, and the first
+    * multimodal operator whose OUTPUT feeds the dedup family rather
+    * than a feature table. The hash is deterministic integer
+    * arithmetic end-to-end: nearest-neighbor sample the raster on a
+    * fixed 8×8 grid (x = i·W div 8 — integer division, no
+    * interpolation, so the oracle can replay the sampled pixels from
+    * the generator formula while the Spark side must genuinely decode
+    * them), integer luminance lum = 299r + 587g + 114b, and bit k set
+    * iff 64·lum_k > Σlum (integer cross-multiply — never a mean
+    * division). Visually-near-identical images (same gradient, shifted
+    * palette) collapse into one bucket; the cluster join mirrors d1's
+    * canonical-doc selection. Scale shape: decode and hash are one
+    * map-side pass (binary never shuffles), then two shuffles on the
+    * 64-bit-string key — exactly d1's profile.
+    */
+  def m6ImagePhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hashes = syntheticMedia(spark, dir)
+      .filter(col("media_type").startsWith("image/"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.content))
+          require(img != null, s"undecodable payload for doc ${r.doc_id}")
+          val (w, h) = (img.getWidth, img.getHeight)
+          val lums = new Array[Long](64)
+          var sum = 0L
+          var j = 0
+          while (j < 8) {
+            var i = 0
+            while (i < 8) {
+              val v = img.getRGB(i * w / 8, j * h / 8) & 0xffffff
+              val lum = 299L * ((v >> 16) & 0xff) +
+                587L * ((v >> 8) & 0xff) + 114L * (v & 0xff)
+              lums(j * 8 + i) = lum
+              sum += lum
+              i += 1
+            }
+            j += 1
+          }
+          val bits = new java.lang.StringBuilder(64)
+          var k = 0
+          while (k < 64) {
+            bits.append(if (64L * lums(k) > sum) '1' else '0')
+            k += 1
+          }
+          (r.doc_id, bits.toString)
+        }
+      }.toDF("doc_id", "phash")
+    val clusters = hashes.groupBy(col("phash"))
+      .agg(count(lit(1)).as("n_cluster"), min(col("doc_id")).as("canonical"))
+    hashes.join(clusters, Seq("phash"))
+      .select(col("doc_id"), col("phash"), col("n_cluster"), col("canonical"))
+      .orderBy(col("doc_id"))
+      .limit(2000)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_media_features" -> (m1MediaFeatures _),
     "m2_frame_sample" -> (m2FrameSample _),
     "m3_thumbnail" -> (m3Thumbnail _),
     "m4_audio_features" -> (m4AudioFeatures _),
     "m5_video_features" -> (m5VideoFeatures _),
+    "m6_image_phash" -> (m6ImagePhash _),
   )
 }
