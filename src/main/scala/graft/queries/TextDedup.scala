@@ -144,7 +144,9 @@ object TextDedup {
     * already-small pair sets.
     */
   def d14LshRecall(spark: SparkSession, dir: String): DataFrame = {
-    val truth = d6NgramJaccard(spark, dir)
+    // a composition over the pair table, not the pipeline under
+    // measurement → reads the run-scoped materialization (see dupPairs)
+    val truth = dupPairs(spark, dir)
     val sig = minhashSignatures(spark, dir).persist()
     sig.count() // eager materialization (see d3)
     truth.join(lshEstimates(sig, lshCandidates(sig)),
