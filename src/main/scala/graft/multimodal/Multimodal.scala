@@ -580,9 +580,13 @@ object Multimodal {
     * map-side pass (binary never shuffles), then two shuffles on the
     * 64-bit-string key — exactly d1's profile.
     */
-  def m6ImagePhash(spark: SparkSession, dir: String): DataFrame = {
+  def m6ImagePhash(spark: SparkSession, dir: String): DataFrame =
+    imagePhashOf(syntheticMedia(spark, dir))
+
+  private[graft] def imagePhashOf(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
     import spark.implicits._
-    val hashes = syntheticMedia(spark, dir)
+    val hashes = media
       .filter(col("media_type").startsWith("image/"))
       .mapPartitions { rows =>
         rows.map { r =>

@@ -1045,8 +1045,10 @@ object TextDedup {
     * language-count aggregate, the keep rule map-only, bit-reproducible
     * under retries and any partitioning.
     */
-  def p7TempRebalance(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  def p7TempRebalance(spark: SparkSession, dir: String): DataFrame =
+    tempRebalanceOf(Tables.documents(spark, dir))
+
+  private[graft] def tempRebalanceOf(docs: DataFrame): DataFrame = {
     val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
     val nMin = counts.agg(min(col("n_lang")).as("n_min"))
     val bucket = conv(substring(fastMd5(concat(lit("tmp:"),
@@ -1169,9 +1171,11 @@ object TextDedup {
     * feed both the LM aggregation and the scoring join; unseen bigrams
     * cost nothing extra (left joins + coalesce-to-zero, no OOV table).
     */
-  def t16BigramLmXent(spark: SparkSession, dir: String): DataFrame = {
+  def t16BigramLmXent(spark: SparkSession, dir: String): DataFrame =
+    bigramLmXentOf(Tables.documents(spark, dir))
+
+  private[graft] def bigramLmXentOf(docs: DataFrame): DataFrame = {
     val (_, split) = splitCols
-    val docs = Tables.documents(spark, dir)
     val tagged = docs.select(col("doc_id"), split.as("split"), toks.as("toks"))
     val n = size(col("toks"))
     val tfm = tagged

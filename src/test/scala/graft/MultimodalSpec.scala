@@ -153,4 +153,34 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.AviParser.parse(lying)
     }
   }
+
+  test("m6 phash is a pure function of pixels: PNG and BMP encodings of one raster collide") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    // docs 1 (png) and 2 (bmp) encode the SAME raster (same dims+seed):
+    // the hash must depend only on decoded pixels, never the container.
+    // doc 3 is a different raster; doc 4 (gif) must be excluded.
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image/png",
+        Multimodal.MediaGen.imageBytes("png", 9, 7, 5L)),
+      Multimodal.MediaRow(2L, "image/bmp",
+        Multimodal.MediaGen.imageBytes("bmp", 9, 7, 5L)),
+      Multimodal.MediaRow(3L, "image/png",
+        Multimodal.MediaGen.imageBytes("png", 16, 12, 123L)),
+      Multimodal.MediaRow(4L, "video/gif",
+        Multimodal.MediaGen.gifBytes(4, 4, 2, 9L))).toDS()
+    val got = Multimodal.imagePhashOf(media)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(!got.contains(4L), "non-image rows must not be hashed")
+    assert(got(1L)._1.length == 64 && got(1L)._1.forall(c => c == '0' || c == '1'))
+    assert(got(1L)._1 == got(2L)._1,
+      s"container changed the hash: ${got(1L)} vs ${got(2L)}")
+    // cluster stats are self-consistent: n_cluster counts the docs
+    // sharing the hash, canonical is the min of them (docs 1+2 share
+    // by construction; doc 3 joins only if its raster happens to
+    // threshold identically)
+    val sameAs1 = got.count(_._2._1 == got(1L)._1).toLong
+    assert(sameAs1 >= 2L && got(1L)._2 == sameAs1 && got(1L)._3 == 1L)
+  }
 }

@@ -84,4 +84,80 @@ class PipelineOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getBoolean(4))).toMap
     assert(got.map { case (k, v) => k -> v._4 } == again)
   }
+
+  test("p7: temperature rates are exact per-mille sqrt, rarest language keeps everything") {
+    import spark.implicits._
+    // lang A: 4 docs, lang B: 1 doc → n_min = 1;
+    // rate_A = round(1000·√(1/4)) = 500, rate_B = 1000 (all kept)
+    val docs = ((0 until 4).map(i => (i.toLong, s"alpha doc $i some words", "A"))
+      ++ Seq((9L, "beta doc nine words", "B"))).toDF("doc_id", "text", "lang")
+    val got = TextDedup.tempRebalanceOf(docs)
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(got.values.filter(_._1 == "A").forall(_._4 == 500L),
+      s"rate_A must be 500 pm: $got")
+    assert(got(9L)._4 == 1000L && got(9L)._5,
+      "rarest language keeps rate 1000 pm and every doc")
+    // the keep decision IS the integer bucket rule for every row
+    got.values.foreach { case (_, bucket, _, rate, keep) =>
+      assert(keep == (bucket < rate))
+    }
+  }
+
+  test("t16: bigram-LM cross-entropy matches an independent in-memory twin on random corpora") {
+    import spark.implicits._
+    // the twin re-derives EVERYTHING from raw text — normalization,
+    // md5 split buckets, bigram counts, Laplace smoothing, micro-nat
+    // snap — sharing no Spark code with the implementation under test
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def split(text: String): String = {
+      val norm = text.replaceAll("^ +| +$", "")
+        .toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
+      val b = Integer.parseInt(md5hex(norm).take(4), 16) % 100
+      if (b < 80) "train" else if (b < 90) "val" else "test"
+    }
+    def tokens(text: String): Array[String] =
+      text.replaceAll("^ +| +$", "")
+        .toLowerCase(java.util.Locale.ROOT).split("\\s+")
+    val rnd = new scala.util.Random(7)
+    val vocab = (1 to 30).map("w" + _)
+    for (trial <- 1 to 3) {
+      val docs = (1 to 100).map { i =>
+        (i.toLong, (0 until (1 + rnd.nextInt(30)))
+          .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val bySplit = docs.map { case (id, t) => (id, t, split(t)) }
+      val trainDocs = bySplit.filter(_._3 == "train")
+      val cb = scala.collection.mutable.Map[(String, String), Long]()
+      trainDocs.foreach { case (_, t, _) =>
+        tokens(t).sliding(2).filter(_.length == 2)
+          .foreach(p => cb((p(0), p(1))) = cb.getOrElse((p(0), p(1)), 0L) + 1)
+      }
+      val cw = cb.groupBy(_._1._1).map { case (w1, m) => w1 -> m.values.sum }
+      val v = trainDocs.flatMap(d => tokens(d._2)).distinct.size.toLong
+      val expected = bySplit.flatMap { case (id, t, sp) =>
+        val bgs = tokens(t).sliding(2).filter(_.length == 2)
+          .map(p => (p(0), p(1))).toSeq
+        if (bgs.isEmpty) None
+        else {
+          // HALF_UP (away from zero), matching SQL round on these
+          // negative ln-ratios — math.round would round -x.5 toward zero
+          val slnp = bgs.map { b =>
+            BigDecimal((math.log(cb.getOrElse(b, 0L) + 1.0)
+              - math.log(cw.getOrElse(b._1, 0L) + v.toDouble)) * 1e6)
+              .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+          }.sum
+          val x = BigDecimal(-slnp.toDouble / (bgs.size * 1e6))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          Some(id -> (sp, bgs.size.toLong, x))
+        }
+      }.toMap
+      val got = TextDedup.bigramLmXentOf(docs.toDF("doc_id", "text"))
+        .collect().map(r => r.getLong(0) ->
+          (r.getString(1), r.getLong(2), r.getDouble(3))).toMap
+      assert(got == expected, s"trial $trial: spark=$got expected=$expected")
+    }
+  }
 }
