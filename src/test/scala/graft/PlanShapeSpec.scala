@@ -101,6 +101,36 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("m6: the binary payload dies map-side — no exchange carries content, clustering shuffles only the hash") {
+    val p = plan(graft.multimodal.Multimodal.m6ImagePhash(spark, dir))
+    // every exchange row must carry only the slim (doc_id, phash[,aggs])
+    // columns; the decoded raster and the payload bytes never shuffle
+    p.split("\n").filter(_.contains("Exchange")).foreach { line =>
+      assert(!line.contains("content"), s"payload shuffled: $line")
+    }
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("t16: no window over the corpus; the vocab scalar broadcasts; LM joins never cartesian") {
+    val p = plan(graft.queries.TextDedup.t16BigramLmXent(spark, dir))
+    // three aggs + two joins, all keyed on high-cardinality columns —
+    // a Window here would mean a single-task funnel crept in
+    assert(!p.contains("Window"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), "vocab scalar must broadcast")
+  }
+
+  test("p7: the keep rule is map-only after two broadcast-sized aggregates") {
+    val p = plan(graft.queries.TextDedup.p7TempRebalance(spark, dir))
+    // the doc-side scan joins the per-language rates without hash-
+    // repartitioning the corpus: only agg-side exchanges may exist,
+    // and the lang join must be broadcast
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
   test("e12: forward probes join clicks on (user, bucket) keys — never a cartesian") {
     val p = plan(graft.queries.Events.e12UnconvertedViews(spark, dir))
     assert(!p.contains("CartesianProduct"), p.take(800))
