@@ -584,9 +584,26 @@ object Multimodal {
     imagePhashOf(syntheticMedia(spark, dir))
 
   private[graft] def imagePhashOf(media: Dataset[MediaRow]): DataFrame = {
+    val hashes = phashOf(media)
+    val clusters = hashes.groupBy(col("phash"))
+      .agg(count(lit(1)).as("n_cluster"), min(col("doc_id")).as("canonical"))
+    hashes.join(clusters, Seq("phash"))
+      .select(col("doc_id"), col("phash"), col("n_cluster"), col("canonical"))
+      .orderBy(col("doc_id"))
+      .limit(2000)
+  }
+
+  /** (doc_id, phash) for the image rows of a media frame — the map-only
+    * decode+hash pass shared by the batch clustering (m6) and the
+    * streaming ingest twin ([[graft.streaming.CorpusStreams]]). Works
+    * unchanged on a STREAMING Dataset (filter + mapPartitions are both
+    * stream-safe), which is what makes the incremental image-dedup twin
+    * the same code path as the batch hash.
+    */
+  private[graft] def phashOf(media: Dataset[MediaRow]): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    val hashes = media
+    media
       .filter(col("media_type").startsWith("image/"))
       .mapPartitions { rows =>
         rows.map { r =>
@@ -618,12 +635,6 @@ object Multimodal {
           (r.doc_id, bits.toString)
         }
       }.toDF("doc_id", "phash")
-    val clusters = hashes.groupBy(col("phash"))
-      .agg(count(lit(1)).as("n_cluster"), min(col("doc_id")).as("canonical"))
-    hashes.join(clusters, Seq("phash"))
-      .select(col("doc_id"), col("phash"), col("n_cluster"), col("canonical"))
-      .orderBy(col("doc_id"))
-      .limit(2000)
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -164,6 +164,32 @@ object CorpusStreams {
       .extractFeatures(media, graft.multimodal.Multimodal.ImageIoDecoder)
       .toDF()
 
+  /** Ingest-time IMAGE dedup against a standing corpus — m6's streaming
+    * half, completing incremental dedup across all three content
+    * spaces: text (d13 / [[ingestDedupAgainst]]), embeddings (s9), and
+    * now images. An arriving image is admitted iff its perceptual hash
+    * (the SAME map-only decode+hash pass as batch m6 —
+    * `Multimodal.phashOf` runs unchanged on the stream) is neither in
+    * the standing corpus's phash asset (stream-static LEFT ANTI join,
+    * zero state) nor already seen within the stream (`dropDuplicates`
+    * keyed state, first arrival wins — the d1/ingestDedup rule in image
+    * space). At lake scale the static side is the snapshot's phash
+    * table, broadcast or bucket-joined; per-increment cost is the
+    * increment's decode plus a slim 64-char-string join.
+    */
+  def imageDedupAgainst(
+      newMedia: org.apache.spark.sql.Dataset[
+        graft.multimodal.Multimodal.MediaRow],
+      standing: org.apache.spark.sql.Dataset[
+        graft.multimodal.Multimodal.MediaRow]): DataFrame = {
+    val standingHashes = graft.multimodal.Multimodal.phashOf(standing)
+      .select(col("phash")).distinct()
+    graft.multimodal.Multimodal.phashOf(newMedia)
+      .dropDuplicates("phash")
+      .join(standingHashes, Seq("phash"), "left_anti")
+      .select(col("doc_id"), col("phash"))
+  }
+
   /** Ingest-time EXACT dedup against a standing corpus — the streaming
     * half of d13's exact verdict: a stream-static LEFT ANTI join on the
     * d1 content hash (append-safe, zero state) composed with

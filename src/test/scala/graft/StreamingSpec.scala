@@ -671,6 +671,44 @@ class StreamingSpec extends AnyFunSuite {
     frames.foreach { case (id, nf) => assert(nf == 1 + id % 4, s"doc $id: $nf") }
   }
 
+  test("streaming image dedup admits only novel rasters (m6 twin, incremental across formats)") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    implicit val sqlCtx = spark.sqlContext
+    // standing corpus holds raster A (9×7, seed 5)
+    val standing = Seq(Multimodal.MediaRow(1L, "image/png",
+      Multimodal.MediaGen.imageBytes("png", 9, 7, 5L))).toDS()
+    val arrivals = Seq(
+      // same raster as standing, DIFFERENT container → must be rejected
+      Multimodal.MediaRow(10L, "image/bmp",
+        Multimodal.MediaGen.imageBytes("bmp", 9, 7, 5L)),
+      // novel raster → admitted
+      Multimodal.MediaRow(11L, "image/png",
+        Multimodal.MediaGen.imageBytes("png", 16, 12, 123L)),
+      // within-stream copy of 11's raster → loses to first arrival
+      Multimodal.MediaRow(12L, "image/bmp",
+        Multimodal.MediaGen.imageBytes("bmp", 16, 12, 123L)),
+      // non-image rows pass through the filter, never hashed
+      Multimodal.MediaRow(13L, "video/gif",
+        Multimodal.MediaGen.gifBytes(4, 4, 2, 9L)))
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Multimodal.MediaRow]
+    val q = graft.streaming.CorpusStreams
+      .imageDedupAgainst(mem.toDS(), standing)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("img_dedup").start()
+    try {
+      mem.addData(arrivals.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(arrivals.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val admitted = spark.table("img_dedup")
+      .select(org.apache.spark.sql.functions.col("doc_id"))
+      .as[Long].collect().toSet
+    assert(admitted == Set(11L), s"admitted=$admitted")
+  }
+
   test("admitted-corpus sink is exactly-once across a kill-and-restart") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit}
