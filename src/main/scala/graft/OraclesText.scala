@@ -760,6 +760,30 @@ object OraclesText {
          |ORDER BY q_id, rk""".stripMargin
     },
 
+    // Embeddings.s10KmeansReassign: spherical-Lloyd E-step — every
+    // vector scores every exact-integer-unit centroid and moves to the
+    // nearest (cosine desc, c_label tie-break).
+    "s10_kmeans_reassign" -> {
+      val centAvg =
+        Oracles.exactAvg("CAST(embedding[CAST(i AS INT)] AS DOUBLE)", 6, 6)
+      s"""WITH cd AS (SELECT label, CAST(i AS INT) AS dim, $centAvg AS m
+         |  FROM embeddings, range(1, 65) t(i) GROUP BY label, i),
+         |cent AS (SELECT label, list(m ORDER BY dim) AS centroid
+         |         FROM cd GROUP BY label),
+         |sc AS (SELECT e.vec_id, e.label AS old_label, c.label AS c_label,
+         |    round(${dotSql("e.embedding", "centroid")} /
+         |      (sqrt(${dotSql("e.embedding", "e.embedding")}) *
+         |       sqrt(${dotSql("centroid", "centroid")})), 6) AS ccos
+         |  FROM embeddings e, cent c),
+         |rk AS (SELECT vec_id, old_label, c_label, ccos,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, c_label) AS rk
+         |  FROM sc)
+         |SELECT vec_id, old_label, c_label AS new_label, ccos AS cos,
+         |  (old_label != c_label) AS moved
+         |FROM rk WHERE rk = 1 ORDER BY vec_id""".stripMargin
+    },
+
     // Embeddings.s6SemanticDedup: drop the higher vec_id of each
     // within-cell cosine ≥ 0.3 pair; survivors keep=true.
     "s6_semantic_dedup" ->

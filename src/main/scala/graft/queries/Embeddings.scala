@@ -240,22 +240,30 @@ object Embeddings {
     * the centroid self-norm uses the HOF fold whose association order
     * the DuckDB `list_reduce` twin shares.
     */
+  /** Per-cell centroid table (c_label, centroid, c_nrm): exact
+    * order-insensitive per-dim means via the GridMath integer-unit
+    * discipline, so both engines derive bit-identical centroid vectors.
+    * Broadcast-sized by construction (one row per cell). Shared by s7
+    * (probe ranking) and s10 (Lloyd reassignment).
+    */
+  private def coarseCentroids(emb: DataFrame): DataFrame = emb
+    .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+    .groupBy(col("label"), col("dim"))
+    .agg(GridMath.gridAvgRound(col("v").cast("double"), 6, 6).as("m"))
+    .groupBy(col("label"))
+    .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+    .select(col("label").as("c_label"),
+      expr("transform(dm, x -> x.m)").as("centroid"))
+    .withColumn("c_nrm", sqrt(expr(
+      "aggregate(zip_with(centroid, centroid, (x, y) -> x * y)," +
+        " 0D, (s, x) -> s + x)")))
+
   def s7IvfProbe2(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), col("embedding"),
         norm(col("embedding")).as("nrm"))
-    val centVec = emb
-      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
-      .groupBy(col("label"), col("dim"))
-      .agg(GridMath.gridAvgRound(col("v").cast("double"), 6, 6).as("m"))
-      .groupBy(col("label"))
-      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
-      .select(col("label").as("c_label"),
-        expr("transform(dm, x -> x.m)").as("centroid"))
-      .withColumn("c_nrm", sqrt(expr(
-        "aggregate(zip_with(centroid, centroid, (x, y) -> x * y)," +
-          " 0D, (s, x) -> s + x)")))
+    val centVec = coarseCentroids(emb)
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"))
@@ -280,6 +288,39 @@ object Embeddings {
         Seq(col("cos").desc, col("vec_id")), k = 3, saltBy = col("vec_id"))
       .select(col("q_id"), col("rk"), col("vec_id"), col("cos"))
       .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** Spherical-Lloyd reassignment (s10): the E-step a distributed
+    * k-means runs each iteration, made a first-class gated operator —
+    * every vector scores EVERY current centroid (cosine, the spherical
+    * variant — the metric of the house's embedding space) and moves to
+    * the nearest, with the move verdict emitted per vector. This is the
+    * clustering step SemDeDup-style curation pipelines iterate before
+    * s6's within-cell dedup, and its scale shape is the canonical one:
+    * the centroid table is broadcast (one row per cell, exact
+    * integer-unit means so both engines agree bit-for-bit), the
+    * vector×centroid scoring is map-side (nVecs × nCells bounded by the
+    * quantizer size, not the corpus), and the per-vector argmax rides
+    * the two-phase salted rank — no stage funnels the corpus into one
+    * task. A full Lloyd loop is this query iterated with the label
+    * column fed back; one step is what's gateable (each further step
+    * multiplies the oracle's CTE depth, same plan shape).
+    */
+  def s10KmeansReassign(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        norm(col("embedding")).as("nrm"))
+    val scored = emb.crossJoin(broadcast(coarseCentroids(emb)))
+      .select(col("vec_id"), col("label"), col("c_label"),
+        round(org.apache.spark.sql.graftfn.GraftExpressions
+            .floatDoubleVecDot(col("embedding"), col("centroid"))
+          / (col("nrm") * col("c_nrm")), 6).as("cos"))
+    TopK.saltedTopK(scored, Seq(col("vec_id")),
+        Seq(col("cos").desc, col("c_label")), k = 1, saltBy = col("c_label"))
+      .select(col("vec_id"), col("label").as("old_label"),
+        col("c_label").as("new_label"), col("cos"),
+        (col("label") =!= col("c_label")).as("moved"))
+      .orderBy(col("vec_id"))
   }
 
   /** Semantic dedup decision (s6, the SemDeDup shape): within each IVF
@@ -394,6 +435,7 @@ object Embeddings {
     "s1_cosine_topk" -> (s1CosineTopK _),
     "s8_ann_recall" -> (s8AnnRecall _),
     "s9_incr_semdedup" -> (s9IncrementalSemDedup _),
+    "s10_kmeans_reassign" -> (s10KmeansReassign _),
     "s6_semantic_dedup" -> (s6SemanticDedup _),
     "s7_ivf_probe2" -> (s7IvfProbe2 _),
     "s2_ivf_neardup" -> (s2IvfNearDup _),
