@@ -453,6 +453,28 @@ object OraclesText {
          |  (bucket < rate_pm) AS keep
          |FROM r ORDER BY doc_id LIMIT 2000""".stripMargin,
 
+    // TextDedup.p8CurriculumBins: exact global quality rank → integer
+    // decile (rank₀·10 div n_total — never a double percentile).
+    "p8_curriculum_bins" ->
+      """WITH x AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |r0 AS (SELECT doc_id,
+        |    CAST(len(toks) AS INT) AS n_tokens,
+        |    CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','is','to'], t))) AS DOUBLE) / len(toks) AS stop_ratio,
+        |    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+        |    CAST(len(list_filter(toks, t -> length(t) >= 4)) AS DOUBLE) / len(toks) AS long_ratio
+        |  FROM x),
+        |q AS (SELECT doc_id,
+        |    round(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.3
+        |      + ttr * 0.3 + stop_ratio * 0.2 + long_ratio * 0.2, 6) AS quality
+        |  FROM r0),
+        |r AS (SELECT doc_id, quality,
+        |    row_number() OVER (ORDER BY quality DESC, doc_id) AS rnk FROM q),
+        |t AS (SELECT count(*) AS n_total FROM q)
+        |SELECT doc_id, quality, CAST(rnk AS BIGINT) AS rank,
+        |  CAST((rnk - 1) * 10 // n_total AS BIGINT) AS decile
+        |FROM r, t ORDER BY rank LIMIT 2000""".stripMargin,
+
     // TextDedup.p3TokenBudget: quality-descending cumulative token sum,
     // docs whose preceding total is under the budget. The window sum is
     // CAST to BIGINT (DuckDB promotes integer window sums to HUGEINT —

@@ -1113,6 +1113,51 @@ object TextDedup {
   def p3TokenBudget(spark: SparkSession, dir: String): DataFrame =
     tokenBudgetSelection(spark, dir)
 
+  /** Curriculum decile binning (p8): exact global quality rank →
+    * training-schedule bin (decile 0 = best), the ordering signal
+    * curriculum and annealing schedules consume ("clean data last" /
+    * quality-staged epochs). Needs the EXACT global rank — approximate
+    * percentiles would jitter bin boundaries across runs — so it reuses
+    * p3's distributed prefix-sum shape with row counts instead of token
+    * sums: range-partition on the sort key, rank within each partition
+    * by window, add per-partition offsets from a ≤nParts-row side table
+    * broadcast back. The bin is then pure integer arithmetic
+    * (rank₀·nBins div n_total — never a double percentile), so
+    * boundaries are bit-stable across engines and cluster sizes.
+    * Nothing global funnels into one task.
+    */
+  def curriculumBins(spark: SparkSession, dir: String,
+      nBins: Int = 10, nParts: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = qualityFrame(spark, dir).select(col("doc_id"), col("quality"))
+    val parts = q.repartitionByRange(nParts, col("quality").desc, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .persist()
+    parts.count() // freeze the range sample + pid assignment (see d3)
+    val wIn = Window.partitionBy(col("pid"))
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wOff = Window.orderBy(col("pid")) // ≤ nParts rows — driver-sized
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parts.groupBy(col("pid"))
+      .agg(count(lit(1)).as("pn"))
+      .withColumn("offset", coalesce(sum(col("pn")).over(wOff), lit(0L)))
+      .select(col("pid"), col("offset"))
+    val total = parts.agg(count(lit(1)).as("n_total"))
+    parts
+      .withColumn("rank_in", coalesce(sum(lit(1L)).over(wIn), lit(0L)))
+      .join(broadcast(offsets), Seq("pid"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("quality"),
+        (col("rank_in") + col("offset") + 1L).as("rank"),
+        expr(s"(rank_in + offset) * $nBins div n_total").as("decile"))
+      .orderBy(col("rank"))
+      .limit(2000)
+  }
+
+  def p8CurriculumBins(spark: SparkSession, dir: String): DataFrame =
+    curriculumBins(spark, dir)
+
   /** Unigram cross-entropy scoring (t12): the CCNet-style "perplexity
     * filter" with the language model reduced to corpus unigram counts —
     * score(d) = ln N − (Σ_t m_t·ln c_t)/|d| where c_t is the corpus
@@ -1283,6 +1328,7 @@ object TextDedup {
     "p2_corpus_mixing" -> (p2CorpusMixing _),
     "p5_lang_rebalance" -> (p5LangRebalance _),
     "p7_temp_rebalance" -> (p7TempRebalance _),
+    "p8_curriculum_bins" -> (p8CurriculumBins _),
     "p3_token_budget" -> (p3TokenBudget _),
   )
 }

@@ -101,6 +101,35 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("p8: decile binning inherits the p3 prefix-sum shape — corpus windows keyed on pid, funnel is the totals table") {
+    import org.apache.spark.sql.catalyst.plans.physical.{HashPartitioning, SinglePartition}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val root = try TextDedup.p8CurriculumBins(spark, dir).queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try {
+      val singles = root.collect {
+        case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e
+      }
+      // one funnel for the per-pid counts window + one for the scalar
+      // n_total agg — both ≤nParts-row streams, never the corpus
+      assert(singles.nonEmpty && singles.length <= 2,
+        s"want 1-2 tiny SinglePartition exchanges:\n${root.toString.take(1200)}")
+      assert(singles.exists(_.toString.contains("HashAggregate(keys=[pid")),
+        s"the funnel must carry per-pid counts only:\n${singles.head.toString.take(800)}")
+      val hashed = root.collect {
+        case e: ShuffleExchangeExec => e.outputPartitioning match {
+          case h: HashPartitioning => Some(h)
+          case _ => None
+        }
+      }.flatten
+      assert(hashed.forall(_.expressions.exists(_.toString.contains("pid"))),
+        s"hash exchanges keyed off pid:\n${hashed.mkString("\n")}")
+      val p = root.toString
+      assert(p.contains("windowspecdefinition(pid"), p.take(1200))
+    } finally spark.catalog.clearCache()
+  }
+
   test("m6: the binary payload dies map-side — no exchange carries content, clustering shuffles only the hash") {
     val p = plan(graft.multimodal.Multimodal.m6ImagePhash(spark, dir))
     // every exchange row must carry only the slim (doc_id, phash[,aggs])
