@@ -1423,8 +1423,26 @@ object OraclesText {
     },
   )
 
+  // Multimodal.m7MediaManifest: the four gated media SQLs composed
+  // verbatim as CTEs (the s8 discipline) — the manifest gates the
+  // COMPOSITION, each leg is already gated on its own.
+  val multimodalManifest: Map[String, String] = Map(
+    "m7_media_manifest" ->
+      s"""WITH m1 AS (${multimodal("m1_media_features")}),
+         |m6 AS (${multimodal("m6_image_phash")}),
+         |m4 AS (${multimodal("m4_audio_features")}),
+         |m5 AS (${multimodal("m5_video_features")})
+         |SELECT m1.doc_id, m1.media_type, m1.width, m1.height, m1.n_frames,
+         |  m6.n_cluster, m6.canonical,
+         |  m4.sum_sq AS audio_sum_sq, m5.byte_sum AS video_byte_sum
+         |FROM m1 LEFT JOIN m6 ON m1.doc_id = m6.doc_id
+         |        JOIN m4 ON m1.doc_id = m4.doc_id
+         |        JOIN m5 ON m1.doc_id = m5.doc_id
+         |ORDER BY m1.doc_id LIMIT 2000""".stripMargin,
+  )
+
   def all: Map[String, String] =
     dedup ++ dedupCapped ++ dedupDecision ++ dedupComponents ++ containment ++
       decontamination ++ simhash ++ text ++ xent ++ pipeline ++ similarity ++
-      events ++ multimodal ++ survival ++ ingest
+      events ++ multimodal ++ multimodalManifest ++ survival ++ ingest
 }

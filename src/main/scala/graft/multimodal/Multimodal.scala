@@ -637,6 +637,37 @@ object Multimodal {
       }.toDF("doc_id", "phash")
   }
 
+  /** Media-catalog manifest (m7): the multimodal integration query —
+    * p6's "one row, whole verdict" shape for the media plane. Per
+    * document: the decoded image/GIF features (m1), the perceptual-hash
+    * cluster membership for stills (m6, null for animated rows), the
+    * exact decoded audio energy (m4) and video byte sum (m5), joined on
+    * doc_id into the row a production media catalog stores. Every leg
+    * is an already-gated pipeline; the oracle composes the four gated
+    * SQLs verbatim as CTEs (the s8 discipline), so the manifest checks
+    * the COMPOSITION, not re-derivations. All joins are slim
+    * feature-table equi-joins on doc_id — payloads died map-side inside
+    * each leg; AQE picks broadcast vs shuffle per side.
+    */
+  def m7MediaManifest(spark: SparkSession, dir: String): DataFrame = {
+    val feats = m1MediaFeatures(spark, dir)
+    val phash = m6ImagePhash(spark, dir)
+      .select(col("doc_id"), col("n_cluster"), col("canonical"))
+    val audio = m4AudioFeatures(spark, dir)
+      .select(col("doc_id"), col("sum_sq").as("audio_sum_sq"))
+    val video = m5VideoFeatures(spark, dir)
+      .select(col("doc_id"), col("byte_sum").as("video_byte_sum"))
+    feats
+      .join(phash, Seq("doc_id"), "left")
+      .join(audio, Seq("doc_id"))
+      .join(video, Seq("doc_id"))
+      .select(col("doc_id"), col("media_type"), col("width"), col("height"),
+        col("n_frames"), col("n_cluster"), col("canonical"),
+        col("audio_sum_sq"), col("video_byte_sum"))
+      .orderBy(col("doc_id"))
+      .limit(2000)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_media_features" -> (m1MediaFeatures _),
     "m2_frame_sample" -> (m2FrameSample _),
@@ -644,5 +675,6 @@ object Multimodal {
     "m4_audio_features" -> (m4AudioFeatures _),
     "m5_video_features" -> (m5VideoFeatures _),
     "m6_image_phash" -> (m6ImagePhash _),
+    "m7_media_manifest" -> (m7MediaManifest _),
   )
 }
