@@ -1441,8 +1441,27 @@ object OraclesText {
          |ORDER BY m1.doc_id LIMIT 2000""".stripMargin,
   )
 
+  // TextDedup.p9UnifiedCuration: the cross-modal keep bit — p4
+  // admission ∧ ¬d7 lexical dup ∧ ¬s6 semantic dup, with the t9 split.
+  // Four gated SQLs composed verbatim as nested CTEs.
+  val curation: Map[String, String] = Map(
+    "p9_unified_curation" ->
+      s"""WITH p4 AS (${ingest("p4_quality_filter")}),
+         |t9 AS (${text("t9_split_assign")}),
+         |d7 AS (${dedupDecision("d7_dedup_decision")}),
+         |s6 AS (${similarity("s6_semantic_dedup")})
+         |SELECT p4.doc_id, t9.split, p4.quality, p4.reject_reason,
+         |  (NOT d7.keep) AS lex_dup, (NOT s6.keep) AS sem_dup,
+         |  (p4.keep AND d7.keep AND s6.keep) AS keep
+         |FROM p4 JOIN t9 ON p4.doc_id = t9.doc_id
+         |        JOIN d7 ON p4.doc_id = d7.doc_id
+         |        JOIN s6 ON p4.doc_id = s6.vec_id
+         |ORDER BY p4.doc_id LIMIT 2000""".stripMargin,
+  )
+
   def all: Map[String, String] =
     dedup ++ dedupCapped ++ dedupDecision ++ dedupComponents ++ containment ++
       decontamination ++ simhash ++ text ++ xent ++ pipeline ++ similarity ++
-      events ++ multimodal ++ multimodalManifest ++ survival ++ ingest
+      events ++ multimodal ++ multimodalManifest ++ survival ++ ingest ++
+      curation
 }

@@ -1158,6 +1158,45 @@ object TextDedup {
   def p8CurriculumBins(spark: SparkSession, dir: String): DataFrame =
     curriculumBins(spark, dir)
 
+  /** Unified curation decision (p9): the cross-modal capstone — per
+    * document, the quality admission verdict (p4), the content-hash
+    * split (t9), the LEXICAL near-dup drop (d7's higher-id rule over
+    * the run-scoped pair materialization) and the SEMANTIC drop (s6's
+    * SemDeDup rule over the aligned embedding table, vec_id ≡ doc_id in
+    * the harness corpus), composed into the one keep bit a training run
+    * actually consumes: admitted ∧ ¬lexical-dup ∧ ¬semantic-dup. This
+    * is the decision NO single family can make alone — paraphrases
+    * share no shingles (only s6 sees them), quote-wrapped reposts share
+    * no embedding cell (only the shingle side sees them), and junk
+    * passes both dedups (only p4 sees it). Every leg is already gated;
+    * the oracle composes the four gated SQLs verbatim as nested CTEs,
+    * so the gate checks the composition. Scale shape: three slim
+    * doc_id-keyed verdict tables join the admission frame — the drop
+    * sets are small by construction and AQE broadcasts them.
+    */
+  def p9UnifiedCuration(spark: SparkSession, dir: String): DataFrame = {
+    val p4 = Ingest.p4QualityFilter(spark, dir)
+      .select(col("doc_id"), col("quality"), col("reject_reason"),
+        col("keep").as("q_keep"))
+    val t9s = t9SplitAssign(spark, dir).select(col("doc_id"), col("split"))
+    val lexDrops = dupPairs(spark, dir).select(col("id_b").as("doc_id"))
+      .distinct().withColumn("lex", lit(true))
+    val semDrops = Embeddings.s6SemanticDedup(spark, dir)
+      .filter(!col("keep")).select(col("vec_id").as("doc_id"))
+      .withColumn("sem", lit(true))
+    p4.join(t9s, Seq("doc_id"))
+      .join(lexDrops, Seq("doc_id"), "left")
+      .join(semDrops, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("split"), col("quality"),
+        col("reject_reason"),
+        coalesce(col("lex"), lit(false)).as("lex_dup"),
+        coalesce(col("sem"), lit(false)).as("sem_dup"),
+        (col("q_keep") && coalesce(col("lex"), lit(false)) === false &&
+          coalesce(col("sem"), lit(false)) === false).as("keep"))
+      .orderBy(col("doc_id"))
+      .limit(2000)
+  }
+
   /** Unigram cross-entropy scoring (t12): the CCNet-style "perplexity
     * filter" with the language model reduced to corpus unigram counts —
     * score(d) = ln N − (Σ_t m_t·ln c_t)/|d| where c_t is the corpus
@@ -1329,6 +1368,7 @@ object TextDedup {
     "p5_lang_rebalance" -> (p5LangRebalance _),
     "p7_temp_rebalance" -> (p7TempRebalance _),
     "p8_curriculum_bins" -> (p8CurriculumBins _),
+    "p9_unified_curation" -> (p9UnifiedCuration _),
     "p3_token_budget" -> (p3TokenBudget _),
   )
 }
