@@ -164,6 +164,57 @@ object CorpusStreams {
       .extractFeatures(media, graft.multimodal.Multimodal.ImageIoDecoder)
       .toDF()
 
+  /** Ingest-time LM scoring against a standing corpus — t16's streaming
+    * half, and the real CCNet deployment shape: the bigram LM is
+    * trained OFFLINE on the reference corpus (here: the standing frame
+    * — per-release static assets cb/cw/V, exactly t16's Laplace
+    * smoothing), and every ARRIVING document is scored under it at
+    * ingest. With this the ingest surface covers the full quartet:
+    * admit (p4 heuristics), scrub (PII), dedup (content hash / phash),
+    * and model-based quality scoring. The stream explodes bigram
+    * INSTANCES (Σ over instances ≡ Σ m·lnp, so no per-doc pre-agg is
+    * needed on the stream side), left-joins the static LM tables on
+    * the bigram/context keys (unseen bigrams coalesce to zero — the
+    * batch rule), and aggregates per (event-time window, doc) so state
+    * evicts at the watermark and scores emit once in append mode.
+    * `StreamingSpec` pins stream scores ≡ the batch t16 output when
+    * the standing corpus is the t9 train split — functional identity,
+    * not shared code, so a drift in either side breaks the pin.
+    */
+  def lmXentAlerts(newDocs: DataFrame, standing: DataFrame,
+      watermarkDelay: String = "10 minutes",
+      windowDur: String = "10 minutes"): DataFrame = {
+    val toks = split(trim(lower(col("text"))), "\\s+")
+    val n = size(col("toks"))
+    def bigrams = explode(zip_with(slice(col("toks"), lit(1), n - 1),
+      slice(col("toks"), lit(2), n - 1),
+      (a, b) => concat(a, lit(" "), b))).as("bigram")
+    val cb = standing.select(toks.as("toks")).select(bigrams)
+      .groupBy(col("bigram")).agg(count(lit(1)).as("cb"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+    val cw = cb.groupBy(col("w1")).agg(sum(col("cb")).as("cw"))
+    val vocabN = standing.select(explode(toks).as("token")).distinct()
+      .agg(count(lit(1)).as("v"))
+    newDocs
+      .select(col("doc_id").cast("long"),
+        col("arrival_ts").cast("timestamp"), toks.as("toks"))
+      .select(col("doc_id"), col("arrival_ts"), bigrams)
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .withWatermark("arrival_ts", watermarkDelay)
+      .join(cb.select(col("bigram"), col("cb")), Seq("bigram"), "left")
+      .join(cw, Seq("w1"), "left")
+      .crossJoin(broadcast(vocabN))
+      .withColumn("lnp_micro",
+        round((log(coalesce(col("cb"), lit(0L)).cast("double") + 1.0)
+          - log(coalesce(col("cw"), lit(0L)).cast("double")
+            + col("v").cast("double"))) * 1e6).cast("long"))
+      .groupBy(window(col("arrival_ts"), windowDur), col("doc_id"))
+      .agg(sum(col("lnp_micro")).as("slnp"), count(lit(1)).as("n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(-col("slnp").cast("double")
+          / (col("n_bigrams") * lit(1e6)), 6).as("xent"))
+  }
+
   /** Ingest-time IMAGE dedup against a standing corpus — m6's streaming
     * half, completing incremental dedup across all three content
     * spaces: text (d13 / [[ingestDedupAgainst]]), embeddings (s9), and

@@ -671,6 +671,52 @@ class StreamingSpec extends AnyFunSuite {
     frames.foreach { case (id, nf) => assert(nf == 1 + id % 4, s"doc $id: $nf") }
   }
 
+  test("streaming LM scoring equals batch t16 when the standing corpus is the train split") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    // independent md5 split derivation (the PipelineOpsSpec twin) picks
+    // the standing corpus exactly like t9 does
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def isTrain(text: String): Boolean = {
+      val norm = text.replaceAll("^ +| +$", "")
+        .toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
+      Integer.parseInt(md5hex(norm).take(4), 16) % 100 < 80
+    }
+    val rnd = new scala.util.Random(11)
+    val vocab = (1 to 20).map("v" + _)
+    val docs = (1 to 60).map { i =>
+      (i.toLong, (0 until (2 + rnd.nextInt(20)))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val standing = docs.filter(d => isTrain(d._2)).toDF("doc_id", "text")
+    val ts0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    val flushTs = java.sql.Timestamp.valueOf("2026-01-01 12:00:00")
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = graft.streaming.CorpusStreams
+      .lmXentAlerts(mem.toDS().toDF("doc_id", "text", "arrival_ts"), standing)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("lm_alerts").start()
+    try {
+      mem.addData(docs.map(d => (d._1, d._2, ts0)): _*)
+      q.processAllAvailable()
+      mem.addData((999L, "flush doc here", flushTs)) // advances the watermark
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("lm_alerts")
+      .filter(col("doc_id") =!= 999L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val batch = graft.queries.TextDedup
+      .bigramLmXentOf(docs.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(streamed == batch,
+      s"stream=${streamed.size} rows, batch=${batch.size} rows; " +
+        s"diff=${(streamed.toSet diff batch.toSet).take(3)}")
+  }
+
   test("streaming image dedup admits only novel rasters (m6 twin, incremental across formats)") {
     import spark.implicits._
     import graft.multimodal.Multimodal
