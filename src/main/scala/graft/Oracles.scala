@@ -273,6 +273,16 @@ object Oracles {
         |) u
         |ORDER BY p_partkey, attr
         |LIMIT 3000""".stripMargin,
+
+    // Relational.q26LateralTopk: textually identical lateral subquery —
+    // the gate checks the LATERAL feature itself.
+    "q26_lateral_topk" ->
+      """SELECT n.n_name, c.c_name, c.c_acctbal
+        |FROM nation n, LATERAL (
+        |  SELECT c_name, c_acctbal FROM customer
+        |  WHERE c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+        |ORDER BY n.n_name, c.c_acctbal DESC, c.c_name""".stripMargin,
   )
 
   def all: Map[String, String] = relational

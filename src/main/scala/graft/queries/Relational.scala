@@ -445,8 +445,32 @@ object Relational {
       .orderBy(col("o_orderpriority"), col("rk"))
   }
 
+  /** Correlated LATERAL subquery with ORDER BY + LIMIT (q26): per-key
+    * top-k written the way a SQL user writes it — `JOIN LATERAL
+    * (... WHERE correlated ORDER BY ... LIMIT 2)` — rather than the
+    * window/rank formulation (q7) or the native operator (q23). The
+    * point is the optimizer contract: Catalyst DECORRELATES the lateral
+    * into a ranked join (no per-outer-row re-execution, which is what a
+    * naive nested-loop reading of LATERAL would do), so the declarative
+    * form carries the same scale properties as the explicit rank. The
+    * result columns are raw parquet values (no arithmetic), so the gate
+    * checks the lateral feature itself against DuckDB's identical SQL.
+    */
+  def q26LateralTopk(spark: SparkSession, dir: String): DataFrame = {
+    Tables.nation(spark, dir).createOrReplaceTempView("q26_nation")
+    Tables.customer(spark, dir).createOrReplaceTempView("q26_customer")
+    spark.sql(
+      """SELECT n.n_name, c.c_name, c.c_acctbal
+        |FROM q26_nation n, LATERAL (
+        |  SELECT c_name, c_acctbal FROM q26_customer
+        |  WHERE c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+        |ORDER BY n.n_name, c.c_acctbal DESC, c.c_name""".stripMargin)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
+    "q26_lateral_topk" -> (q26LateralTopk _),
     "q2_join_revenue_by_nation" -> (q2JoinRevenueByNation _),
     "q3_order_lineitem_join" -> (q3OrderLineitemJoin _),
     "q4_semi_join" -> (q4SemiJoin _),

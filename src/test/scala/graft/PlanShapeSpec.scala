@@ -101,6 +101,15 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q26: the correlated LATERAL decorrelates — ranked join, no nested loop per outer row") {
+    val p = plan(Relational.q26LateralTopk(spark, dir))
+    assert(!p.contains("CartesianProduct"), p.take(1000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1000))
+    // the LIMIT-inside-LATERAL becomes a per-key rank, joined back on
+    // the correlation key — the same scale shape as the explicit q7
+    assert(p.contains("Window") || p.contains("Join"), p.take(1000))
+  }
+
   test("p8: decile binning inherits the p3 prefix-sum shape — corpus windows keyed on pid, funnel is the totals table") {
     import org.apache.spark.sql.catalyst.plans.physical.{HashPartitioning, SinglePartition}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
