@@ -584,7 +584,11 @@ object Multimodal {
     imagePhashOf(syntheticMedia(spark, dir))
 
   private[graft] def imagePhashOf(media: Dataset[MediaRow]): DataFrame = {
-    val hashes = phashOf(media)
+    // the slim (doc_id, phash) frame feeds TWO consumers (cluster agg +
+    // join-back) — persist or the generate+decode pipeline runs twice
+    // (the d3 eager-materialization discipline)
+    val hashes = phashOf(media).persist()
+    hashes.count()
     val clusters = hashes.groupBy(col("phash"))
       .agg(count(lit(1)).as("n_cluster"), min(col("doc_id")).as("canonical"))
     hashes.join(clusters, Seq("phash"))
