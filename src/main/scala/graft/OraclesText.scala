@@ -1443,7 +1443,11 @@ object OraclesText {
 
   // TextDedup.p9UnifiedCuration: the cross-modal keep bit — p4
   // admission ∧ ¬d7 lexical dup ∧ ¬s6 semantic dup, with the t9 split.
-  // Four gated SQLs composed verbatim as nested CTEs.
+  // Four gated SQLs composed verbatim as nested CTEs. s6 is LEFT
+  // JOINed: a document with no embedding row cannot be a semantic dup
+  // (the Spark side left-joins the semantic DROP set), so its verdict
+  // defaults to sem_dup = FALSE / keep-eligible rather than the row
+  // vanishing from the manifest.
   val curation: Map[String, String] = Map(
     "p9_unified_curation" ->
       s"""WITH p4 AS (${ingest("p4_quality_filter")}),
@@ -1451,11 +1455,12 @@ object OraclesText {
          |d7 AS (${dedupDecision("d7_dedup_decision")}),
          |s6 AS (${similarity("s6_semantic_dedup")})
          |SELECT p4.doc_id, t9.split, p4.quality, p4.reject_reason,
-         |  (NOT d7.keep) AS lex_dup, (NOT s6.keep) AS sem_dup,
-         |  (p4.keep AND d7.keep AND s6.keep) AS keep
+         |  (NOT d7.keep) AS lex_dup,
+         |  COALESCE(NOT s6.keep, FALSE) AS sem_dup,
+         |  (p4.keep AND d7.keep AND COALESCE(s6.keep, TRUE)) AS keep
          |FROM p4 JOIN t9 ON p4.doc_id = t9.doc_id
          |        JOIN d7 ON p4.doc_id = d7.doc_id
-         |        JOIN s6 ON p4.doc_id = s6.vec_id
+         |        LEFT JOIN s6 ON p4.doc_id = s6.vec_id
          |ORDER BY p4.doc_id LIMIT 2000""".stripMargin,
   )
 

@@ -463,13 +463,15 @@ object Multimodal {
     * deflate bytes are encoder-implementation-defined, so only
     * decode-verifiable columns are compared.
     */
-  def m1MediaFeatures(spark: SparkSession, dir: String): DataFrame = {
-    extractFeatures(syntheticMedia(spark, dir), ImageIoDecoder).toDF()
+  def m1MediaFeatures(spark: SparkSession, dir: String): DataFrame =
+    m1FeaturesOf(syntheticMedia(spark, dir))
+
+  private def m1FeaturesOf(media: Dataset[MediaRow]): DataFrame =
+    extractFeatures(media, ImageIoDecoder).toDF()
       .select(col("doc_id"), col("media_type"),
         col("width"), col("height"), col("n_frames"))
       .orderBy(col("doc_id"))
       .limit(2000)
-  }
 
   /** The shared binary media derivation for m1/m3 (the harness has no
     * binary table): every third doc a real BMP, the next a real PNG,
@@ -654,8 +656,16 @@ object Multimodal {
     * each leg; AQE picks broadcast vs shuffle per side.
     */
   def m7MediaManifest(spark: SparkSession, dir: String): DataFrame = {
-    val feats = m1MediaFeatures(spark, dir)
-    val phash = m6ImagePhash(spark, dir)
+    // One generated payload frame feeds BOTH decode legs — without the
+    // persist, the m1 and m6 legs would each regenerate (and re-encode)
+    // every synthetic payload from scratch, the exact waste class the
+    // m6-internal persist already kills. In production the manifest
+    // joins feature tables extracted once at ingest; this persist is
+    // the harness-scale stand-in for that asset reuse.
+    val media = syntheticMedia(spark, dir).persist()
+    media.count()
+    val feats = m1FeaturesOf(media)
+    val phash = imagePhashOf(media)
       .select(col("doc_id"), col("n_cluster"), col("canonical"))
     val audio = m4AudioFeatures(spark, dir)
       .select(col("doc_id"), col("sum_sq").as("audio_sum_sq"))

@@ -224,22 +224,6 @@ object Embeddings {
       .filter(col("dim") < 4)
       .orderBy(col("label"), col("dim"))
 
-  /** IVF ANN with a COMPUTED coarse quantizer and nprobe = 2 (s7): the
-    * full inverted-file architecture rather than s2's pre-assigned
-    * cells. Per-cell centroids are exact order-insensitive per-dim means
-    * (the s4 GridMath discipline, so both engines derive bit-identical
-    * centroid vectors), each query ranks the centroid table and probes
-    * its TOP TWO cells — the recall/cost dial real IVF indexes turn
-    * (nprobe=1 misses neighbors that fall just across a cell boundary;
-    * this query IS that boundary case made gateable). Shape at scale:
-    * the centroid table is nCells rows (broadcast), centroid ranking is
-    * nQueries × nCells (bounded by construction — no salt needed), the
-    * candidate join is keyed on the cell label, and the final top-k is
-    * the two-phase salted rank. The query↔centroid fold is the
-    * codegen'd float×double [[org.apache.spark.sql.graftfn.FloatDoubleVecDot]];
-    * the centroid self-norm uses the HOF fold whose association order
-    * the DuckDB `list_reduce` twin shares.
-    */
   /** Per-cell centroid table (c_label, centroid, c_nrm): exact
     * order-insensitive per-dim means via the GridMath integer-unit
     * discipline, so both engines derive bit-identical centroid vectors.
@@ -258,6 +242,22 @@ object Embeddings {
       "aggregate(zip_with(centroid, centroid, (x, y) -> x * y)," +
         " 0D, (s, x) -> s + x)")))
 
+  /** IVF ANN with a COMPUTED coarse quantizer and nprobe = 2 (s7): the
+    * full inverted-file architecture rather than s2's pre-assigned
+    * cells. Per-cell centroids are exact order-insensitive per-dim means
+    * (the s4 GridMath discipline, so both engines derive bit-identical
+    * centroid vectors), each query ranks the centroid table and probes
+    * its TOP TWO cells — the recall/cost dial real IVF indexes turn
+    * (nprobe=1 misses neighbors that fall just across a cell boundary;
+    * this query IS that boundary case made gateable). Shape at scale:
+    * the centroid table is nCells rows (broadcast), centroid ranking is
+    * nQueries × nCells (bounded by construction — no salt needed), the
+    * candidate join is keyed on the cell label, and the final top-k is
+    * the two-phase salted rank. The query↔centroid fold is the
+    * codegen'd float×double [[org.apache.spark.sql.graftfn.FloatDoubleVecDot]];
+    * the centroid self-norm uses the HOF fold whose association order
+    * the DuckDB `list_reduce` twin shares.
+    */
   def s7IvfProbe2(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(spark, dir)

@@ -78,21 +78,29 @@ object CorpusStreams {
     docs.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
-        // Locale.ROOT: Scala's bare toLowerCase is default-locale
-        // sensitive (Turkish dotless-ı would diverge from Spark SQL's
-        // locale-independent lower()). Space-only trim: Java's
-        // String.trim strips every char <= U+0020 (tabs, newlines) but
-        // the batch index and every oracle use SQL trim (U+0020 only) —
-        // a leading tab must produce the same leading empty token here.
-        val toks = text.replaceAll("^ +| +$", "")
-          .toLowerCase(java.util.Locale.ROOT).split("\\s+")
-        if (toks.length < 3) Iterator.empty
-        else {
-          val distinct = toks.sliding(3).map(_.mkString(" ")).toSet
-          distinct.iterator.map(s => (id, s, distinct.size))
-        }
+        val distinct = shingleSetOf(text)
+        distinct.iterator.map(s => (id, s, distinct.size))
       }
       .toDF("doc_id", "shingle", "n_shingles")
+  }
+
+  /** The ONE normalization+shingling closure both streaming shingle
+    * forms share — extracted so a trim/locale fix can never land on one
+    * flatMap and miss the other (that drift would silently break the
+    * spec-pinned batch ≡ stream shingle identity).
+    *
+    * Locale.ROOT: Scala's bare toLowerCase is default-locale sensitive
+    * (Turkish dotless-ı would diverge from Spark SQL's
+    * locale-independent lower()). Space-only trim: Java's String.trim
+    * strips every char <= U+0020 (tabs, newlines) but the batch index
+    * and every oracle use SQL trim (U+0020 only) — a leading tab must
+    * produce the same leading empty token here.
+    */
+  private[graft] def shingleSetOf(text: String): Set[String] = {
+    val toks = text.replaceAll("^ +| +$", "")
+      .toLowerCase(java.util.Locale.ROOT).split("\\s+")
+    if (toks.length < 3) Set.empty
+    else toks.sliding(3).map(_.mkString(" ")).toSet
   }
 
   /** [[streamShingles]] with the document's arrival timestamp carried
@@ -109,13 +117,8 @@ object CorpusStreams {
         col("arrival_ts").cast("timestamp"))
       .as[(Long, String, java.sql.Timestamp)]
       .flatMap { case (id, text, ts) =>
-        val toks = text.replaceAll("^ +| +$", "")
-          .toLowerCase(java.util.Locale.ROOT).split("\\s+")
-        if (toks.length < 3) Iterator.empty
-        else {
-          val distinct = toks.sliding(3).map(_.mkString(" ")).toSet
-          distinct.iterator.map(s => (id, ts, s, distinct.size))
-        }
+        val distinct = shingleSetOf(text)
+        distinct.iterator.map(s => (id, ts, s, distinct.size))
       }
       .toDF("doc_id", "arrival_ts", "shingle", "n_shingles")
   }
@@ -189,12 +192,22 @@ object CorpusStreams {
     def bigrams = explode(zip_with(slice(col("toks"), lit(1), n - 1),
       slice(col("toks"), lit(2), n - 1),
       (a, b) => concat(a, lit(" "), b))).as("bigram")
+    // The LM tables are the OFFLINE-trained static assets — but the
+    // static side of a stream-static join is re-evaluated every
+    // micro-batch, so without a persist each trigger would re-tokenize
+    // and re-aggregate the whole standing corpus three ways. Persist +
+    // eager count pins them once; per-trigger cost is then proportional
+    // to the increment, as the scaladoc promises.
     val cb = standing.select(toks.as("toks")).select(bigrams)
       .groupBy(col("bigram")).agg(count(lit(1)).as("cb"))
       .withColumn("w1", substring_index(col("bigram"), " ", 1))
-    val cw = cb.groupBy(col("w1")).agg(sum(col("cb")).as("cw"))
+      .persist()
+    cb.count()
+    val cw = cb.groupBy(col("w1")).agg(sum(col("cb")).as("cw")).persist()
+    cw.count()
     val vocabN = standing.select(explode(toks).as("token")).distinct()
-      .agg(count(lit(1)).as("v"))
+      .agg(count(lit(1)).as("v")).persist()
+    vocabN.count()
     newDocs
       .select(col("doc_id").cast("long"),
         col("arrival_ts").cast("timestamp"), toks.as("toks"))
@@ -233,8 +246,15 @@ object CorpusStreams {
         graft.multimodal.Multimodal.MediaRow],
       standing: org.apache.spark.sql.Dataset[
         graft.multimodal.Multimodal.MediaRow]): DataFrame = {
+    // Persist: the static side of a stream-static join re-evaluates per
+    // trigger, and this side is a FULL decode pass over the standing
+    // corpus — without the pin every micro-batch would re-decode every
+    // standing image (the text twin below joins a cheap column select;
+    // this one doesn't). Eager count materializes the slim phash set
+    // once; triggers then join a cached 64-bit-hash table.
     val standingHashes = graft.multimodal.Multimodal.phashOf(standing)
-      .select(col("phash")).distinct()
+      .select(col("phash")).distinct().persist()
+    standingHashes.count()
     graft.multimodal.Multimodal.phashOf(newMedia)
       .dropDuplicates("phash")
       .join(standingHashes, Seq("phash"), "left_anti")

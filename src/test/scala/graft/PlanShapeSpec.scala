@@ -106,8 +106,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(1000))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1000))
     // the LIMIT-inside-LATERAL becomes a per-key rank, joined back on
-    // the correlation key — the same scale shape as the explicit q7
-    assert(p.contains("Window") || p.contains("Join"), p.take(1000))
+    // the correlation key — the same scale shape as the explicit q7.
+    // Any two-table plan contains a Join, so the rank itself is the
+    // assertion that carries signal: the Window's row_number must
+    // survive into the physical plan.
+    assert(p.contains("Window"), p.take(1000))
+    assert(p.contains("row_number"), p.take(1000))
   }
 
   test("p8: decile binning inherits the p3 prefix-sum shape — corpus windows keyed on pid, funnel is the totals table") {
