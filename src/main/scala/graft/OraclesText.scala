@@ -136,6 +136,34 @@ object OraclesText {
          |FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
          |WHERE round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) >= 0.8
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // TextDedup.d15SplitLeakage: the d6 near-dup pairs annotated with
+    // both sides' t9 content-hash splits; `leaks` = the pair straddles
+    // the train boundary (a val/test doc's near-twin sits in train).
+    "d15_split_leakage" ->
+      s"""WITH $shingleCte,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sidx GROUP BY doc_id),
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+         |          FROM sidx a JOIN sidx b
+         |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |jp AS (SELECT id_a, id_b,
+         |    round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) AS jaccard
+         |  FROM pairs JOIN sizes sa ON id_a = sa.doc_id
+         |       JOIN sizes sb ON id_b = sb.doc_id
+         |  WHERE round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) >= 0.8),
+         |sp AS (SELECT doc_id,
+         |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |      ${hex4ToInt("substr(md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), 1, 4)")} % 100 AS b
+         |    FROM documents))
+         |SELECT jp.id_a, jp.id_b, jp.jaccard,
+         |  sa.split AS split_a, sb.split AS split_b,
+         |  ((sa.split = 'train') != (sb.split = 'train')) AS leaks
+         |FROM jp JOIN sp sa ON jp.id_a = sa.doc_id
+         |     JOIN sp sb ON jp.id_b = sb.doc_id
+         |ORDER BY jp.id_a, jp.id_b""".stripMargin,
   )
 
   val dedupCapped: Map[String, String] = Map(
@@ -728,6 +756,37 @@ object OraclesText {
          |SELECT doc_id, split, n_bigrams,
          |  round(-CAST(slnp AS DOUBLE) / (n_bigrams * 1000000.0), 6) AS xent
          |FROM d ORDER BY doc_id LIMIT 2000""".stripMargin,
+
+    // TextDedup.t17NgramNovelty: fraction of each doc's DISTINCT bigrams
+    // absent from the train split's bigram vocabulary. Per-doc dedup is
+    // list_distinct BEFORE the unnest (mirroring the Spark map-side
+    // array_distinct); zero-bigram docs re-enter with novelty 0.0 via
+    // the left join, the rep_frac guard discipline.
+    "t17_ngram_novelty" ->
+      s"""WITH tok AS (SELECT doc_id,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS toks,
+         |    ${hex4ToInt("substr(md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), 1, 4)")} % 100 AS bucket
+         |  FROM documents),
+         |tagged AS (SELECT doc_id, toks,
+         |    CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM tok),
+         |db AS (SELECT doc_id, split,
+         |    unnest(list_distinct(list_transform(range(1, len(toks)),
+         |      i -> toks[i] || ' ' || toks[i+1]))) AS bigram
+         |  FROM tagged),
+         |tv AS (SELECT DISTINCT bigram FROM db WHERE split = 'train'),
+         |per AS (SELECT d.doc_id, count(*) AS nd,
+         |    sum(CASE WHEN tv.bigram IS NULL THEN 1 ELSE 0 END) AS nn
+         |  FROM db d LEFT JOIN tv ON d.bigram = tv.bigram GROUP BY 1)
+         |SELECT t.doc_id, t.split,
+         |  CAST(coalesce(per.nd, 0) AS BIGINT) AS n_distinct_bigrams,
+         |  CAST(coalesce(per.nn, 0) AS BIGINT) AS n_novel,
+         |  CASE WHEN coalesce(per.nd, 0) > 0
+         |    THEN round(CAST(per.nn AS DOUBLE) / per.nd, 6)
+         |    ELSE 0.0 END AS novelty
+         |FROM tagged t LEFT JOIN per ON t.doc_id = per.doc_id
+         |ORDER BY t.doc_id LIMIT 2000""".stripMargin,
   )
 
   val similarity: Map[String, String] = Map(
@@ -780,6 +839,48 @@ object OraclesText {
          |  FROM cand)
          |SELECT q_id, rk, vec_id, cos FROM rk WHERE rk <= 3
          |ORDER BY q_id, rk""".stripMargin
+    },
+
+    // Embeddings.s11PqAdc: product quantization end-to-end — per-(label,
+    // subspace) codebooks from the exact grid means, code assignment by
+    // rounded ‖c‖²−2·x_s·c argmin, query lookup table snapped to integer
+    // micro-units, 4-term integer ADC accumulation, salted top-3, exact
+    // cosine re-rank of the survivors. The oracle replays every stage.
+    "s11_pq_adc" -> {
+      val centAvg =
+        Oracles.exactAvg("CAST(embedding[CAST(i AS INT)] AS DOUBLE)", 6, 6)
+      def sliceDot(emb: String, sub: String) = dotSql(
+        s"list_slice($emb, 1 + 16 * $sub, 16 + 16 * $sub)", "codeword")
+      s"""WITH cd AS (SELECT label, CAST(i AS INT) AS dim, $centAvg AS m
+         |  FROM embeddings, range(1, 65) t(i) GROUP BY label, i),
+         |cwv AS (SELECT label, CAST((dim - 1) // 16 AS INT) AS sub,
+         |    list(m ORDER BY dim) AS codeword
+         |  FROM cd GROUP BY 1, 2),
+         |cb AS (SELECT label, sub, codeword,
+         |    ${dotSql("codeword", "codeword")} AS cnorm2 FROM cwv),
+         |asg AS (SELECT e.vec_id, c.sub, c.label,
+         |    round(c.cnorm2 - 2 * ${sliceDot("e.embedding", "c.sub")}, 6) AS dist
+         |  FROM embeddings e, cb c),
+         |codes AS (SELECT vec_id, sub, label AS code FROM (
+         |    SELECT vec_id, sub, label, row_number() OVER (
+         |      PARTITION BY vec_id, sub ORDER BY dist, label) AS rk
+         |    FROM asg) WHERE rk = 1),
+         |lut AS (SELECT q.vec_id AS q_id, c.sub, c.label AS code,
+         |    CAST(round(${sliceDot("q.embedding", "c.sub")} * 1000000) AS BIGINT)
+         |      AS term_micro
+         |  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q,
+         |       cb c),
+         |adc AS (SELECT l.q_id, k.vec_id,
+         |    round(CAST(sum(l.term_micro) AS DOUBLE) / 1000000.0, 6) AS adc
+         |  FROM codes k JOIN lut l ON k.sub = l.sub AND k.code = l.code
+         |  WHERE k.vec_id != l.q_id GROUP BY 1, 2),
+         |rk AS (SELECT q_id, vec_id, adc, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY adc DESC, vec_id) AS rk FROM adc)
+         |SELECT r.q_id, r.rk, r.vec_id, r.adc,
+         |  round(${cosineSql("qe.embedding", "e.embedding")}, 6) AS cos
+         |FROM rk r JOIN embeddings e ON r.vec_id = e.vec_id
+         |     JOIN embeddings qe ON r.q_id = qe.vec_id
+         |WHERE r.rk <= 3 ORDER BY r.q_id, r.rk""".stripMargin
     },
 
     // Embeddings.s10KmeansReassign: spherical-Lloyd E-step — every
@@ -1226,6 +1327,39 @@ object OraclesText {
         |       ELSE 'kept' END AS reject_reason,
         |  (n_tokens >= 20 AND rep_frac <= 0.10 AND quality >= 0.55) AS keep
         |FROM sig ORDER BY doc_id LIMIT 2000""".stripMargin,
+
+    // TextDedup.p10DatasetCard: per-(split, lang) corpus statistics —
+    // doc/token counts, exact grid-average quality (the per-doc score is
+    // rounded at 6 decimals, so ×10⁶ is an exact integer and the mean is
+    // the shared half-up integral division), admissions under the p4
+    // defaults and the admission rate.
+    "p10_dataset_card" -> {
+      val admitted = "CASE WHEN n_tokens >= 20 AND rep_frac <= 0.10" +
+        " AND quality >= 0.55 THEN 1 ELSE 0 END"
+      s"""WITH x AS (SELECT doc_id, lang,
+        |    string_split_regex(trim(lower(text)), '\\s+') AS toks,
+        |    ${hex4ToInt("substr(md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), 1, 4)")} % 100 AS bucket
+        |  FROM documents),
+        |sig AS (SELECT doc_id, lang,
+        |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  CAST(len(toks) AS INT) AS n_tokens,
+        |  round(least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) * 0.3
+        |    + (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.3
+        |    + (CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','is','to'], t))) AS DOUBLE) / len(toks)) * 0.2
+        |    + (CAST(len(list_filter(toks, t -> length(t) >= 4)) AS DOUBLE) / len(toks)) * 0.2, 6) AS quality,
+        |  CASE WHEN len(toks) >= 2 THEN
+        |    round(1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i+1]))) AS DOUBLE) / (len(toks) - 1), 6)
+        |    ELSE 0.0 END AS rep_frac
+        |  FROM x)
+        |SELECT split, lang, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  ${Oracles.exactAvg("quality", 6, 6)} AS mean_quality,
+        |  CAST(sum($admitted) AS BIGINT) AS n_admitted,
+        |  round(CAST(sum($admitted) AS DOUBLE) / count(*), 6) AS admit_rate
+        |FROM sig GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
+    },
 
     // Ingest.t14PiiRedact: the oracle PREDICTS the injection from doc_id
     // arithmetic (the m1 discipline) and constructs the redacted text

@@ -431,11 +431,110 @@ object Embeddings {
       .orderBy(col("q_id"))
   }
 
+  /** Per-(label, subspace) PQ codebook: the 64-dim space split into 4
+    * contiguous 16-dim subspaces; each subspace's codewords are the
+    * exact integer-unit per-dim means of the label groups (the s4/s7
+    * GridMath discipline, so both engines derive bit-identical
+    * codebooks), with the codeword self-norm² precomputed for the
+    * assignment's `‖c‖² − 2·x·c` distance. nLabels × 4 rows —
+    * broadcast-sized by construction, like s7's coarse quantizer.
+    */
+  private def pqCodebook(emb: DataFrame): DataFrame = emb
+    .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+    .groupBy(col("label"), col("dim"))
+    .agg(GridMath.gridAvgRound(col("v").cast("double"), 6, 6).as("m"))
+    .withColumn("sub", expr("dim div 16"))
+    .groupBy(col("label"), col("sub"))
+    .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+    .select(col("label").as("c_label"), col("sub"),
+      expr("transform(dm, x -> x.m)").as("codeword"))
+    .withColumn("cnorm2", expr(
+      "aggregate(zip_with(codeword, codeword, (x, y) -> x * y)," +
+        " 0D, (s, x) -> s + x)"))
+
+  /** PQ code assignment: per vector, per subspace, the codeword
+    * minimizing reconstruction error — argmin over ‖c‖² − 2·x_s·c (the
+    * ‖x_s‖² term is constant per vector and drops out), rounded at 6
+    * decimals before the comparison so the argmin is engine-exact,
+    * label-ascending tie-break. The vector×codebook scoring is
+    * map-side (broadcast codebook); the per-(vector, subspace) argmin
+    * is a plain window over groups bounded by the codebook size (the
+    * s7 justification — never corpus-sized).
+    */
+  private[graft] def pqCodesOf(emb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    emb.crossJoin(broadcast(pqCodebook(emb)))
+      .select(col("vec_id"), col("sub"), col("c_label"),
+        round(col("cnorm2") - lit(2.0) *
+          org.apache.spark.sql.graftfn.GraftExpressions.floatDoubleVecDot(
+            slice(col("embedding"), lit(1) + col("sub") * 16, lit(16)),
+            col("codeword")), 6).as("dist"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id"), col("sub"))
+          .orderBy(col("dist"), col("c_label"))))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("sub"), col("c_label").as("code"))
+  }
+
+  /** Product-quantization ANN with asymmetric-distance scoring (s11):
+    * the compression leg of a billion-scale vector index — each vector
+    * is stored as 4 subspace code bytes instead of 64 floats (16×
+    * memory cut here; 64× with 256-codeword books), and queries score
+    * candidates WITHOUT touching the original vectors: ADC(q, x) =
+    * Σ_s q_s · c_{s,code_s(x)}, four table lookups per candidate. The
+    * architecture is the real one end-to-end: (1) the per-query lookup
+    * table (query-side dot against every codeword — nQueries × 4 ×
+    * nCodewords rows, broadcast) is computed ONCE and snapped to
+    * integer micro-units, so (2) per-candidate accumulation is a
+    * 4-term integer sum over the slim codes table — order-independent,
+    * and the float payload never enters the scoring join; (3) the
+    * ADC top-3 per query rides the two-phase salted rank; (4) the
+    * survivors — 3 rows per query, never the corpus — are re-ranked
+    * EXACTLY against the stored vectors, the refine step every PQ
+    * deployment runs. The gate hash-checks codebook derivation, code
+    * assignment, lookup-table quantization, ADC ranking, and the
+    * exact re-check in one output.
+    */
+  def s11PqAdc(spark: SparkSession, dir: String): DataFrame =
+    pqAdcOf(Tables.embeddings(spark, dir))
+
+  private[graft] def pqAdcOf(embRaw: DataFrame): DataFrame = {
+    val emb = embRaw
+      .select(col("vec_id"), col("label"), col("embedding"),
+        norm(col("embedding")).as("nrm"))
+      .persist()
+    emb.count() // eager: codebook, codes, queries and re-rank all read it
+    val codes = pqCodesOf(emb)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val lut = queries.crossJoin(broadcast(pqCodebook(emb)))
+      .select(col("q_id"), col("sub"), col("c_label").as("code"),
+        round(org.apache.spark.sql.graftfn.GraftExpressions.floatDoubleVecDot(
+          slice(col("q_emb"), lit(1) + col("sub") * 16, lit(16)),
+          col("codeword")) * 1e6).cast("long").as("term_micro"))
+    val adc = codes.join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(round(sum(col("term_micro")).cast("double") / 1e6, 6).as("adc"))
+    val top = TopK.saltedTopK(adc, Seq(col("q_id")),
+        Seq(col("adc").desc, col("vec_id")), k = 3, saltBy = col("vec_id"))
+      .select(col("q_id"), col("rk"), col("vec_id"), col("adc"))
+      .join(broadcast(queries.select(col("q_id"), col("q_emb"), col("q_nrm"))),
+        Seq("q_id"))
+    emb.join(broadcast(top), Seq("vec_id"))
+      .select(col("q_id"), col("rk"), col("vec_id"), col("adc"),
+        round(cosinePre(col("q_emb"), col("q_nrm"),
+          col("embedding"), col("nrm")), 6).as("cos"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_cosine_topk" -> (s1CosineTopK _),
     "s8_ann_recall" -> (s8AnnRecall _),
     "s9_incr_semdedup" -> (s9IncrementalSemDedup _),
     "s10_kmeans_reassign" -> (s10KmeansReassign _),
+    "s11_pq_adc" -> (s11PqAdc _),
     "s6_semantic_dedup" -> (s6SemanticDedup _),
     "s7_ivf_probe2" -> (s7IvfProbe2 _),
     "s2_ivf_neardup" -> (s2IvfNearDup _),

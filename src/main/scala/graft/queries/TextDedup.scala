@@ -1331,6 +1331,114 @@ object TextDedup {
   def t10SequencePacking(spark: SparkSession, dir: String): DataFrame =
     sequencePacking(spark, dir, nShards = 32)
 
+  /** N-gram novelty vs the training split (t17): per document, the
+    * fraction of its DISTINCT bigrams absent from the t9 'train'
+    * split's bigram vocabulary — the coverage-style curriculum signal
+    * that complements t16's model-surprise score (t16 asks "how
+    * unlikely is this text under the train LM", t17 asks "how much of
+    * it has the model never seen at all"; a doc can be low-xent yet
+    * high-novelty when its few unseen bigrams are drowned by common
+    * ones). Train docs score 0 by construction — the audit value is on
+    * val/test/incoming text. Scale shape: per-doc bigram dedup happens
+    * MAP-SIDE (`array_distinct` before the explode — no (doc,bigram)
+    * pre-shuffle), the vocabulary membership join keys on the
+    * naturally high-cardinality bigram string, and zero-bigram docs
+    * (single-token) re-enter via a slim doc_id left join with
+    * novelty 0.0, the rep_frac guard discipline.
+    */
+  def t17NgramNovelty(spark: SparkSession, dir: String): DataFrame =
+    ngramNoveltyOf(Tables.documents(spark, dir))
+
+  private[graft] def ngramNoveltyOf(docs: DataFrame): DataFrame = {
+    val (_, split) = splitCols
+    val tagged = docs
+      .select(col("doc_id"), split.as("split"), toks.as("toks"))
+    val n = size(col("toks"))
+    val db = tagged
+      .select(col("doc_id"), col("split"),
+        explode(array_distinct(zip_with(slice(col("toks"), lit(1), n - 1),
+          slice(col("toks"), lit(2), n - 1),
+          (a, b) => concat(a, lit(" "), b)))).as("bigram"))
+      .persist()
+    db.count() // eager: feeds both the train vocabulary and the scoring join
+    val trainVocab = db.filter(col("split") === "train")
+      .select(col("bigram")).distinct().withColumn("seen", lit(true))
+    val per = db.join(trainVocab, Seq("bigram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_distinct_bigrams"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+    tagged.select(col("doc_id"), col("split"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("split"),
+        coalesce(col("n_distinct_bigrams"), lit(0L)).as("n_distinct_bigrams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(coalesce(col("n_distinct_bigrams"), lit(0L)) > 0,
+          round(col("n_novel").cast("double")
+            / col("n_distinct_bigrams"), 6)).otherwise(0.0).as("novelty"))
+      .orderBy(col("doc_id"))
+      .limit(2000)
+  }
+
+  /** Dataset card (p10): the per-(split, language) statistics table a
+    * corpus release ships — document and token counts, mean quality
+    * (exact integer-unit average: the per-doc score is already rounded
+    * at 6 decimals, so ×10⁶ is an exact integer and the mean is the
+    * GridMath half-up grid average both engines compute identically),
+    * admitted count and admission rate under the p4 gate. Two map-only
+    * projections (admission signals; content-hash split) join on
+    * doc_id and re-aggregate on the tiny (split, lang) key — at lake
+    * scale both columns already live in the materialized p6/p9
+    * manifest and the card is a re-aggregation of that asset; the join
+    * here stands in for reading it. The rollup every "what's actually
+    * in this dataset" conversation starts from.
+    */
+  def p10DatasetCard(spark: SparkSession, dir: String): DataFrame =
+    datasetCardOf(Tables.documents(spark, dir))
+
+  private[graft] def datasetCardOf(docs: DataFrame): DataFrame = {
+    val (_, split) = splitCols
+    val sigs = Ingest.admissionDecision(Ingest.admissionSignals(docs))
+    val splits = docs.select(col("doc_id"), split.as("split"))
+    sigs.join(splits, Seq("doc_id"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("n_tokens"),
+        GridMath.gridAvgRound(col("quality"), 6, 6).as("mean_quality"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_admitted"))
+      .withColumn("admit_rate",
+        round(col("n_admitted").cast("double") / col("n_docs"), 6))
+      .orderBy(col("split"), col("lang"))
+  }
+
+  /** Cross-split leakage audit (d15): every near-dup pair annotated
+    * with both sides' t9 splits and the verdict that matters — does
+    * the pair STRADDLE the train boundary? t9's content-hash split
+    * guarantees exact copies land in one split, but NEAR-duplicates
+    * hash differently and can leak a test document's twin into train,
+    * silently inflating eval scores. d10 audits against an EXTERNAL
+    * benchmark; d15 audits the corpus's own eval splits — the check a
+    * training run does before trusting its held-out numbers. Reads
+    * the run-scoped pair materialization (never re-derives the
+    * shingle self-join) and joins two slim (doc_id, split) sides that
+    * AQE broadcasts.
+    */
+  def d15SplitLeakage(spark: SparkSession, dir: String): DataFrame =
+    splitLeakageOf(dupPairs(spark, dir), Tables.documents(spark, dir))
+
+  private[graft] def splitLeakageOf(pairs: DataFrame,
+      docs: DataFrame): DataFrame = {
+    val (_, split) = splitCols
+    val splits = docs.select(col("doc_id"), split.as("split"))
+    pairs
+      .join(splits.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(splits.as("sb"), col("id_b") === col("sb.doc_id"))
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        col("sa.split").as("split_a"), col("sb.split").as("split_b"),
+        ((col("sa.split") === "train") =!= (col("sb.split") === "train"))
+          .as("leaks"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> (d1ExactDedup _),
     "d2_minhash_signature" -> (d2MinhashSignature _),
@@ -1347,6 +1455,9 @@ object TextDedup {
     "d11_chunk_dedup" -> (d11ChunkDedup _),
     "d12_train_overlap" -> (d12TrainOverlap _),
     "d14_lsh_recall" -> (d14LshRecall _),
+    "d15_split_leakage" -> (d15SplitLeakage _),
+    "t17_ngram_novelty" -> (t17NgramNovelty _),
+    "p10_dataset_card" -> (p10DatasetCard _),
     "t1_token_stats" -> (t1TokenStats _),
     "t11_repetition_ratio" -> (t11RepetitionRatio _),
     "t13_top_bigram_frac" -> (t13TopBigramFrac _),

@@ -160,4 +160,144 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(got == expected, s"trial $trial: spark=$got expected=$expected")
     }
   }
+
+  test("t17: n-gram novelty matches an independent twin; train docs are never novel") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def split(text: String): String = {
+      val norm = text.replaceAll("^ +| +$", "")
+        .toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
+      val b = Integer.parseInt(md5hex(norm).take(4), 16) % 100
+      if (b < 80) "train" else if (b < 90) "val" else "test"
+    }
+    def bigrams(text: String): Seq[(String, String)] =
+      text.replaceAll("^ +| +$", "")
+        .toLowerCase(java.util.Locale.ROOT).split("\\s+")
+        .sliding(2).filter(_.length == 2).map(p => (p(0), p(1))).toSeq
+    val rnd = new scala.util.Random(11)
+    val vocab = (1 to 20).map("w" + _)
+    for (trial <- 1 to 3) {
+      // len 1 forces the zero-bigram guard through the left join
+      val docs = (1 to 100).map { i =>
+        (i.toLong, (0 until (1 + rnd.nextInt(20)))
+          .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val bySplit = docs.map { case (id, t) => (id, t, split(t)) }
+      val trainVocab = bySplit.filter(_._3 == "train")
+        .flatMap(d => bigrams(d._2)).toSet
+      val expected = bySplit.map { case (id, t, sp) =>
+        val bgs = bigrams(t).distinct
+        val novel = bgs.count(b => !trainVocab.contains(b)).toLong
+        val novelty = if (bgs.nonEmpty)
+          BigDecimal(novel.toDouble / bgs.size)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        else 0.0
+        id -> ((sp, bgs.size.toLong, novel, novelty))
+      }.toMap
+      val got = TextDedup.ngramNoveltyOf(docs.toDF("doc_id", "text"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+      assert(got == expected, s"trial $trial: spark=$got expected=$expected")
+      got.values.filter(_._1 == "train").foreach { v =>
+        assert(v._3 == 0L && v._4 == 0.0, s"train doc with novelty: $v")
+      }
+      assert(got.values.exists(v => v._1 != "train" && v._3 > 0),
+        "corpus must exercise a genuinely novel bigram")
+    }
+  }
+
+  test("p10: dataset card matches a local recomputation, zero-admission cell included") {
+    import spark.implicits._
+    val Stop = Set("the", "a", "of", "and", "is", "to")
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def split(text: String): String = {
+      val norm = text.replaceAll("^ +| +$", "")
+        .toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
+      val b = Integer.parseInt(md5hex(norm).take(4), 16) % 100
+      if (b < 80) "train" else if (b < 90) "val" else "test"
+    }
+    // the IngestPropertySpec twin, written from the definition
+    def sig(text: String): (Int, Double, Double) = {
+      val toks = text.trim.toLowerCase(java.util.Locale.ROOT)
+        .split("\\s+").toSeq
+      val n = toks.length
+      val quality = round6(math.min(n / 50.0, 1.0) * 0.3
+        + (toks.distinct.length.toDouble / n) * 0.3
+        + (toks.count(Stop).toDouble / n) * 0.2
+        + (toks.count(_.length >= 4).toDouble / n) * 0.2)
+      val rep = if (n >= 2)
+        round6(1.0 - toks.sliding(2).map(_.mkString(" "))
+          .toSeq.distinct.length.toDouble / (n - 1))
+      else 0.0
+      (n, quality, rep)
+    }
+    val rnd = new scala.util.Random(23)
+    val vocab = (1 to 40).map("token" + _)
+    // lang Z docs are all two tokens → every Z cell admits nothing
+    val docs = (1 to 120).map { i =>
+      if (i % 10 == 0) (i.toLong, s"za$i zb$i", "Z")
+      else (i.toLong, (0 until (1 + rnd.nextInt(50)))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "), "A")
+    }
+    val expected = docs
+      .map { case (id, t, lang) =>
+        val (n, q, rep) = sig(t)
+        (split(t), lang, n, q, n >= 20 && rep <= 0.10 && q >= 0.55)
+      }
+      .groupBy(x => (x._1, x._2)).map { case ((sp, lang), rows) =>
+        val units = rows.map(r => math.round(r._4 * 1e6)).sum
+        val den = rows.size * 1000000L
+        val mean = ((units * 1000000L + den / 2) / den) / 1e6
+        val nAdm = rows.count(_._5).toLong
+        (sp, lang) -> ((rows.size.toLong, rows.map(_._3.toLong).sum, mean,
+          nAdm, round6(nAdm.toDouble / rows.size)))
+      }
+    val got = TextDedup.datasetCardOf(docs.toDF("doc_id", "text", "lang"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5),
+          r.getDouble(6)))).toMap
+    assert(got == expected, s"spark=$got expected=$expected")
+    val zCells = got.filter(_._1._2 == "Z").values
+    assert(zCells.nonEmpty && zCells.forall(v => v._4 == 0L && v._5 == 0.0),
+      "the engineered lang-Z cells must admit nothing")
+  }
+
+  test("d15: the leak bit is exactly the train-boundary straddle of the pair's splits") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def split(text: String): String = {
+      val norm = text.replaceAll("^ +| +$", "")
+        .toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
+      val b = Integer.parseInt(md5hex(norm).take(4), 16) % 100
+      if (b < 80) "train" else if (b < 90) "val" else "test"
+    }
+    val rnd = new scala.util.Random(31)
+    // enough docs that train, val and test all appear
+    val docs = (1 to 60).map(i =>
+      (i.toLong, (0 until 5).map(_ => s"w${rnd.nextInt(9)}").mkString(" ")))
+    val splits = docs.map { case (id, t) => id -> split(t) }.toMap
+    assert(splits.values.toSet.size == 3, "corpus must hit all three splits")
+    // injected pair table: every adjacent doc pair
+    val pairs = (1 until 60).map(i => (i.toLong, (i + 1).toLong, 0.9))
+    val got = TextDedup.splitLeakageOf(
+        pairs.toDF("id_a", "id_b", "jaccard"), docs.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(3), r.getString(4), r.getBoolean(5)))).toMap
+    assert(got.size == pairs.size)
+    got.foreach { case ((a, b), (sa, sb, leaks)) =>
+      assert(sa == splits(a) && sb == splits(b))
+      assert(leaks == ((sa == "train") != (sb == "train")),
+        s"pair ($a,$b) splits ($sa,$sb): leaks=$leaks")
+    }
+    assert(got.values.exists(_._3) && got.values.exists(!_._3),
+      "both leak verdicts must occur")
+  }
 }
