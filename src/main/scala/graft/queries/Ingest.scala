@@ -38,11 +38,13 @@ object Ingest {
     * engine-independent (a raw double straddling a threshold by half an
     * ulp would flip keep across engines).
     */
-  private[graft] def admissionSignals(docs: DataFrame): DataFrame = {
+  private[graft] def admissionSignals(docs: DataFrame,
+      keep: Seq[String] = Nil): DataFrame = {
     val n = size(col("toks"))
+    val kept = keep.map(col)
     docs
-      .select(col("doc_id"), col("lang"), toks.as("toks"))
-      .select(col("doc_id"), col("lang"), n.as("n_tokens"),
+      .select(col("doc_id") +: col("lang") +: toks.as("toks") +: kept: _*)
+      .select(Seq(col("doc_id"), col("lang"), n.as("n_tokens"),
         round(least(n.cast("double") / 50.0, lit(1.0)) * 0.3
           + (size(array_distinct(col("toks"))).cast("double") / n) * 0.3
           + (size(filter_(col("toks"), t => t.isin(TextDedup.StopEn: _*)))
@@ -54,7 +56,7 @@ object Ingest {
             zip_with(slice(col("toks"), lit(1), n - 1),
               slice(col("toks"), lit(2), n - 1),
               (a, b) => concat(a, lit(" "), b)))).cast("double") / (n - 1))
-          .otherwise(0.0), 6).as("rep_frac"))
+          .otherwise(0.0), 6).as("rep_frac")) ++ kept: _*)
   }
 
   /** The admission decision over precomputed signals — shared verbatim

@@ -879,7 +879,7 @@ object TextDedup {
   /** md5-bucket and split-name columns over a `text` column — shared by
     * t9 and the p1 manifest.
     */
-  private def splitCols: (Column, Column) = {
+  private[graft] def splitCols: (Column, Column) = {
     val bucket = conv(substring(fastMd5(
         regexp_replace(trim(lower(col("text"))), "\\s+", " ")), 1, 4),
       16, 10).cast("long") % 100

@@ -312,6 +312,73 @@ object CorpusStreams {
       .filter(col("jaccard") >= 0.8)
   }
 
+  /** Ingest-time UNIFIED curation — p9's streaming half: per arriving
+    * document, the one keep bit a training pipeline consumes, decided
+    * against the standing corpus's per-release assets. The three
+    * rejection channels mirror p9's cross-modal structure, each in its
+    * ingest-decidable form: quality admission (p4's stateless per-row
+    * rules), lexical duplication (the d1 content hash against the
+    * standing hash asset — the synchronous exact gate; NEAR-dup drops
+    * stay an asynchronous alert stream, see [[nearDupAlertsWatermarked]]),
+    * and semantic duplication (the s9 rule: cosine ≥ 0.3 against any
+    * standing vector in the arriving embedding's IVF cell). Arriving
+    * rows carry `(doc_id, text, lang, label, embedding, arrival_ts)` —
+    * a production ingest job embeds at ingest, so the vector rides the
+    * row. The t9 content-hash split is assigned in the same pass.
+    *
+    * Shape: every static side persists once (stream-static sides
+    * re-evaluate per trigger); the hash probe is a slim left join on
+    * the 32-char hash; the semantic probe left-joins the standing cell
+    * table on the label key so per-arrival cost is the cell size (the
+    * s2b cap applies when a cell runs hot). The per-document verdict
+    * aggregates under an event-time window with a watermark — state
+    * evicts, and each verdict emits EXACTLY ONCE in append mode; the
+    * per-doc constants ride the groupBy key, never a `first()`.
+    */
+  def curationAtIngest(newDocs: DataFrame, standingDocs: DataFrame,
+      standingEmb: DataFrame,
+      watermarkDelay: String = "10 minutes",
+      windowDur: String = "10 minutes"): DataFrame = {
+    import graft.functions.FastMd5.fastMd5
+    import org.apache.spark.sql.graftfn.GraftExpressions.floatVecDot
+    val standingHashes = standingDocs.select(
+        fastMd5(regexp_replace(trim(lower(col("text"))), "\\s+", " "))
+          .as("text_hash"))
+      .distinct().withColumn("lex_hit", lit(true)).persist()
+    standingHashes.count()
+    val cells = standingEmb.select(col("label"),
+        col("embedding").as("s_emb"),
+        sqrt(floatVecDot(col("embedding"), col("embedding"))).as("s_nrm"))
+      .persist()
+    cells.count()
+    val (_, split) = graft.queries.TextDedup.splitCols
+    graft.queries.Ingest.admissionDecision(
+        graft.queries.Ingest.admissionSignals(newDocs,
+          keep = Seq("text", "arrival_ts", "label", "embedding")))
+      .withColumnRenamed("keep", "q_keep")
+      .withColumn("split", split)
+      .withColumn("text_hash",
+        fastMd5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")))
+      .withColumn("nrm", sqrt(floatVecDot(col("embedding"), col("embedding"))))
+      .drop("text")
+      .withWatermark("arrival_ts", watermarkDelay)
+      .join(standingHashes, Seq("text_hash"), "left")
+      .join(cells, Seq("label"), "left")
+      .withColumn("cos", when(col("s_emb").isNotNull,
+        round(floatVecDot(col("embedding"), col("s_emb"))
+          / (col("nrm") * col("s_nrm")), 6)))
+      .groupBy(window(col("arrival_ts"), windowDur), col("doc_id"),
+        col("split"), col("lang"), col("quality"), col("reject_reason"),
+        col("q_keep"), coalesce(col("lex_hit"), lit(false)).as("lex_dup"))
+      .agg(sum(when(col("cos") >= 0.3, 1L).otherwise(0L))
+        .as("n_sem_matches"))
+      .select(col("doc_id"), col("split"), col("lang"), col("quality"),
+        col("reject_reason"), col("lex_dup"),
+        (col("n_sem_matches") > 0).as("sem_dup"), col("n_sem_matches"),
+        (col("q_keep") && !col("lex_dup") && !(col("n_sem_matches") > 0))
+          .as("keep"))
+  }
+
   /** [[nearDupAlerts]] with bounded state: arriving documents carry an
     * `arrival_ts` column, the shingle stream is watermarked on it, and
     * the per-pair shared-shingle count is grouped under an event-time

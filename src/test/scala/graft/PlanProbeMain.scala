@@ -9,10 +9,7 @@ object PlanProbeMain {
     val spark = SparkTestSession.spark
     val dir = "/root/testdata/sf0.001"
     for ((n, df) <- Seq(
-      "d11" -> graft.queries.TextDedup.d11ChunkDedup(spark, dir),
-      "d12" -> graft.queries.TextDedup.d12TrainOverlap(spark, dir),
-      "t13" -> graft.queries.TextDedup.t13TopBigramFrac(spark, dir),
-      "s6" -> graft.queries.Embeddings.s6SemanticDedup(spark, dir))) {
+      "s11" -> graft.queries.Embeddings.s11PqAdc(spark, dir))) {
       println(s"===== $n =====")
       println(df.queryExecution.executedPlan.toString)
     }

@@ -387,6 +387,85 @@ class PlanShapeSpec extends AnyFunSuite {
       && !readSchema.contains("lang"), s"expected pruned documents read: $readSchema")
   }
 
+  test("s11: PQ scoring joins broadcast; the float payload never crosses a hash exchange") {
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val root = physicalRoot(Embeddings.s11PqAdc(spark, dir))
+    val p = root.toString
+    // codebook, LUT and re-rank sides all reach the corpus as broadcasts
+    assert(root.collect { case j: BroadcastHashJoinExec => j }.length >= 2,
+      p.take(1200))
+    // code assignment + LUT quantization use the codegen'd float×double fold
+    assert(p.contains("float_double_vec_dot"), p.take(1200))
+    // the per-(vector, subspace) argmin is the bounded-group window; the
+    // corpus-sized ADC rank is the salted two-phase top-k
+    assert(p.contains("windowspecdefinition(vec_id"), p.take(1200))
+    // saltedTopK phase 1: the rank window partitions on (q_id, salt) —
+    // the salt expression itself folds into the aggregate projection as
+    // `_w0`, so pin the two-key window spec rather than the pmod text
+    assert(p.contains("__rk1") &&
+      "windowspecdefinition\\(q_id#\\d+L, _w0".r.findFirstIn(p).isDefined,
+      s"ADC top-k must be the salted two-phase rank:\n${p.take(1200)}")
+    // the PQ promise: scoring runs over codes, never the vectors — no
+    // hash exchange anywhere carries the embedding payload
+    val leakyEx = root.collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[HashPartitioning] &&
+          e.output.exists(_.name.contains("emb")) => e
+    }
+    assert(leakyEx.isEmpty,
+      s"embedding payload crossed a hash exchange:\n${leakyEx.mkString("\n").take(800)}")
+  }
+
+  test("d15: consumes the materialized pair table; split sides broadcast; shingles never re-derived") {
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val root = physicalRoot(TextDedup.d15SplitLeakage(spark, dir))
+    val pairScans = root.collect {
+      case s: FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains("graft-pairs")) => s
+    }
+    assert(pairScans.length == 1, s"want 1 pair-parquet scan:\n${root.toString.take(1200)}")
+    assert(!root.toString.contains("shingle"),
+      "d15 must not re-derive shingles — that is dupPairs' job, done once")
+    assert(root.collect { case j: BroadcastHashJoinExec => j }.length == 2,
+      s"both split sides must broadcast:\n${root.toString.take(1200)}")
+    val hashEx = root.collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+    }
+    assert(hashEx.isEmpty, s"unexpected hash exchange:\n${hashEx.mkString("\n").take(800)}")
+  }
+
+  test("t17: per-doc bigram dedup is map-side; no window, no cartesian") {
+    val root = physicalRoot(TextDedup.t17NgramNovelty(spark, dir))
+    val p = root.toString
+    // the distinct-bigram set is array_distinct BEFORE the explode — a
+    // (doc, bigram) pre-aggregation would be a second corpus shuffle
+    assert(p.contains("array_distinct"), p.take(1200))
+    assert(root.collect { case n if n.nodeName.startsWith("Window") => n }.isEmpty,
+      s"t17 must not use windows:\n${p.take(1200)}")
+    assert(root.collect { case n if n.nodeName.contains("Cartesian") => n }.isEmpty,
+      s"t17 must not cartesian:\n${p.take(1200)}")
+  }
+
+  test("p10: card aggregation is two-phase partial; no window, no single-task funnel") {
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val root = physicalRoot(TextDedup.p10DatasetCard(spark, dir))
+    val p = root.toString
+    // map-side partial aggregation on (split, lang) before the exchange
+    assert(p.contains("partial_count"), p.take(1200))
+    assert(root.collect {
+      case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e
+    }.isEmpty, s"single-task funnel in p10:\n${p.take(1200)}")
+    assert(root.collect { case n if n.nodeName.startsWith("Window") => n }.isEmpty,
+      s"p10 must not use windows:\n${p.take(1200)}")
+  }
+
   test("hive-partitioned writes prune partitions at the scan") {
     import org.apache.spark.sql.functions.col
     val dir2 = java.nio.file.Files.createTempDirectory("graft-part")

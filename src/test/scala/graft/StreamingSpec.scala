@@ -833,4 +833,102 @@ class StreamingSpec extends AnyFunSuite {
       EventStreams.RetFact(3, h0Us + 50L * 60 * 60000000L, "new")),
       s"got $got")
   }
+
+  test("streaming unified curation: each rejection channel fires independently, verdicts emit once (p9 twin)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def norm(text: String): String = text.replaceAll("^ +| +$", "")
+      .toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).foldLeft(0.0)((s, p) => s + p._1.toDouble * p._2.toDouble)
+      val na = math.sqrt(a.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble))
+      val nb = math.sqrt(b.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble))
+      BigDecimal(dot / (na * nb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val goodA = "the ancient library stood near a quiet river and many " +
+      "curious students gathered there to study maps languages history " +
+      "and other fascinating subjects during long summer afternoons"
+    val goodB = "every morning the village baker carried warm fresh loaves " +
+      "across narrow cobbled streets while neighbors waved from small " +
+      "windows and children followed the wonderful smell toward a market"
+    val goodC = "deep beneath the northern mountains patient miners " +
+      "followed thin silver veins through winding tunnels and carried " +
+      "their heavy lanterns toward another long careful shift underground"
+    val goodD = "seven travelers crossed the windy plateau before sunset " +
+      "and pitched their canvas tents beside a shallow stream while " +
+      "distant thunder rolled over the darkening purple horizon slowly"
+    val standingDocs = Seq((100L, goodB)).toDF("doc_id", "text")
+    val standingEmb = Seq(
+      (100L, 0, Array(1f, 0f, 0f, 0f)),
+      (101L, 1, Array(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "label", "embedding")
+    val ts0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    val flushTs = java.sql.Timestamp.valueOf("2026-01-01 12:00:00")
+    // (doc_id, text, lang, label, embedding, arrival_ts)
+    val arrivals = Seq(
+      // novel, admitted: orthogonal to its cell's standing vector
+      (1L, goodA, "en", 0, Array(0f, 0f, 1f, 0f), ts0),
+      // exact copy of standing doc 100 → lexical duplicate only
+      (2L, goodB, "en", 0, Array(0f, 0f, 0f, 1f), ts0),
+      // junk → quality rejection only
+      (3L, "spam spam spam", "en", 0, Array(0f, 0f, 1f, 1f), ts0),
+      // same cell + same direction as standing vec 101 → semantic dup
+      (4L, goodC, "en", 1, Array(0f, 1f, 0f, 0f), ts0),
+      // label with no standing cell → the null-join path, admitted
+      (5L, goodD, "en", 2, Array(1f, 1f, 0f, 0f), ts0))
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String, Int, Array[Float],
+        java.sql.Timestamp)]
+    val q = graft.streaming.CorpusStreams.curationAtIngest(
+        mem.toDS().toDF("doc_id", "text", "lang", "label", "embedding",
+          "arrival_ts"),
+        standingDocs, standingEmb)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("curation").start()
+    try {
+      mem.addData(arrivals: _*)
+      q.processAllAvailable()
+      mem.addData((999L, goodA + " flush marker", "en", 0,
+        Array(1f, 0f, 0f, 0f), flushTs))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("curation").filter(col("doc_id") < 900).collect()
+    assert(rows.length == arrivals.length,
+      s"each verdict must emit exactly once: ${rows.length}")
+    val got = rows.map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(5),
+      r.getBoolean(6), r.getLong(7), r.getBoolean(8)))).toMap
+    // independent twins per channel
+    val standingHashes = Set(md5hex(norm(goodB)))
+    val cellVecs = Map(0 -> Seq(Array(1f, 0f, 0f, 0f)),
+      1 -> Seq(Array(0f, 1f, 0f, 0f)))
+    val qKeep = graft.queries.Ingest.admissionDecision(
+        graft.queries.Ingest.admissionSignals(
+          arrivals.toDF("doc_id", "text", "lang", "label", "embedding",
+            "arrival_ts")))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(6)).toMap
+    arrivals.foreach { case (id, text, _, label, emb, _) =>
+      val (split, lex, sem, nSem, keep) = got(id)
+      val b = Integer.parseInt(md5hex(norm(text)).take(4), 16) % 100
+      val expSplit = if (b < 80) "train" else if (b < 90) "val" else "test"
+      assert(split == expSplit, s"doc $id split $split != $expSplit")
+      val expLex = standingHashes(md5hex(norm(text)))
+      val expSem = cellVecs.getOrElse(label, Nil).count(cos(emb, _) >= 0.3)
+      assert(lex == expLex, s"doc $id lex_dup=$lex")
+      assert(sem == (expSem > 0) && nSem == expSem,
+        s"doc $id sem_dup=$sem n=$nSem want $expSem")
+      assert(keep == (qKeep(id) && !expLex && expSem == 0),
+        s"doc $id keep=$keep")
+    }
+    // the corpus must fire every channel: admitted, lex-only, quality-only,
+    // sem-only, and the no-cell path
+    assert(got(1L)._5 && got(5L)._5, "docs 1 and 5 must be admitted")
+    assert(got(2L)._2 && !got(2L)._3, "doc 2 is the lexical-only reject")
+    assert(!got(3L)._2 && !got(3L)._3 && !got(3L)._5, "doc 3 fails on quality")
+    assert(got(4L)._3 && !got(4L)._2, "doc 4 is the semantic-only reject")
+  }
 }
