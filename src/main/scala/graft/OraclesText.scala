@@ -137,6 +137,30 @@ object OraclesText {
          |WHERE round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) >= 0.8
          |ORDER BY id_a, id_b""".stripMargin,
 
+    // TextDedup.d16SourceOverlap: near-dup pairs rolled up by the
+    // unordered source pair — the provenance mirror matrix; mean
+    // Jaccard is the exact grid average of 6-decimal scores.
+    "d16_source_overlap" ->
+      s"""WITH $shingleCte,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sidx GROUP BY doc_id),
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+         |          FROM sidx a JOIN sidx b
+         |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |jp AS (SELECT id_a, id_b,
+         |    round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) AS jaccard
+         |  FROM pairs JOIN sizes sa ON id_a = sa.doc_id
+         |       JOIN sizes sb ON id_b = sb.doc_id
+         |  WHERE round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) >= 0.8),
+         |src AS (SELECT doc_id, source FROM documents)
+         |SELECT least(sa.source, sb.source) AS source_a,
+         |  greatest(sa.source, sb.source) AS source_b,
+         |  count(*) AS n_pairs,
+         |  ${Oracles.exactAvg("jaccard", 6, 6)} AS mean_jaccard
+         |FROM jp JOIN src sa ON jp.id_a = sa.doc_id
+         |     JOIN src sb ON jp.id_b = sb.doc_id
+         |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
+
     // TextDedup.d15SplitLeakage: the d6 near-dup pairs annotated with
     // both sides' t9 content-hash splits; `leaks` = the pair straddles
     // the train boundary (a val/test doc's near-twin sits in train).
@@ -1246,6 +1270,34 @@ object OraclesText {
         |  GROUP BY 1, 2, 3, 4)
         |SELECT doc_id, width, height, CAST(nf AS BIGINT) AS n_frames, byte_sum
         |FROM s ORDER BY doc_id LIMIT 2000""".stripMargin,
+
+    // Multimodal.m8SceneCuts: per adjacent frame pair, the sum of
+    // absolute per-byte differences; a cut where delta > 32·frameLen.
+    // The oracle replays the generator's byte formula; the Spark side
+    // must walk the real container and diff real payloads.
+    "m8_scene_cuts" ->
+      """WITH p AS (SELECT doc_id,
+        |    CAST(1 + doc_id % 16 AS INT) AS w,
+        |    CAST(1 + doc_id % 12 AS INT) AS h,
+        |    1 + doc_id % 6 AS nf
+        |  FROM documents),
+        |pp AS (SELECT doc_id, w * h * 3 AS flen, nf FROM p),
+        |delta AS (SELECT pp.doc_id, f.i AS f,
+        |    CAST(sum(abs(
+        |        ((pp.doc_id % 256) * 31 + f.i * 7919 + j.i * 2654435761) % 256
+        |      - ((pp.doc_id % 256) * 31 + (f.i - 1) * 7919 + j.i * 2654435761) % 256))
+        |      AS BIGINT) AS delta,
+        |    max(pp.flen) AS flen
+        |  FROM pp, range(1, 6) f(i), range(0, 576) j(i)
+        |  WHERE f.i < pp.nf AND j.i < pp.flen
+        |  GROUP BY 1, 2)
+        |SELECT pp.doc_id, CAST(pp.nf AS BIGINT) AS n_frames,
+        |  CAST(coalesce(sum(CASE WHEN d.delta > 32 * d.flen THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) AS n_cuts,
+        |  CAST(coalesce(sum(d.delta), 0) AS BIGINT) AS sum_delta,
+        |  CAST(coalesce(max(d.delta), 0) AS BIGINT) AS max_delta
+        |FROM pp LEFT JOIN delta d ON pp.doc_id = d.doc_id
+        |GROUP BY 1, 2 ORDER BY pp.doc_id LIMIT 2000""".stripMargin,
 
     "m4_audio_features" ->
       """WITH p AS (SELECT doc_id,

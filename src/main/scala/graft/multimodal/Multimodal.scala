@@ -308,7 +308,12 @@ object Multimodal {
     * RIFF grammar.
     */
   object AviParser extends Serializable {
-    def parse(bytes: Array[Byte]): VideoFeatures.Raw = {
+    /** @param onFrame called once per movi frame chunk, in stream order,
+      *                with the frame's payload bytes — the hook m8's
+      *                scene-cut deltas ride so the container walks once
+      */
+    def parse(bytes: Array[Byte],
+        onFrame: Array[Byte] => Unit = _ => ()): VideoFeatures.Raw = {
       val buf = java.nio.ByteBuffer.wrap(bytes)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       def fourcc(): String = {
@@ -341,6 +346,8 @@ object Multimodal {
               var i = buf.position()
               val stop = buf.position() + size
               while (i < stop) { byteSum += buf.get(i) & 0xff; i += 1 }
+              onFrame(java.util.Arrays.copyOfRange(bytes,
+                buf.position(), stop))
               buf.position(next)
             case _ =>
               buf.position(next)
@@ -380,6 +387,56 @@ object Multimodal {
             ((1 + id % 16).toInt, (1 + id % 12).toInt, (1 + id % 6).toInt)
           val raw = AviParser.parse(VideoGen.aviBytes(w, h, nf, id))
           VideoFeatures(id, raw.width, raw.height, raw.nFrames, raw.byteSum)
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+      .limit(2000)
+  }
+
+  case class SceneCuts(doc_id: Long, n_frames: Long, n_cuts: Long,
+      sum_delta: Long, max_delta: Long)
+
+  /** Scene-cut detection (m8): the shot-boundary pass every video
+    * pipeline runs before sampling keyframes — per adjacent frame pair,
+    * the sum of absolute per-byte differences over the REAL decoded
+    * payloads (the container walks once; deltas ride m5's strict RIFF
+    * walk via the frame callback), and a cut wherever the delta exceeds
+    * 32 × frameLen (the generator steps frames by a constant 239 mod 256,
+    * so per-byte deltas are 17 or 239 with mean ≈31.7 — the threshold
+    * sits at the noise mean and genuinely separates; in production the
+    * threshold is tuned config, the gate pins this default). All
+    * integer math — the oracle replays the generator's byte formula
+    * arithmetically, so a walker that misaligns a frame boundary or
+    * drops a chunk cannot hash-match. Scale shape: one parser per
+    * partition, the previous-frame buffer is one frame, payloads die
+    * map-side, emitted rows are five integers.
+    */
+  def m8SceneCuts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long"))
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val (w, h, nf) =
+            ((1 + id % 16).toInt, (1 + id % 12).toInt, (1 + id % 6).toInt)
+          val frameLen = w * h * 3
+          var prev: Array[Byte] = null
+          var nCuts = 0L; var sumD = 0L; var maxD = 0L
+          val raw = AviParser.parse(VideoGen.aviBytes(w, h, nf, id), frame => {
+            if (prev != null) {
+              var d = 0L; var j = 0
+              while (j < frame.length) {
+                d += math.abs((frame(j) & 0xff) - (prev(j) & 0xff)); j += 1
+              }
+              sumD += d
+              if (d > maxD) maxD = d
+              if (d > 32L * frameLen) nCuts += 1
+            }
+            prev = frame
+          })
+          SceneCuts(id, raw.nFrames, nCuts, sumD, maxD)
         }
       }
       .toDF()
@@ -690,5 +747,6 @@ object Multimodal {
     "m5_video_features" -> (m5VideoFeatures _),
     "m6_image_phash" -> (m6ImagePhash _),
     "m7_media_manifest" -> (m7MediaManifest _),
+    "m8_scene_cuts" -> (m8SceneCuts _),
   )
 }

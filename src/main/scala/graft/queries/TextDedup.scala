@@ -1439,6 +1439,35 @@ object TextDedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Cross-source overlap matrix (d16): near-dup pairs rolled up by the
+    * UNORDERED source pair — the provenance dashboard that answers
+    * "which crawls re-host which": a hot (src_i, src_j) cell means one
+    * feed mirrors another and should be down-weighted or dropped at
+    * acquisition, the cheapest point in the pipeline to kill
+    * duplication. Pair ids carry no source order, so the cell key is
+    * (least, greatest) of the two source labels; the mean Jaccard is
+    * the exact grid average (scores are 6-decimal-rounded, so ×10⁶ is
+    * integer). Reads the run-scoped pair materialization; two slim
+    * (doc_id, source) sides broadcast; the rollup key is tiny.
+    */
+  def d16SourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    sourceOverlapOf(dupPairs(spark, dir), Tables.documents(spark, dir))
+
+  private[graft] def sourceOverlapOf(pairs: DataFrame,
+      docs: DataFrame): DataFrame = {
+    val srcs = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(srcs.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(srcs.as("sb"), col("id_b") === col("sb.doc_id"))
+      .select(col("jaccard"),
+        least(col("sa.source"), col("sb.source")).as("source_a"),
+        greatest(col("sa.source"), col("sb.source")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        GridMath.gridAvgRound(col("jaccard"), 6, 6).as("mean_jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> (d1ExactDedup _),
     "d2_minhash_signature" -> (d2MinhashSignature _),
@@ -1456,6 +1485,7 @@ object TextDedup {
     "d12_train_overlap" -> (d12TrainOverlap _),
     "d14_lsh_recall" -> (d14LshRecall _),
     "d15_split_leakage" -> (d15SplitLeakage _),
+    "d16_source_overlap" -> (d16SourceOverlap _),
     "t17_ngram_novelty" -> (t17NgramNovelty _),
     "p10_dataset_card" -> (p10DatasetCard _),
     "t1_token_stats" -> (t1TokenStats _),

@@ -183,4 +183,43 @@ class MultimodalSpec extends AnyFunSuite {
     val sameAs1 = got.count(_._2._1 == got(1L)._1).toLong
     assert(sameAs1 >= 2L && got(1L)._2 == sameAs1 && got(1L)._3 == 1L)
   }
+
+  test("AVI frame callback delivers every payload in stream order, byte-exact") {
+    import graft.multimodal.Multimodal.{AviParser, VideoGen}
+    val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    val raw = AviParser.parse(VideoGen.aviBytes(2, 1, 3, 7L), frames += _)
+    assert(raw.nFrames == 3L && frames.length == 3)
+    for (f <- 0 until 3; j <- 0 until 6)
+      assert(frames(f)(j) == VideoGen.frameByte(7L, f, j),
+        s"frame $f byte $j")
+  }
+
+  test("m8 scene cuts match an independent formula twin over the harness corpus") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.multimodal.Multimodal.m8SceneCuts(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // twin: replay the generator's byte formula — shares nothing with
+    // the container walk under test
+    val ids = Tables.documents(spark, dir)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    def b(id: Long, f: Int, j: Int): Long =
+      ((id % 256L) * 31L + f.toLong * 7919L + j.toLong * 2654435761L) % 256L
+    var cutsSeen = 0; var quietSeen = 0
+    ids.foreach { id =>
+      val (w, h, nf) = ((1 + id % 16).toInt, (1 + id % 12).toInt,
+        (1 + id % 6).toInt)
+      val flen = w * h * 3
+      val deltas = (1 until nf).map(f =>
+        (0 until flen).map(j => math.abs(b(id, f, j) - b(id, f - 1, j))).sum)
+      val exp = (nf.toLong, deltas.count(_ > 32L * flen).toLong,
+        deltas.sum, if (deltas.isEmpty) 0L else deltas.max)
+      assert(got(id) == exp, s"doc $id: got ${got(id)} want $exp")
+      if (exp._2 > 0) cutsSeen += 1
+      if (deltas.nonEmpty && exp._2 < deltas.length) quietSeen += 1
+    }
+    assert(cutsSeen > 0 && quietSeen > 0,
+      s"threshold must separate: cuts in $cutsSeen docs, quiet deltas in $quietSeen")
+  }
 }

@@ -268,6 +268,28 @@ class PipelineOpsSpec extends AnyFunSuite {
       "the engineered lang-Z cells must admit nothing")
   }
 
+  test("d16: source cells are unordered (least/greatest) and the mean is the exact grid average") {
+    import spark.implicits._
+    val docs = Seq((1L, "srcB"), (2L, "srcA"), (3L, "srcA"), (4L, "srcC"))
+      .toDF("doc_id", "source")
+    // pair (1,2) arrives as (B,A) by id order and must land in the (A,B)
+    // cell with pair (3,1)'s (A,B); (2,3) is the within-source cell
+    val pairs = Seq((1L, 2L, 0.8), (1L, 3L, 0.9), (2L, 3L, 0.811111),
+      (2L, 4L, 0.95)).toDF("id_a", "id_b", "jaccard")
+    val got = TextDedup.sourceOverlapOf(pairs, docs)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    def gridMean(js: Seq[Double]): Double = {
+      val units = js.map(j => math.round(j * 1e6)).sum
+      val den = js.size * 1000000L
+      ((units * 1000000L + den / 2) / den) / 1e6
+    }
+    assert(got == Map(
+      ("srcA", "srcB") -> ((2L, gridMean(Seq(0.8, 0.9)))),
+      ("srcA", "srcA") -> ((1L, 0.811111)),
+      ("srcA", "srcC") -> ((1L, 0.95))), s"got $got")
+  }
+
   test("d15: the leak bit is exactly the train-boundary straddle of the pair's splits") {
     import spark.implicits._
     def md5hex(s: String): String =
