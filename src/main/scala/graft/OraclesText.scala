@@ -907,6 +907,36 @@ object OraclesText {
          |WHERE r.rk <= 3 ORDER BY r.q_id, r.rk""".stripMargin
     },
 
+    // Embeddings.s12CentroidDrift: per label, cosine between the train
+    // centroid and each non-train centroid — grid-exact per-(label,
+    // split) means via the doc_id ≡ vec_id split alignment.
+    "s12_centroid_drift" -> {
+      val centAvg =
+        Oracles.exactAvg("CAST(embedding[CAST(i AS INT)] AS DOUBLE)", 6, 6)
+      s"""WITH sp AS (SELECT doc_id AS vec_id,
+         |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |      ${hex4ToInt("substr(md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), 1, 4)")} % 100 AS b
+         |    FROM documents)),
+         |e AS (SELECT em.vec_id, em.label, em.embedding, sp.split
+         |  FROM embeddings em JOIN sp USING (vec_id)),
+         |cd AS (SELECT label, split, CAST(i AS INT) AS dim, $centAvg AS m,
+         |    count(*) AS n
+         |  FROM e, range(1, 65) t(i) GROUP BY label, split, i),
+         |cent AS (SELECT label, split, list(m ORDER BY dim) AS c,
+         |    max(n) AS n
+         |  FROM cd GROUP BY 1, 2)
+         |SELECT a.label, b.split, CAST(a.n AS BIGINT) AS n_train,
+         |  CAST(b.n AS BIGINT) AS n_split,
+         |  round(${dotSql("a.c", "b.c")} /
+         |    (sqrt(${dotSql("a.c", "a.c")}) * sqrt(${dotSql("b.c", "b.c")})), 6)
+         |    AS centroid_cos
+         |FROM cent a JOIN cent b
+         |  ON a.label = b.label AND a.split = 'train' AND b.split != 'train'
+         |ORDER BY a.label, b.split""".stripMargin
+    },
+
     // Embeddings.s10KmeansReassign: spherical-Lloyd E-step — every
     // vector scores every exact-integer-unit centroid and moves to the
     // nearest (cosine desc, c_label tie-break).

@@ -529,12 +529,59 @@ object Embeddings {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** Embedding centroid drift across splits (s12): per label, the
+    * cosine between the train split's centroid and the val/test
+    * centroids — the distribution-shift monitor a pipeline reads
+    * before trusting that its held-out split measures the training
+    * distribution (and, release-over-release, that a corpus refresh
+    * hasn't moved the embedding space under a frozen index). Splits
+    * come from t9's content hash via the doc_id ≡ vec_id alignment;
+    * per-(label, split) centroids are the s4 grid-exact means, so both
+    * engines derive identical vectors and the drift number itself is
+    * gateable. Shape at scale: one (label, split, dim) shuffle over
+    * posexploded dims (high-cardinality key), then the centroid table
+    * is nLabels × 3 rows — the comparison join is trivially broadcast.
+    */
+  def s12CentroidDrift(spark: SparkSession, dir: String): DataFrame =
+    centroidDriftOf(graft.Tables.documents(spark, dir),
+      Tables.embeddings(spark, dir))
+
+  private[graft] def centroidDriftOf(docs: DataFrame,
+      embeddings: DataFrame): DataFrame = {
+    val (_, split) = TextDedup.splitCols
+    val splits = docs.select(col("doc_id").as("vec_id"), split.as("split"))
+    val emb = embeddings.join(splits, Seq("vec_id"))
+    def ddot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+    val cent = emb
+      .select(col("label"), col("split"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("split"), col("dim"))
+      .agg(GridMath.gridAvgRound(col("v").cast("double"), 6, 6).as("m"),
+        count(lit(1)).as("n"))
+      .groupBy(col("label"), col("split"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"),
+        max(col("n")).as("n"))
+      .select(col("label"), col("split"),
+        expr("transform(dm, x -> x.m)").as("c"), col("n"))
+    cent.as("a").join(broadcast(cent.as("b")),
+        col("a.label") === col("b.label") && col("a.split") === "train"
+          && col("b.split") =!= "train")
+      .select(col("a.label").as("label"), col("b.split").as("split"),
+        col("a.n").as("n_train"), col("b.n").as("n_split"),
+        round(ddot(col("a.c"), col("b.c"))
+          / (sqrt(ddot(col("a.c"), col("a.c")))
+            * sqrt(ddot(col("b.c"), col("b.c")))), 6).as("centroid_cos"))
+      .orderBy(col("label"), col("split"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_cosine_topk" -> (s1CosineTopK _),
     "s8_ann_recall" -> (s8AnnRecall _),
     "s9_incr_semdedup" -> (s9IncrementalSemDedup _),
     "s10_kmeans_reassign" -> (s10KmeansReassign _),
     "s11_pq_adc" -> (s11PqAdc _),
+    "s12_centroid_drift" -> (s12CentroidDrift _),
     "s6_semantic_dedup" -> (s6SemanticDedup _),
     "s7_ivf_probe2" -> (s7IvfProbe2 _),
     "s2_ivf_neardup" -> (s2IvfNearDup _),

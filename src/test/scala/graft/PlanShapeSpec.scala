@@ -92,13 +92,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("shingle"), p.take(800))
   }
 
-  test("m4/m5: media decode is map-side — no hash exchange below the top-k") {
+  test("m4/m5/m8: media decode is map-side — no hash exchange below the top-k") {
     for (q <- Seq(graft.multimodal.Multimodal.m4AudioFeatures(spark, dir),
-        graft.multimodal.Multimodal.m5VideoFeatures(spark, dir))) {
+        graft.multimodal.Multimodal.m5VideoFeatures(spark, dir),
+        graft.multimodal.Multimodal.m8SceneCuts(spark, dir))) {
       val p = plan(q)
       assert(!p.contains("Exchange hashpartitioning"), p.take(800))
       assert(p.contains("TakeOrderedAndProject"), p.take(800))
     }
+  }
+
+  test("d16: consumes the materialized pair table; source sides broadcast; rollup is partial-agg") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val root = physicalRoot(TextDedup.d16SourceOverlap(spark, dir))
+    val pairScans = root.collect {
+      case s: FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains("graft-pairs")) => s
+    }
+    assert(pairScans.length == 1, s"want 1 pair-parquet scan:\n${root.toString.take(1200)}")
+    assert(!root.toString.contains("shingle"),
+      "d16 must not re-derive shingles — that is dupPairs' job, done once")
+    assert(root.collect { case j: BroadcastHashJoinExec => j }.length == 2,
+      s"both source sides must broadcast:\n${root.toString.take(1200)}")
+    assert(root.toString.contains("partial_count"),
+      s"rollup must partial-aggregate map-side:\n${root.toString.take(1200)}")
   }
 
   test("q26: the correlated LATERAL decorrelates — ranked join, no nested loop per outer row") {

@@ -70,4 +70,46 @@ class PqSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("s12: drift is 1.0 for split-stable labels and 0.0 for orthogonal eval vectors") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def split(text: String): String = {
+      val b = Integer.parseInt(md5hex(text).take(4), 16) % 100
+      if (b < 80) "train" else if (b < 90) "val" else "test"
+    }
+    // single-token lowercase texts: normalization is the identity, so
+    // the JVM twin's hash space equals the operator's exactly
+    val docs = (0 until 400).map(i => (i.toLong, s"word$i"))
+    val splits = docs.map { case (id, t) => id -> split(t) }.toMap
+    val counts = docs.groupBy(d => (d._1 % 2, splits(d._1))).map {
+      case (k, rows) => k -> rows.size.toLong
+    }
+    assert(Seq("train", "val", "test").forall(s =>
+      counts.contains((0L, s)) && counts.contains((1L, s))),
+      s"need every (label, split) cell populated: $counts")
+    // label 0: one direction everywhere → drift cos 1.0;
+    // label 1: train on e2, eval splits on e3 → drift cos 0.0
+    val emb = docs.map { case (id, t) =>
+      val v =
+        if (id % 2 == 0) Array(1f, 0f, 0f, 0f)
+        else if (splits(id) == "train") Array(0f, 1f, 0f, 0f)
+        else Array(0f, 0f, 1f, 0f)
+      (id, (id % 2).toInt, v)
+    }
+    val got = graft.queries.Embeddings.centroidDriftOf(
+        docs.toDF("doc_id", "text"),
+        emb.toDF("vec_id", "label", "embedding"))
+      .collect().map(r => (r.getInt(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.size == 4, s"2 labels × (val, test): $got")
+    Seq("val", "test").foreach { s =>
+      assert(got((0, s)) == ((counts((0L, "train")), counts((0L, s)), 1.0)),
+        s"label 0 $s: ${got((0, s))}")
+      assert(got((1, s)) == ((counts((1L, "train")), counts((1L, s)), 0.0)),
+        s"label 1 $s: ${got((1, s))}")
+    }
+  }
 }
