@@ -527,6 +527,36 @@ object OraclesText {
         |  CAST((rnk - 1) * 10 // n_total AS BIGINT) AS decile
         |FROM r, t ORDER BY rank LIMIT 2000""".stripMargin,
 
+    // TextDedup.p11AnnealMix: linear keep-rate schedule over the p8
+    // deciles (1000 − 100·decile per mille), decided by the integer
+    // bucket rule on an "ann:"-salted content hash.
+    "p11_anneal_mix" ->
+      s"""WITH x AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\\s+') AS toks,
+        |    ${hex4ToInt("substr(md5('ann:' || regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), 1, 4)")} % 1000 AS bucket
+        |  FROM documents),
+        |r0 AS (SELECT doc_id, bucket,
+        |    CAST(len(toks) AS INT) AS n_tokens,
+        |    CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','is','to'], t))) AS DOUBLE) / len(toks) AS stop_ratio,
+        |    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+        |    CAST(len(list_filter(toks, t -> length(t) >= 4)) AS DOUBLE) / len(toks) AS long_ratio
+        |  FROM x),
+        |q AS (SELECT doc_id, bucket,
+        |    round(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.3
+        |      + ttr * 0.3 + stop_ratio * 0.2 + long_ratio * 0.2, 6) AS quality
+        |  FROM r0),
+        |r AS (SELECT doc_id, bucket, quality,
+        |    row_number() OVER (ORDER BY quality DESC, doc_id) AS rnk FROM q),
+        |t AS (SELECT count(*) AS n_total FROM q),
+        |d AS (SELECT doc_id, bucket, quality,
+        |    CAST((rnk - 1) * 10 // n_total AS BIGINT) AS decile
+        |  FROM r, t)
+        |SELECT doc_id, quality, decile,
+        |  1000 - decile * 100 AS rate_pm,
+        |  CAST(bucket AS BIGINT) AS bucket,
+        |  (bucket < 1000 - decile * 100) AS keep
+        |FROM d ORDER BY doc_id LIMIT 2000""".stripMargin,
+
     // TextDedup.p3TokenBudget: quality-descending cumulative token sum,
     // docs whose preceding total is under the budget. The window sum is
     // CAST to BIGINT (DuckDB promotes integer window sums to HUGEINT —

@@ -1127,6 +1127,16 @@ object TextDedup {
     * Nothing global funnels into one task.
     */
   def curriculumBins(spark: SparkSession, dir: String,
+      nBins: Int = 10, nParts: Int = 32): DataFrame =
+    curriculumFrame(spark, dir, nBins, nParts)
+      .orderBy(col("rank"))
+      .limit(2000)
+
+  /** The un-truncated (doc_id, quality, rank, decile) frame behind p8 —
+    * p11's annealing rates consume every document's decile, while the
+    * p8 gate entry pins the top-2000 presentation slice.
+    */
+  private[graft] def curriculumFrame(spark: SparkSession, dir: String,
       nBins: Int = 10, nParts: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val q = qualityFrame(spark, dir).select(col("doc_id"), col("quality"))
@@ -1151,12 +1161,36 @@ object TextDedup {
       .select(col("doc_id"), col("quality"),
         (col("rank_in") + col("offset") + 1L).as("rank"),
         expr(s"(rank_in + offset) * $nBins div n_total").as("decile"))
-      .orderBy(col("rank"))
-      .limit(2000)
   }
 
   def p8CurriculumBins(spark: SparkSession, dir: String): DataFrame =
     curriculumBins(spark, dir)
+
+  /** Quality-annealed sampling (p11): the "midtraining" mix — the final
+    * training phase upsamples high-quality text, and the keep rate is a
+    * LINEAR schedule over p8's exact deciles: rate = 1000 − 100·decile
+    * per mille (decile 0, the best tenth, keeps everything; the worst
+    * keeps 10%). The per-doc decision is the house sampling rule —
+    * integer bucket < rate on a salted content hash ("ann:"
+    * decorrelates this space from the t9/p2/p5/p7 hashes) — so the mix
+    * is exact across engines and bit-reproducible under retries, and
+    * the decile comes from the distributed prefix-sum rank, never a
+    * global sort. Output: decile, rate, bucket, and the keep bit.
+    */
+  def p11AnnealMix(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = conv(substring(fastMd5(concat(lit("ann:"),
+        regexp_replace(trim(lower(col("text"))), "\\s+", " "))), 1, 4),
+      16, 10).cast("long") % 1000
+    val buckets = Tables.documents(spark, dir)
+      .select(col("doc_id"), bucket.as("bucket"))
+    curriculumFrame(spark, dir)
+      .join(buckets, Seq("doc_id"))
+      .select(col("doc_id"), col("quality"), col("decile"),
+        (lit(1000L) - col("decile") * 100L).as("rate_pm"), col("bucket"),
+        (col("bucket") < lit(1000L) - col("decile") * 100L).as("keep"))
+      .orderBy(col("doc_id"))
+      .limit(2000)
+  }
 
   /** Unified curation decision (p9): the cross-modal capstone — per
     * document, the quality admission verdict (p4), the content-hash
@@ -1509,6 +1543,7 @@ object TextDedup {
     "p5_lang_rebalance" -> (p5LangRebalance _),
     "p7_temp_rebalance" -> (p7TempRebalance _),
     "p8_curriculum_bins" -> (p8CurriculumBins _),
+    "p11_anneal_mix" -> (p11AnnealMix _),
     "p9_unified_curation" -> (p9UnifiedCuration _),
     "p3_token_budget" -> (p3TokenBudget _),
   )

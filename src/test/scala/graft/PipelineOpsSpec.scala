@@ -268,6 +268,54 @@ class PipelineOpsSpec extends AnyFunSuite {
       "the engineered lang-Z cells must admit nothing")
   }
 
+  test("p11: annealing keep is the decile-rate bucket rule, twin-checked over the harness corpus") {
+    import org.apache.spark.sql.functions.col
+    val Stop = Set("the", "a", "of", "and", "is", "to")
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // independent twin: quality formula, global desc rank, decile, the
+    // "ann:"-salted bucket, and the linear rate schedule
+    val scored = docs.map { case (id, text) =>
+      val toks = text.trim.toLowerCase(java.util.Locale.ROOT)
+        .split("\\s+").toSeq
+      val n = toks.length
+      val q = round6(math.min(n / 50.0, 1.0) * 0.3
+        + (toks.distinct.length.toDouble / n) * 0.3
+        + (toks.count(Stop).toDouble / n) * 0.2
+        + (toks.count(_.length >= 4).toDouble / n) * 0.2)
+      val norm = text.replaceAll("^ +| +$", "")
+        .toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
+      val bucket = Integer.parseInt(md5hex("ann:" + norm).take(4), 16) % 1000
+      (id, q, bucket.toLong)
+    }
+    val nTotal = scored.length.toLong
+    val expected = scored.sortBy { case (id, q, _) => (-q, id) }.zipWithIndex
+      .map { case ((id, q, bucket), rank0) =>
+        val decile = rank0.toLong * 10 / nTotal
+        val rate = 1000L - decile * 100L
+        id -> ((q, decile, rate, bucket, bucket < rate))
+      }.toMap
+    val got = TextDedup.p11AnnealMix(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(got == expected, s"first diff: ${
+      expected.collect { case (k, v) if got.get(k) != Some(v) =>
+        (k, got.get(k), v) }.take(3)}")
+    // the schedule must bite: the best decile keeps everything, the
+    // worst rejects most
+    val byDecile = got.values.groupBy(_._2)
+    assert(byDecile(0L).forall(_._5), "decile 0 must keep all")
+    val worst = byDecile(byDecile.keys.max)
+    assert(worst.count(_._5) < worst.size, "the worst decile must reject")
+  }
+
   test("d16: source cells are unordered (least/greatest) and the mean is the exact grid average") {
     import spark.implicits._
     val docs = Seq((1L, "srcB"), (2L, "srcA"), (3L, "srcA"), (4L, "srcC"))
