@@ -261,6 +261,51 @@ object CorpusStreams {
       .select(col("doc_id"), col("phash"))
   }
 
+  /** Ingest-time EMBEDDING dedup against a standing collection — s9's
+    * streaming half, closing the last batch-only gap in incremental
+    * dedup: text (d13 ↔ [[ingestDedupAgainst]]/[[nearDupAlertsWatermarked]]),
+    * images (m6 ↔ [[imageDedupAgainst]]), and now embeddings (s9 ↔ this).
+    * An arriving vector joins the STANDING collection's vectors within
+    * its IVF cell (stream-static left join on the label key — per
+    * arrival cost is the cell size, the s2b cap applies when a cell
+    * runs hot) and is admitted iff no standing vector scores
+    * cosine ≥ 0.3 (s9's SemDeDup rule). Emitted per arrival: the match
+    * count, the smallest matching standing vec_id (−1 when none — the
+    * dup_of provenance s9 records), and the admission bit. The
+    * per-vector aggregation sits under a watermarked event-time window
+    * (a vector arrives at one instant, so the window changes nothing
+    * about the verdict — it is the state-eviction clock), verdicts
+    * emit exactly once in append mode. `StreamingSpec` pins stream ≡
+    * batch s9 verdicts on the same new/standing split.
+    */
+  def embeddingDedupAgainst(newEmb: DataFrame, standingEmb: DataFrame,
+      watermarkDelay: String = "10 minutes",
+      windowDur: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.graftfn.GraftExpressions.floatVecDot
+    val cells = standingEmb.select(col("label"),
+        col("vec_id").as("old_id"), col("embedding").as("s_emb"),
+        sqrt(floatVecDot(col("embedding"), col("embedding"))).as("s_nrm"))
+      .persist()
+    cells.count() // static side re-evaluates per trigger — pin it once
+    newEmb
+      .select(col("vec_id"), col("label"),
+        col("arrival_ts").cast("timestamp"), col("embedding"),
+        sqrt(floatVecDot(col("embedding"), col("embedding"))).as("nrm"))
+      .withWatermark("arrival_ts", watermarkDelay)
+      .join(cells, Seq("label"), "left")
+      .withColumn("cos", when(col("s_emb").isNotNull,
+        round(floatVecDot(col("embedding"), col("s_emb"))
+          / (col("nrm") * col("s_nrm")), 6)))
+      .groupBy(window(col("arrival_ts"), windowDur), col("vec_id"),
+        col("label"))
+      .agg(sum(when(col("cos") >= 0.3, 1L).otherwise(0L))
+          .as("n_semdup_matches"),
+        min(when(col("cos") >= 0.3, col("old_id"))).as("dof"))
+      .select(col("vec_id"), col("label"), col("n_semdup_matches"),
+        coalesce(col("dof"), lit(-1L)).as("dup_of"),
+        col("dof").isNull.as("admitted"))
+  }
+
   /** Ingest-time EXACT dedup against a standing corpus — the streaming
     * half of d13's exact verdict: a stream-static LEFT ANTI join on the
     * d1 content hash (append-safe, zero state) composed with

@@ -834,6 +834,46 @@ class StreamingSpec extends AnyFunSuite {
       s"got $got")
   }
 
+  test("streaming embedding dedup equals the batch s9 verdicts on the same split") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val batch = graft.queries.Embeddings.s9IncrementalSemDedup(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))).toMap
+    val rows = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val (newRows, standing) = rows.partition(_._1 % 20 == 0)
+    val ts0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    val flushTs = java.sql.Timestamp.valueOf("2026-01-01 12:00:00")
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Int, Array[Float], java.sql.Timestamp)]
+    val q = graft.streaming.CorpusStreams.embeddingDedupAgainst(
+        mem.toDS().toDF("vec_id", "label", "embedding", "arrival_ts"),
+        standing.toSeq.toDF("vec_id", "label", "embedding"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("emb_dedup").start()
+    try {
+      mem.addData(newRows.toSeq.map(r => (r._1, r._2, r._3, ts0)): _*)
+      q.processAllAvailable()
+      // watermark flush: a sacrificial row in a label with no twin risk
+      mem.addData((999999L, standing.head._2, standing.head._3, flushTs))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("emb_dedup")
+      .filter(col("vec_id") =!= 999999L)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))).toMap
+    assert(streamed.size == newRows.length,
+      s"each arrival verdicts exactly once: ${streamed.size}/${newRows.length}")
+    assert(streamed == batch,
+      s"stream≠batch; diff=${(streamed.toSet diff batch.toSet).take(3)}")
+    assert(batch.values.exists(_._4) && batch.values.exists(!_._4),
+      "corpus must exercise both admitted and rejected arrivals")
+  }
+
   test("streaming unified curation: each rejection channel fires independently, verdicts emit once (p9 twin)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
