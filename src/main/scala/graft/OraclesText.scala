@@ -1090,6 +1090,26 @@ object OraclesText {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase
         |FROM events ORDER BY event_id LIMIT 3000""".stripMargin,
 
+    // Events.e13DecayedScore: hour-bucket exponential decay (half-life
+    // one hour, integer micro-unit weights, age capped at 30 where the
+    // weight is 0), global top-20 by decayed score.
+    "e13_decayed_score" ->
+      """WITH h AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+        |    user_id, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT max(hour) AS max_hour FROM h),
+        |w AS (SELECT user_id, n,
+        |    1000000 // (CAST(1 AS BIGINT) << CAST(least(
+        |      (epoch_us(t.max_hour) - epoch_us(hour)) // 3600000000, 30) AS INT))
+        |      AS w_micro
+        |  FROM h, t),
+        |s AS (SELECT user_id, CAST(sum(n) AS BIGINT) AS n_events,
+        |    CAST(sum(n * w_micro) AS BIGINT) AS score_micro
+        |  FROM w GROUP BY 1)
+        |SELECT user_id, n_events,
+        |  round(CAST(score_micro AS DOUBLE) / 1000000.0, 6) AS score
+        |FROM s ORDER BY score DESC, user_id LIMIT 20""".stripMargin,
+
     "e1_window_agg" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
         |  count(*) AS n,

@@ -409,7 +409,53 @@ object Events {
       .limit(3000)
   }
 
+  /** Time-decayed activity leaderboard (e13): each user's events are
+    * weighted by 2^(−age) with a one-hour half-life, age measured in
+    * whole hour buckets from the corpus's latest hour — the "what's hot
+    * right now" ranking every engagement surface runs. Hour-bucket
+    * quantization is what makes the decay EXACT (weight = 10⁶ div 2^age
+    * in integer micro-units, age capped at 30 where the weight hits 0)
+    * and what makes the operator incrementally maintainable: the score
+    * is a weighted sum of per-(hour, user) partials, which is exactly
+    * the asset the streaming side materializes
+    * ([[graft.streaming.EventStreams.hourlyUserActivity]]) — the
+    * leaderboard re-weights closed windows at read time instead of
+    * touching raw events (spec-pinned equal). Global top-20 rides the
+    * TakeOrderedAndProject sink (q8's shape), never a full sort.
+    */
+  def e13DecayedScore(spark: SparkSession, dir: String): DataFrame =
+    decayedFromPartials(hourlyPartials(spark, dir))
+
+  private[graft] def hourlyPartials(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n"))
+
+  /** The leaderboard finalize over (hour, user_id, n) partials — shared
+    * by the batch query and the read side of the streaming-partials
+    * asset, because that sharing IS the architecture: the stream
+    * maintains the partials, the leaderboard is a re-weighting of them.
+    */
+  private[graft] def decayedFromPartials(partials: DataFrame): DataFrame = {
+    val us = unix_micros(col("hour").cast("timestamp"))
+    val tmax = partials.agg(max(us).as("max_us"))
+    partials.crossJoin(broadcast(tmax))
+      .withColumn("age_h",
+        expr("(max_us - unix_micros(CAST(hour AS TIMESTAMP))) div 3600000000"))
+      .withColumn("w_micro", expr(
+        "1000000 div shiftleft(CAST(1 AS BIGINT), CAST(least(age_h, 30) AS INT))"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("n")).as("n_events"),
+        sum(col("n") * col("w_micro")).as("score_micro"))
+      .select(col("user_id"), col("n_events"),
+        round(col("score_micro").cast("double") / 1e6, 6).as("score"))
+      .orderBy(col("score").desc, col("user_id"))
+      .limit(20)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e13_decayed_score" -> (e13DecayedScore _),
     "e1_window_agg" -> (e1WindowAgg _),
     "e10_cohort_retention" -> (e10CohortRetention _),
     "e11_gap_fill" -> (e11GapFill _),

@@ -64,6 +64,21 @@ object EventStreams {
       .select(col("window.start").cast("timestamp_ntz").as("hour"),
         col("event_type"), col("user_id"), col("n"))
 
+  /** Per-(hour window, user) activity counts — the streaming-partials
+    * asset behind e13's decayed leaderboard: the stream maintains these
+    * incrementally (watermarked tumbling windows, closed windows are
+    * immutable), and the leaderboard is a read-time re-weighting of
+    * them ([[graft.queries.Events.decayedFromPartials]]) — raw events
+    * are never revisited when the decay anchor advances. Type-agnostic
+    * twin of [[windowedUserCounts]].
+    */
+  def hourlyUserActivity(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("timestamp_ntz").as("hour"),
+        col("user_id"), col("n"))
+
   /** Ranking half of the e4 twin: exact top-k users per (window, type)
     * over the streamed counts, via the same two-phase salted top-k the
     * batch side uses (per-(window,type) ranking is a few-group hotspot;

@@ -834,6 +834,31 @@ class StreamingSpec extends AnyFunSuite {
       s"got $got")
   }
 
+  test("streaming hourly partials roll up to the batch decayed leaderboard (e13 twin)") {
+    import org.apache.spark.sql.functions._
+    val stream = EventStreams.readEvents(spark, streamDir)
+    val q = EventStreams.hourlyUserActivity(stream)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("hourly_activity")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // the partials asset itself must equal the batch per-(hour, user)
+    // counts (the closed-window immutability the leaderboard relies on)
+    val streamedPartials = spark.table("hourly_activity")
+    val batchPartials = Events.hourlyPartials(spark, dir)
+    assert(streamedPartials.collect().map(_.toSeq).toSet ==
+      batchPartials.collect().map(_.toSeq).toSet)
+    // the leaderboard is a read-time re-weighting of those partials —
+    // finalizing the STREAMED asset must reproduce batch e13 exactly
+    val fromStream = Events.decayedFromPartials(streamedPartials)
+      .collect().map(_.toSeq).toSeq
+    val batch = Events.e13DecayedScore(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(fromStream == batch, s"stream=$fromStream batch=$batch")
+    assert(batch.nonEmpty)
+  }
+
   test("streaming embedding dedup equals the batch s9 verdicts on the same split") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
