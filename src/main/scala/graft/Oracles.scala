@@ -283,6 +283,20 @@ object Oracles {
         |  WHERE c_nationkey = n.n_nationkey
         |  ORDER BY c_acctbal DESC, c_name LIMIT 2) c
         |ORDER BY n.n_name, c.c_acctbal DESC, c.c_name""".stripMargin,
+
+    // Relational.q27RollingRevenue: identical integer day key and cents
+    // snapping; the RANGE frame is value-based so same-day ties agree.
+    "q27_rolling_revenue" ->
+      """WITH x AS (SELECT o_custkey, o_orderkey,
+        |    date_diff('day', DATE '1992-01-01', o_orderdate) AS day,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, day,
+        |  sum(cents) OVER (PARTITION BY o_custkey ORDER BY day
+        |    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) / 100.0 AS rev_30d,
+        |  count(*) OVER (PARTITION BY o_custkey ORDER BY day
+        |    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS n_30d
+        |FROM x ORDER BY o_custkey, o_orderkey LIMIT 3000""".stripMargin,
   )
 
   def all: Map[String, String] = relational

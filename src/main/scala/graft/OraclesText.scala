@@ -28,6 +28,30 @@ object OraclesText {
       s"(strpos('0123456789abcdef', substr($h, ${i + 1}, 1)) - 1) * $mult"
     }.mkString("(", " + ", ")")
 
+  /** Connected components over the ≥0.8 Jaccard pair graph (mirrors
+    * TextDedup.componentLabels): yields comp(doc_id, component). Requires
+    * `sidx` from [[shingleCte]] and a RECURSIVE WITH.
+    */
+  private val componentCte =
+    """csizes AS (SELECT doc_id, count(*) AS n FROM sidx GROUP BY doc_id),
+      |cpairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      |           FROM sidx a JOIN sidx b
+      |             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |           GROUP BY 1, 2),
+      |cnp AS (SELECT id_a, id_b
+      |        FROM cpairs JOIN csizes sa ON id_a = sa.doc_id
+      |                    JOIN csizes sb ON id_b = sb.doc_id
+      |        WHERE round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) >= 0.8),
+      |cedges AS (SELECT id_a AS src, id_b AS dst FROM cnp
+      |           UNION SELECT id_b, id_a FROM cnp),
+      |creach(id, r) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT creach.id, cedges.dst
+      |  FROM creach JOIN cedges ON creach.r = cedges.src),
+      |comp AS (SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component
+      |         FROM creach GROUP BY id)""".stripMargin
+
   val dedup: Map[String, String] = Map(
     "d1_exact_dedup" ->
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS text_hash,
@@ -251,6 +275,43 @@ object OraclesText {
          |  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src)
          |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // TextDedup.d17CanonicalSelect: inside each component the longest
+    // text (tie: smallest doc_id) is the keeper; every doc carries its
+    // verdict.
+    "d17_canonical_select" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |$componentCte,
+         |k AS (SELECT comp.doc_id, comp.component, d.n_chars,
+         |    first_value(comp.doc_id) OVER (PARTITION BY comp.component
+         |      ORDER BY d.n_chars DESC, comp.doc_id) AS keeper_id
+         |  FROM comp JOIN documents d ON comp.doc_id = d.doc_id)
+         |SELECT doc_id, component, n_chars, keeper_id,
+         |  (doc_id = keeper_id) AS keep
+         |FROM k ORDER BY doc_id""".stripMargin,
+
+    // TextDedup.p13DedupSavings: per-source doc/token counts before vs
+    // after keeping only d17 canonicals; one double division per source.
+    "p13_dedup_savings" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |$componentCte,
+         |tokc AS (SELECT doc_id, source, n_chars,
+         |    CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT)
+         |      AS n_tokens
+         |  FROM documents),
+         |k AS (SELECT comp.doc_id, t.source, t.n_tokens,
+         |    (comp.doc_id = first_value(comp.doc_id) OVER (
+         |       PARTITION BY comp.component
+         |       ORDER BY t.n_chars DESC, comp.doc_id)) AS keep
+         |  FROM comp JOIN tokc t ON comp.doc_id = t.doc_id)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+         |  CAST(sum(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT)
+         |    AS n_tokens_kept,
+         |  round(1.0 - CAST(sum(CASE WHEN keep THEN n_tokens ELSE 0 END) AS DOUBLE)
+         |    / sum(n_tokens), 6) AS savings_frac
+         |FROM k GROUP BY source ORDER BY source""".stripMargin,
   )
 
   val containment: Map[String, String] = Map(
@@ -310,6 +371,25 @@ object OraclesText {
         |  (count(dup.chash) * 2 <= count(*)) AS keep
         |FROM chunks c LEFT JOIN dup ON c.chash = dup.chash
         |GROUP BY c.doc_id ORDER BY c.doc_id LIMIT 2000""".stripMargin,
+
+    // TextDedup.t18IntradocRep: repeated 32-token chunks WITHIN one
+    // document — same chunk grid as d11, but counts stay per-doc.
+    "t18_intradoc_rep" ->
+      """WITH tok AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |ch AS (SELECT doc_id,
+        |    md5(array_to_string(list_slice(toks, start + 1,
+        |      least(start + 32, len(toks))), ' ')) AS chash
+        |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks), 32)) AS start
+        |        FROM tok)),
+        |pc AS (SELECT doc_id, chash, count(*) AS cnt FROM ch GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_chunks,
+        |  count(*) AS n_distinct_chunks,
+        |  CAST(sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS BIGINT)
+        |    AS n_rep_chunks,
+        |  round(CAST(sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS DOUBLE)
+        |    / sum(cnt), 6) AS rep_frac
+        |FROM pc GROUP BY doc_id ORDER BY doc_id LIMIT 2000""".stripMargin,
 
     // TextDedup.d12TrainOverlap: per-eval-doc fraction of 3-gram
     // shingles present anywhere in the train split's vocabulary.
@@ -470,6 +550,27 @@ object OraclesText {
          |            WHEN 'zh' THEN 1000 WHEN 'de' THEN 800 WHEN 'fr' THEN 800
          |            ELSE 700 END) AS keep
          |FROM x ORDER BY doc_id LIMIT 2000""".stripMargin,
+
+    // TextDedup.p12EpochMix: equal slices of a 40% token budget, ceil
+    // epochs capped at 4, effective = min(budget, supply·epochs).
+    "p12_epoch_mix" ->
+      """WITH d AS (SELECT source,
+        |    len(string_split_regex(trim(lower(text)), '\s+')) AS nt
+        |  FROM documents),
+        |s AS (SELECT source, count(*) AS n_docs,
+        |    CAST(sum(nt) AS BIGINT) AS n_tokens FROM d GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |    count(*) AS n_sources FROM s),
+        |x AS (SELECT source, n_docs, n_tokens,
+        |    total_tokens * 2 // 5 // n_sources AS budget_tokens FROM s, t),
+        |y AS (SELECT *, least((budget_tokens + n_tokens - 1) // n_tokens,
+        |    4) AS epochs FROM x)
+        |SELECT source, n_docs, n_tokens, budget_tokens,
+        |  CAST(epochs AS BIGINT) AS epochs,
+        |  least(budget_tokens, n_tokens * epochs) AS effective_tokens,
+        |  round(CAST(least(budget_tokens, n_tokens * epochs) AS DOUBLE)
+        |    / budget_tokens, 6) AS fill_frac
+        |FROM y ORDER BY source""".stripMargin,
 
     // TextDedup.p5LangRebalance: cap any language at 20% of the corpus;
     // integer keep rule (bucket·5·n_lang < 1000·n_total) so the decision
@@ -854,6 +955,28 @@ object OraclesText {
          |  FROM scored)
          |SELECT q_id, rk, vec_id, cos FROM rk WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
 
+    // Embeddings.s13KnnClassify: majority label over s1's exact top-5,
+    // ties toward the smaller label; correct ⟺ recovers the query label.
+    "s13_knn_classify" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+         |scored AS (SELECT q_id, vec_id,
+         |    round(${cosineSql("q_emb", "embedding")}, 6) AS cos
+         |  FROM embeddings, q WHERE vec_id != q_id),
+         |rk AS (SELECT q_id, vec_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+         |  FROM scored),
+         |votes AS (SELECT rk.q_id, e.label, count(*) AS n_votes
+         |  FROM rk JOIN embeddings e ON rk.vec_id = e.vec_id
+         |  WHERE rk.rk <= 5 GROUP BY 1, 2),
+         |best AS (SELECT q_id, label, n_votes,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY n_votes DESC, label) AS rn
+         |  FROM votes)
+         |SELECT b.q_id, b.label AS pred_label, b.n_votes,
+         |  t.label AS true_label, (b.label = t.label) AS correct
+         |FROM best b JOIN embeddings t ON b.q_id = t.vec_id
+         |WHERE b.rn = 1 ORDER BY b.q_id""".stripMargin,
+
     "s2_ivf_neardup" ->
       s"""SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
          |  round(${cosineSql("a.embedding", "b.embedding")}, 6) AS cos
@@ -1109,6 +1232,33 @@ object OraclesText {
         |SELECT user_id, n_events,
         |  round(CAST(score_micro AS DOUBLE) / 1000000.0, 6) AS score
         |FROM s ORDER BY score DESC, user_id LIMIT 20""".stripMargin,
+
+    // Events.e14TimedFunnel: same chained minima — first view, first
+    // qualifying click (>fv, ≤fv+24h), first qualifying purchase
+    // (>tc, ≤fv+72h) — via joins instead of stacked windows.
+    "e14_timed_funnel" ->
+      """WITH x AS (SELECT user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |v AS (SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN us END) AS fv
+        |  FROM x GROUP BY user_id),
+        |c AS (SELECT x.user_id, min(us) AS tc
+        |  FROM x JOIN v ON x.user_id = v.user_id
+        |  WHERE event_type = 'click' AND us > fv AND us <= fv + 86400000000
+        |  GROUP BY x.user_id),
+        |p AS (SELECT x.user_id, min(us) AS tp
+        |  FROM x JOIN v ON x.user_id = v.user_id
+        |         JOIN c ON x.user_id = c.user_id
+        |  WHERE event_type = 'purchase' AND us > tc AND us <= fv + 259200000000
+        |  GROUP BY x.user_id)
+        |SELECT v.user_id,
+        |  (fv IS NOT NULL) AS viewed,
+        |  (tc IS NOT NULL) AS clicked_24h,
+        |  (tp IS NOT NULL) AS converted_72h,
+        |  CASE WHEN tp IS NOT NULL THEN (tp - fv) / 1000000.0 END AS ttc_sec
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |       LEFT JOIN p ON v.user_id = p.user_id
+        |ORDER BY v.user_id""".stripMargin,
 
     "e1_window_agg" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
@@ -1394,6 +1544,37 @@ object OraclesText {
         |SELECT doc_id, sample_rate, CAST(n AS BIGINT) AS n_samples, sum_sq,
         |  round(sqrt(CAST(sum_sq AS DOUBLE) / n), 6) AS rms
         |FROM s ORDER BY doc_id LIMIT 2000""".stripMargin,
+
+    // Multimodal.m9AudioSegments: the same PCM formula cut into
+    // 500-sample windows; quiet = integer cross-multiplication against
+    // the doc's mean energy, runs via gaps-and-islands on window index.
+    "m9_audio_segments" ->
+      """WITH p AS (SELECT doc_id, 1000 + (doc_id % 500) * 8 AS n
+        |  FROM documents),
+        |s AS (SELECT p.doc_id, p.n, i // 500 AS w,
+        |    ((p.doc_id % 65536) * 2654435761 + i * 40503) % 65536 - 32768 AS v
+        |  FROM p, range(0, 4992) t(i) WHERE i < p.n),
+        |ws AS (SELECT doc_id, n, w, CAST(count(*) AS BIGINT) AS wl,
+        |    CAST(sum(v * v) AS BIGINT) AS wsq
+        |  FROM s GROUP BY 1, 2, 3),
+        |tot AS (SELECT doc_id, CAST(sum(wsq) AS BIGINT) AS tsq, count(*) AS nw
+        |  FROM ws GROUP BY 1),
+        |q AS (SELECT ws.doc_id, ws.w, (wsq * n < tsq * wl) AS quiet
+        |  FROM ws JOIN tot ON ws.doc_id = tot.doc_id),
+        |runs AS (SELECT doc_id,
+        |    w - row_number() OVER (PARTITION BY doc_id ORDER BY w) AS grp
+        |  FROM q WHERE quiet),
+        |rl AS (SELECT doc_id, count(*) AS len FROM runs GROUP BY doc_id, grp)
+        |SELECT t.doc_id, CAST(t.nw AS INT) AS n_windows,
+        |  CAST(coalesce(qq.nq, 0) AS INT) AS n_quiet,
+        |  CAST(coalesce(mx.m, 0) AS INT) AS longest_quiet_run,
+        |  round(CAST(coalesce(qq.nq, 0) AS DOUBLE) / t.nw, 6) AS quiet_frac
+        |FROM tot t
+        |LEFT JOIN (SELECT doc_id, count(*) AS nq FROM q WHERE quiet
+        |           GROUP BY 1) qq ON t.doc_id = qq.doc_id
+        |LEFT JOIN (SELECT doc_id, max(len) AS m FROM rl GROUP BY 1) mx
+        |  ON t.doc_id = mx.doc_id
+        |ORDER BY t.doc_id LIMIT 2000""".stripMargin,
   )
 
   val survival: Map[String, String] = Map(

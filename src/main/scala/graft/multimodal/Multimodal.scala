@@ -224,6 +224,65 @@ object Multimodal {
     case class Raw(sampleRate: Int, nSamples: Long, sumSq: Long)
   }
 
+  /** Per-doc audio segmentation facts (m9): window grid over the decoded
+    * PCM stream, quiet-window count and the longest quiet run.
+    */
+  case class AudioSegments(doc_id: Long, n_windows: Int, n_quiet: Int,
+      longest_quiet_run: Int)
+
+  /** Audio activity segmentation (m9): the VAD-shaped pass — the decoded
+    * PCM stream (real WAV parse, same decoder as m4) is cut into
+    * 500-sample windows; a window is "quiet" when its mean energy is
+    * strictly below the document's mean energy, decided by integer
+    * cross-multiplication (`winSq · nSamples < totalSq · winLen`) so the
+    * verdict is exact on both engines; quiet runs are gaps-and-islands
+    * over the window index. Decode and run-length logic are per-document
+    * inside the partition — the shuffle sees only four integers per doc.
+    */
+  def m9AudioSegments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val winLen = 500
+    Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long"))
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val rate = 8000 + (id % 3).toInt * 4000
+          val n = 1000 + (id % 500).toInt * 8
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(AudioGen.wavBytes(rate, n, id)))
+          val data = try ais.readAllBytes() finally ais.close()
+          val nSamples = data.length / 2
+          val nWin = (nSamples + winLen - 1) / winLen
+          val winSq = new Array[Long](nWin)
+          var i = 0
+          while (i + 1 < data.length) {
+            val s = ((data(i + 1) << 8) | (data(i) & 0xff)).toShort
+            winSq((i / 2) / winLen) += s.toLong * s
+            i += 2
+          }
+          val totalSq = winSq.sum
+          var quiet = 0; var run = 0; var best = 0
+          var w = 0
+          while (w < nWin) {
+            val len = math.min(winLen, nSamples - w * winLen)
+            if (winSq(w) * nSamples < totalSq * len) {
+              quiet += 1; run += 1; if (run > best) best = run
+            } else run = 0
+            w += 1
+          }
+          AudioSegments(id, nWin, quiet, best)
+        }
+      }
+      .toDF()
+      .select(col("doc_id"), col("n_windows"), col("n_quiet"),
+        col("longest_quiet_run"),
+        round(col("n_quiet").cast("double") / col("n_windows"), 6)
+          .as("quiet_frac"))
+      .orderBy(col("doc_id"))
+      .limit(2000)
+  }
+
   /** Deterministic video payload generator: a REAL RIFF-AVI container
     * (the same chunk grammar as WAV, which is why no external codec is
     * needed to build or walk it): LIST hdrl with a spec-shaped `avih`
@@ -748,5 +807,6 @@ object Multimodal {
     "m6_image_phash" -> (m6ImagePhash _),
     "m7_media_manifest" -> (m7MediaManifest _),
     "m8_scene_cuts" -> (m8SceneCuts _),
+    "m9_audio_segments" -> (m9AudioSegments _),
   )
 }

@@ -575,8 +575,38 @@ object Embeddings {
       .orderBy(col("label"), col("split"))
   }
 
+  /** k-NN label vote (s13): the classification read of the ANN index —
+    * each query vector takes its 5 nearest neighbours (s1's exact top-k)
+    * and predicts the majority neighbour label, ties broken toward the
+    * smaller label; the output carries the vote count and whether the
+    * prediction recovers the query's own label. Composes the existing
+    * top-k (broadcast queries, salted rank) with one slim join against
+    * (vec_id, label) — the label side is a projection of the collection,
+    * joined on the high-cardinality vec_id key, and the vote collapse
+    * keys on the tiny (q_id, label) pair.
+    */
+  def s13KnnClassify(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labels = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"))
+    val votes = s1CosineTopK(spark, dir)
+      .join(labels, Seq("vec_id"))
+      .groupBy(col("q_id"), col("label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("n_votes").desc, col("label"))
+    votes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(labels.select(col("vec_id").as("q_id"),
+        col("label").as("true_label")), Seq("q_id"))
+      .select(col("q_id"), col("label").as("pred_label"), col("n_votes"),
+        col("true_label"), (col("label") === col("true_label")).as("correct"))
+      .orderBy(col("q_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_cosine_topk" -> (s1CosineTopK _),
+    "s13_knn_classify" -> (s13KnnClassify _),
     "s8_ann_recall" -> (s8AnnRecall _),
     "s9_incr_semdedup" -> (s9IncrementalSemDedup _),
     "s10_kmeans_reassign" -> (s10KmeansReassign _),

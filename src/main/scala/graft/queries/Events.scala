@@ -454,8 +454,44 @@ object Events {
       .limit(20)
   }
 
+  /** Timed funnel (e14): e5's conversion chain with deadlines — the first
+    * view, the first click STRICTLY after it within 24 hours, the first
+    * purchase strictly after that click within 72 hours of the view.
+    * Three chained whole-partition windows on the SAME user_id
+    * partitioning (each min references the previous window's column), so
+    * the plan is one shuffle feeding three stacked Window operators — no
+    * self-joins, no second exchange — then the per-user collapse rides
+    * the existing partitioning.
+    */
+  def e14TimedFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wu = Window.partitionBy(col("user_id"))
+    val clickGapUs = 24L * 3600 * 1000 * 1000
+    val purchGapUs = 72L * 3600 * 1000 * 1000
+    Tables.events(spark, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("fv",
+        min(when(col("event_type") === "view", col("us"))).over(wu))
+      .withColumn("tc",
+        min(when(col("event_type") === "click" && col("us") > col("fv") &&
+          col("us") <= col("fv") + clickGapUs, col("us"))).over(wu))
+      .withColumn("tp",
+        min(when(col("event_type") === "purchase" && col("us") > col("tc") &&
+          col("us") <= col("fv") + purchGapUs, col("us"))).over(wu))
+      .groupBy(col("user_id"))
+      .agg(min("fv").as("fv"), min("tc").as("tc"), min("tp").as("tp"))
+      .select(col("user_id"),
+        col("fv").isNotNull.as("viewed"),
+        col("tc").isNotNull.as("clicked_24h"),
+        col("tp").isNotNull.as("converted_72h"),
+        when(col("tp").isNotNull,
+          (col("tp") - col("fv")) / lit(1000000.0)).as("ttc_sec"))
+      .orderBy(col("user_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e13_decayed_score" -> (e13DecayedScore _),
+    "e14_timed_funnel" -> (e14TimedFunnel _),
     "e1_window_agg" -> (e1WindowAgg _),
     "e10_cohort_retention" -> (e10CohortRetention _),
     "e11_gap_fill" -> (e11GapFill _),

@@ -468,8 +468,33 @@ object Relational {
         |ORDER BY n.n_name, c.c_acctbal DESC, c.c_name""".stripMargin)
   }
 
+  /** Trailing-30-day rolling revenue per customer (q27): a VALUE-based
+    * RANGE frame (29 days preceding .. current, on an integer day key),
+    * the moving-aggregate shape row frames get wrong under same-day ties
+    * — every order of one day sees the identical frame by value. One
+    * shuffle on o_custkey; the frame sum is per-row-snapped cents (exact
+    * longs), so the moving total is order-insensitive at any parallelism.
+    */
+  def q27RollingRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+      .rangeBetween(-29, 0)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate"),
+          lit(java.sql.Date.valueOf("1992-01-01"))).cast("long").as("day"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .withColumn("rev_30d", sum(col("cents")).over(w) / lit(100.0))
+      .withColumn("n_30d", count(lit(1)).over(w))
+      .select(col("o_custkey"), col("o_orderkey"), col("day"),
+        col("rev_30d"), col("n_30d"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+      .limit(3000)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
+    "q27_rolling_revenue" -> (q27RollingRevenue _),
     "q26_lateral_topk" -> (q26LateralTopk _),
     "q2_join_revenue_by_nation" -> (q2JoinRevenueByNation _),
     "q3_order_lineitem_join" -> (q3OrderLineitemJoin _),

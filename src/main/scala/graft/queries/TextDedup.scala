@@ -493,14 +493,20 @@ object TextDedup {
     * member carries the component's smallest doc_id; singleton documents
     * are their own component.
     */
-  def d8DedupComponents(spark: SparkSession, dir: String): DataFrame = {
+  def d8DedupComponents(spark: SparkSession, dir: String): DataFrame =
+    componentLabels(spark, dir).orderBy(col("doc_id"))
+
+  /** (doc_id, component) labels over the ≥0.8 pair graph — d8's body,
+    * shared by the canonical-selection / savings rollups (d17, p13).
+    */
+  private[graft] def componentLabels(spark: SparkSession,
+      dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id").as("id"))
     val pairs = dupPairs(spark, dir)
       .select(col("id_a").as("src"), col("id_b").as("dst"))
     val (labels, _) = starContractComponents(docs, pairs)
     labels.select(col("id").as("doc_id"), col("component"))
-      .orderBy(col("doc_id"))
   }
 
   // -------------------------------------------------------- text analysis
@@ -695,6 +701,42 @@ object TextDedup {
         round(col("n_dup_chunks").cast("double") / col("n_chunks"), 6)
           .as("dup_frac"),
         (col("n_dup_chunks") * 2 <= col("n_chunks")).as("keep"))
+      .orderBy(col("doc_id"))
+      .limit(2000)
+  }
+
+  /** Intra-document repetition (t18): the repeated-paragraph quality
+    * signal — of a document's non-overlapping 32-token chunks, how many
+    * are copies of another chunk of the SAME document (C4/Gopher-style
+    * boilerplate detection). Unlike d11's cross-doc chunk dedup the
+    * verdict never leaves the document: both aggregations key on doc_id,
+    * so there is one shuffle on the document key and zero corpus-wide
+    * state — the signal stays map-sided at any corpus size.
+    */
+  def t18IntradocRep(spark: SparkSession, dir: String): DataFrame =
+    t18IntradocRepOf(Tables.documents(spark, dir))
+
+  private[graft] def t18IntradocRepOf(docs: DataFrame): DataFrame = {
+    val perChunk = docs
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(0), size(col("toks")) - 1,
+          lit(DedupChunkLen))).as(Seq("chunk_idx", "start")))
+      .select(col("doc_id"),
+        fastMd5(array_join(
+          slice(col("toks"), col("start") + 1, lit(DedupChunkLen)), " "))
+          .as("chash"))
+      .groupBy(col("doc_id"), col("chash"))
+      .agg(count(lit(1)).as("cnt"))
+    perChunk.groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_chunks"),
+        count(lit(1)).as("n_distinct_chunks"),
+        sum(when(col("cnt") >= 2, col("cnt")).otherwise(lit(0L)))
+          .as("n_rep_chunks"))
+      .select(col("doc_id"), col("n_chunks"), col("n_distinct_chunks"),
+        col("n_rep_chunks"),
+        round(col("n_rep_chunks").cast("double") / col("n_chunks"), 6)
+          .as("rep_frac"))
       .orderBy(col("doc_id"))
       .limit(2000)
   }
@@ -980,6 +1022,37 @@ object TextDedup {
     * rerunning the pipeline at 100 TB yields the same corpus bit for
     * bit.
     */
+  /** Epoch-aware mixing (p12): the data-constrained allocation — each
+    * source gets an equal slice of a 40% global token budget; a source
+    * whose supply falls short upsamples, but never beyond 4 epochs (the
+    * diminishing-returns cap from the data-constrained scaling
+    * literature), so `effective = min(budget, 4·supply)` and the fill
+    * fraction says how data-starved the slice is. All counts are exact
+    * integers and the per-source rollup is two aggregations — one on
+    * the source key, one global scalar broadcast back — so the mix plan
+    * for a 10¹²-token corpus costs two passes over slim columns.
+    */
+  def p12EpochMix(spark: SparkSession, dir: String): DataFrame = {
+    val perSrc = Tables.documents(spark, dir)
+      .select(col("source"), size(toks).cast("long").as("nt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+    val tot = perSrc.agg(sum(col("n_tokens")).as("total_tokens"),
+      count(lit(1)).as("n_sources"))
+    perSrc.crossJoin(broadcast(tot))
+      .withColumn("budget_tokens",
+        expr("total_tokens * 2 div 5 div n_sources"))
+      .withColumn("epochs",
+        least(expr("(budget_tokens + n_tokens - 1) div n_tokens"), lit(4L)))
+      .withColumn("effective_tokens",
+        least(col("budget_tokens"), col("n_tokens") * col("epochs")))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("budget_tokens"), col("epochs"), col("effective_tokens"),
+        round(col("effective_tokens").cast("double")
+          / col("budget_tokens"), 6).as("fill_frac"))
+      .orderBy(col("source"))
+  }
+
   def p2CorpusMixing(spark: SparkSession, dir: String): DataFrame = {
     val bucket = conv(substring(fastMd5(concat(lit("mix:"),
         regexp_replace(trim(lower(col("text"))), "\\s+", " "))), 1, 4),
@@ -1502,6 +1575,69 @@ object TextDedup {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** Canonical selection (d17): inside every d8 near-dup component, ONE
+    * document survives — the longest text wins (`n_chars` desc), smallest
+    * doc_id breaks ties — and every document carries its verdict. This is
+    * the decision d7's min-id rule approximates; real pipelines keep the
+    * best copy, not the first-seen copy.
+    *
+    * Scale: the labels↔documents join is keyed on doc_id; the keeper
+    * window partitions by component, whose size is bounded by the dedup
+    * cluster size (singletons dominate), so no task ever holds more than
+    * one cluster's rows.
+    */
+  def d17CanonicalSelect(spark: SparkSession, dir: String): DataFrame =
+    canonicalSelectOf(componentLabels(spark, dir),
+      Tables.documents(spark, dir))
+      .orderBy(col("doc_id"))
+
+  private[graft] def canonicalSelectOf(labels: DataFrame,
+      docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    labels
+      .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .withColumn("keeper_id", first(col("doc_id")).over(w))
+      .select(col("doc_id"), col("component"), col("n_chars"),
+        col("keeper_id"), (col("doc_id") === col("keeper_id")).as("keep"))
+  }
+
+  /** Dedup savings (p13): what deduplication buys, per source — document
+    * and token counts before vs after keeping only d17's canonicals, and
+    * the token-savings fraction. The accounting a 100-TB crawl run reads
+    * before deciding whether a mirrored feed is worth storing.
+    *
+    * Scale: reuses the component labels and the d17 keeper window, then
+    * collapses to the tiny source key; token counts are exact integers so
+    * the rollup is order-insensitive, and the one double division per
+    * output row happens on identical integers in both engines.
+    */
+  def p13DedupSavings(spark: SparkSession, dir: String): DataFrame =
+    dedupSavingsOf(componentLabels(spark, dir),
+      Tables.documents(spark, dir))
+
+  private[graft] def dedupSavingsOf(labels: DataFrame,
+      docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    labels
+      .join(docs.select(col("doc_id"), col("source"), col("n_chars"),
+        size(toks).cast("long").as("n_tokens")), Seq("doc_id"))
+      .withColumn("keep", col("doc_id") === first(col("doc_id")).over(w))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_docs_kept"),
+        sum(when(col("keep"), col("n_tokens")).otherwise(lit(0L)))
+          .as("n_tokens_kept"))
+      .withColumn("savings_frac",
+        round(lit(1.0) - col("n_tokens_kept").cast("double")
+          / col("n_tokens"), 6))
+      .orderBy(col("source"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> (d1ExactDedup _),
     "d2_minhash_signature" -> (d2MinhashSignature _),
@@ -1520,7 +1656,10 @@ object TextDedup {
     "d14_lsh_recall" -> (d14LshRecall _),
     "d15_split_leakage" -> (d15SplitLeakage _),
     "d16_source_overlap" -> (d16SourceOverlap _),
+    "d17_canonical_select" -> (d17CanonicalSelect _),
+    "p13_dedup_savings" -> (p13DedupSavings _),
     "t17_ngram_novelty" -> (t17NgramNovelty _),
+    "t18_intradoc_rep" -> (t18IntradocRep _),
     "p10_dataset_card" -> (p10DatasetCard _),
     "t1_token_stats" -> (t1TokenStats _),
     "t11_repetition_ratio" -> (t11RepetitionRatio _),
@@ -1540,6 +1679,7 @@ object TextDedup {
     "t16_bigram_lm_xent" -> (t16BigramLmXent _),
     "p1_corpus_manifest" -> (p1CorpusManifest _),
     "p2_corpus_mixing" -> (p2CorpusMixing _),
+    "p12_epoch_mix" -> (p12EpochMix _),
     "p5_lang_rebalance" -> (p5LangRebalance _),
     "p7_temp_rebalance" -> (p7TempRebalance _),
     "p8_curriculum_bins" -> (p8CurriculumBins _),

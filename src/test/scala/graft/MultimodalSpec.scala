@@ -222,4 +222,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(cutsSeen > 0 && quietSeen > 0,
       s"threshold must separate: cuts in $cutsSeen docs, quiet deltas in $quietSeen")
   }
+
+  test("m9 audio segments match an independent formula twin (grid, quiet rule, runs)") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.multimodal.Multimodal.m9AudioSegments(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getDouble(4)))).toMap
+    val ids = Tables.documents(spark, dir)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    def v(id: Long, i: Int): Long =
+      ((id % 65536L) * 2654435761L + i * 40503L) % 65536L - 32768L
+    var quietSeen = 0; var loudSeen = 0
+    ids.foreach { id =>
+      val n = 1000 + (id % 500).toInt * 8
+      val sq = (0 until n).map { i => val x = v(id, i); x * x }
+      val wins = sq.grouped(500).toArray
+      val tot = sq.sum
+      val flags = wins.map(wn => wn.sum * n < tot * wn.length)
+      var run = 0; var best = 0
+      flags.foreach { f => if (f) { run += 1; best = math.max(best, run) } else run = 0 }
+      val frac = BigDecimal(flags.count(identity).toDouble / wins.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val exp = (wins.length, flags.count(identity), best, frac)
+      assert(got(id) == exp, s"doc $id: got ${got(id)} want $exp")
+      if (flags.exists(identity)) quietSeen += 1
+      if (flags.exists(!_)) loudSeen += 1
+    }
+    assert(quietSeen > 0 && loudSeen > 0,
+      s"quiet rule must separate: quiet in $quietSeen docs, loud in $loudSeen")
+  }
 }

@@ -370,4 +370,39 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.values.exists(_._3) && got.values.exists(!_._3),
       "both leak verdicts must occur")
   }
+
+  test("d17: keeper is the longest text, doc_id breaks ties; singletons keep themselves") {
+    import spark.implicits._
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L))
+      .toDF("doc_id", "component")
+    val docs = Seq((1L, 10L), (2L, 30L), (3L, 30L), (4L, 5L))
+      .toDF("doc_id", "n_chars")
+    val got = TextDedup.canonicalSelectOf(labels, docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got == Map(
+      // ties at 30 chars → smaller doc_id 2 is the keeper of component 1
+      1L -> ((1L, 10L, 2L, false)),
+      2L -> ((1L, 30L, 2L, true)),
+      3L -> ((1L, 30L, 2L, false)),
+      4L -> ((4L, 5L, 4L, true))), s"got $got")
+  }
+
+  test("p13: savings are the non-keeper token mass, attributed to the dropped doc's source") {
+    import spark.implicits._
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 1L))
+      .toDF("doc_id", "component")
+    val docs = Seq(
+      (1L, "srcA", 20L, "a b c d"), // keeper of component 1 (4 tokens)
+      (2L, "srcA", 10L, "a b c"),   // dropped (3 tokens)
+      (3L, "srcB", 5L, "x y"),      // singleton keeps (2 tokens)
+      (4L, "srcB", 8L, "q q q")     // cross-source member of comp 1 → dropped
+    ).toDF("doc_id", "source", "n_chars", "text")
+    val got = TextDedup.dedupSavingsOf(labels, docs)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got == Map(
+      "srcA" -> ((2L, 7L, 1L, 4L, 0.428571)),
+      "srcB" -> ((2L, 5L, 1L, 2L, 0.6))), s"got $got")
+  }
 }

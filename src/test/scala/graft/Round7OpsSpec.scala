@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Independent-twin checks for the round-7 session operators: each test
+  * recomputes the operator's semantics driver-side from the raw parquet
+  * (sharing no Spark plan with the code under test) and compares exactly.
+  */
+class Round7OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("e14: timed funnel chains strict deadlines off the first view") {
+    val events = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        org.apache.spark.sql.functions.unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = events.groupBy(_._1)
+    val exp = byUser.map { case (u, evs) =>
+      val fv = evs.filter(_._2 == "view").map(_._3).minOption
+      val tc = fv.flatMap(f => evs.filter(e => e._2 == "click" &&
+        e._3 > f && e._3 <= f + 86400000000L).map(_._3).minOption)
+      val tp = (fv, tc) match {
+        case (Some(f), Some(c)) => evs.filter(e => e._2 == "purchase" &&
+          e._3 > c && e._3 <= f + 259200000000L).map(_._3).minOption
+        case _ => None
+      }
+      u -> ((fv.isDefined, tc.isDefined, tp.isDefined,
+        (fv, tp) match { case (Some(f), Some(p)) => (p - f) / 1000000.0
+                         case _ => Double.NaN }))
+    }
+    val got = graft.queries.Events.e14TimedFunnel(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3), if (r.isNullAt(4)) Double.NaN else r.getDouble(4)))).toMap
+    assert(got.keySet == exp.keySet)
+    exp.foreach { case (u, e) =>
+      val g = got(u)
+      assert(g._1 == e._1 && g._2 == e._2 && g._3 == e._3,
+        s"user $u flags: got $g want $e")
+      if (!e._4.isNaN) assert(g._4 == e._4, s"user $u ttc: got $g want $e")
+      else assert(g._4.isNaN, s"user $u ttc must be null")
+    }
+    // the deadline must bite: some user converts, some clicks late/never
+    assert(exp.values.exists(_._3) && exp.values.exists(e => e._1 && !e._2),
+      "corpus must exercise both converted and non-qualifying users")
+  }
+
+  test("q27: trailing-30-day RANGE frame sums same-day orders symmetrically") {
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        org.apache.spark.sql.functions.datediff(col("o_orderdate"),
+          org.apache.spark.sql.functions.lit(
+            java.sql.Date.valueOf("1992-01-01"))).cast("long").as("day"),
+        org.apache.spark.sql.functions.round(col("o_totalprice") * 100)
+          .cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byCust = orders.groupBy(_._1)
+    val exp = orders.map { case (c, o, d, _) =>
+      val frame = byCust(c).filter(x => x._3 >= d - 29 && x._3 <= d)
+      (c, o) -> ((frame.map(_._4).sum / 100.0, frame.length.toLong))
+    }.toMap
+    val got = graft.queries.Relational.q27RollingRevenue(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(3), r.getLong(4)))).toMap
+    assert(got.size == math.min(exp.size, 3000))
+    got.foreach { case (k, g) =>
+      assert(g == exp(k), s"order $k: got $g want ${exp(k)}") }
+    assert(exp.values.exists(_._2 > 1), "some frame must span multiple orders")
+  }
+
+  test("s13: kNN vote is the majority of the exact top-5, ties to smaller label") {
+    val embs = Tables.embeddings(spark, dir)
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Float](1).toArray, r.getInt(2)))
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i).toDouble * b(i).toDouble)
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val exp = embs.filter(_._1 < 10).map { case (q, qe, ql) =>
+      val top5 = embs.filter(_._1 != q)
+        .map(e => (e._1, round6(cos(qe, e._2)), e._3))
+        .sortBy(x => (-x._2, x._1)).take(5)
+      val votes = top5.groupBy(_._3).view.mapValues(_.size).toMap
+      val (pred, n) = votes.toSeq.sortBy(x => (-x._2, x._1)).head
+      q -> ((pred, n.toLong, ql, pred == ql))
+    }.toMap
+    val got = graft.queries.Embeddings.s13KnnClassify(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2),
+        r.getInt(3), r.getBoolean(4)))).toMap
+    assert(got == exp, s"first diff: ${
+      exp.collect { case (k, v) if got.get(k) != Some(v) =>
+        (k, got.get(k), v) }.take(3)}")
+  }
+
+  test("p12: budget slices, ceil epochs capped at 4, fill fraction") {
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"), org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.trim(
+            org.apache.spark.sql.functions.lower(col("text"))), "\\s+"))
+        .cast("long").as("nt"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val bySrc = toks.groupBy(_._1).view.mapValues(v =>
+      (v.size.toLong, v.map(_._2).sum)).toMap
+    val total = bySrc.values.map(_._2).sum
+    val budget = total * 2 / 5 / bySrc.size
+    val exp = bySrc.map { case (s, (nd, nt)) =>
+      val epochs = math.min((budget + nt - 1) / nt, 4L)
+      val eff = math.min(budget, nt * epochs)
+      s -> ((nd, nt, budget, epochs, eff, round6(eff.toDouble / budget)))
+    }
+    val got = graft.queries.TextDedup.p12EpochMix(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))).toMap
+    assert(got == exp, s"first diff: ${
+      exp.collect { case (k, v) if got.get(k) != Some(v) =>
+        (k, got.get(k), v) }.take(3)}")
+  }
+
+  test("t18: within-doc repeated chunks count instances, not hashes") {
+    import spark.implicits._
+    val c1 = (1 to 32).map("a" + _).mkString(" ")
+    val c2 = (1 to 32).map("b" + _).mkString(" ")
+    // doc 1: c1 c1 c2 → 3 chunks, c1 repeated (2 instances)
+    // doc 2: unique chunks only
+    val docs = Seq((1L, s"$c1 $c1 $c2"),
+      (2L, (1 to 64).map("u" + _).mkString(" "))).toDF("doc_id", "text")
+    val got = graft.queries.TextDedup.t18IntradocRepOf(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))).toMap
+    assert(got(1L) == ((3L, 2L, 2L, round6(2.0 / 3))), s"doc1=${got(1L)}")
+    assert(got(2L) == ((2L, 2L, 0L, 0.0)), s"doc2=${got(2L)}")
+  }
+}
