@@ -800,6 +800,21 @@ object OraclesText {
         |  CAST(least(start + 64, len(toks)) - start AS INT) AS n_tokens
         |FROM starts ORDER BY doc_id, chunk_idx LIMIT 3000""".stripMargin,
 
+    // TextDedup.t19VocabStats: per-language vocabulary statistics over
+    // the (lang, token) count table — hapax fraction + tokens-per-type.
+    "t19_vocab_stats" ->
+      """WITH tk AS (SELECT lang,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |c AS (SELECT lang, tok, count(*) AS cnt FROM tk GROUP BY 1, 2)
+        |SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |  count(*) AS vocab_size,
+        |  CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |  round(CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS hapax_frac,
+        |  round(CAST(sum(cnt) AS DOUBLE) / count(*), 6) AS tokens_per_type
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
+
     "t6_word_count" ->
       """SELECT token, count(*) AS n FROM (
         |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
@@ -976,6 +991,17 @@ object OraclesText {
          |  t.label AS true_label, (b.label = t.label) AS correct
          |FROM best b JOIN embeddings t ON b.q_id = t.vec_id
          |WHERE b.rn = 1 ORDER BY b.q_id""".stripMargin,
+
+    // Embeddings.s14RadiusSearch: ALL neighbours with cosine ≥ 0.3 per
+    // query — the variable-cardinality range-search read.
+    "s14_radius_search" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10)
+         |SELECT q_id, vec_id,
+         |  round(${cosineSql("q_emb", "embedding")}, 6) AS cos
+         |FROM embeddings, q
+         |WHERE vec_id != q_id
+         |  AND round(${cosineSql("q_emb", "embedding")}, 6) >= 0.3
+         |ORDER BY q_id, vec_id""".stripMargin,
 
     "s2_ivf_neardup" ->
       s"""SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1909,6 +1935,19 @@ object OraclesText {
          |        JOIN d7 ON p4.doc_id = d7.doc_id
          |        LEFT JOIN s6 ON p4.doc_id = s6.vec_id
          |ORDER BY p4.doc_id LIMIT 2000""".stripMargin,
+
+    // Multimodal.m10SampleAdmission: caption admission (p4) ∧ decoded
+    // minimum-resolution floor (m1 dims) — the LAION-style joint gate;
+    // composes the two gated SQLs verbatim.
+    "m10_sample_admission" ->
+      s"""WITH m1 AS (${multimodal("m1_media_features")}),
+         |p4 AS (${ingest("p4_quality_filter")})
+         |SELECT m1.doc_id, m1.media_type, m1.width, m1.height,
+         |  p4.keep AS admitted,
+         |  (m1.width >= 8 AND m1.height >= 8) AS dims_ok,
+         |  (p4.keep AND m1.width >= 8 AND m1.height >= 8) AS keep
+         |FROM m1 JOIN p4 ON m1.doc_id = p4.doc_id
+         |ORDER BY m1.doc_id LIMIT 2000""".stripMargin,
   )
 
   def all: Map[String, String] =

@@ -808,5 +808,27 @@ object Multimodal {
     "m7_media_manifest" -> (m7MediaManifest _),
     "m8_scene_cuts" -> (m8SceneCuts _),
     "m9_audio_segments" -> (m9AudioSegments _),
+    "m10_sample_admission" -> (m10SampleAdmission _),
   )
+
+  /** Multimodal sample admission (m10): the LAION-style joint gate — a
+    * (media, caption) training sample survives iff its caption passes
+    * the p4 text admission AND the REALLY-DECODED media meets the
+    * minimum-resolution floor (both dims ≥ 8). Neither family can make
+    * this call alone: a pristine caption on a 3×2 thumbnail and a
+    * billboard image captioned with junk both die here. Joins m1's
+    * decoded dims (map-side decode, slim rows) against p4's map-only
+    * verdict on doc_id; the gate composes two already-gated pipelines
+    * (the s8/m7 discipline) so the oracle checks the COMPOSITION.
+    */
+  def m10SampleAdmission(spark: SparkSession, dir: String): DataFrame =
+    m1MediaFeatures(spark, dir)
+      .join(graft.queries.Ingest.p4QualityFilter(spark, dir)
+        .select(col("doc_id"), col("keep").as("admitted")), Seq("doc_id"))
+      .select(col("doc_id"), col("media_type"), col("width"), col("height"),
+        col("admitted"),
+        (col("width") >= 8 && col("height") >= 8).as("dims_ok"))
+      .withColumn("keep", col("admitted") && col("dims_ok"))
+      .orderBy(col("doc_id"))
+      .limit(2000)
 }

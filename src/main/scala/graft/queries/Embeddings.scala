@@ -604,9 +604,32 @@ object Embeddings {
       .orderBy(col("q_id"))
   }
 
+  /** Radius (range) search (s14): every neighbour with cosine ≥ 0.3 of
+    * each query vector — the "find everything similar enough" read API
+    * (FAISS `range_search`), the variable-cardinality complement of
+    * s1's fixed top-k: dedup sweeps and recall audits want ALL matches
+    * above the dial, not the best k. Map-only: queries broadcast, the
+    * threshold filter runs inside the scan's codegen, and no ranking
+    * state exists at all — the cheapest possible read of the collection.
+    */
+  def s14RadiusSearch(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("nrm", norm(col("embedding")))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    emb.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosinePre(col("q_emb"), col("q_nrm"),
+          col("embedding"), col("nrm")), 6).as("cos"))
+      .filter(col("cos") >= 0.3)
+      .orderBy(col("q_id"), col("vec_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_cosine_topk" -> (s1CosineTopK _),
     "s13_knn_classify" -> (s13KnnClassify _),
+    "s14_radius_search" -> (s14RadiusSearch _),
     "s8_ann_recall" -> (s8AnnRecall _),
     "s9_incr_semdedup" -> (s9IncrementalSemDedup _),
     "s10_kmeans_reassign" -> (s10KmeansReassign _),

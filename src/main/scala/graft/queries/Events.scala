@@ -463,12 +463,15 @@ object Events {
     * self-joins, no second exchange — then the per-user collapse rides
     * the existing partitioning.
     */
-  def e14TimedFunnel(spark: SparkSession, dir: String): DataFrame = {
+  def e14TimedFunnel(spark: SparkSession, dir: String): DataFrame =
+    e14Of(Tables.events(spark, dir))
+
+  private[graft] def e14Of(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wu = Window.partitionBy(col("user_id"))
     val clickGapUs = 24L * 3600 * 1000 * 1000
     val purchGapUs = 72L * 3600 * 1000 * 1000
-    Tables.events(spark, dir)
+    events
       .withColumn("us", unix_micros(col("ts")))
       .withColumn("fv",
         min(when(col("event_type") === "view", col("us"))).over(wu))

@@ -741,6 +741,35 @@ object TextDedup {
       .limit(2000)
   }
 
+  /** Corpus vocabulary statistics (t19): per language — token mass,
+    * vocabulary size, hapax count (types occurring exactly once), hapax
+    * fraction, and tokens-per-type. The Zipf/Heaps diagnostics read
+    * before sizing a tokenizer vocabulary or trusting a language's
+    * corpus depth: a high hapax fraction means the vocabulary is still
+    * growing (undersampled language); tokens-per-type is the corpus's
+    * effective repetition. Two aggregations, both on high-cardinality
+    * or tiny keys: (lang, token) counts shuffle on the token-dominated
+    * pair, then collapse to the 5-value language key with partial aggs
+    * map-side — no corpus-wide state beyond the vocabulary itself.
+    */
+  def t19VocabStats(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(col("lang"), explode(toks).as("tok"))
+      .groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    counts.groupBy(col("lang"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("vocab_size"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("lang"), col("n_tokens"), col("vocab_size"),
+        col("n_hapax"),
+        round(col("n_hapax").cast("double") / col("vocab_size"), 6)
+          .as("hapax_frac"),
+        round(col("n_tokens").cast("double") / col("vocab_size"), 6)
+          .as("tokens_per_type"))
+      .orderBy(col("lang"))
+  }
+
   /** Train-vocabulary n-gram overlap (d12): for every val/test document,
     * the fraction of its 3-gram shingles that occur anywhere in the
     * train split — the vocabulary-level contamination diagnostic that
@@ -1660,6 +1689,7 @@ object TextDedup {
     "p13_dedup_savings" -> (p13DedupSavings _),
     "t17_ngram_novelty" -> (t17NgramNovelty _),
     "t18_intradoc_rep" -> (t18IntradocRep _),
+    "t19_vocab_stats" -> (t19VocabStats _),
     "p10_dataset_card" -> (p10DatasetCard _),
     "t1_token_stats" -> (t1TokenStats _),
     "t11_repetition_ratio" -> (t11RepetitionRatio _),

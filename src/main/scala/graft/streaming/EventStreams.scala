@@ -367,6 +367,97 @@ object EventStreams {
 
   case class RangeIn(user_id: Long, event_id: Long, event_type: String,
       ts: java.sql.Timestamp)
+
+  case class FunnelVerdict(user_id: Long, viewed: Boolean,
+      clicked_24h: Boolean, converted_72h: Boolean, ttc_sec: Option[Double])
+
+  /** Per-user timed-funnel state: best-known first view (MaxValue when
+    * none) plus the click/purchase timestamps still able to qualify —
+    * clicks survive only within (watermark, fv+24h], purchases within
+    * (watermark, fv+72h], so state is bounded by the per-user event rate
+    * inside one conversion horizon, never by history length.
+    */
+  case class TimedFunnelState(fv: Long, clicks: List[Long],
+      purchases: List[Long])
+
+  /** Streaming twin of Events.e14TimedFunnel: the conversion-window
+    * pattern every product-analytics pipeline runs live. The verdict
+    * FINALIZES exactly once, when the watermark passes first_view + 72 h
+    * — the point at which it is immutable: the first view can no longer
+    * decrease (any late view would lie below the watermark) and no
+    * in-horizon click/purchase can still arrive. Until then events
+    * accumulate in pruned per-user state; out-of-order arrival within
+    * the watermark is handled by keeping candidate timestamps, not
+    * verdict bits, so a late-arriving EARLIER view correctly re-derives
+    * the qualifying click from retained candidates. Users with no view
+    * finalize (all-false) once the watermark clears their last activity
+    * plus the horizon. A user active again after finalization opens a
+    * NEW funnel — the standard conversion-window semantics; batch
+    * parity is exact whenever per-user activity fits one horizon
+    * (spec-pinned on the harness corpus and a two-burst replay).
+    */
+  def timedFunnel(events: Dataset[RangeIn]): Dataset[FunnelVerdict] = {
+    import events.sparkSession.implicits._
+    val clickGapUs = 24L * 3600 * 1000 * 1000
+    val purchGapUs = 72L * 3600 * 1000 * 1000
+    events.withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TimedFunnelState, FunnelVerdict](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[RangeIn],
+            state: GroupState[TimedFunnelState]) =>
+          def us(ts: java.sql.Timestamp): Long =
+            ts.getTime * 1000 + (ts.getNanos / 1000) % 1000
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            if (s.fv == Long.MaxValue)
+              Iterator.single(FunnelVerdict(userId, viewed = false,
+                clicked_24h = false, converted_72h = false, None))
+            else {
+              val tc = s.clicks.filter(c => c > s.fv && c <= s.fv + clickGapUs)
+                .minOption
+              val tp = tc.flatMap(c => s.purchases
+                .filter(p => p > c && p <= s.fv + purchGapUs).minOption)
+              Iterator.single(FunnelVerdict(userId, viewed = true,
+                tc.isDefined, tp.isDefined,
+                tp.map(p => (p - s.fv) / 1000000.0)))
+            }
+          } else {
+            var s = state.getOption
+              .getOrElse(TimedFunnelState(Long.MaxValue, Nil, Nil))
+            var newest = Long.MinValue
+            rows.foreach { e =>
+              val t = us(e.ts)
+              newest = math.max(newest, t)
+              e.event_type match {
+                case "view" => if (t < s.fv) s = s.copy(fv = t)
+                case "click" => s = s.copy(clicks = t :: s.clicks)
+                case "purchase" => s = s.copy(purchases = t :: s.purchases)
+                case _ =>
+              }
+            }
+            val wUs = state.getCurrentWatermarkMs * 1000
+            // prune: with fv known the qualifying windows are fixed upper
+            // bounds (fv only decreases, and only to ≥ watermark — where
+            // it is already final); without a view, any future fv is
+            // ≥ watermark, so nothing at or below it can ever qualify
+            s =
+              if (s.fv != Long.MaxValue)
+                s.copy(clicks = s.clicks.filter(_ <= s.fv + clickGapUs),
+                  purchases = s.purchases.filter(_ <= s.fv + purchGapUs))
+              else s.copy(clicks = s.clicks.filter(_ > wUs),
+                purchases = s.purchases.filter(_ > wUs))
+            state.update(s)
+            val horizonMs =
+              if (s.fv != Long.MaxValue) (s.fv + purchGapUs) / 1000
+              else (newest + purchGapUs) / 1000
+            state.setTimeoutTimestamp(
+              math.max(horizonMs, state.getCurrentWatermarkMs + 1))
+            Iterator.empty
+          }
+      }
+  }
   /** Recent view timestamps per user — pruned to the 30-min horizon on
     * every batch, so state is bounded by the per-user view rate, not
     * history length.

@@ -1,6 +1,6 @@
 package graft
 
-/** Scratch: print executed plans while iterating on PlanShapeSpec pins.
+/** Ad-hoc physical-plan dump for whatever operator is under the loupe.
   * Kept checked in — `sbt "Test/runMain graft.PlanProbeMain"` is the
   * fastest way to eyeball a plan when adding the next pin.
   */
@@ -9,7 +9,10 @@ object PlanProbeMain {
     val spark = SparkTestSession.spark
     val dir = "/root/testdata/sf0.001"
     for ((n, df) <- Seq(
-      "s11" -> graft.queries.Embeddings.s11PqAdc(spark, dir))) {
+      "e14" -> graft.queries.Events.e14TimedFunnel(spark, dir),
+      "q27" -> graft.queries.Relational.q27RollingRevenue(spark, dir),
+      "t18" -> graft.queries.TextDedup.t18IntradocRep(spark, dir),
+      "s13" -> graft.queries.Embeddings.s13KnnClassify(spark, dir))) {
       println(s"===== $n =====")
       println(df.queryExecution.executedPlan.toString)
     }

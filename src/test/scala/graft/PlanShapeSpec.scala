@@ -92,10 +92,11 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("shingle"), p.take(800))
   }
 
-  test("m4/m5/m8: media decode is map-side — no hash exchange below the top-k") {
+  test("m4/m5/m8/m9: media decode is map-side — no hash exchange below the top-k") {
     for (q <- Seq(graft.multimodal.Multimodal.m4AudioFeatures(spark, dir),
         graft.multimodal.Multimodal.m5VideoFeatures(spark, dir),
-        graft.multimodal.Multimodal.m8SceneCuts(spark, dir))) {
+        graft.multimodal.Multimodal.m8SceneCuts(spark, dir),
+        graft.multimodal.Multimodal.m9AudioSegments(spark, dir))) {
       val p = plan(q)
       assert(!p.contains("Exchange hashpartitioning"), p.take(800))
       assert(p.contains("TakeOrderedAndProject"), p.take(800))
@@ -117,6 +118,46 @@ class PlanShapeSpec extends AnyFunSuite {
       s"both source sides must broadcast:\n${root.toString.take(1200)}")
     assert(root.toString.contains("partial_count"),
       s"rollup must partial-aggregate map-side:\n${root.toString.take(1200)}")
+  }
+
+  test("e14: three chained deadline windows share ONE user_id exchange") {
+    val p = plan(graft.queries.Events.e14TimedFunnel(spark, dir))
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).length == 1,
+      p.take(1200))
+    assert("Window \\[min".r.findAllIn(p).length == 3, p.take(1200))
+  }
+
+  test("q27: both RANGE-frame aggs share one Window on a single o_custkey exchange") {
+    val p = plan(Relational.q27RollingRevenue(spark, dir))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p.take(1200))
+    assert(p.contains("RangeFrame, -29"), p.take(1200))
+    assert("Window \\[".r.findAllIn(p).length == 1,
+      s"sum and count must share one Window op:\n${p.take(1200)}")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
+  test("t18: every hash exchange keys on doc_id — the verdict never leaves the document") {
+    val p = plan(TextDedup.t18IntradocRep(spark, dir))
+    val keys = "Exchange hashpartitioning\\(([A-Za-z_]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(keys.nonEmpty && keys.forall(_ == "doc_id"),
+      s"exchange keys $keys:\n${p.take(1000)}")
+  }
+
+  test("s13: label joins broadcast; ranking is two-phase WindowGroupLimit; no sort-merge") {
+    val p = plan(Embeddings.s13KnnClassify(spark, dir))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p.take(1200))
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
+  test("d17/p13: consume the materialized pair table — no shingle re-derivation") {
+    for (df <- Seq(TextDedup.d17CanonicalSelect(spark, dir),
+        TextDedup.p13DedupSavings(spark, dir))) {
+      val p = plan(df)
+      assert(!p.contains("shingle"),
+        s"must read dupPairs' parquet, not re-shingle:\n${p.take(800)}")
+    }
   }
 
   test("q26: the correlated LATERAL decorrelates — ranked join, no nested loop per outer row") {

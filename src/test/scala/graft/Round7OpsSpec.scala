@@ -121,6 +121,67 @@ class Round7OpsSpec extends AnyFunSuite {
         (k, got.get(k), v) }.take(3)}")
   }
 
+  test("s14: radius search returns exactly the ≥0.3 neighbourhood, any cardinality") {
+    val embs = Tables.embeddings(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i).toDouble * b(i).toDouble)
+    val exp = (for {
+      (q, qe) <- embs.filter(_._1 < 10)
+      (v, ve) <- embs if v != q
+      c = round6(dot(qe, ve) / (math.sqrt(dot(qe, qe)) * math.sqrt(dot(ve, ve))))
+      if c >= 0.3
+    } yield (q, v) -> c).toMap
+    val got = graft.queries.Embeddings.s14RadiusSearch(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got == exp, s"got ${got.size} want ${exp.size}")
+    assert(exp.nonEmpty, "corpus must have in-radius neighbours")
+    // variable cardinality is the point of range search vs top-k
+    val sizes = exp.keys.toSeq.groupBy(_._1).view.mapValues(_.size).values.toSet
+    assert(sizes.size > 1, s"neighbourhood sizes must vary, got $sizes")
+  }
+
+  test("t19: hapax and tokens-per-type from an independent count") {
+    val toks = Tables.documents(spark, dir)
+      .select(col("lang"), col("text")).collect()
+      .flatMap(r => r.getString(1).trim.toLowerCase.split("\\s+")
+        .map(t => (r.getString(0), t)))
+    val exp = toks.groupBy(_._1).map { case (lang, ts) =>
+      val counts = ts.groupBy(_._2).view.mapValues(_.size)
+      val vocab = counts.size.toLong
+      val hapax = counts.count(_._2 == 1).toLong
+      lang -> ((ts.length.toLong, vocab, hapax,
+        round6(hapax.toDouble / vocab), round6(ts.length.toDouble / vocab)))
+    }
+    val got = graft.queries.TextDedup.t19VocabStats(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got == exp, s"first diff: ${
+      exp.collect { case (k, v) if got.get(k) != Some(v) =>
+        (k, got.get(k), v) }.take(2)}")
+  }
+
+  test("m10: the joint gate needs BOTH caption admission and the dims floor") {
+    val adm = graft.queries.Ingest.p4QualityFilter(spark, dir)
+      .select(col("doc_id"), col("keep")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val got = graft.multimodal.Multimodal.m10SampleAdmission(spark, dir)
+    val rows = got.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getInt(2), r.getInt(3), r.getBoolean(4), r.getBoolean(5),
+      r.getBoolean(6)))
+    rows.foreach { case (id, _, w, h, admitted, dimsOk, keep) =>
+      assert(w == 1 + (id % 64) && h == 1 + (id % 48),
+        s"doc $id dims ($w,$h) must come from the decoded payload")
+      assert(admitted == adm(id), s"doc $id admission mismatch")
+      assert(dimsOk == (w >= 8 && h >= 8), s"doc $id dims_ok")
+      assert(keep == (admitted && dimsOk), s"doc $id keep")
+    }
+    // both rejection channels must fire independently
+    assert(rows.exists(r => r._5 && !r._6), "admitted but too small")
+    assert(rows.exists(r => !r._5 && r._6), "big enough but junk caption")
+    assert(rows.exists(_._7), "something must survive")
+  }
+
   test("t18: within-doc repeated chunks count instances, not hashes") {
     import spark.implicits._
     val c1 = (1 to 32).map("a" + _).mkString(" ")

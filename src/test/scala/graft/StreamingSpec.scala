@@ -103,6 +103,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming timed funnel finalizes at the horizon and equals batch e14 (two-burst)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000L // ms
+    def ts(offMin: Long) = new java.sql.Timestamp(base + offMin * 60000)
+    val b1 = Seq(
+      (1L, 10L, "view", ts(0)), (1L, 11L, "click", ts(60)),
+      (2L, 20L, "view", ts(0)),
+      (3L, 30L, "click", ts(30)),          // never views → all-false
+      (4L, 40L, "click", ts(90)))          // view arrives LATER, earlier ts
+    val b2 = Seq(
+      (1L, 12L, "purchase", ts(120)),      // converts: ttc 7200 s
+      (2L, 21L, "click", ts(1500)),        // 25 h after view — deadline bites
+      (2L, 22L, "purchase", ts(1560)),
+      (4L, 41L, "view", ts(45)))           // late-but-in-watermark earlier view
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String, java.sql.Timestamp)]
+    val q = EventStreams.timedFunnel(
+        mem.toDS().toDF("user_id", "event_id", "event_type", "ts")
+          .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+          .as[EventStreams.RangeIn])
+      .writeStream.outputMode("append").format("memory")
+      .queryName("timed_funnel").start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      assert(spark.table("timed_funnel").count() == 0,
+        "open horizons must withhold verdicts")
+      // two sentinel batches: the watermark applied in batch N is
+      // computed from batch N−1's max event time
+      mem.addData((9L, 90L, "view", ts(8000))); q.processAllAvailable()
+      mem.addData((9L, 91L, "view", ts(16000))); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("timed_funnel")
+      .filter(col("user_id") =!= 9L).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3), if (r.isNullAt(4)) -1.0 else r.getDouble(4)))).toMap
+    val batch = graft.queries.Events.e14Of(
+        (b1 ++ b2).toDF("user_id", "event_id", "event_type", "ts"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3), if (r.isNullAt(4)) -1.0 else r.getDouble(4)))).toMap
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    // the scenarios must genuinely separate: converted, deadline-missed,
+    // never-viewed, and late-earlier-view-recovers-the-click
+    assert(streamed(1L) == ((true, true, true, 7200.0)))
+    assert(streamed(2L) == ((true, false, false, -1.0)))
+    assert(streamed(3L) == ((false, false, false, -1.0)))
+    assert(streamed(4L) == ((true, true, false, -1.0)))
+  }
+
   test("streaming funnel equals the batch twin (e5)") {
     import spark.implicits._
     val stream = EventStreams.readEvents(spark, streamDir)
