@@ -290,6 +290,19 @@ object OraclesText {
          |  (doc_id = keeper_id) AS keep
          |FROM k ORDER BY doc_id""".stripMargin,
 
+    // TextDedup.d18SoftDedup: sampling weight 10^6 // cluster_size over
+    // the d8 components — downweighting instead of dropping.
+    "d18_soft_dedup" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |$componentCte,
+         |sz AS (SELECT component, count(*) AS cluster_size
+         |       FROM comp GROUP BY 1)
+         |SELECT comp.doc_id, comp.component,
+         |  CAST(sz.cluster_size AS BIGINT) AS cluster_size,
+         |  CAST(1000000 // sz.cluster_size AS BIGINT) AS weight_micro
+         |FROM comp JOIN sz ON comp.component = sz.component
+         |ORDER BY comp.doc_id""".stripMargin,
+
     // TextDedup.p13DedupSavings: per-source doc/token counts before vs
     // after keeping only d17 canonicals; one double division per source.
     "p13_dedup_savings" ->
@@ -1285,6 +1298,52 @@ object OraclesText {
         |FROM v LEFT JOIN c ON v.user_id = c.user_id
         |       LEFT JOIN p ON v.user_id = p.user_id
         |ORDER BY v.user_id""".stripMargin,
+
+    // Events.e15RfmSegments: identical integer quintile rule
+    // (5 − rank₀·5 // n) over the same deterministic total orders.
+    "e15_rfm_segments" ->
+      """WITH x AS (SELECT user_id, event_type, value,
+        |    date_diff('day', DATE '2024-01-01',
+        |      CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS day FROM events),
+        |u AS (SELECT user_id, max(day) AS last_day, count(*) AS frequency,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |      AS monetary_cents
+        |  FROM x GROUP BY 1),
+        |t AS (SELECT max(day) AS corpus_max_day FROM x),
+        |n AS (SELECT count(*) AS n_users FROM u),
+        |b AS (SELECT u.*, corpus_max_day - last_day AS recency_days
+        |      FROM u, t),
+        |s AS (SELECT *,
+        |    5 - (row_number() OVER (ORDER BY recency_days, user_id) - 1)
+        |      * 5 // n.n_users AS r_score,
+        |    5 - (row_number() OVER (ORDER BY frequency DESC, user_id) - 1)
+        |      * 5 // n.n_users AS f_score,
+        |    5 - (row_number() OVER (ORDER BY monetary_cents DESC, user_id) - 1)
+        |      * 5 // n.n_users AS m_score
+        |  FROM b, n)
+        |SELECT user_id, recency_days, frequency,
+        |  monetary_cents / 100.0 AS monetary,
+        |  CAST(r_score AS BIGINT) AS r_score,
+        |  CAST(f_score AS BIGINT) AS f_score,
+        |  CAST(m_score AS BIGINT) AS m_score,
+        |  CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS segment
+        |FROM s ORDER BY user_id""".stripMargin,
+
+    // Events.e16ActivityStreaks: gaps-and-islands over distinct active
+    // days — day − row_number constant within a consecutive run.
+    "e16_activity_streaks" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |    date_diff('day', DATE '2024-01-01',
+        |      CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS day FROM events),
+        |g AS (SELECT user_id, day,
+        |    day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |      AS grp FROM d),
+        |runs AS (SELECT user_id, grp, count(*) AS len
+        |         FROM g GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(len) AS BIGINT) AS active_days,
+        |  count(*) AS n_streaks, CAST(max(len) AS BIGINT) AS longest_streak
+        |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "e1_window_agg" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,

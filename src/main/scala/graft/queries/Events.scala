@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Event-stream analytics over the `events` table, written batch-first so
@@ -492,9 +492,99 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /** Exact distributed quintile score: rank by `order` via the p8
+    * prefix-sum shape (range-repartition, per-partition running count,
+    * broadcast partition offsets — never a global sort), then
+    * score = 5 − rank₀·5 div n. Integer arithmetic end to end, so the
+    * quintile boundary cannot drift across engines or partitionings.
+    */
+  private def withExactScore(users: DataFrame, order: Seq[Column],
+      out: String, nParts: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parts = users.repartitionByRange(nParts, order: _*)
+      .withColumn("pid", spark_partition_id()).persist()
+    parts.count() // freeze the range sample + pid assignment
+    val wIn = Window.partitionBy(col("pid")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wOff = Window.orderBy(col("pid")) // ≤ nParts rows — driver-sized
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parts.groupBy(col("pid")).agg(count(lit(1)).as("pn"))
+      .withColumn("offset", coalesce(sum(col("pn")).over(wOff), lit(0L)))
+      .select(col("pid"), col("offset"))
+    val total = parts.agg(count(lit(1)).as("n_total"))
+    parts.withColumn("rank_in", coalesce(sum(lit(1L)).over(wIn), lit(0L)))
+      .join(broadcast(offsets), Seq("pid"))
+      .crossJoin(broadcast(total))
+      .withColumn(out, lit(5L) - expr("(rank_in + offset) * 5 div n_total"))
+      .drop("pid", "rank_in", "offset", "n_total")
+  }
+
+  /** RFM segmentation (e15): the classic customer-value grid — per user,
+    * recency (days since last event vs the corpus horizon), frequency
+    * (event count), monetary (purchase value), each scored into an EXACT
+    * quintile (5 = best) by distributed rank, composed into the
+    * three-digit segment code ("555" = champions). Quintiles are
+    * integer-exact over a deterministic total order (metric, user_id),
+    * so the segmentation is reproducible at any parallelism; each score
+    * is one range-repartition of the already-aggregated user table —
+    * the events table is scanned once.
+    */
+  def e15RfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("day", datediff(to_date(col("ts")),
+        lit(java.sql.Date.valueOf("2024-01-01"))).cast("long"))
+    val users = ev.groupBy(col("user_id"))
+      .agg(max(col("day")).as("last_day"),
+        count(lit(1)).as("frequency"),
+        sum(when(col("event_type") === "purchase",
+          round(col("value") * 100).cast("long")).otherwise(0L))
+          .as("monetary_cents"))
+    val maxDay = ev.agg(max(col("day")).as("corpus_max_day"))
+    val base = users.crossJoin(broadcast(maxDay))
+      .withColumn("recency_days", col("corpus_max_day") - col("last_day"))
+    val scored = withExactScore(withExactScore(withExactScore(base,
+        Seq(col("recency_days"), col("user_id")), "r_score"),
+        Seq(col("frequency").desc, col("user_id")), "f_score"),
+        Seq(col("monetary_cents").desc, col("user_id")), "m_score")
+    scored.select(col("user_id"), col("recency_days"), col("frequency"),
+        (col("monetary_cents") / lit(100.0)).as("monetary"),
+        col("r_score"), col("f_score"), col("m_score"),
+        (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+          .as("segment"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Activity streaks (e16): per user, the gaps-and-islands rollup over
+    * DISTINCT active days — total active days, number of streaks, and
+    * the longest run of consecutive days. The engagement metric every
+    * product dashboard carries, and the canonical island pattern
+    * (day − row_number is constant within a run). One shuffle on
+    * user_id; islands collapse inside the same partitioning.
+    */
+  def e16ActivityStreaks(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = Tables.events(spark, dir)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")),
+          lit(java.sql.Date.valueOf("2024-01-01"))).cast("long").as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    days
+      .withColumn("grp", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("len")).as("active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("len")).as("longest_streak"))
+      .orderBy(col("user_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e13_decayed_score" -> (e13DecayedScore _),
     "e14_timed_funnel" -> (e14TimedFunnel _),
+    "e15_rfm_segments" -> (e15RfmSegments _),
+    "e16_activity_streaks" -> (e16ActivityStreaks _),
     "e1_window_agg" -> (e1WindowAgg _),
     "e10_cohort_retention" -> (e10CohortRetention _),
     "e11_gap_fill" -> (e11GapFill _),

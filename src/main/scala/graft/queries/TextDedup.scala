@@ -297,6 +297,8 @@ object TextDedup {
   private val dupPairSeq = new java.util.concurrent.atomic.AtomicInteger(0)
   private val dupPairPaths =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val compLabelPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def jaccardPairsUnordered(spark: SparkSession, dir: String,
       maxShingleDf: Option[Long]): DataFrame = {
@@ -498,15 +500,28 @@ object TextDedup {
 
   /** (doc_id, component) labels over the ≥0.8 pair graph — d8's body,
     * shared by the canonical-selection / savings rollups (d17, p13).
+    * MATERIALIZED once per (JVM run, sfDir) like [[dupPairs]]: the star
+    * contraction's O(log n) iterative rounds run once, and every
+    * consumer reads the labeling as an asset — at lake scale the
+    * component table is checkpointed per corpus snapshot alongside the
+    * pair table, because no downstream job wants to re-converge a graph
+    * whose fixpoint is already known.
     */
   private[graft] def componentLabels(spark: SparkSession,
       dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id").as("id"))
-    val pairs = dupPairs(spark, dir)
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-    val (labels, _) = starContractComponents(docs, pairs)
-    labels.select(col("id").as("doc_id"), col("component"))
+    val path = compLabelPaths.computeIfAbsent(dir, _ => {
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft-complabels-" +
+        s"$dupPairRunId-${dupPairSeq.getAndIncrement()}.parquet"
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id").as("id"))
+      val pairs = dupPairs(spark, dir)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      val (labels, _) = starContractComponents(docs, pairs)
+      labels.select(col("id").as("doc_id"), col("component"))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    spark.read.parquet(path)
   }
 
   // -------------------------------------------------------- text analysis
@@ -1632,6 +1647,27 @@ object TextDedup {
         col("keeper_id"), (col("doc_id") === col("keeper_id")).as("keep"))
   }
 
+  /** Soft dedup (d18): near-dup DOWNWEIGHTING instead of dropping — every
+    * document keeps a sampling weight 10⁶ div cluster_size over its d8
+    * component (singletons weigh 1.0, an n-copy cluster's members 1/n
+    * each), so the cluster's total sampling mass stays one document's
+    * worth without discarding any particular copy. The alternative arm
+    * to d17's hard selection that recent data-curation work prefers when
+    * duplicates carry distribution signal. Integer per-mille-micro
+    * weights, so the mass accounting is exact; one count per component
+    * key + a label join — both on the materialized labels asset.
+    */
+  def d18SoftDedup(spark: SparkSession, dir: String): DataFrame =
+    softDedupOf(componentLabels(spark, dir)).orderBy(col("doc_id"))
+
+  private[graft] def softDedupOf(labels: DataFrame): DataFrame = {
+    val sizes = labels.groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("component"))
+      .select(col("doc_id"), col("component"), col("cluster_size"),
+        expr("1000000 div cluster_size").as("weight_micro"))
+  }
+
   /** Dedup savings (p13): what deduplication buys, per source — document
     * and token counts before vs after keeping only d17's canonicals, and
     * the token-savings fraction. The accounting a 100-TB crawl run reads
@@ -1686,6 +1722,7 @@ object TextDedup {
     "d15_split_leakage" -> (d15SplitLeakage _),
     "d16_source_overlap" -> (d16SourceOverlap _),
     "d17_canonical_select" -> (d17CanonicalSelect _),
+    "d18_soft_dedup" -> (d18SoftDedup _),
     "p13_dedup_savings" -> (p13DedupSavings _),
     "t17_ngram_novelty" -> (t17NgramNovelty _),
     "t18_intradoc_rep" -> (t18IntradocRep _),

@@ -182,6 +182,81 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(rows.exists(_._7), "something must survive")
   }
 
+  test("d18: cluster mass stays one doc's worth; singletons keep full weight") {
+    import spark.implicits._
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 4L), (5L, 4L),
+      (6L, 4L)).toDF("doc_id", "component")
+    val got = graft.queries.TextDedup.softDedupOf(labels)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(1L -> ((2L, 500000L)), 2L -> ((2L, 500000L)),
+      3L -> ((1L, 1000000L)), 4L -> ((3L, 333333L)), 5L -> ((3L, 333333L)),
+      6L -> ((3L, 333333L))), s"got $got")
+  }
+
+  test("e15: quintile scores match the exact rank rule on every metric") {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("value"),
+        org.apache.spark.sql.functions.datediff(
+          org.apache.spark.sql.functions.to_date(col("ts")),
+          org.apache.spark.sql.functions.lit(
+            java.sql.Date.valueOf("2024-01-01"))).cast("long").as("day"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getLong(3)))
+    val maxDay = ev.map(_._4).max
+    val users = ev.groupBy(_._1).map { case (u, es) =>
+      (u, maxDay - es.map(_._4).max, es.size.toLong,
+        es.filter(_._2 == "purchase").map(e => math.round(e._3 * 100)).sum)
+    }.toSeq
+    val n = users.size
+    def score(order: Seq[(Long, Long)]): Map[Long, Long] =
+      order.zipWithIndex.map { case ((u, _), i) =>
+        u -> (5L - i.toLong * 5 / n) }.toMap
+    val r = score(users.map(x => (x._1, x._2)).sortBy(x => (x._2, x._1)))
+    val f = score(users.map(x => (x._1, x._3)).sortBy(x => (-x._2, x._1)))
+    val m = score(users.map(x => (x._1, x._4)).sortBy(x => (-x._2, x._1)))
+    val exp = users.map(x => x._1 -> ((x._2, x._3, x._4 / 100.0,
+      r(x._1), f(x._1), m(x._1),
+      r(x._1) * 100 + f(x._1) * 10 + m(x._1)))).toMap
+    val got = graft.queries.Events.e15RfmSegments(spark, dir)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2),
+        x.getDouble(3), x.getLong(4), x.getLong(5), x.getLong(6),
+        x.getLong(7)))).toMap
+    assert(got == exp, s"first diff: ${
+      exp.collect { case (k, v) if got.get(k) != Some(v) =>
+        (k, got.get(k), v) }.take(2)}")
+    assert(got.values.map(_._7).toSet.size > 3, "segments must spread")
+  }
+
+  test("e16: streaks are maximal runs of consecutive distinct days") {
+    val days = Tables.events(spark, dir)
+      .select(col("user_id"),
+        org.apache.spark.sql.functions.datediff(
+          org.apache.spark.sql.functions.to_date(col("ts")),
+          org.apache.spark.sql.functions.lit(
+            java.sql.Date.valueOf("2024-01-01"))).cast("long").as("day"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val exp = days.groupBy(_._1).map { case (u, ds) =>
+      val sorted = ds.map(_._2).sorted
+      val lens = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var run = 1L
+      sorted.zipWithIndex.foreach { case (d, i) =>
+        if (i > 0) {
+          if (d == sorted(i - 1) + 1) run += 1
+          else { lens += run; run = 1 }
+        }
+      }
+      lens += run
+      u -> ((sorted.size.toLong, lens.size.toLong, lens.max))
+    }
+    val got = graft.queries.Events.e16ActivityStreaks(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(got == exp, s"first diff: ${
+      exp.collect { case (k, v) if got.get(k) != Some(v) =>
+        (k, got.get(k), v) }.take(2)}")
+    assert(got.values.exists(_._3 > 1), "some streak must exceed one day")
+  }
+
   test("t18: within-doc repeated chunks count instances, not hashes") {
     import spark.implicits._
     val c1 = (1 to 32).map("a" + _).mkString(" ")
