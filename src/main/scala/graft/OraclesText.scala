@@ -1663,6 +1663,36 @@ object OraclesText {
   )
 
   val survival: Map[String, String] = Map(
+    // Survival.v3CumHazard: Nelson–Aalen with the identical half-up
+    // micro-unit integral division BEFORE accumulation — curve exact in
+    // both engines. d=0 times contribute 0 micro-units, so filtering
+    // them before the window does not change the accumulation.
+    "v3_cum_hazard" ->
+      """WITH s AS (SELECT c_mktsegment AS seg,
+        |    (c_custkey % 2 = 0) AS event,
+        |    CAST(c_custkey % 97 AS BIGINT) AS time
+        |  FROM customer WHERE c_custkey <= 2000),
+        |bt AS (SELECT seg, time,
+        |    CAST(sum(CASE WHEN event THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    count(*) AS m
+        |  FROM s GROUP BY 1, 2),
+        |tot AS (SELECT seg, CAST(sum(m) AS BIGINT) AS n_seg
+        |        FROM bt GROUP BY 1),
+        |r AS (SELECT bt.seg, bt.time, bt.d,
+        |    n_seg - coalesce(sum(m) OVER (PARTITION BY bt.seg
+        |      ORDER BY bt.time
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+        |  FROM bt JOIN tot ON bt.seg = tot.seg),
+        |h AS (SELECT seg, time, d, CAST(n_risk AS BIGINT) AS n_risk,
+        |    CAST((d * 1000000 + n_risk // 2) // n_risk AS BIGINT) AS h_micro
+        |  FROM r),
+        |c AS (SELECT *, CAST(sum(h_micro) OVER (PARTITION BY seg
+        |    ORDER BY time ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS cum_h_micro FROM h)
+        |SELECT seg, time, d, n_risk, h_micro, cum_h_micro,
+        |  round(CAST(cum_h_micro AS DOUBLE) / 1000000.0, 6) AS cum_hazard
+        |FROM c WHERE d > 0 ORDER BY seg, time""".stripMargin,
+
     // Pairwise-SQL twin of the CIndexAggregator: comparable pairs are
     // (a earlier with event, b later); concordant when a.risk > b.risk,
     // ties 0.5; no comparable pairs → 0.5 (CIndex.concordance contract).
@@ -2007,6 +2037,54 @@ object OraclesText {
          |  (p4.keep AND m1.width >= 8 AND m1.height >= 8) AS keep
          |FROM m1 JOIN p4 ON m1.doc_id = p4.doc_id
          |ORDER BY m1.doc_id LIMIT 2000""".stripMargin,
+
+    // Embeddings.s15AnnClassify: the IVF-probe vote vs the exact vote —
+    // composes the two gated SQLs verbatim.
+    "s15_ann_classify" ->
+      s"""WITH exact AS (${similarity("s13_knn_classify")}),
+         |ann0 AS (${similarity("s7_ivf_probe2")}),
+         |votes AS (SELECT ann0.q_id, e.label, count(*) AS n_votes
+         |  FROM ann0 JOIN embeddings e ON ann0.vec_id = e.vec_id
+         |  GROUP BY 1, 2),
+         |best AS (SELECT q_id, label, n_votes, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY n_votes DESC, label) AS rn
+         |  FROM votes)
+         |SELECT b.q_id, b.label AS ann_label, b.n_votes AS ann_votes,
+         |  exact.pred_label AS exact_label, exact.true_label,
+         |  (b.label = exact.pred_label) AS agrees
+         |FROM best b JOIN exact ON b.q_id = exact.q_id
+         |WHERE b.rn = 1 ORDER BY b.q_id""".stripMargin,
+
+    // TextDedup.p14StratifiedSample: k=5 per (lang, decile) stratum by
+    // smallest "strat:"-salted content-hash; p8's decile logic inlined
+    // WITHOUT its output limit so the stratification sees every doc.
+    "p14_stratified_sample" ->
+      s"""WITH x AS (SELECT doc_id,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),
+         |r0 AS (SELECT doc_id,
+         |    CAST(len(toks) AS INT) AS n_tokens,
+         |    CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','is','to'], t))) AS DOUBLE) / len(toks) AS stop_ratio,
+         |    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+         |    CAST(len(list_filter(toks, t -> length(t) >= 4)) AS DOUBLE) / len(toks) AS long_ratio
+         |  FROM x),
+         |q AS (SELECT doc_id,
+         |    round(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.3
+         |      + ttr * 0.3 + stop_ratio * 0.2 + long_ratio * 0.2, 6) AS quality
+         |  FROM r0),
+         |r AS (SELECT doc_id,
+         |    row_number() OVER (ORDER BY quality DESC, doc_id) AS rnk FROM q),
+         |t AS (SELECT count(*) AS n_total FROM q),
+         |dec AS (SELECT doc_id,
+         |    CAST((rnk - 1) * 10 // n_total AS BIGINT) AS decile FROM r, t),
+         |h AS (SELECT doc_id, lang,
+         |    CAST(${hex4ToInt("substr(md5('strat:' || regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), 1, 4)")} AS BIGINT) AS bucket
+         |  FROM documents),
+         |s AS (SELECT h.lang, dec.decile, h.doc_id, h.bucket,
+         |    row_number() OVER (PARTITION BY h.lang, dec.decile
+         |      ORDER BY h.bucket, h.doc_id) AS rk
+         |  FROM h JOIN dec ON h.doc_id = dec.doc_id)
+         |SELECT lang, decile, CAST(rk AS BIGINT) AS rk, doc_id, bucket
+         |FROM s WHERE rk <= 5 ORDER BY lang, decile, rk""".stripMargin,
   )
 
   def all: Map[String, String] =

@@ -626,10 +626,40 @@ object Embeddings {
       .orderBy(col("q_id"), col("vec_id"))
   }
 
+  /** ANN classification agreement (s15): s13's majority vote re-run over
+    * the IVF-probed candidate set (s7, nprobe=2, top-3) and compared per
+    * query against the exact vote — the classification analog of s8's
+    * recall audit. Recall@k measures neighbour-set overlap; this
+    * measures what the dial costs in DECISIONS, which is what the
+    * downstream consumer experiences. Pure composition of two gated
+    * pipelines plus slim broadcast label joins.
+    */
+  def s15AnnClassify(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labels = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"))
+    val votes = s7IvfProbe2(spark, dir)
+      .join(labels, Seq("vec_id"))
+      .groupBy(col("q_id"), col("label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("n_votes").desc, col("label"))
+    votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("q_id"), col("label").as("ann_label"),
+        col("n_votes").as("ann_votes"))
+      .join(s13KnnClassify(spark, dir).select(col("q_id"),
+        col("pred_label").as("exact_label"), col("true_label")), Seq("q_id"))
+      .select(col("q_id"), col("ann_label"), col("ann_votes"),
+        col("exact_label"), col("true_label"),
+        (col("ann_label") === col("exact_label")).as("agrees"))
+      .orderBy(col("q_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_cosine_topk" -> (s1CosineTopK _),
     "s13_knn_classify" -> (s13KnnClassify _),
     "s14_radius_search" -> (s14RadiusSearch _),
+    "s15_ann_classify" -> (s15AnnClassify _),
     "s8_ann_recall" -> (s8AnnRecall _),
     "s9_incr_semdedup" -> (s9IncrementalSemDedup _),
     "s10_kmeans_reassign" -> (s10KmeansReassign _),

@@ -113,8 +113,53 @@ object Survival {
       .limit(3000)
   }
 
+  /** Distributed Nelson–Aalen cumulative hazard (v3): the survival-curve
+    * estimator as a relational plan — per segment cohort (v1's synthetic
+    * survival frame), at each distinct event time t: d (events at t),
+    * n (subjects still at risk), the hazard increment d/n, and the
+    * running cumulative hazard H(t) = Σ d_i/n_i. The risk set comes from
+    * a running count over the time-ordered window — one shuffle on the
+    * segment key — and every hazard increment is snapped to integer
+    * micro-units with half-up integral division BEFORE accumulation, so
+    * the curve is bit-identical at any partitioning and in both engines
+    * (a float Σ d/n would drift with addition order). This extends the
+    * reference's survival family (which computes per-task curves inside
+    * fitness kernels) to the lake-scale cohort the engine's SQL surface
+    * serves.
+    */
+  def v3CumHazard(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
+    val s = Tables.customer(spark, dir)
+      .filter(col("c_custkey") <= 2000)
+      .select(col("c_mktsegment").as("seg"),
+        (col("c_custkey") % 2 === 0).as("event"),
+        (col("c_custkey") % 97).cast("long").as("time"))
+    val byTime = s.groupBy(col("seg"), col("time"))
+      .agg(sum(when(col("event"), 1L).otherwise(0L)).as("d"),
+        count(lit(1)).as("m"))
+    val w = Window.partitionBy(col("seg")).orderBy(col("time"))
+    val totals = byTime.groupBy(col("seg")).agg(sum(col("m")).as("n_seg"))
+    byTime.join(totals, Seq("seg"))
+      .withColumn("n_risk", col("n_seg") - coalesce(
+        sum(col("m")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      // half-up integral division in micro-units: exact, associative
+      .withColumn("h_micro",
+        intDiv(col("d") * 1000000L + intDiv(col("n_risk"), lit(2L)),
+          col("n_risk")))
+      .withColumn("cum_h_micro",
+        sum(col("h_micro")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("d") > 0)
+      .select(col("seg"), col("time"), col("d"), col("n_risk"),
+        col("h_micro"), col("cum_h_micro"),
+        round(col("cum_h_micro").cast("double") / 1e6, 6).as("cum_hazard"))
+      .orderBy(col("seg"), col("time"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v1_cindex" -> (v1CIndex _),
     "v2_clean_matrix" -> (v2CleanMatrix _),
+    "v3_cum_hazard" -> (v3CumHazard _),
   )
 }

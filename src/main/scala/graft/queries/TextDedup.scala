@@ -1283,6 +1283,31 @@ object TextDedup {
   def p8CurriculumBins(spark: SparkSession, dir: String): DataFrame =
     curriculumBins(spark, dir)
 
+  /** Stratified eval-set sampling (p14): exactly k=5 documents per
+    * (lang, quality-decile) stratum, chosen by the smallest salted
+    * content-hash values — balanced eval-set construction that keeps
+    * every language × difficulty cell represented regardless of corpus
+    * skew, and reproducible under retries (content hash, never
+    * `rand()`). Composes p8's exact distributed deciles; the
+    * per-stratum rank is the two-phase salted top-k, so a giant stratum
+    * never funnels its rows into one task.
+    */
+  def p14StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = conv(substring(fastMd5(concat(lit("strat:"),
+        regexp_replace(trim(lower(col("text"))), "\\s+", " "))), 1, 4),
+      16, 10).cast("long")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+    val strata = curriculumFrame(spark, dir)
+      .select(col("doc_id"), col("decile"))
+      .join(docs, Seq("doc_id"))
+    TopK.saltedTopK(strata, Seq(col("lang"), col("decile")),
+        Seq(col("bucket"), col("doc_id")), k = 5, saltBy = col("doc_id"))
+      .select(col("lang"), col("decile"), col("rk"), col("doc_id"),
+        col("bucket"))
+      .orderBy(col("lang"), col("decile"), col("rk"))
+  }
+
   /** Quality-annealed sampling (p11): the "midtraining" mix — the final
     * training phase upsamples high-quality text, and the keep rate is a
     * LINEAR schedule over p8's exact deciles: rate = 1000 − 100·decile
@@ -1750,6 +1775,7 @@ object TextDedup {
     "p5_lang_rebalance" -> (p5LangRebalance _),
     "p7_temp_rebalance" -> (p7TempRebalance _),
     "p8_curriculum_bins" -> (p8CurriculumBins _),
+    "p14_stratified_sample" -> (p14StratifiedSample _),
     "p11_anneal_mix" -> (p11AnnealMix _),
     "p9_unified_curation" -> (p9UnifiedCuration _),
     "p3_token_budget" -> (p3TokenBudget _),

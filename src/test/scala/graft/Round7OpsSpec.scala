@@ -257,6 +257,88 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(got.values.exists(_._3 > 1), "some streak must exceed one day")
   }
 
+  test("s15: ann vote is the majority of the gated s7 candidates; agreement bit is honest") {
+    val labels = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val s7 = graft.queries.Embeddings.s7IvfProbe2(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val exact = graft.queries.Embeddings.s13KnnClassify(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(3)))).toMap
+    val expAnn = s7.groupBy(_._1).map { case (q, cands) =>
+      val votes = cands.map(c => labels(c._2))
+        .groupBy(identity).view.mapValues(_.size)
+      q -> votes.toSeq.sortBy(x => (-x._2, x._1)).head
+    }
+    val got = graft.queries.Embeddings.s15AnnClassify(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2),
+        r.getInt(3), r.getInt(4), r.getBoolean(5)))).toMap
+    assert(got.keySet == expAnn.keySet)
+    got.foreach { case (q, (annL, annV, exL, trueL, agrees)) =>
+      assert((annL, annV.toInt) == expAnn(q), s"q $q ann vote")
+      assert((exL, trueL) == exact(q), s"q $q exact side")
+      assert(agrees == (annL == exL), s"q $q agreement bit")
+    }
+  }
+
+  test("p14: each stratum keeps exactly its 5 smallest salted hashes, rank-ordered") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val deciles = graft.queries.TextDedup.p8CurriculumBins(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val exp = docs.map { case (id, lang, text) =>
+      val norm = text.trim.toLowerCase.replaceAll("\\s+", " ")
+      (lang, deciles(id), id,
+        java.lang.Long.parseLong(md5hex("strat:" + norm).substring(0, 4), 16))
+    }.groupBy(x => (x._1, x._2)).values.flatMap { rows =>
+      rows.sortBy(r => (r._4, r._3)).take(5).zipWithIndex
+        .map { case (r, i) => (r._1, r._2, i + 1L, r._3, r._4) }.toSeq
+    }.toSet
+    val got = graft.queries.TextDedup.p14StratifiedSample(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == exp, s"sizes: got ${got.size} want ${exp.size}")
+    assert(exp.map(x => (x._1, x._2)).size > 5, "multiple strata must exist")
+  }
+
+  test("v3: Nelson–Aalen micro-accumulation matches an independent fold") {
+    val rows = Tables.customer(spark, dir)
+      .filter(col("c_custkey") <= 2000)
+      .select(col("c_mktsegment"), col("c_custkey")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val exp = rows.groupBy(_._1).flatMap { case (seg, cs) =>
+      val subj = cs.map { case (_, k) => (k % 97, k % 2 == 0) }
+      val byT = subj.groupBy(_._1).view
+        .mapValues(v => (v.count(_._2).toLong, v.size.toLong)).toMap
+      var atRisk = subj.size.toLong
+      var acc = 0L
+      byT.keys.toSeq.sorted.flatMap { t =>
+        val (d, m) = byT(t)
+        val h = (d * 1000000L + atRisk / 2) / atRisk
+        acc += h
+        val out = if (d > 0) Some((seg, t) ->
+          ((d, atRisk, h, acc, round6(acc.toDouble / 1e6)))) else None
+        atRisk -= m
+        out
+      }
+    }
+    val got = graft.queries.Survival.v3CumHazard(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))).toMap
+    assert(got == exp, s"first diff: ${
+      exp.collect { case (k, v) if got.get(k) != Some(v) =>
+        (k, got.get(k), v) }.take(2)}")
+    // the curve must be strictly increasing within a segment
+    got.groupBy(_._1._1).foreach { case (_, seg) =>
+      val byTime = seg.toSeq.sortBy(_._1._2).map(_._2._4)
+      assert(byTime == byTime.sorted && byTime.distinct == byTime)
+    }
+  }
+
   test("t18: within-doc repeated chunks count instances, not hashes") {
     import spark.implicits._
     val c1 = (1 to 32).map("a" + _).mkString(" ")
