@@ -529,18 +529,35 @@ object Events {
     * is one range-repartition of the already-aggregated user table —
     * the events table is scanned once.
     */
-  def e15RfmSegments(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
+  def e15RfmSegments(spark: SparkSession, dir: String): DataFrame =
+    rfmFromProfiles(rfmProfileFrame(Tables.events(spark, dir)))
+
+  /** Per-user RFM profile — the incremental half of e15, shared verbatim
+    * with the streaming twin ([[graft.streaming.EventStreams.rfmProfiles]]
+    * runs this exact plan on the stream): max/count/sum are all
+    * mergeable, so the standing profile state is O(1) per user and the
+    * streamed asset equals the batch aggregate over the same rows at any
+    * arrival order.
+    */
+  private[graft] def rfmProfileFrame(events: DataFrame): DataFrame =
+    events
       .withColumn("day", datediff(to_date(col("ts")),
         lit(java.sql.Date.valueOf("2024-01-01"))).cast("long"))
-    val users = ev.groupBy(col("user_id"))
+      .groupBy(col("user_id"))
       .agg(max(col("day")).as("last_day"),
         count(lit(1)).as("frequency"),
         sum(when(col("event_type") === "purchase",
           round(col("value") * 100).cast("long")).otherwise(0L))
           .as("monetary_cents"))
-    val maxDay = ev.agg(max(col("day")).as("corpus_max_day"))
-    val base = users.crossJoin(broadcast(maxDay))
+
+  /** Bounded finish of the e15 twin: quintile-score the (already tiny,
+    * one-row-per-user) profile table. The corpus horizon is recovered
+    * from the profiles themselves (max over last_day ≡ max over event
+    * days), so the finisher needs nothing but the streamed asset.
+    */
+  private[graft] def rfmFromProfiles(profiles: DataFrame): DataFrame = {
+    val maxDay = profiles.agg(max(col("last_day")).as("corpus_max_day"))
+    val base = profiles.crossJoin(broadcast(maxDay))
       .withColumn("recency_days", col("corpus_max_day") - col("last_day"))
     val scored = withExactScore(withExactScore(withExactScore(base,
         Seq(col("recency_days"), col("user_id")), "r_score"),

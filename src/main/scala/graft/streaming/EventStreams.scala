@@ -661,6 +661,97 @@ object EventStreams {
           .as("cohort_hour"),
         col("n_users"), col("ret_1h"), col("ret_24h"))
 
+  /** Streaming half of the e15 twin: the per-user RFM profile
+    * (last-active day, event count, purchase cents) maintained as an
+    * ordinary streaming aggregate — max/count/sum are all mergeable, so
+    * state is O(1) per user and the streamed table equals the batch
+    * aggregate over the same rows at ANY arrival order. This runs the
+    * batch side's exact plan ([[graft.queries.Events.rfmProfileFrame]]),
+    * so stream ≡ batch is by construction, not by parallel maintenance.
+    * Standing-profile state (no watermark) — the same trade as
+    * [[funnelStream]]; the quintile scoring is the bounded finish
+    * ([[graft.queries.Events.rfmFromProfiles]] over one row per user),
+    * the same streaming-pre-agg / serving-finish split as e4/e10/e13.
+    */
+  def rfmProfiles(events: DataFrame): DataFrame =
+    graft.queries.Events.rfmProfileFrame(events)
+
+  case class StreakDay(user_id: Long, day: Long)
+  /** Merged, sorted, non-adjacent runs of consecutive active days —
+    * O(#streaks) per user, strictly smaller than the distinct-day set
+    * the batch twin shuffles, and the minimal information from which the
+    * e16 rollup is answerable.
+    */
+  case class StreakState(runs: List[(Long, Long)])
+  case class StreakOut(user_id: Long, active_days: Long, n_streaks: Long,
+      longest_streak: Long)
+
+  /** Day projection shared with the batch twin: the day index is
+    * computed by the SAME Catalyst expression as
+    * [[graft.queries.Events.e16ActivityStreaks]] (datediff vs the corpus
+    * epoch in the session tz), so the stateful half can never disagree
+    * with batch on what "a day" is.
+    */
+  def streakDays(events: DataFrame): Dataset[StreakDay] = {
+    import events.sparkSession.implicits._
+    events.select(col("user_id"),
+        datediff(to_date(col("ts")),
+          lit(java.sql.Date.valueOf("2024-01-01"))).cast("long").as("day"))
+      .as[StreakDay]
+  }
+
+  /** Insert one day into a merged run list, bridging adjacent runs.
+    * Idempotent (a day already inside a run is a no-op), so duplicate
+    * events and replays cannot distort the rollup.
+    */
+  private[graft] def mergeDay(runs: List[(Long, Long)],
+      d: Long): List[(Long, Long)] = {
+    val i = runs.indexWhere(_._2 >= d - 1) // first run ending at/after d−1
+    if (i < 0) runs :+ ((d, d))
+    else {
+      val (s, e) = runs(i)
+      if (d >= s && d <= e) runs // already covered
+      else if (d >= s - 1) {
+        // touches run i; may bridge to run i+1 (left bridge impossible:
+        // run i−1 ends ≤ d−2 by the indexWhere bound)
+        val ns = math.min(s, d); val ne = math.max(e, d)
+        if (i + 1 < runs.length && runs(i + 1)._1 == ne + 1)
+          runs.patch(i, Seq((ns, runs(i + 1)._2)), 2)
+        else runs.patch(i, Seq((ns, ne)), 1)
+      } else runs.patch(i, Seq((d, d)), 0) // strictly before run i
+    }
+  }
+
+  /** Streaming twin of Events.e16ActivityStreaks: gaps-and-islands as
+    * keyed state. Each user's state is the merged run list; every
+    * invocation folds the batch's days in (order-irrelevant — interval
+    * merge is commutative in the final state, so unlike the locf/asof
+    * twins this one needs NO in-order-arrival caveat) and emits the
+    * current rollup. Update mode: the latest emit per user is the
+    * answer, and `active_days` is monotone so "latest" is recoverable
+    * from the sink without batch ids. Standing state, NoTimeout — a
+    * production deployment would age out runs older than the engagement
+    * horizon (the state is already interval-compressed, so even a
+    * years-long history is a handful of pairs).
+    */
+  def streaksStream(days: Dataset[StreakDay]): Dataset[StreakOut] = {
+    import days.sparkSession.implicits._
+    days.groupByKey(_.user_id)
+      .flatMapGroupsWithState[StreakState, StreakOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[StreakDay],
+            state: GroupState[StreakState]) =>
+          val runs = rows.foldLeft(
+            state.getOption.map(_.runs).getOrElse(Nil)) {
+            (acc, r) => mergeDay(acc, r.day)
+          }
+          state.update(StreakState(runs))
+          Iterator.single(StreakOut(userId,
+            runs.map(r => r._2 - r._1 + 1).sum, runs.length,
+            if (runs.isEmpty) 0L else runs.map(r => r._2 - r._1 + 1).max))
+      }
+  }
+
   /** Runs a streaming query to completion over a static directory (the
     * local smoke path: batch parquet drives the stream synchronously).
     */

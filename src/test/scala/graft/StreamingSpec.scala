@@ -1048,4 +1048,81 @@ class StreamingSpec extends AnyFunSuite {
     assert(!got(3L)._2 && !got(3L)._3 && !got(3L)._5, "doc 3 fails on quality")
     assert(got(4L)._3 && !got(4L)._2, "doc 4 is the semantic-only reject")
   }
+
+  test("streaming RFM profiles finish to the batch e15 segmentation (e15 twin)") {
+    import org.apache.spark.sql.functions._
+    val stream = EventStreams.readEvents(spark, streamDir)
+    val q = EventStreams.rfmProfiles(stream)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("rfm_profiles")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // the standing profile asset equals the batch per-user aggregate
+    val streamedProfiles = spark.table("rfm_profiles")
+    val batchProfiles = Events.rfmProfileFrame(Tables.events(spark, dir))
+    assert(streamedProfiles.collect().map(_.toSeq).toSet ==
+      batchProfiles.collect().map(_.toSeq).toSet)
+    // quintile-scoring the STREAMED asset reproduces batch e15 exactly
+    val fromStream = Events.rfmFromProfiles(streamedProfiles)
+      .collect().map(_.toSeq).toSeq
+    val batch = Events.e15RfmSegments(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(fromStream == batch, s"stream rows=${fromStream.size}")
+    assert(batch.nonEmpty)
+  }
+
+  test("streaming streak state merges out-of-order days across batches (e16 twin)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, datediff, to_date, lit}
+    implicit val sqlCtx = spark.sqlContext
+    val batch = Events.e16ActivityStreaks(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val days = Tables.events(spark, dir)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")),
+          lit(java.sql.Date.valueOf("2024-01-01"))).cast("long").as("day"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // deliver in REVERSE day order split across two triggers: the state
+    // must bridge islands backwards (merge is arrival-order-independent)
+    val sorted = days.sortBy(d => (-d._2, d._1))
+    val (first, second) = sorted.splitAt(sorted.length / 2)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)]
+    val q = EventStreams.streaksStream(
+        mem.toDS().toDF("user_id", "day").as[EventStreams.StreakDay])
+      .writeStream.outputMode("update").format("memory")
+      .queryName("streaks").start()
+    try {
+      mem.addData(first.toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(second.toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // active_days is monotone: the max-active_days emit per user is final
+    val streamed = spark.table("streaks")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+      .groupBy(_._1).map { case (u, emits) =>
+        u -> { val f = emits.maxBy(_._2); (f._2, f._3, f._4) } }
+    assert(streamed == batch,
+      s"diff=${(streamed.toSet diff batch.toSet).take(3)}")
+    // corpus must exercise the interesting shapes
+    assert(batch.values.exists(_._3 > 1), "a multi-day streak must exist")
+    assert(batch.values.exists(v => v._2 > 1), "a gapped user must exist")
+  }
+
+  test("mergeDay bridges, extends, and ignores duplicates") {
+    import EventStreams.mergeDay
+    assert(mergeDay(Nil, 5) == List((5L, 5L)))
+    assert(mergeDay(List((5L, 5L)), 7) == List((5L, 5L), (7L, 7L)))
+    assert(mergeDay(List((5L, 5L), (7L, 7L)), 6) == List((5L, 7L)))
+    assert(mergeDay(List((5L, 7L)), 6) == List((5L, 7L)))
+    assert(mergeDay(List((5L, 7L)), 4) == List((4L, 7L)))
+    assert(mergeDay(List((5L, 7L)), 8) == List((5L, 8L)))
+    assert(mergeDay(List((5L, 7L)), 3) == List((3L, 3L), (5L, 7L)))
+    assert(mergeDay(List((2L, 3L), (9L, 9L)), 5) ==
+      List((2L, 3L), (5L, 5L), (9L, 9L)))
+  }
 }
