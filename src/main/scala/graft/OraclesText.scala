@@ -1693,6 +1693,89 @@ object OraclesText {
         |  round(CAST(cum_h_micro AS DOUBLE) / 1000000.0, 6) AS cum_hazard
         |FROM c WHERE d > 0 ORDER BY seg, time""".stripMargin,
 
+    // Survival.v4KaplanMeier: product-limit curve carried in log space
+    // as integer micro-nats (one ln snap per factor, exact integer sum);
+    // d=n extinction handled by a sticky flag exactly as in Spark.
+    "v4_kaplan_meier" ->
+      """WITH s AS (SELECT c_mktsegment AS seg,
+        |    (c_custkey % 2 = 0) AS event,
+        |    CAST(c_custkey % 97 AS BIGINT) AS time
+        |  FROM customer WHERE c_custkey <= 2000),
+        |bt AS (SELECT seg, time,
+        |    CAST(sum(CASE WHEN event THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    count(*) AS m
+        |  FROM s GROUP BY 1, 2),
+        |tot AS (SELECT seg, CAST(sum(m) AS BIGINT) AS n_seg
+        |        FROM bt GROUP BY 1),
+        |r AS (SELECT bt.seg, bt.time, bt.d,
+        |    CAST(n_seg - coalesce(sum(m) OVER (PARTITION BY bt.seg
+        |      ORDER BY bt.time
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS n_risk
+        |  FROM bt JOIN tot ON bt.seg = tot.seg),
+        |f AS (SELECT seg, time, d, n_risk,
+        |    CASE WHEN d < n_risk THEN CAST(round(ln(
+        |      CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE)) * 1e6)
+        |      AS BIGINT) ELSE 0 END AS lnf_micro,
+        |    CASE WHEN d = n_risk THEN 1 ELSE 0 END AS dead
+        |  FROM r),
+        |c AS (SELECT *,
+        |    CAST(sum(lnf_micro) OVER (PARTITION BY seg ORDER BY time
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_ln_micro,
+        |    max(dead) OVER (PARTITION BY seg ORDER BY time
+        |      ROWS UNBOUNDED PRECEDING) AS extinct
+        |  FROM f)
+        |SELECT seg, time, d, n_risk, cum_ln_micro,
+        |  CASE WHEN extinct = 1 THEN 0.0
+        |    ELSE round(exp(CAST(cum_ln_micro AS DOUBLE) / 1e6), 6)
+        |  END AS survival
+        |FROM c WHERE d > 0 ORDER BY seg, time""".stripMargin,
+
+    // Survival.v5LogRank: two-sample log-rank with per-time E1/V snapped
+    // to integer micro-units before the exact integer accumulation.
+    "v5_logrank" ->
+      """WITH s AS (SELECT c_mktsegment AS seg,
+        |    CAST(c_nationkey % 2 AS BIGINT) AS arm,
+        |    (c_custkey % 2 = 0) AS event,
+        |    CAST(c_custkey % 97 AS BIGINT) AS time
+        |  FROM customer WHERE c_custkey <= 2000),
+        |bt AS (SELECT seg, time,
+        |    CAST(sum(CASE WHEN event AND arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+        |    CAST(sum(CASE WHEN event AND arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS m2
+        |  FROM s GROUP BY 1, 2),
+        |tot AS (SELECT seg, CAST(sum(m1) AS BIGINT) AS tot1,
+        |    CAST(sum(m2) AS BIGINT) AS tot2 FROM bt GROUP BY 1),
+        |r AS (SELECT bt.seg, bt.time, d1, d2,
+        |    tot1 - coalesce(sum(m1) OVER (PARTITION BY bt.seg ORDER BY bt.time
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1,
+        |    tot2 - coalesce(sum(m2) OVER (PARTITION BY bt.seg ORDER BY bt.time
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n2
+        |  FROM bt JOIN tot ON bt.seg = tot.seg),
+        |t2 AS (SELECT seg, d1, d2, n1, n2, d1 + d2 AS d, n1 + n2 AS n
+        |  FROM r WHERE d1 + d2 > 0),
+        |t3 AS (SELECT seg, d1, d2,
+        |    CAST(round(CAST(d AS DOUBLE) * CAST(n1 AS DOUBLE)
+        |      / CAST(n AS DOUBLE) * 1e6) AS BIGINT) AS e1_micro,
+        |    CASE WHEN n > 1 THEN CAST(round(CAST(d AS DOUBLE)
+        |      * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |      * CAST(n - d AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |         * CAST(n - 1 AS DOUBLE)) * 1e6) AS BIGINT)
+        |      ELSE 0 END AS v_micro
+        |  FROM t2)
+        |SELECT seg, CAST(sum(d1) AS BIGINT) AS events_arm1,
+        |  CAST(sum(d2) AS BIGINT) AS events_arm2,
+        |  CAST(sum(d1 * 1000000 - e1_micro) AS BIGINT) AS ome_micro,
+        |  CAST(sum(v_micro) AS BIGINT) AS var_micro,
+        |  CASE WHEN sum(v_micro) > 0 THEN
+        |    round((CAST(sum(d1 * 1000000 - e1_micro) AS DOUBLE) / 1e6)
+        |      * (CAST(sum(d1 * 1000000 - e1_micro) AS DOUBLE) / 1e6)
+        |      / (CAST(sum(v_micro) AS DOUBLE) / 1e6), 6)
+        |  END AS chi2
+        |FROM t3 GROUP BY seg ORDER BY seg""".stripMargin,
+
     // Pairwise-SQL twin of the CIndexAggregator: comparable pairs are
     // (a earlier with event, b later); concordant when a.risk > b.risk,
     // ties 0.5; no comparable pairs → 0.5 (CIndex.concordance contract).

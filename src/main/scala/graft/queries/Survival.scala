@@ -127,9 +127,13 @@ object Survival {
     * fitness kernels) to the lake-scale cohort the engine's SQL surface
     * serves.
     */
-  def v3CumHazard(spark: SparkSession, dir: String): DataFrame = {
+  /** The synthetic survival cohort shared by v3/v4/v5: per (segment,
+    * time) the event count d, the subjects-at-time m, and the risk set
+    * n_risk = subjects with time ≥ t, computed by one prefix-sum window
+    * per segment — one shuffle on the segment key, never a global sort.
+    */
+  private[graft] def atRiskFrame(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
     val s = Tables.customer(spark, dir)
       .filter(col("c_custkey") <= 2000)
       .select(col("c_mktsegment").as("seg"),
@@ -144,6 +148,13 @@ object Survival {
       .withColumn("n_risk", col("n_seg") - coalesce(
         sum(col("m")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
+  }
+
+  def v3CumHazard(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
+    val w = Window.partitionBy(col("seg")).orderBy(col("time"))
+    atRiskFrame(spark, dir)
       // half-up integral division in micro-units: exact, associative
       .withColumn("h_micro",
         intDiv(col("d") * 1000000L + intDiv(col("n_risk"), lit(2L)),
@@ -157,9 +168,102 @@ object Survival {
       .orderBy(col("seg"), col("time"))
   }
 
+  /** Distributed Kaplan–Meier estimator (v4): per segment, the product-
+    * limit survival curve S(t) = Π_{t_i ≤ t} (1 − d_i/n_i), evaluated at
+    * event times. The product is carried in LOG space as integer
+    * micro-nats — each factor's ln((n−d)/n) is snapped to a long ONCE
+    * (the t12 discipline), the running sum is exact integer arithmetic,
+    * and only the final presentation exponentiates — so the curve is
+    * bit-identical at any partitioning and across engines, where a
+    * floating product would drift with multiplication order. A time
+    * where the whole risk set dies (d = n) sends the curve to exactly 0
+    * from that point on (ln is undefined there — handled by a sticky
+    * flag, not a sentinel value). Same single-shuffle shape as v3.
+    */
+  def v4KaplanMeier(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("seg")).orderBy(col("time"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    atRiskFrame(spark, dir)
+      .withColumn("lnf_micro", when(col("d") < col("n_risk"),
+        round(log((col("n_risk") - col("d")).cast("double") /
+          col("n_risk").cast("double")) * 1e6).cast("long")).otherwise(0L))
+      .withColumn("dead", when(col("d") === col("n_risk"), 1L).otherwise(0L))
+      .withColumn("cum_ln_micro", sum(col("lnf_micro")).over(w))
+      .withColumn("extinct", max(col("dead")).over(w))
+      .filter(col("d") > 0)
+      .select(col("seg"), col("time"), col("d"), col("n_risk"),
+        col("cum_ln_micro"),
+        when(col("extinct") === 1L, 0.0)
+          .otherwise(round(exp(col("cum_ln_micro").cast("double") / 1e6), 6))
+          .as("survival"))
+      .orderBy(col("seg"), col("time"))
+  }
+
+  /** Distributed log-rank test (v5): the standard two-sample comparison
+    * of survival curves — arms split by nation-key parity WITHIN each
+    * segment, observed-minus-expected events and hypergeometric variance
+    * accumulated over the pooled event times:
+    *   E1(t) = d·n1/n,   V(t) = d·(n1/n)·(n2/n)·(n−d)/(n−1)
+    * and χ² = (Σ(d1−E1))²/ΣV. Each per-time term is snapped to integer
+    * micro-units once and summed exactly (t12 discipline), so the
+    * statistic cannot drift with aggregation order. The per-arm risk
+    * sets ride the same prefix-sum window as v3/v4 — still one shuffle
+    * on the segment key; the output is one row per segment.
+    */
+  def v5LogRank(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = Tables.customer(spark, dir)
+      .filter(col("c_custkey") <= 2000)
+      .select(col("c_mktsegment").as("seg"),
+        (col("c_nationkey") % 2).cast("long").as("arm"),
+        (col("c_custkey") % 2 === 0).as("event"),
+        (col("c_custkey") % 97).cast("long").as("time"))
+    val byTime = s.groupBy(col("seg"), col("time"))
+      .agg(sum(when(col("event") && col("arm") === 0L, 1L).otherwise(0L))
+          .as("d1"),
+        sum(when(col("event") && col("arm") === 1L, 1L).otherwise(0L))
+          .as("d2"),
+        sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("m1"),
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("m2"))
+    val totals = byTime.groupBy(col("seg"))
+      .agg(sum(col("m1")).as("tot1"), sum(col("m2")).as("tot2"))
+    val w = Window.partitionBy(col("seg")).orderBy(col("time"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val terms = byTime.join(totals, Seq("seg"))
+      .withColumn("n1", col("tot1") - coalesce(sum(col("m1")).over(w), lit(0L)))
+      .withColumn("n2", col("tot2") - coalesce(sum(col("m2")).over(w), lit(0L)))
+      .withColumn("d", col("d1") + col("d2"))
+      .withColumn("n", col("n1") + col("n2"))
+      .filter(col("d") > 0)
+      .withColumn("e1_micro", round(col("d").cast("double") *
+        col("n1").cast("double") / col("n").cast("double") * 1e6)
+        .cast("long"))
+      .withColumn("v_micro", when(col("n") > 1,
+        round(col("d").cast("double") * col("n1").cast("double") *
+          col("n2").cast("double") * (col("n") - col("d")).cast("double") /
+          (col("n").cast("double") * col("n").cast("double") *
+            (col("n") - 1).cast("double")) * 1e6).cast("long"))
+        .otherwise(0L))
+    terms.groupBy(col("seg"))
+      .agg(sum(col("d1")).as("events_arm1"),
+        sum(col("d2")).as("events_arm2"),
+        sum(col("d1") * 1000000L - col("e1_micro")).as("ome_micro"),
+        sum(col("v_micro")).as("var_micro"))
+      .select(col("seg"), col("events_arm1"), col("events_arm2"),
+        col("ome_micro"), col("var_micro"),
+        when(col("var_micro") > 0,
+          round((col("ome_micro").cast("double") / 1e6) *
+            (col("ome_micro").cast("double") / 1e6) /
+            (col("var_micro").cast("double") / 1e6), 6)).as("chi2"))
+      .orderBy(col("seg"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v1_cindex" -> (v1CIndex _),
     "v2_clean_matrix" -> (v2CleanMatrix _),
     "v3_cum_hazard" -> (v3CumHazard _),
+    "v4_kaplan_meier" -> (v4KaplanMeier _),
+    "v5_logrank" -> (v5LogRank _),
   )
 }

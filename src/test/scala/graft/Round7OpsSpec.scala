@@ -339,6 +339,83 @@ class Round7OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("v4: Kaplan-Meier log-space product matches an independent fold, curve non-increasing") {
+    val rows = Tables.customer(spark, dir)
+      .filter(col("c_custkey") <= 2000)
+      .select(col("c_mktsegment"), col("c_custkey")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val exp = rows.groupBy(_._1).flatMap { case (seg, cs) =>
+      val subj = cs.map { case (_, k) => (k % 97, k % 2 == 0) }
+      val byT = subj.groupBy(_._1).view
+        .mapValues(v => (v.count(_._2).toLong, v.size.toLong)).toMap
+      var atRisk = subj.size.toLong
+      var acc = 0L
+      var extinct = false
+      byT.keys.toSeq.sorted.flatMap { t =>
+        val (d, m) = byT(t)
+        if (d < atRisk)
+          acc += math.round(math.log((atRisk - d).toDouble / atRisk) * 1e6)
+        else extinct = true
+        val out = if (d > 0) Some((seg, t) -> ((d, atRisk, acc,
+          if (extinct) 0.0 else round6(math.exp(acc.toDouble / 1e6)))))
+          else None
+        atRisk -= m
+        out
+      }
+    }
+    val got = graft.queries.Survival.v4KaplanMeier(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got == exp, s"first diff: ${
+      exp.collect { case (k, v) if got.get(k) != Some(v) =>
+        (k, got.get(k), v) }.take(2)}")
+    // survival is a non-increasing curve in (0, 1] until extinction
+    got.groupBy(_._1._1).foreach { case (_, seg) =>
+      val surv = seg.toSeq.sortBy(_._1._2).map(_._2._4)
+      assert(surv.zip(surv.tail).forall { case (a, b) => b <= a + 1e-9 })
+      assert(surv.head <= 1.0 && surv.forall(_ >= 0.0))
+    }
+  }
+
+  test("v5: log-rank O-E and variance match an independent fold per segment") {
+    val rows = Tables.customer(spark, dir)
+      .filter(col("c_custkey") <= 2000)
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_nationkey"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2).toLong))
+    val exp = rows.groupBy(_._1).map { case (seg, cs) =>
+      val subj = cs.map { case (_, k, n) => (k % 97, k % 2 == 0, n % 2) }
+      val times = subj.map(_._1).distinct.sorted
+      var n1 = subj.count(_._3 == 0L).toLong
+      var n2 = subj.count(_._3 == 1L).toLong
+      var (sumD1, sumD2, ome, vsum) = (0L, 0L, 0L, 0L)
+      times.foreach { t =>
+        val here = subj.filter(_._1 == t)
+        val d1 = here.count(s => s._2 && s._3 == 0L).toLong
+        val d2 = here.count(s => s._2 && s._3 == 1L).toLong
+        val (d, n) = (d1 + d2, n1 + n2)
+        if (d > 0) {
+          sumD1 += d1; sumD2 += d2
+          ome += d1 * 1000000L -
+            math.round(d.toDouble * n1 / n * 1e6)
+          if (n > 1) vsum += math.round(d.toDouble * n1 * n2 * (n - d) /
+            (n.toDouble * n * (n - 1)) * 1e6)
+        }
+        n1 -= here.count(_._3 == 0L); n2 -= here.count(_._3 == 1L)
+      }
+      val chi2 = if (vsum > 0)
+        Some(round6((ome / 1e6) * (ome / 1e6) / (vsum / 1e6))) else None
+      seg -> ((sumD1, sumD2, ome, vsum, chi2))
+    }
+    val got = graft.queries.Survival.v5LogRank(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5))))).toMap
+    assert(got == exp, s"first diff: ${
+      exp.collect { case (k, v) if got.get(k) != Some(v) =>
+        (k, got.get(k), v) }.take(2)}")
+    assert(got.values.forall(_._5.isDefined), "variance must be positive here")
+  }
+
   test("t18: within-doc repeated chunks count instances, not hashes") {
     import spark.implicits._
     val c1 = (1 to 32).map("a" + _).mkString(" ")
