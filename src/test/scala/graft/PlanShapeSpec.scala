@@ -575,4 +575,96 @@ class PlanShapeSpec extends AnyFunSuite {
       deleteRecursively(whPath)
     }
   }
+
+  test("v3/v4/v5: survival curves shuffle only on the segment key — no corpus funnel") {
+    import org.apache.spark.sql.catalyst.plans.physical.{HashPartitioning, SinglePartition}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      Seq(graft.queries.Survival.v3CumHazard(spark, dir),
+          graft.queries.Survival.v4KaplanMeier(spark, dir),
+          graft.queries.Survival.v5LogRank(spark, dir)).foreach { df =>
+        val root = df.queryExecution.executedPlan
+        val singles = root.collect {
+          case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e
+        }
+        assert(singles.isEmpty,
+          s"no single-partition funnel:\n${singles.mkString.take(600)}")
+        val hashed = root.collect {
+          case e: ShuffleExchangeExec => e.outputPartitioning match {
+            case h: HashPartitioning => Some(h)
+            case _ => None
+          }
+        }.flatten
+        assert(hashed.nonEmpty &&
+          hashed.forall(_.expressions.exists(_.toString.contains("seg"))),
+          s"every hash exchange keyed on seg:\n${hashed.mkString("\n").take(600)}")
+        // the prefix-sum windows run per segment, never globally
+        val p = root.toString
+        assert(p.contains("windowspecdefinition(seg"), p.take(1200))
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("p14: stratum ranking is two-phase WindowGroupLimit — a giant stratum never funnels one task") {
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val root = TextDedup.p14StratifiedSample(spark, dir)
+        .queryExecution.executedPlan
+      val p = root.toString
+      // two WindowGroupLimit passes (partial before the exchange, final
+      // after) bound every task's buffer at k, salt included in phase 1
+      assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p.take(1200))
+      // the only SinglePartition exchanges are the prefix-sum machinery's
+      // driver-sized tables (per-pid totals / corpus total), never the
+      // document frame: each must sit above an aggregate keyed on pid or
+      // an all-column-pruned count
+      val singles = root.collect {
+        case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e
+      }
+      assert(singles.forall(e =>
+        e.toString.contains("HashAggregate(keys=[pid") ||
+          e.toString.contains("HashAggregate(keys=[], ")),
+        s"global funnels must be driver-sized tables:\n${
+          singles.map(_.toString.take(300)).mkString("\n---\n")}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("e15: scored frame rides the cached profile table — no events re-scan, windows keyed on pid") {
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val root = graft.queries.Events.e15RfmSegments(spark, dir)
+        .queryExecution.executedPlan
+      val p = root.toString
+      // the quintile passes consume the persisted profile partitions
+      // (materialized ONCE by the scorer's eager count): the corpus
+      // parquet must not appear anywhere in the final plan
+      val scans = root.collect {
+        case s: FileSourceScanExec if s.toString.contains("events") => s
+      }
+      assert(scans.isEmpty,
+        s"corpus must not re-scan, got ${scans.length}:\n${p.take(800)}")
+      assert(p.contains("InMemoryTableScan"), p.take(1200))
+      // quintile ranking windows stay keyed on pid (the e15 scorer
+      // inherits the p3 prefix-sum shape), and the only global funnels
+      // are the driver-sized offsets/total tables
+      assert(p.contains("windowspecdefinition(pid"), p.take(1200))
+      val singles = root.collect {
+        case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e
+      }
+      assert(singles.forall(e =>
+        e.toString.contains("HashAggregate(keys=[pid") ||
+          e.toString.contains("HashAggregate(keys=[], ")),
+        s"global funnels must be driver-sized tables:\n${
+          singles.map(_.toString.take(300)).mkString("\n---\n")}")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.catalog.clearCache()
+    }
+  }
 }
