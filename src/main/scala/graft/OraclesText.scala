@@ -1662,6 +1662,44 @@ object OraclesText {
         |ORDER BY t.doc_id LIMIT 2000""".stripMargin,
   )
 
+  /** The v4 product-limit SQL — shared so v6 can compose it as a CTE
+    * (defined before the map: object-init order).
+    */
+  private val v4KaplanMeierSql: String =
+      """WITH s AS (SELECT c_mktsegment AS seg,
+        |    (c_custkey % 2 = 0) AS event,
+        |    CAST(c_custkey % 97 AS BIGINT) AS time
+        |  FROM customer WHERE c_custkey <= 2000),
+        |bt AS (SELECT seg, time,
+        |    CAST(sum(CASE WHEN event THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    count(*) AS m
+        |  FROM s GROUP BY 1, 2),
+        |tot AS (SELECT seg, CAST(sum(m) AS BIGINT) AS n_seg
+        |        FROM bt GROUP BY 1),
+        |r AS (SELECT bt.seg, bt.time, bt.d,
+        |    CAST(n_seg - coalesce(sum(m) OVER (PARTITION BY bt.seg
+        |      ORDER BY bt.time
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS n_risk
+        |  FROM bt JOIN tot ON bt.seg = tot.seg),
+        |f AS (SELECT seg, time, d, n_risk,
+        |    CASE WHEN d < n_risk THEN CAST(round(ln(
+        |      CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE)) * 1e6)
+        |      AS BIGINT) ELSE 0 END AS lnf_micro,
+        |    CASE WHEN d = n_risk THEN 1 ELSE 0 END AS dead
+        |  FROM r),
+        |c AS (SELECT *,
+        |    CAST(sum(lnf_micro) OVER (PARTITION BY seg ORDER BY time
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_ln_micro,
+        |    max(dead) OVER (PARTITION BY seg ORDER BY time
+        |      ROWS UNBOUNDED PRECEDING) AS extinct
+        |  FROM f)
+        |SELECT seg, time, d, n_risk, cum_ln_micro,
+        |  CASE WHEN extinct = 1 THEN 0.0
+        |    ELSE round(exp(CAST(cum_ln_micro AS DOUBLE) / 1e6), 6)
+        |  END AS survival
+        |FROM c WHERE d > 0 ORDER BY seg, time""".stripMargin
+
   val survival: Map[String, String] = Map(
     // Survival.v3CumHazard: Nelson–Aalen with the identical half-up
     // micro-unit integral division BEFORE accumulation — curve exact in
@@ -1696,40 +1734,25 @@ object OraclesText {
     // Survival.v4KaplanMeier: product-limit curve carried in log space
     // as integer micro-nats (one ln snap per factor, exact integer sum);
     // d=n extinction handled by a sticky flag exactly as in Spark.
-    "v4_kaplan_meier" ->
-      """WITH s AS (SELECT c_mktsegment AS seg,
-        |    (c_custkey % 2 = 0) AS event,
-        |    CAST(c_custkey % 97 AS BIGINT) AS time
-        |  FROM customer WHERE c_custkey <= 2000),
-        |bt AS (SELECT seg, time,
-        |    CAST(sum(CASE WHEN event THEN 1 ELSE 0 END) AS BIGINT) AS d,
-        |    count(*) AS m
-        |  FROM s GROUP BY 1, 2),
-        |tot AS (SELECT seg, CAST(sum(m) AS BIGINT) AS n_seg
-        |        FROM bt GROUP BY 1),
-        |r AS (SELECT bt.seg, bt.time, bt.d,
-        |    CAST(n_seg - coalesce(sum(m) OVER (PARTITION BY bt.seg
-        |      ORDER BY bt.time
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      AS BIGINT) AS n_risk
-        |  FROM bt JOIN tot ON bt.seg = tot.seg),
-        |f AS (SELECT seg, time, d, n_risk,
-        |    CASE WHEN d < n_risk THEN CAST(round(ln(
-        |      CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE)) * 1e6)
-        |      AS BIGINT) ELSE 0 END AS lnf_micro,
-        |    CASE WHEN d = n_risk THEN 1 ELSE 0 END AS dead
-        |  FROM r),
-        |c AS (SELECT *,
-        |    CAST(sum(lnf_micro) OVER (PARTITION BY seg ORDER BY time
-        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_ln_micro,
-        |    max(dead) OVER (PARTITION BY seg ORDER BY time
-        |      ROWS UNBOUNDED PRECEDING) AS extinct
-        |  FROM f)
-        |SELECT seg, time, d, n_risk, cum_ln_micro,
-        |  CASE WHEN extinct = 1 THEN 0.0
-        |    ELSE round(exp(CAST(cum_ln_micro AS DOUBLE) / 1e6), 6)
-        |  END AS survival
-        |FROM c WHERE d > 0 ORDER BY seg, time""".stripMargin,
+    "v4_kaplan_meier" -> v4KaplanMeierSql,
+
+    // Survival.v6Rmst: area under the v4 step curve to the horizon —
+    // exact integer micro-day units; composes the gated v4 SQL verbatim
+    // (the s8/m7 composition discipline).
+    "v6_rmst" ->
+      s"""WITH km AS ($v4KaplanMeierSql),
+         |stepped AS (SELECT seg, time,
+         |    CAST(round(survival * 1e6) AS BIGINT) AS surv_micro,
+         |    coalesce(lead(time, 1) OVER (PARTITION BY seg ORDER BY time),
+         |      97) AS next_time
+         |  FROM km)
+         |SELECT seg, CAST(min(time) AS BIGINT) AS first_event_time,
+         |  count(*) AS n_event_times,
+         |  CAST(97 AS BIGINT) AS horizon,
+         |  round(CAST(min(time) * 1000000
+         |      + sum(surv_micro * (next_time - time)) AS DOUBLE) / 1e6, 6)
+         |    AS rmst
+         |FROM stepped GROUP BY seg ORDER BY seg""".stripMargin,
 
     // Survival.v5LogRank: two-sample log-rank with per-time E1/V snapped
     // to integer micro-units before the exact integer accumulation.

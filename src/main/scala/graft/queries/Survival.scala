@@ -259,11 +259,41 @@ object Survival {
       .orderBy(col("seg"))
   }
 
+  /** Restricted mean survival time (v6): the area under the v4 curve up
+    * to the horizon τ — the clinically reportable "expected survival
+    * within τ" summary. The KM curve is a step function, so the integral
+    * is EXACT: Σ S(t_i)·(t_{i+1}−t_i) plus the unit-survival head
+    * [0, t_1), evaluated in integer micro-day-units (S is already
+    * snapped to micro-units by v4's 6-decimal presentation; the gaps are
+    * integer days), accumulated with one lead() over the same
+    * seg-keyed window — no new shuffle beyond v4's. One row per segment.
+    */
+  def v6Rmst(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val horizon = 97L
+    val w = Window.partitionBy(col("seg")).orderBy(col("time"))
+    v4KaplanMeier(spark, dir)
+      .withColumn("surv_micro", round(col("survival") * 1e6).cast("long"))
+      .withColumn("next_time",
+        coalesce(lead(col("time"), 1).over(w), lit(horizon)))
+      .groupBy(col("seg"))
+      .agg(min(col("time")).as("first_event_time"),
+        count(lit(1)).as("n_event_times"),
+        sum(col("surv_micro") * (col("next_time") - col("time")))
+          .as("auc_micro"))
+      .select(col("seg"), col("first_event_time"), col("n_event_times"),
+        lit(horizon).as("horizon"),
+        round((col("first_event_time") * 1000000L + col("auc_micro"))
+          .cast("double") / 1e6, 6).as("rmst"))
+      .orderBy(col("seg"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v1_cindex" -> (v1CIndex _),
     "v2_clean_matrix" -> (v2CleanMatrix _),
     "v3_cum_hazard" -> (v3CumHazard _),
     "v4_kaplan_meier" -> (v4KaplanMeier _),
     "v5_logrank" -> (v5LogRank _),
+    "v6_rmst" -> (v6Rmst _),
   )
 }

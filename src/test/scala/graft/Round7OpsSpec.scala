@@ -416,6 +416,29 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(got.values.forall(_._5.isDefined), "variance must be positive here")
   }
 
+  test("v6: RMST equals the exact area under the v4 step curve") {
+    val km = graft.queries.Survival.v4KaplanMeier(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(5)))
+    val exp = km.groupBy(_._1).map { case (seg, rows) =>
+      val byT = rows.sortBy(_._2)
+      val head = byT.head._2 * 1000000L // S=1 before the first event
+      val auc = byT.zipAll(byT.tail.map(Some(_)), null, None).map {
+        case ((_, t, s), next) =>
+          val nt = next.map(_._2).getOrElse(97L)
+          math.round(s * 1e6) * (nt - t)
+      }.sum
+      seg -> ((byT.head._2, byT.size.toLong, 97L,
+        round6((head + auc).toDouble / 1e6)))
+    }
+    val got = graft.queries.Survival.v6Rmst(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))).toMap
+    assert(got == exp, s"diff: ${exp.collect {
+      case (k, v) if got.get(k) != Some(v) => (k, got.get(k), v) }.take(2)}")
+    // RMST is bounded by the horizon and positive
+    assert(got.values.forall(v => v._4 > 0 && v._4 <= 97.0))
+  }
+
   test("t18: within-doc repeated chunks count instances, not hashes") {
     import spark.implicits._
     val c1 = (1 to 32).map("a" + _).mkString(" ")
