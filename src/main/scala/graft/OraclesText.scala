@@ -1916,6 +1916,20 @@ object OraclesText {
     // Ingest.d13IncrementalDedup: new batch (src18/src19) deduped
     // against the standing corpus — exact by d1's normalized hash,
     // near by d6's shingle Jaccard, new×existing only.
+    // Ingest.d19BloomDedup: the oracle has NO bloom — the row hash
+    // certifies the bloom pre-gate is decision-invariant (no false
+    // negatives), which is the operator's entire correctness claim.
+    "d19_bloom_dedup" ->
+      """WITH hx AS (SELECT doc_id,
+        |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h,
+        |    (source IN ('src18', 'src19')) AS is_new
+        |  FROM documents),
+        |oldh AS (SELECT DISTINCT h FROM hx WHERE NOT is_new)
+        |SELECT hx.doc_id, (oldh.h IS NOT NULL) AS exact_dup,
+        |  (oldh.h IS NULL) AS admitted
+        |FROM hx LEFT JOIN oldh ON hx.h = oldh.h
+        |WHERE hx.is_new ORDER BY doc_id""".stripMargin,
+
     "d13_incremental_dedup" ->
       s"""WITH $shingleCte,
          |tag AS (SELECT doc_id, (source IN ('src18', 'src19')) AS is_new

@@ -208,6 +208,53 @@ object Ingest {
       .withColumn("is_new", col("source").isin(NewSources: _*)),
       maxShingleDf = Some(4))
 
+  /** Bloom-gated exact incremental dedup (d19): the d13 exact-hash
+    * verdict with the probe the 100-TB deployment actually runs FIRST —
+    * a bloom sketch of the standing corpus's content hashes, built by
+    * Spark's native `BloomFilterAggregate` (full partial-aggregation:
+    * only the sketch crosses the wire) and probed by the codegen'd
+    * `BloomFilterMightContain` (never a UDF). Arrivals that MISS the
+    * bloom are admitted without ever touching the standing hash asset —
+    * no join, no shuffle, no corpus I/O; only the (typically tiny)
+    * might-contain fraction pays the exact join. Because a bloom has no
+    * false negatives, the DECISIONS are identical to the un-gated exact
+    * join — which is precisely what the oracle checks: the gate SQL has
+    * no bloom in it, so the row hash certifies decision-invariance of
+    * the performance layer. False positives only waste a probe; the
+    * spec pins that the gate actually prunes. At lake scale the sketch
+    * is an incrementally-maintained per-snapshot asset (mergeable —
+    * union = bitwise OR), KBs–MBs against terabytes of hashes.
+    */
+  def d19BloomDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("is_new", col("source").isin(NewSources: _*))
+    bloomDedupOf(docs)
+  }
+
+  private[graft] def bloomDedupOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftfn.GraftExpressions.{bloomAgg, bloomMightContain}
+    val hashes = docs.select(col("doc_id"), col("is_new"),
+      fastMd5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")).as("h"))
+    val standing = hashes.filter(!col("is_new"))
+      .select(col("h")).distinct().persist()
+    val n = standing.count() // also freezes the frame for both consumers
+    // one driver-sized sketch (the broadcast-side asset); ~1.2 MB at
+    // n=10⁶ keys with the default 3% fpp sizing
+    val sketch = standing.agg(bloomAgg(col("h"), n))
+      .head().getAs[Array[Byte]](0)
+    val newH = hashes.filter(col("is_new"))
+      .withColumn("bloom_hit", bloomMightContain(sketch, col("h")))
+    // misses short-circuit: no join, no corpus touch
+    val misses = newH.filter(!col("bloom_hit"))
+      .select(col("doc_id"), lit(false).as("exact_dup"))
+    val checked = newH.filter(col("bloom_hit"))
+      .join(standing.withColumn("hit", lit(true)), Seq("h"), "left")
+      .select(col("doc_id"), coalesce(col("hit"), lit(false)).as("exact_dup"))
+    misses.union(checked)
+      .withColumn("admitted", !col("exact_dup"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The increment-vs-corpus pipeline over a pre-tagged frame
     * (`doc_id`, `text`, `is_new`) — split out so specs can drive crafted
     * corpora through the exact production plan.
@@ -297,6 +344,7 @@ object Ingest {
     "t14_pii_redact" -> (t14PiiRedact _),
     "d13_incremental_dedup" -> (d13IncrementalDedup _),
     "d13b_incremental_capped" -> (d13bIncrementalCapped _),
+    "d19_bloom_dedup" -> (d19BloomDedup _),
     "p6_ingest_manifest" -> (p6IngestManifest _),
   )
 }

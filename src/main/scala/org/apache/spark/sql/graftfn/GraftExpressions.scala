@@ -47,6 +47,33 @@ object GraftExpressions {
   def floatDoubleVecDot(a: Column, b: Column): Column =
     ExpressionUtils.column(FloatDoubleVecDot(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Spark's native bloom-filter aggregate (the machinery behind its
+    * runtime join filters), exposed as a Column: builds ONE sketch over
+    * `xxhash64(c)` with full partial-aggregation — the sketch, never the
+    * key set, crosses the wire. Deterministic for a given key set and
+    * sizing, so a gate built on it is stable across runs/partitionings.
+    */
+  def bloomAgg(c: Column, expectedItems: Long): Column =
+    ExpressionUtils.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(
+          ExpressionUtils.expression(
+            org.apache.spark.sql.functions.xxhash64(c)),
+          math.max(expectedItems, 1L))
+        .toAggregateExpression())
+
+  /** Membership probe against a serialized [[bloomAgg]] sketch — the
+    * codegen'd `BloomFilterMightContain`, never a UDF. No false
+    * negatives: a key that was added always probes true.
+    */
+  def bloomMightContain(bloomBytes: Array[Byte], c: Column): Column =
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal
+          .create(bloomBytes, BinaryType),
+        ExpressionUtils.expression(
+          org.apache.spark.sql.functions.xxhash64(c))))
 }
 
 /** Σ (double)a[i] * w[i], sequential — same association order as the

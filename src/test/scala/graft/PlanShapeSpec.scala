@@ -576,6 +576,31 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("d19: bloom probe is the codegen'd might_contain; only the hit branch joins") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val root = graft.queries.Ingest.d19BloomDedup(spark, dir)
+        .queryExecution.executedPlan
+      val p = root.toString
+      // the probe is the native expression (codegen), never a UDF
+      assert(p.contains("might_contain"), p.take(1200))
+      assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+        p.take(800))
+      // exactly ONE join in the whole plan: the bloom-hit remnant's
+      // exact check — the miss branch reaches the union join-free
+      val joins = root.collect {
+        case j: BroadcastHashJoinExec => j
+        case j: SortMergeJoinExec => j
+        case j: ShuffledHashJoinExec => j
+      }
+      assert(joins.length == 1, s"want 1 join, got ${joins.length}:\n${p.take(1200)}")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("v3/v4/v5: survival curves shuffle only on the segment key — no corpus funnel") {
     import org.apache.spark.sql.catalyst.plans.physical.{HashPartitioning, SinglePartition}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec

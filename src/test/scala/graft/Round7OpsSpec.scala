@@ -439,6 +439,38 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(got.values.forall(v => v._4 > 0 && v._4 <= 97.0))
   }
 
+  test("d19: bloom gate prunes novel arrivals and never drops a true dup") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftfn.GraftExpressions.{bloomAgg, bloomMightContain}
+    // crafted corpus: 200 standing docs, 100 arrivals of which 10 are
+    // exact dups (after whitespace normalization) and 90 are novel
+    val standing = (1 to 200).map(i => (i.toLong, s"standing doc body $i", false))
+    val dups = (1 to 10).map(i => (1000L + i, s"  STANDING   doc body ${i * 7}  ", true))
+    val novel = (1 to 90).map(i => (2000L + i, s"completely fresh arrival $i", true))
+    val docs = (standing ++ dups ++ novel).toDF("doc_id", "text", "is_new")
+    val got = graft.queries.Ingest.bloomDedupOf(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2)))).toMap
+    val expDup = dups.map(_._1).toSet
+    assert(got.keySet == (dups ++ novel).map(_._1).toSet)
+    got.foreach { case (id, (dup, adm)) =>
+      assert(dup == expDup.contains(id), s"doc $id exact_dup=$dup")
+      assert(adm == !dup, s"doc $id admitted=$adm")
+    }
+    // the gate must PRUNE: rebuild the sketch exactly as the operator
+    // does and count the might-contain fraction of the arrivals
+    def norm(s: String) = s.trim.toLowerCase.replaceAll("\\s+", " ")
+    val standingH = standing.map(d => Tuple1(md5hex7(norm(d._2)))).toDF("h").distinct()
+    val sketch = standingH.agg(bloomAgg(col("h"), 200)).head().getAs[Array[Byte]](0)
+    val arrivalH = (dups ++ novel).map(d => Tuple1(md5hex7(norm(d._2)))).toDF("h")
+    val hits = arrivalH.filter(bloomMightContain(sketch, col("h"))).count()
+    assert(hits >= 10, "no false negatives: every dup hash must probe true")
+    assert(hits <= 30, s"bloom must prune most novel arrivals, hits=$hits/100")
+  }
+
+  private def md5hex7(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   test("t18: within-doc repeated chunks count instances, not hashes") {
     import spark.implicits._
     val c1 = (1 to 32).map("a" + _).mkString(" ")
