@@ -2158,6 +2158,38 @@ object OraclesText {
          |FROM m1 JOIN p4 ON m1.doc_id = p4.doc_id
          |ORDER BY m1.doc_id LIMIT 2000""".stripMargin,
 
+    // Embeddings.s16Sq8Agreement: per-dim affine int8 quantization,
+    // exact integer ADC dot, agreement vs the gated s1 exact rank.
+    "s16_sq8_agreement" ->
+      s"""WITH ex AS (SELECT vec_id, i AS dim,
+         |    CAST(embedding[i + 1] AS DOUBLE) AS v
+         |  FROM embeddings, range(64) t(i)),
+         |dims AS (SELECT dim, min(v) AS mn, max(v) AS mx
+         |  FROM ex GROUP BY 1),
+         |qv AS (SELECT vec_id, ex.dim,
+         |    CASE WHEN mx > mn THEN CAST(round((v - mn) * 255.0 / (mx - mn))
+         |      AS BIGINT) ELSE 0 END AS q
+         |  FROM ex JOIN dims ON ex.dim = dims.dim),
+         |qq AS (SELECT vec_id AS q_id, dim, q AS qa FROM qv WHERE vec_id < 10),
+         |dot AS (SELECT qq.q_id, qv.vec_id, sum(qa * q) AS dotq
+         |  FROM qv JOIN qq ON qv.dim = qq.dim
+         |  WHERE qv.vec_id != qq.q_id GROUP BY 1, 2),
+         |rkq AS (SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY dotq DESC, vec_id) AS rk FROM dot),
+         |exact AS (${similarity("s1_cosine_topk")}),
+         |t1 AS (SELECT rkq.q_id, rkq.vec_id AS ann_top1,
+         |    exact.vec_id AS exact_top1
+         |  FROM rkq JOIN exact ON rkq.q_id = exact.q_id
+         |  WHERE rkq.rk = 1 AND exact.rk = 1),
+         |ov AS (SELECT rkq.q_id, count(*) AS n_overlap
+         |  FROM rkq JOIN exact ON rkq.q_id = exact.q_id
+         |    AND rkq.vec_id = exact.vec_id
+         |  WHERE rkq.rk <= 5 GROUP BY 1)
+         |SELECT t1.q_id, ann_top1, exact_top1,
+         |  (ann_top1 = exact_top1) AS top1_match,
+         |  CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap
+         |FROM t1 LEFT JOIN ov ON t1.q_id = ov.q_id ORDER BY t1.q_id""".stripMargin,
+
     // Embeddings.s15AnnClassify: the IVF-probe vote vs the exact vote —
     // composes the two gated SQLs verbatim.
     "s15_ann_classify" ->

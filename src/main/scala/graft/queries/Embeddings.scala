@@ -655,8 +655,58 @@ object Embeddings {
       .orderBy(col("q_id"))
   }
 
+  /** Scalar int8 quantization + ADC agreement audit (s16): the third
+    * classic ANN compression next to IVF (s2/s7) and PQ (s11). Each
+    * dimension is affinely mapped to 0..255 by the corpus per-dim
+    * min/max (one 64-row broadcast asset — at lake scale a per-snapshot
+    * statistic maintained like the bloom sketch), vectors quantize
+    * map-side, and the query distance is the exact INTEGER dot in
+    * quantized space — 4× memory cut and SIMD-friendly byte math where
+    * the float corpus no longer fits. The audit re-ranks the s1 queries
+    * under the quantized metric and reports per query how the cheap
+    * metric's verdicts differ from full-precision: top-1 agreement and
+    * top-5 overlap — all integer outputs, so the gate is exact. Plan
+    * shape: quantization is one broadcast join + map; the ADC scores
+    * shuffle once on (q_id, vec_id); ranking is the salted top-k.
+    */
+  def s16Sq8Agreement(spark: SparkSession, dir: String): DataFrame = {
+    val exploded = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("dim"), col("v").cast("double").as("v"))
+    val dims = exploded.groupBy(col("dim"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val qv = exploded.join(broadcast(dims), Seq("dim"))
+      .select(col("vec_id"), col("dim"),
+        when(col("mx") > col("mn"),
+          round((col("v") - col("mn")) * 255.0 / (col("mx") - col("mn")))
+            .cast("long")).otherwise(0L).as("q"))
+    val queries = qv.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("dim"), col("q").as("qa"))
+    val dotq = qv.join(broadcast(queries), Seq("dim"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("qa") * col("q")).as("dotq"))
+    val annTop = TopK.saltedTopK(dotq, Seq(col("q_id")),
+        Seq(col("dotq").desc, col("vec_id")), k = 5, saltBy = col("vec_id"))
+      .select(col("q_id"), col("rk"), col("vec_id"))
+    val exactTop = s1CosineTopK(spark, dir)
+      .select(col("q_id"), col("rk").as("erk"), col("vec_id"))
+    val top1 = annTop.filter(col("rk") === 1)
+      .select(col("q_id"), col("vec_id").as("ann_top1"))
+      .join(exactTop.filter(col("erk") === 1)
+        .select(col("q_id"), col("vec_id").as("exact_top1")), Seq("q_id"))
+    val overlap = annTop.join(exactTop, Seq("q_id", "vec_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_overlap"))
+    top1.join(overlap, Seq("q_id"), "left")
+      .select(col("q_id"), col("ann_top1"), col("exact_top1"),
+        (col("ann_top1") === col("exact_top1")).as("top1_match"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .orderBy(col("q_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_cosine_topk" -> (s1CosineTopK _),
+    "s16_sq8_agreement" -> (s16Sq8Agreement _),
     "s13_knn_classify" -> (s13KnnClassify _),
     "s14_radius_search" -> (s14RadiusSearch _),
     "s15_ann_classify" -> (s15AnnClassify _),

@@ -601,6 +601,36 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("runtime bloom filter injects on a selective dim join (the q2/q3 shape at lake scale)") {
+    // At 100 TB the fact side of every dim join wants a runtime filter:
+    // Catalyst's InjectRuntimeFilter builds a bloom from the filtered
+    // dim keys and pushes might_contain into the fact scan. The probe
+    // pins that the engine's join shapes QUALIFY for the rewrite (the
+    // size thresholds are tuned for clusters, so they're relaxed here —
+    // the assertion is about plan eligibility, not tiny-file sizing).
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions.{col, count, lit}
+      val part = graft.Tables.part(spark, dir)
+        .filter(col("p_brand") === "Brand#12")
+      val li = graft.Tables.lineitem(spark, dir)
+      val joined = li.join(part, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand")).agg(count(lit(1)).as("n"))
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain"),
+        s"runtime bloom filter must inject into the fact side:\n${p.take(1200)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("v3/v4/v5: survival curves shuffle only on the segment key — no corpus funnel") {
     import org.apache.spark.sql.catalyst.plans.physical.{HashPartitioning, SinglePartition}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec

@@ -467,6 +467,41 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(hits <= 30, s"bloom must prune most novel arrivals, hits=$hits/100")
   }
 
+  test("s16: int8 quantization, integer ADC rank, and audit bits match an independent fold") {
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val d = vecs.head._2.length
+    val mn = (0 until d).map(i => vecs.values.map(_(i)).min)
+    val mx = (0 until d).map(i => vecs.values.map(_(i)).max)
+    def quant(v: Array[Double]): Array[Long] =
+      (0 until d).map(i => if (mx(i) > mn(i))
+        math.round((v(i) - mn(i)) * 255.0 / (mx(i) - mn(i))) else 0L).toArray
+    val qs = vecs.view.mapValues(quant).toMap
+    def dotq(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def cosine(a: Array[Double], b: Array[Double]): Double = {
+      val num = a.zip(b).map { case (x, y) => x * y }.sum
+      num / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val exp = vecs.keys.filter(_ < 10).map { q =>
+      val ann = vecs.keys.filter(_ != q).toSeq
+        .sortBy(v => (-dotq(qs(q), qs(v)), v)).take(5)
+      val exact = vecs.keys.filter(_ != q).toSeq
+        .sortBy(v => (-BigDecimal(cosine(vecs(q), vecs(v)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP), v)).take(5)
+      q -> ((ann.head, exact.head, ann.head == exact.head,
+        ann.toSet.intersect(exact.toSet).size.toLong))
+    }.toMap
+    val got = graft.queries.Embeddings.s16Sq8Agreement(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getLong(4)))).toMap
+    assert(got == exp, s"diff: ${exp.collect {
+      case (k, v) if got.get(k) != Some(v) => (k, got.get(k), v) }.take(2)}")
+    assert(got.values.forall(v => v._4 >= 0 && v._4 <= 5))
+  }
+
   private def md5hex7(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
