@@ -297,6 +297,48 @@ object Oracles {
         |  count(*) OVER (PARTITION BY o_custkey ORDER BY day
         |    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS n_30d
         |FROM x ORDER BY o_custkey, o_orderkey LIMIT 3000""".stripMargin,
+
+    // Relational.q29WindowBattery: identical unique ordering; explicit
+    // ROWS frame for the frame-sensitive functions on both engines.
+    "q29_window_battery" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(o_totalprice, 2) AS price,
+        |  rank() OVER w AS rnk,
+        |  dense_rank() OVER w AS drnk,
+        |  ntile(4) OVER w AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cdist,
+        |  round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+        |  round(lead(o_totalprice, 1) OVER w, 2) AS next_price,
+        |  round(nth_value(o_totalprice, 2) OVER wr, 2) AS second_price,
+        |  round(first_value(o_totalprice) OVER wr, 2) AS first_price,
+        |  round(last_value(o_totalprice) OVER wr, 2) AS last_price
+        |FROM orders WHERE o_custkey <= 200
+        |WINDOW w AS (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey),
+        |  wr AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey LIMIT 3000""".stripMargin,
+
+    // Relational.q30SubquerySemantics: textually identical three-valued
+    // logic battery — NOT IN over a null-bearing set must return 0.
+    "q30_subquery_semantics" ->
+      """SELECT
+        |  (SELECT count(*) FROM orders WHERE o_custkey IN
+        |    (SELECT c_custkey FROM customer
+        |     WHERE c_mktsegment = 'BUILDING')) AS n_in,
+        |  (SELECT count(*) FROM orders o WHERE EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey
+        |     AND c.c_mktsegment = 'BUILDING')) AS n_exists,
+        |  (SELECT count(*) FROM orders WHERE o_custkey NOT IN
+        |    (SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN c_custkey END
+        |     FROM customer)) AS n_not_in_nullset,
+        |  (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey
+        |     AND c.c_mktsegment = 'BUILDING')) AS n_not_exists,
+        |  (SELECT count(*) FROM orders WHERE o_custkey NOT IN
+        |    (SELECT c_custkey FROM customer
+        |     WHERE c_mktsegment = 'BUILDING')) AS n_not_in_clean""".stripMargin,
   )
 
   def all: Map[String, String] = relational

@@ -492,7 +492,71 @@ object Relational {
       .limit(3000)
   }
 
+  /** Window-function battery (q29): the full ranking/navigation surface
+    * in one gated frame — rank, dense_rank, ntile, percent_rank,
+    * cume_dist, lag, lead, nth_value, first/last over an explicit ROWS
+    * frame — per customer over the unique (date, orderkey) order, so
+    * every function is tie-free deterministic. percent_rank/cume_dist
+    * are ratios of small integers; they round to 6 like every
+    * presentation double. One shuffle on o_custkey for all eleven
+    * functions: a single Window node evaluates the whole battery.
+    */
+  def q29WindowBattery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val rows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .filter(col("o_custkey") <= 200)
+      .select(col("o_custkey"), col("o_orderkey"),
+        money(col("o_totalprice")).as("price"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cdist"),
+        money(lag(col("o_totalprice"), 1).over(w)).as("prev_price"),
+        money(lead(col("o_totalprice"), 1).over(w)).as("next_price"),
+        money(nth_value(col("o_totalprice"), 2).over(rows)).as("second_price"),
+        money(first(col("o_totalprice")).over(rows)).as("first_price"),
+        money(last(col("o_totalprice")).over(rows)).as("last_price"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+      .limit(3000)
+  }
+
+  /** Subquery NULL-semantics battery (q30): the ANSI minefield in one
+    * row — `NOT IN` against a set CONTAINING NULL is three-valued-logic
+    * UNKNOWN for every probe (zero rows survive), while the
+    * "equivalent" `NOT EXISTS` keeps its rows; IN/EXISTS agree on the
+    * non-negated side. An engine that compiles NOT IN to a plain
+    * anti-join silently returns the NOT EXISTS answer — this gate row
+    * pins that the null-aware anti-join semantics survive at any scale.
+    */
+  def q30SubquerySemantics(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("q30_orders")
+    Tables.customer(spark, dir).createOrReplaceTempView("q30_customer")
+    spark.sql(
+      """SELECT
+        |  (SELECT count(*) FROM q30_orders WHERE o_custkey IN
+        |    (SELECT c_custkey FROM q30_customer
+        |     WHERE c_mktsegment = 'BUILDING')) AS n_in,
+        |  (SELECT count(*) FROM q30_orders o WHERE EXISTS
+        |    (SELECT 1 FROM q30_customer c WHERE c.c_custkey = o.o_custkey
+        |     AND c.c_mktsegment = 'BUILDING')) AS n_exists,
+        |  (SELECT count(*) FROM q30_orders WHERE o_custkey NOT IN
+        |    (SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN c_custkey END
+        |     FROM q30_customer)) AS n_not_in_nullset,
+        |  (SELECT count(*) FROM q30_orders o WHERE NOT EXISTS
+        |    (SELECT 1 FROM q30_customer c WHERE c.c_custkey = o.o_custkey
+        |     AND c.c_mktsegment = 'BUILDING')) AS n_not_exists,
+        |  (SELECT count(*) FROM q30_orders WHERE o_custkey NOT IN
+        |    (SELECT c_custkey FROM q30_customer
+        |     WHERE c_mktsegment = 'BUILDING')) AS n_not_in_clean""".stripMargin)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q29_window_battery" -> (q29WindowBattery _),
+    "q30_subquery_semantics" -> (q30SubquerySemantics _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q27_rolling_revenue" -> (q27RollingRevenue _),
     "q26_lateral_topk" -> (q26LateralTopk _),

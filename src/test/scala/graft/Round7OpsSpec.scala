@@ -502,6 +502,20 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(got.values.forall(v => v._4 >= 0 && v._4 <= 5))
   }
 
+  test("q30: the NOT IN null trap fires — zero rows vs the NOT EXISTS form") {
+    val r = graft.queries.Relational.q30SubquerySemantics(spark, dir)
+      .collect().head
+    val (nIn, nExists, nNotInNull, nNotExists, nNotInClean) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(nIn == nExists, "IN and EXISTS agree on the positive side")
+    assert(nNotInNull == 0L,
+      "NOT IN over a null-bearing set is UNKNOWN for every probe")
+    assert(nNotExists > 0L && nNotInClean == nNotExists,
+      "NOT EXISTS keeps rows; clean NOT IN equals it")
+    assert(nIn + nNotExists ==
+      Tables.orders(spark, dir).count(), "partition of the orders table")
+  }
+
   private def md5hex7(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
