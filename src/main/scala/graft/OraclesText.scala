@@ -834,6 +834,59 @@ object OraclesText {
         |  FROM documents) t
         |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
 
+    // TextDedup.t20EncodingSanity: identical doc_id-derived noise
+    // injection (chr(7) control, chr(65533) replacements, BMP
+    // non-ASCII), identical class regexes, t12-style snapped-ln entropy.
+    "t20_encoding_sanity" ->
+      """WITH noisy AS (SELECT doc_id, text
+        |    || CASE WHEN doc_id % 7 = 0 THEN ' café 漢字' ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0 THEN chr(7) || ' bell' ELSE '' END
+        |    || CASE WHEN doc_id % 13 = 0 THEN chr(65533) || chr(65533)
+        |       ELSE '' END AS t
+        |  FROM documents),
+        |c AS (SELECT doc_id, CAST(length(t) AS BIGINT) AS n_chars,
+        |    CAST(length(t) - length(regexp_replace(t, '[A-Za-z]', '', 'g'))
+        |      AS BIGINT) AS n_alpha,
+        |    CAST(length(t) - length(regexp_replace(t, '[0-9]', '', 'g'))
+        |      AS BIGINT) AS n_digit,
+        |    CAST(length(t) - length(regexp_replace(t, '[ \t\n\r]', '', 'g'))
+        |      AS BIGINT) AS n_ws,
+        |    CAST(length(t) - length(regexp_replace(t, '[^\x00-\x7F]', '', 'g'))
+        |      AS BIGINT) AS n_non_ascii,
+        |    CAST(length(t) - length(regexp_replace(t,
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) AS BIGINT)
+        |      AS n_control,
+        |    CAST(length(t) - length(regexp_replace(t, '\x{FFFD}', '', 'g'))
+        |      AS BIGINT) AS n_replacement
+        |  FROM noisy),
+        |c2 AS (SELECT *,
+        |    n_chars - n_alpha - n_digit - n_ws - n_non_ascii AS n_other_ascii
+        |  FROM c),
+        |e AS (SELECT *,
+        |    CASE WHEN n_chars > 0 THEN
+        |      CAST(round(ln(CAST(n_chars AS DOUBLE)) * 1e6) AS BIGINT)
+        |      ELSE 0 END
+        |    - (n_alpha * (CASE WHEN n_alpha > 0 THEN CAST(round(ln(
+        |        CAST(n_alpha AS DOUBLE)) * 1e6) AS BIGINT) ELSE 0 END)
+        |      + n_digit * (CASE WHEN n_digit > 0 THEN CAST(round(ln(
+        |        CAST(n_digit AS DOUBLE)) * 1e6) AS BIGINT) ELSE 0 END)
+        |      + n_ws * (CASE WHEN n_ws > 0 THEN CAST(round(ln(
+        |        CAST(n_ws AS DOUBLE)) * 1e6) AS BIGINT) ELSE 0 END)
+        |      + n_other_ascii * (CASE WHEN n_other_ascii > 0 THEN
+        |        CAST(round(ln(CAST(n_other_ascii AS DOUBLE)) * 1e6)
+        |        AS BIGINT) ELSE 0 END)
+        |      + n_non_ascii * (CASE WHEN n_non_ascii > 0 THEN
+        |        CAST(round(ln(CAST(n_non_ascii AS DOUBLE)) * 1e6)
+        |        AS BIGINT) ELSE 0 END)
+        |      + n_chars // 2) // n_chars AS entropy_micro
+        |  FROM c2)
+        |SELECT doc_id, n_chars, n_alpha, n_digit, n_ws, n_other_ascii,
+        |  n_non_ascii, n_control, n_replacement,
+        |  round(CAST(entropy_micro AS DOUBLE) / 1e6, 6) AS class_entropy,
+        |  (n_control = 0 AND n_replacement = 0
+        |   AND n_non_ascii * 10 <= n_chars * 3) AS encoding_ok
+        |FROM e ORDER BY doc_id LIMIT 2000""".stripMargin,
+
     "t5_fingerprint" ->
       s"""WITH $shingleCte
          |SELECT doc_id, min(md5(shingle)) AS fingerprint, count(*) AS n_shingles

@@ -1283,6 +1283,67 @@ object TextDedup {
   def p8CurriculumBins(spark: SparkSession, dir: String): DataFrame =
     curriculumBins(spark, dir)
 
+  /** Character-level encoding sanity (t20): the mojibake gate every
+    * crawl pipeline runs before tokenization — per document, counts of
+    * ASCII letters, digits, whitespace, other-ASCII, and non-ASCII
+    * characters (count = length drop after deleting the class, so the
+    * detector genuinely scans the bytes), plus the two hard red flags:
+    * C0 control characters (tab/newline/CR excluded) and U+FFFD
+    * replacement characters — a non-zero count of either means the
+    * upstream decode already lost data. The five class counts roll into
+    * a char-class entropy in integer micro-nats (each ln snapped once —
+    * the t12 discipline — then exact integer arithmetic), and the
+    * admission flag is encoding_ok = no controls, no replacements,
+    * non-ASCII ≤ 30%. Encoding noise is doc_id-injected (the t14/m1
+    * oracle discipline: the oracle predicts WHAT was injected from
+    * doc_id arithmetic while this side must FIND it with real
+    * character-class regexes). Map-only — rides the scan's codegen, no
+    * shuffle; one pass over the text bytes at any corpus size. BMP-only
+    * injection keeps Spark's UTF-16 length ≡ DuckDB's codepoint length.
+    */
+  def t20EncodingSanity(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
+    def classCount(t: Column, re: String): Column =
+      (length(t) - length(regexp_replace(t, re, ""))).cast("long")
+    def lnMicro(c: Column): Column =
+      when(c > 0, round(log(c.cast("double")) * 1e6).cast("long"))
+        .otherwise(0L)
+    val noisy = Tables.documents(spark, dir)
+      .select(col("doc_id"), concat(col("text"),
+        when(col("doc_id") % 7 === 0, lit(" café 漢字"))
+          .otherwise(""),
+        when(col("doc_id") % 11 === 0, lit("\u0007 bell")).otherwise(""),
+        when(col("doc_id") % 13 === 0, lit("\uFFFD\uFFFD")).otherwise(""))
+        .as("t"))
+    val counted = noisy.select(col("doc_id"),
+        length(col("t")).cast("long").as("n_chars"),
+        classCount(col("t"), "[A-Za-z]").as("n_alpha"),
+        classCount(col("t"), "[0-9]").as("n_digit"),
+        classCount(col("t"), "[ \\t\\n\\r]").as("n_ws"),
+        classCount(col("t"), "[^\\x00-\\x7F]").as("n_non_ascii"),
+        classCount(col("t"), "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]")
+          .as("n_control"),
+        classCount(col("t"), "\uFFFD").as("n_replacement"))
+      .withColumn("n_other_ascii",
+        col("n_chars") - col("n_alpha") - col("n_digit") - col("n_ws")
+          - col("n_non_ascii"))
+    val sumClnC = Seq("n_alpha", "n_digit", "n_ws", "n_other_ascii",
+      "n_non_ascii").map(c => col(c) * lnMicro(col(c)))
+      .reduce(_ + _)
+    counted
+      .withColumn("entropy_micro", lnMicro(col("n_chars")) -
+        intDiv(sumClnC + intDiv(col("n_chars"), lit(2L)), col("n_chars")))
+      .select(col("doc_id"), col("n_chars"), col("n_alpha"), col("n_digit"),
+        col("n_ws"), col("n_other_ascii"), col("n_non_ascii"),
+        col("n_control"), col("n_replacement"),
+        round(col("entropy_micro").cast("double") / 1e6, 6)
+          .as("class_entropy"),
+        (col("n_control") === 0 && col("n_replacement") === 0 &&
+          col("n_non_ascii") * 10 <= col("n_chars") * 3).as("encoding_ok"))
+      .orderBy(col("doc_id"))
+      .limit(2000)
+  }
+
   /** Stratified eval-set sampling (p14): exactly k=5 documents per
     * (lang, quality-decile) stratum, chosen by the smallest salted
     * content-hash values — balanced eval-set construction that keeps
@@ -1752,6 +1813,7 @@ object TextDedup {
     "t17_ngram_novelty" -> (t17NgramNovelty _),
     "t18_intradoc_rep" -> (t18IntradocRep _),
     "t19_vocab_stats" -> (t19VocabStats _),
+    "t20_encoding_sanity" -> (t20EncodingSanity _),
     "p10_dataset_card" -> (p10DatasetCard _),
     "t1_token_stats" -> (t1TokenStats _),
     "t11_repetition_ratio" -> (t11RepetitionRatio _),

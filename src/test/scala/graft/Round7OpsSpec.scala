@@ -516,6 +516,22 @@ class Round7OpsSpec extends AnyFunSuite {
       Tables.orders(spark, dir).count(), "partition of the orders table")
   }
 
+  test("t20: every injected noise channel is found by the real regex scan") {
+    val got = graft.queries.TextDedup.t20EncodingSanity(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(6), r.getLong(7),
+        r.getLong(8), r.getDouble(9), r.getBoolean(10)))).toMap
+    got.foreach { case (id, (nonAscii, ctrl, repl, ent, ok)) =>
+      assert((ctrl > 0) == (id % 11 == 0), s"doc $id control")
+      assert((repl == 2) == (id % 13 == 0) && (repl == 0 || repl == 2),
+        s"doc $id replacement")
+      if (id % 7 == 0) assert(nonAscii >= 3, s"doc $id non-ascii")
+      if (id % 11 == 0 || id % 13 == 0) assert(!ok, s"doc $id must flag")
+      assert(ent >= 0.0, s"doc $id entropy")
+    }
+    assert(got.exists(_._2._5), "clean docs must pass")
+    assert(got.exists(!_._2._5), "noisy docs must fail")
+  }
+
   private def md5hex7(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
