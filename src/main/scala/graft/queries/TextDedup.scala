@@ -1302,12 +1302,6 @@ object TextDedup {
     * injection keeps Spark's UTF-16 length ≡ DuckDB's codepoint length.
     */
   def t20EncodingSanity(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
-    def classCount(t: Column, re: String): Column =
-      (length(t) - length(regexp_replace(t, re, ""))).cast("long")
-    def lnMicro(c: Column): Column =
-      when(c > 0, round(log(c.cast("double")) * 1e6).cast("long"))
-        .otherwise(0L)
     val noisy = Tables.documents(spark, dir)
       .select(col("doc_id"), concat(col("text"),
         when(col("doc_id") % 7 === 0, lit(" café 漢字"))
@@ -1315,6 +1309,24 @@ object TextDedup {
         when(col("doc_id") % 11 === 0, lit("\u0007 bell")).otherwise(""),
         when(col("doc_id") % 13 === 0, lit("\uFFFD\uFFFD")).otherwise(""))
         .as("t"))
+    encodingSanityOf(noisy)
+      .orderBy(col("doc_id"))
+      .limit(2000)
+  }
+
+  /** The encoding scan over a (`doc_id`, `t`) frame — shared verbatim
+    * with the streaming ingest twin
+    * ([[graft.streaming.CorpusStreams.encodingGate]]): entirely
+    * stateless per-row expressions, so the batch plan IS the stream
+    * plan.
+    */
+  private[graft] def encodingSanityOf(noisy: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
+    def classCount(t: Column, re: String): Column =
+      (length(t) - length(regexp_replace(t, re, ""))).cast("long")
+    def lnMicro(c: Column): Column =
+      when(c > 0, round(log(c.cast("double")) * 1e6).cast("long"))
+        .otherwise(0L)
     val counted = noisy.select(col("doc_id"),
         length(col("t")).cast("long").as("n_chars"),
         classCount(col("t"), "[A-Za-z]").as("n_alpha"),
@@ -1340,8 +1352,6 @@ object TextDedup {
           .as("class_entropy"),
         (col("n_control") === 0 && col("n_replacement") === 0 &&
           col("n_non_ascii") * 10 <= col("n_chars") * 3).as("encoding_ok"))
-      .orderBy(col("doc_id"))
-      .limit(2000)
   }
 
   /** Stratified eval-set sampling (p14): exactly k=5 documents per

@@ -64,6 +64,15 @@ object CorpusStreams {
   def piiScrub(docs: DataFrame): DataFrame =
     graft.queries.Ingest.piiScrubOf(docs)
 
+  /** Streaming twin of the t20 encoding gate — the batch expressions
+    * verbatim ([[graft.queries.TextDedup.encodingSanityOf]] is entirely
+    * stateless per-row math), so mojibake is caught AT ingest, before a
+    * corrupt decode ever reaches the standing corpus. Expects a
+    * (`doc_id`, `t`) frame like the batch side.
+    */
+  def encodingGate(docs: DataFrame): DataFrame =
+    graft.queries.TextDedup.encodingSanityOf(docs)
+
   /** Distinct (doc_id, shingle, n_shingles) triples of a STREAMING
     * document frame. The batch `TextDedup.shingleIndex` derives shingles
     * with a `lead` window — unavailable on streams — so this twin uses a

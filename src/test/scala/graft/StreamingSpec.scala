@@ -1113,6 +1113,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.values.exists(v => v._2 > 1), "a gapped user must exist")
   }
 
+  test("streaming encoding gate equals the batch t20 scan row-for-row") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val arrivals = Seq(
+      (1L, "a clean ascii document"),
+      (2L, "café au lait 漢字 漢字 漢字"),
+      (3L, "bell rang"),
+      (4L, "lost bytes \uFFFD here"),
+      (5L, "digits 123 and spaces\tand\nlines"))
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = graft.streaming.CorpusStreams.encodingGate(
+        mem.toDS().toDF("doc_id", "t"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("enc_gate").start()
+    try {
+      mem.addData(arrivals: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("enc_gate")
+      .collect().map(_.toSeq).toSet
+    val batch = graft.queries.TextDedup.encodingSanityOf(
+        arrivals.toDF("doc_id", "t"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    val ok = spark.table("enc_gate")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(10)).toMap
+    assert(ok(1L) && ok(5L), "clean docs admit")
+    assert(!ok(2L), "majority-CJK doc exceeds the non-ascii ratio")
+    assert(!ok(3L) && !ok(4L), "control/replacement docs flag")
+  }
+
   test("mergeDay bridges, extends, and ignores duplicates") {
     import EventStreams.mergeDay
     assert(mergeDay(Nil, 5) == List((5L, 5L)))
