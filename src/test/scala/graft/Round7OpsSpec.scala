@@ -532,6 +532,35 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(got.exists(!_._2._5), "noisy docs must fail")
   }
 
+  test("d19: bloom sketches of two increments merge to the one-shot corpus sketch") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftfn.GraftExpressions.{bloomAgg, bloomMightContain}
+    val total = 400L
+    val a = (1 to 200).map(i => Tuple1(s"key-a-$i")).toDF("h")
+    val b = (1 to 200).map(i => Tuple1(s"key-b-$i")).toDF("h")
+    def sketchOf(df: org.apache.spark.sql.DataFrame): Array[Byte] =
+      df.agg(bloomAgg(col("h"), total)).head().getAs[Array[Byte]](0)
+    def deser(bytes: Array[Byte]) =
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bytes))
+    // sized identically, union-of-sketches IS the sketch-of-union:
+    // bitwise OR — the property that makes the d19 asset incrementally
+    // maintainable (admit a batch, OR in its sketch; never rebuild)
+    val merged = deser(sketchOf(a))
+    merged.mergeInPlace(deser(sketchOf(b)))
+    val bos = new java.io.ByteArrayOutputStream()
+    merged.writeTo(bos)
+    val oneShot = sketchOf(a.union(b))
+    assert(java.util.Arrays.equals(bos.toByteArray, oneShot),
+      "merged increment sketches must equal the one-shot corpus sketch")
+    // and the merged sketch still has no false negatives + still prunes
+    val members = a.union(b)
+    assert(members.filter(bloomMightContain(oneShot, col("h"))).count() == 400L)
+    val novel = (1 to 400).map(i => Tuple1(s"novel-$i")).toDF("h")
+    val fp = novel.filter(bloomMightContain(oneShot, col("h"))).count()
+    assert(fp <= 40, s"merged sketch must keep pruning, fp=$fp/400")
+  }
+
   private def md5hex7(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
