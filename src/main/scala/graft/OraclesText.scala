@@ -1398,6 +1398,31 @@ object OraclesText {
         |  count(*) AS n_streaks, CAST(max(len) AS BIGINT) AS longest_streak
         |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    // Events.e17AnomalyHours: identical integer hour grid; the anomaly
+    // flag is the exact integer cross-multiply d² ≥ 9·(k·s2 − s1²).
+    "e17_anomaly_hours" ->
+      """WITH hourly AS (SELECT
+        |    CAST(epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP)))
+        |      // 3600000000 AS BIGINT) AS hour_idx,
+        |    event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT *,
+        |    count(*) OVER fr AS k,
+        |    CAST(sum(n) OVER fr AS BIGINT) AS s1,
+        |    CAST(sum(n * n) OVER fr AS BIGINT) AS s2
+        |  FROM hourly WINDOW fr AS (PARTITION BY event_type
+        |    ORDER BY hour_idx RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        |f AS (SELECT *, k * n - s1 AS d,
+        |    greatest(k * s2 - s1 * s1, k * k) AS var_eff
+        |  FROM w WHERE k >= 12)
+        |SELECT make_timestamp(hour_idx * 3600000000) AS hour,
+        |  event_type, n, k,
+        |  round(CAST(s1 AS DOUBLE) / k, 6) AS baseline_mean,
+        |  round(CAST(d AS DOUBLE) * CAST(d AS DOUBLE)
+        |    / CAST(var_eff AS DOUBLE), 6) AS z_sq,
+        |  (d * d >= var_eff * 9) AS is_anomaly
+        |FROM f ORDER BY hour, event_type""".stripMargin,
+
     "e1_window_agg" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
         |  count(*) AS n,

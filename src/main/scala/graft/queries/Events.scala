@@ -597,7 +597,67 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /** Hourly per-type event counts on an integer hour grid — e17's
+    * incremental half, the same closed-window partials asset shape as
+    * e13's ([[graft.streaming.EventStreams.windowedAgg]] maintains the
+    * equivalent under a watermark; the spec drives the finisher from
+    * the streamed table).
+    */
+  private[graft] def hourlyTypeCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy((unix_micros(date_trunc("hour", col("ts")))
+          / lit(3600000000L)).cast("long").as("hour_idx"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Bounded finish of e17 over the (hour_idx, event_type, n) partials:
+    * trailing-24h baseline and the anomaly verdict. The flag is ALL
+    * INTEGER — with k prior buckets, s1 = Σx, s2 = Σx², d = k·n − s1:
+    * z² = d²/(k·s2 − s1²), so |z| ≥ 3 ⟺ d² ≥ 9·(k·s2 − s1²) — an exact
+    * integer cross-multiply; no float ever enters the decision, so the
+    * verdict is bit-stable across engines and partitionings. The
+    * variance numerator is floored at k² (σ ≥ 1 count): a perfectly
+    * flat baseline must not turn a ±1 wiggle into an infinite z — the
+    * spike has to clear 3 real counts. z² is reported over the same
+    * floored denominator (round 6, always defined).
+    */
+  private[graft] def anomalyFromHourly(hourly: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour_idx"))
+      .rangeBetween(-24, -1)
+    hourly
+      .withColumn("k", count(lit(1)).over(w))
+      .withColumn("s1", sum(col("n")).over(w))
+      .withColumn("s2", sum(col("n") * col("n")).over(w))
+      .filter(col("k") >= 12)
+      .withColumn("d", col("k") * col("n") - col("s1"))
+      .withColumn("var_eff", greatest(
+        col("k") * col("s2") - col("s1") * col("s1"),
+        col("k") * col("k")))
+      .select(
+        timestamp_micros(col("hour_idx") * 3600000000L)
+          .cast("timestamp_ntz").as("hour"),
+        col("event_type"), col("n"), col("k"),
+        round(col("s1").cast("double") / col("k"), 6).as("baseline_mean"),
+        round(col("d").cast("double") * col("d").cast("double")
+          / col("var_eff").cast("double"), 6).as("z_sq"),
+        (col("d") * col("d") >= col("var_eff") * 9L).as("is_anomaly"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
+  /** Hourly volume anomalies (e17): per event type, each hour's count
+    * against its trailing-24-hour baseline — the pipeline-health monitor
+    * every event platform runs (a crawler dying or a bot spike shows up
+    * here first). Split as partials + finisher so the streaming side
+    * maintains the hourly counts incrementally and the detector is a
+    * read-time window over closed buckets (the e13 discipline); the
+    * ≥12-bucket warm-up keeps early hours from self-flagging.
+    */
+  def e17AnomalyHours(spark: SparkSession, dir: String): DataFrame =
+    anomalyFromHourly(hourlyTypeCounts(Tables.events(spark, dir)))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e17_anomaly_hours" -> (e17AnomalyHours _),
     "e13_decayed_score" -> (e13DecayedScore _),
     "e14_timed_funnel" -> (e14TimedFunnel _),
     "e15_rfm_segments" -> (e15RfmSegments _),

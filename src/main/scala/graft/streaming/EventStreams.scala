@@ -752,6 +752,17 @@ object EventStreams {
       }
   }
 
+  /** Bounded finish of the e17 twin: the anomaly detector over the
+    * STREAMED hourly table ([[windowedAgg]]'s closed windows) — the
+    * same read-time-finisher split as e13's decayed leaderboard; raw
+    * events are never revisited when the baseline window slides.
+    */
+  def anomalyFromStreamedHours(partials: DataFrame): DataFrame =
+    graft.queries.Events.anomalyFromHourly(partials.select(
+      (unix_micros(col("hour").cast("timestamp")) / lit(3600000000L))
+        .cast("long").as("hour_idx"),
+      col("event_type"), col("n")))
+
   /** Runs a streaming query to completion over a static directory (the
     * local smoke path: batch parquet drives the stream synchronously).
     */

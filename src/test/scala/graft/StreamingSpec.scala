@@ -1146,6 +1146,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(!ok(3L) && !ok(4L), "control/replacement docs flag")
   }
 
+  test("streaming hourly partials finish to the batch anomaly verdicts (e17 twin)") {
+    import org.apache.spark.sql.functions.col
+    val stream = EventStreams.readEvents(spark, streamDir)
+    val q = EventStreams.windowedAgg(stream)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("e17_hours")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val fromStream = EventStreams.anomalyFromStreamedHours(
+        spark.table("e17_hours"))
+      .collect().map(_.toSeq).toSeq
+    val batch = Events.e17AnomalyHours(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(fromStream == batch, s"stream rows=${fromStream.size}")
+    assert(batch.nonEmpty)
+  }
+
+  test("e17 detector fires on a spike and stays quiet on a flat baseline") {
+    import spark.implicits._
+    // 30 steady hours then a 10x spike; a second type stays flat
+    val partials = ((0 until 30).map(h => (h.toLong, "steady", 10L)) ++
+      Seq((30L, "steady", 100L)) ++
+      (0 until 31).map(h => (h.toLong, "flat", 10L)) ++
+      // mild wiggle: within 3 sigma, must NOT flag
+      Seq((31L, "flat", 11L))).toDF("hour_idx", "event_type", "n")
+    val got = graft.queries.Events.anomalyFromHourly(partials)
+      .collect().map(r => (r.getString(1), r.getLong(2)) ->
+        ((r.getLong(3), r.getBoolean(6)))).toMap
+    assert(got(("steady", 100L))._2, "10x spike must flag")
+    assert(!got.exists { case ((t, n), (_, a)) => t == "flat" && a },
+      "flat series never flags")
+    // warm-up: hours with fewer than 12 prior buckets are absent
+    assert(got.values.forall(_._1 >= 12))
+  }
+
   test("mergeDay bridges, extends, and ignores duplicates") {
     import EventStreams.mergeDay
     assert(mergeDay(Nil, 5) == List((5L, 5L)))
