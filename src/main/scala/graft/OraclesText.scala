@@ -1398,6 +1398,32 @@ object OraclesText {
         |  count(*) AS n_streaks, CAST(max(len) AS BIGINT) AS longest_streak
         |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    // Events.e18Attribution: identical LOCF carry (last_value IGNORE
+    // NULLS over the −1-row frame) — touch id/type/us come from the
+    // same carried row in both engines.
+    "e18_attribution" ->
+      """WITH x AS (SELECT event_id, user_id, event_type, value,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |c AS (SELECT *,
+        |    last_value(CASE WHEN event_type IN ('view', 'click')
+        |      THEN us END IGNORE NULLS) OVER w AS t_us,
+        |    last_value(CASE WHEN event_type IN ('view', 'click')
+        |      THEN event_id END IGNORE NULLS) OVER w AS t_id,
+        |    last_value(CASE WHEN event_type IN ('view', 'click')
+        |      THEN event_type END IGNORE NULLS) OVER w AS t_type
+        |  FROM x WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |p AS (SELECT *,
+        |    (t_us IS NOT NULL AND us - t_us <= 86400000000) AS attributed
+        |  FROM c WHERE event_type = 'purchase')
+        |SELECT event_id, user_id,
+        |  CAST(round(value * 100) AS BIGINT) AS value_cents,
+        |  CASE WHEN attributed THEN t_id ELSE -1 END AS touch_event_id,
+        |  CASE WHEN attributed THEN t_type ELSE 'none' END AS touch_type,
+        |  CASE WHEN attributed
+        |    THEN round(CAST(us - t_us AS DOUBLE) / 1e6, 6) END AS lag_sec
+        |FROM p ORDER BY event_id""".stripMargin,
+
     // Events.e17AnomalyHours: identical integer hour grid; the anomaly
     // flag is the exact integer cross-multiply d² ≥ 9·(k·s2 − s1²).
     "e17_anomaly_hours" ->

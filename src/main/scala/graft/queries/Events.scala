@@ -656,8 +656,49 @@ object Events {
   def e17AnomalyHours(spark: SparkSession, dir: String): DataFrame =
     anomalyFromHourly(hourlyTypeCounts(Tables.events(spark, dir)))
 
+  /** Last-touch attribution (e18): every purchase credits the latest
+    * view-or-click by the same user strictly before it and within 24
+    * hours — the conversion-credit join every ads/analytics pipeline
+    * runs. The "latest preceding touch" is the e11 LOCF construct
+    * (`last(_, ignoreNulls)` over the user's time-ordered frame ending
+    * at −1 row), so touch id/type/time are read from the SAME carried
+    * row; the deadline check and lag are exact integer µs. One shuffle
+    * on user_id; unattributed purchases keep the −1 sentinel (gate-safe
+    * like d13's near_dup_of).
+    */
+  def e18Attribution(spark: SparkSession, dir: String): DataFrame =
+    attributionOf(Tables.events(spark, dir))
+
+  private[graft] def attributionOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dayUs = 24L * 3600 * 1000 * 1000
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isTouch = col("event_type") === "view" || col("event_type") === "click"
+    events
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("t_us", last(when(isTouch, col("us")), ignoreNulls = true).over(w))
+      .withColumn("t_id", last(when(isTouch, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("t_type", last(when(isTouch, col("event_type")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("attributed",
+        col("t_us").isNotNull && col("us") - col("t_us") <= dayUs)
+      .select(col("event_id"), col("user_id"),
+        round(col("value") * 100).cast("long").as("value_cents"),
+        when(col("attributed"), col("t_id")).otherwise(-1L)
+          .as("touch_event_id"),
+        when(col("attributed"), col("t_type")).otherwise("none")
+          .as("touch_type"),
+        when(col("attributed"),
+          round((col("us") - col("t_us")).cast("double") / 1e6, 6))
+          .as("lag_sec"))
+      .orderBy(col("event_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e17_anomaly_hours" -> (e17AnomalyHours _),
+    "e18_attribution" -> (e18Attribution _),
     "e13_decayed_score" -> (e13DecayedScore _),
     "e14_timed_funnel" -> (e14TimedFunnel _),
     "e15_rfm_segments" -> (e15RfmSegments _),

@@ -752,6 +752,52 @@ object EventStreams {
       }
   }
 
+  /** Last (view|click) per user — the entire attribution state. */
+  case class AttrState(tUs: Long, tId: Long, tType: String)
+  case class AttrOut(event_id: Long, user_id: Long,
+      value_cents: Option[Long], touch_event_id: Long, touch_type: String,
+      lag_sec: Option[Double])
+
+  /** Streaming twin of Events.e18Attribution: the per-user last-touch
+    * carry as O(1) keyed state — a purchase is attributed the moment it
+    * arrives, against the touch state accumulated so far. Within a
+    * batch rows process in the batch twin's (µs, event_id) order, and a
+    * touch updates the carry BEFORE a later purchase reads it — exactly
+    * the −1-row window frame. Same standing-state NoTimeout trade and
+    * per-user in-order-arrival caveat as [[locfStream]]/[[asofViews]].
+    */
+  def attributionStream(events: Dataset[LocfIn]): Dataset[AttrOut] = {
+    import events.sparkSession.implicits._
+    val dayUs = 24L * 3600 * 1000 * 1000
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AttrState, AttrOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[LocfIn], state: GroupState[AttrState]) =>
+          val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var touch = state.getOption
+          val out = Seq.newBuilder[AttrOut]
+          sorted.foreach { e =>
+            val us = micros(e.ts)
+            if (e.event_type == "purchase") {
+              val attributed = touch.exists(t => us - t.tUs <= dayUs)
+              // HALF_UP like the batch twin's round() expressions
+              out += AttrOut(e.event_id, userId,
+                e.value.map(v => BigDecimal(v * 100)
+                  .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong),
+                if (attributed) touch.get.tId else -1L,
+                if (attributed) touch.get.tType else "none",
+                if (attributed) Some(BigDecimal(
+                  (us - touch.get.tUs).toDouble / 1e6)
+                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+                else None)
+            } else if (e.event_type == "view" || e.event_type == "click")
+              touch = Some(AttrState(us, e.event_id, e.event_type))
+          }
+          touch.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Bounded finish of the e17 twin: the anomaly detector over the
     * STREAMED hourly table ([[windowedAgg]]'s closed windows) — the
     * same read-time-finisher split as e13's decayed leaderboard; raw

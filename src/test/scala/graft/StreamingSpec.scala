@@ -1182,6 +1182,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.values.forall(_._1 >= 12))
   }
 
+  test("streaming last-touch attribution equals the batch e18 verdicts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val stream = EventStreams.readEvents(spark, streamDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts"), col("value"))
+      .as[EventStreams.LocfIn]
+    val q = EventStreams.attributionStream(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("attr")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("attr").collect().map(_.toSeq).toSet
+    val batch = Events.e18Attribution(spark, dir).collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      s"diff=${(streamed diff batch).take(2)} / ${(batch diff streamed).take(2)}")
+    // the corpus must exercise attribution, the deadline, and both types
+    val byOutcome = spark.table("attr").collect()
+      .groupBy(_.getString(4)).view.mapValues(_.length).toMap
+    assert(byOutcome.getOrElse("none", 0) > 0, "unattributed purchases exist")
+    assert(byOutcome.contains("view") || byOutcome.contains("click"))
+  }
+
   test("mergeDay bridges, extends, and ignores duplicates") {
     import EventStreams.mergeDay
     assert(mergeDay(Nil, 5) == List((5L, 5L)))
