@@ -1903,6 +1903,59 @@ object OraclesText {
         |  END AS chi2
         |FROM t3 GROUP BY seg ORDER BY seg""".stripMargin,
 
+    // Survival.v7GreenwoodCi: v4's curve + Greenwood SE — per-time term
+    // snapped to nano-units by half-up integral division, exact sum.
+    "v7_greenwood_ci" ->
+      """WITH s AS (SELECT c_mktsegment AS seg,
+        |    (c_custkey % 2 = 0) AS event,
+        |    CAST(c_custkey % 97 AS BIGINT) AS time
+        |  FROM customer WHERE c_custkey <= 2000),
+        |bt AS (SELECT seg, time,
+        |    CAST(sum(CASE WHEN event THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    count(*) AS m
+        |  FROM s GROUP BY 1, 2),
+        |tot AS (SELECT seg, CAST(sum(m) AS BIGINT) AS n_seg
+        |        FROM bt GROUP BY 1),
+        |r AS (SELECT bt.seg, bt.time, bt.d,
+        |    CAST(n_seg - coalesce(sum(m) OVER (PARTITION BY bt.seg
+        |      ORDER BY bt.time
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS n_risk
+        |  FROM bt JOIN tot ON bt.seg = tot.seg),
+        |f AS (SELECT seg, time, d, n_risk,
+        |    CASE WHEN d < n_risk THEN CAST(round(ln(
+        |      CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE)) * 1e6)
+        |      AS BIGINT) ELSE 0 END AS lnf_micro,
+        |    CASE WHEN d = n_risk THEN 1 ELSE 0 END AS dead,
+        |    CASE WHEN d < n_risk THEN
+        |      CAST((d * 1000000000 + (n_risk * (n_risk - d)) // 2)
+        |        // (n_risk * (n_risk - d)) AS BIGINT)
+        |      ELSE 0 END AS gw_nano
+        |  FROM r),
+        |c AS (SELECT *,
+        |    CAST(sum(lnf_micro) OVER (PARTITION BY seg ORDER BY time
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_ln_micro,
+        |    max(dead) OVER (PARTITION BY seg ORDER BY time
+        |      ROWS UNBOUNDED PRECEDING) AS extinct,
+        |    CAST(sum(gw_nano) OVER (PARTITION BY seg ORDER BY time
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_gw_nano
+        |  FROM f),
+        |k AS (SELECT seg, time, d, n_risk,
+        |    CASE WHEN extinct = 1 THEN 0.0
+        |      ELSE round(exp(CAST(cum_ln_micro AS DOUBLE) / 1e6), 6)
+        |    END AS survival, extinct, cum_gw_nano
+        |  FROM c WHERE d > 0),
+        |e AS (SELECT seg, time, d, n_risk, survival,
+        |    CASE WHEN extinct = 1 THEN 0.0
+        |      ELSE round(survival
+        |        * sqrt(CAST(cum_gw_nano AS DOUBLE) / 1e9), 6)
+        |    END AS se
+        |  FROM k)
+        |SELECT seg, time, d, n_risk, survival, se,
+        |  round(greatest(survival - 1.96 * se, 0.0), 6) AS ci_lo,
+        |  round(least(survival + 1.96 * se, 1.0), 6) AS ci_hi
+        |FROM e ORDER BY seg, time""".stripMargin,
+
     // Pairwise-SQL twin of the CIndexAggregator: comparable pairs are
     // (a earlier with event, b later); concordant when a.risk > b.risk,
     // ties 0.5; no comparable pairs → 0.5 (CIndex.concordance contract).

@@ -288,6 +288,48 @@ object Survival {
       .orderBy(col("seg"))
   }
 
+  /** Greenwood confidence band (v7): the KM curve with its standard
+    * error — Var(S) = S²·Σ d/(n(n−d)) — and the plain 95% band clamped
+    * to [0,1]; what lifelines/sksurv print next to every survival
+    * curve. The Greenwood accumulator gets the same integer treatment
+    * as the curve itself: each per-time term d/(n(n−d)) is snapped ONCE
+    * to NANO-units (micro is too coarse for 1/(n(n−d)) at cohort n) by
+    * half-up integral division, the running sum is exact, and only the
+    * final se/band multiply through doubles. Extinction rows (S = 0)
+    * carry a zero-width band. Same single seg-keyed shuffle as v3–v6.
+    */
+  def v7GreenwoodCi(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
+    val w = Window.partitionBy(col("seg")).orderBy(col("time"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    atRiskFrame(spark, dir)
+      .withColumn("lnf_micro", when(col("d") < col("n_risk"),
+        round(log((col("n_risk") - col("d")).cast("double") /
+          col("n_risk").cast("double")) * 1e6).cast("long")).otherwise(0L))
+      .withColumn("dead", when(col("d") === col("n_risk"), 1L).otherwise(0L))
+      .withColumn("gw_nano", when(col("d") < col("n_risk"),
+        intDiv(col("d") * 1000000000L +
+            intDiv(col("n_risk") * (col("n_risk") - col("d")), lit(2L)),
+          col("n_risk") * (col("n_risk") - col("d")))).otherwise(0L))
+      .withColumn("cum_ln_micro", sum(col("lnf_micro")).over(w))
+      .withColumn("extinct", max(col("dead")).over(w))
+      .withColumn("cum_gw_nano", sum(col("gw_nano")).over(w))
+      .filter(col("d") > 0)
+      .withColumn("s", when(col("extinct") === 1L, 0.0)
+        .otherwise(round(exp(col("cum_ln_micro").cast("double") / 1e6), 6)))
+      .withColumn("se", when(col("extinct") === 1L, 0.0)
+        .otherwise(round(col("s") *
+          sqrt(col("cum_gw_nano").cast("double") / 1e9), 6)))
+      .select(col("seg"), col("time"), col("d"), col("n_risk"),
+        col("s").as("survival"), col("se"),
+        round(greatest(col("s") - lit(1.96) * col("se"), lit(0.0)), 6)
+          .as("ci_lo"),
+        round(least(col("s") + lit(1.96) * col("se"), lit(1.0)), 6)
+          .as("ci_hi"))
+      .orderBy(col("seg"), col("time"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v1_cindex" -> (v1CIndex _),
     "v2_clean_matrix" -> (v2CleanMatrix _),
@@ -295,5 +337,6 @@ object Survival {
     "v4_kaplan_meier" -> (v4KaplanMeier _),
     "v5_logrank" -> (v5LogRank _),
     "v6_rmst" -> (v6Rmst _),
+    "v7_greenwood_ci" -> (v7GreenwoodCi _),
   )
 }

@@ -565,6 +565,48 @@ class Round7OpsSpec extends AnyFunSuite {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  test("v7: Greenwood band matches an independent fold and brackets the curve") {
+    val rows = Tables.customer(spark, dir)
+      .filter(col("c_custkey") <= 2000)
+      .select(col("c_mktsegment"), col("c_custkey")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val exp = rows.groupBy(_._1).flatMap { case (seg, cs) =>
+      val subj = cs.map { case (_, k) => (k % 97, k % 2 == 0) }
+      val byT = subj.groupBy(_._1).view
+        .mapValues(v => (v.count(_._2).toLong, v.size.toLong)).toMap
+      var atRisk = subj.size.toLong
+      var (acc, gw) = (0L, 0L)
+      var extinct = false
+      byT.keys.toSeq.sorted.flatMap { t =>
+        val (d, m) = byT(t)
+        if (d < atRisk) {
+          acc += math.round(math.log((atRisk - d).toDouble / atRisk) * 1e6)
+          val den = atRisk * (atRisk - d)
+          gw += (d * 1000000000L + den / 2) / den
+        } else extinct = true
+        val out = if (d > 0) {
+          val s = if (extinct) 0.0 else round6(math.exp(acc.toDouble / 1e6))
+          val se = if (extinct) 0.0 else round6(s * math.sqrt(gw.toDouble / 1e9))
+          Some((seg, t) -> ((d, atRisk, s, se,
+            round6(math.max(s - 1.96 * se, 0.0)),
+            round6(math.min(s + 1.96 * se, 1.0)))))
+        } else None
+        atRisk -= m
+        out
+      }
+    }
+    val got = graft.queries.Survival.v7GreenwoodCi(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6),
+        r.getDouble(7)))).toMap
+    assert(got == exp, s"first diff: ${exp.collect {
+      case (k, v) if got.get(k) != Some(v) => (k, got.get(k), v) }.take(2)}")
+    got.values.foreach { case (_, _, s, se, lo, hi) =>
+      assert(lo <= s && s <= hi && se >= 0.0)
+    }
+    assert(got.values.exists(_._4 > 0.0), "a non-degenerate band must exist")
+  }
+
   test("t18: within-doc repeated chunks count instances, not hashes") {
     import spark.implicits._
     val c1 = (1 to 32).map("a" + _).mkString(" ")
