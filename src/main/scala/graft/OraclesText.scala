@@ -1058,6 +1058,22 @@ object OraclesText {
          |FROM best b JOIN embeddings t ON b.q_id = t.vec_id
          |WHERE b.rn = 1 ORDER BY b.q_id""".stripMargin,
 
+    // Embeddings.s17HardNegatives: per anchor the top-1 cosine neighbour
+    // of a DIFFERENT label — brute-force twin of the mining read.
+    "s17_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, label AS anchor_label,
+         |    embedding AS q_emb FROM embeddings WHERE vec_id < 50),
+         |scored AS (SELECT q_id, anchor_label, vec_id,
+         |    label AS neg_label,
+         |    round(${cosineSql("q_emb", "embedding")}, 6) AS cos
+         |  FROM embeddings, q WHERE label != anchor_label),
+         |rk AS (SELECT *,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, vec_id) AS rn
+         |  FROM scored)
+         |SELECT q_id, anchor_label, vec_id AS neg_id, neg_label, cos
+         |FROM rk WHERE rn = 1 ORDER BY q_id""".stripMargin,
+
     // Embeddings.s14RadiusSearch: ALL neighbours with cosine ≥ 0.3 per
     // query — the variable-cardinality range-search read.
     "s14_radius_search" ->
@@ -1448,6 +1464,24 @@ object OraclesText {
         |    / CAST(var_eff AS DOUBLE), 6) AS z_sq,
         |  (d * d >= var_eff * 9) AS is_anomaly
         |FROM f ORDER BY hour, event_type""".stripMargin,
+
+    // Events.e19TransitionMatrix: per-user lag pairs in (ts, event_id)
+    // order, then the half-up micro-division row-normalized probability.
+    "e19_transition_matrix" ->
+      """WITH x AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |p AS (SELECT event_type AS next_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) AS prev_type
+        |  FROM x),
+        |c AS (SELECT prev_type, next_type, count(*) AS n
+        |  FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT *, CAST(sum(n) OVER (PARTITION BY prev_type)
+        |    AS BIGINT) AS n_from FROM c)
+        |SELECT prev_type, next_type, n, n_from,
+        |  round(CAST((n * 1000000 + n_from // 2) // n_from AS DOUBLE)
+        |    / 1e6, 6) AS prob
+        |FROM t ORDER BY prev_type, next_type""".stripMargin,
 
     "e1_window_agg" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
@@ -1955,6 +1989,111 @@ object OraclesText {
         |  round(greatest(survival - 1.96 * se, 0.0), 6) AS ci_lo,
         |  round(least(survival + 1.96 * se, 1.0), 6) AS ci_hi
         |FROM e ORDER BY seg, time""".stripMargin,
+
+    // Survival.v8LifeTable: actuarial life table — doubled-integer
+    // effective at-risk (2·n_enter − w), half-up micro division for q,
+    // v4's log-micro product with the sticky extinction flag.
+    "v8_life_table" ->
+      """WITH s AS (SELECT c_mktsegment AS seg,
+        |    (c_custkey % 2 = 0) AS event,
+        |    CAST(c_custkey % 97 AS BIGINT) AS time
+        |  FROM customer WHERE c_custkey <= 2000),
+        |bb AS (SELECT seg, time // 10 AS bin,
+        |    CAST(sum(CASE WHEN event THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(sum(CASE WHEN event THEN 0 ELSE 1 END) AS BIGINT) AS w,
+        |    count(*) AS m
+        |  FROM s GROUP BY 1, 2),
+        |tot AS (SELECT seg, CAST(sum(m) AS BIGINT) AS n_seg
+        |        FROM bb GROUP BY 1),
+        |r AS (SELECT bb.seg, bb.bin, bb.d, bb.w,
+        |    CAST(n_seg - coalesce(sum(m) OVER (PARTITION BY bb.seg
+        |      ORDER BY bb.bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS n_enter
+        |  FROM bb JOIN tot ON bb.seg = tot.seg),
+        |f AS (SELECT seg, bin, d, w, n_enter,
+        |    n_enter * 2 - w AS n_eff_x2
+        |  FROM r),
+        |g AS (SELECT seg, bin, d, w, n_enter,
+        |    CAST((d * 2000000 + n_eff_x2 // 2) // n_eff_x2 AS BIGINT)
+        |      AS q_micro
+        |  FROM f),
+        |h AS (SELECT *, 1000000 - q_micro AS p_micro FROM g),
+        |i AS (SELECT seg, bin, d, w, n_enter, q_micro,
+        |    CASE WHEN p_micro > 0 THEN CAST(round(ln(
+        |      CAST(p_micro AS DOUBLE) / 1e6) * 1e6) AS BIGINT)
+        |      ELSE 0 END AS lnp_micro,
+        |    CASE WHEN p_micro = 0 THEN 1 ELSE 0 END AS dead
+        |  FROM h),
+        |c AS (SELECT *,
+        |    CAST(sum(lnp_micro) OVER (PARTITION BY seg ORDER BY bin
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_ln_micro,
+        |    max(dead) OVER (PARTITION BY seg ORDER BY bin
+        |      ROWS UNBOUNDED PRECEDING) AS extinct
+        |  FROM i)
+        |SELECT seg, bin, bin * 10 AS t_start, bin * 10 + 10 AS t_end,
+        |  n_enter, d, w,
+        |  round(CAST(q_micro AS DOUBLE) / 1e6, 6) AS q,
+        |  CASE WHEN extinct = 1 THEN 0.0
+        |    ELSE round(exp(CAST(cum_ln_micro AS DOUBLE) / 1e6), 6)
+        |  END AS survival
+        |FROM c ORDER BY seg, bin""".stripMargin,
+
+    // Survival.v9CompetingRisks: Aalen–Johansen — S(t−) from the
+    // EXCLUSIVE log-micro window, per-cause increments snapped to micro
+    // once, exact integer cumulative incidence.
+    "v9_competing_risks" ->
+      """WITH s AS (SELECT c_mktsegment AS seg,
+        |    CASE WHEN c_custkey % 4 = 0 THEN 1
+        |         WHEN c_custkey % 4 = 2 THEN 2 ELSE 0 END AS cause,
+        |    CAST(c_custkey % 97 AS BIGINT) AS time
+        |  FROM customer WHERE c_custkey <= 2000),
+        |bt AS (SELECT seg, time,
+        |    CAST(sum(CASE WHEN cause = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+        |    CAST(sum(CASE WHEN cause = 2 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+        |    count(*) AS m
+        |  FROM s GROUP BY 1, 2),
+        |tot AS (SELECT seg, CAST(sum(m) AS BIGINT) AS n_seg
+        |        FROM bt GROUP BY 1),
+        |r AS (SELECT bt.seg, bt.time, bt.d1, bt.d2, bt.d1 + bt.d2 AS d,
+        |    CAST(n_seg - coalesce(sum(m) OVER (PARTITION BY bt.seg
+        |      ORDER BY bt.time
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS n_risk
+        |  FROM bt JOIN tot ON bt.seg = tot.seg),
+        |f AS (SELECT seg, time, d1, d2, d, n_risk,
+        |    CASE WHEN d < n_risk THEN CAST(round(ln(
+        |      CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE)) * 1e6)
+        |      AS BIGINT) ELSE 0 END AS lnf_micro,
+        |    CASE WHEN d = n_risk THEN 1 ELSE 0 END AS dead
+        |  FROM r),
+        |p AS (SELECT *,
+        |    CASE WHEN coalesce(max(dead) OVER (PARTITION BY seg
+        |        ORDER BY time
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) = 1
+        |      THEN 0.0
+        |      ELSE exp(CAST(coalesce(sum(lnf_micro) OVER (PARTITION BY seg
+        |        ORDER BY time
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |        AS DOUBLE) / 1e6)
+        |    END AS s_prev
+        |  FROM f),
+        |inc AS (SELECT seg, time, d1, d2, d, n_risk,
+        |    CAST(round(s_prev * CAST(d1 AS DOUBLE)
+        |      / CAST(n_risk AS DOUBLE) * 1e6) AS BIGINT) AS inc1_micro,
+        |    CAST(round(s_prev * CAST(d2 AS DOUBLE)
+        |      / CAST(n_risk AS DOUBLE) * 1e6) AS BIGINT) AS inc2_micro
+        |  FROM p),
+        |c AS (SELECT *,
+        |    CAST(sum(inc1_micro) OVER (PARTITION BY seg ORDER BY time
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cif1_micro,
+        |    CAST(sum(inc2_micro) OVER (PARTITION BY seg ORDER BY time
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cif2_micro
+        |  FROM inc)
+        |SELECT seg, time, d1, d2, n_risk,
+        |  round(CAST(cif1_micro AS DOUBLE) / 1e6, 6) AS cif_cause1,
+        |  round(CAST(cif2_micro AS DOUBLE) / 1e6, 6) AS cif_cause2
+        |FROM c WHERE d > 0 ORDER BY seg, time""".stripMargin,
 
     // Pairwise-SQL twin of the CIndexAggregator: comparable pairs are
     // (a earlier with event, b later); concordant when a.risk > b.risk,

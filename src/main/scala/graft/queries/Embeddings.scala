@@ -704,8 +704,40 @@ object Embeddings {
       .orderBy(col("q_id"))
   }
 
+  /** Hard-negative mining (s17): for each anchor (vec_id < 50), the
+    * single highest-cosine neighbour carrying a DIFFERENT label — the
+    * per-epoch mining read of a contrastive/triplet training pipeline
+    * (the "semi-hard negative" of FaceNet-style batch construction:
+    * the most confusable wrong-class example). Distinct from s13 (which
+    * votes among the unconditioned top-k): the label disequality is part
+    * of the JOIN condition, so the scan prunes same-class candidates
+    * before any scoring state exists. Shape at scale: anchors broadcast
+    * (a mining batch is always driver-sized), the label filter and the
+    * hoisted-norm cosine run inside the scan's codegen, and the top-1 is
+    * the salted two-phase rank — no global sort, no per-anchor hotspot.
+    */
+  def s17HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("nrm", norm(col("embedding")))
+    val anchors = emb.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("label").as("anchor_label"),
+        col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val scored = emb.join(broadcast(anchors),
+        col("label") =!= col("anchor_label"))
+      .select(col("q_id"), col("anchor_label"), col("vec_id"),
+        col("label").as("neg_label"),
+        round(cosinePre(col("q_emb"), col("q_nrm"),
+          col("embedding"), col("nrm")), 6).as("cos"))
+    TopK.saltedTopK(scored, Seq(col("q_id")),
+        Seq(col("cos").desc, col("vec_id")), k = 1, saltBy = col("vec_id"))
+      .select(col("q_id"), col("anchor_label"),
+        col("vec_id").as("neg_id"), col("neg_label"), col("cos"))
+      .orderBy(col("q_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_cosine_topk" -> (s1CosineTopK _),
+    "s17_hard_negatives" -> (s17HardNegatives _),
     "s16_sq8_agreement" -> (s16Sq8Agreement _),
     "s13_knn_classify" -> (s13KnnClassify _),
     "s14_radius_search" -> (s14RadiusSearch _),

@@ -696,7 +696,41 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** Markov transition matrix (e19): the behavioral model behind
+    * next-action prediction and funnel design — per user, each event's
+    * predecessor in event-time order (`lag` over the e2 window), then
+    * global (prev → next) counts and the row-normalized transition
+    * probability. The probability is one half-up micro-unit integral
+    * division against the row total (the v3 discipline), so the matrix
+    * is bit-identical across engines and partitionings. Shape at scale:
+    * one shuffle on user_id for the lag (per-task state = one user's
+    * events), then the pair aggregation collapses to |types|² rows
+    * map-side before the tiny final shuffle — the row-total window runs
+    * over that driver-sized table, never the event log.
+    */
+  def e19TransitionMatrix(spark: SparkSession, dir: String): DataFrame =
+    transitionMatrixOf(Tables.events(spark, dir))
+
+  private[graft] def transitionMatrixOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val wp = Window.partitionBy(col("prev_type"))
+    events
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_from", sum(col("n")).over(wp))
+      .select(col("prev_type"), col("next_type"), col("n"), col("n_from"),
+        round(intDiv(col("n") * 1000000L + intDiv(col("n_from"), lit(2L)),
+          col("n_from")).cast("double") / 1e6, 6).as("prob"))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e19_transition_matrix" -> (e19TransitionMatrix _),
     "e17_anomaly_hours" -> (e17AnomalyHours _),
     "e18_attribution" -> (e18Attribution _),
     "e13_decayed_score" -> (e13DecayedScore _),

@@ -330,6 +330,128 @@ object Survival {
       .orderBy(col("seg"), col("time"))
   }
 
+  /** Actuarial life table (v8): the interval-binned survival summary —
+    * the epidemiology-standard presentation the reference's per-cohort
+    * curves feed into (lifelines `survival_table_from_events` has the
+    * same columns). Time is binned into width-10 intervals; per
+    * (segment, interval): entrants, deaths d, censored w, the actuarial
+    * effective at-risk n_eff = n_enter − w/2 (half-censor convention),
+    * the conditional death probability q = d/n_eff and the cumulative
+    * survival to the interval's END. Exactness discipline: n_eff is
+    * carried DOUBLED (2·n_enter − w — an integer, so the w/2 convention
+    * never touches a float), q is one half-up micro-unit integral
+    * division, and the survival product runs in log space as integer
+    * micro-nats with v4's sticky-extinction flag. Same single shuffle
+    * on the segment key as v3–v7; the interval grid collapses the
+    * per-time rows ~10×, so the life table is CHEAPER than the curve
+    * it summarizes.
+    */
+  def v8LifeTable(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
+    val binW = 10L
+    val s = Tables.customer(spark, dir)
+      .filter(col("c_custkey") <= 2000)
+      .select(col("c_mktsegment").as("seg"),
+        (col("c_custkey") % 2 === 0).as("event"),
+        (col("c_custkey") % 97).cast("long").as("time"))
+    val byBin = s.withColumn("bin", intDiv(col("time"), lit(binW)))
+      .groupBy(col("seg"), col("bin"))
+      .agg(sum(when(col("event"), 1L).otherwise(0L)).as("d"),
+        sum(when(!col("event"), 1L).otherwise(0L)).as("w"),
+        count(lit(1)).as("m"))
+    val totals = byBin.groupBy(col("seg")).agg(sum(col("m")).as("n_seg"))
+    val wPrev = Window.partitionBy(col("seg")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.partitionBy(col("seg")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    byBin.join(totals, Seq("seg"))
+      .withColumn("n_enter",
+        col("n_seg") - coalesce(sum(col("m")).over(wPrev), lit(0L)))
+      // doubled fixed-point: n_eff = n_enter − w/2  ⇒  2·n_eff is integer
+      .withColumn("n_eff_x2", col("n_enter") * 2L - col("w"))
+      .withColumn("q_micro",
+        intDiv(col("d") * 2000000L + intDiv(col("n_eff_x2"), lit(2L)),
+          col("n_eff_x2")))
+      .withColumn("p_micro", lit(1000000L) - col("q_micro"))
+      .withColumn("lnp_micro", when(col("p_micro") > 0L,
+        round(log(col("p_micro").cast("double") / 1e6) * 1e6).cast("long"))
+        .otherwise(0L))
+      .withColumn("dead", when(col("p_micro") === 0L, 1L).otherwise(0L))
+      .withColumn("cum_ln_micro", sum(col("lnp_micro")).over(wCum))
+      .withColumn("extinct", max(col("dead")).over(wCum))
+      .select(col("seg"), col("bin"),
+        (col("bin") * binW).as("t_start"),
+        (col("bin") * binW + binW).as("t_end"),
+        col("n_enter"), col("d"), col("w"),
+        round(col("q_micro").cast("double") / 1e6, 6).as("q"),
+        when(col("extinct") === 1L, 0.0)
+          .otherwise(round(exp(col("cum_ln_micro").cast("double") / 1e6), 6))
+          .as("survival"))
+      .orderBy(col("seg"), col("bin"))
+  }
+
+  /** Aalen–Johansen cumulative incidence (v9): survival's answer to
+    * "which FAILURE MODE claims the cohort" — two competing causes
+    * (custkey residues; odd keys censor), where the naive per-cause KM
+    * is biased because a cause-1 event removes the subject from cause
+    * 2's risk set. The estimator weights each cause's hazard increment
+    * by overall survival just BEFORE the event time:
+    *   ΔF_k(t) = S(t−)·d_k/n,   F_k(t) = Σ_{t_i ≤ t} ΔF_k(t_i).
+    * S(t−) rides v4's log-micro machinery over an EXCLUSIVE window
+    * (rows to −1, so the factor at t itself is not yet applied); each
+    * ΔF_k is snapped to micro-units once (v5's e1_micro discipline) and
+    * the running F_k is an exact integer sum — the two curves cannot
+    * drift apart with aggregation order. Same single seg-keyed shuffle
+    * as the rest of the v-family.
+    */
+  def v9CompetingRisks(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = Tables.customer(spark, dir)
+      .filter(col("c_custkey") <= 2000)
+      .select(col("c_mktsegment").as("seg"),
+        when(col("c_custkey") % 4 === 0, 1L)
+          .when(col("c_custkey") % 4 === 2, 2L)
+          .otherwise(0L).as("cause"),
+        (col("c_custkey") % 97).cast("long").as("time"))
+    val byTime = s.groupBy(col("seg"), col("time"))
+      .agg(sum(when(col("cause") === 1L, 1L).otherwise(0L)).as("d1"),
+        sum(when(col("cause") === 2L, 1L).otherwise(0L)).as("d2"),
+        count(lit(1)).as("m"))
+    val totals = byTime.groupBy(col("seg")).agg(sum(col("m")).as("n_seg"))
+    val wPrev = Window.partitionBy(col("seg")).orderBy(col("time"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.partitionBy(col("seg")).orderBy(col("time"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    byTime.join(totals, Seq("seg"))
+      .withColumn("n_risk",
+        col("n_seg") - coalesce(sum(col("m")).over(wPrev), lit(0L)))
+      .withColumn("d", col("d1") + col("d2"))
+      .withColumn("lnf_micro", when(col("d") < col("n_risk"),
+        round(log((col("n_risk") - col("d")).cast("double") /
+          col("n_risk").cast("double")) * 1e6).cast("long")).otherwise(0L))
+      .withColumn("dead", when(col("d") === col("n_risk"), 1L).otherwise(0L))
+      // S(t−): exclusive accumulation — survival before this time's factor
+      .withColumn("s_prev", when(
+        coalesce(max(col("dead")).over(wPrev), lit(0L)) === 1L, 0.0)
+        .otherwise(exp(
+          coalesce(sum(col("lnf_micro")).over(wPrev), lit(0L))
+            .cast("double") / 1e6)))
+      .withColumn("inc1_micro", round(col("s_prev") *
+        col("d1").cast("double") / col("n_risk").cast("double") * 1e6)
+        .cast("long"))
+      .withColumn("inc2_micro", round(col("s_prev") *
+        col("d2").cast("double") / col("n_risk").cast("double") * 1e6)
+        .cast("long"))
+      .withColumn("cif1_micro", sum(col("inc1_micro")).over(wCum))
+      .withColumn("cif2_micro", sum(col("inc2_micro")).over(wCum))
+      .filter(col("d") > 0)
+      .select(col("seg"), col("time"), col("d1"), col("d2"), col("n_risk"),
+        round(col("cif1_micro").cast("double") / 1e6, 6).as("cif_cause1"),
+        round(col("cif2_micro").cast("double") / 1e6, 6).as("cif_cause2"))
+      .orderBy(col("seg"), col("time"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v1_cindex" -> (v1CIndex _),
     "v2_clean_matrix" -> (v2CleanMatrix _),
@@ -338,5 +460,7 @@ object Survival {
     "v5_logrank" -> (v5LogRank _),
     "v6_rmst" -> (v6Rmst _),
     "v7_greenwood_ci" -> (v7GreenwoodCi _),
+    "v8_life_table" -> (v8LifeTable _),
+    "v9_competing_risks" -> (v9CompetingRisks _),
   )
 }

@@ -621,4 +621,95 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(got(1L) == ((3L, 2L, 2L, round6(2.0 / 3))), s"doc1=${got(1L)}")
     assert(got(2L) == ((2L, 2L, 0L, 0.0)), s"doc2=${got(2L)}")
   }
+
+  test("v8: life table matches an independent actuarial fold; entrants telescope") {
+    val rows = Tables.customer(spark, dir)
+      .filter(col("c_custkey") <= 2000)
+      .select(col("c_mktsegment"), col("c_custkey")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val exp = rows.groupBy(_._1).flatMap { case (seg, cs) =>
+      val subj = cs.map { case (_, k) => ((k % 97) / 10, k % 2 == 0) }
+      val byBin = subj.groupBy(_._1).view.mapValues { v =>
+        (v.count(_._2).toLong, v.count(!_._2).toLong, v.size.toLong)
+      }.toMap
+      var nEnter = subj.size.toLong
+      var acc = 0L
+      var extinct = false
+      byBin.keys.toSeq.sorted.map { b =>
+        val (d, w, m) = byBin(b)
+        val nEffX2 = nEnter * 2 - w
+        val qMicro = (d * 2000000L + nEffX2 / 2) / nEffX2
+        val pMicro = 1000000L - qMicro
+        if (pMicro > 0)
+          acc += math.round(math.log(pMicro.toDouble / 1e6) * 1e6)
+        else extinct = true
+        val out = (seg, b) -> ((b * 10, b * 10 + 10, nEnter, d, w,
+          round6(qMicro.toDouble / 1e6),
+          if (extinct) 0.0 else round6(math.exp(acc.toDouble / 1e6))))
+        nEnter -= m
+        out
+      }
+    }
+    val got = graft.queries.Survival.v8LifeTable(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getDouble(7), r.getDouble(8)))).toMap
+    assert(got == exp, s"first diff: ${exp.collect {
+      case (k, v) if got.get(k) != Some(v) => (k, got.get(k), v) }.take(2)}")
+    // survival is non-increasing within each segment
+    got.groupBy(_._1._1).foreach { case (_, m) =>
+      val curve = m.toSeq.sortBy(_._1._2).map(_._2._7)
+      assert(curve.zip(curve.tail).forall { case (a, b) => b <= a })
+    }
+  }
+
+  test("v9: Aalen–Johansen CIFs match an independent fold; curves are monotone and bounded") {
+    val rows = Tables.customer(spark, dir)
+      .filter(col("c_custkey") <= 2000)
+      .select(col("c_mktsegment"), col("c_custkey")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val exp = rows.groupBy(_._1).flatMap { case (seg, cs) =>
+      val subj = cs.map { case (_, k) =>
+        (k % 97, if (k % 4 == 0) 1 else if (k % 4 == 2) 2 else 0)
+      }
+      val byT = subj.groupBy(_._1).view.mapValues { v =>
+        (v.count(_._2 == 1).toLong, v.count(_._2 == 2).toLong, v.size.toLong)
+      }.toMap
+      var atRisk = subj.size.toLong
+      var acc = 0L
+      var extinct = false
+      var (cif1, cif2) = (0L, 0L)
+      byT.keys.toSeq.sorted.flatMap { t =>
+        val (d1, d2, m) = byT(t)
+        val d = d1 + d2
+        val sPrev = if (extinct) 0.0 else math.exp(acc.toDouble / 1e6)
+        cif1 += math.round(sPrev * d1.toDouble / atRisk * 1e6)
+        cif2 += math.round(sPrev * d2.toDouble / atRisk * 1e6)
+        if (d < atRisk)
+          acc += math.round(math.log((atRisk - d).toDouble / atRisk) * 1e6)
+        else if (d > 0) extinct = true
+        val out = if (d > 0)
+          Some((seg, t) -> ((d1, d2, atRisk,
+            round6(cif1.toDouble / 1e6), round6(cif2.toDouble / 1e6))))
+        else None
+        atRisk -= m
+        out
+      }
+    }
+    val got = graft.queries.Survival.v9CompetingRisks(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))).toMap
+    assert(got == exp, s"first diff: ${exp.collect {
+      case (k, v) if got.get(k) != Some(v) => (k, got.get(k), v) }.take(2)}")
+    got.groupBy(_._1._1).foreach { case (_, m) =>
+      val ordered = m.toSeq.sortBy(_._1._2).map(_._2)
+      val (c1, c2) = (ordered.map(_._4), ordered.map(_._5))
+      assert(c1.zip(c1.tail).forall { case (a, b) => b >= a })
+      assert(c2.zip(c2.tail).forall { case (a, b) => b >= a })
+      // the two incidences never account for more than the whole cohort
+      ordered.foreach { o => assert(o._4 + o._5 <= 1.0 + 1e-6) }
+    }
+    // both causes must actually occur somewhere
+    assert(got.values.exists(_._1 > 0) && got.values.exists(_._2 > 0))
+  }
 }
