@@ -696,6 +696,32 @@ object OraclesText {
         |SELECT doc_id, quality, n_tokens, cum_before FROM c
         |WHERE cum_before < 10000
         |ORDER BY quality DESC, doc_id""".stripMargin,
+
+    // TextDedup.p15SourceQuota: p3's selection per source — the window
+    // partitions on source, each source admits its own best 500 tokens
+    // (straddler kept).
+    "p15_source_quota" ->
+      """WITH x AS (SELECT doc_id, source,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |r AS (SELECT doc_id, source,
+        |    CAST(len(toks) AS INT) AS n_tokens,
+        |    CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','is','to'], t))) AS DOUBLE) / len(toks) AS stop_ratio,
+        |    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+        |    CAST(len(list_filter(toks, t -> length(t) >= 4)) AS DOUBLE) / len(toks) AS long_ratio
+        |  FROM x),
+        |q AS (SELECT doc_id, source, n_tokens,
+        |    round(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.3
+        |      + ttr * 0.3 + stop_ratio * 0.2 + long_ratio * 0.2, 6) AS quality
+        |  FROM r),
+        |c AS (SELECT source, doc_id, quality, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY quality DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS cum_before
+        |  FROM q)
+        |SELECT source, doc_id, quality, n_tokens, cum_before FROM c
+        |WHERE cum_before < 500
+        |ORDER BY source, quality DESC, doc_id""".stripMargin,
   )
 
   val text: Map[String, String] = Map(

@@ -1230,6 +1230,48 @@ object TextDedup {
   def p3TokenBudget(spark: SparkSession, dir: String): DataFrame =
     tokenBudgetSelection(spark, dir)
 
+  /** Per-source token quota (p15): p3's "best tokens first" selection
+    * applied INSIDE each source with an independent budget — the
+    * source-capped admission every curated mix runs so one crawl dump
+    * cannot monopolize the corpus (the quota is the hard sibling of
+    * p2's proportional mixing weights). Same distributed prefix sum as
+    * p3, with the source key PREPENDED to the range-partition sort key:
+    * ranges stay contiguous per source, the in-partition window keys on
+    * (source, pid), and the per-(source, pid) offset table — still
+    * ≤ nParts rows total — broadcasts back. A giant source spans many
+    * range partitions instead of funnelling through one task; nothing
+    * global ever single-tasks.
+    */
+  def p15SourceQuota(spark: SparkSession, dir: String,
+      quota: Long = 500L, nParts: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = qualityFrame(spark, dir)
+      .select(col("doc_id"), col("quality"), col("n_tokens"))
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+    val parts = q.repartitionByRange(nParts,
+        col("source"), col("quality").desc, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .persist()
+    parts.count() // freeze the range sample + pid assignment (see d3)
+    val wIn = Window.partitionBy(col("source"), col("pid"))
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wOff = Window.partitionBy(col("source")).orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parts.groupBy(col("source"), col("pid"))
+      .agg(sum(col("n_tokens")).as("ptotal"))
+      .withColumn("offset", coalesce(sum(col("ptotal")).over(wOff), lit(0L)))
+      .select(col("source"), col("pid"), col("offset"))
+    parts
+      .withColumn("cum_in", coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+      .join(broadcast(offsets), Seq("source", "pid"))
+      .select(col("source"), col("doc_id"), col("quality"), col("n_tokens"),
+        (col("cum_in") + col("offset")).as("cum_before"))
+      .filter(col("cum_before") < quota)
+      .orderBy(col("source"), col("quality").desc, col("doc_id"))
+  }
+
   /** Curriculum decile binning (p8): exact global quality rank →
     * training-schedule bin (decile 0 = best), the ordering signal
     * curriculum and annealing schedules consume ("clean data last" /
@@ -1851,5 +1893,6 @@ object TextDedup {
     "p11_anneal_mix" -> (p11AnnealMix _),
     "p9_unified_curation" -> (p9UnifiedCuration _),
     "p3_token_budget" -> (p3TokenBudget _),
+    "p15_source_quota" -> ((s: SparkSession, d: String) => p15SourceQuota(s, d)),
   )
 }

@@ -663,6 +663,43 @@ class Round7OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("p15: each source admits its own best tokens; the straddler is kept") {
+    val got = graft.queries.TextDedup.p15SourceQuota(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3), r.getLong(4)))
+    // independent fold: per source, quality-desc cumulative admission
+    val quality = graft.queries.TextDedup.t4QualityScore(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), col("quality")).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    val src = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val exp = src.groupBy(_._2).toSeq.flatMap { case (s, ds) =>
+      var cum = 0L
+      ds.map(_._1).sortBy(id => (-quality(id)._2, id)).flatMap { id =>
+        val (nt, q) = quality(id)
+        val out = if (cum < 500) Some((s, id, q, nt, cum)) else None
+        cum += nt
+        out
+      }
+    }.toSet
+    assert(got.toSet == exp, s"diff: ${(exp -- got.toSet).take(2)} / ${(got.toSet -- exp).take(2)}")
+    // every source admits at least its best doc; the quota bites exactly
+    // when some source's token total exceeds it (guaranteed at the gate
+    // scale — asserted there by the 183-of-500 oracle row count)
+    val bySrc = got.groupBy(_._1)
+    assert(bySrc.keySet == src.map(_._2).toSet)
+    val srcTotals = src.groupBy(_._2).view
+      .mapValues(_.map(d => quality(d._1)._1.toLong).sum)
+    if (srcTotals.exists(_._2 > 500))
+      assert(got.size < src.size, "quota must reject at least one doc")
+    // straddler: last admitted doc's cum_before < 500 even if its own
+    // tokens push past the budget
+    bySrc.values.foreach { rows =>
+      assert(rows.forall(_._5 < 500))
+    }
+  }
+
   test("v9: Aalen–Johansen CIFs match an independent fold; curves are monotone and bounded") {
     val rows = Tables.customer(spark, dir)
       .filter(col("c_custkey") <= 2000)
