@@ -713,14 +713,25 @@ object Events {
 
   private[graft] def transitionMatrixOf(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-    val wp = Window.partitionBy(col("prev_type"))
-    events
+    matrixOfPairs(events
       .withColumn("prev_type", lag(col("event_type"), 1).over(w))
       .filter(col("prev_type").isNotNull)
-      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .select(col("prev_type"), col("event_type").as("next_type")))
+  }
+
+  /** The count→normalize finisher over a (prev_type, next_type) pair
+    * stream — shared with the streaming twin
+    * ([[graft.streaming.EventStreams.transitionPairs]]), so the two
+    * surfaces cannot drift in the probability arithmetic.
+    */
+  private[graft] def matrixOfPairs(pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
+    val wp = Window.partitionBy(col("prev_type"))
+    pairs
+      .groupBy(col("prev_type"), col("next_type"))
       .agg(count(lit(1)).as("n"))
       .withColumn("n_from", sum(col("n")).over(wp))
       .select(col("prev_type"), col("next_type"), col("n"), col("n_from"),

@@ -798,6 +798,40 @@ object EventStreams {
       }
   }
 
+  /** Last event type per user — the entire transition-mining state. */
+  case class TransState(lastType: String)
+  case class TransPair(prev_type: String, next_type: String)
+
+  /** Streaming twin of Events.e19TransitionMatrix's pair extraction:
+    * the per-user predecessor carry as O(1) keyed state — each arrival
+    * emits its (prev → next) pair fact against the type carried so far,
+    * then becomes the carry. Within a batch rows process in the batch
+    * twin's (µs, event_id) order, so a pair is emitted exactly once per
+    * event with a predecessor. The matrix itself is a read-time
+    * aggregation over the emitted pair stream
+    * ([[graft.queries.Events.matrixOfPairs]] — the retentionFacts →
+    * retentionMatrix split), so raw events are never revisited as the
+    * matrix is re-read. Same standing-state NoTimeout trade and
+    * per-user in-order-arrival caveat as [[locfStream]].
+    */
+  def transitionPairs(events: Dataset[LocfIn]): Dataset[TransPair] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, TransPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[LocfIn], state: GroupState[TransState]) =>
+          val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var last = state.getOption.map(_.lastType)
+          val out = Seq.newBuilder[TransPair]
+          sorted.foreach { e =>
+            last.foreach(p => out += TransPair(p, e.event_type))
+            last = Some(e.event_type)
+          }
+          last.foreach(t => state.update(TransState(t)))
+          out.result().iterator
+      }
+  }
+
   /** Bounded finish of the e17 twin: the anomaly detector over the
     * STREAMED hourly table ([[windowedAgg]]'s closed windows) — the
     * same read-time-finisher split as e13's decayed leaderboard; raw

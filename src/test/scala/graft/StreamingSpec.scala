@@ -1206,6 +1206,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(byOutcome.contains("view") || byOutcome.contains("click"))
   }
 
+  test("streaming transition pairs finish to the batch e19 matrix") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val stream = EventStreams.readEvents(spark, streamDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts"), col("value"))
+      .as[EventStreams.LocfIn]
+    val q = EventStreams.transitionPairs(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("transitions")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = Events.matrixOfPairs(spark.table("transitions"))
+      .collect().map(_.toSeq).toSet
+    val batch = Events.e19TransitionMatrix(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      s"diff=${(streamed diff batch).take(2)} / ${(batch diff streamed).take(2)}")
+    assert(streamed.nonEmpty)
+  }
+
+  test("transition state carries the predecessor across batch boundaries") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    // burst 1 ends user 1 on a view; burst 2 opens with a purchase —
+    // the cross-burst (view → purchase) pair must be emitted by burst 2
+    val b1 = Seq(
+      EventStreams.LocfIn(1L, 1L, "click", ts(10), None),
+      EventStreams.LocfIn(2L, 1L, "view", ts(20), None))
+    val b2 = Seq(
+      EventStreams.LocfIn(3L, 1L, "purchase", ts(30), None),
+      EventStreams.LocfIn(4L, 2L, "view", ts(31), None))
+    implicit val sq = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStreams.LocfIn]
+    val q = EventStreams.transitionPairs(mem.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("trans_bursts").start()
+    mem.addData(b1: _*); q.processAllAvailable()
+    val afterB1 = spark.table("trans_bursts").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(afterB1 == Set(("click", "view")))
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val afterB2 = spark.table("trans_bursts").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(afterB2 == Set(("click", "view"), ("view", "purchase")),
+      s"got $afterB2")
+  }
+
   test("mergeDay bridges, extends, and ignores duplicates") {
     import EventStreams.mergeDay
     assert(mergeDay(Nil, 5) == List((5L, 5L)))
