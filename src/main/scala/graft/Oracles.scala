@@ -52,6 +52,29 @@ object Oracles {
         |GROUP BY r_name, n_name
         |ORDER BY r_name, n_name""".stripMargin,
 
+    // Relational.q28RevenueShare: shares as half-up micro divisions of
+    // the SAME integer grid units on both engines (sum promotes to
+    // HUGEINT here, decimal(38,0) in Spark — equal integers either way).
+    "q28_revenue_share" ->
+      """WITH j AS (SELECT r_name, n_name,
+        |    CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT) AS u
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey),
+        |g AS (SELECT r_name, n_name, sum(u) AS units, count(*) AS n_lines
+        |  FROM j GROUP BY 1, 2),
+        |w AS (SELECT *, sum(units) OVER (PARTITION BY r_name) AS runits
+        |  FROM g),
+        |t AS (SELECT sum(units) AS gunits FROM g)
+        |SELECT r_name, n_name,
+        |  CAST(units AS DOUBLE) / 10000.0 AS revenue, n_lines,
+        |  round(CAST((units * 1000000 + runits // 2) // runits AS DOUBLE)
+        |    / 1e6, 6) AS share_in_region,
+        |  round(CAST((units * 1000000 + gunits // 2) // gunits AS DOUBLE)
+        |    / 1e6, 6) AS share_global
+        |FROM w, t ORDER BY r_name, n_name""".stripMargin,
+
     "q3_order_lineitem_join" ->
       """SELECT o_orderkey, o_totalprice, line_revenue, n_items, o_orderpriority
         |FROM (SELECT l_orderkey,

@@ -697,6 +697,28 @@ object OraclesText {
         |WHERE cum_before < 10000
         |ORDER BY quality DESC, doc_id""".stripMargin,
 
+    // TextDedup.t21VocabCoverage: exact frequency rank + cumulative
+    // token mass, coverage at each budget checkpoint by half-up micro
+    // division; checkpoint rank clamps at the vocabulary size.
+    "t21_vocab_coverage" ->
+      """WITH x AS (SELECT unnest(string_split_regex(trim(lower(text)),
+        |    '\s+')) AS tok FROM documents),
+        |tc AS (SELECT tok, count(*) AS cnt FROM x GROUP BY 1),
+        |r AS (SELECT tok, cnt,
+        |    row_number() OVER (ORDER BY cnt DESC, tok) AS rank,
+        |    CAST(sum(cnt) OVER (ORDER BY cnt DESC, tok
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_incl
+        |  FROM tc),
+        |t AS (SELECT count(*) AS vocab_size,
+        |    CAST(sum(cnt) AS BIGINT) AS total_tokens FROM tc),
+        |v(v_budget) AS (VALUES (100), (500), (1000), (2000), (5000))
+        |SELECT CAST(v_budget AS BIGINT) AS v_budget, vocab_size,
+        |  total_tokens, cum_incl AS covered_tokens,
+        |  round(CAST((cum_incl * 1000000 + total_tokens // 2)
+        |    // total_tokens AS DOUBLE) / 1e6, 6) AS coverage
+        |FROM v, t JOIN r ON r.rank = least(v_budget, vocab_size)
+        |ORDER BY v_budget""".stripMargin,
+
     // TextDedup.p15SourceQuota: p3's selection per source — the window
     // partitions on source, each source admits its own best 500 tokens
     // (straddler kept).

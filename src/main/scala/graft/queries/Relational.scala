@@ -492,6 +492,47 @@ object Relational {
       .limit(3000)
   }
 
+  /** Share-of-total report (q28): each nation's revenue share within its
+    * region and of the world — the ratio_to_report read every revenue
+    * dashboard runs, done EXACTLY: revenue stays in 4-decimal integer
+    * grid units (decimal(38,0) accumulation, the gridSum discipline)
+    * through both the group-by and the share denominators, and each
+    * share is one half-up micro-unit integral division of identical
+    * integers — so the percentages cannot drift with addition order or
+    * engine rounding. Shape at scale: the dimension joins broadcast,
+    * the one real shuffle keys on (region, nation), and the share
+    * windows/global join run over the 25-row aggregate, never the fact
+    * table.
+    */
+  def q28RevenueShare(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
+    val li = Tables.lineitem(spark, dir)
+    val sup = Tables.supplier(spark, dir)
+    val nat = Tables.nation(spark, dir)
+    val reg = Tables.region(spark, dir)
+    val units = sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+      * 10000).cast("long").cast("decimal(38,0)")).as("units")
+    val g = li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+      .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(units, count(lit(1)).as("n_lines"))
+    val wr = Window.partitionBy(col("r_name"))
+    val glob = g.agg(sum(col("units")).as("gunits"))
+    def share(num: Column, den: Column): Column =
+      round(intDiv(num * 1000000L + intDiv(den, lit(2L)), den)
+        .cast("double") / 1e6, 6)
+    g.withColumn("runits", sum(col("units")).over(wr))
+      .crossJoin(broadcast(glob))
+      .select(col("r_name"), col("n_name"),
+        (col("units").cast("double") / 10000.0).as("revenue"),
+        col("n_lines"),
+        share(col("units"), col("runits")).as("share_in_region"),
+        share(col("units"), col("gunits")).as("share_global"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
   /** Window-function battery (q29): the full ranking/navigation surface
     * in one gated frame — rank, dense_rank, ntile, percent_rank,
     * cume_dist, lag, lead, nth_value, first/last over an explicit ROWS
@@ -555,6 +596,7 @@ object Relational {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_revenue_share" -> (q28RevenueShare _),
     "q29_window_battery" -> (q29WindowBattery _),
     "q30_subquery_semantics" -> (q30SubquerySemantics _),
     "q1_pricing_summary" -> (q1PricingSummary _),

@@ -1230,6 +1230,62 @@ object TextDedup {
   def p3TokenBudget(spark: SparkSession, dir: String): DataFrame =
     tokenBudgetSelection(spark, dir)
 
+  /** Vocabulary-coverage curve (t21): for each candidate vocabulary
+    * budget V, the fraction of all corpus tokens covered by the V most
+    * frequent types — the audit a tokenizer-budget decision reads
+    * ("what OOV rate does a 5k vocab buy"). Needs the EXACT global
+    * frequency rank AND the cumulative token mass at that rank, so both
+    * ride one p3-style distributed prefix pass over the type table:
+    * range-partition on (count desc, type), row-number and inclusive
+    * token sum within each partition, and a ≤nParts-row offset table
+    * (rows + token mass per partition) broadcast back. The five
+    * checkpoint rows then come from a broadcast join on
+    * rank = min(V, |vocab|); coverage is one half-up micro division.
+    * Nothing global ever single-tasks — the type table shuffles once.
+    */
+  def t21VocabCoverage(spark: SparkSession, dir: String,
+      budgets: Seq[Long] = Seq(100L, 500L, 1000L, 2000L, 5000L),
+      nParts: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
+    import spark.implicits._
+    val counts = Tables.documents(spark, dir)
+      .select(explode(toks).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val parts = counts.repartitionByRange(nParts, col("cnt").desc, col("tok"))
+      .withColumn("pid", spark_partition_id())
+      .persist()
+    parts.count() // freeze the range sample + pid assignment (see d3)
+    val wIn = Window.partitionBy(col("pid"))
+      .orderBy(col("cnt").desc, col("tok"))
+    val wOff = Window.orderBy(col("pid")) // ≤ nParts rows — driver-sized
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parts.groupBy(col("pid"))
+      .agg(count(lit(1)).as("prows"), sum(col("cnt")).as("ptoks"))
+      .withColumn("row_off", coalesce(sum(col("prows")).over(wOff), lit(0L)))
+      .withColumn("tok_off", coalesce(sum(col("ptoks")).over(wOff), lit(0L)))
+      .select(col("pid"), col("row_off"), col("tok_off"))
+    val ranked = parts
+      .withColumn("rk_in", row_number().over(wIn).cast("long"))
+      .withColumn("cum_in",
+        sum(col("cnt")).over(wIn.rowsBetween(Window.unboundedPreceding, 0)))
+      .join(broadcast(offsets), Seq("pid"))
+      .select((col("rk_in") + col("row_off")).as("rank"),
+        (col("cum_in") + col("tok_off")).as("cum_incl"))
+    val totals = counts.agg(count(lit(1)).as("vocab_size"),
+      sum(col("cnt")).as("total_tokens"))
+    val targets = budgets.toDF("v_budget")
+      .crossJoin(broadcast(totals))
+      .withColumn("target_rank", least(col("v_budget"), col("vocab_size")))
+    ranked.join(broadcast(targets), col("rank") === col("target_rank"))
+      .select(col("v_budget"), col("vocab_size"), col("total_tokens"),
+        col("cum_incl").as("covered_tokens"),
+        round(intDiv(col("cum_incl") * 1000000L +
+            intDiv(col("total_tokens"), lit(2L)), col("total_tokens"))
+          .cast("double") / 1e6, 6).as("coverage"))
+      .orderBy(col("v_budget"))
+  }
+
   /** Per-source token quota (p15): p3's "best tokens first" selection
     * applied INSIDE each source with an independent budget — the
     * source-capped admission every curated mix runs so one crawl dump
@@ -1894,5 +1950,6 @@ object TextDedup {
     "p9_unified_curation" -> (p9UnifiedCuration _),
     "p3_token_budget" -> (p3TokenBudget _),
     "p15_source_quota" -> ((s: SparkSession, d: String) => p15SourceQuota(s, d)),
+    "t21_vocab_coverage" -> ((s: SparkSession, d: String) => t21VocabCoverage(s, d)),
   )
 }
