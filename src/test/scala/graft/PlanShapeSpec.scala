@@ -151,6 +151,43 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p.take(800))
   }
 
+  test("s17: anchors broadcast; mining top-1 is two-phase WindowGroupLimit; no sort-merge") {
+    val p = plan(Embeddings.s17HardNegatives(spark, dir))
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
+  test("p15/t21: prefix-sum shape survives the per-source and vocab variants — corpus windows keyed on pid") {
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val roots = try Seq(
+      "p15" -> TextDedup.p15SourceQuota(spark, dir)
+        .queryExecution.executedPlan,
+      "t21" -> TextDedup.t21VocabCoverage(spark, dir)
+        .queryExecution.executedPlan)
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try roots.foreach { case (name, root) =>
+      val p = root.toString
+      // the corpus-side window must key on pid (plus source for p15) —
+      // never a partition-less window over the whole corpus
+      assert(p.contains("windowspecdefinition(pid")
+        || p.contains("windowspecdefinition(source#"), s"$name:\n${p.take(1200)}")
+      val singles = root.collect {
+        case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e
+      }
+      // funnels exist only for the ≤nParts-row offset/totals streams
+      assert(singles.length <= 3, s"$name singles=${singles.length}:\n${p.take(1200)}")
+      singles.foreach { e =>
+        assert(e.toString.contains("pid") || e.toString.contains("count")
+          || e.toString.contains("sum"),
+          s"$name funnel must be a tiny aggregate stream:\n${e.toString.take(600)}")
+      }
+    } finally spark.catalog.clearCache()
+  }
+
   test("d17/p13: consume the materialized pair table — no shingle re-derivation") {
     for (df <- Seq(TextDedup.d17CanonicalSelect(spark, dir),
         TextDedup.p13DedupSavings(spark, dir))) {
