@@ -1122,6 +1122,29 @@ object OraclesText {
          |SELECT q_id, anchor_label, vec_id AS neg_id, neg_label, cos
          |FROM rk WHERE rn = 1 ORDER BY q_id""".stripMargin,
 
+    // Embeddings.s18TripletMining: positive = top-1 same-label, negative
+    // = s17's top-1 different-label; margin of the two snapped cosines.
+    "s18_triplet_mining" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, label AS anchor_label,
+         |    embedding AS q_emb FROM embeddings WHERE vec_id < 50),
+         |scored AS (SELECT q_id, anchor_label, vec_id, label,
+         |    round(${cosineSql("q_emb", "embedding")}, 6) AS cos
+         |  FROM embeddings, q WHERE vec_id != q_id),
+         |pr AS (SELECT q_id, anchor_label, vec_id AS pos_id, cos AS pos_cos,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, vec_id) AS rn
+         |  FROM scored WHERE label = anchor_label),
+         |nr AS (SELECT q_id, vec_id AS neg_id, cos AS neg_cos,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, vec_id) AS rn
+         |  FROM scored WHERE label != anchor_label)
+         |SELECT p.q_id, p.anchor_label, p.pos_id, p.pos_cos,
+         |  n.neg_id, n.neg_cos,
+         |  round(p.pos_cos - n.neg_cos, 6) AS margin,
+         |  (p.pos_cos - n.neg_cos >= 0.1) AS satisfied
+         |FROM pr p JOIN nr n ON p.q_id = n.q_id
+         |WHERE p.rn = 1 AND n.rn = 1 ORDER BY p.q_id""".stripMargin,
+
     // Embeddings.s14RadiusSearch: ALL neighbours with cosine ≥ 0.3 per
     // query — the variable-cardinality range-search read.
     "s14_radius_search" ->
@@ -1530,6 +1553,22 @@ object OraclesText {
         |  round(CAST((n * 1000000 + n_from // 2) // n_from AS DOUBLE)
         |    / 1e6, 6) AS prob
         |FROM t ORDER BY prev_type, next_type""".stripMargin,
+
+    // Events.e20ChurnTable: recency vs the corpus horizon; whole days by
+    // truncating integral division of exact µs.
+    "e20_churn_table" ->
+      """WITH x AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |h AS (SELECT max(us) AS h_us FROM x),
+        |g AS (SELECT user_id, count(*) AS n_events, max(us) AS last_us
+        |  FROM x GROUP BY 1)
+        |SELECT user_id, n_events, last_us,
+        |  CAST((h_us - last_us) // 86400000000 AS BIGINT) AS days_inactive,
+        |  ((h_us - last_us) // 86400000000 >= 7) AS churned,
+        |  CASE WHEN (h_us - last_us) // 86400000000 = 0 THEN 'active'
+        |       WHEN (h_us - last_us) // 86400000000 < 7 THEN 'cooling'
+        |       ELSE 'churned' END AS tier
+        |FROM g, h ORDER BY user_id LIMIT 3000""".stripMargin,
 
     "e1_window_agg" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,

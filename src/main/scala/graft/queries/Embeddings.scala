@@ -735,9 +735,45 @@ object Embeddings {
       .orderBy(col("q_id"))
   }
 
+  /** Triplet construction (s18): the full contrastive training read —
+    * per anchor, the top-1 SAME-label neighbour (the positive), s17's
+    * top-1 different-label neighbour (the hard negative), and the
+    * triplet margin pos−neg with the "already satisfied" verdict a
+    * curriculum sampler uses to drop easy triplets. Pure composition of
+    * two gated mining pipelines joined on the anchor key (the s15
+    * composition discipline); the margin is a difference of two
+    * already-6-decimal-snapped cosines, rounded once more — identical
+    * integers in, identical double out on both engines.
+    */
+  def s18TripletMining(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("nrm", norm(col("embedding")))
+    val anchors = emb.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("label").as("anchor_label"),
+        col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val posScored = emb.join(broadcast(anchors),
+        col("label") === col("anchor_label") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("anchor_label"), col("vec_id"),
+        round(cosinePre(col("q_emb"), col("q_nrm"),
+          col("embedding"), col("nrm")), 6).as("cos"))
+    val pos = TopK.saltedTopK(posScored, Seq(col("q_id")),
+        Seq(col("cos").desc, col("vec_id")), k = 1, saltBy = col("vec_id"))
+      .select(col("q_id"), col("anchor_label"),
+        col("vec_id").as("pos_id"), col("cos").as("pos_cos"))
+    val neg = s17HardNegatives(spark, dir)
+      .select(col("q_id"), col("neg_id"), col("cos").as("neg_cos"))
+    pos.join(neg, Seq("q_id"))
+      .select(col("q_id"), col("anchor_label"),
+        col("pos_id"), col("pos_cos"), col("neg_id"), col("neg_cos"),
+        round(col("pos_cos") - col("neg_cos"), 6).as("margin"),
+        (col("pos_cos") - col("neg_cos") >= 0.1).as("satisfied"))
+      .orderBy(col("q_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_cosine_topk" -> (s1CosineTopK _),
     "s17_hard_negatives" -> (s17HardNegatives _),
+    "s18_triplet_mining" -> (s18TripletMining _),
     "s16_sq8_agreement" -> (s16Sq8Agreement _),
     "s13_knn_classify" -> (s13KnnClassify _),
     "s14_radius_search" -> (s14RadiusSearch _),

@@ -740,8 +740,37 @@ object Events {
       .orderBy(col("prev_type"), col("next_type"))
   }
 
+  /** Inactivity/churn audit (e20): per user the recency clock every
+    * retention dashboard starts from — last activity, event count, whole
+    * days inactive relative to the corpus horizon (the max event time,
+    * one broadcast scalar), the churn verdict at the 7-day dial and the
+    * graded recency tier (active / cooling / churned) whose lower
+    * boundary is live at every corpus scale. Days are one truncating
+    * integral division of exact µs longs, so the verdicts are engine-
+    * and order-stable. One shuffle on user_id; the horizon join
+    * broadcasts a single row.
+    */
+  def e20ChurnTable(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+    val horizon = ev.agg(max(col("us")).as("h_us"))
+    ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), max(col("us")).as("last_us"))
+      .crossJoin(broadcast(horizon))
+      .select(col("user_id"), col("n_events"), col("last_us"),
+        intDiv(col("h_us") - col("last_us"), lit(86400000000L))
+          .as("days_inactive"))
+      .withColumn("churned", col("days_inactive") >= 7L)
+      .withColumn("tier", when(col("days_inactive") === 0L, "active")
+        .when(col("days_inactive") < 7L, "cooling").otherwise("churned"))
+      .orderBy(col("user_id"))
+      .limit(3000)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e19_transition_matrix" -> (e19TransitionMatrix _),
+    "e20_churn_table" -> (e20ChurnTable _),
     "e17_anomaly_hours" -> (e17AnomalyHours _),
     "e18_attribution" -> (e18Attribution _),
     "e13_decayed_score" -> (e13DecayedScore _),
