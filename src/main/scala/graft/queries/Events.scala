@@ -750,13 +750,28 @@ object Events {
     * and order-stable. One shuffle on user_id; the horizon join
     * broadcasts a single row.
     */
-  def e20ChurnTable(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
-    val ev = Tables.events(spark, dir)
-      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
-    val horizon = ev.agg(max(col("us")).as("h_us"))
-    ev.groupBy(col("user_id"))
+  def e20ChurnTable(spark: SparkSession, dir: String): DataFrame =
+    churnFromProfiles(churnProfileFrame(Tables.events(spark, dir)))
+
+  /** Per-user recency profile — e20's incremental half, shared verbatim
+    * with the streaming twin (count/max are mergeable, so the standing
+    * state is O(1) per user and arrival-order-free — the e15 profile
+    * split).
+    */
+  private[graft] def churnProfileFrame(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"), max(col("us")).as("last_us"))
+
+  /** Bounded finish of the e20 twin: verdicts over the (one-row-per-user)
+    * profile asset; the horizon is recovered from the profiles (max of
+    * last_us ≡ max event time), so the finisher needs nothing else.
+    */
+  private[graft] def churnFromProfiles(profiles: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
+    val horizon = profiles.agg(max(col("last_us")).as("h_us"))
+    profiles
       .crossJoin(broadcast(horizon))
       .select(col("user_id"), col("n_events"), col("last_us"),
         intDiv(col("h_us") - col("last_us"), lit(86400000000L))

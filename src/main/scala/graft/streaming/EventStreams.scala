@@ -676,6 +676,16 @@ object EventStreams {
   def rfmProfiles(events: DataFrame): DataFrame =
     graft.queries.Events.rfmProfileFrame(events)
 
+  /** Streaming half of the e20 churn audit: the per-user recency profile
+    * (count + max event µs — both mergeable, O(1) state per user) as a
+    * standing asset; [[graft.queries.Events.churnFromProfiles]] finishes
+    * verdicts at read time, so recency degrades correctly BETWEEN
+    * arrivals — the profile only stores last_us, and the horizon is
+    * re-derived per read.
+    */
+  def churnProfiles(events: DataFrame): DataFrame =
+    graft.queries.Events.churnProfileFrame(events)
+
   case class StreakDay(user_id: Long, day: Long)
   /** Merged, sorted, non-adjacent runs of consecutive active days —
     * O(#streaks) per user, strictly smaller than the distinct-day set

@@ -1072,6 +1072,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("streaming churn profiles finish to the batch e20 verdicts (e20 twin)") {
+    val stream = EventStreams.readEvents(spark, streamDir)
+    val q = EventStreams.churnProfiles(stream)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("churn_profiles")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val fromStream = Events.churnFromProfiles(spark.table("churn_profiles"))
+      .collect().map(_.toSeq).toSeq
+    val batch = Events.e20ChurnTable(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(fromStream == batch, s"stream rows=${fromStream.size}")
+    assert(batch.nonEmpty)
+  }
+
   test("streaming streak state merges out-of-order days across batches (e16 twin)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, datediff, to_date, lit}
