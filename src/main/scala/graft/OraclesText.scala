@@ -1738,6 +1738,42 @@ object OraclesText {
         |FROM bits b JOIN c USING (phash)
         |ORDER BY doc_id LIMIT 2000""".stripMargin,
 
+    // Multimodal.m11PhashNearDup: the m6 pixel replay + 16-bit banding
+    // + exact 64-position Hamming on band-sharing pairs (≤ 10 emits).
+    "m11_phash_neardup" ->
+      """WITH p AS (SELECT doc_id,
+        |    CAST(1 + doc_id % 64 AS BIGINT) AS w,
+        |    CAST(1 + doc_id % 48 AS BIGINT) AS h
+        |  FROM documents WHERE doc_id % 3 IN (0, 1)),
+        |g AS (SELECT p.doc_id, i.i AS i, j.i AS j,
+        |    ((p.doc_id % 16777216) * 31
+        |      + (j.i * p.h // 8) * p.w + (i.i * p.w // 8)) % 16777216 AS v
+        |  FROM p, range(0, 8) i(i), range(0, 8) j(i)),
+        |l AS (SELECT doc_id, i, j,
+        |    299 * (v // 65536) + 587 * ((v // 256) % 256) + 114 * (v % 256) AS lum
+        |  FROM g),
+        |s AS (SELECT doc_id, CAST(sum(lum) AS BIGINT) AS total
+        |  FROM l GROUP BY 1),
+        |bits AS (SELECT l.doc_id,
+        |    string_agg(CASE WHEN 64 * l.lum > s.total THEN '1' ELSE '0' END,
+        |      '' ORDER BY l.j, l.i) AS phash
+        |  FROM l JOIN s USING (doc_id) GROUP BY 1),
+        |bands AS (SELECT doc_id, b.i AS band,
+        |    substr(phash, CAST(1 + b.i * 16 AS INT), 16) AS bb, phash
+        |  FROM bits, range(0, 4) b(i)),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+        |    a.phash AS pa, c.phash AS pb
+        |  FROM bands a JOIN bands c
+        |    ON a.band = c.band AND a.bb = c.bb AND a.doc_id < c.doc_id),
+        |hd AS (SELECT id_a, id_b,
+        |    CAST(len(list_filter(range(1, 65),
+        |      i -> substr(pa, CAST(i AS INT), 1)
+        |        != substr(pb, CAST(i AS INT), 1))) AS BIGINT) AS hamming
+        |  FROM cand)
+        |SELECT id_a, id_b, hamming, (hamming = 0) AS exact
+        |FROM hd WHERE hamming <= 10
+        |ORDER BY id_a, id_b LIMIT 2000""".stripMargin,
+
     // Mirrors Multimodal.m2FrameSample: n_frames = byte length mod 7
     // (FakeDecoder), every-2nd frame index, md5(sig ':' idx) fingerprint.
     "m2_frame_sample" ->

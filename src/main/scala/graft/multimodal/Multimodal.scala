@@ -823,7 +823,48 @@ object Multimodal {
       .limit(2000)
   }
 
+  /** Banded Hamming near-dup over the image perceptual hashes (m11):
+    * m6 collapses EXACT phash matches; this is the d3/d5-style LSH read
+    * for the in-between — visually similar stills whose hashes differ
+    * in a few bits. The 64-bit hash splits into four 16-bit bands;
+    * candidate pairs share at least one band verbatim (pigeonhole:
+    * recall is GUARANTEED for Hamming ≤ 3, a recall dial — not a
+    * guarantee — above it, exactly d3's trade, and the oracle
+    * replicates the banding so the candidate semantics are gated, not
+    * just the distance); survivors score the exact 64-position Hamming
+    * distance and pairs ≤ 10 emit with the exact-duplicate flag. Scale
+    * shape: decode+hash is the shared map-only pass (persisted once —
+    * the d3 eager-materialization discipline), bands explode 4× on the
+    * slim (doc_id, phash) frame only, the self-join keys on the
+    * 16-bit band value, and the Hamming fold runs only on candidate
+    * pairs — never all pairs.
+    */
+  def m11PhashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val hashes = phashOf(syntheticMedia(spark, dir)).persist()
+    hashes.count()
+    val bands = hashes.select(col("doc_id"), col("phash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bb", expr("substring(phash, 1 + band * 16, 16)"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bb") === col("b.bb") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.phash").as("pa"), col("b.phash").as("pb"))
+      .distinct()
+    cand
+      .withColumn("hamming", expr(
+        "aggregate(sequence(1, 64), 0, (acc, i) -> acc + " +
+          "IF(substring(pa, i, 1) = substring(pb, i, 1), 0, 1))")
+        .cast("long"))
+      .filter(col("hamming") <= 10)
+      .select(col("id_a"), col("id_b"), col("hamming"),
+        (col("hamming") === 0L).as("exact"))
+      .orderBy(col("id_a"), col("id_b"))
+      .limit(2000)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m11_phash_neardup" -> (m11PhashNearDup _),
     "m1_media_features" -> (m1MediaFeatures _),
     "m2_frame_sample" -> (m2FrameSample _),
     "m3_thumbnail" -> (m3Thumbnail _),

@@ -249,6 +249,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(800))
   }
 
+  test("m11: banding rides the slim hash frame; candidate join keys on the band; Hamming folds only survivors") {
+    val p = plan(graft.multimodal.Multimodal.m11PhashNearDup(spark, dir))
+    p.split("\n").filter(_.contains("Exchange")).foreach { line =>
+      assert(!line.contains("content"), s"payload shuffled: $line")
+    }
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // the self-join must be keyed (band value in the join key), never a
+    // filtered cross product over the hash frame
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p.take(1200))
+    spark.catalog.clearCache()
+  }
+
   test("t16: no window over the corpus; the vocab scalar broadcasts; LM joins never cartesian") {
     val p = plan(graft.queries.TextDedup.t16BigramLmXent(spark, dir))
     // three aggs + two joins, all keyed on high-cardinality columns —
