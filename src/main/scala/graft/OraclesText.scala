@@ -719,6 +719,39 @@ object OraclesText {
         |FROM v, t JOIN r ON r.rank = least(v_budget, vocab_size)
         |ORDER BY v_budget""".stripMargin,
 
+    // TextDedup.p16QuotaAfterDedup: d17's keepers (recursive-CTE
+    // components + longest-text keeper) restricted BEFORE the p15 quota.
+    "p16_quota_after_dedup" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |$componentCte,
+         |kk AS (SELECT comp.doc_id,
+         |    first_value(comp.doc_id) OVER (PARTITION BY comp.component
+         |      ORDER BY d.n_chars DESC, comp.doc_id) AS keeper_id
+         |  FROM comp JOIN documents d ON comp.doc_id = d.doc_id),
+         |keepers AS (SELECT doc_id FROM kk WHERE doc_id = keeper_id),
+         |x AS (SELECT doc_id, source,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS toks
+         |  FROM documents WHERE doc_id IN (SELECT doc_id FROM keepers)),
+         |r AS (SELECT doc_id, source,
+         |    CAST(len(toks) AS INT) AS n_tokens,
+         |    CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','is','to'], t))) AS DOUBLE) / len(toks) AS stop_ratio,
+         |    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+         |    CAST(len(list_filter(toks, t -> length(t) >= 4)) AS DOUBLE) / len(toks) AS long_ratio
+         |  FROM x),
+         |q AS (SELECT doc_id, source, n_tokens,
+         |    round(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.3
+         |      + ttr * 0.3 + stop_ratio * 0.2 + long_ratio * 0.2, 6) AS quality
+         |  FROM r),
+         |c AS (SELECT source, doc_id, quality, n_tokens,
+         |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+         |      ORDER BY quality DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS cum_before
+         |  FROM q)
+         |SELECT source, doc_id, quality, n_tokens, cum_before FROM c
+         |WHERE cum_before < 500
+         |ORDER BY source, quality DESC, doc_id""".stripMargin,
+
     // TextDedup.p15SourceQuota: p3's selection per source — the window
     // partitions on source, each source admits its own best 500 tokens
     // (straddler kept).
@@ -1554,6 +1587,20 @@ object OraclesText {
         |    / 1e6, 6) AS prob
         |FROM t ORDER BY prev_type, next_type""".stripMargin,
 
+    // Events.e21ActivityHeatmap: integer dow/hour axes from epoch µs
+    // (1970-01-01 = Thursday anchor), micro-division cell shares.
+    "e21_activity_heatmap" ->
+      """WITH x AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |a AS (SELECT ((us // 86400000000) + 4) % 7 AS dow,
+        |    (us % 86400000000) // 3600000000 AS hour FROM x),
+        |g AS (SELECT dow, hour, count(*) AS n FROM a GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM g)
+        |SELECT CAST(dow AS BIGINT) AS dow, CAST(hour AS BIGINT) AS hour, n,
+        |  round(CAST((n * 1000000 + n_total // 2) // n_total AS DOUBLE)
+        |    / 1e6, 6) AS share
+        |FROM g, t ORDER BY dow, hour""".stripMargin,
+
     // Events.e20ChurnTable: recency vs the corpus horizon; whole days by
     // truncating integral division of exact µs.
     "e20_churn_table" ->
@@ -2112,6 +2159,24 @@ object OraclesText {
         |  round(greatest(survival - 1.96 * se, 0.0), 6) AS ci_lo,
         |  round(least(survival + 1.96 * se, 1.0), 6) AS ci_hi
         |FROM e ORDER BY seg, time""".stripMargin,
+
+    // Survival.v10SurvivalAtTimes: the gated v4 SQL composed verbatim,
+    // probed at 30/60/90 with arg_max; horizon-precedes-events cells
+    // re-enter at 1.0 via the left join.
+    "v10_survival_at_times" ->
+      s"""WITH km AS ($v4KaplanMeierSql),
+         |hz(horizon) AS (VALUES (30), (60), (90)),
+         |segs AS (SELECT DISTINCT seg FROM km),
+         |best AS (SELECT seg, horizon,
+         |    max(time) AS last_event_time,
+         |    arg_max(survival, time) AS s
+         |  FROM km JOIN hz ON km.time <= hz.horizon GROUP BY 1, 2)
+         |SELECT segs.seg, CAST(hz.horizon AS BIGINT) AS horizon,
+         |  coalesce(b.last_event_time, -1) AS last_event_time,
+         |  coalesce(b.s, 1.0) AS survival
+         |FROM segs CROSS JOIN hz
+         |LEFT JOIN best b ON b.seg = segs.seg AND b.horizon = hz.horizon
+         |ORDER BY segs.seg, horizon""".stripMargin,
 
     // Survival.v8LifeTable: actuarial life table — doubled-integer
     // effective at-risk (2·n_enter − w), half-up micro division for q,

@@ -783,9 +783,34 @@ object Events {
       .limit(3000)
   }
 
+  /** Weekly activity heatmap (e21): the day-of-week × hour-of-day event
+    * grid every ops dashboard opens with. Both axes are PURE INTEGER
+    * arithmetic on epoch µs (day-of-week from the epoch-day count,
+    * anchored on 1970-01-01 = Thursday; never an engine date function,
+    * whose week-start conventions differ) and the cell share of total
+    * is one half-up micro division — a ≤168-row exact grid from one
+    * map-side projection + tiny aggregation.
+    */
+  def e21ActivityHeatmap(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
+    val dayUs = 86400000000L
+    val ev = Tables.events(spark, dir)
+      .select(unix_micros(col("ts")).as("us"))
+      .select(pmod(intDiv(col("us"), lit(dayUs)) + 4L, lit(7L)).as("dow"),
+        intDiv(pmod(col("us"), lit(dayUs)), lit(3600000000L)).as("hour"))
+    val g = ev.groupBy(col("dow"), col("hour")).agg(count(lit(1)).as("n"))
+    val tot = g.agg(sum(col("n")).as("n_total"))
+    g.crossJoin(broadcast(tot))
+      .select(col("dow"), col("hour"), col("n"),
+        round(intDiv(col("n") * 1000000L + intDiv(col("n_total"), lit(2L)),
+          col("n_total")).cast("double") / 1e6, 6).as("share"))
+      .orderBy(col("dow"), col("hour"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e19_transition_matrix" -> (e19TransitionMatrix _),
     "e20_churn_table" -> (e20ChurnTable _),
+    "e21_activity_heatmap" -> (e21ActivityHeatmap _),
     "e17_anomaly_hours" -> (e17AnomalyHours _),
     "e18_attribution" -> (e18Attribution _),
     "e13_decayed_score" -> (e13DecayedScore _),

@@ -452,8 +452,37 @@ object Survival {
       .orderBy(col("seg"), col("time"))
   }
 
+  /** Survival at fixed horizons (v10): the KM curve read at the
+    * reporting times a clinical summary quotes ("30/60/90-day
+    * survival") — for each (segment, horizon), the curve value at the
+    * last event time ≤ the horizon, exactly 1.0 when no event precedes
+    * it (the step function's left limit, read with `max_by` so the
+    * probe never re-sorts the curve). Pure composition over the gated
+    * v4 output: the horizon probe is a 3-row broadcast, the per-cell
+    * collapse keys on (seg, horizon), and segments without early events
+    * re-enter via the left join — the v4 curve is computed once.
+    */
+  def v10SurvivalAtTimes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val km = v4KaplanMeier(spark, dir)
+      .select(col("seg"), col("time"), col("survival"))
+    val horizons = Seq(30L, 60L, 90L).toDF("horizon")
+    val grid = km.select(col("seg")).distinct()
+      .crossJoin(broadcast(horizons))
+    val best = km.join(broadcast(horizons), col("time") <= col("horizon"))
+      .groupBy(col("seg"), col("horizon"))
+      .agg(max(col("time")).as("last_event_time"),
+        max_by(col("survival"), col("time")).as("s"))
+    grid.join(best, Seq("seg", "horizon"), "left")
+      .select(col("seg"), col("horizon"),
+        coalesce(col("last_event_time"), lit(-1L)).as("last_event_time"),
+        coalesce(col("s"), lit(1.0)).as("survival"))
+      .orderBy(col("seg"), col("horizon"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v1_cindex" -> (v1CIndex _),
+    "v10_survival_at_times" -> (v10SurvivalAtTimes _),
     "v2_clean_matrix" -> (v2CleanMatrix _),
     "v3_cum_hazard" -> (v3CumHazard _),
     "v4_kaplan_meier" -> (v4KaplanMeier _),

@@ -1299,12 +1299,19 @@ object TextDedup {
     * global ever single-tasks.
     */
   def p15SourceQuota(spark: SparkSession, dir: String,
-      quota: Long = 500L, nParts: Int = 32): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val q = qualityFrame(spark, dir)
+      quota: Long = 500L, nParts: Int = 32): DataFrame =
+    sourceQuotaOf(qualityFrame(spark, dir)
       .select(col("doc_id"), col("quality"), col("n_tokens"))
       .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")),
-        Seq("doc_id"))
+        Seq("doc_id")), quota, nParts)
+
+  /** The per-source prefix-sum admission over any (doc_id, quality,
+    * n_tokens, source) frame — shared by p15 (raw corpus) and p16
+    * (post-dedup canonicals), so the quota arithmetic cannot fork.
+    */
+  private[graft] def sourceQuotaOf(q: DataFrame,
+      quota: Long, nParts: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val parts = q.repartitionByRange(nParts,
         col("source"), col("quality").desc, col("doc_id"))
       .withColumn("pid", spark_partition_id())
@@ -1326,6 +1333,29 @@ object TextDedup {
         (col("cum_in") + col("offset")).as("cum_before"))
       .filter(col("cum_before") < quota)
       .orderBy(col("source"), col("quality").desc, col("doc_id"))
+  }
+
+  /** Dedup-then-select (p16): the production ordering of the two
+    * curation stages — d17's canonical keepers first (one survivor per
+    * near-dup component, so a mass-duplicated document cannot spend a
+    * source's budget twice), THEN p15's per-source token quota over the
+    * survivors. Composes two gated pipelines: the keeper set is a
+    * semi-join on doc_id against the materialized component labels, and
+    * the quota is the shared [[sourceQuotaOf]] prefix sum — same
+    * arithmetic, smaller corpus, so a source whose budget was exhausted
+    * by duplicates in p15 admits deeper into its unique tail here.
+    */
+  def p16QuotaAfterDedup(spark: SparkSession, dir: String,
+      quota: Long = 500L, nParts: Int = 32): DataFrame = {
+    val keepers = canonicalSelectOf(componentLabels(spark, dir),
+        Tables.documents(spark, dir))
+      .filter(col("keep")).select(col("doc_id"))
+    val q = qualityFrame(spark, dir)
+      .select(col("doc_id"), col("quality"), col("n_tokens"))
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .join(keepers, Seq("doc_id"), "left_semi")
+    sourceQuotaOf(q, quota, nParts)
   }
 
   /** Curriculum decile binning (p8): exact global quality rank →
@@ -1951,5 +1981,6 @@ object TextDedup {
     "p3_token_budget" -> (p3TokenBudget _),
     "p15_source_quota" -> ((s: SparkSession, d: String) => p15SourceQuota(s, d)),
     "t21_vocab_coverage" -> ((s: SparkSession, d: String) => t21VocabCoverage(s, d)),
+    "p16_quota_after_dedup" -> ((s: SparkSession, d: String) => p16QuotaAfterDedup(s, d)),
   )
 }
