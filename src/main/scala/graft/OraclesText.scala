@@ -915,6 +915,16 @@ object OraclesText {
         |  FROM documents) t
         |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
 
+    // TextDedup.t22HeavyHitters: below sketch capacity (vocab ≪ 4096)
+    // the frequent-items sketch never evicts, so est_n IS the exact
+    // count — the oracle pins the estimates to truth, not a band.
+    "t22_heavy_hitters" ->
+      """WITH tokc AS (SELECT token, count(*) AS exact_n FROM (
+        |    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |    FROM documents) t GROUP BY token)
+        |SELECT token, exact_n, exact_n AS est_n, TRUE AS sketch_ok
+        |FROM tokc ORDER BY exact_n DESC, token LIMIT 10""".stripMargin,
+
     // TextDedup.t20EncodingSanity: identical doc_id-derived noise
     // injection (chr(7) control, chr(65533) replacements, BMP
     // non-ASCII), identical class regexes, t12-style snapped-ln entropy.
@@ -1601,6 +1611,27 @@ object OraclesText {
         |    / 1e6, 6) AS share
         |FROM g, t ORDER BY dow, hour""".stripMargin,
 
+    // Events.e22NativeSessions: the native session_window merge rule
+    // replayed in SQL — a new session starts when the gap REACHES the
+    // 30-min duration (strict [ts, ts+gap) overlap ⇒ >=, where e2's
+    // hand-rolled form uses >); end = last member + gap.
+    "e22_native_sessions" ->
+      """WITH x AS (SELECT user_id, event_id, value,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |f AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+        |        OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS is_new
+        |      FROM x WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id
+        |        ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        |      FROM f)
+        |SELECT user_id,
+        |  make_timestamp(min(us)) AS session_start,
+        |  make_timestamp(max(us) + 1800000000) AS session_end,
+        |  count(*) AS n_events,
+        |  sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start LIMIT 3000""".stripMargin,
+
     // Events.e20ChurnTable: recency vs the corpus horizon; whole days by
     // truncating integral division of exact µs.
     "e20_churn_table" ->
@@ -2177,6 +2208,24 @@ object OraclesText {
          |FROM segs CROSS JOIN hz
          |LEFT JOIN best b ON b.seg = segs.seg AND b.horizon = hz.horizon
          |ORDER BY segs.seg, horizon""".stripMargin,
+
+    // Survival.v11MedianSurvival: the v4 curve inverted at fixed levels
+    // — first time S(t) ≤ q, survival there via arg_min on time;
+    // never-crossing cells re-enter with the −1 sentinel.
+    "v11_median_survival" ->
+      s"""WITH km AS ($v4KaplanMeierSql),
+         |qs(q) AS (VALUES (CAST(0.75 AS DOUBLE)), (CAST(0.50 AS DOUBLE)),
+         |                 (CAST(0.25 AS DOUBLE))),
+         |segs AS (SELECT DISTINCT seg FROM km),
+         |crossed AS (SELECT seg, q, min(time) AS t_cross,
+         |    arg_min(survival, time) AS s_at
+         |  FROM km JOIN qs ON km.survival <= qs.q GROUP BY 1, 2)
+         |SELECT segs.seg, qs.q,
+         |  coalesce(c.t_cross, -1) AS cross_time,
+         |  coalesce(c.s_at, -1.0) AS survival_at
+         |FROM segs CROSS JOIN qs
+         |LEFT JOIN crossed c ON c.seg = segs.seg AND c.q = qs.q
+         |ORDER BY segs.seg, qs.q DESC""".stripMargin,
 
     // Survival.v8LifeTable: actuarial life table — doubled-integer
     // effective at-risk (2·n_enter − w), half-up micro division for q,

@@ -783,22 +783,34 @@ object Events {
       .limit(3000)
   }
 
-  /** Weekly activity heatmap (e21): the day-of-week × hour-of-day event
-    * grid every ops dashboard opens with. Both axes are PURE INTEGER
-    * arithmetic on epoch µs (day-of-week from the epoch-day count,
-    * anchored on 1970-01-01 = Thursday; never an engine date function,
-    * whose week-start conventions differ) and the cell share of total
-    * is one half-up micro division — a ≤168-row exact grid from one
-    * map-side projection + tiny aggregation.
+  /** Hour-grain event counts — e21's partials frame, the batch twin of
+    * the streamed hourly asset rolled up over users (the e13/e17 split:
+    * the stream maintains closed-window partials, the dashboard read is
+    * a bounded finisher over them).
     */
-  def e21ActivityHeatmap(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def hourlyCountsFrame(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Bounded finish of e21 over (hour, n) partials: both heatmap axes
+    * are PURE INTEGER arithmetic on the hour-bucket's epoch µs
+    * (day-of-week from the epoch-day count, anchored on 1970-01-01 =
+    * Thursday; never an engine date function, whose week-start
+    * conventions differ), and the cell share of total is one half-up
+    * micro division. Accepts finer-keyed partials too (e.g. the
+    * streamed per-(hour, user) asset) — the grid rollup re-aggregates
+    * whatever splits the hour carries.
+    */
+  private[graft] def heatmapOfPartials(partials: DataFrame): DataFrame = {
     import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
     val dayUs = 86400000000L
-    val ev = Tables.events(spark, dir)
-      .select(unix_micros(col("ts")).as("us"))
+    val cells = partials
+      .select(unix_micros(col("hour").cast("timestamp")).as("us"), col("n"))
       .select(pmod(intDiv(col("us"), lit(dayUs)) + 4L, lit(7L)).as("dow"),
-        intDiv(pmod(col("us"), lit(dayUs)), lit(3600000000L)).as("hour"))
-    val g = ev.groupBy(col("dow"), col("hour")).agg(count(lit(1)).as("n"))
+        intDiv(pmod(col("us"), lit(dayUs)), lit(3600000000L)).as("hour"),
+        col("n"))
+    val g = cells.groupBy(col("dow"), col("hour")).agg(sum(col("n")).as("n"))
     val tot = g.agg(sum(col("n")).as("n_total"))
     g.crossJoin(broadcast(tot))
       .select(col("dow"), col("hour"), col("n"),
@@ -807,10 +819,54 @@ object Events {
       .orderBy(col("dow"), col("hour"))
   }
 
+  /** Weekly activity heatmap (e21): the day-of-week × hour-of-day event
+    * grid every ops dashboard opens with — composed as hour-grain
+    * partials ([[hourlyCountsFrame]], the mergeable half the stream
+    * maintains) finished by the ≤168-row grid rollup
+    * ([[heatmapOfPartials]], shared verbatim with the streaming twin).
+    */
+  def e21ActivityHeatmap(spark: SparkSession, dir: String): DataFrame =
+    heatmapOfPartials(hourlyCountsFrame(Tables.events(spark, dir)))
+
+  /** Shared session frame of e22 and its streaming twin: Spark's NATIVE
+    * `session_window` operator — per user, events whose [ts, ts+30min)
+    * extents overlap merge into one session (a new session starts when
+    * the gap is ≥ the 30-minute duration, the operator's strict-overlap
+    * rule; e2's hand-rolled lag/prefix-sum form splits only on > — both
+    * semantics are pinned by their own oracles). Money stays in grid
+    * cents (order-insensitive), bounds come off the merged window
+    * struct: start = first event, end = last event + gap.
+    */
+  private[graft] def sessionFrame(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(round(col("value") * 100).cast("long")) / lit(100.0))
+          .as("sum_value"))
+      .select(col("user_id"),
+        col("sw.start").cast("timestamp_ntz").as("session_start"),
+        col("sw.end").cast("timestamp_ntz").as("session_end"),
+        col("n_events"), col("sum_value"))
+
+  /** Native session windows (e22): e2's sessionization re-expressed on
+    * the engine's own session operator — the merging-session aggregation
+    * Spark plans with session-aware partial merges (UpdatingSessions +
+    * MergingSessions exec), no lag window or prefix sum in user code,
+    * and the SAME operator runs watermarked on the stream
+    * ([[graft.streaming.EventStreams.nativeSessions]]). The oracle
+    * replays the strict-overlap merge rule in SQL, so the native
+    * operator's session semantics are hash-gated against DuckDB.
+    */
+  def e22NativeSessions(spark: SparkSession, dir: String): DataFrame =
+    sessionFrame(Tables.events(spark, dir))
+      .orderBy(col("user_id"), col("session_start"))
+      .limit(3000)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e19_transition_matrix" -> (e19TransitionMatrix _),
     "e20_churn_table" -> (e20ChurnTable _),
     "e21_activity_heatmap" -> (e21ActivityHeatmap _),
+    "e22_native_sessions" -> (e22NativeSessions _),
     "e17_anomaly_hours" -> (e17AnomalyHours _),
     "e18_attribution" -> (e18Attribution _),
     "e13_decayed_score" -> (e13DecayedScore _),

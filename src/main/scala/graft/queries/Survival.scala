@@ -480,9 +480,39 @@ object Survival {
       .orderBy(col("seg"), col("horizon"))
   }
 
+  /** Median and quartile survival times (v11): the smallest event time
+    * where the KM curve first reaches S(t) ≤ q for q ∈ {0.75, 0.5,
+    * 0.25} — the "median survival 14 months (IQR 9–21)" headline every
+    * clinical abstract quotes, read off the gated v4 curve. v10 probes
+    * the curve at fixed TIMES; v11 inverts it at fixed LEVELS. Pure
+    * composition: the quantile probe is a 3-row broadcast, the
+    * first-crossing collapse keys on (seg, q) with `min_by` (never a
+    * re-sort of the curve), and never-crossing (seg, q) cells re-enter
+    * via the left join with the −1 sentinel. The v4 survival values are
+    * bit-stable across engines (log-micro product, gated), so comparing
+    * them to exactly-representable quantile literals is deterministic.
+    */
+  def v11MedianSurvival(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val km = v4KaplanMeier(spark, dir)
+      .select(col("seg"), col("time"), col("survival"))
+    val qs = Seq(0.75, 0.50, 0.25).toDF("q")
+    val grid = km.select(col("seg")).distinct().crossJoin(broadcast(qs))
+    val crossed = km.join(broadcast(qs), col("survival") <= col("q"))
+      .groupBy(col("seg"), col("q"))
+      .agg(min(col("time")).as("t_cross"),
+        min_by(col("survival"), col("time")).as("s_at"))
+    grid.join(crossed, Seq("seg", "q"), "left")
+      .select(col("seg"), col("q"),
+        coalesce(col("t_cross"), lit(-1L)).as("cross_time"),
+        coalesce(col("s_at"), lit(-1.0)).as("survival_at"))
+      .orderBy(col("seg"), col("q").desc)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v1_cindex" -> (v1CIndex _),
     "v10_survival_at_times" -> (v10SurvivalAtTimes _),
+    "v11_median_survival" -> (v11MedianSurvival _),
     "v2_clean_matrix" -> (v2CleanMatrix _),
     "v3_cum_hazard" -> (v3CumHazard _),
     "v4_kaplan_meier" -> (v4KaplanMeier _),

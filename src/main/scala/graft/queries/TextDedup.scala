@@ -1286,6 +1286,37 @@ object TextDedup {
       .orderBy(col("v_budget"))
   }
 
+  /** Sketch-audited heavy hitters (t22): the corpus's top tokens read
+    * from Spark's NATIVE `approx_top_k` (a DataSketches frequent-items
+    * sketch) and audited against the exact counts — completing the
+    * mergeable-sketch tour (e8 HLL++ distinct, q16b quantile summary,
+    * d19 bloom membership, t22 frequent items). The sketch leg is the
+    * 100-TB path: per-partition sketches of bounded size (maxItemsTracked
+    * = 4096) merge associatively, so only KBs cross the wire where the
+    * exact leg shuffles the full token vocabulary; below capacity the
+    * sketch never evicts and its estimates are EXACT — the gate pins
+    * est_n to the oracle's true counts, not a tolerance band (the
+    * audited corpus vocabulary is far under capacity; an eviction-driven
+    * drift would turn the row red). Presentation ranks by the EXACT side
+    * (count desc, token — deterministic at ties), probing the sketch's
+    * top-40 so a boundary tie in the sketch's own internal order can
+    * never change which rows appear.
+    */
+  def t22HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir).select(explode(toks).as("token"))
+    val exact = tok.groupBy(col("token")).agg(count(lit(1)).as("exact_n"))
+    val topExact = exact.orderBy(col("exact_n").desc, col("token")).limit(10)
+    val est = tok
+      .agg(expr("approx_top_k(token, 40, 4096)").as("tops"))
+      .select(explode(col("tops")).as("e"))
+      .select(col("e.item").as("token"), col("e.count").as("est_n"))
+    topExact.join(est, Seq("token"), "left")
+      .select(col("token"), col("exact_n"),
+        coalesce(col("est_n"), lit(-1L)).as("est_n"))
+      .withColumn("sketch_ok", col("est_n") === col("exact_n"))
+      .orderBy(col("exact_n").desc, col("token"))
+  }
+
   /** Per-source token quota (p15): p3's "best tokens first" selection
     * applied INSIDE each source with an independent budget — the
     * source-capped admission every curated mix runs so one crawl dump
@@ -1981,6 +2012,7 @@ object TextDedup {
     "p3_token_budget" -> (p3TokenBudget _),
     "p15_source_quota" -> ((s: SparkSession, d: String) => p15SourceQuota(s, d)),
     "t21_vocab_coverage" -> ((s: SparkSession, d: String) => t21VocabCoverage(s, d)),
+    "t22_heavy_hitters" -> (t22HeavyHitters _),
     "p16_quota_after_dedup" -> ((s: SparkSession, d: String) => p16QuotaAfterDedup(s, d)),
   )
 }

@@ -79,6 +79,30 @@ object EventStreams {
       .select(col("window.start").cast("timestamp_ntz").as("hour"),
         col("user_id"), col("n"))
 
+  /** Streaming twin of Events.e21ActivityHeatmap's partials half: the
+    * hour-grain counts the heatmap finisher reads are exactly
+    * [[hourlyUserActivity]] rolled up over users — the finisher
+    * (`Events.heatmapOfPartials`) accepts the per-(hour, user) asset
+    * directly, so the dashboard grid is a bounded read over closed
+    * windows and raw events are never revisited (the e13/e17 split).
+    */
+  def heatmapPartials(events: DataFrame): DataFrame =
+    hourlyUserActivity(events)
+
+  /** Streaming twin of Events.e22NativeSessions: the SAME native
+    * `session_window` aggregation ([[graft.queries.Events.sessionFrame]]
+    * shared verbatim) run watermarked — the engine merges a user's
+    * overlapping [ts, ts+gap) extents incrementally (UpdatingSessions +
+    * session-merging state store ops) and in append mode a session
+    * emits exactly once, when the watermark passes its end and no
+    * in-gap event can still extend it. State per user is the open
+    * sessions' bounds + aggregates, O(open sessions), evicted on close.
+    */
+  def nativeSessions(events: DataFrame,
+      watermarkDelay: String = "2 hours"): DataFrame =
+    graft.queries.Events.sessionFrame(
+      events.withWatermark("ts", watermarkDelay))
+
   /** Ranking half of the e4 twin: exact top-k users per (window, type)
     * over the streamed counts, via the same two-phase salted top-k the
     * batch side uses (per-(window,type) ranking is a few-group hotspot;

@@ -772,4 +772,23 @@ class PlanShapeSpec extends AnyFunSuite {
       spark.catalog.clearCache()
     }
   }
+
+  test("e22: native session windows plan session-merging aggregation, one user exchange") {
+    val p = plan(graft.queries.Events.e22NativeSessions(spark, dir))
+    // the engine's session-merge operator, not a lag window + prefix sum
+    assert(p.contains("MergingSessions"), p.take(1200))
+    assert(!p.contains("RunningWindowFunction") && !p.contains(" lag("),
+      "no hand-rolled window sessionization in the native plan")
+    // sessions shuffle on the user key once (plus the presentation sort)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"want 1 hash exchange, got $exchanges:\n${p.take(1200)}")
+  }
+
+  test("t22: sketch leg aggregates partially — objHashAggregate sketches, no token shuffle on the sketch side") {
+    val p = plan(graft.queries.TextDedup.t22HeavyHitters(spark, dir))
+    // the frequent-items sketch rides partial ObjectHashAggregate:
+    // per-partition sketches merge after a single-row exchange
+    assert(p.contains("ObjectHashAggregate"), p.take(1200))
+    assert(p.contains("approx_top_k"), p.take(1200))
+  }
 }

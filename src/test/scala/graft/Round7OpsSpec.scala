@@ -749,4 +749,80 @@ class Round7OpsSpec extends AnyFunSuite {
     // both causes must actually occur somewhere
     assert(got.values.exists(_._1 > 0) && got.values.exists(_._2 > 0))
   }
+
+  test("v11: quartile crossings invert the v4 curve; sentinels for never-crossed") {
+    val km = graft.queries.Survival.v4KaplanMeier(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(5)))
+    val exp = (for {
+      seg <- km.map(_._1).distinct
+      q <- Seq(0.75, 0.50, 0.25)
+    } yield {
+      val crossed = km.filter(r => r._1 == seg && r._3 <= q)
+      val cell = if (crossed.isEmpty) (-1L, -1.0)
+      else { val first = crossed.minBy(_._2); (first._2, first._3) }
+      (seg, q) -> cell
+    }).toMap
+    val got = graft.queries.Survival.v11MedianSurvival(spark, dir)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == exp, s"first diff: ${exp.collect {
+      case (k, v) if got.get(k) != Some(v) => (k, got.get(k), v) }.take(2)}")
+    // the probe must carry signal: some quartile crossed, and the
+    // crossing time is non-decreasing as the level drops
+    assert(got.values.exists(_._1 >= 0))
+    exp.keys.map(_._1).foreach { seg =>
+      val ts = Seq(0.75, 0.50, 0.25).map(q => got((seg, q))._1)
+        .filter(_ >= 0)
+      assert(ts.zip(ts.tail).forall { case (a, b) => b >= a },
+        s"$seg crossing times must be monotone: $ts")
+    }
+  }
+
+  test("t22: sketch estimates are exact below capacity and merge associatively") {
+    import spark.implicits._
+    val got = graft.queries.TextDedup.t22HeavyHitters(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(got.length == 10)
+    // below eviction capacity the frequent-items estimate IS the count
+    got.foreach { case (tok, exact, est, ok) =>
+      assert(est == exact && ok, s"$tok: est $est != exact $exact")
+    }
+    // independent exact fold from the raw text
+    val trueCounts = Tables.documents(spark, dir)
+      .select(org.apache.spark.sql.functions.col("text"))
+      .collect().flatMap(_.getString(0).trim.toLowerCase(
+        java.util.Locale.ROOT).split("\\s+"))
+      .groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    got.foreach { case (tok, exact, _, _) =>
+      assert(trueCounts(tok) == exact, s"$tok exact fold mismatch")
+    }
+    // mergeability: per-half accumulate → combine → estimate ≡ one-shot
+    val docs = Tables.documents(spark, dir)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.split(
+            org.apache.spark.sql.functions.trim(
+              org.apache.spark.sql.functions.lower(
+                org.apache.spark.sql.functions.col("text"))), "\\s+"))
+          .as("token"))
+    docs.createOrReplaceTempView("t22_toks")
+    val merged = spark.sql(
+      """SELECT approx_top_k_estimate(
+        |  approx_top_k_combine(sk, 4096), 40) AS tops FROM (
+        |  SELECT approx_top_k_accumulate(token, 4096) AS sk
+        |  FROM t22_toks GROUP BY doc_id % 2)""".stripMargin)
+      .selectExpr("explode(tops) AS e")
+      .selectExpr("e.item AS token", "e.count AS n")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val oneShot = spark.sql(
+      """SELECT approx_top_k_estimate(
+        |  approx_top_k_accumulate(token, 4096), 40) AS tops
+        |FROM t22_toks""".stripMargin)
+      .selectExpr("explode(tops) AS e")
+      .selectExpr("e.item AS token", "e.count AS n")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged == oneShot, "split-merge sketch must equal one-shot")
+    assert(oneShot.nonEmpty)
+  }
 }

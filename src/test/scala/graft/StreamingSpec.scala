@@ -1180,6 +1180,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("streaming hourly partials finish to the batch heatmap grid (e21 twin)") {
+    val stream = EventStreams.readEvents(spark, streamDir)
+    val q = EventStreams.heatmapPartials(stream)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("e21_partials")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // the finisher accepts the per-(hour, user) streamed asset directly
+    val fromStream = Events.heatmapOfPartials(spark.table("e21_partials"))
+      .collect().map(_.toSeq).toSeq
+    val batch = Events.e21ActivityHeatmap(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(fromStream == batch, s"stream rows=${fromStream.size}")
+    assert(batch.nonEmpty)
+  }
+
+  test("streaming native session windows equal the batch session frame (e22 twin)") {
+    import org.apache.spark.sql.functions.col
+    val stream = EventStreams.readEvents(spark, streamDir)
+    // complete mode over the static file emits every merged session;
+    // append mode would withhold sessions above the final watermark
+    val q = EventStreams.nativeSessions(stream)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("e22_sessions")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("e22_sessions")
+      .collect().map(_.toSeq).toSet
+    val batch = Events.sessionFrame(Tables.events(spark, dir))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch, s"stream=${streamed.size} batch=${batch.size}")
+    assert(streamed.nonEmpty)
+    // the native merge rule differs from e2's only at exact-gap ties:
+    // both sessionizations cover the same events
+    val nStream = spark.table("e22_sessions")
+      .agg(org.apache.spark.sql.functions.sum(col("n_events"))).head.getLong(0)
+    val nEvents = Tables.events(spark, dir).count()
+    assert(nStream == nEvents, "sessions must partition the event set")
+  }
+
   test("e17 detector fires on a spike and stays quiet on a flat baseline") {
     import spark.implicits._
     // 30 steady hours then a 10x spike; a second type stays flat
