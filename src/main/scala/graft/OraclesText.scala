@@ -212,6 +212,53 @@ object OraclesText {
          |FROM jp JOIN sp sa ON jp.id_a = sa.doc_id
          |     JOIN sp sb ON jp.id_b = sb.doc_id
          |ORDER BY jp.id_a, jp.id_b""".stripMargin,
+
+    // TextDedup.d20DupPagerank: three damped PageRank iterations over
+    // the near-dup pair graph, unrolled — every share and base term is
+    // the identical half-up integral division in micro-units, so the
+    // centrality ranking is replayed exactly.
+    "d20_dup_pagerank" ->
+      s"""WITH $shingleCte,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sidx GROUP BY doc_id),
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+         |          FROM sidx a JOIN sidx b
+         |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |np AS (SELECT id_a, id_b
+         |       FROM pairs JOIN sizes sa ON id_a = sa.doc_id
+         |                  JOIN sizes sb ON id_b = sb.doc_id
+         |       WHERE round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) >= 0.8),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM np
+         |          UNION ALL SELECT id_b, id_a FROM np),
+         |deg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY 1),
+         |nn AS (SELECT count(*) AS n_nodes FROM deg),
+         |p0 AS (SELECT id, deg, (1000000 + n_nodes // 2) // n_nodes AS pr
+         |       FROM deg CROSS JOIN nn),
+         |s1 AS (SELECT id, (pr + deg // 2) // deg AS share FROM p0),
+         |i1 AS (SELECT e.dst AS id, sum(s.share) AS inflow
+         |       FROM edges e JOIN s1 s ON e.src = s.id GROUP BY 1),
+         |p1 AS (SELECT p0.id, p0.deg,
+         |    (150000 + nn.n_nodes // 2) // nn.n_nodes
+         |      + (coalesce(i1.inflow, 0) * 85 + 50) // 100 AS pr
+         |  FROM p0 LEFT JOIN i1 ON p0.id = i1.id CROSS JOIN nn),
+         |s2 AS (SELECT id, (pr + deg // 2) // deg AS share FROM p1),
+         |i2 AS (SELECT e.dst AS id, sum(s.share) AS inflow
+         |       FROM edges e JOIN s2 s ON e.src = s.id GROUP BY 1),
+         |p2 AS (SELECT p1.id, p1.deg,
+         |    (150000 + nn.n_nodes // 2) // nn.n_nodes
+         |      + (coalesce(i2.inflow, 0) * 85 + 50) // 100 AS pr
+         |  FROM p1 LEFT JOIN i2 ON p1.id = i2.id CROSS JOIN nn),
+         |s3 AS (SELECT id, (pr + deg // 2) // deg AS share FROM p2),
+         |i3 AS (SELECT e.dst AS id, sum(s.share) AS inflow
+         |       FROM edges e JOIN s3 s ON e.src = s.id GROUP BY 1),
+         |p3 AS (SELECT p2.id, p2.deg,
+         |    (150000 + nn.n_nodes // 2) // nn.n_nodes
+         |      + (coalesce(i3.inflow, 0) * 85 + 50) // 100 AS pr
+         |  FROM p2 LEFT JOIN i3 ON p2.id = i3.id CROSS JOIN nn)
+         |SELECT id AS doc_id, CAST(deg AS BIGINT) AS degree,
+         |  CAST(pr AS BIGINT) AS pr_micro,
+         |  round(CAST(pr AS DOUBLE) / 1e6, 6) AS pagerank
+         |FROM p3 ORDER BY pr_micro DESC, doc_id LIMIT 50""".stripMargin,
   )
 
   val dedupCapped: Map[String, String] = Map(
@@ -1083,6 +1130,58 @@ object OraclesText {
          |SELECT doc_id, split, n_bigrams,
          |  round(-CAST(slnp AS DOUBLE) / (n_bigrams * 1000000.0), 6) AS xent
          |FROM d ORDER BY doc_id LIMIT 2000""".stripMargin,
+
+    // TextDedup.p17DsirSelect: per-doc log-likelihood ratio under the
+    // val-split (target) vs train-split (source) bigram LMs — each
+    // lnP snapped to micro-nats per LM like t16, the ratio summed as
+    // exact integers, top-100 most target-like docs.
+    "p17_dsir_select" ->
+      s"""WITH tok AS (SELECT doc_id,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS toks,
+         |    ${hex4ToInt("substr(md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), 1, 4)")} % 100 AS bucket
+         |  FROM documents),
+         |tagged AS (SELECT doc_id, toks,
+         |    CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM tok),
+         |bg AS (SELECT doc_id, split,
+         |    unnest(list_transform(range(1, len(toks)),
+         |      i -> toks[i] || ' ' || toks[i+1])) AS bigram
+         |  FROM tagged),
+         |tfm AS (SELECT doc_id, split, bigram, count(*) AS m
+         |  FROM bg GROUP BY 1, 2, 3),
+         |cbs AS (SELECT bigram, split_part(bigram, ' ', 1) AS w1,
+         |    CAST(sum(m) AS BIGINT) AS cb
+         |  FROM tfm WHERE split = 'train' GROUP BY 1, 2),
+         |cws AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cw FROM cbs GROUP BY 1),
+         |vs AS (SELECT CAST(count(DISTINCT u.token) AS BIGINT) AS v
+         |  FROM (SELECT unnest(toks) AS token FROM tagged
+         |        WHERE split = 'train') u),
+         |cbt AS (SELECT bigram, split_part(bigram, ' ', 1) AS w1,
+         |    CAST(sum(m) AS BIGINT) AS cb
+         |  FROM tfm WHERE split = 'val' GROUP BY 1, 2),
+         |cwt AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cw FROM cbt GROUP BY 1),
+         |vt AS (SELECT CAST(count(DISTINCT u.token) AS BIGINT) AS v
+         |  FROM (SELECT unnest(toks) AS token FROM tagged
+         |        WHERE split = 'val') u),
+         |d AS (SELECT t.doc_id, t.split,
+         |    CAST(sum(t.m * (
+         |      CAST(round((ln(CAST(coalesce(cbt.cb, 0) + 1 AS DOUBLE))
+         |        - ln(CAST(coalesce(cwt.cw, 0) + vt.v AS DOUBLE))) * 1000000)
+         |        AS BIGINT)
+         |      - CAST(round((ln(CAST(coalesce(cbs.cb, 0) + 1 AS DOUBLE))
+         |        - ln(CAST(coalesce(cws.cw, 0) + vs.v AS DOUBLE))) * 1000000)
+         |        AS BIGINT))) AS BIGINT) AS llr_micro,
+         |    CAST(sum(t.m) AS BIGINT) AS n_bigrams
+         |  FROM tfm t LEFT JOIN cbs ON t.bigram = cbs.bigram
+         |       LEFT JOIN cws ON split_part(t.bigram, ' ', 1) = cws.w1
+         |       LEFT JOIN cbt ON t.bigram = cbt.bigram
+         |       LEFT JOIN cwt ON split_part(t.bigram, ' ', 1) = cwt.w1
+         |       CROSS JOIN vs CROSS JOIN vt
+         |  GROUP BY 1, 2)
+         |SELECT doc_id, split, n_bigrams, llr_micro,
+         |  round(CAST(llr_micro AS DOUBLE) / 1e6, 6) AS llr
+         |FROM d ORDER BY llr_micro DESC, doc_id LIMIT 100""".stripMargin,
 
     // TextDedup.t17NgramNovelty: fraction of each doc's DISTINCT bigrams
     // absent from the train split's bigram vocabulary. Per-doc dedup is

@@ -1366,6 +1366,128 @@ object TextDedup {
       .orderBy(col("source"), col("quality").desc, col("doc_id"))
   }
 
+  /** Duplication centrality (d20): damped PageRank over the near-dup
+    * pair graph — the hub-detection read that ranks TEMPLATE documents
+    * (boilerplate centers re-hosted with small edits everywhere) above
+    * peripheral one-off copies, which d8's component size and d17's
+    * length rule both miss: a hub with 50 half-similar neighbours
+    * outranks a member of one tight 3-clique. Three damped iterations
+    * (d = 0.85) in EXACT integer micro-units: each node's outgoing
+    * share is one half-up integral division per round (snapped once,
+    * then summed exactly — the GridMath discipline), so the ranking is
+    * bit-identical across engines and partitionings, and the oracle
+    * replays the identical unrolled arithmetic in SQL. Scale shape:
+    * reads the run-scoped pair materialization (never re-derives
+    * shingles); each round is one equi-join of the edge list against
+    * the ≤nodes-sized rank table + a partial-agg inflow rollup — the
+    * bounded-round iterative discipline of d8, with the round count
+    * FIXED (PageRank needs no convergence detection to be useful as a
+    * centrality read).
+    */
+  def d20DupPagerank(spark: SparkSession, dir: String,
+      iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
+    def halfUp(num: Column, den: Column): Column =
+      intDiv(num + intDiv(den, lit(2L)), den)
+    val p = dupPairs(spark, dir).select(col("id_a"), col("id_b"))
+    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val nN = deg.agg(count(lit(1)).as("n_nodes"))
+    var pr = deg.crossJoin(broadcast(nN))
+      .select(col("src").as("id"), col("deg"), col("n_nodes"),
+        halfUp(lit(1000000L), col("n_nodes")).as("pr_micro"))
+    for (_ <- 1 to iters) {
+      val shares = pr.select(col("id").as("sid"),
+        halfUp(col("pr_micro"), col("deg")).as("share"))
+      val inflow = edges.join(shares, col("src") === col("sid"))
+        .groupBy(col("dst")).agg(sum(col("share")).as("inflow"))
+      pr = pr.drop("pr_micro")
+        .join(inflow, col("id") === col("dst"), "left")
+        .select(col("id"), col("deg"), col("n_nodes"),
+          (halfUp(lit(150000L), col("n_nodes")) +
+            intDiv(coalesce(col("inflow"), lit(0L)) * 85L + lit(50L),
+              lit(100L))).as("pr_micro"))
+    }
+    pr.select(col("id").as("doc_id"), col("deg").as("degree"),
+        col("pr_micro"),
+        round(col("pr_micro").cast("double") / 1e6, 6).as("pagerank"))
+      .orderBy(col("pr_micro").desc, col("doc_id"))
+      .limit(50)
+  }
+
+  /** Per-doc DSIR importance scores over any documents frame — p17's
+    * body, exposed so the spec can assert distributional properties on
+    * the FULL frame, not just the selected top-k.
+    */
+  private[graft] def dsirScoresOf(docs: DataFrame): DataFrame = {
+    val (_, split) = splitCols
+    val tagged = docs.select(col("doc_id"), split.as("split"), toks.as("toks"))
+    val n = size(col("toks"))
+    val tfm = tagged
+      .select(col("doc_id"),  col("split"),
+        explode(zip_with(slice(col("toks"), lit(1), n - 1),
+          slice(col("toks"), lit(2), n - 1),
+          (a, b) => concat(a, lit(" "), b))).as("bigram"))
+      .groupBy(col("doc_id"), col("split"), col("bigram"))
+      .agg(count(lit(1)).as("m"))
+      .persist()
+    tfm.count() // eager materialization (see d3)
+    def lmCols(sp: String, sfx: String) = {
+      val cb = tfm.filter(col("split") === sp)
+        .groupBy(col("bigram")).agg(sum(col("m")).as("cb" + sfx))
+        .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      val cw = cb.groupBy(col("w1")).agg(sum(col("cb" + sfx)).as("cw" + sfx))
+      val v = tagged.filter(col("split") === sp)
+        .select(explode(col("toks")).as("token")).distinct()
+        .agg(count(lit(1)).as("v" + sfx))
+      (cb.select(col("bigram"), col("cb" + sfx)), cw, v)
+    }
+    val (cbS, cwS, vS) = lmCols("train", "_src")
+    val (cbT, cwT, vT) = lmCols("val", "_tgt")
+    def lnpMicro(cb: Column, cw: Column, v: Column): Column =
+      round((log(coalesce(cb, lit(0L)).cast("double") + 1.0)
+        - log(coalesce(cw, lit(0L)).cast("double") + v.cast("double")))
+        * 1e6).cast("long")
+    tfm.withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .join(cbS, Seq("bigram"), "left").join(cwS, Seq("w1"), "left")
+      .join(cbT, Seq("bigram"), "left").join(cwT, Seq("w1"), "left")
+      .crossJoin(broadcast(vS)).crossJoin(broadcast(vT))
+      .withColumn("llr_b",
+        lnpMicro(col("cb_tgt"), col("cw_tgt"), col("v_tgt"))
+          - lnpMicro(col("cb_src"), col("cw_src"), col("v_src")))
+      .groupBy(col("doc_id"), col("split"))
+      .agg(sum(col("m") * col("llr_b")).as("llr_micro"),
+        sum(col("m")).as("n_bigrams"))
+  }
+
+  /** DSIR-style importance selection (p17): rank every document by its
+    * log-likelihood ratio under two bigram LMs — the TARGET model
+    * (trained on the held-out 'val' split, standing in for the target
+    * domain) against the SOURCE model (the 'train' split) — and keep
+    * the k most target-like: llr(d) = Σ_b m_b·(lnP_tgt(b) −
+    * lnP_src(b)). This is the data-selection method of Xie et al.'s
+    * DSIR, systematic-top-k variant: where t16 scores "how surprising
+    * under ONE model", p17 scores "how much more target-like than
+    * source-like", the signal that survives when both models find the
+    * text equally (un)likely. Both LMs are t16's Laplace-smoothed
+    * bigram machinery over the SAME persisted tf table (one corpus
+    * pass feeds four aggregates); each bigram's lnP is snapped to
+    * integer micro-nats per LM once, so the ratio and every per-doc
+    * sum are exact integer math. The top-k rides
+    * TakeOrderedAndProject; single-token docs have no bigrams and are
+    * unrankable by construction (documented, like t16).
+    */
+  def p17DsirSelect(spark: SparkSession, dir: String,
+      k: Int = 100): DataFrame =
+    dsirScoresOf(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("split"), col("n_bigrams"),
+        col("llr_micro"),
+        round(col("llr_micro").cast("double") / 1e6, 6).as("llr"))
+      .orderBy(col("llr_micro").desc, col("doc_id"))
+      .limit(k)
+
   /** Dedup-then-select (p16): the production ordering of the two
     * curation stages — d17's canonical keepers first (one survivor per
     * near-dup component, so a mass-duplicated document cannot spend a
@@ -2014,5 +2136,7 @@ object TextDedup {
     "t21_vocab_coverage" -> ((s: SparkSession, d: String) => t21VocabCoverage(s, d)),
     "t22_heavy_hitters" -> (t22HeavyHitters _),
     "p16_quota_after_dedup" -> ((s: SparkSession, d: String) => p16QuotaAfterDedup(s, d)),
+    "d20_dup_pagerank" -> ((s: SparkSession, d: String) => d20DupPagerank(s, d)),
+    "p17_dsir_select" -> ((s: SparkSession, d: String) => p17DsirSelect(s, d)),
   )
 }

@@ -825,4 +825,85 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(merged == oneShot, "split-merge sketch must equal one-shot")
     assert(oneShot.nonEmpty)
   }
+
+  test("d20: integer PageRank matches an independent 3-iteration fold") {
+    def halfUp(a: Long, b: Long): Long = (a + b / 2) / b
+    val pairs = graft.queries.TextDedup.d6NgramJaccard(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = edges.groupBy(_._1).map { case (v, es) => v -> es.length.toLong }
+    val n = deg.size.toLong
+    var pr: Map[Long, Long] = deg.map { case (v, _) => v -> halfUp(1000000L, n) }.toMap
+    for (_ <- 1 to 3) {
+      val share = pr.map { case (v, p) => v -> halfUp(p, deg(v)) }
+      val inflow = edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map(e => share(e._1)).sum
+      }
+      pr = pr.map { case (v, _) =>
+        v -> (halfUp(150000L, n) + (inflow.getOrElse(v, 0L) * 85L + 50L) / 100L)
+      }
+    }
+    val expTop = pr.toSeq.map { case (v, p) => (v, deg(v), p) }
+      .sortBy { case (v, _, p) => (-p, v) }.take(50)
+    val got = graft.queries.TextDedup.d20DupPagerank(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == expTop, s"first got=${got.take(3).toSeq} want=${expTop.take(3)}")
+    // damping floor: every rank strictly exceeds the teleport base
+    assert(got.forall(_._3 > halfUp(150000L, n)))
+    assert(got.nonEmpty)
+  }
+
+  test("p17: DSIR ranks val-split docs above train docs on average; fold matches") {
+    import org.apache.spark.sql.functions.{col, avg}
+    val scores = graft.queries.TextDedup.dsirScoresOf(Tables.documents(spark, dir))
+    val bySplit = scores.groupBy(col("split"))
+      .agg(avg(col("llr_micro")).as("mean_llr"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // the target LM was trained on 'val': val docs must look more
+    // target-like than source-like, and more so than train docs do
+    assert(bySplit("val") > 0, s"val mean llr must be positive: $bySplit")
+    assert(bySplit("val") > bySplit("train"), s"ordering violated: $bySplit")
+    // independent driver-side fold of the full two-LM arithmetic
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def bucket(text: String): Int = {
+      val norm = text.trim.toLowerCase(java.util.Locale.ROOT)
+        .replaceAll("\\s+", " ")
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(norm.getBytes("UTF-8"))
+      (((md(0) & 0xff) << 8) | (md(1) & 0xff)) % 100
+    }
+    val tagged = docs.map { case (id, text) =>
+      val b = bucket(text)
+      val sp = if (b < 80) "train" else if (b < 90) "val" else "test"
+      val toks = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+      (id, sp, toks)
+    }
+    def lm(sp: String) = {
+      val grams = tagged.filter(_._2 == sp)
+        .flatMap(d => d._3.sliding(2).filter(_.length == 2)
+          .map(p => p(0) + " " + p(1)))
+      val cb = grams.groupBy(identity).map { case (g, xs) => g -> xs.length.toLong }
+      val cw = cb.groupBy(_._1.split(" ")(0)).map { case (w, m) => w -> m.values.sum }
+      val v = tagged.filter(_._2 == sp).flatMap(_._3).distinct.length.toLong
+      (cb, cw, v)
+    }
+    val (cbS, cwS, vS) = lm("train")
+    val (cbT, cwT, vT) = lm("val")
+    def lnp(cb: Map[String, Long], cw: Map[String, Long], v: Long)(g: String): Long = {
+      val w1 = g.split(" ")(0)
+      math.round((math.log(cb.getOrElse(g, 0L).toDouble + 1.0)
+        - math.log(cw.getOrElse(w1, 0L).toDouble + v.toDouble)) * 1e6)
+    }
+    val exp = tagged.filter(_._3.length >= 2).map { case (id, sp, toks) =>
+      val grams = toks.sliding(2).map(p => p(0) + " " + p(1)).toSeq
+      val llr = grams.map(g => lnp(cbT, cwT, vT)(g) - lnp(cbS, cwS, vS)(g)).sum
+      (id, sp, grams.size.toLong, llr)
+    }.sortBy { case (id, _, _, llr) => (-llr, id) }.take(100)
+    val got = graft.queries.TextDedup.p17DsirSelect(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == exp.toSeq,
+      s"first got=${got.take(2).toSeq} want=${exp.take(2)}")
+  }
 }
