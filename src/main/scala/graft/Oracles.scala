@@ -362,6 +362,22 @@ object Oracles {
         |  (SELECT count(*) FROM orders WHERE o_custkey NOT IN
         |    (SELECT c_custkey FROM customer
         |     WHERE c_mktsegment = 'BUILDING')) AS n_not_in_clean""".stripMargin,
+
+    // Relational.q31ScalarSubqueries: the COUNT bug battery — correlated
+    // count(*) is 0 for empty groups, correlated sum/max stay NULL.
+    "q31_scalar_subqueries" ->
+      """SELECT c_custkey,
+        |  (SELECT count(*) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS n_orders,
+        |  (SELECT sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |     / CAST(100 AS DOUBLE)
+        |   FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS sum_price,
+        |  (SELECT max(o_orderdate) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey
+        |     AND o.o_totalprice > 400000) AS last_big_order
+        |FROM customer c
+        |ORDER BY c_custkey LIMIT 1000""".stripMargin,
   )
 
   def all: Map[String, String] = relational

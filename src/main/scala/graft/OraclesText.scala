@@ -1710,6 +1710,24 @@ object OraclesText {
         |    / 1e6, 6) AS share
         |FROM g, t ORDER BY dow, hour""".stripMargin,
 
+    // Events.e23GapPercentiles: consecutive-event gap distribution; the
+    // cont-percentile interpolation h = p·(n−1) is the shared canonical
+    // formula (q16 precedent), inputs exact integer µs.
+    "e23_gap_percentiles" ->
+      """WITH x AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |g AS (SELECT event_type,
+        |    us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |      AS gap_us
+        |  FROM x)
+        |SELECT event_type, count(*) AS n_gaps,
+        |  min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us,
+        |  round(quantile_cont(gap_us, 0.5) / 1000000.0, 6) AS p50_gap_sec,
+        |  round(quantile_cont(gap_us, 0.9) / 1000000.0, 6) AS p90_gap_sec,
+        |  round(quantile_cont(gap_us, 0.99) / 1000000.0, 6) AS p99_gap_sec
+        |FROM g WHERE gap_us IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     // Events.e22NativeSessions: the native session_window merge rule
     // replayed in SQL — a new session starts when the gap REACHES the
     // 30-min duration (strict [ts, ts+gap) overlap ⇒ >=, where e2's

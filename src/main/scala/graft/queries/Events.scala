@@ -862,7 +862,39 @@ object Events {
       .orderBy(col("user_id"), col("session_start"))
       .limit(3000)
 
+  /** Inter-event gap percentiles (e23): per event type, the
+    * distribution of the µs gap separating a user's consecutive events
+    * — the latency-histogram read behind "median time between
+    * sessions" and p99 engagement-lull dashboards. One user_id window
+    * computes the lag; the exact `percentile` aggregate interpolates
+    * with the canonical h = p·(n−1) formula both engines share (the
+    * q16 precedent), over exact integer µs inputs — presentation
+    * divides to seconds and rounds. The 100-TB variant swaps in
+    * `approx_percentile` (mergeable t-digest, bounded memory) under
+    * the q16b bounded-error gate discipline; the exact form here IS
+    * the oracle twin.
+    */
+  def e23GapPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gaps = Tables.events(spark, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .filter(col("prev_us").isNotNull)
+      .select(col("event_type"), (col("us") - col("prev_us")).as("gap_us"))
+    gaps.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("gap_us")).as("min_gap_us"),
+        max(col("gap_us")).as("max_gap_us"),
+        round(expr("percentile(gap_us, 0.5)") / 1e6, 6).as("p50_gap_sec"),
+        round(expr("percentile(gap_us, 0.9)") / 1e6, 6).as("p90_gap_sec"),
+        round(expr("percentile(gap_us, 0.99)") / 1e6, 6).as("p99_gap_sec"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e23_gap_percentiles" -> (e23GapPercentiles _),
     "e19_transition_matrix" -> (e19TransitionMatrix _),
     "e20_churn_table" -> (e20ChurnTable _),
     "e21_activity_heatmap" -> (e21ActivityHeatmap _),

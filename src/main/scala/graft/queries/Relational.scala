@@ -595,10 +595,44 @@ object Relational {
         |     WHERE c_mktsegment = 'BUILDING')) AS n_not_in_clean""".stripMargin)
   }
 
+  /** Correlated scalar-subquery battery (q31): the COUNT-bug minefield —
+    * a correlated `(SELECT count(*) …)` must yield 0, not NULL, for
+    * customers with no orders (naive left-join decorrelation produces
+    * NULL; the engine must compensate post-join), while the same
+    * correlated SUM genuinely IS NULL on the empty group, and a
+    * correlated MAX with a disqualifying predicate is NULL even when
+    * orders exist. Money rides the grid-cents discipline. Catalyst
+    * decorrelates each subquery into a grouped aggregate on o_custkey
+    * + broadcast left-outer join — never a per-outer-row re-scan — and
+    * the COUNT compensation is visible in the plan as the
+    * `if (isnull(alwaysTrue)) 0 else count` projection (plan-probe
+    * pinned, with the big-order predicate pushed to its scan); the
+    * oracle runs the textually identical SQL, so the null-handling of
+    * the rewrite itself is hash-gated.
+    */
+  def q31ScalarSubqueries(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("q31_orders")
+    Tables.customer(spark, dir).createOrReplaceTempView("q31_customer")
+    spark.sql(
+      """SELECT c_custkey,
+        |  (SELECT count(*) FROM q31_orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS n_orders,
+        |  (SELECT sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |     / CAST(100 AS DOUBLE)
+        |   FROM q31_orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS sum_price,
+        |  (SELECT max(o_orderdate) FROM q31_orders o
+        |   WHERE o.o_custkey = c.c_custkey
+        |     AND o.o_totalprice > 400000) AS last_big_order
+        |FROM q31_customer c
+        |ORDER BY c_custkey LIMIT 1000""".stripMargin)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_revenue_share" -> (q28RevenueShare _),
     "q29_window_battery" -> (q29WindowBattery _),
     "q30_subquery_semantics" -> (q30SubquerySemantics _),
+    "q31_scalar_subqueries" -> (q31ScalarSubqueries _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q27_rolling_revenue" -> (q27RollingRevenue _),
     "q26_lateral_topk" -> (q26LateralTopk _),

@@ -784,6 +784,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges == 1, s"want 1 hash exchange, got $exchanges:\n${p.take(1200)}")
   }
 
+  test("q31: scalar subqueries decorrelate to grouped aggregates; COUNT compensation in-plan") {
+    val p = plan(graft.queries.Relational.q31ScalarSubqueries(spark, dir))
+    // no per-outer-row re-execution of any subquery
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(800))
+    // the COUNT-bug guard: empty groups project 0, not null
+    assert(p.contains("alwaysTrue"), "count compensation missing:\n" + p.take(800))
+    // all three rewritten joins are outer (absent groups survive)
+    assert("LeftOuter".r.findAllIn(p).length == 3, p.take(800))
+    // the selective subquery's predicate reaches its own scan
+    assert(p.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice,400000.0)")
+      || p.contains("GreaterThan(o_totalprice,400000.0)"), p.take(800))
+  }
+
   test("t22: sketch leg aggregates partially — objHashAggregate sketches, no token shuffle on the sketch side") {
     val p = plan(graft.queries.TextDedup.t22HeavyHitters(spark, dir))
     // the frequent-items sketch rides partial ObjectHashAggregate:
