@@ -116,6 +116,39 @@ object OraclesText {
          |FROM truth t LEFT JOIN est e ON t.id_a = e.id_a AND t.id_b = e.id_b
          |ORDER BY t.id_a, t.id_b""".stripMargin
     },
+
+    // TextDedup.d21MinhashCalibration: d14's mirror — every banded
+    // candidate's estimate against the exact (unthresholded) Jaccard.
+    "d21_minhash_calibration" -> {
+      val bands = (0 until queries.TextDedup.MinhashBands).map { b =>
+        s"SELECT doc_id, $b AS band, md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS bkey FROM sig"
+      }.mkString("\n  UNION ALL ")
+      val agree = (0 until queries.TextDedup.MinhashK)
+        .map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END")
+        .mkString("(", " + ", ")")
+      s"""WITH $shingleCte, $minhashSigCte,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sidx GROUP BY doc_id),
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+         |          FROM sidx a JOIN sidx b
+         |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |truth AS (SELECT id_a, id_b,
+         |    round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) AS jaccard
+         |  FROM pairs JOIN sizes sa ON id_a = sa.doc_id
+         |             JOIN sizes sb ON id_b = sb.doc_id),
+         |banded AS ($bands),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM banded a JOIN banded b
+         |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |est AS (SELECT id_a, id_b, $agree / 8.0 AS est_jaccard
+         |  FROM cand JOIN sig sa ON id_a = sa.doc_id
+         |            JOIN sig sb ON id_b = sb.doc_id)
+         |SELECT e.id_a, e.id_b, e.est_jaccard,
+         |  coalesce(t.jaccard, 0.0) AS jaccard,
+         |  round(abs(e.est_jaccard - coalesce(t.jaccard, 0.0)), 6) AS abs_err
+         |FROM est e LEFT JOIN truth t ON e.id_a = t.id_a AND e.id_b = t.id_b
+         |ORDER BY e.id_a, e.id_b""".stripMargin
+    },
   )
 
   private val simhashCte: String = {

@@ -874,15 +874,28 @@ object Events {
     * the q16b bounded-error gate discipline; the exact form here IS
     * the oracle twin.
     */
-  def e23GapPercentiles(spark: SparkSession, dir: String): DataFrame = {
+  def e23GapPercentiles(spark: SparkSession, dir: String): DataFrame =
+    gapPercentilesOf(gapFrame(Tables.events(spark, dir)))
+
+  /** e23's gap extraction: per user, the µs delta between consecutive
+    * events, attributed to the LATER event's type. The streaming twin
+    * ([[graft.streaming.EventStreams.gapFacts]]) emits the identical
+    * facts from O(1) last-timestamp state per user.
+    */
+  private[graft] def gapFrame(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-    val gaps = Tables.events(spark, dir)
+    events
       .withColumn("us", unix_micros(col("ts")))
       .withColumn("prev_us", lag(col("us"), 1).over(w))
       .filter(col("prev_us").isNotNull)
       .select(col("event_type"), (col("us") - col("prev_us")).as("gap_us"))
+  }
+
+  /** Bounded finish of e23 over (event_type, gap_us) facts — shared
+    * verbatim with the streaming read. */
+  private[graft] def gapPercentilesOf(gaps: DataFrame): DataFrame =
     gaps.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_gaps"),
         min(col("gap_us")).as("min_gap_us"),
@@ -891,7 +904,6 @@ object Events {
         round(expr("percentile(gap_us, 0.9)") / 1e6, 6).as("p90_gap_sec"),
         round(expr("percentile(gap_us, 0.99)") / 1e6, 6).as("p99_gap_sec"))
       .orderBy(col("event_type"))
-  }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e23_gap_percentiles" -> (e23GapPercentiles _),

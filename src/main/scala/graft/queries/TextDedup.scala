@@ -1366,6 +1366,45 @@ object TextDedup {
       .orderBy(col("source"), col("quality").desc, col("doc_id"))
   }
 
+  /** MinHash estimate calibration (d21): for every banded CANDIDATE
+    * pair, the signature-agreement estimate against the exact Jaccard —
+    * the precision/calibration half of the LSH dial audit whose recall
+    * half is d14 (d14 asks "which TRUE pairs did the dial miss"; d21
+    * asks "when the dial fires, how far off is its number"). The
+    * absolute error distribution is what sets the d3 verdict threshold
+    * before a 100-TB run: an estimate that systematically overshoots
+    * near the cut inflates the drop set corpus-wide. Candidates that
+    * share no shingle re-enter with exact 0.0 via the left join. The
+    * exact leg is the audit instrument (d14's discipline — at
+    * production scale it runs on a sample; the banded candidate
+    * generator is never all-pairs).
+    */
+  def d21MinhashCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSignatures(spark, dir).persist()
+    sig.count() // eager materialization (see d3)
+    val est = lshEstimates(sig, lshCandidates(sig))
+    val idx = shingleIndex(Tables.documents(spark, dir)).persist()
+    idx.count()
+    val sizes = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val shared = idx.as("a").join(idx.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    val exact = shared
+      .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
+      .select(col("id_a"), col("id_b"),
+        round(col("shared").cast("double") /
+          (col("sa.n") + col("sb.n") - col("shared")), 6).as("jaccard"))
+    est.join(exact, Seq("id_a", "id_b"), "left")
+      .select(col("id_a"), col("id_b"), col("est_jaccard"),
+        coalesce(col("jaccard"), lit(0.0)).as("jaccard"),
+        round(abs(col("est_jaccard") - coalesce(col("jaccard"), lit(0.0))), 6)
+          .as("abs_err"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Duplication centrality (d20): damped PageRank over the near-dup
     * pair graph — the hub-detection read that ranks TEMPLATE documents
     * (boilerplate centers re-hosted with small edits everywhere) above
@@ -2137,6 +2176,7 @@ object TextDedup {
     "t22_heavy_hitters" -> (t22HeavyHitters _),
     "p16_quota_after_dedup" -> ((s: SparkSession, d: String) => p16QuotaAfterDedup(s, d)),
     "d20_dup_pagerank" -> ((s: SparkSession, d: String) => d20DupPagerank(s, d)),
+    "d21_minhash_calibration" -> (d21MinhashCalibration _),
     "p17_dsir_select" -> ((s: SparkSession, d: String) => p17DsirSelect(s, d)),
   )
 }

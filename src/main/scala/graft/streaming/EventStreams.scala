@@ -866,6 +866,40 @@ object EventStreams {
       }
   }
 
+  /** Last event timestamp per user — the entire gap-mining state. */
+  case class GapState(lastUs: Long)
+  case class GapFact(event_type: String, gap_us: Long)
+
+  /** Streaming twin of Events.e23's gap extraction
+    * ([[graft.queries.Events.gapFrame]]): each arrival emits its
+    * inter-event gap against the user's carried last timestamp, then
+    * becomes the carry — O(1) keyed state, the [[transitionPairs]]
+    * shape with a timestamp instead of a type. The percentile read is
+    * a read-time finisher over the emitted gap facts
+    * ([[graft.queries.Events.gapPercentilesOf]] shared verbatim), so
+    * raw events are never revisited as the dashboard re-reads. Same
+    * standing-state NoTimeout trade and per-user in-order-arrival
+    * caveat as [[locfStream]].
+    */
+  def gapFacts(events: Dataset[LocfIn]): Dataset[GapFact] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[GapState, GapFact](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[LocfIn], state: GroupState[GapState]) =>
+          val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var last = state.getOption.map(_.lastUs)
+          val out = Seq.newBuilder[GapFact]
+          sorted.foreach { e =>
+            val us = micros(e.ts)
+            last.foreach(p => out += GapFact(e.event_type, us - p))
+            last = Some(us)
+          }
+          last.foreach(u => state.update(GapState(u)))
+          out.result().iterator
+      }
+  }
+
   /** Bounded finish of the e17 twin: the anomaly detector over the
     * STREAMED hourly table ([[windowedAgg]]'s closed windows) — the
     * same read-time-finisher split as e13's decayed leaderboard; raw

@@ -1314,6 +1314,64 @@ class StreamingSpec extends AnyFunSuite {
       s"got $afterB2")
   }
 
+  test("streaming gap facts finish to the batch e23 percentiles") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val stream = EventStreams.readEvents(spark, streamDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts"), col("value"))
+      .as[EventStreams.LocfIn]
+    val q = EventStreams.gapFacts(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("gaps")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // the fact MULTISET matches (gaps repeat; sets would mask drops)
+    val streamedFacts = spark.table("gaps").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    val batchFacts = Events.gapFrame(Tables.events(spark, dir)).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(streamedFacts == batchFacts,
+      s"stream=${streamedFacts.size} batch=${batchFacts.size}")
+    // and the shared finisher over the streamed facts IS batch e23
+    val fromStream = Events.gapPercentilesOf(
+        spark.table("gaps").select(col("event_type"), col("gap_us")))
+      .collect().map(_.toSeq).toSeq
+    val batch = Events.e23GapPercentiles(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(fromStream == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("gap state carries the last timestamp across batch boundaries") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    // burst 1 ends user 1 at t=20; burst 2 opens at t=50 — the
+    // cross-burst 30 s gap must be emitted by burst 2
+    val b1 = Seq(
+      EventStreams.LocfIn(1L, 1L, "click", ts(10), None),
+      EventStreams.LocfIn(2L, 1L, "view", ts(20), None))
+    val b2 = Seq(
+      EventStreams.LocfIn(3L, 1L, "purchase", ts(50), None),
+      EventStreams.LocfIn(4L, 2L, "view", ts(51), None))
+    implicit val sq = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStreams.LocfIn]
+    val q = EventStreams.gapFacts(mem.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("gap_bursts").start()
+    mem.addData(b1: _*); q.processAllAvailable()
+    val afterB1 = spark.table("gap_bursts").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(afterB1 == Set(("view", 10000000L)))
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val afterB2 = spark.table("gap_bursts").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(afterB2 == Set(("view", 10000000L), ("purchase", 30000000L)),
+      s"got $afterB2")
+  }
+
   test("mergeDay bridges, extends, and ignores duplicates") {
     import EventStreams.mergeDay
     assert(mergeDay(Nil, 5) == List((5L, 5L)))
