@@ -2922,9 +2922,25 @@ object OraclesText {
          |FROM s WHERE rk <= 5 ORDER BY lang, decile, rk""".stripMargin,
   )
 
+  // TextDedup.p18CleanRelease: p9's keep ∧ not a d10-contaminated
+  // train doc — both gated SQLs nested verbatim. Declared after
+  // `curation` so the composition references the gated text directly.
+  val release: Map[String, String] = Map(
+    "p18_clean_release" ->
+      s"""WITH p9 AS (${curation("p9_unified_curation")}),
+         |d10 AS (${decontamination("d10_decontamination")}),
+         |cont AS (SELECT DISTINCT train_id AS doc_id FROM d10)
+         |SELECT p9.doc_id, p9.split,
+         |  (cont.doc_id IS NOT NULL) AS contaminated,
+         |  p9.keep AS curation_keep,
+         |  (p9.keep AND cont.doc_id IS NULL) AS keep
+         |FROM p9 LEFT JOIN cont ON p9.doc_id = cont.doc_id
+         |ORDER BY p9.doc_id""".stripMargin,
+  )
+
   def all: Map[String, String] =
     dedup ++ dedupCapped ++ dedupDecision ++ dedupComponents ++ containment ++
       decontamination ++ simhash ++ text ++ xent ++ pipeline ++ similarity ++
       events ++ multimodal ++ multimodalManifest ++ survival ++ ingest ++
-      curation
+      curation ++ release
 }

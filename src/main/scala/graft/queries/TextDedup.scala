@@ -1764,6 +1764,30 @@ object TextDedup {
       .limit(2000)
   }
 
+  /** Contamination-clean release (p18): the LAST gate before a corpus
+    * ships — p9's unified curation keep ∧ the document is not a
+    * benchmark-contaminated train doc (d10's train side: a train doc
+    * near-dupping a val/test doc trains on what evaluation measures).
+    * The one rejection channel p9 cannot see, because it depends on
+    * the SPLIT assignment, not the document alone. Pure composition of
+    * two gated pipelines: the contaminated set is a slim distinct
+    * doc_id frame left-joined onto the manifest; the oracle nests both
+    * gated SQLs verbatim (the s8 discipline).
+    */
+  def p18CleanRelease(spark: SparkSession, dir: String): DataFrame = {
+    val contaminated = d10Decontamination(spark, dir)
+      .select(col("train_id").as("doc_id")).distinct()
+      .withColumn("cont", lit(true))
+    p9UnifiedCuration(spark, dir)
+      .join(contaminated, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("split"),
+        coalesce(col("cont"), lit(false)).as("contaminated"),
+        col("keep").as("curation_keep"),
+        (col("keep") &&
+          coalesce(col("cont"), lit(false)) === false).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Unigram cross-entropy scoring (t12): the CCNet-style "perplexity
     * filter" with the language model reduced to corpus unigram counts —
     * score(d) = ln N − (Σ_t m_t·ln c_t)/|d| where c_t is the corpus
@@ -2177,6 +2201,7 @@ object TextDedup {
     "p16_quota_after_dedup" -> ((s: SparkSession, d: String) => p16QuotaAfterDedup(s, d)),
     "d20_dup_pagerank" -> ((s: SparkSession, d: String) => d20DupPagerank(s, d)),
     "d21_minhash_calibration" -> (d21MinhashCalibration _),
+    "p18_clean_release" -> (p18CleanRelease _),
     "p17_dsir_select" -> ((s: SparkSession, d: String) => p17DsirSelect(s, d)),
   )
 }

@@ -826,6 +826,22 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(oneShot.nonEmpty)
   }
 
+  test("p18: contamination only ever marks train docs, and it blocks the release keep") {
+    val rows = graft.queries.TextDedup.p18CleanRelease(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4)))
+    // d10's contaminated side is by construction the train split
+    rows.filter(_._3).foreach { r =>
+      assert(r._2 == "train", s"contaminated non-train doc: $r")
+    }
+    // keep = curation_keep ∧ ¬contaminated, row by row
+    rows.foreach { r => assert(r._5 == (r._4 && !r._3), s"keep rule: $r") }
+    // the channel must carry signal on the harness corpus: at least one
+    // doc the curation kept is blocked by contamination alone
+    assert(rows.exists(r => r._4 && r._3),
+      "corpus must exercise the contamination-only rejection")
+  }
+
   test("d20: integer PageRank matches an independent 3-iteration fold") {
     def halfUp(a: Long, b: Long): Long = (a + b / 2) / b
     val pairs = graft.queries.TextDedup.d6NgramJaccard(spark, dir)
