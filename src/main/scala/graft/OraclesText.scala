@@ -1966,6 +1966,31 @@ object OraclesText {
         |FROM bits b JOIN c USING (phash)
         |ORDER BY doc_id LIMIT 2000""".stripMargin,
 
+    // Multimodal.m12ColorStats: full-raster channel sums from the
+    // generator's pixel arithmetic — the decode must reproduce every
+    // pixel of every still image to hash-match.
+    "m12_color_stats" ->
+      """WITH p AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image/bmp'
+        |         ELSE 'image/png' END AS media_type,
+        |    CAST(1 + doc_id % 64 AS BIGINT) AS w,
+        |    CAST(1 + doc_id % 48 AS BIGINT) AS h
+        |  FROM documents WHERE doc_id % 3 IN (0, 1)),
+        |px AS (SELECT p.doc_id, p.media_type, p.w, p.h,
+        |    ((p.doc_id % 16777216) * 31 + y.i * p.w + x.i) % 16777216 AS v
+        |  FROM p, range(0, 64) x(i), range(0, 48) y(i)
+        |  WHERE x.i < p.w AND y.i < p.h),
+        |s AS (SELECT doc_id, media_type, w, h,
+        |    CAST(sum(v // 65536) AS BIGINT) AS sum_r,
+        |    CAST(sum((v // 256) % 256) AS BIGINT) AS sum_g,
+        |    CAST(sum(v % 256) AS BIGINT) AS sum_b
+        |  FROM px GROUP BY 1, 2, 3, 4)
+        |SELECT doc_id, media_type, w AS width, h AS height,
+        |  sum_r, sum_g, sum_b,
+        |  round(CAST(((sum_r + sum_g + sum_b) * 1000000 + (3 * w * h) // 2)
+        |    // (3 * w * h) AS DOUBLE) / 1e6, 6) AS mean_channel
+        |FROM s ORDER BY doc_id""".stripMargin,
+
     // Multimodal.m11PhashNearDup: the m6 pixel replay + 16-bit banding
     // + exact 64-position Hamming on band-sharing pairs (≤ 10 emits).
     "m11_phash_neardup" ->

@@ -863,8 +863,58 @@ object Multimodal {
       .limit(2000)
   }
 
+  /** Channel statistics over the really-decoded raster (m12): exact
+    * integer R/G/B sums and the half-up micro mean channel value per
+    * STILL image — the per-sample color/brightness profile a
+    * vision-data pipeline computes before filtering washed-out or
+    * near-black samples (the m1 discipline: the oracle predicts every
+    * sum from the generator's pixel arithmetic, so a decoder that
+    * misreads one channel, row stride, or pixel cannot hash-match).
+    * GIFs are excluded like m6: palette quantization makes their
+    * decoded RGB encoder-defined rather than formula-exact. Pure
+    * mapPartitions — the per-pixel loop runs beside the decoder, only
+    * four integers per doc ever shuffle.
+    */
+  def m12ColorStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
+    val stats = syntheticMedia(spark, dir)
+      .filter(_.media_type.startsWith("image/"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.content))
+          require(img != null, s"undecodable payload for doc ${r.doc_id}")
+          val (w, h) = (img.getWidth, img.getHeight)
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sr += (rgb >> 16) & 0xff
+              sg += (rgb >> 8) & 0xff
+              sb += rgb & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          (r.doc_id, r.media_type, w.toLong, h.toLong, sr, sg, sb)
+        }
+      }
+      .toDF("doc_id", "media_type", "width", "height",
+        "sum_r", "sum_g", "sum_b")
+    val n3 = col("width") * col("height") * 3L
+    stats
+      .withColumn("mean_channel",
+        round(intDiv((col("sum_r") + col("sum_g") + col("sum_b")) * 1000000L
+          + intDiv(n3, lit(2L)), n3).cast("double") / 1e6, 6))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m11_phash_neardup" -> (m11PhashNearDup _),
+    "m12_color_stats" -> (m12ColorStats _),
     "m1_media_features" -> (m1MediaFeatures _),
     "m2_frame_sample" -> (m2FrameSample _),
     "m3_thumbnail" -> (m3Thumbnail _),

@@ -826,6 +826,27 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(oneShot.nonEmpty)
   }
 
+  test("m12: decoded channel sums equal the generator formula, pixel for pixel") {
+    val got = graft.multimodal.Multimodal.m12ColorStats(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getDouble(7))))
+    assert(got.nonEmpty)
+    got.foreach { case (id, (w, h, sr, sg, sb, mean)) =>
+      assert(w == 1 + id % 64 && h == 1 + id % 48, s"dims of $id")
+      // independent fold straight from the pixel formula — decoder-free
+      var (er, eg, eb) = (0L, 0L, 0L)
+      for (y <- 0L until h; x <- 0L until w) {
+        val v = (id * 31 + y * w + x) & 0xffffff
+        er += (v >> 16) & 0xff; eg += (v >> 8) & 0xff; eb += v & 0xff
+      }
+      assert((sr, sg, sb) == ((er, eg, eb)), s"sums of $id")
+      assert(mean >= 0.0 && mean <= 255.0)
+    }
+    // only stills appear; each doc exactly once
+    assert(got.map(_._1).distinct.length == got.length)
+    assert(got.forall(_._1 % 3 != 2))
+  }
+
   test("p18: contamination only ever marks train docs, and it blocks the release keep") {
     val rows = graft.queries.TextDedup.p18CleanRelease(spark, dir)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2),
