@@ -1259,6 +1259,20 @@ object OraclesText {
          |  FROM scored)
          |SELECT q_id, rk, vec_id, cos FROM rk WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
 
+    // Embeddings.s19FilteredAnn: s1's ranking with the namespace
+    // predicate (label = query label) in the candidate set — the
+    // metadata PRE-filter, never a post-filtered global top-k.
+    "s19_filtered_ann" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, label AS q_label,
+         |    embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+         |scored AS (SELECT q_id, vec_id,
+         |    round(${cosineSql("q_emb", "embedding")}, 6) AS cos
+         |  FROM embeddings, q WHERE vec_id != q_id AND label = q_label),
+         |rk AS (SELECT q_id, vec_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+         |  FROM scored)
+         |SELECT q_id, rk, vec_id, cos FROM rk WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin,
+
     // Embeddings.s13KnnClassify: majority label over s1's exact top-5,
     // ties toward the smaller label; correct ⟺ recovers the query label.
     "s13_knn_classify" ->

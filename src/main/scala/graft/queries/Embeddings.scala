@@ -64,6 +64,33 @@ object Embeddings {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** Metadata-filtered ANN (s19): each query's top-3 restricted to
+    * candidates sharing the query's label — the namespace/tenant-scoped
+    * search every vector database exposes as a metadata filter, done as
+    * PRE-filtering (the predicate constrains candidates before any
+    * scoring state exists, in the broadcast-join condition — s17's
+    * discipline — so wrong-namespace vectors die inside the scan's
+    * codegen), never post-filtering a global top-k (which under-fills
+    * when the namespace is a minority of the corpus). Same broadcast
+    * queries + two-phase salted rank as s1.
+    */
+  def s19FilteredAnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("nrm", norm(col("embedding")))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val scored = emb.join(broadcast(queries),
+        col("vec_id") =!= col("q_id") && col("label") === col("q_label"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosinePre(col("q_emb"), col("q_nrm"),
+          col("embedding"), col("nrm")), 6).as("cos"))
+    TopK.saltedTopK(scored, Seq(col("q_id")),
+        Seq(col("cos").desc, col("vec_id")), k = 3, saltBy = col("vec_id"))
+      .select(col("q_id"), col("rk"), col("vec_id"), col("cos"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   /** IVF-style near-dup: exact pairwise cosine *within* each coarse
     * cluster (the `label` column plays the IVF centroid assignment).
     * The pair join is per-label, so work is Σ n_c² instead of n² — the
@@ -772,6 +799,7 @@ object Embeddings {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_cosine_topk" -> (s1CosineTopK _),
+    "s19_filtered_ann" -> (s19FilteredAnn _),
     "s17_hard_negatives" -> (s17HardNegatives _),
     "s18_triplet_mining" -> (s18TripletMining _),
     "s16_sq8_agreement" -> (s16Sq8Agreement _),

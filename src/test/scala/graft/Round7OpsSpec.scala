@@ -826,6 +826,24 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(oneShot.nonEmpty)
   }
 
+  test("s19: every filtered neighbour shares the query's namespace; the filter bites") {
+    import org.apache.spark.sql.functions.col
+    val labels = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = graft.queries.Embeddings.s19FilteredAnn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    got.foreach { case (q, _, v) =>
+      assert(labels(v) == labels(q), s"neighbour $v outside query $q's namespace")
+    }
+    // pre-filter vs unfiltered: some query's top-3 must actually change
+    val unfiltered = graft.queries.Embeddings.s1CosineTopK(spark, dir)
+      .filter(col("rk") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.toSet != unfiltered, "the namespace filter must carry signal")
+  }
+
   test("m12: decoded channel sums equal the generator formula, pixel for pixel") {
     val got = graft.multimodal.Multimodal.m12ColorStats(spark, dir)
       .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3),
