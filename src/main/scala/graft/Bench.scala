@@ -23,13 +23,21 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def pass(): Seq[(String, Double)] =
+    // A query that throws must NOT silently bench as a fast timing —
+    // round 8's 24 analysis failures timed at ~0.05 s each and made the
+    // total look 20 s faster. Record the error, exclude the query from
+    // every aggregate, and fail the run loudly (non-zero exit) at the end.
+    def pass(): Seq[(String, Double, Option[String])] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val err = try { fn(spark, sfDir).count(); None } catch {
+          case e: Throwable =>
+            Some(e.getClass.getSimpleName + ": " +
+              Option(e.getMessage).getOrElse("").replaceAll("\\s+", " ").take(200))
+        }
         val elapsed = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache() // per-query persists must not leak
-        name -> elapsed
+        (name, elapsed, err)
       }
 
     // One untimed warmup pass (Janino codegen compilation + JVM JIT) —
@@ -43,10 +51,18 @@ object Bench {
     // was slow (round-2's recorded d3/d5 were exactly this artifact).
     pass()
     val timedPasses = 5
-    val passes = (1 to timedPasses).map { _ =>
+    val rawPasses = (1 to timedPasses).map { _ =>
       spark.sqlContext.clearCache() // no pass donates cached inputs
-      pass().toMap
+      pass()
     }
+    // First error message per query across all passes; a query that
+    // errored in ANY pass is excluded from every timing aggregate.
+    val errors: Map[String, String] = rawPasses.flatten
+      .collect { case (n, _, Some(e)) => n -> e }
+      .groupBy(_._1).map { case (n, es) => n -> es.head._2 }
+    val passes = rawPasses.map(_.collect {
+      case (n, t, None) if !errors.contains(n) => n -> t
+    }.toMap)
     val names = passes.head.keys.toSeq.sorted
     val best = names.map(n => n -> passes.take(3).map(_(n)).min)
     val median = names.map { n =>
@@ -96,13 +112,27 @@ object Bench {
     val sfShort = sfDir.replaceAll(".*sf", "") // "/root/testdata/sf0.1" → 0.1
     val sfJson =
       if (sfShort.matches("""\d+(\.\d+)?""")) sfShort else "\"" + sfDir + "\""
-    val headline = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${objShort(best)},"sf":$sfJson}"""
-    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${obj(best)},"sf":"$sfDir","warmup_passes":1,"timed_passes":$timedPasses,"agg":"per-query min of first 3","total_median5":${r3(totalMedian)},"queries_median5":${obj(median)},"pass_totals":$passTotals,"queries_per_pass":${passes.map(p => obj(names.map(n => n -> p(n)))).mkString("[", ",", "]")}}"""
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // stdout carries only the exception class per errored query (compact,
+    // fits the driver's 2000-char tail); full messages go to the file.
+    def errObj(f: String => String): String =
+      errors.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + jstr(f(v)) }
+        .mkString("{", ",", "}")
+    val errShort =
+      if (errors.isEmpty) "" else s""","errors":${errObj(_.takeWhile(_ != ':'))}"""
+    val errFull =
+      if (errors.isEmpty) "" else s""","errors":${errObj(identity)}"""
+    val headline = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${objShort(best)},"sf":$sfJson$errShort}"""
+    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${obj(best)},"sf":"$sfDir","warmup_passes":1,"timed_passes":$timedPasses,"agg":"per-query min of first 3","total_median5":${r3(totalMedian)},"queries_median5":${obj(median)},"pass_totals":$passTotals,"queries_per_pass":${passes.map(p => obj(names.map(n => n -> p(n)))).mkString("[", ",", "]")}$errFull}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), full + "\n")
     // LAST line of output, flushed: the driver tails the log
     println(headline)
     Console.out.flush()
     spark.stop()
+    // A bench with errored queries is not a valid measurement — fail loud.
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

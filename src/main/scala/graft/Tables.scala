@@ -21,18 +21,37 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's TimestampType
-    * (µs) rejects outright. Read it as raw nanos (legacy conf) and
-    * truncate to µs with integer division — same truncation DuckDB
-    * applies casting TIMESTAMP_NS → TIMESTAMP. Floating-point division
-    * would corrupt the low bits (2024 epoch-nanos ≈ 1.7e18 > 2^53).
+  /** `events.ts` has shipped under several physical parquet encodings —
+    * TIMESTAMP(NANOS) (which Spark's µs TimestampType rejects outright),
+    * timestamp[us] with isAdjustedToUTC=false (TIMESTAMP_NTZ to Spark),
+    * and plain UTC-adjusted µs. A real lake's writers change physical
+    * timestamp types over time, so branch on the *loaded* schema instead
+    * of hard-coding one:
+    *
+    *  - `LongType`: the legacy nanos-as-long read of TIMESTAMP(NANOS);
+    *    truncate to µs with integer division — the same truncation DuckDB
+    *    applies casting TIMESTAMP_NS → TIMESTAMP. Floating-point division
+    *    would corrupt the low bits (2024 epoch-nanos ≈ 1.7e18 > 2^53).
+    *  - `TimestampNTZType`: reinterpret the wall clock as a UTC instant.
+    *    The repo pins spark.sql.session.timeZone=UTC, so this cast yields
+    *    byte-identical µs to the nanos path and to the DuckDB oracle.
+    *  - `TimestampType`: already the µs instant the queries expect.
+    *
+    * The legacy conf stays enabled so NANOS files load at all; it is a
+    * no-op for the other encodings.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = apply(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _: TimestampType => raw
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported physical type $other")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

@@ -21,18 +21,36 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** events schema with ts as raw nanos (see Tables.events). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+  /** events schema parameterized on the physical `ts` type the lake
+    * currently ships (see Tables.events — it has changed across rounds).
+    */
+  def rawSchema(tsType: DataType): StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", tsType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** Streaming read of an events parquet directory, ts → µs timestamp. */
+  /** Streaming read of an events parquet directory, ts → µs timestamp.
+    *
+    * Structured Streaming needs an explicit schema, and declaring the
+    * wrong physical type silently mangles values (a timestamp[us] column
+    * read as LongType yields raw µs that the nanos path divides to ms).
+    * So discover the physical `ts` type with one batch footer read at
+    * stream setup — O(1), not a data scan — and branch exactly like
+    * Tables.events: LongType ⇒ legacy nanos ⇒ integer-divide to µs;
+    * TIMESTAMP_NTZ ⇒ reinterpret as UTC instant (session TZ is pinned
+    * UTC); TimestampType ⇒ pass through.
+    */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(rawSchema)
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val tsType = spark.read.parquet(dir).schema("ts").dataType
+    val raw = spark.readStream.schema(rawSchema(tsType)).parquet(dir)
+    tsType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _: TimestampType => raw
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported physical type $other")
+    }
   }
 
   /** Tumbling 1-hour windowed counts/sums per event_type with a 2-hour
