@@ -2006,7 +2006,12 @@ object OraclesText {
         |FROM s ORDER BY doc_id""".stripMargin,
 
     // Multimodal.m11PhashNearDup: the m6 pixel replay + 16-bit banding
-    // + exact 64-position Hamming on band-sharing pairs (≤ 10 emits).
+    // over DISTINCT hashes with the 256-per-bucket hot-band cap (ranked
+    // by phash string — identical '0'/'1' lexicographic order on both
+    // engines), exact 64-position Hamming on surviving hash pairs
+    // (≤ 10), expanded to doc pairs through the exact-dup clusters;
+    // same-hash doc pairs emit directly with hamming 0 (they share all
+    // four bands by construction and never route through the cap).
     "m11_phash_neardup" ->
       """WITH p AS (SELECT doc_id,
         |    CAST(1 + doc_id % 64 AS BIGINT) AS w,
@@ -2025,21 +2030,34 @@ object OraclesText {
         |    string_agg(CASE WHEN 64 * l.lum > s.total THEN '1' ELSE '0' END,
         |      '' ORDER BY l.j, l.i) AS phash
         |  FROM l JOIN s USING (doc_id) GROUP BY 1),
-        |bands AS (SELECT doc_id, b.i AS band,
-        |    substr(phash, CAST(1 + b.i * 16 AS INT), 16) AS bb, phash
-        |  FROM bits, range(0, 4) b(i)),
-        |cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
-        |    a.phash AS pa, c.phash AS pb
-        |  FROM bands a JOIN bands c
-        |    ON a.band = c.band AND a.bb = c.bb AND a.doc_id < c.doc_id),
-        |hd AS (SELECT id_a, id_b,
+        |dh AS (SELECT DISTINCT phash FROM bits),
+        |bands AS (SELECT phash, b.i AS band,
+        |    substr(phash, CAST(1 + b.i * 16 AS INT), 16) AS bb
+        |  FROM dh, range(0, 4) b(i)),
+        |capped AS (SELECT phash, band, bb,
+        |    row_number() OVER (PARTITION BY band, bb ORDER BY phash) AS rk
+        |  FROM bands),
+        |hp AS (SELECT DISTINCT x.phash AS pa, y.phash AS pb
+        |  FROM capped x JOIN capped y
+        |    ON x.band = y.band AND x.bb = y.bb AND x.phash < y.phash
+        |    AND x.rk <= 256 AND y.rk <= 256),
+        |hd AS (SELECT pa, pb,
         |    CAST(len(list_filter(range(1, 65),
         |      i -> substr(pa, CAST(i AS INT), 1)
         |        != substr(pb, CAST(i AS INT), 1))) AS BIGINT) AS hamming
-        |  FROM cand)
+        |  FROM hp),
+        |closeh AS (SELECT * FROM hd WHERE hamming <= 10),
+        |inter AS (SELECT least(a.doc_id, b.doc_id) AS id_a,
+        |    greatest(a.doc_id, b.doc_id) AS id_b, c.hamming
+        |  FROM closeh c JOIN bits a ON a.phash = c.pa
+        |    JOIN bits b ON b.phash = c.pb),
+        |intra AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(0 AS BIGINT) AS hamming
+        |  FROM bits a JOIN bits b
+        |    ON a.phash = b.phash AND a.doc_id < b.doc_id),
+        |allp AS (SELECT * FROM inter UNION ALL SELECT * FROM intra)
         |SELECT id_a, id_b, hamming, (hamming = 0) AS exact
-        |FROM hd WHERE hamming <= 10
-        |ORDER BY id_a, id_b LIMIT 2000""".stripMargin,
+        |FROM allp ORDER BY id_a, id_b LIMIT 2000""".stripMargin,
 
     // Mirrors Multimodal.m2FrameSample: n_frames = byte length mod 7
     // (FakeDecoder), every-2nd frame index, md5(sig ':' idx) fingerprint.

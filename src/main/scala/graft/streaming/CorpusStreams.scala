@@ -270,6 +270,47 @@ object CorpusStreams {
       .select(col("doc_id"), col("phash"))
   }
 
+  /** Ingest-time image NEAR-dup alerts against a standing corpus —
+    * m11's streaming half, the image-space sibling of
+    * [[nearDupAlerts]]: an arriving image's perceptual hash is banded
+    * into its four 16-bit keys (the SAME packed-long shift-and-mask
+    * pass as batch m11 — `Multimodal.packedBands` runs unchanged on the
+    * stream) and joined against the standing corpus's STANDING BAND
+    * BUCKETS (stream-static equi-join on the band key, the d3/s9
+    * pattern); candidates score the codegen'd `bit_count` Hamming and
+    * pairs ≤ 10 emit as alerts. The Hamming filter runs BEFORE the
+    * pair dedup, so keyed state holds only actual alert pairs (a
+    * multi-band candidate would otherwise occupy state 4×). At lake
+    * scale the static side is the snapshot's banded phash table —
+    * 4 slim rows per standing image, bucket-joined on a 16-bit key;
+    * per-arrival cost is the arriving image's decode plus its four
+    * bucket probes. `PhashNearDupSpec` pins replay ≡ batch m11 on the
+    * same new/standing split.
+    */
+  def phashNearDupAlerts(
+      newMedia: org.apache.spark.sql.Dataset[
+        graft.multimodal.Multimodal.MediaRow],
+      standing: org.apache.spark.sql.Dataset[
+        graft.multimodal.Multimodal.MediaRow]): DataFrame = {
+    import graft.multimodal.Multimodal
+    // the static side re-evaluates per trigger — pin the slim banded
+    // hash table, not the decode pass (same discipline as
+    // [[imageDedupAgainst]])
+    val standingBands = Multimodal.packedBands(Multimodal.phashOf(standing))
+      .select(col("doc_id").as("old_id"), col("ph").as("ph_old"),
+        col("band"), col("bb"))
+      .persist()
+    standingBands.count()
+    Multimodal.packedBands(Multimodal.phashOf(newMedia))
+      .select(col("doc_id").as("new_id"), col("ph").as("ph_new"),
+        col("band"), col("bb"))
+      .join(standingBands, Seq("band", "bb"))
+      .withColumn("hamming", expr("bit_count(ph_new ^ ph_old)").cast("long"))
+      .filter(col("hamming") <= 10)
+      .select(col("new_id"), col("old_id"), col("hamming"))
+      .dropDuplicates("new_id", "old_id")
+  }
+
   /** Ingest-time EMBEDDING dedup against a standing collection — s9's
     * streaming half, closing the last batch-only gap in incremental
     * dedup: text (d13 ↔ [[ingestDedupAgainst]]/[[nearDupAlertsWatermarked]]),
