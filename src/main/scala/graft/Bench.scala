@@ -53,6 +53,12 @@ object Bench {
     val timedPasses = 5
     val rawPasses = (1 to timedPasses).map { _ =>
       spark.sqlContext.clearCache() // no pass donates cached inputs
+      // pass-boundary GC: r7→r8 showed 3–6× per-query swings with zero
+      // code change when one pass's garbage collected inside another's
+      // timed window — collect between passes so each starts from the
+      // same heap posture (the run-scoped parquet assets live on disk,
+      // not heap, and are built during the warmup pass)
+      System.gc()
       pass()
     }
     // First error message per query across all passes; a query that

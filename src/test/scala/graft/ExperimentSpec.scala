@@ -143,4 +143,65 @@ class ExperimentSpec extends AnyFunSuite {
     assert(metricsJson.split("\"fitness\": \\[")(1).split("]")(0)
       .split(",").length == 20)
   }
+
+  /** Small golden slice for the exhaustive path: 8 molecules (3 signal)
+    * keeps blind search at 2⁸−1 = 255 distributed fitness calls.
+    */
+  private def writeSmallGolden(): (String, String) = {
+    val dir = Files.createTempDirectory("golden_bs").toString
+    val rng = new scala.util.Random(321)
+    val nSamples = 30
+    val nMol = 8
+    val samples = (1 to nSamples).map(i => f"S$i%02d")
+    val group = Array.tabulate(nSamples)(i => i % 2)
+    val rows = (0 until nMol).map { m =>
+      val vals = (0 until nSamples).map { s =>
+        val v = if (m < 3) group(s) * 3.0 + rng.nextGaussian() * 0.3
+        else rng.nextGaussian()
+        f"$v%.4f"
+      }
+      s"MOL$m\t${vals.mkString("\t")}"
+    }
+    val mol = s"molecule\t${samples.mkString("\t")}\n${rows.mkString("\n")}"
+    val clin = samples.zipWithIndex.map { case (s, i) =>
+      val t = if (group(i) == 0) 100.0 + rng.nextInt(50) else 1000.0 + rng.nextInt(50)
+      val e = if (rng.nextDouble() < 0.8) 1 else 0
+      s"$s\t$e\t$t"
+    }
+    val clinTsv = s"sample\tevent\ttime\n${clin.mkString("\n")}"
+    Files.writeString(java.nio.file.Paths.get(dir, "molecules.tsv"), mol)
+    Files.writeString(java.nio.file.Paths.get(dir, "clinical.tsv"), clinTsv)
+    (s"$dir/molecules.tsv", s"$dir/clinical.tsv")
+  }
+
+  test("blind-search e2e: exhaustive optimum is deterministic and never below BBHA's") {
+    val (molPath, clinPath) = writeSmallGolden()
+    val results = Files.createTempDirectory("results_bs").toString
+    def cfg(app: String, algo: Int) = Experiment.Config(
+      appName = app, moleculesPath = molPath, clinicalPath = clinPath,
+      resultsPath = results,
+      fitness = FitnessConfig(model = "clustering",
+        clusteringAlgorithm = "k_means",
+        clusteringScoringMethod = "concordance_index",
+        randomState = Some(77L)),
+      bbha = Bbha.Config(nStars = 5, nIterations = 3, randomState = Some(77L)),
+      numberOfWorkers = 2, algorithm = algo)
+
+    val blind1 = Experiment.run(spark, cfg("bs1", 0))
+    val blind2 = Experiment.run(spark, cfg("bs2", 0))
+    // exhaustive search has no randomness in the outcome at a fixed seed
+    assert(blind1.features == blind2.features)
+    assert(blind1.bestMetric == blind2.bestMetric)
+    // the global optimum bounds the metaheuristic's result (both values
+    // round at 1e-4 before comparison, hence the tolerance)
+    val bbha = Experiment.run(spark, cfg("bb_vs_bs", 1))
+    assert(blind1.bestMetric >= bbha.bestMetric - 1e-4,
+      s"blind=${blind1.bestMetric} bbha=${bbha.bestMetric}")
+    assert(blind1.bestMetric >= blind1.bestMetricWithAllFeatures - 1e-9)
+    // the exhaustive path reports its coverage in the metrics sink
+    val metricsJson = Files.readString(
+      java.nio.file.Paths.get(results, "bs1", "metrics.json"))
+    assert(metricsJson.contains("\"evaluated_subsets\": 255"),
+      metricsJson.take(400))
+  }
 }
