@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main: runs every SparkEntry query on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line {"metric","value","unit","queries","sf"}.
@@ -10,25 +10,24 @@ import org.apache.spark.sql.SparkSession
   * the dimension joins in the queries plan as broadcasts.
   */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
 
+  /** The measurement + reporting half of the bench, factored from `main`
+    * so `BenchSpec` can prove the error contract on an injected query
+    * set: a throwing query must land in `errors`, be excluded from every
+    * timing aggregate, and never surface as a fast timing.
+    */
+  case class Output(headline: String, full: String,
+      errors: Map[String, String])
+
+  def runBench(spark: SparkSession, sfDir: String,
+      queries: Map[String, (SparkSession, String) => DataFrame],
+      timedPasses: Int = 5): Output = {
     // A query that throws must NOT silently bench as a fast timing —
     // round 8's 24 analysis failures timed at ~0.05 s each and made the
     // total look 20 s faster. Record the error, exclude the query from
     // every aggregate, and fail the run loudly (non-zero exit) at the end.
     def pass(): Seq[(String, Double, Option[String])] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         val err = try { fn(spark, sfDir).count(); None } catch {
           case e: Throwable =>
@@ -50,7 +49,6 @@ object Bench {
     // between the two aggregates is the tell that the box, not the plan,
     // was slow (round-2's recorded d3/d5 were exactly this artifact).
     pass()
-    val timedPasses = 5
     val rawPasses = (1 to timedPasses).map { _ =>
       spark.sqlContext.clearCache() // no pass donates cached inputs
       // pass-boundary GC: r7→r8 showed 3–6× per-query swings with zero
@@ -132,13 +130,31 @@ object Bench {
       if (errors.isEmpty) "" else s""","errors":${errObj(identity)}"""
     val headline = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${objShort(best)},"sf":$sfJson$errShort}"""
     val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${obj(best)},"sf":"$sfDir","warmup_passes":1,"timed_passes":$timedPasses,"agg":"per-query min of first 3","total_median5":${r3(totalMedian)},"queries_median5":${obj(median)},"pass_totals":$passTotals,"queries_per_pass":${passes.map(p => obj(names.map(n => n -> p(n)))).mkString("[", ",", "]")}$errFull}"""
+    Output(headline, full, errors)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val out = runBench(spark, sfDir, SparkEntry.queries)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), full + "\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outFile), out.full + "\n")
     // LAST line of output, flushed: the driver tails the log
-    println(headline)
+    println(out.headline)
     Console.out.flush()
     spark.stop()
     // A bench with errored queries is not a valid measurement — fail loud.
-    if (errors.nonEmpty) sys.exit(1)
+    if (out.errors.nonEmpty) sys.exit(1)
   }
 }
