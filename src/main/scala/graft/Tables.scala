@@ -54,5 +54,23 @@ object Tables {
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+  /** `embeddings.embedding` must reach the engine as array<float> — the
+    * codegen'd vector kernels (`graftfn.GraftExpressions.floatVecDot`)
+    * and every ANN oracle are written in float space. Normalize here
+    * (same discipline as [[events]]: the loader absorbs physical-type
+    * drift, the queries never see it) so a lake rewrite to
+    * array<double> degrades to a cast instead of 19 analysis failures.
+    */
+  def embeddings(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val raw = apply(s, d, "embeddings")
+    raw.schema("embedding").dataType match {
+      case ArrayType(FloatType, _) => raw
+      case ArrayType(_: NumericType, _) =>
+        raw.withColumn("embedding",
+          org.apache.spark.sql.functions.col("embedding").cast("array<float>"))
+      case other => throw new IllegalStateException(
+        s"embeddings.embedding: unsupported physical type $other")
+    }
+  }
 }

@@ -63,6 +63,29 @@ class TablesSpec extends AnyFunSuite {
       Seq(1704067200123456L, 1704067201500000L, 1704153599999999L))
   }
 
+  test("embeddings loader normalizes float and double element encodings") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("tables-emb")
+    val rows = Seq((1L, Seq(0.25f, -1.5f, 3.0f), 0), (2L, Seq(1.0f, 2.0f, -0.125f), 1))
+      .toDF("vec_id", "embedding", "label")
+    rows.write.mode("overwrite").parquet(s"$base/f/embeddings.parquet")
+    rows.withColumn("embedding", col("embedding").cast("array<double>"))
+      .write.mode("overwrite").parquet(s"$base/d/embeddings.parquet")
+    val frames = Seq("f", "d").map(enc => Tables.embeddings(spark, s"$base/$enc"))
+    frames.foreach { df =>
+      assert(df.schema("embedding").dataType ==
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, containsNull = true) ||
+        df.schema("embedding").dataType ==
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, containsNull = false))
+    }
+    val collected = frames.map(_.orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq)
+    assert(collected(0) == collected(1),
+      "float and double encodings must load identically")
+  }
+
   test("events loader handles the current testdata") {
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val df = Tables.events(spark, sf)
