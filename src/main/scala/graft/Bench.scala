@@ -90,8 +90,8 @@ object Bench {
     // full name (correctness over compactness); full names + 1 ms grain
     // always live in bench_result.json.
     def shortKey(n: String): String = n.split("_")(0)
-    val collides: Set[String] =
-      names.groupBy(shortKey).filter(_._2.size > 1).values.flatten.toSet
+    val collides: Set[String] = (names ++ errors.keys)
+      .groupBy(shortKey).filter(_._2.size > 1).values.flatten.toSet
     def objShort(kv: Seq[(String, Double)]): String =
       kv.map { case (k, v) =>
         val key = if (collides(k)) k else shortKey(k)
@@ -116,18 +116,30 @@ object Bench {
     val sfShort = sfDir.replaceAll(".*sf", "") // "/root/testdata/sf0.1" → 0.1
     val sfJson =
       if (sfShort.matches("""\d+(\.\d+)?""")) sfShort else "\"" + sfDir + "\""
-    def jstr(s: String): String =
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    // stdout carries only the exception class per errored query (compact,
-    // fits the driver's 2000-char tail); full messages go to the file.
-    def errObj(f: String => String): String =
+    // JSON requires every char < 0x20 escaped; \s+ collapsing above only
+    // covers whitespace controls, so an exotic control char in an engine
+    // error message must not corrupt the one artifact that reports it
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    // stdout carries short query ids + exception class only (same
+    // budget discipline as objShort — full names and messages would
+    // blow the 2000-char tail in a mass-failure round, clipping the
+    // very JSON that reports the failure); everything goes to the file.
+    def errObj(key: String => String, f: String => String): String =
       errors.toSeq.sortBy(_._1)
-        .map { case (k, v) => "\"" + k + "\":" + jstr(f(v)) }
+        .map { case (k, v) => "\"" + key(k) + "\":" + jstr(f(v)) }
         .mkString("{", ",", "}")
-    val errShort =
-      if (errors.isEmpty) "" else s""","errors":${errObj(_.takeWhile(_ != ':'))}"""
+    val errShort = if (errors.isEmpty) "" else {
+      val short = errObj(k => if (collides(k)) k else shortKey(k),
+        _.takeWhile(_ != ':'))
+      s""","errors":$short"""
+    }
     val errFull =
-      if (errors.isEmpty) "" else s""","errors":${errObj(identity)}"""
+      if (errors.isEmpty) "" else s""","errors":${errObj(identity, identity)}"""
     val headline = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${objShort(best)},"sf":$sfJson$errShort}"""
     val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${obj(best)},"sf":"$sfDir","warmup_passes":1,"timed_passes":$timedPasses,"agg":"per-query min of first 3","total_median5":${r3(totalMedian)},"queries_median5":${obj(median)},"pass_totals":$passTotals,"queries_per_pass":${passes.map(p => obj(names.map(n => n -> p(n)))).mkString("[", ",", "]")}$errFull}"""
     Output(headline, full, errors)

@@ -41,11 +41,22 @@ object Tables {
     * no-op for the other encodings.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = apply(s, d, "events")
-    raw.schema("ts").dataType match {
+    normalizeEventTs(raw, raw.schema("ts").dataType)
+  }
+
+  /** The ONE ts-normalization branch table, shared with the streaming
+    * reader ([[graft.streaming.EventStreams.readEvents]]) so the next
+    * physical encoding the lake ships lands in a single place — a copy
+    * drifting out of sync is exactly the round-8 class of break, and
+    * `TablesSpec` only gates this shared path.
+    */
+  private[graft] def normalizeEventTs(raw: DataFrame,
+      tsType: org.apache.spark.sql.types.DataType): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    tsType match {
       case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
       case _: TimestampType => raw

@@ -733,16 +733,26 @@ object Multimodal {
     * ([[graft.streaming.CorpusStreams.imageDedupAgainst]]) materializes
     * on arrival — the batch queries here read the same standing asset.
     */
-  private[graft] def phashAsset(spark: SparkSession, dir: String): DataFrame = {
-    val path = phashPaths.computeIfAbsent(dir, _ => {
-      val p = s"${System.getProperty("java.io.tmpdir")}/graft-phash-" +
+  private[graft] def phashAsset(spark: SparkSession, dir: String): DataFrame =
+    runScopedAsset(spark, "phash", dir)(phashOf(syntheticMedia(spark, dir)))
+
+  /** Memoize a slim derived frame as a (JVM run, asset, sfDir)-scoped
+    * parquet file and serve every later consumer from the file — the
+    * scaffolding shared by [[mediaFeaturesAsset]] and [[phashAsset]] so
+    * a fix to the pattern (naming, write mode, cleanup) lands once.
+    * `build` is by-name: it runs only on the first touch.
+    */
+  private def runScopedAsset(spark: SparkSession, asset: String,
+      dir: String)(build: => DataFrame): DataFrame = {
+    val path = assetPaths.computeIfAbsent(s"$asset:$dir", _ => {
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft-$asset-" +
         s"$mediaRunId-${mediaSeq.getAndIncrement()}.parquet"
-      phashOf(syntheticMedia(spark, dir)).write.mode("overwrite").parquet(p)
+      build.write.mode("overwrite").parquet(p)
       p
     })
     spark.read.parquet(path)
   }
-  private val phashPaths =
+  private val assetPaths =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** (doc_id, phash) for the image rows of a media frame — the map-only
@@ -813,20 +823,11 @@ object Multimodal {
     * storage.
     */
   private[graft] def mediaFeaturesAsset(spark: SparkSession,
-      dir: String): DataFrame = {
-    val path = mediaFeatPaths.computeIfAbsent(dir, _ => {
-      val p = s"${System.getProperty("java.io.tmpdir")}/graft-mediafeat-" +
-        s"$mediaRunId-${mediaSeq.getAndIncrement()}.parquet"
-      m1FeaturesOf(syntheticMedia(spark, dir))
-        .write.mode("overwrite").parquet(p)
-      p
-    })
-    spark.read.parquet(path)
-  }
+      dir: String): DataFrame =
+    runScopedAsset(spark, "mediafeat", dir)(
+      m1FeaturesOf(syntheticMedia(spark, dir)))
   private val mediaRunId = java.util.UUID.randomUUID().toString.take(8)
   private val mediaSeq = new java.util.concurrent.atomic.AtomicInteger(0)
-  private val mediaFeatPaths =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   def m7MediaManifest(spark: SparkSession, dir: String): DataFrame = {
     // Every decoded leg comes from a run-scoped asset (m1 features and
@@ -856,8 +857,11 @@ object Multimodal {
     * hashes participate per (band, value) bucket, ranked by phash string
     * (deterministic, oracle-mirrorable). Bounds the worst band bucket at
     * CAP²/2 candidate pairs regardless of corpus size — the d6b
-    * discipline in hash space. A pair dropped from a hot band is still
-    * found through any of its other three bands.
+    * discipline in hash space. A pair dropped from a hot band survives
+    * only if the two hashes share ANOTHER, uncapped band — when the hot
+    * bucket was their single matching band, the pair is lost (the d3/d6b
+    * recall-for-boundedness trade; the ≤3-bit pigeonhole guarantee holds
+    * only where no band caps out).
     */
   private[graft] val M11_BAND_CAP = 256
 

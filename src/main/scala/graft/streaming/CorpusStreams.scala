@@ -284,8 +284,15 @@ object CorpusStreams {
     * scale the static side is the snapshot's banded phash table —
     * 4 slim rows per standing image, bucket-joined on a 16-bit key;
     * per-arrival cost is the arriving image's decode plus its four
-    * bucket probes. `PhashNearDupSpec` pins replay ≡ batch m11 on the
-    * same new/standing split.
+    * bucket probes.
+    *
+    * Semantics vs batch m11: this stream is UNCAPPED and UNTRUNCATED —
+    * it emits every new×standing pair within Hamming ≤ 10, a superset
+    * of batch m11 wherever the batch side's hot-band cap or 2000-row
+    * limit binds (an alert stream must not silently drop alerts; the
+    * cap's rank is a global property of the standing corpus that an
+    * increment cannot reproduce). `PhashNearDupSpec` pins replay ≡
+    * batch m11 on the same new/standing split in the uncapped regime.
     */
   def phashNearDupAlerts(
       newMedia: org.apache.spark.sql.Dataset[

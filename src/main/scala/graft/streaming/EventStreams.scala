@@ -42,15 +42,14 @@ object EventStreams {
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tsType = spark.read.parquet(dir).schema("ts").dataType
+    // A stream-source directory may legitimately be EMPTY at start (it
+    // fills over time); schema inference then throws, so fall back to
+    // the lake's current encoding (timestamp[us] NTZ).
+    val tsType =
+      try spark.read.parquet(dir).schema("ts").dataType
+      catch { case _: org.apache.spark.sql.AnalysisException => TimestampNTZType }
     val raw = spark.readStream.schema(rawSchema(tsType)).parquet(dir)
-    tsType match {
-      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
-      case _: TimestampType => raw
-      case other => throw new IllegalStateException(
-        s"events.ts: unsupported physical type $other")
-    }
+    graft.Tables.normalizeEventTs(raw, tsType)
   }
 
   /** Tumbling 1-hour windowed counts/sums per event_type with a 2-hour

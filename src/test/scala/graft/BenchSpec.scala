@@ -36,14 +36,16 @@ class BenchSpec extends AnyFunSuite {
     val out = Bench.runBench(spark, "/unused",
       Map("qa_one" -> good, "qx_broken" -> broken), timedPasses = 3)
     assert(out.errors.keySet == Set("qx_broken"), out.errors)
-    // both artifacts carry the error; stdout gets the exception class,
-    // the file gets the message too
+    // both artifacts carry the error; stdout gets the short query id +
+    // exception class (the 2000-char tail budget), the file gets the
+    // full name and message
     assert(out.headline.contains("\"errors\""), out.headline)
-    assert(out.headline.contains("qx_broken"), out.headline)
+    assert(out.headline.contains("\"qx\":"), out.headline)
     assert(out.full.contains("\"errors\""), out.full.takeRight(400))
+    assert(out.full.contains("qx_broken"), out.full.takeRight(400))
     // the broken query must NOT appear as a timing anywhere
     assert(!out.full.contains("\"qx_broken\":0"), out.full.takeRight(600))
-    assert(!out.headline.split("\"errors\"")(0).contains("qx_broken"),
+    assert(!out.headline.split("\"errors\"")(0).contains("qx"),
       out.headline)
     // the healthy query still benches
     assert(out.headline.contains("\"qa\":"), out.headline)
