@@ -2009,9 +2009,11 @@ object OraclesText {
     // over DISTINCT hashes with the 256-per-bucket hot-band cap (ranked
     // by phash string — identical '0'/'1' lexicographic order on both
     // engines), exact 64-position Hamming on surviving hash pairs
-    // (≤ 10), expanded to doc pairs through the exact-dup clusters;
-    // same-hash doc pairs emit directly with hamming 0 (they share all
-    // four bands by construction and never route through the cap).
+    // (≤ 10), expanded to doc pairs through the exact-dup clusters
+    // CAPPED at their 64 lowest doc_ids (the expansion must stay
+    // output-sized on any corpus); same-hash doc pairs emit from the
+    // same capped cluster table with hamming 0 (they share all four
+    // bands by construction and never route through the band cap).
     "m11_phash_neardup" ->
       """WITH p AS (SELECT doc_id,
         |    CAST(1 + doc_id % 64 AS BIGINT) AS w,
@@ -2047,13 +2049,16 @@ object OraclesText {
         |        != substr(pb, CAST(i AS INT), 1))) AS BIGINT) AS hamming
         |  FROM hp),
         |closeh AS (SELECT * FROM hd WHERE hamming <= 10),
+        |slim AS (SELECT doc_id, phash FROM (SELECT doc_id, phash,
+        |    row_number() OVER (PARTITION BY phash ORDER BY doc_id) AS crk
+        |  FROM bits) WHERE crk <= 64),
         |inter AS (SELECT least(a.doc_id, b.doc_id) AS id_a,
         |    greatest(a.doc_id, b.doc_id) AS id_b, c.hamming
-        |  FROM closeh c JOIN bits a ON a.phash = c.pa
-        |    JOIN bits b ON b.phash = c.pb),
+        |  FROM closeh c JOIN slim a ON a.phash = c.pa
+        |    JOIN slim b ON b.phash = c.pb),
         |intra AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |    CAST(0 AS BIGINT) AS hamming
-        |  FROM bits a JOIN bits b
+        |  FROM slim a JOIN slim b
         |    ON a.phash = b.phash AND a.doc_id < b.doc_id),
         |allp AS (SELECT * FROM inter UNION ALL SELECT * FROM intra)
         |SELECT id_a, id_b, hamming, (hamming = 0) AS exact

@@ -914,8 +914,22 @@ object Multimodal {
   def m11PhashNearDup(spark: SparkSession, dir: String): DataFrame =
     phashNearDupOf(phashAsset(spark, dir))
 
+  /** Cluster-expansion cap for [[m11PhashNearDup]]: at most this many
+    * members per exact-dup cluster (ranked by doc_id — deterministic,
+    * oracle-mirrorable) participate in doc-pair expansion. Without it
+    * the expansion is quadratic in CLUSTER SIZE — a corpus with 10⁶
+    * copies of one blank raster would explode 5·10¹¹ intra pairs before
+    * the row limit could truncate, and a close pair of two such
+    * clusters the same again. 64 keeps one cluster's intra pairs
+    * (C(64,2) = 2016) and one cluster pair's inter pairs (64² = 4096)
+    * at output scale; every dropped pair is recoverable from the m6
+    * cluster table, which names each member's canonical exactly.
+    */
+  private[graft] val M11_CLUSTER_CAP = 64
+
   private[graft] def phashNearDupOf(hashes: DataFrame,
-      bandCap: Int = M11_BAND_CAP): DataFrame = {
+      bandCap: Int = M11_BAND_CAP,
+      clusterCap: Int = M11_CLUSTER_CAP): DataFrame = {
     val dh = hashes.select(col("phash")).distinct()
     val bands = packedBands(dh)
       .withColumn("rk", row_number().over(org.apache.spark.sql.expressions
@@ -932,10 +946,16 @@ object Multimodal {
       .filter(col("hamming") <= 10)
       .select(col("pa"), col("pb"), col("hamming"))
     // expand close hash pairs back to doc pairs through the exact-dup
-    // clusters; intra-cluster pairs (hamming 0) come straight from the
-    // cluster table — they share all four bands by construction and
-    // never route through the cap.
+    // clusters — capped at the first clusterCap members per cluster so
+    // the expansion stays output-sized on any corpus; intra-cluster
+    // pairs (hamming 0) come straight from the capped cluster table —
+    // they share all four bands by construction and never route through
+    // the band cap.
     val slim = hashes.select(col("doc_id"), col("phash"))
+      .withColumn("crk", row_number().over(org.apache.spark.sql.expressions
+        .Window.partitionBy(col("phash")).orderBy(col("doc_id"))))
+      .filter(col("crk") <= clusterCap)
+      .select(col("doc_id"), col("phash"))
     val inter = closePairs
       .join(slim.as("da"), col("pa") === col("da.phash"))
       .join(slim.as("db"), col("pb") === col("db.phash"))

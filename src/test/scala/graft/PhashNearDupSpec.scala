@@ -101,6 +101,23 @@ class PhashNearDupSpec extends AnyFunSuite {
       yield (a, b)).toSet).size == 15, s"exact pairs lost: $out")
   }
 
+  test("cluster cap bounds expansion to the lowest doc_ids of each cluster") {
+    import spark.implicits._
+    // one exact-dup cluster of 10 docs plus a near hash (hamming 1) on
+    // 3 docs: with clusterCap=4, intra pairs are C(4,2) among the 4
+    // lowest ids, and inter pairs expand only 4 x 3 of the 10 x 3
+    val near = hash(base, 63)
+    val rows = (1L to 10L).map(_ -> base) ++ (21L to 23L).map(_ -> near)
+    val out = Multimodal.phashNearDupOf(rows.toDF("doc_id", "phash"),
+        clusterCap = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val intra = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b, 0L)
+    val inter = for { a <- 1L to 4L; b <- 21L to 23L } yield (a, b, 1L)
+    val nearIntra = for { a <- 21L to 23L; b <- 21L to 23L if a < b }
+      yield (a, b, 0L)
+    assert(out == (intra ++ inter ++ nearIntra).toSet, s"out=$out")
+  }
+
   test("streaming banded alerts equal batch m11 on the new x standing split") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
