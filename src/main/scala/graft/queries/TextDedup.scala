@@ -191,30 +191,49 @@ object TextDedup {
     * LSH: split 16 bits into 4 nibbles; any pair at distance ≤ 3 shares
     * ≥ 1 identical nibble (pigeonhole), so joining per-nibble finds all
     * such pairs without a cross join.
+    *
+    * Banding runs over DISTINCT hashes (the m11 discipline): a nibble
+    * band has only 16 possible values, so document-level banding is
+    * quadratic in corpus size by construction, while the distinct-hash
+    * space is bounded at 2¹⁶ — candidate generation can never exceed
+    * 4 · 16 · C(4096, 2) hash pairs REGARDLESS of corpus size, and the
+    * expansion back to doc pairs is sized by the emitted output. Same
+    * result set (same-hash doc pairs re-enter as the hamming-0 intra
+    * leg), so the oracle is untouched.
     */
   def d5SimhashNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val sig = simhashes(spark, dir).persist() // feeds both join sides
+    val sig = simhashes(spark, dir).persist() // feeds band + expansion legs
     sig.count() // eager materialization (see d3)
     val nibbles = (0 until 4).map { j =>
       struct(lit(j).as("band"),
         shiftright(col("simhash"), 4 * j).bitwiseAND(15).as("bval"))
     }
-    val banded = sig.select(col("doc_id"), col("simhash"),
-      explode(array(nibbles: _*)).as("bb"))
-      .select(col("doc_id"), col("simhash"),
-        col("bb.band").as("band"), col("bb.bval").as("bval"))
-    val a = banded.as("a")
-    val b = banded.as("b")
-    a.join(b,
-        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
-          .cast("int").as("hamming"))
+    val banded = sig.select(col("simhash")).distinct()
+      .select(col("simhash"), explode(array(nibbles: _*)).as("bb"))
+      .select(col("simhash"), col("bb.band").as("band"),
+        col("bb.bval").as("bval"))
+    val close = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
+          col("x.simhash") < col("y.simhash"))
+      .select(col("x.simhash").as("ha"), col("y.simhash").as("hb"))
       // filter BEFORE the cross-band dedup: hamming is pair-determined,
       // so the distinct sees only surviving pairs (~4× smaller shuffle)
+      .withColumn("hamming",
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int"))
       .filter(col("hamming") <= 3)
       .distinct()
+    val inter = close
+      .join(sig.as("da"), col("ha") === col("da.simhash"))
+      .join(sig.as("db"), col("hb") === col("db.simhash"))
+      .select(least(col("da.doc_id"), col("db.doc_id")).as("id_a"),
+        greatest(col("da.doc_id"), col("db.doc_id")).as("id_b"),
+        col("hamming"))
+    val intra = sig.as("a").join(sig.as("b"),
+        col("a.simhash") === col("b.simhash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        lit(0).cast("int").as("hamming"))
+    inter.unionByName(intra)
       .select(col("id_a"), col("id_b"), col("hamming"))
       .orderBy(col("id_a"), col("id_b"))
   }
