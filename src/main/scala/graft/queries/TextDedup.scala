@@ -98,6 +98,16 @@ object TextDedup {
     * the signature (4 bands × 2 rows), self-join on (band, bucket-key).
     * Only same-bucket pairs ever meet — the LSH contract that keeps
     * near-dup detection sub-quadratic at scale.
+    *
+    * The bucket join runs over DISTINCT signatures (the m11/d5
+    * discipline): a cluster of identical documents shares every band
+    * key, so document-level banding is quadratic in dup-cluster size —
+    * the dominant skew on a real crawl, where boilerplate pages
+    * duplicate millions of times. Distinct signatures collapse each
+    * cluster to one banded row; same-signature doc pairs re-enter as
+    * the intra leg and cross-signature bucket pairs expand through the
+    * per-signature doc lists, so the emitted pair set is IDENTICAL and
+    * the work is bounded by distinct content, not corpus size.
     */
   private def lshCandidates(sig: DataFrame): DataFrame = {
     val bandCols = (0 until MinhashBands).map { b =>
@@ -106,14 +116,36 @@ object TextDedup {
           col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))
           .as("bkey"))
     }
-    val banded = sig.select(col("doc_id"),
-      explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-    banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    // one row per distinct signature; sk identifies the signature (md5
+    // over all k minhashes — collision-free in practice, and a
+    // collision would only merge two clusters' expansions, never drop
+    // a candidate)
+    val sk = fastMd5(concat_ws("|",
+      (0 until MinhashK).map(i => col(s"mh$i")): _*))
+    val keyed = sig.withColumn("sk", sk)
+    val dsig = keyed
+      .select(col("sk") +: (0 until MinhashK).map(i => col(s"mh$i")): _*)
       .distinct()
+    val banded = dsig.select(col("sk"),
+        explode(array(bandCols: _*)).as("bb"))
+      .select(col("sk"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val closeSig = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.sk") < col("y.sk"))
+      .select(col("x.sk").as("ska"), col("y.sk").as("skb"))
+      .distinct()
+    val slim = keyed.select(col("doc_id"), col("sk"))
+    // each doc carries exactly one sk, so inter pairs are unique without
+    // a distinct, and the intra (same-signature) leg is disjoint from it
+    val inter = closeSig
+      .join(slim.as("da"), col("ska") === col("da.sk"))
+      .join(slim.as("db"), col("skb") === col("db.sk"))
+      .select(least(col("da.doc_id"), col("db.doc_id")).as("id_a"),
+        greatest(col("da.doc_id"), col("db.doc_id")).as("id_b"))
+    val intra = slim.as("a").join(slim.as("b"),
+        col("a.sk") === col("b.sk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    inter.unionByName(intra)
   }
 
   /** Estimated Jaccard (fraction of agreeing minhashes) for a candidate
