@@ -465,6 +465,97 @@ object OraclesText {
         |FROM chunks c LEFT JOIN dup ON c.chash = dup.chash
         |GROUP BY c.doc_id ORDER BY c.doc_id LIMIT 2000""".stripMargin,
 
+    // TextDedup.d22ExactSubstr: stride-1 16-token windows; a window is
+    // duplicated when its hash occurs in ≥2 distinct docs; the longest
+    // consecutive duplicated run (start − row_number grouping) recovers
+    // the longest verbatim shared span (run + 15 tokens).
+    "d22_exact_substr" ->
+      """WITH tok AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |wins AS (SELECT doc_id, CAST(start AS BIGINT) AS start,
+        |    md5(array_to_string(list_slice(toks, start + 1,
+        |      least(start + 16, len(toks))), ' ')) AS whash
+        |  FROM (SELECT doc_id, toks,
+        |      unnest(range(0, greatest(len(toks) - 15, 1))) AS start
+        |    FROM tok)),
+        |dup AS (SELECT whash FROM (
+        |    SELECT whash, count(DISTINCT doc_id) AS nd FROM wins GROUP BY 1)
+        |  WHERE nd >= 2),
+        |fl AS (SELECT w.doc_id, w.start, (d.whash IS NOT NULL) AS dup
+        |  FROM wins w LEFT JOIN dup d ON w.whash = d.whash),
+        |per AS (SELECT doc_id, count(*) AS n_windows,
+        |    CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_dup_windows
+        |  FROM fl GROUP BY 1),
+        |runs AS (SELECT doc_id, max(run) AS max_run FROM (
+        |    SELECT doc_id, grp, count(*) AS run FROM (
+        |      SELECT doc_id, start - row_number()
+        |          OVER (PARTITION BY doc_id ORDER BY start) AS grp
+        |      FROM fl WHERE dup) GROUP BY 1, 2) GROUP BY 1)
+        |SELECT p.doc_id, p.n_windows, p.n_dup_windows,
+        |  round(CAST(p.n_dup_windows AS DOUBLE) / p.n_windows, 6) AS dup_frac,
+        |  CAST(coalesce(r.max_run, 0) AS BIGINT) AS max_run,
+        |  CAST(CASE WHEN coalesce(r.max_run, 0) > 0
+        |    THEN coalesce(r.max_run, 0) + 15 ELSE 0 END AS BIGINT)
+        |    AS dup_span_tokens
+        |FROM per p LEFT JOIN runs r ON p.doc_id = r.doc_id
+        |ORDER BY p.doc_id LIMIT 2000""".stripMargin,
+
+    // TextDedup.p19DupMask: per source, tokens inside any cross-doc
+    // duplicated window — interval union via the running-max sweep
+    // (new coverage = max(0, e − max(prevMaxE, start−1))).
+    "p19_dup_mask" ->
+      """WITH tok AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |sizes AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok FROM tok),
+        |wins AS (SELECT doc_id, CAST(start AS BIGINT) AS start,
+        |    md5(array_to_string(list_slice(toks, start + 1,
+        |      least(start + 16, len(toks))), ' ')) AS whash
+        |  FROM (SELECT doc_id, toks,
+        |      unnest(range(0, greatest(len(toks) - 15, 1))) AS start
+        |    FROM tok)),
+        |dup AS (SELECT whash FROM (
+        |    SELECT whash, count(DISTINCT doc_id) AS nd FROM wins GROUP BY 1)
+        |  WHERE nd >= 2),
+        |dw AS (SELECT w.doc_id, w.start,
+        |    least(w.start + 15, s.n_tok - 1) AS e
+        |  FROM wins w JOIN sizes s ON w.doc_id = s.doc_id
+        |  WHERE w.whash IN (SELECT whash FROM dup)),
+        |cov AS (SELECT doc_id, greatest(e - greatest(coalesce(
+        |      max(e) OVER (PARTITION BY doc_id ORDER BY start
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1),
+        |      start - 1), 0) AS nc
+        |  FROM dw),
+        |md AS (SELECT doc_id, CAST(sum(nc) AS BIGINT) AS masked
+        |  FROM cov GROUP BY 1)
+        |SELECT d.source, count(*) AS n_docs,
+        |  CAST(sum(s.n_tok) AS BIGINT) AS total_tokens,
+        |  CAST(sum(coalesce(md.masked, 0)) AS BIGINT) AS masked_tokens,
+        |  round(CAST(sum(coalesce(md.masked, 0)) AS DOUBLE)
+        |    / sum(s.n_tok), 6) AS mask_frac
+        |FROM documents d JOIN sizes s ON d.doc_id = s.doc_id
+        |     LEFT JOIN md ON d.doc_id = md.doc_id
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    // TextDedup.t23TfidfKeywords: per-doc top-3 terms by tf·idf with
+    // idf snapped to integer micro-units (round(ln(N/df)·1e6)) so the
+    // score and the ranking are integer-exact; token-asc tie-break.
+    "t23_tfidf_keywords" ->
+      """WITH tok AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |tfc AS (SELECT doc_id, token, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(toks) AS token FROM tok) GROUP BY 1, 2),
+        |dfc AS (SELECT token, count(*) AS df FROM tfc GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (SELECT t.doc_id, t.token, t.tf, d.df,
+        |    t.tf * CAST(round(ln(CAST(n.n_docs AS DOUBLE) / d.df) * 1000000)
+        |      AS BIGINT) AS score_micro
+        |  FROM tfc t, dfc d, n WHERE t.token = d.token),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score_micro DESC, token) AS rk FROM sc)
+        |SELECT doc_id, rk, token, tf, df, score_micro FROM rk
+        |WHERE rk <= 3 ORDER BY doc_id, rk LIMIT 2000""".stripMargin,
+
     // TextDedup.t18IntradocRep: repeated 32-token chunks WITHIN one
     // document — same chunk grid as d11, but counts stay per-doc.
     "t18_intradoc_rep" ->
@@ -1428,6 +1519,63 @@ object OraclesText {
          |WHERE r.rk <= 3 ORDER BY r.q_id, r.rk""".stripMargin
     },
 
+    // Embeddings.s20IvfPq: the two quantizers composed — s7's probe-2
+    // coarse ranking restricts the candidate set; s11's integer-micro
+    // ADC scores the survivors' code bytes; exact cosine refine of the
+    // top-3. Every stage of the IVFPQ index is replayed and hash-gated.
+    "s20_ivfpq" -> {
+      val centAvg =
+        Oracles.exactAvg("CAST(embedding[CAST(i AS INT)] AS DOUBLE)", 6, 6)
+      def sliceDot(emb: String, sub: String) = dotSql(
+        s"list_slice($emb, 1 + 16 * $sub, 16 + 16 * $sub)", "codeword")
+      s"""WITH cd AS (SELECT label, CAST(i AS INT) AS dim, $centAvg AS m
+         |  FROM embeddings, range(1, 65) t(i) GROUP BY label, i),
+         |cent AS (SELECT label, list(m ORDER BY dim) AS centroid
+         |         FROM cd GROUP BY label),
+         |qc AS (SELECT q.vec_id AS q_id, c.label AS c_label,
+         |    round(${dotSql("q.embedding", "centroid")} /
+         |      (sqrt(${dotSql("q.embedding", "q.embedding")}) *
+         |       sqrt(${dotSql("centroid", "centroid")})), 6) AS ccos
+         |  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q,
+         |       cent c),
+         |cells AS (SELECT q_id, c_label FROM (
+         |    SELECT q_id, c_label, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY ccos DESC, c_label) AS crk
+         |    FROM qc) WHERE crk <= 2),
+         |cwv AS (SELECT label, CAST((dim - 1) // 16 AS INT) AS sub,
+         |    list(m ORDER BY dim) AS codeword
+         |  FROM cd GROUP BY 1, 2),
+         |cb AS (SELECT label, sub, codeword,
+         |    ${dotSql("codeword", "codeword")} AS cnorm2 FROM cwv),
+         |asg AS (SELECT e.vec_id, c.sub, c.label,
+         |    round(c.cnorm2 - 2 * ${sliceDot("e.embedding", "c.sub")}, 6) AS dist
+         |  FROM embeddings e, cb c),
+         |codes AS (SELECT vec_id, sub, label AS code FROM (
+         |    SELECT vec_id, sub, label, row_number() OVER (
+         |      PARTITION BY vec_id, sub ORDER BY dist, label) AS rk
+         |    FROM asg) WHERE rk = 1),
+         |lut AS (SELECT q.vec_id AS q_id, c.sub, c.label AS code,
+         |    CAST(round(${sliceDot("q.embedding", "c.sub")} * 1000000) AS BIGINT)
+         |      AS term_micro
+         |  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q,
+         |       cb c),
+         |cand AS (SELECT cells.q_id, e.vec_id FROM cells JOIN embeddings e
+         |  ON e.label = cells.c_label AND e.vec_id != cells.q_id),
+         |adc AS (SELECT cn.q_id, cn.vec_id,
+         |    round(CAST(sum(l.term_micro) AS DOUBLE) / 1000000.0, 6) AS adc
+         |  FROM cand cn JOIN codes k ON cn.vec_id = k.vec_id
+         |       JOIN lut l ON l.q_id = cn.q_id AND l.sub = k.sub
+         |         AND l.code = k.code
+         |  GROUP BY 1, 2),
+         |rk AS (SELECT q_id, vec_id, adc, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY adc DESC, vec_id) AS rk FROM adc)
+         |SELECT r.q_id, r.rk, r.vec_id, r.adc,
+         |  round(${cosineSql("qe.embedding", "e.embedding")}, 6) AS cos
+         |FROM rk r JOIN embeddings e ON r.vec_id = e.vec_id
+         |     JOIN embeddings qe ON r.q_id = qe.vec_id
+         |WHERE r.rk <= 3 ORDER BY r.q_id, r.rk""".stripMargin
+    },
+
     // Embeddings.s12CentroidDrift: per label, cosine between the train
     // centroid and each non-train centroid — grid-exact per-(label,
     // split) means via the doc_id ≡ vec_id split alignment.
@@ -1742,6 +1890,19 @@ object OraclesText {
         |  round(CAST((n * 1000000 + n_from // 2) // n_from AS DOUBLE)
         |    / 1e6, 6) AS prob
         |FROM t ORDER BY prev_type, next_type""".stripMargin,
+
+    // Events.e24PathTrigrams: per-user consecutive event-type triples
+    // in (ts, event_id) order, global top-20 with full lexicographic
+    // tie-break below the count.
+    "e24_path_trigrams" ->
+      """WITH x AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |tri AS (SELECT event_type AS t1,
+        |    lead(event_type, 1) OVER w AS t2,
+        |    lead(event_type, 2) OVER w AS t3
+        |  FROM x WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+        |SELECT t1, t2, t3, count(*) AS n FROM tri WHERE t3 IS NOT NULL
+        |GROUP BY 1, 2, 3 ORDER BY n DESC, t1, t2, t3 LIMIT 20""".stripMargin,
 
     // Events.e21ActivityHeatmap: integer dow/hour axes from epoch µs
     // (1970-01-01 = Thursday anchor), micro-division cell shares.

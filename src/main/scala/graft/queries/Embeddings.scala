@@ -556,6 +556,74 @@ object Embeddings {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** IVF-PQ ANN (s20): the two quantizers COMPOSED — the index layout
+    * of a real billion-scale vector deployment (FAISS `IVFx,PQy`).
+    * s7 contributes the coarse stage (each query ranks the exact
+    * grid-mean centroid table and probes its top-2 cells); s11
+    * contributes the fine stage (candidates score by asymmetric
+    * distance over 4 subspace code bytes — the stored vectors never
+    * enter the scoring join). The composition is what changes the
+    * scale story: ADC scans 2/nCells of the corpus instead of all of
+    * it, and the scanned fraction is code bytes, not float payloads —
+    * memory AND compute cut multiply. Survivors (3 rows per query)
+    * re-rank exactly against the stored vectors, the refine step every
+    * IVFPQ deployment runs.
+    *
+    * Shape at scale: centroid + codebook tables are quantizer-sized
+    * (broadcast); the candidate set is the probed-cell join keyed on
+    * the cell label; ADC accumulation is a 4-term integer sum grouped
+    * on (q_id, vec_id); the top-3 rides the two-phase salted rank. The
+    * oracle replays coarse ranking, code assignment, LUT quantization,
+    * cell-restricted ADC, and the exact refine in one hash-gated
+    * output.
+    */
+  def s20IvfPq(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        norm(col("embedding")).as("nrm"))
+      .persist()
+    emb.count() // eager: centroids, codebook, codes, queries, refine
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    // coarse stage (s7): nQueries × nCells is quantizer-bounded — plain
+    // window rank, no salt needed
+    val cells = queries.crossJoin(broadcast(coarseCentroids(emb)))
+      .select(col("q_id"), col("c_label"),
+        round(org.apache.spark.sql.graftfn.GraftExpressions
+            .floatDoubleVecDot(col("q_emb"), col("centroid"))
+          / (col("q_nrm") * col("c_nrm")), 6).as("ccos"))
+      .withColumn("crk", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("ccos").desc, col("c_label"))))
+      .filter(col("crk") <= 2)
+      .select(col("q_id"), col("c_label"))
+    // fine stage (s11): integer-micro LUT, 4-term ADC over code bytes
+    val codes = pqCodesOf(emb)
+    val lut = queries.crossJoin(broadcast(pqCodebook(emb)))
+      .select(col("q_id"), col("sub"), col("c_label").as("code"),
+        round(org.apache.spark.sql.graftfn.GraftExpressions.floatDoubleVecDot(
+          slice(col("q_emb"), lit(1) + col("sub") * 16, lit(16)),
+          col("codeword")) * 1e6).cast("long").as("term_micro"))
+    val cand = emb.select(col("vec_id"), col("label"))
+      .join(broadcast(cells),
+        col("label") === col("c_label") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"))
+    val adc = cand.join(codes, Seq("vec_id"))
+      .join(broadcast(lut), Seq("q_id", "sub", "code"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(round(sum(col("term_micro")).cast("double") / 1e6, 6).as("adc"))
+    val top = TopK.saltedTopK(adc, Seq(col("q_id")),
+        Seq(col("adc").desc, col("vec_id")), k = 3, saltBy = col("vec_id"))
+      .select(col("q_id"), col("rk"), col("vec_id"), col("adc"))
+      .join(broadcast(queries), Seq("q_id"))
+    emb.join(broadcast(top), Seq("vec_id"))
+      .select(col("q_id"), col("rk"), col("vec_id"), col("adc"),
+        round(cosinePre(col("q_emb"), col("q_nrm"),
+          col("embedding"), col("nrm")), 6).as("cos"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   /** Embedding centroid drift across splits (s12): per label, the
     * cosine between the train split's centroid and the val/test
     * centroids — the distribution-shift monitor a pipeline reads
@@ -810,6 +878,7 @@ object Embeddings {
     "s9_incr_semdedup" -> (s9IncrementalSemDedup _),
     "s10_kmeans_reassign" -> (s10KmeansReassign _),
     "s11_pq_adc" -> (s11PqAdc _),
+    "s20_ivfpq" -> (s20IvfPq _),
     "s12_centroid_drift" -> (s12CentroidDrift _),
     "s6_semantic_dedup" -> (s6SemanticDedup _),
     "s7_ivf_probe2" -> (s7IvfProbe2 _),

@@ -740,6 +740,39 @@ object Events {
       .orderBy(col("prev_type"), col("next_type"))
   }
 
+  /** Top user-path trigrams (e24): the frequent-sequence read of the
+    * behavioral log — per user, every ordered TRIPLE of consecutive
+    * events (the e19 lag machinery one step deeper), rolled up to the
+    * global top-20 paths. Where e19's bigram matrix answers "what
+    * follows X", the trigram table answers "what three-step flows
+    * dominate" — the query behind funnel DISCOVERY (e5/e14 check a
+    * path someone already hypothesized; this surfaces the paths worth
+    * checking). Count-descending with full lexicographic tie-break so
+    * the LIMIT truncates a total order.
+    *
+    * Shape at scale: one shuffle on user_id for the two leads (the
+    * per-task state is one user's events, the e2 bound); the trigram
+    * rollup collapses map-side to ≤ |types|³ rows before a tiny final
+    * shuffle; the global sort runs on that driver-sized table, never
+    * the event log.
+    */
+  def e24PathTrigrams(spark: SparkSession, dir: String): DataFrame =
+    pathTrigramsOf(Tables.events(spark, dir))
+
+  private[graft] def pathTrigramsOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .filter(col("t3").isNotNull)
+      .groupBy(col("event_type").as("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+      .limit(20)
+  }
+
   /** Inactivity/churn audit (e20): per user the recency clock every
     * retention dashboard starts from — last activity, event count, whole
     * days inactive relative to the corpus horizon (the max event time,
@@ -908,6 +941,7 @@ object Events {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e23_gap_percentiles" -> (e23GapPercentiles _),
     "e19_transition_matrix" -> (e19TransitionMatrix _),
+    "e24_path_trigrams" -> (e24PathTrigrams _),
     "e20_churn_table" -> (e20ChurnTable _),
     "e21_activity_heatmap" -> (e21ActivityHeatmap _),
     "e22_native_sessions" -> (e22NativeSessions _),

@@ -2194,7 +2194,187 @@ object TextDedup {
       .orderBy(col("source"))
   }
 
+  /** Sliding-window length for [[d22ExactSubstr]] — every K-token
+    * window (stride 1), versus d11's non-overlapping K-token grid.
+    */
+  val DupSpanLen = 16
+
+  /** Sliding-window exact-substring dedup (d22): the full
+    * "exact substring" pass of Lee et al. 2022 (Deduplicating Training
+    * Data Makes Language Models Better) — EVERY 16-token window
+    * (stride 1) is hashed, a window is duplicated when its hash occurs
+    * in ≥ 2 distinct documents, and per document the audit reports the
+    * duplicated-window fraction plus the LONGEST CONSECUTIVE duplicated
+    * run (max_run adjacent windows ⇒ a verbatim shared span of
+    * max_run + 15 tokens — the quantity the suffix-array
+    * implementation extracts, recovered here from overlap structure
+    * alone). d11's stride-32 grid misses a copied passage that starts
+    * mid-chunk; the stride-1 windows cannot.
+    *
+    * Shape at scale: the window explode is map-only and linear in
+    * corpus token mass (one row per token, the same bound as the
+    * shingle index); the duplicated-hash set is one partial-agg
+    * shuffle on the window hash; run-length recovery is the classic
+    * start − row_number grouping inside a per-document window whose
+    * partition size is bounded by document length, never corpus size.
+    * The slim (doc_id, start, whash) frame is persisted eagerly — it
+    * feeds the dup-hash derivation AND the flag join (the d3
+    * eager-materialization discipline).
+    */
+  def d22ExactSubstr(spark: SparkSession, dir: String): DataFrame =
+    exactSubstrOf(Tables.documents(spark, dir))
+
+  /** The stride-1 window-hash frame (doc_id, start, whash) — one row
+    * per corpus token, map-only; shared by d22, the p19 mask rollup,
+    * and the standing-side asset of the streaming ingest twin
+    * ([[graft.streaming.CorpusStreams.substrDupAtIngest]]).
+    */
+  private[graft] def windowHashes(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), toks.as("toks"))
+    .select(col("doc_id"), col("toks"),
+      explode(sequence(lit(0),
+        greatest(size(col("toks")) - DupSpanLen, lit(0)))).as("start"))
+    .select(col("doc_id"), col("start").cast("long").as("start"),
+      fastMd5(array_join(
+        slice(col("toks"), col("start") + 1, lit(DupSpanLen)), " "))
+        .as("whash"))
+
+  private[graft] def exactSubstrOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wins = windowHashes(docs).persist()
+    wins.count() // eager: dup-hash derivation + flag join both read it
+    val dupHashes = wins.groupBy(col("whash"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("whash"), lit(true).as("dup"))
+    val flagged = wins.join(dupHashes, Seq("whash"), "left").persist()
+    flagged.count() // eager: per-doc rollup + run recovery both read it
+    val perDoc = flagged.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        count(col("dup")).as("n_dup_windows"))
+    // consecutive duplicated windows share (start − row_number); the
+    // group count is the run length, per-doc max is the span verdict
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("start"))
+    val runs = flagged.filter(col("dup"))
+      .withColumn("grp", col("start") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("run")).as("max_run"))
+    perDoc.join(runs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+        round(col("n_dup_windows").cast("double") / col("n_windows"), 6)
+          .as("dup_frac"),
+        coalesce(col("max_run"), lit(0L)).as("max_run"),
+        when(coalesce(col("max_run"), lit(0L)) > 0,
+          coalesce(col("max_run"), lit(0L)) + (DupSpanLen - 1))
+          .otherwise(lit(0L)).as("dup_span_tokens"))
+      .orderBy(col("doc_id"))
+      .limit(2000)
+  }
+
+  /** Duplicated-token mask accounting (p19): per source, how many
+    * tokens sit inside SOME cross-doc duplicated window — the exact
+    * token mass a training pipeline masks from the loss (the
+    * "train-on-once" follow-through of Lee et al.'s exact-substring
+    * dedup) or deducts from effective-epoch budgets (p12's
+    * data-constrained read). Overlapping dup windows must not double-
+    * count, so the per-doc mass is a DISTRIBUTED INTERVAL UNION: dup
+    * windows [start, start+15] sorted by start inside a per-doc
+    * window, each contributing `max(0, end − max(prevMaxEnd, start−1))`
+    * new tokens (the classic sweep, expressed as one running-max
+    * window) — correct under any overlap/containment pattern.
+    *
+    * Shape at scale: reuses d22's window-hash frame (token-mass
+    * linear, map-only) and duplicated-hash shuffle; the sweep
+    * partitions on doc_id with partition size bounded by document
+    * length; the rollup is a |sources|-row partial agg. Nothing holds
+    * pair state.
+    */
+  def p19DupMask(spark: SparkSession, dir: String): DataFrame =
+    dupMaskOf(Tables.documents(spark, dir))
+
+  private[graft] def dupMaskOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sizes = docs.select(col("doc_id"), col("source"),
+      size(toks).cast("long").as("n_tok"))
+    val wins = windowHashes(docs).persist()
+    wins.count() // eager: dup-hash derivation + the semi join read it
+    val dupHashes = wins.groupBy(col("whash"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("whash"))
+    val dw = wins.join(dupHashes, Seq("whash"), "left_semi")
+      .join(sizes.select(col("doc_id"), col("n_tok")), Seq("doc_id"))
+      .select(col("doc_id"), col("start"),
+        least(col("start") + (DupSpanLen - 1), col("n_tok") - 1).as("e"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("start"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val perDoc = dw
+      .withColumn("prev_max", max(col("e")).over(w))
+      .select(col("doc_id"),
+        greatest(col("e") - greatest(coalesce(col("prev_max"), lit(-1L)),
+          col("start") - 1), lit(0L)).as("nc"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("nc")).as("masked"))
+    sizes.join(perDoc, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        sum(coalesce(col("masked"), lit(0L))).as("masked_tokens"))
+      .withColumn("mask_frac",
+        round(col("masked_tokens").cast("double") / col("total_tokens"), 6))
+      .orderBy(col("source"))
+  }
+
+  /** TF-IDF keyword extraction (t23): per document the top-3 terms by
+    * tf·idf — the per-doc topical signature a curation pipeline uses
+    * for cluster labeling, topic balancing, and search-side snippets.
+    * idf is snapped to integer micro-units at derivation
+    * (round(ln(N/df)·1e6), the t12/t16 log discipline), so the score
+    * tf·idf_micro is a BIGINT and the per-doc ranking is engine-exact
+    * with no float compare anywhere; token-ascending tie-break.
+    *
+    * Shape at scale: term frequencies are one partial-agg shuffle on
+    * (doc_id, token); document frequencies reuse that frame (already
+    * one row per (doc, token)) with a second partial agg on token; the
+    * corpus size N is a one-row broadcast; the df join is an equi-join
+    * on the token key (vocabulary-sized, hash-partitioned); the top-3
+    * is a per-document window whose partition is bounded by document
+    * vocabulary, never the corpus (the pqCodes justification).
+    */
+  def t23TfidfKeywords(spark: SparkSession, dir: String): DataFrame =
+    tfidfKeywordsOf(Tables.documents(spark, dir))
+
+  private[graft] def tfidfKeywordsOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col("doc_id"), explode(toks).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .persist()
+    tf.count() // eager: df derivation + score join both read it
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_micro").desc, col("token"))
+    tf.join(df, Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        (col("tf") * round(log(col("n_docs").cast("double") / col("df"))
+          * 1e6).cast("long")).as("score_micro"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("token"), col("tf"),
+        col("df"), col("score_micro"))
+      .orderBy(col("doc_id"), col("rk"))
+      .limit(2000)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d22_exact_substr" -> (d22ExactSubstr _),
+    "t23_tfidf_keywords" -> (t23TfidfKeywords _),
+    "p19_dup_mask" -> (p19DupMask _),
     "d1_exact_dedup" -> (d1ExactDedup _),
     "d2_minhash_signature" -> (d2MinhashSignature _),
     "d3_minhash_lsh" -> (d3MinhashLsh _),

@@ -318,6 +318,64 @@ object CorpusStreams {
       .dropDuplicates("new_id", "old_id")
   }
 
+  /** Ingest-time exact-substring duplication audit — d22's streaming
+    * half: per arriving document, how many of its stride-1 16-token
+    * windows already occur in the STANDING corpus, and the longest
+    * consecutive such run (⇒ the longest verbatim span copied from
+    * the corpus). The standing side is one driver-sized BLOOM sketch
+    * of the corpus's distinct window hashes (d19's machinery at 20
+    * bits/key, fpp ≈ 7·10⁻⁵) built once before the stream starts; the
+    * stream side is then ENTIRELY in-row — window hashes, membership
+    * flags, count, and the longest-run sweep are all higher-order
+    * array functions over one document's own row — so the query is
+    * map-only, append-mode, and holds ZERO keyed state at any corpus
+    * size (contrast [[nearDupAlerts]], whose pair aggregation is
+    * bounded-run). No false negatives (a corpus window always flags);
+    * a false positive can only inflate a count at the sketch's fpp —
+    * the production trade for a per-arrival cost independent of
+    * corpus size. At lake scale the sketch is the per-snapshot
+    * mergeable asset (MBs against TBs of window hashes).
+    */
+  def substrDupAtIngest(newDocs: DataFrame, standing: DataFrame,
+      bitsPerKey: Long = 20L): DataFrame = {
+    import graft.functions.FastMd5.fastMd5
+    import org.apache.spark.sql.graftfn.GraftExpressions
+    val K = graft.queries.TextDedup.DupSpanLen
+    val distinctW = graft.queries.TextDedup.windowHashes(standing)
+      .select(col("whash")).distinct().persist()
+    val n = distinctW.count()
+    val sketch = distinctW
+      .agg(GraftExpressions.bloomAgg(col("whash"), n, n * bitsPerKey))
+      .head().getAs[Array[Byte]](0)
+    distinctW.unpersist()
+    newDocs
+      .select(col("doc_id"),
+        split(trim(lower(col("text"))), "\\s+").as("toks"))
+      .select(col("doc_id"),
+        transform(
+          sequence(lit(0), greatest(size(col("toks")) - K, lit(0))),
+          s => fastMd5(array_join(slice(col("toks"), s + 1, lit(K)), " ")))
+          .as("whs"))
+      .select(col("doc_id"),
+        size(col("whs")).cast("long").as("n_windows"),
+        transform(col("whs"),
+          h => GraftExpressions.bloomMightContain(sketch, h)).as("flags"))
+      .select(col("doc_id"), col("n_windows"),
+        size(filter(col("flags"), f => f)).cast("long").as("n_dup_windows"),
+        aggregate(col("flags"),
+          struct(lit(0L).as("cur"), lit(0L).as("best")),
+          (acc, f) => {
+            val cur = when(f, acc.getField("cur") + 1L).otherwise(lit(0L))
+            struct(cur.as("cur"),
+              greatest(acc.getField("best"), cur).as("best"))
+          },
+          acc => acc.getField("best")).as("max_run"))
+      .withColumn("dup_frac",
+        round(col("n_dup_windows").cast("double") / col("n_windows"), 6))
+      .withColumn("dup_span_tokens",
+        when(col("max_run") > 0, col("max_run") + (K - 1)).otherwise(lit(0L)))
+  }
+
   /** Ingest-time EMBEDDING dedup against a standing collection — s9's
     * streaming half, closing the last batch-only gap in incremental
     * dedup: text (d13 ↔ [[ingestDedupAgainst]]/[[nearDupAlertsWatermarked]]),

@@ -63,6 +63,23 @@ object GraftExpressions {
           math.max(expectedItems, 1L))
         .toAggregateExpression())
 
+  /** [[bloomAgg]] with an explicit bit budget — the false-positive
+    * dial (bits/key ≈ 20 ⇒ fpp ≈ 7·10⁻⁵ vs the default sizing's 3%).
+    * Deterministic for a given key set and sizing (xxhash64 inside),
+    * so gates built on it are stable across runs and partitionings.
+    */
+  def bloomAgg(c: Column, expectedItems: Long, numBits: Long): Column =
+    ExpressionUtils.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(
+          ExpressionUtils.expression(
+            org.apache.spark.sql.functions.xxhash64(c)),
+          org.apache.spark.sql.catalyst.expressions.Literal(
+            math.max(expectedItems, 1L)),
+          org.apache.spark.sql.catalyst.expressions.Literal(
+            math.max(numBits, 64L)))
+        .toAggregateExpression())
+
   /** Membership probe against a serialized [[bloomAgg]] sketch — the
     * codegen'd `BloomFilterMightContain`, never a UDF. No false
     * negatives: a key that was added always probes true.
