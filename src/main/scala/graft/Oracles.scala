@@ -26,6 +26,16 @@ object Oracles {
   }
 
   val relational: Map[String, String] = Map(
+    // Relational.q32BasketPairs: identical DISTINCT-items basket,
+    // within-order pair join, support filter, and total-order top-100.
+    "q32_basket_pairs" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS p
+        |  FROM lineitem)
+        |SELECT a.p AS pa, b.p AS pb, count(*) AS support
+        |FROM items a JOIN items b ON a.okey = b.okey AND a.p < b.p
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY support DESC, pa, pb LIMIT 100""".stripMargin,
+
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,

@@ -53,6 +53,48 @@ object OraclesText {
       |         FROM creach GROUP BY id)""".stripMargin
 
   val dedup: Map[String, String] = Map(
+    // TextDedup.d23UnifiedDedup: text ≥0.8-Jaccard pairs + the m11
+    // banded/capped image pair chain + s6's within-cell ≥0.3-cosine
+    // pairs, unioned into one reachability closure (component = min
+    // reachable id, the d8 contract).
+    "d23_unified_dedup" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |tsizes AS (SELECT doc_id, count(*) AS n FROM sidx GROUP BY doc_id),
+         |tpairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |      count(*) AS shared
+         |    FROM sidx a JOIN sidx b
+         |      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |    GROUP BY 1, 2),
+         |tnp AS (SELECT id_a, id_b
+         |    FROM tpairs JOIN tsizes sa ON id_a = sa.doc_id
+         |                JOIN tsizes sb ON id_b = sb.doc_id
+         |    WHERE round(CAST(shared AS DOUBLE)
+         |      / (sa.n + sb.n - shared), 6) >= 0.8),
+         |$m11PairsCte,
+         |ep AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |    FROM embeddings a JOIN embeddings b
+         |      ON a.label = b.label AND a.vec_id < b.vec_id
+         |    WHERE round(${cosineSql("a.embedding", "b.embedding")}, 6)
+         |      >= 0.3),
+         |ue AS (SELECT id_a, id_b FROM tnp
+         |    UNION SELECT id_a, id_b FROM allp
+         |    UNION SELECT id_a, id_b FROM ep),
+         |uedges AS (SELECT id_a AS src, id_b AS dst FROM ue
+         |    UNION SELECT id_b, id_a FROM ue),
+         |ureach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT ureach.id, uedges.dst
+         |  FROM ureach JOIN uedges ON ureach.r = uedges.src),
+         |ucomp AS (SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component
+         |          FROM ureach GROUP BY id),
+         |usz AS (SELECT component, count(*) AS cluster_size
+         |        FROM ucomp GROUP BY 1)
+         |SELECT c.doc_id, c.component, usz.cluster_size,
+         |  (c.doc_id = c.component) AS keep
+         |FROM ucomp c JOIN usz USING (component)
+         |ORDER BY c.doc_id""".stripMargin,
+
     "d1_exact_dedup" ->
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS text_hash,
         |  min(doc_id) AS canonical_id, count(*) AS n_docs
@@ -1195,6 +1237,39 @@ object OraclesText {
   }
 
   val xent: Map[String, String] = Map(
+    // TextDedup.t24ZipfSlope: identical top-500-per-lang rank (plain
+    // row_number here — DuckDB has no single-partition hazard at oracle
+    // scale; Spark's saltedTopK emits the same rows), identical
+    // micro-nat ln snap, HUGEINT OLS moments, and the same closed-form
+    // half-up integral divisions for slope and intercept.
+    "t24_zipf_slope" ->
+      """WITH fr AS (SELECT lang, token, count(*) AS freq FROM (
+        |    SELECT lang,
+        |      unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |    FROM documents) t GROUP BY 1, 2),
+        |rk AS (SELECT lang, token, freq,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY freq DESC, token) AS rank
+        |  FROM fr),
+        |xy AS (SELECT lang,
+        |    CAST(round(ln(CAST(rank AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+        |    CAST(round(ln(CAST(freq AS DOUBLE)) * 1e6) AS BIGINT) AS y
+        |  FROM rk WHERE rank <= 500),
+        |m AS (SELECT lang, count(*) AS n_fit,
+        |    CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+        |    CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+        |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+        |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+        |  FROM xy GROUP BY 1)
+        |SELECT lang, n_fit,
+        |  CAST(((n_fit * sxy - sx * sy) * 1000000
+        |      + (n_fit * sxx - sx * sx) // 2)
+        |    // (n_fit * sxx - sx * sx) AS BIGINT) / 1e6 AS slope,
+        |  CAST((sxx * sy - sx * sxy
+        |      + (n_fit * sxx - sx * sx) // 2)
+        |    // (n_fit * sxx - sx * sx) AS BIGINT) / 1e6 AS ln_intercept
+        |FROM m ORDER BY lang""".stripMargin,
+
     // TextDedup.t12UnigramXent: corpus-unigram cross-entropy per doc.
     // ln c is snapped to integer micro-nats per vocab row so the per-doc
     // sum is exact integer math (order-independent in both engines);
@@ -1340,6 +1415,40 @@ object OraclesText {
   )
 
   val similarity: Map[String, String] = Map(
+    // Embeddings.s21Silhouette: GridMath per-dim centroid means, the
+    // |v|²−2v·m+|m|² distance from the same three folds, per-vector s
+    // snapped to micro-units, half-up HUGEINT mean per label.
+    "s21_silhouette" -> {
+      val centAvg =
+        Oracles.exactAvg("CAST(embedding[CAST(i AS INT)] AS DOUBLE)", 6, 6)
+      s"""WITH cd AS (SELECT label, CAST(i AS INT) AS dim, $centAvg AS m
+         |  FROM embeddings, range(1, 65) t(i) GROUP BY label, i),
+         |cent AS (SELECT label, list(m ORDER BY dim) AS centroid
+         |         FROM cd GROUP BY label),
+         |d AS (SELECT e.vec_id, e.label, c.label AS c_label,
+         |    sqrt(${dotSql("e.embedding", "e.embedding")}
+         |      - 2 * ${dotSql("e.embedding", "centroid")}
+         |      + ${dotSql("centroid", "centroid")}) AS dist
+         |  FROM embeddings e, cent c),
+         |ab AS (SELECT vec_id, label,
+         |    min(CASE WHEN c_label = label THEN dist END) AS a,
+         |    min(CASE WHEN c_label != label THEN dist END) AS b
+         |  FROM d GROUP BY 1, 2),
+         |sm AS (SELECT label,
+         |    CAST(round(a * 1e6) AS BIGINT) AS a_micro,
+         |    CAST(round(b * 1e6) AS BIGINT) AS b_micro,
+         |    CAST(round((b - a) / greatest(a, b) * 1e6) AS BIGINT) AS s_micro
+         |  FROM ab)
+         |SELECT label, count(*) AS n,
+         |  CAST((CAST(sum(a_micro) AS HUGEINT) + count(*) // 2)
+         |    // count(*) AS BIGINT) / 1e6 AS mean_a,
+         |  CAST((CAST(sum(b_micro) AS HUGEINT) + count(*) // 2)
+         |    // count(*) AS BIGINT) / 1e6 AS mean_b,
+         |  CAST((CAST(sum(s_micro) AS HUGEINT) + count(*) // 2)
+         |    // count(*) AS BIGINT) / 1e6 AS mean_sil
+         |FROM sm GROUP BY label ORDER BY label""".stripMargin
+    },
+
     "s1_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
          |scored AS (SELECT q_id, vec_id,
@@ -1704,6 +1813,37 @@ object OraclesText {
   )
 
   val events: Map[String, String] = Map(
+    // Events.e25SessionPairs: identical e2 sessionization, DISTINCT
+    // per-session type sets, pair support, and the HUGEINT half-up
+    // micro-lift division (Spark's decimal(38,0) intDiv twin).
+    "e25_session_pairs" ->
+      """WITH x AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |f AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+        |        OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
+        |      FROM x WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id
+        |        ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |        AS session_seq
+        |      FROM f),
+        |st AS (SELECT DISTINCT user_id, session_seq, event_type FROM s),
+        |tot AS (SELECT count(*) AS n_sessions
+        |  FROM (SELECT DISTINCT user_id, session_seq FROM st)),
+        |tc AS (SELECT event_type, count(*) AS cnt FROM st GROUP BY 1),
+        |pr AS (SELECT a.event_type AS ta, b.event_type AS tb,
+        |    count(*) AS support
+        |  FROM st a JOIN st b ON a.user_id = b.user_id
+        |    AND a.session_seq = b.session_seq
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT pr.ta, pr.tb, pr.support, ca.cnt AS cnt_a, cb.cnt AS cnt_b,
+        |  CAST((CAST(pr.support AS HUGEINT) * tot.n_sessions * 1000000
+        |      + (CAST(ca.cnt AS HUGEINT) * cb.cnt) // 2)
+        |    // (CAST(ca.cnt AS HUGEINT) * cb.cnt) AS BIGINT) / 1e6 AS lift
+        |FROM pr JOIN tc ca ON ca.event_type = pr.ta
+        |  JOIN tc cb ON cb.event_type = pr.tb, tot
+        |ORDER BY ta, tb""".stripMargin,
+
     // Events.e10CohortRetention: first-activity-hour cohorts, distinct
     // users active exactly +1h / +24h after their cohort hour.
     "e10_cohort_retention" ->
@@ -2110,6 +2250,59 @@ object OraclesText {
         |ORDER BY hour, event_type, rk LIMIT 3000""".stripMargin,
   )
 
+  /** The m11 candidate-pair CTE chain (generator-predicted phashes →
+    * banded/capped close hash pairs → capped doc-pair expansion),
+    * shared verbatim by the m11 report and the m13 histogram so the two
+    * oracles cannot drift apart.
+    */
+  private def m11PairsCte: String =
+      """p AS (SELECT doc_id,
+        |    CAST(1 + doc_id % 64 AS BIGINT) AS w,
+        |    CAST(1 + doc_id % 48 AS BIGINT) AS h
+        |  FROM documents WHERE doc_id % 3 IN (0, 1)),
+        |g AS (SELECT p.doc_id, i.i AS i, j.i AS j,
+        |    ((p.doc_id % 16777216) * 31
+        |      + (j.i * p.h // 8) * p.w + (i.i * p.w // 8)) % 16777216 AS v
+        |  FROM p, range(0, 8) i(i), range(0, 8) j(i)),
+        |l AS (SELECT doc_id, i, j,
+        |    299 * (v // 65536) + 587 * ((v // 256) % 256) + 114 * (v % 256) AS lum
+        |  FROM g),
+        |s AS (SELECT doc_id, CAST(sum(lum) AS BIGINT) AS total
+        |  FROM l GROUP BY 1),
+        |bits AS (SELECT l.doc_id,
+        |    string_agg(CASE WHEN 64 * l.lum > s.total THEN '1' ELSE '0' END,
+        |      '' ORDER BY l.j, l.i) AS phash
+        |  FROM l JOIN s USING (doc_id) GROUP BY 1),
+        |dh AS (SELECT DISTINCT phash FROM bits),
+        |bands AS (SELECT phash, b.i AS band,
+        |    substr(phash, CAST(1 + b.i * 16 AS INT), 16) AS bb
+        |  FROM dh, range(0, 4) b(i)),
+        |capped AS (SELECT phash, band, bb,
+        |    row_number() OVER (PARTITION BY band, bb ORDER BY phash) AS rk
+        |  FROM bands),
+        |hp AS (SELECT DISTINCT x.phash AS pa, y.phash AS pb
+        |  FROM capped x JOIN capped y
+        |    ON x.band = y.band AND x.bb = y.bb AND x.phash < y.phash
+        |    AND x.rk <= 256 AND y.rk <= 256),
+        |hd AS (SELECT pa, pb,
+        |    CAST(len(list_filter(range(1, 65),
+        |      i -> substr(pa, CAST(i AS INT), 1)
+        |        != substr(pb, CAST(i AS INT), 1))) AS BIGINT) AS hamming
+        |  FROM hp),
+        |closeh AS (SELECT * FROM hd WHERE hamming <= 10),
+        |slim AS (SELECT doc_id, phash FROM (SELECT doc_id, phash,
+        |    row_number() OVER (PARTITION BY phash ORDER BY doc_id) AS crk
+        |  FROM bits) WHERE crk <= 64),
+        |inter AS (SELECT least(a.doc_id, b.doc_id) AS id_a,
+        |    greatest(a.doc_id, b.doc_id) AS id_b, c.hamming
+        |  FROM closeh c JOIN slim a ON a.phash = c.pa
+        |    JOIN slim b ON b.phash = c.pb),
+        |intra AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(0 AS BIGINT) AS hamming
+        |  FROM slim a JOIN slim b
+        |    ON a.phash = b.phash AND a.doc_id < b.doc_id),
+        |allp AS (SELECT * FROM inter UNION ALL SELECT * FROM intra)""".stripMargin
+
   val multimodal: Map[String, String] = Map(
     // Multimodal.m6ImagePhash: 8×8 nearest-neighbor average-hash over
     // the decoded raster, hash-bucket clustering. The oracle replays
@@ -2176,54 +2369,18 @@ object OraclesText {
     // same capped cluster table with hamming 0 (they share all four
     // bands by construction and never route through the band cap).
     "m11_phash_neardup" ->
-      """WITH p AS (SELECT doc_id,
-        |    CAST(1 + doc_id % 64 AS BIGINT) AS w,
-        |    CAST(1 + doc_id % 48 AS BIGINT) AS h
-        |  FROM documents WHERE doc_id % 3 IN (0, 1)),
-        |g AS (SELECT p.doc_id, i.i AS i, j.i AS j,
-        |    ((p.doc_id % 16777216) * 31
-        |      + (j.i * p.h // 8) * p.w + (i.i * p.w // 8)) % 16777216 AS v
-        |  FROM p, range(0, 8) i(i), range(0, 8) j(i)),
-        |l AS (SELECT doc_id, i, j,
-        |    299 * (v // 65536) + 587 * ((v // 256) % 256) + 114 * (v % 256) AS lum
-        |  FROM g),
-        |s AS (SELECT doc_id, CAST(sum(lum) AS BIGINT) AS total
-        |  FROM l GROUP BY 1),
-        |bits AS (SELECT l.doc_id,
-        |    string_agg(CASE WHEN 64 * l.lum > s.total THEN '1' ELSE '0' END,
-        |      '' ORDER BY l.j, l.i) AS phash
-        |  FROM l JOIN s USING (doc_id) GROUP BY 1),
-        |dh AS (SELECT DISTINCT phash FROM bits),
-        |bands AS (SELECT phash, b.i AS band,
-        |    substr(phash, CAST(1 + b.i * 16 AS INT), 16) AS bb
-        |  FROM dh, range(0, 4) b(i)),
-        |capped AS (SELECT phash, band, bb,
-        |    row_number() OVER (PARTITION BY band, bb ORDER BY phash) AS rk
-        |  FROM bands),
-        |hp AS (SELECT DISTINCT x.phash AS pa, y.phash AS pb
-        |  FROM capped x JOIN capped y
-        |    ON x.band = y.band AND x.bb = y.bb AND x.phash < y.phash
-        |    AND x.rk <= 256 AND y.rk <= 256),
-        |hd AS (SELECT pa, pb,
-        |    CAST(len(list_filter(range(1, 65),
-        |      i -> substr(pa, CAST(i AS INT), 1)
-        |        != substr(pb, CAST(i AS INT), 1))) AS BIGINT) AS hamming
-        |  FROM hp),
-        |closeh AS (SELECT * FROM hd WHERE hamming <= 10),
-        |slim AS (SELECT doc_id, phash FROM (SELECT doc_id, phash,
-        |    row_number() OVER (PARTITION BY phash ORDER BY doc_id) AS crk
-        |  FROM bits) WHERE crk <= 64),
-        |inter AS (SELECT least(a.doc_id, b.doc_id) AS id_a,
-        |    greatest(a.doc_id, b.doc_id) AS id_b, c.hamming
-        |  FROM closeh c JOIN slim a ON a.phash = c.pa
-        |    JOIN slim b ON b.phash = c.pb),
-        |intra AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    CAST(0 AS BIGINT) AS hamming
-        |  FROM slim a JOIN slim b
-        |    ON a.phash = b.phash AND a.doc_id < b.doc_id),
-        |allp AS (SELECT * FROM inter UNION ALL SELECT * FROM intra)
+      s"""WITH $m11PairsCte
         |SELECT id_a, id_b, hamming, (hamming = 0) AS exact
         |FROM allp ORDER BY id_a, id_b LIMIT 2000""".stripMargin,
+
+    // Multimodal.m13HammingCurve: the identical banded/capped pair CTEs,
+    // aggregated to the per-distance histogram + triangular running sum.
+    "m13_hamming_curve" ->
+      s"""WITH $m11PairsCte,
+        |h AS (SELECT hamming, count(*) AS n_pairs FROM allp GROUP BY 1)
+        |SELECT x.hamming, x.n_pairs, CAST(sum(y.n_pairs) AS BIGINT) AS n_cum
+        |FROM h x JOIN h y ON y.hamming <= x.hamming
+        |GROUP BY 1, 2 ORDER BY x.hamming""".stripMargin,
 
     // Mirrors Multimodal.m2FrameSample: n_frames = byte length mod 7
     // (FakeDecoder), every-2nd frame index, md5(sig ':' idx) fingerprint.

@@ -929,6 +929,18 @@ object Multimodal {
 
   private[graft] def phashNearDupOf(hashes: DataFrame,
       bandCap: Int = M11_BAND_CAP,
+      clusterCap: Int = M11_CLUSTER_CAP): DataFrame =
+    phashPairsOf(hashes, bandCap, clusterCap)
+      .select(col("id_a"), col("id_b"), col("hamming"),
+        (col("hamming") === 0L).as("exact"))
+      .orderBy(col("id_a"), col("id_b"))
+      .limit(2000)
+
+  /** The full (un-limited) m11 candidate pair set — m11 emits its
+    * ordered head; [[m13HammingCurve]] aggregates the whole thing.
+    */
+  private[graft] def phashPairsOf(hashes: DataFrame,
+      bandCap: Int = M11_BAND_CAP,
       clusterCap: Int = M11_CLUSTER_CAP): DataFrame = {
     val dh = hashes.select(col("phash")).distinct()
     val bands = packedBands(dh)
@@ -967,10 +979,26 @@ object Multimodal {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         lit(0L).as("hamming"))
     inter.unionByName(intra)
-      .select(col("id_a"), col("id_b"), col("hamming"),
-        (col("hamming") === 0L).as("exact"))
-      .orderBy(col("id_a"), col("id_b"))
-      .limit(2000)
+  }
+
+  /** Hamming threshold-tuning curve (m13): how many near-dup pairs each
+    * Hamming cutoff t would admit — n_pairs per distance plus the
+    * running total n_cum — over the FULL m11 candidate set (the
+    * banded-and-capped pairs, not m11's 2000-row report head). This is
+    * the calibration read a curation pipeline does before freezing the
+    * dedup threshold (the d21 MinHash-calibration story in phash
+    * space). The histogram is ≤ 11 rows (hamming 0..10), so the
+    * cumulative is a tiny triangular self-join — associative integer
+    * sums, no global window, no single-partition stage on data that
+    * scales.
+    */
+  def m13HammingCurve(spark: SparkSession, dir: String): DataFrame = {
+    val h = phashPairsOf(phashAsset(spark, dir))
+      .groupBy(col("hamming")).agg(count(lit(1)).as("n_pairs"))
+    h.as("x").join(h.as("y"), col("y.hamming") <= col("x.hamming"))
+      .groupBy(col("x.hamming").as("hamming"), col("x.n_pairs").as("n_pairs"))
+      .agg(sum(col("y.n_pairs")).as("n_cum"))
+      .orderBy(col("hamming"))
   }
 
   /** Channel statistics over the really-decoded raster (m12): exact
@@ -1024,6 +1052,7 @@ object Multimodal {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m11_phash_neardup" -> (m11PhashNearDup _),
+    "m13_hamming_curve" -> (m13HammingCurve _),
     "m12_color_stats" -> (m12ColorStats _),
     "m1_media_features" -> (m1MediaFeatures _),
     "m2_frame_sample" -> (m2FrameSample _),

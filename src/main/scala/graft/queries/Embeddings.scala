@@ -865,7 +865,54 @@ object Embeddings {
       .orderBy(col("q_id"))
   }
 
+  /** Simplified silhouette per cluster (s21): the cluster-quality audit
+    * run before trusting IVF cells or SemDeDup clusters — for every
+    * vector, a = Euclidean distance to its OWN label centroid, b = the
+    * nearest OTHER centroid, s = (b−a)/max(a,b); report per-label means.
+    * (The "simplified" a.k.a. medoid-free silhouette: centroid distances
+    * instead of all-pairs — O(n·k) not O(n²), the only form that exists
+    * at 100 TB.) Exactness: centroids are the bit-identical GridMath
+    * per-dim means; dist² = |v|² − 2·v·m + |m|² from three fixed-order
+    * folds (float·float codegen, float·double codegen, double HOF ≙
+    * DuckDB list_reduce); per-vector s snaps to integer micro-units and
+    * the per-label mean is one half-up integral division. Shape at
+    * scale: the k-row centroid table broadcasts, the vector×centroid
+    * score is map-side (k bounded), one shuffle on label for the means.
+    */
+  def s21Silhouette(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftfn.GraftExpressions.{intDiv, floatDoubleVecDot}
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        dot(col("embedding"), col("embedding")).as("vv"))
+    val cent = coarseCentroids(emb)
+      .select(col("c_label"), col("centroid"),
+        expr("aggregate(zip_with(centroid, centroid, (x, y) -> x * y)," +
+          " 0D, (s, x) -> s + x)").as("mm"))
+    val dists = emb.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("label"), col("c_label"),
+        sqrt(col("vv") - lit(2.0) * floatDoubleVecDot(col("embedding"),
+          col("centroid")) + col("mm")).as("dist"))
+    val ab = dists.groupBy(col("vec_id"), col("label"))
+      .agg(min(when(col("c_label") === col("label"), col("dist"))).as("a"),
+        min(when(col("c_label") =!= col("label"), col("dist"))).as("b"))
+    val s = ab.select(col("label"),
+      round(col("a") * 1e6).cast("long").as("a_micro"),
+      round(col("b") * 1e6).cast("long").as("b_micro"),
+      round((col("b") - col("a")) / greatest(col("a"), col("b")) * 1e6)
+        .cast("long").as("s_micro"))
+    def meanMicro(c: Column, n: Column): Column =
+      intDiv(sum(c.cast("decimal(38,0)")) + intDiv(n.cast("decimal(38,0)"),
+        lit(2L)), n).cast("double") / 1e6
+    s.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        meanMicro(col("a_micro"), count(lit(1))).as("mean_a"),
+        meanMicro(col("b_micro"), count(lit(1))).as("mean_b"),
+        meanMicro(col("s_micro"), count(lit(1))).as("mean_sil"))
+      .orderBy(col("label"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s21_silhouette" -> (s21Silhouette _),
     "s1_cosine_topk" -> (s1CosineTopK _),
     "s19_filtered_ann" -> (s19FilteredAnn _),
     "s17_hard_negatives" -> (s17HardNegatives _),

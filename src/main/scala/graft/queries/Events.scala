@@ -938,7 +938,66 @@ object Events {
         round(expr("percentile(gap_us, 0.99)") / 1e6, 6).as("p99_gap_sec"))
       .orderBy(col("event_type"))
 
+  /** Session-level event-type co-occurrence with lift (e25): which
+    * behaviors happen TOGETHER in one visit — the association-rule
+    * read of the e2 sessions (market-basket over sessions instead of
+    * q32's orders). Each session contributes its DISTINCT type set;
+    * pairs are counted across sessions and scored with lift =
+    * P(a,b)/(P(a)·P(b)) = support·n_sessions/(cnt_a·cnt_b), snapped
+    * half-up to micro-units as ONE integral division (the q28 share
+    * discipline) so both engines agree bit-for-bit. Scale: the
+    * session self-join fans out ≤ |event types| rows per session
+    * (bounded at 5 here), the pair key space is C(|types|,2), and the
+    * two scalar aggregates (n_sessions, per-type counts) broadcast —
+    * the only real shuffle keys on user_id for the session window.
+    */
+  def e25SessionPairs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gapUs = 30L * 60 * 1000 * 1000
+    val sess = Tables.events(spark, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs, 1).otherwise(0))
+      .withColumn("session_seq",
+        sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("user_id"), col("session_seq"), col("event_type"))
+      .distinct()
+      .persist()
+    sess.count() // share the sessionize pass across the three reads
+    val totals = sess.select(col("user_id"), col("session_seq")).distinct()
+      .agg(count(lit(1)).as("n_sessions"))
+    val typeCounts = sess.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val pairs = sess.as("a").join(sess.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.session_seq") === col("b.session_seq") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("ta"), col("b.event_type").as("tb"))
+      .agg(count(lit(1)).as("support"))
+    // lift arithmetic in DECIMAL(38,0): support·n_sessions·10⁶ wraps a
+    // Long once sessions pass ~10⁸ (a 100-TB event lake does), and the
+    // DuckDB twin promotes to HUGEINT.
+    val den = (col("cnt_a").cast("decimal(38,0)") * col("cnt_b"))
+    pairs
+      .join(broadcast(typeCounts.select(col("event_type").as("ta"),
+        col("cnt").as("cnt_a"))), Seq("ta"))
+      .join(broadcast(typeCounts.select(col("event_type").as("tb"),
+        col("cnt").as("cnt_b"))), Seq("tb"))
+      .crossJoin(broadcast(totals))
+      .select(col("ta"), col("tb"), col("support"),
+        col("cnt_a"), col("cnt_b"),
+        (intDiv(col("support").cast("decimal(38,0)") * col("n_sessions")
+          * 1000000L + intDiv(den, lit(2L)), den).cast("double") / 1e6)
+          .as("lift"))
+      .orderBy(col("ta"), col("tb"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e25_session_pairs" -> (e25SessionPairs _),
     "e23_gap_percentiles" -> (e23GapPercentiles _),
     "e19_transition_matrix" -> (e19TransitionMatrix _),
     "e24_path_trigrams" -> (e24PathTrigrams _),

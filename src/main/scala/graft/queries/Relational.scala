@@ -628,7 +628,35 @@ object Relational {
         |ORDER BY c_custkey LIMIT 1000""".stripMargin)
   }
 
+  /** Market-basket pair mining (q32): support counts for part pairs
+    * co-ordered in the same order — the classic frequent-itemset
+    * first pass (A-priori level 2) every recommender / affinity
+    * pipeline runs over order lines. The within-order self-join is
+    * NOT quadratic in the table: it is quadratic in ORDER SIZE, which
+    * the schema bounds (TPC-H orders hold ≤ 7 lines), so the pair
+    * stream is a small constant multiple of lineitem and the plan is
+    * one shuffle on l_orderkey for the join plus one on the (pa, pb)
+    * pair key for the support count. At 100 TB nothing new appears:
+    * no pair matrix over parts, no driver state, and the top-100 is
+    * Spark's TakeOrderedAndProject (per-partition heaps, no global
+    * sort). DISTINCT items first so a part ordered on two lines of
+    * one order (different suppliers) counts one basket, not two.
+    */
+  def q32BasketPairs(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("p"))
+      .distinct()
+    items.as("a").join(items.as("b"),
+        col("a.okey") === col("b.okey") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+      .orderBy(desc("support"), col("pa"), col("pb"))
+      .limit(100)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q32_basket_pairs" -> (q32BasketPairs _),
     "q28_revenue_share" -> (q28RevenueShare _),
     "q29_window_battery" -> (q29WindowBattery _),
     "q30_subquery_semantics" -> (q30SubquerySemantics _),

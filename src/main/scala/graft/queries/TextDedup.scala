@@ -2371,7 +2371,89 @@ object TextDedup {
       .limit(2000)
   }
 
+  /** Zipf rank–frequency fit per language (t24): OLS slope and
+    * intercept of ln(freq) over ln(rank) for the top-500 tokens — the
+    * corpus-health check every pretraining pipeline runs (a natural
+    * corpus fits slope ≈ −1; template spam or boilerplate floods bend
+    * it). Both ln values are snapped once per (rank, freq) pair to
+    * integer micro-nats (the t12 discipline), the five OLS moments
+    * accumulate as exact integers (Σxy/Σx² per-row products stay under
+    * 2⁵³ in Long; accumulation promotes to DECIMAL(38,0) against the
+    * 100-TB-vocab overflow, HUGEINT on the DuckDB side), and slope and
+    * intercept come out of the closed-form integral divisions
+    * `(nΣxy−ΣxΣy)/(nΣx²−(Σx)²)` and `(Σx²Σy−ΣxΣxy)/(nΣx²−(Σx)²)` —
+    * identical formula both engines, so agreement is by construction.
+    * Scale: the rank is a salted two-phase top-k ([[TopK.saltedTopK]]),
+    * never a whole-vocabulary single-partition window; the fit itself
+    * aggregates 500 rows per language.
+    */
+  def t24ZipfSlope(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
+    val freqs = Tables.documents(spark, dir)
+      .select(col("lang"), explode(toks).as("token"))
+      .groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("freq"))
+    val ranked = TopK.saltedTopK(freqs, Seq(col("lang")),
+        Seq(col("freq").desc, col("token")), k = 500,
+        saltBy = col("token"), rankCol = "rank")
+      .select(col("lang"),
+        round(log(col("rank").cast("double")) * 1e6).cast("long").as("x"),
+        round(log(col("freq").cast("double")) * 1e6).cast("long").as("y"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val m = ranked.groupBy(col("lang")).agg(
+      count(lit(1)).cast("long").as("n_fit"),
+      sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+      sum(dec(col("x") * col("y"))).as("sxy"),
+      sum(dec(col("x") * col("x"))).as("sxx"))
+    val den = col("n_fit") * col("sxx") - col("sx") * col("sx")
+    val slopeNum =
+      (col("n_fit") * col("sxy") - col("sx") * col("sy")) * 1000000L
+    val interNum = col("sxx") * col("sy") - col("sx") * col("sxy")
+    m.select(col("lang"), col("n_fit"),
+        (intDiv(slopeNum + intDiv(den, lit(2L)), den).cast("double") / 1e6)
+          .as("slope"),
+        (intDiv(interNum + intDiv(den, lit(2L)), den).cast("double") / 1e6)
+          .as("ln_intercept"))
+      .orderBy(col("lang"))
+  }
+
+  /** Cross-modal unified dedup closure (d23): ONE component labeling
+    * over the union of every modality's near-dup evidence — text pairs
+    * (d8's ≥ 0.8 shingle Jaccard), image pairs (m11's banded phash
+    * Hamming ≤ 10, through the same band/cluster caps), and embedding
+    * pairs (s6's within-cell cosine ≥ 0.3) — so a sample dropped as an
+    * image dup can pull its text-dup twin into the same cluster, the
+    * transitive closure a per-modality pipeline never sees. This is the
+    * composition argument for one engine: the three pair generators are
+    * the ALREADY-GATED operators reused verbatim (the text pair table
+    * is the d8/d17/d18 run-scoped parquet asset — built once per run),
+    * and the closure is the d8 large/small-star contraction, O(log n)
+    * rounds at any scale. Per doc: its unified component (min member
+    * id), cluster size, and the min-id keeper verdict.
+    */
+  def d23UnifiedDedup(spark: SparkSession, dir: String): DataFrame = {
+    val textE = dupPairs(spark, dir).select(col("id_a"), col("id_b"))
+    val imgE = graft.multimodal.Multimodal
+      .phashPairsOf(graft.multimodal.Multimodal.phashAsset(spark, dir))
+      .select(col("id_a"), col("id_b"))
+    val embE = Embeddings.ivfNearDup(spark, dir, cellCap = None)
+      .select(col("id_a"), col("id_b"))
+    val edges = textE.unionByName(imgE).unionByName(embE)
+      .select(col("id_a").as("src"), col("id_b").as("dst")).distinct()
+    val docs = Tables.documents(spark, dir).select(col("doc_id").as("id"))
+    val (labels, _) = starContractComponents(docs, edges)
+    val comp = labels.select(col("id").as("doc_id"), col("component"))
+    val sz = comp.groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"))
+    comp.join(sz, Seq("component"))
+      .select(col("doc_id"), col("component"), col("cluster_size"),
+        (col("doc_id") === col("component")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d23_unified_dedup" -> (d23UnifiedDedup _),
+    "t24_zipf_slope" -> (t24ZipfSlope _),
     "d22_exact_substr" -> (d22ExactSubstr _),
     "t23_tfidf_keywords" -> (t23TfidfKeywords _),
     "p19_dup_mask" -> (p19DupMask _),
