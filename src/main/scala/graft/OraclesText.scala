@@ -1270,6 +1270,35 @@ object OraclesText {
         |    // (n_fit * sxx - sx * sx) AS BIGINT) / 1e6 AS ln_intercept
         |FROM m ORDER BY lang""".stripMargin,
 
+    // TextDedup.t25SourceDivergence: KL(source ‖ corpus) via the same
+    // micro-nat snap per distinct count, HUGEINT accumulation, and the
+    // KL·N_s = Σ c_st·(ln c_st − ln c_ct) + N_s·(ln N_c − ln N_s)
+    // algebra with one half-up division.
+    "t25_source_divergence" ->
+      """WITH tf AS (SELECT source, token, count(*) AS cst FROM (
+        |    SELECT source,
+        |      unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |    FROM documents) t GROUP BY 1, 2),
+        |corpus AS (SELECT token, CAST(sum(cst) AS BIGINT) AS cct
+        |  FROM tf GROUP BY 1),
+        |nsrc AS (SELECT source, CAST(sum(cst) AS BIGINT) AS n_tokens,
+        |    count(*) AS vocab
+        |  FROM tf GROUP BY 1),
+        |ncte AS (SELECT CAST(sum(cct) AS BIGINT) AS nc FROM corpus),
+        |parts AS (SELECT tf.source,
+        |    CAST(sum(CAST(tf.cst AS HUGEINT)
+        |      * (CAST(round(ln(CAST(tf.cst AS DOUBLE)) * 1e6) AS BIGINT)
+        |        - CAST(round(ln(CAST(c.cct AS DOUBLE)) * 1e6) AS BIGINT)))
+        |      AS HUGEINT) AS part
+        |  FROM tf JOIN corpus c USING (token) GROUP BY 1)
+        |SELECT n.source, n.n_tokens, n.vocab,
+        |  CAST((p.part + CAST(n.n_tokens AS HUGEINT)
+        |      * (CAST(round(ln(CAST(ncte.nc AS DOUBLE)) * 1e6) AS BIGINT)
+        |        - CAST(round(ln(CAST(n.n_tokens AS DOUBLE)) * 1e6) AS BIGINT))
+        |      + n.n_tokens // 2) // n.n_tokens AS BIGINT) / 1e6 AS kl_nats
+        |FROM parts p JOIN nsrc n USING (source), ncte
+        |ORDER BY n.source""".stripMargin,
+
     // TextDedup.t12UnigramXent: corpus-unigram cross-entropy per doc.
     // ln c is snapped to integer micro-nats per vocab row so the per-doc
     // sum is exact integer math (order-independent in both engines);

@@ -951,32 +951,50 @@ object Events {
     * two scalar aggregates (n_sessions, per-type counts) broadcast —
     * the only real shuffle keys on user_id for the session window.
     */
-  def e25SessionPairs(spark: SparkSession, dir: String): DataFrame = {
+  def e25SessionPairs(spark: SparkSession, dir: String): DataFrame =
+    sessionPairLiftOf(sessionTypeFrame(Tables.events(spark, dir)))
+
+  /** The e2 sessionization reduced to one DISTINCT (session, type) fact
+    * per session membership — the batch producer for
+    * [[sessionPairLiftOf]]; the streaming producer is
+    * [[graft.streaming.EventStreams.sessionTypeFacts]] (closed-session
+    * facts from keyed state), so replay ≡ batch is provable on the
+    * shared finisher.
+    */
+  private[graft] def sessionTypeFrame(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
     val gapUs = 30L * 60 * 1000 * 1000
-    val sess = Tables.events(spark, dir)
+    events
       .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
       .withColumn("is_new",
         when(col("prev_us").isNull ||
           unix_micros(col("ts")) - col("prev_us") > gapUs, 1).otherwise(0))
       .withColumn("session_seq",
         sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
-      .select(col("user_id"), col("session_seq"), col("event_type"))
-      .distinct()
-      .persist()
+      .select(struct(col("user_id"), col("session_seq")).as("skey"),
+        col("event_type"))
+  }
+
+  /** Pair-support + lift finisher over (skey, event_type) facts. */
+  private[graft] def sessionPairLiftOf(st: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
+    val sess = st.select(col("skey"), col("event_type")).distinct().persist()
     sess.count() // share the sessionize pass across the three reads
-    val totals = sess.select(col("user_id"), col("session_seq")).distinct()
+    val totals = sess.select(col("skey")).distinct()
       .agg(count(lit(1)).as("n_sessions"))
     val typeCounts = sess.groupBy(col("event_type"))
       .agg(count(lit(1)).as("cnt"))
-    val pairs = sess.as("a").join(sess.as("b"),
-        col("a.user_id") === col("b.user_id") &&
-          col("a.session_seq") === col("b.session_seq") &&
-          col("a.event_type") < col("b.event_type"))
-      .groupBy(col("a.event_type").as("ta"), col("b.event_type").as("tb"))
+    // per-side renames (not .as() aliases): a memory-sink relation joins
+    // itself with SHARED expression ids that alias-qualified resolution
+    // rejects as ambiguous; globally unique column names sidestep the
+    // resolver entirely and read the same from either producer
+    val aa = sess.select(col("skey").as("k_a"), col("event_type").as("ta"))
+    val bb = sess.select(col("skey").as("k_b"), col("event_type").as("tb"))
+    val pairs = aa.join(bb,
+        col("k_a") === col("k_b") && col("ta") < col("tb"))
+      .groupBy(col("ta"), col("tb"))
       .agg(count(lit(1)).as("support"))
     // lift arithmetic in DECIMAL(38,0): support·n_sessions·10⁶ wraps a
     // Long once sessions pass ~10⁸ (a 100-TB event lake does), and the

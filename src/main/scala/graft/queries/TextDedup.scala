@@ -2451,7 +2451,52 @@ object TextDedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-source distribution divergence (t25): KL(source ‖ corpus) over
+    * token unigrams — the domain-drift dashboard a mixing pipeline
+    * watches (a source whose token distribution walks away from the
+    * corpus is re-weighted or re-crawled; DoReMi-style mixing reads
+    * exactly this signal). Exact cross-engine arithmetic via the t12
+    * discipline pushed through the algebra: KL·N_s = Σ_t c_st·(ln c_st
+    * − ln c_ct) + N_s·(ln N_c − ln N_s), every ln snapped once to
+    * integer micro-nats, per-row products accumulated in
+    * DECIMAL(38,0)/HUGEINT, one half-up division by N_s at the end.
+    * Shape at scale: two shuffles on (source, token) and (token) — both
+    * natural high-cardinality keys — and a 1-row corpus total that
+    * broadcasts; nothing pairwise anywhere.
+    */
+  def t25SourceDivergence(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
+    def lnMicro(c: Column): Column =
+      round(log(c.cast("double")) * 1e6).cast("long")
+    val tf = Tables.documents(spark, dir)
+      .select(col("source"), explode(toks).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("cst"))
+      .persist()
+    tf.count() // eager: feeds the corpus, per-source, and scoring reads
+    val corpus = tf.groupBy(col("token"))
+      .agg(sum(col("cst")).cast("long").as("cct"))
+    val nc = corpus.agg(sum(col("cct")).cast("long").as("nc"))
+    val parts = tf
+      .join(corpus.withColumn("ln_cct", lnMicro(col("cct")))
+        .select(col("token"), col("ln_cct")), Seq("token"))
+      .withColumn("ln_cst", lnMicro(col("cst")))
+      .groupBy(col("source"))
+      .agg(sum(col("cst").cast("decimal(38,0)")
+          * (col("ln_cst") - col("ln_cct"))).as("part"),
+        sum(col("cst")).cast("long").as("n_tokens"),
+        count(lit(1)).as("vocab"))
+    parts.crossJoin(broadcast(nc))
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        (intDiv(col("part") + col("n_tokens").cast("decimal(38,0)")
+            * (lnMicro(col("nc")) - lnMicro(col("n_tokens")))
+            + intDiv(col("n_tokens").cast("decimal(38,0)"), lit(2L)),
+          col("n_tokens")).cast("double") / 1e6).as("kl_nats"))
+      .orderBy(col("source"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t25_source_divergence" -> (t25SourceDivergence _),
     "d23_unified_dedup" -> (d23UnifiedDedup _),
     "t24_zipf_slope" -> (t24ZipfSlope _),
     "d22_exact_substr" -> (d22ExactSubstr _),

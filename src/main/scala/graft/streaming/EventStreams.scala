@@ -365,6 +365,70 @@ object EventStreams {
       }
   }
 
+  case class SessTypeIn(user_id: Long, event_id: Long, event_type: String,
+      ts: java.sql.Timestamp)
+  /** One open session per user: bounds + the distinct types seen. The
+    * type set is bounded by |event types| (5 here) — O(1) state per key
+    * like [[SessionState]], not O(events).
+    */
+  case class SessTypeState(start: Long, last: Long, types: List[String])
+  case class SessTypeFact(user_id: Long, session_start_ms: Long,
+      event_type: String)
+
+  /** Streaming producer for the e25 session co-occurrence facts: the
+    * [[sessionize]] keyed-state machinery (event-time timeout — replay
+    * closes the same sessions as live ingestion), emitting on each
+    * session CLOSE one (user, session, type) fact per distinct type the
+    * session contained. The pair/lift finisher is the SHARED batch code
+    * ([[graft.queries.Events.sessionPairLiftOf]]) over these facts, so
+    * stream ≡ batch is a property of one code path, not two kept in
+    * sync by hand.
+    */
+  def sessionTypeFacts(events: Dataset[SessTypeIn],
+      gapMin: Int = 30): Dataset[SessTypeFact] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMin * 60L * 1000
+    def close(userId: Long, s: SessTypeState): Iterator[SessTypeFact] =
+      s.types.distinct.sorted.iterator
+        .map(t => SessTypeFact(userId, s.start, t))
+    events.withWatermark("ts", s"$gapMin minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessTypeState, SessTypeFact](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[SessTypeIn],
+            state: GroupState[SessTypeState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            close(userId, s)
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var closed = List.empty[SessTypeFact]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(s.copy(last = t,
+                    types = if (s.types.contains(e.event_type)) s.types
+                            else e.event_type :: s.types))
+                case Some(s) =>
+                  closed = closed ++ close(userId, s).toList
+                  cur = Some(SessTypeState(t, t, e.event_type :: Nil))
+                case None =>
+                  cur = Some(SessTypeState(t, t, e.event_type :: Nil))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(
+                math.max(s.last + gapMs, state.getCurrentWatermarkMs + 1))
+            }
+            closed.iterator
+          }
+      }
+  }
+
   case class AsofIn(user_id: Long, event_id: Long, event_type: String,
       ts: java.sql.Timestamp)
   /** Last view seen per user — the entire as-of state: O(1) per key. */

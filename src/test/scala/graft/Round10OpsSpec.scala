@@ -205,6 +205,84 @@ class Round10OpsSpec extends AnyFunSuite {
       "no component spans two modalities — the union adds nothing")
   }
 
+  test("t25: per-source KL divergence matches a driver-side twin; KL ≥ 0") {
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    def lnMicro(c: Long): Long =
+      BigDecimal(math.log(c.toDouble) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val tf = docs.flatMap { case (src, t) =>
+      t.trim.toLowerCase.split("\\s+", -1).map(tok => (src, tok))
+    }.groupBy(identity).map { case ((s, t), g) => (s, t, g.size.toLong) }.toSeq
+    val cct = tf.groupBy(_._2).map { case (t, g) => t -> g.map(_._3).sum }
+    val nc = cct.values.sum
+    val exp = tf.groupBy(_._1).map { case (src, rows) =>
+      val ns = rows.map(_._3).sum
+      val part = rows.map { case (_, t, c) =>
+        BigInt(c) * (lnMicro(c) - lnMicro(cct(t)))
+      }.sum
+      val num = part + BigInt(ns) * (lnMicro(nc) - lnMicro(ns))
+      val kl = ((num + BigInt(ns) / 2) / BigInt(ns)).toDouble / 1e6
+      src -> ((ns, rows.size.toLong, kl))
+    }
+    val got = graft.queries.TextDedup.t25SourceDivergence(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == exp.keySet)
+    got.foreach { case (src, g) => assert(g == exp(src), s"source $src") }
+    // Gibbs: KL ≥ 0 up to the micro-snap (tolerate one micro-nat)
+    assert(got.values.forall(_._3 >= -1e-6))
+  }
+
+  test("e25 streaming twin: closed-session facts through the shared " +
+      "finisher equal the batch pipeline") {
+    val sess = spark
+    import sess.implicits._
+    val base = 1700000000000L
+    def ev(u: Long, id: Long, typ: String, offMin: Long) =
+      graft.streaming.EventStreams.SessTypeIn(u, id, typ,
+        new java.sql.Timestamp(base + offMin * 60000))
+    // user 1: session A {view, click, view} (distinct {click,view}),
+    //   40-min gap, session B {purchase}; user 2: one session {view};
+    //   user 99 pushes the watermark far past every other session
+    val all = Seq(
+      ev(1, 1, "view", 0), ev(1, 2, "click", 5), ev(1, 3, "view", 10),
+      ev(2, 4, "view", 0),
+      ev(1, 5, "purchase", 50),
+      ev(99, 6, "signup", 600))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[graft.streaming.EventStreams.SessTypeIn]
+    val q = graft.streaming.EventStreams.sessionTypeFacts(mem.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_type_facts").start()
+    try {
+      mem.addData(all: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val facts = spark.table("sess_type_facts")
+    // user 99's session never closes (nothing moves the watermark past
+    // it) — scope the comparison to the users whose sessions closed
+    val streamed = graft.queries.Events.sessionPairLiftOf(
+        facts.select(org.apache.spark.sql.functions.struct(
+          col("user_id"), col("session_start_ms")).as("skey"),
+          col("event_type")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    val batchDf = all.filter(_.user_id != 99)
+      .map(e => (e.user_id, e.ts, e.event_id, e.event_type))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val batch = graft.queries.Events.sessionPairLiftOf(
+        graft.queries.Events.sessionTypeFrame(batchDf))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    // the crafted data has exactly one co-occurring pair: (click, view)
+    assert(streamed.map(r => (r._1, r._2, r._3)) ==
+      Seq(("click", "view", 1L)))
+  }
+
   test("m13: Hamming curve matches a twin recomputed from the phash strings") {
     val hashes = graft.multimodal.Multimodal.phashAsset(spark, dir)
       .select(col("doc_id"), col("phash"))
