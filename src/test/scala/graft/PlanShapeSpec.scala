@@ -159,6 +159,33 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p.take(800))
   }
 
+  test("q32: basket pairs — keyed equi-join, partial agg, TakeOrdered top-100") {
+    val p = plan(Relational.q32BasketPairs(spark, dir))
+    // the within-order pair join must key on l_orderkey — a nested loop
+    // over items would be quadratic in the TABLE, not the order
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    // top-100 is per-partition heaps, never a global sort of all pairs
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
+  test("s21: centroid table broadcasts; no sort-merge anywhere") {
+    val p = plan(Embeddings.s21Silhouette(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
+  test("t24: vocabulary rank is the two-phase salted top-k — no single-partition window") {
+    val p = plan(TextDedup.t24ZipfSlope(spark, dir))
+    // phase-1 ranks within (lang, salt) buckets; a plan that ranks the
+    // whole per-lang vocabulary in one window task would show a single
+    // Window with partition [lang] only — assert the salt survived
+    assert(p.contains("WindowGroupLimit"), p.take(1200))
+    assert(p.contains("pmod") || p.contains("salt") || p.contains("hash"),
+      p.take(1200))
+  }
+
   test("p15/t21: prefix-sum shape survives the per-source and vocab variants — corpus windows keyed on pid") {
     import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
