@@ -59,41 +59,39 @@ object OraclesText {
     // reachable id, the d8 contract).
     "d23_unified_dedup" ->
       s"""WITH RECURSIVE $shingleCte,
-         |tsizes AS (SELECT doc_id, count(*) AS n FROM sidx GROUP BY doc_id),
-         |tpairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |      count(*) AS shared
-         |    FROM sidx a JOIN sidx b
-         |      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |    GROUP BY 1, 2),
-         |tnp AS (SELECT id_a, id_b
-         |    FROM tpairs JOIN tsizes sa ON id_a = sa.doc_id
-         |                JOIN tsizes sb ON id_b = sb.doc_id
-         |    WHERE round(CAST(shared AS DOUBLE)
-         |      / (sa.n + sb.n - shared), 6) >= 0.8),
-         |$m11PairsCte,
-         |ep AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
-         |    FROM embeddings a JOIN embeddings b
-         |      ON a.label = b.label AND a.vec_id < b.vec_id
-         |    WHERE round(${cosineSql("a.embedding", "b.embedding")}, 6)
-         |      >= 0.3),
-         |ue AS (SELECT id_a, id_b FROM tnp
-         |    UNION SELECT id_a, id_b FROM allp
-         |    UNION SELECT id_a, id_b FROM ep),
-         |uedges AS (SELECT id_a AS src, id_b AS dst FROM ue
-         |    UNION SELECT id_b, id_a FROM ue),
-         |ureach(id, r) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT ureach.id, uedges.dst
-         |  FROM ureach JOIN uedges ON ureach.r = uedges.src),
-         |ucomp AS (SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component
-         |          FROM ureach GROUP BY id),
+         |$unifiedCompCte,
          |usz AS (SELECT component, count(*) AS cluster_size
          |        FROM ucomp GROUP BY 1)
          |SELECT c.doc_id, c.component, usz.cluster_size,
          |  (c.doc_id = c.component) AS keep
          |FROM ucomp c JOIN usz USING (component)
          |ORDER BY c.doc_id""".stripMargin,
+
+    // TextDedup.p20UnifiedSavings: the d23 closure rolled up to the
+    // per-source token ledger — identical CTE chain, min-id keepers,
+    // half-up micro savings fraction.
+    "p20_unified_savings" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |$unifiedCompCte,
+         |tokc AS (SELECT doc_id, source,
+         |    CAST(len(string_split_regex(trim(lower(text)), '\\s+'))
+         |      AS BIGINT) AS n_toks
+         |  FROM documents),
+         |j AS (SELECT t.source, t.n_toks,
+         |    (c.doc_id = c.component) AS keep
+         |  FROM tokc t JOIN ucomp c USING (doc_id)),
+         |agg AS (SELECT source, count(*) AS n_docs,
+         |    CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+         |    CAST(sum(CASE WHEN keep THEN n_toks ELSE 0 END) AS BIGINT)
+         |      AS kept_tokens,
+         |    CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS kept_docs
+         |  FROM j GROUP BY 1)
+         |SELECT source, n_docs, kept_docs, total_tokens, kept_tokens,
+         |  CAST(((total_tokens - kept_tokens) * 1000000
+         |      + total_tokens // 2) // total_tokens AS BIGINT) / 1e6
+         |    AS savings_frac
+         |FROM agg ORDER BY source""".stripMargin,
 
     "d1_exact_dedup" ->
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS text_hash,
@@ -2278,6 +2276,42 @@ object OraclesText {
         |SELECT hour, event_type, rk, user_id, n FROM r WHERE rk <= 3
         |ORDER BY hour, event_type, rk LIMIT 3000""".stripMargin,
   )
+
+  /** The d23 unified-closure CTE chain (text ≥0.8-Jaccard + m11 image
+    * pairs + s6 embedding pairs → reachability → ucomp(doc_id,
+    * component)), shared by d23 and p20. Requires `sidx` from
+    * [[shingleCte]] and a RECURSIVE WITH.
+    */
+  private def unifiedCompCte: String =
+    s"""tsizes AS (SELECT doc_id, count(*) AS n FROM sidx GROUP BY doc_id),
+       |tpairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |      count(*) AS shared
+       |    FROM sidx a JOIN sidx b
+       |      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |    GROUP BY 1, 2),
+       |tnp AS (SELECT id_a, id_b
+       |    FROM tpairs JOIN tsizes sa ON id_a = sa.doc_id
+       |                JOIN tsizes sb ON id_b = sb.doc_id
+       |    WHERE round(CAST(shared AS DOUBLE)
+       |      / (sa.n + sb.n - shared), 6) >= 0.8),
+       |$m11PairsCte,
+       |ep AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |    FROM embeddings a JOIN embeddings b
+       |      ON a.label = b.label AND a.vec_id < b.vec_id
+       |    WHERE round(${cosineSql("a.embedding", "b.embedding")}, 6)
+       |      >= 0.3),
+       |ue AS (SELECT id_a, id_b FROM tnp
+       |    UNION SELECT id_a, id_b FROM allp
+       |    UNION SELECT id_a, id_b FROM ep),
+       |uedges AS (SELECT id_a AS src, id_b AS dst FROM ue
+       |    UNION SELECT id_b, id_a FROM ue),
+       |ureach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT ureach.id, uedges.dst
+       |  FROM ureach JOIN uedges ON ureach.r = uedges.src),
+       |ucomp AS (SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component
+       |          FROM ureach GROUP BY id)""".stripMargin
 
   /** The m11 candidate-pair CTE chain (generator-predicted phashes →
     * banded/capped close hash pairs → capped doc-pair expansion),

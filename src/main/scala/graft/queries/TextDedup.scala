@@ -67,13 +67,29 @@ object TextDedup {
     * md5(i ":" shingle). One explode + one groupBy; the k mins are
     * computed as k parallel `min` aggregates (map-side partial agg).
     */
+  /** Run-scoped signature asset (the [[dupPairs]] discipline): the
+    * shingle explode + k min-hash aggregation — the expensive corpus
+    * pass — runs once per run and parquets; d2/d3/d13/d14/d21 all read
+    * the slim (doc_id, mh0..mhk) table. This is the comment at
+    * [[d3MinhashLsh]] made real: at lake scale the signature table IS a
+    * checkpointed asset, rebuilt when the corpus changes, not per query.
+    */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
-    val idx = shingleIndex(Tables.documents(spark, dir))
-    val mins = (0 until MinhashK).map { i =>
-      min(fastMd5(concat(lit(s"$i:"), col("shingle")))).as(s"mh$i")
-    }
-    idx.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val path = sigAssetPaths.computeIfAbsent(dir, _ => {
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft-minhash-" +
+        s"$dupPairRunId-${dupPairSeq.getAndIncrement()}.parquet"
+      val idx = shingleIndex(Tables.documents(spark, dir))
+      val mins = (0 until MinhashK).map { i =>
+        min(fastMd5(concat(lit(s"$i:"), col("shingle")))).as(s"mh$i")
+      }
+      idx.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    spark.read.parquet(path)
   }
+  private val sigAssetPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** MinHash signatures as a query result (doc_id + k hash columns). */
   def d2MinhashSignature(spark: SparkSession, dir: String): DataFrame =
@@ -2432,23 +2448,75 @@ object TextDedup {
     * id), cluster size, and the min-id keeper verdict.
     */
   def d23UnifiedDedup(spark: SparkSession, dir: String): DataFrame = {
-    val textE = dupPairs(spark, dir).select(col("id_a"), col("id_b"))
-    val imgE = graft.multimodal.Multimodal
-      .phashPairsOf(graft.multimodal.Multimodal.phashAsset(spark, dir))
-      .select(col("id_a"), col("id_b"))
-    val embE = Embeddings.ivfNearDup(spark, dir, cellCap = None)
-      .select(col("id_a"), col("id_b"))
-    val edges = textE.unionByName(imgE).unionByName(embE)
-      .select(col("id_a").as("src"), col("id_b").as("dst")).distinct()
-    val docs = Tables.documents(spark, dir).select(col("doc_id").as("id"))
-    val (labels, _) = starContractComponents(docs, edges)
-    val comp = labels.select(col("id").as("doc_id"), col("component"))
+    val comp = unifiedLabels(spark, dir)
     val sz = comp.groupBy(col("component"))
       .agg(count(lit(1)).as("cluster_size"))
     comp.join(sz, Seq("component"))
       .select(col("doc_id"), col("component"), col("cluster_size"),
         (col("doc_id") === col("component")).as("keep"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Run-scoped unified component labels (the [[dupPairs]] asset
+    * discipline): the three-modality closure is contracted once per
+    * run and parqueted; d23 and p20 both read the slim
+    * (doc_id, component) table.
+    */
+  private[graft] def unifiedLabels(spark: SparkSession,
+      dir: String): DataFrame = {
+    val path = unifiedLabelPaths.computeIfAbsent(dir, _ => {
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft-unified-" +
+        s"$dupPairRunId-${dupPairSeq.getAndIncrement()}.parquet"
+      val textE = dupPairs(spark, dir).select(col("id_a"), col("id_b"))
+      val imgE = graft.multimodal.Multimodal
+        .phashPairsOf(graft.multimodal.Multimodal.phashAsset(spark, dir))
+        .select(col("id_a"), col("id_b"))
+      val embE = Embeddings.ivfNearDup(spark, dir, cellCap = None)
+        .select(col("id_a"), col("id_b"))
+      val edges = textE.unionByName(imgE).unionByName(embE)
+        .select(col("id_a").as("src"), col("id_b").as("dst")).distinct()
+      val docs = Tables.documents(spark, dir).select(col("doc_id").as("id"))
+      val (labels, _) = starContractComponents(docs, edges)
+      labels.select(col("id").as("doc_id"), col("component"))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    spark.read.parquet(path)
+  }
+  private val unifiedLabelPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Cross-modal dedup savings ledger (p20): the d23 closure rolled up
+    * to the per-source token economics — what fraction of each
+    * source's token mass the unified (text+image+embedding) dedup
+    * removes under min-id canonical selection. The p13 ledger reads
+    * d8's text-only components; a source whose images or embeddings
+    * duplicate across otherwise-novel text shows savings HERE first.
+    * Savings snap half-up to micro-units as one integral division.
+    * Shape at scale: one join of the token projection against the
+    * run-scoped label asset, one partial-agg rollup on source.
+    */
+  def p20UnifiedSavings(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
+    val lab = unifiedLabels(spark, dir)
+      .select(col("doc_id"), (col("doc_id") === col("component")).as("keep"))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(toks).cast("long").as("n_toks"))
+    docs.join(lab, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).cast("long").as("kept_docs"),
+        sum(col("n_toks")).cast("long").as("total_tokens"),
+        sum(when(col("keep"), col("n_toks")).otherwise(0L)).cast("long")
+          .as("kept_tokens"))
+      .select(col("source"), col("n_docs"), col("kept_docs"),
+        col("total_tokens"), col("kept_tokens"),
+        (intDiv((col("total_tokens") - col("kept_tokens"))
+            .cast("decimal(38,0)") * 1000000L
+            + intDiv(col("total_tokens").cast("decimal(38,0)"), lit(2L)),
+          col("total_tokens")).cast("double") / 1e6).as("savings_frac"))
+      .orderBy(col("source"))
   }
 
   /** Per-source distribution divergence (t25): KL(source ‖ corpus) over
@@ -2498,6 +2566,7 @@ object TextDedup {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t25_source_divergence" -> (t25SourceDivergence _),
     "d23_unified_dedup" -> (d23UnifiedDedup _),
+    "p20_unified_savings" -> (p20UnifiedSavings _),
     "t24_zipf_slope" -> (t24ZipfSlope _),
     "d22_exact_substr" -> (d22ExactSubstr _),
     "t23_tfidf_keywords" -> (t23TfidfKeywords _),

@@ -283,6 +283,32 @@ class Round10OpsSpec extends AnyFunSuite {
       Seq(("click", "view", 1L)))
   }
 
+  test("p20: unified savings ledger matches a driver-side rollup of the " +
+      "d23 verdicts") {
+    val verdict = graft.queries.TextDedup.d23UnifiedDedup(spark, dir)
+      .select(col("doc_id"), col("keep"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).trim.toLowerCase.split("\\s+", -1).length.toLong))
+    val exp = docs.groupBy(_._2).map { case (src, ds) =>
+      val total = ds.map(_._3).sum
+      val kept = ds.filter(d => verdict(d._1)).map(_._3).sum
+      val savings = ((BigInt(total - kept) * 1000000 + BigInt(total) / 2)
+        / BigInt(total)).toDouble / 1e6
+      src -> ((ds.size.toLong, ds.count(d => verdict(d._1)).toLong,
+        total, kept, savings))
+    }
+    val got = graft.queries.TextDedup.p20UnifiedSavings(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got.keySet == exp.keySet)
+    got.foreach { case (src, g) => assert(g == exp(src), s"source $src") }
+    // the cross-modal closure must remove something somewhere
+    assert(got.values.exists(_._5 > 0), "no source saved any tokens")
+  }
+
   test("m13: Hamming curve matches a twin recomputed from the phash strings") {
     val hashes = graft.multimodal.Multimodal.phashAsset(spark, dir)
       .select(col("doc_id"), col("phash"))
