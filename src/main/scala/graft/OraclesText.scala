@@ -3381,9 +3381,120 @@ object OraclesText {
          |ORDER BY p9.doc_id""".stripMargin,
   )
 
+  // Round-11 session operators: CCNet perplexity buckets, dedup-quality
+  // calibration, tokenizer fertility, n-gram entropy curve.
+  val round11: Map[String, String] = Map(
+    // TextDedup.p21PerplexityBuckets: t12's per-doc unigram xent (the
+    // gated body restated WITHOUT its 2000-row gate window — the
+    // buckets must see every document), per-language NTILE(3)
+    // terciles ordered (xent, doc_id), per-bucket doc/token mass and
+    // exact micro-nat mean.
+    "p21_perplexity_buckets" ->
+      """WITH tok AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |tf AS (SELECT doc_id, unnest(toks) AS token FROM tok),
+        |tfm AS (SELECT doc_id, token, count(*) AS m FROM tf GROUP BY 1, 2),
+        |vocab AS (SELECT token, CAST(sum(m) AS BIGINT) AS c FROM tfm GROUP BY 1),
+        |ncte AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM vocab),
+        |d AS (SELECT doc_id,
+        |        CAST(sum(m * CAST(round(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT)) AS BIGINT) AS slnc,
+        |        CAST(sum(m) AS BIGINT) AS n_tokens
+        |      FROM tfm JOIN vocab USING (token) GROUP BY 1),
+        |x AS (SELECT doc_id, n_tokens,
+        |        round(ln(CAST(n_total AS DOUBLE))
+        |          - CAST(slnc AS DOUBLE) / (n_tokens * 1000000.0), 6) AS xent
+        |      FROM d, ncte),
+        |xl AS (SELECT x.doc_id, x.n_tokens, x.xent, doc.lang
+        |       FROM x JOIN documents doc USING (doc_id)),
+        |t AS (SELECT *, ntile(3) OVER
+        |        (PARTITION BY lang ORDER BY xent, doc_id) AS b FROM xl)
+        |SELECT lang,
+        |  CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+        |    AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  round(CAST(sum(CAST(round(xent * 1000000) AS BIGINT)) AS DOUBLE)
+        |    / count(*) / 1000000.0, 6) AS avg_xent
+        |FROM t GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
+
+    // TextDedup.p22QualityDupLift: the p4/t4 quality formula (restated
+    // without p4's gate window) ranked into global NTILE(10) deciles
+    // (quality DESC, doc_id), crossed with d1's
+    // md5-of-normalized-text dup membership.
+    "p22_quality_dup_lift" ->
+      """WITH x AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |sig AS (SELECT doc_id,
+        |  round(least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) * 0.3
+        |    + (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.3
+        |    + (CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','is','to'], t))) AS DOUBLE) / len(toks)) * 0.2
+        |    + (CAST(len(list_filter(toks, t -> length(t) >= 4)) AS DOUBLE) / len(toks)) * 0.2, 6) AS quality
+        |  FROM x),
+        |h AS (SELECT doc_id,
+        |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS hash
+        |  FROM documents),
+        |hc AS (SELECT hash, count(*) AS cnt FROM h GROUP BY 1),
+        |d AS (SELECT sig.doc_id, sig.quality, (hc.cnt > 1) AS is_dup
+        |      FROM sig JOIN h USING (doc_id) JOIN hc USING (hash)),
+        |t AS (SELECT *, ntile(10) OVER
+        |        (ORDER BY quality DESC, doc_id) AS decile FROM d)
+        |SELECT CAST(decile AS BIGINT) AS decile,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+        |  round(CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS dup_rate,
+        |  round(CAST(sum(CAST(round(quality * 1000000) AS BIGINT)) AS DOUBLE)
+        |    / count(*) / 1000000.0, 6) AS avg_quality
+        |FROM t GROUP BY 1 ORDER BY decile""".stripMargin,
+
+    // TextDedup.t26TokenFertility: chars (length) and UTF-8 bytes
+    // (strlen — Spark octet_length) per whitespace token, per language.
+    "t26_token_fertility" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split_regex(trim(lower(text)), '\s+'))) AS BIGINT)
+        |    AS total_tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |  CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+        |  round(CAST(sum(length(text)) AS DOUBLE)
+        |    / sum(len(string_split_regex(trim(lower(text)), '\s+'))), 6)
+        |    AS chars_per_token,
+        |  round(CAST(sum(strlen(text)) AS DOUBLE)
+        |    / sum(len(string_split_regex(trim(lower(text)), '\s+'))), 6)
+        |    AS bytes_per_token
+        |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    // TextDedup.t27NgramEntropy: Shannon entropy of the 1/2/3-gram
+    // distributions per source; ln c snapped to micro-nats per distinct
+    // gram (t12 discipline), Σ c·ln c in HUGEINT (t25 discipline).
+    "t27_ngram_entropy" ->
+      """WITH tok AS (SELECT source,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |g AS (
+        |  SELECT source, 1 AS n, unnest(toks) AS gram FROM tok
+        |  UNION ALL
+        |  SELECT source, 2 AS n, unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i+1])) AS gram FROM tok
+        |  UNION ALL
+        |  SELECT source, 3 AS n, unnest(list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+        |  FROM tok),
+        |c AS (SELECT source, n, gram, count(*) AS cnt FROM g GROUP BY 1, 2, 3),
+        |s AS (SELECT source, n, CAST(sum(cnt) AS BIGINT) AS n_grams,
+        |    CAST(count(*) AS BIGINT) AS vocab,
+        |    sum(CAST(cnt AS HUGEINT)
+        |      * CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000000) AS BIGINT))
+        |      AS sclnc
+        |  FROM c GROUP BY 1, 2)
+        |SELECT source, n, n_grams, vocab,
+        |  round(ln(CAST(n_grams AS DOUBLE))
+        |    - CAST(sclnc AS DOUBLE) / (CAST(n_grams AS DOUBLE) * 1000000.0), 6)
+        |    AS entropy
+        |FROM s ORDER BY source, n""".stripMargin,
+  )
+
   def all: Map[String, String] =
     dedup ++ dedupCapped ++ dedupDecision ++ dedupComponents ++ containment ++
       decontamination ++ simhash ++ text ++ xent ++ pipeline ++ similarity ++
       events ++ multimodal ++ multimodalManifest ++ survival ++ ingest ++
-      curation ++ release
+      curation ++ release ++ round11
 }

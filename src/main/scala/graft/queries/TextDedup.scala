@@ -1870,8 +1870,18 @@ object TextDedup {
     * persists: it feeds both the vocabulary aggregation and the scoring
     * join.
     */
-  def t12UnigramXent(spark: SparkSession, dir: String): DataFrame = {
-    val tfm = Tables.documents(spark, dir)
+  def t12UnigramXent(spark: SparkSession, dir: String): DataFrame =
+    unigramXentOf(Tables.documents(spark, dir))
+      .orderBy(col("doc_id"))
+      .limit(2000)
+
+  /** t12's body over any documents frame — per-doc (doc_id, n_tokens,
+    * xent), unordered and unlimited so rollups (p21's CCNet buckets)
+    * can consume EVERY document's score, not the gate's 2000-row
+    * window.
+    */
+  private[graft] def unigramXentOf(docs: DataFrame): DataFrame = {
+    val tfm = docs
       .select(col("doc_id"), explode(toks).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("m"))
@@ -1891,8 +1901,6 @@ object TextDedup {
         round(log(col("n_total").cast("double")) -
           col("slnc").cast("double") / (col("n_tokens") * lit(1e6)), 6)
           .as("xent"))
-      .orderBy(col("doc_id"))
-      .limit(2000)
   }
 
   /** Bigram-LM cross-entropy scoring (t16): the full CCNet shape that
@@ -2563,7 +2571,234 @@ object TextDedup {
       .orderBy(col("source"))
   }
 
+  // ------------------------------------------- distributed exact ranking
+
+  /** Distributed exact rank within groups — the p3/t21 prefix-sum
+    * discipline generalized: range-partition on (group, sort) so each
+    * task holds one contiguous slice, row_number WITHIN
+    * (partition, group) over task-local rows only, then add
+    * per-(partition, group) offsets computed from a tiny histogram
+    * (≤ nParts × |groups| rows, its own window runs over that tiny
+    * frame alone) broadcast back. The alternative —
+    * `row_number() OVER (PARTITION BY group ORDER BY …)` — funnels an
+    * entire group into ONE task, fatal when a group is a whole
+    * language's share of a 100 TB corpus; here nothing global ever
+    * single-tasks. Emits `r` (1-based rank within group) and `n_grp`
+    * (group size) beside the input columns.
+    */
+  private[graft] def exactRankWithin(df: DataFrame, groupKey: String,
+      sortCols: Seq[Column], nParts: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parts = df.repartitionByRange(nParts, col(groupKey) +: sortCols: _*)
+      .withColumn("pid", spark_partition_id())
+      .persist()
+    parts.count() // freeze the range sample + pid assignment (see d3)
+    val hist = parts.groupBy(col("pid"), col(groupKey))
+      .agg(count(lit(1)).as("cnt"))
+      .persist()
+    val wOff = Window.partitionBy(col(groupKey)).orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = hist
+      .withColumn("offset", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+      .select(col("pid"), col(groupKey), col("offset"))
+    val totals = hist.groupBy(col(groupKey)).agg(sum(col("cnt")).as("n_grp"))
+    val wIn = Window.partitionBy(col("pid"), col(groupKey))
+      .orderBy(sortCols: _*)
+    parts
+      .withColumn("rn", row_number().over(wIn))
+      .join(broadcast(offsets), Seq("pid", groupKey))
+      .join(broadcast(totals), Seq(groupKey))
+      .withColumn("r", col("rn").cast("long") + col("offset"))
+      .drop("pid", "rn")
+  }
+
+  /** SQL `NTILE(k)` in closed form from (exact rank, group size): the
+    * first n mod k buckets take ⌈n/k⌉ rows, the rest ⌊n/k⌋ — evaluated
+    * map-side per row, so tercile/decile assignment needs no window at
+    * all once [[exactRankWithin]] has produced the rank. `intDiv` is
+    * LEGACY eval: when q = 0 (group smaller than k) every row satisfies
+    * r ≤ rem·(q+1) = n, so the `otherwise` division by q is unreachable
+    * and must merely not ANSI-error at plan time.
+    */
+  private[graft] def ntileFromRank(r: Column, n: Column, k: Int): Column = {
+    import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
+    val q = intDiv(n, lit(k.toLong))
+    val rem = n - q * k
+    val hi = rem * (q + lit(1L))
+    when(r <= hi, intDiv(r + q, q + lit(1L)))
+      .otherwise(rem + intDiv(r - hi + q - lit(1L), q))
+  }
+
+  /** CCNet perplexity bucketing (p21): rank every document by its t12
+    * unigram cross-entropy WITHIN its language and cut each language
+    * into head/middle/tail terciles — the CCNet (Wenzek et al. 2020)
+    * partitioning step web-scale pipelines apply before mixing
+    * ("head" = most in-distribution text under the reference LM), with
+    * per-bucket doc/token mass and mean score as the mixing dashboard.
+    *
+    * Scale shape: the score pass is t12's (all shuffles on
+    * high-cardinality (doc,token)/(token)/(doc) keys); the PER-LANGUAGE
+    * tercile is the part that naively demands
+    * `ntile(3) OVER (PARTITION BY lang ORDER BY xent)` — one task per
+    * language, fatal at lake scale — and instead rides
+    * [[exactRankWithin]] (range-partition spreads each language across
+    * many tasks) + [[ntileFromRank]] (map-side closed form). The gate
+    * pins exact-tercile semantics; a production deployment could relax
+    * to broadcast approx-percentile cutpoints, but nothing here needs
+    * the relaxation to scale.
+    */
+  def p21PerplexityBuckets(spark: SparkSession, dir: String,
+      nParts: Int = 32): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val scored = unigramXentOf(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val ranked = exactRankWithin(scored, "lang",
+      Seq(col("xent"), col("doc_id")), nParts)
+    val b = ntileFromRank(col("r"), col("n_grp"), 3)
+    ranked
+      .withColumn("bucket",
+        when(b === 1, "head").when(b === 2, "middle").otherwise("tail"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("total_tokens"),
+        sum(round(col("xent") * 1e6).cast("long")).as("sx"))
+      .select(col("lang"), col("bucket"), col("n_docs"),
+        col("total_tokens"),
+        round(col("sx").cast("double") / col("n_docs") / 1e6, 6)
+          .as("avg_xent"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
+  /** Dedup-quality calibration (p22): cut the corpus into global
+    * quality-score deciles (decile 1 = best) and measure the exact-dup
+    * rate inside each — the audit that tells a pipeline whether its
+    * dedup pass preferentially removes low-quality text (the usual
+    * hope: boilerplate is both duplicated and low-quality) or is
+    * eating curated data. Composes two already-gated signals verbatim:
+    * the p4/t4 quality score and d1's md5-of-normalized-text dup
+    * membership. The global decile is [[exactRankWithin]] over a
+    * constant group key (range partitioning spreads the corpus by the
+    * quality sort key itself) + [[ntileFromRank]] — no single-task
+    * global window; the dup flag is one hash-groupBy + join back, the
+    * d1 shape. Per-doc quality is rounded at 6 decimals before ranking
+    * and ×10⁶ is an exact integer, so the decile means are exact
+    * integer sums divided once.
+    */
+  def p22QualityDupLift(spark: SparkSession, dir: String,
+      nParts: Int = 32): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val q = Ingest.admissionSignals(docs)
+      .select(col("doc_id"), col("quality"))
+    val h = docs.select(col("doc_id"),
+      fastMd5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")).as("h"))
+    val dup = h
+      .join(h.groupBy(col("h")).agg(count(lit(1)).as("cnt")), Seq("h"))
+      .select(col("doc_id"), (col("cnt") > 1).as("is_dup"))
+    val d = q.join(dup, Seq("doc_id")).withColumn("grp", lit("all"))
+    val ranked = exactRankWithin(d, "grp",
+      Seq(col("quality").desc, col("doc_id")), nParts)
+    ranked
+      .withColumn("decile", ntileFromRank(col("r"), col("n_grp"), 10))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("is_dup").cast("int")).cast("long").as("n_dups"),
+        sum(round(col("quality") * 1e6).cast("long")).as("sq"))
+      .select(col("decile"), col("n_docs"), col("n_dups"),
+        round(col("n_dups").cast("double") / col("n_docs"), 6)
+          .as("dup_rate"),
+        round(col("sq").cast("double") / col("n_docs") / 1e6, 6)
+          .as("avg_quality"))
+      .orderBy(col("decile"))
+  }
+
+  /** Tokenizer-fertility audit (t26): characters and UTF-8 bytes per
+    * whitespace token, per language — the multilingual-pipeline
+    * dashboard that decides tokenizer budget allocation (a language
+    * whose bytes-per-token is 2× pays 2× the sequence length for the
+    * same text; fertility drift across corpus releases signals
+    * encoding or segmentation regressions). Map-only signals into a
+    * 5-key partial agg — zero pairwise anything; at 100 TB this is one
+    * pass over the text bytes, the same cost class as t1/t4. Ratios
+    * divide two exact longs once, then round at 6 decimals.
+    */
+  def t26TokenFertility(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), size(toks).as("n_toks"),
+        length(col("text")).as("n_chars"),
+        octet_length(col("text")).as("n_bytes"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).cast("long").as("total_tokens"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        sum(col("n_bytes")).cast("long").as("total_bytes"))
+      .select(col("lang"), col("n_docs"), col("total_tokens"),
+        col("total_chars"), col("total_bytes"),
+        round(col("total_chars").cast("double") / col("total_tokens"), 6)
+          .as("chars_per_token"),
+        round(col("total_bytes").cast("double") / col("total_tokens"), 6)
+          .as("bytes_per_token"))
+      .orderBy(col("lang"))
+
+  /** N-gram entropy curve (t27): Shannon entropy of the unigram, bigram
+    * and trigram distributions per source — how fast conditional
+    * diversity grows with context length. A source whose entropy
+    * plateaus from n=1→3 is templated/repetitive text (the Gopher-class
+    * repetition signal at distribution level, complementing t11's
+    * per-doc ratio); natural prose keeps climbing. H = ln N −
+    * (Σ c·ln c)/N with each distinct gram's ln c snapped to integer
+    * micro-nats (the t12 discipline) and the Σ accumulated in
+    * DECIMAL(38,0) (the t25 discipline — at lake scale Σ c·ln c ~
+    * N·ln N overflows a Long around N ≈ 3·10¹¹ tokens). One shuffle on
+    * the high-cardinality (source, n, gram) key does all three orders
+    * at once (the union is map-side); the per-(source, n) rollup is a
+    * 15-row partial agg. Trigram slices clamp their length at 0 so
+    * 1-token documents contribute empty arrays, not negative-length
+    * slice errors (the p4 1-token lesson).
+    */
+  def t27NgramEntropy(spark: SparkSession, dir: String): DataFrame = {
+    def lnMicro(c: Column): Column =
+      round(log(c.cast("double")) * 1e6).cast("long")
+    val base = Tables.documents(spark, dir)
+      .select(col("source"), toks.as("toks"))
+    val n = size(col("toks"))
+    val uni = base.select(col("source"), lit(1).as("n"),
+      explode(col("toks")).as("gram"))
+    val bi = base.select(col("source"), lit(2).as("n"),
+      explode(zip_with(
+        slice(col("toks"), lit(1), greatest(n - 1, lit(0))),
+        slice(col("toks"), lit(2), greatest(n - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b))).as("gram"))
+    val tri = base.select(col("source"), lit(3).as("n"),
+      explode(zip_with(
+        slice(col("toks"), lit(1), greatest(n - 2, lit(0))),
+        zip_with(
+          slice(col("toks"), lit(2), greatest(n - 2, lit(0))),
+          slice(col("toks"), lit(3), greatest(n - 2, lit(0))),
+          (b, c) => concat(b, lit(" "), c)),
+        (a, bc) => concat(a, lit(" "), bc))).as("gram"))
+    uni.unionByName(bi).unionByName(tri)
+      .groupBy(col("source"), col("n"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("source"), col("n"))
+      .agg(sum(col("cnt")).cast("long").as("n_grams"),
+        count(lit(1)).as("vocab"),
+        sum(col("cnt").cast("decimal(38,0)") * lnMicro(col("cnt")))
+          .as("sclnc"))
+      .select(col("source"), col("n"), col("n_grams"), col("vocab"),
+        round(log(col("n_grams").cast("double")) -
+          col("sclnc").cast("double")
+            / (col("n_grams").cast("double") * 1e6), 6)
+          .as("entropy"))
+      .orderBy(col("source"), col("n"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p21_perplexity_buckets" ->
+      ((s: SparkSession, d: String) => p21PerplexityBuckets(s, d)),
+    "p22_quality_dup_lift" ->
+      ((s: SparkSession, d: String) => p22QualityDupLift(s, d)),
+    "t26_token_fertility" -> (t26TokenFertility _),
+    "t27_ngram_entropy" -> (t27NgramEntropy _),
     "t25_source_divergence" -> (t25SourceDivergence _),
     "d23_unified_dedup" -> (d23UnifiedDedup _),
     "p20_unified_savings" -> (p20UnifiedSavings _),

@@ -858,4 +858,46 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("bit_count"), p.take(1200))
     assert(!p.contains("aggregate(sequence"), p.take(1200))
   }
+
+  test("p21: terciles never plan a window NTILE — closed form over broadcast offsets") {
+    val p = plan(TextDedup.p21PerplexityBuckets(spark, dir))
+    // a `ntile(3) OVER (PARTITION BY lang ...)` would funnel each
+    // language into one task; the closed form must keep it out of the
+    // physical plan entirely
+    assert(!p.toLowerCase.contains("ntile"), p.take(1200))
+    // the rank's offset/total side tables join broadcast, and the
+    // per-partition row_number windows on (pid, lang) — task-local data
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(p.contains("row_number"), p.take(1200))
+  }
+
+  test("p22: global decile is rank-join shaped, no single-task window over the corpus") {
+    val p = plan(TextDedup.p22QualityDupLift(spark, dir))
+    assert(!p.toLowerCase.contains("ntile"), p.take(1200))
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+  }
+
+  test("t26: fertility reads only (lang, text); one partial-agg shuffle") {
+    val df = TextDedup.t26TokenFertility(spark, dir)
+    val p = plan(df)
+    val readSchema = p.split("ReadSchema: ")(1).split("\n")(0)
+    assert(readSchema.count(_ == ':') <= 2,
+      s"expected a 2-column documents read, got $readSchema")
+    // partial → final agg on the 5-value lang key, plus the result sort:
+    // no other shuffle may appear
+    assert("Exchange".r.findAllIn(p).length <= 2, p.take(1200))
+    assert(p.contains("partial_"), p.take(1200))
+  }
+
+  test("t27: one gram-key shuffle serves all three orders; union is map-side") {
+    val p = plan(TextDedup.t27NgramEntropy(spark, dir))
+    // the three n-gram legs union BEFORE the (source, n, gram) agg —
+    // hashpartitioning on the gram key must appear, and no leg may sort
+    // or window on its own
+    assert(p.contains("Union"), p.take(1200))
+    assert(!p.toLowerCase.contains("ntile") && !p.contains("row_number"),
+      p.take(1200))
+    // gram-count agg + 15-row rollup + result sort — map-side partials
+    assert(p.contains("partial_"), p.take(1200))
+  }
 }
