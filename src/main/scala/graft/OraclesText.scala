@@ -3381,9 +3381,66 @@ object OraclesText {
          |ORDER BY p9.doc_id""".stripMargin,
   )
 
+  // Embeddings.s22RecallCostCurve: the IVF nprobe sweep — centroid
+  // derivation + cell ranking ONCE (crk ≤ 4), then each leg filters
+  // crk ≤ np, takes top-3, and joins the exact brute-force top-3. The
+  // leg SQL is generated per np so all three share the cand/exact CTEs.
+  private def s22Sql: String = {
+    val centAvg =
+      Oracles.exactAvg("CAST(embedding[CAST(i AS INT)] AS DOUBLE)", 6, 6)
+    val legs = Seq(1, 2, 4).map { np =>
+      s"""l$np AS (SELECT $np AS nprobe, c.n_queries, c.total_cands, h.total_hits
+         |  FROM (SELECT CAST(count(DISTINCT q_id) AS BIGINT) AS n_queries,
+         |          CAST(count(*) AS BIGINT) AS total_cands
+         |        FROM cand WHERE crk <= $np) c,
+         |       (SELECT CAST(count(*) AS BIGINT) AS total_hits
+         |        FROM (SELECT q_id, vec_id, row_number() OVER
+         |                (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+         |              FROM cand WHERE crk <= $np) t
+         |        JOIN exact3 e ON t.q_id = e.q_id AND t.vec_id = e.vec_id
+         |        WHERE t.rk <= 3) h)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cd AS (SELECT label, CAST(i AS INT) AS dim, $centAvg AS m
+       |  FROM embeddings, range(1, 65) t(i) GROUP BY label, i),
+       |cent AS (SELECT label, list(m ORDER BY dim) AS centroid
+       |         FROM cd GROUP BY label),
+       |qc AS (SELECT q.vec_id AS q_id, q.embedding AS q_emb, c.label AS c_label,
+       |    round(${dotSql("q_emb", "centroid")} /
+       |      (sqrt(${dotSql("q_emb", "q_emb")}) *
+       |       sqrt(${dotSql("centroid", "centroid")})), 6) AS ccos
+       |  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q,
+       |       cent c),
+       |qcr AS (SELECT q_id, q_emb, c_label, row_number() OVER
+       |          (PARTITION BY q_id ORDER BY ccos DESC, c_label) AS crk
+       |        FROM qc),
+       |cand AS (SELECT q_id, crk, e.vec_id,
+       |    round(${cosineSql("q_emb", "e.embedding")}, 6) AS cos
+       |  FROM qcr JOIN embeddings e
+       |    ON e.label = qcr.c_label AND e.vec_id != qcr.q_id
+       |  WHERE qcr.crk <= 4),
+       |exq AS (SELECT q.vec_id AS q_id, e.vec_id,
+       |    round(${cosineSql("q.embedding", "e.embedding")}, 6) AS cos
+       |  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q
+       |  JOIN embeddings e ON e.vec_id != q.vec_id),
+       |exact3 AS (SELECT q_id, vec_id FROM
+       |  (SELECT q_id, vec_id, row_number() OVER
+       |     (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM exq)
+       |  WHERE rk <= 3),
+       |ex AS (SELECT CAST(count(*) AS BIGINT) AS total_exact FROM exact3),
+       |$legs
+       |SELECT nprobe, n_queries, total_cands, total_hits, total_exact,
+       |  round(CAST(total_cands AS DOUBLE) / n_queries, 6) AS avg_cands,
+       |  round(CAST(total_hits AS DOUBLE) / total_exact, 6) AS recall
+       |FROM (SELECT * FROM l1 UNION ALL SELECT * FROM l2
+       |      UNION ALL SELECT * FROM l4) legs, ex
+       |ORDER BY nprobe""".stripMargin
+  }
+
   // Round-11 session operators: CCNet perplexity buckets, dedup-quality
-  // calibration, tokenizer fertility, n-gram entropy curve.
+  // calibration, tokenizer fertility, n-gram entropy curve, ANN
+  // recall/cost Pareto sweep.
   val round11: Map[String, String] = Map(
+    "s22_recall_cost" -> s22Sql,
     // TextDedup.p21PerplexityBuckets: t12's per-doc unigram xent (the
     // gated body restated WITHOUT its 2000-row gate window — the
     // buckets must see every document), per-language NTILE(3)

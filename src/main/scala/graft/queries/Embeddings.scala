@@ -91,6 +91,78 @@ object Embeddings {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** ANN recall/cost Pareto curve (s22): the dial-turning table behind
+    * every IVF deployment decision — for nprobe ∈ {1, 2, 4}, measured
+    * recall@3 against the exact brute-force top-3 AND the scan cost
+    * that bought it (average candidates per query). s8 measures ONE
+    * configuration; s22 sweeps the dial, which is how the nprobe
+    * setting is actually chosen (pick the knee of this curve). The
+    * centroid ranking runs ONCE at the deepest probe depth; each
+    * shallower leg is a `crk ≤ np` filter over the same persisted
+    * candidate frame — three legs cost one candidate-generation pass,
+    * not three. Candidate scoring shuffles on the cell label; per-leg
+    * top-3 rides the two-phase salted rank; every downstream aggregate
+    * is a ≤10-row reduction. Counts are integers; ratios divide once
+    * and round at 6 decimals.
+    */
+  def s22RecallCostCurve(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        norm(col("embedding")).as("nrm"))
+    val centVec = coarseCentroids(emb)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    // nQueries × nCells — bounded by the quantizer, plain window safe
+    val cellsRanked = queries.crossJoin(broadcast(centVec))
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("c_label"),
+        round(org.apache.spark.sql.graftfn.GraftExpressions
+            .floatDoubleVecDot(col("q_emb"), col("centroid"))
+          / (col("q_nrm") * col("c_nrm")), 6).as("ccos"))
+      .withColumn("crk", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("ccos").desc, col("c_label"))))
+      .filter(col("crk") <= 4)
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("c_label"),
+        col("crk"))
+    val candAll = emb.join(broadcast(cellsRanked),
+        col("label") === col("c_label") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("crk"), col("vec_id"),
+        round(cosinePre(col("q_emb"), col("q_nrm"),
+          col("embedding"), col("nrm")), 6).as("cos"))
+      .persist()
+    candAll.count() // one candidate pass feeds all three legs
+    val exact3 = s1CosineTopK(spark, dir)
+      .filter(col("rk") <= 3)
+      .select(col("q_id"), col("vec_id"))
+      .persist()
+    exact3.count()
+    val totalExact = exact3.agg(count(lit(1)).as("total_exact"))
+    val legs = Seq(1, 2, 4).map { np =>
+      val cand = candAll.filter(col("crk") <= np)
+      val stats = cand.agg(count(lit(1)).as("total_cands"),
+        countDistinct(col("q_id")).as("n_queries"))
+      val hits = TopK.saltedTopK(
+          cand.select(col("q_id"), col("vec_id"), col("cos")),
+          Seq(col("q_id")), Seq(col("cos").desc, col("vec_id")),
+          k = 3, saltBy = col("vec_id"))
+        .select(col("q_id"), col("vec_id"))
+        .join(exact3, Seq("q_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("total_hits"))
+      stats.crossJoin(hits).crossJoin(totalExact)
+        .select(lit(np).as("nprobe"), col("n_queries"), col("total_cands"),
+          col("total_hits"), col("total_exact"))
+    }
+    legs.reduce(_.unionByName(_))
+      .select(col("nprobe"), col("n_queries"), col("total_cands"),
+        col("total_hits"), col("total_exact"),
+        round(col("total_cands").cast("double") / col("n_queries"), 6)
+          .as("avg_cands"),
+        round(col("total_hits").cast("double") / col("total_exact"), 6)
+          .as("recall"))
+      .orderBy(col("nprobe"))
+  }
+
   /** IVF-style near-dup: exact pairwise cosine *within* each coarse
     * cluster (the `label` column plays the IVF centroid assignment).
     * The pair join is per-label, so work is Σ n_c² instead of n² — the
@@ -912,6 +984,7 @@ object Embeddings {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s22_recall_cost" -> (s22RecallCostCurve _),
     "s21_silhouette" -> (s21Silhouette _),
     "s1_cosine_topk" -> (s1CosineTopK _),
     "s19_filtered_ann" -> (s19FilteredAnn _),

@@ -2648,16 +2648,8 @@ object TextDedup {
     * the relaxation to scale.
     */
   def p21PerplexityBuckets(spark: SparkSession, dir: String,
-      nParts: Int = 32): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val scored = unigramXentOf(docs)
-      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
-    val ranked = exactRankWithin(scored, "lang",
-      Seq(col("xent"), col("doc_id")), nParts)
-    val b = ntileFromRank(col("r"), col("n_grp"), 3)
-    ranked
-      .withColumn("bucket",
-        when(b === 1, "head").when(b === 2, "middle").otherwise("tail"))
+      nParts: Int = 32): DataFrame =
+    perplexityBucketsPerDoc(Tables.documents(spark, dir), nParts)
       .groupBy(col("lang"), col("bucket"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).cast("long").as("total_tokens"),
@@ -2667,6 +2659,22 @@ object TextDedup {
         round(col("sx").cast("double") / col("n_docs") / 1e6, 6)
           .as("avg_xent"))
       .orderBy(col("lang"), col("bucket"))
+
+  /** p21's per-document half: (doc_id, lang, n_tokens, xent, bucket) —
+    * shared by the rollup above and the streaming twin
+    * ([[graft.streaming.CorpusStreams.perplexityBucketAlerts]]), whose
+    * cutpoint derivation must agree with the batch bucketing
+    * row-for-row.
+    */
+  private[graft] def perplexityBucketsPerDoc(docs: DataFrame,
+      nParts: Int = 32): DataFrame = {
+    val scored = unigramXentOf(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val ranked = exactRankWithin(scored, "lang",
+      Seq(col("xent"), col("doc_id")), nParts)
+    val b = ntileFromRank(col("r"), col("n_grp"), 3)
+    ranked.withColumn("bucket",
+      when(b === 1, "head").when(b === 2, "middle").otherwise("tail"))
   }
 
   /** Dedup-quality calibration (p22): cut the corpus into global

@@ -237,6 +237,74 @@ object CorpusStreams {
           / (col("n_bigrams") * lit(1e6)), 6).as("xent"))
   }
 
+  /** Ingest-time CCNet bucket assignment against a standing corpus —
+    * p21's streaming half, and exactly how CCNet deploys: the unigram
+    * LM and the per-language head/middle/tail CUTPOINTS are trained
+    * OFFLINE on the standing corpus (the batch p21 bucketing run once,
+    * its tercile boundaries — the max (xent, doc_id) of each of the
+    * first two buckets — broadcast as a ≤|langs|-row asset), and every
+    * ARRIVING document is scored under the frozen LM and bucketed by
+    * comparing its (xent, doc_id) against the cutpoints map-side. The
+    * stream explodes token INSTANCES (Σ over instances ≡ Σ m·ln c, so
+    * no per-doc pre-agg on the stream side), left-joins the static
+    * vocabulary (a token the standing corpus never saw scores
+    * ln 1 = 0 — count-1 smoothing, documented divergence from the
+    * batch run where unseen cannot occur), and aggregates per
+    * (event-time window, doc) so state evicts at the watermark and
+    * buckets emit once in append mode. For documents that ARE in the
+    * standing corpus the assignment equals the batch p21 bucket
+    * row-for-row — bucket membership r ≤ r_cut is equivalent to
+    * (xent, doc_id) ≤ cut under the rank's own sort order —
+    * which `StreamingSpec` pins by replay.
+    */
+  def perplexityBucketAlerts(newDocs: DataFrame, standing: DataFrame,
+      watermarkDelay: String = "10 minutes",
+      windowDur: String = "10 minutes"): DataFrame = {
+    val toks = split(trim(lower(col("text"))), "\\s+")
+    // OFFLINE assets (persist: the static side of a stream-static join
+    // re-evaluates per micro-batch; the LM and cutpoints must pin, both
+    // for cost and because the cutpoint derivation runs the full batch
+    // ranking — see lmXentAlerts for the discipline)
+    val vocab = standing.select(explode(toks).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .withColumn("lnc_micro",
+        round(log(col("c").cast("double")) * 1e6).cast("long"))
+      .persist()
+    vocab.count()
+    val nTotal = vocab.agg(sum(col("c")).as("n_total")).persist()
+    nTotal.count()
+    val cuts = graft.queries.TextDedup.perplexityBucketsPerDoc(standing)
+      .filter(col("bucket") =!= "tail")
+      .groupBy(col("lang"), col("bucket"))
+      .agg(max(struct(col("xent"), col("doc_id"))).as("cut"))
+      .groupBy(col("lang"))
+      .agg(max(when(col("bucket") === "head", col("cut"))).as("cut_head"),
+        max(when(col("bucket") === "middle", col("cut"))).as("cut_mid"))
+      .persist()
+    cuts.count()
+    newDocs
+      .select(col("doc_id").cast("long"), col("lang"),
+        col("arrival_ts").cast("timestamp"), toks.as("toks"))
+      .select(col("doc_id"), col("lang"), col("arrival_ts"),
+        explode(col("toks")).as("token"))
+      .withWatermark("arrival_ts", watermarkDelay)
+      .join(vocab.select(col("token"), col("lnc_micro")), Seq("token"), "left")
+      .groupBy(window(col("arrival_ts"), windowDur),
+        col("doc_id"), col("lang"))
+      .agg(sum(coalesce(col("lnc_micro"), lit(0L))).as("slnc"),
+        count(lit(1)).as("n_tokens"))
+      .crossJoin(broadcast(nTotal))
+      .withColumn("xent",
+        round(log(col("n_total").cast("double")) -
+          col("slnc").cast("double") / (col("n_tokens") * lit(1e6)), 6))
+      .join(broadcast(cuts), Seq("lang"), "left")
+      .withColumn("sd", struct(col("xent"), col("doc_id")))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("xent"),
+        when(col("sd") <= col("cut_head"), "head")
+          .when(col("sd") <= col("cut_mid"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** Ingest-time IMAGE dedup against a standing corpus — m6's streaming
     * half, completing incremental dedup across all three content
     * spaces: text (d13 / [[ingestDedupAgainst]]), embeddings (s9), and

@@ -769,6 +769,57 @@ class StreamingSpec extends AnyFunSuite {
         s"diff=${(streamed.toSet diff batch.toSet).take(3)}")
   }
 
+  test("streaming CCNet bucket assignment equals batch p21 on replayed standing docs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(21)
+    val vocab = (1 to 25).map("w" + _)
+    val langs = Seq("en", "de", "es")
+    val docs = (1 to 72).map { i =>
+      (i.toLong, langs(i % langs.size), (0 until (3 + rnd.nextInt(15)))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val standing = docs.toDF("doc_id", "lang", "text")
+    val ts0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    val flushTs = java.sql.Timestamp.valueOf("2026-01-01 12:00:00")
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String, java.sql.Timestamp)]
+    val q = graft.streaming.CorpusStreams
+      .perplexityBucketAlerts(
+        mem.toDS().toDF("doc_id", "lang", "text", "arrival_ts"), standing)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ccnet_buckets").start()
+    try {
+      // replay the standing docs, plus one UNSEEN doc whose tokens all
+      // exist in the LM (novel arrivals get a real score, not a crash)
+      mem.addData(docs.map(d => (d._1, d._2, d._3, ts0)): _*)
+      mem.addData((500L, "en", vocab.take(6).mkString(" "), ts0))
+      q.processAllAvailable()
+      mem.addData((999L, "en", "flush doc here", flushTs))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("ccnet_buckets")
+      .filter(col("doc_id") =!= 999L)
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    val batch = graft.queries.TextDedup
+      .perplexityBucketsPerDoc(standing)
+      .select(col("doc_id"), col("bucket"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // replayed docs: bucket-for-bucket identical to the batch ranking
+    docs.foreach { d =>
+      assert(streamed(d._1) == batch(d._1),
+        s"doc ${d._1}: stream=${streamed(d._1)} batch=${batch(d._1)}")
+    }
+    // the novel doc got assigned SOME bucket by score
+    assert(Set("head", "middle", "tail").contains(streamed(500L)))
+    // each lang's replay must hit all three buckets at this size
+    val byLang = docs.groupBy(_._2)
+    byLang.foreach { case (_, g) =>
+      assert(g.map(d => streamed(d._1)).toSet == Set("head", "middle", "tail"))
+    }
+  }
+
   test("streaming image dedup admits only novel rasters (m6 twin, incremental across formats)") {
     import spark.implicits._
     import graft.multimodal.Multimodal
