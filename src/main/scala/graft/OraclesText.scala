@@ -3441,6 +3441,29 @@ object OraclesText {
   // recall/cost Pareto sweep.
   val round11: Map[String, String] = Map(
     "s22_recall_cost" -> s22Sql,
+
+    // TextDedup.p23DoremiStep: one DoReMi mirror-descent update over
+    // t25's gated KL (composed verbatim as a CTE). Boosted weights are
+    // rounded at 6 decimals BEFORE the normalizer sums them in exact
+    // micro units, so the final weight is one BIGINT/BIGINT divide —
+    // libm exp variance cannot propagate into Z.
+    "p23_doremi_step" -> {
+      s"""WITH kl AS (${xent("t25_source_divergence")}),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS n_total FROM kl),
+         |scored AS (SELECT source, n_tokens, kl_nats,
+         |    round(CAST(n_tokens AS DOUBLE) / n_total, 6) AS base_share,
+         |    round(round(CAST(n_tokens AS DOUBLE) / n_total, 6)
+         |      * exp(1.0 * kl_nats), 6) AS boosted
+         |  FROM kl, tot),
+         |sm AS (SELECT source, n_tokens, kl_nats, base_share, boosted,
+         |    CAST(round(boosted * 1000000) AS BIGINT) AS boosted_micro
+         |  FROM scored),
+         |z AS (SELECT CAST(sum(boosted_micro) AS BIGINT) AS z_micro FROM sm)
+         |SELECT source, n_tokens, kl_nats, base_share, boosted,
+         |  round(CAST(boosted_micro AS DOUBLE) / CAST(z_micro AS DOUBLE), 6)
+         |    AS weight
+         |FROM sm, z ORDER BY source""".stripMargin
+    },
     // TextDedup.p21PerplexityBuckets: t12's per-doc unigram xent (the
     // gated body restated WITHOUT its 2000-row gate window — the
     // buckets must see every document), per-language NTILE(3)

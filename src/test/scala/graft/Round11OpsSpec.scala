@@ -166,6 +166,31 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(got.map(_._2).sum == docs.size.toLong)
   }
 
+  test("p23: DoReMi step matches a driver-side twin over the gated KL") {
+    val kl = graft.queries.TextDedup.t25SourceDivergence(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(3))).toSeq
+    val nTotal = kl.map(_._2).sum
+    val rows = kl.map { case (src, n, k) =>
+      val base = round6(n.toDouble / nTotal)
+      val boosted = round6(base * math.exp(1.0 * k))
+      (src, n, k, base, boosted, halfUpMicro(boosted))
+    }
+    val z = rows.map(_._6).sum
+    val exp = rows.map(r => (r._1, r._2, r._3, r._4, r._5,
+      round6(r._6.toDouble / z.toDouble))).sortBy(_._1)
+    val got = graft.queries.TextDedup.p23DoremiStep(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got == exp)
+    // weights normalize (up to the per-source 6-decimal round) and the
+    // most divergent source is boosted ABOVE its base share
+    assert(math.abs(got.map(_._6).sum - 1.0) < got.size * 1e-6 + 1e-9)
+    val maxKl = got.maxBy(_._3)
+    assert(maxKl._6 >= maxKl._4,
+      s"most divergent source ${maxKl._1} not up-weighted")
+  }
+
   test("t26: tokenizer fertility matches a driver-side twin") {
     val docs = Tables.documents(spark, dir)
       .select(col("lang"), col("text")).collect()
