@@ -2592,6 +2592,43 @@ object OraclesText {
         |LEFT JOIN (SELECT doc_id, max(len) AS m FROM rl GROUP BY 1) mx
         |  ON t.doc_id = mx.doc_id
         |ORDER BY t.doc_id LIMIT 2000""".stripMargin,
+
+    // Multimodal.m14AudioFingerprint: the m9 window-energy grid folded
+    // into a 2-bit-per-window envelope fingerprint (quiet bit = the m9
+    // integer cross-multiplication, rise bit = energy up vs previous
+    // window), MSB-first — sum((q·2+r)·4^(nw−rn)) is exactly the Spark
+    // fold fp = fp·4 + q·2 + r. Dup groups key (n_windows, fingerprint).
+    "m14_audio_fingerprint" ->
+      """WITH p AS (SELECT doc_id, 1000 + (doc_id % 500) * 8 AS n
+        |  FROM documents),
+        |s AS (SELECT p.doc_id, p.n, i // 500 AS w,
+        |    ((p.doc_id % 65536) * 2654435761 + i * 40503) % 65536 - 32768 AS v
+        |  FROM p, range(0, 4992) t(i) WHERE i < p.n),
+        |ws AS (SELECT doc_id, max(n) AS n, w, CAST(count(*) AS BIGINT) AS wl,
+        |    CAST(sum(v * v) AS BIGINT) AS wsq
+        |  FROM s GROUP BY doc_id, w),
+        |tot AS (SELECT doc_id, CAST(sum(wsq) AS BIGINT) AS tsq,
+        |    CAST(count(*) AS INT) AS nw
+        |  FROM ws GROUP BY 1),
+        |bits AS (SELECT ws.doc_id,
+        |    CASE WHEN ws.wsq * ws.n < t.tsq * ws.wl THEN 1 ELSE 0 END AS q,
+        |    CASE WHEN ws.wsq > lag(ws.wsq) OVER (PARTITION BY ws.doc_id
+        |      ORDER BY ws.w) THEN 1 ELSE 0 END AS r,
+        |    t.nw,
+        |    row_number() OVER (PARTITION BY ws.doc_id ORDER BY ws.w) AS rn
+        |  FROM ws JOIN tot t ON ws.doc_id = t.doc_id),
+        |fp AS (SELECT doc_id, CAST(max(nw) AS INT) AS n_windows,
+        |    CAST(sum((q * 2 + r) * (CAST(1 AS BIGINT) << (2 * (nw - rn))))
+        |      AS BIGINT) AS fingerprint
+        |  FROM bits GROUP BY doc_id),
+        |g AS (SELECT n_windows, fingerprint,
+        |    CAST(count(*) AS BIGINT) AS n_dups, min(doc_id) AS canon_id
+        |  FROM fp GROUP BY 1, 2)
+        |SELECT f.doc_id, f.n_windows, f.fingerprint, g.n_dups,
+        |  (f.doc_id = g.canon_id) AS is_canonical
+        |FROM fp f JOIN g ON f.n_windows = g.n_windows
+        |  AND f.fingerprint = g.fingerprint
+        |ORDER BY f.doc_id LIMIT 2000""".stripMargin,
   )
 
   /** The v4 product-limit SQL — shared so v6 can compose it as a CTE

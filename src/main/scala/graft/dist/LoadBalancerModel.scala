@@ -62,14 +62,72 @@ object LoadBalancerModel {
     new Pipeline().setStages(stages.toArray).fit(training)
   }
 
+  /** NN twin of the reference's `best_nn_model[_no_min_max].pkl`
+    * (metaheuristics.py:92-102): the SAME StringIndexer/MinMax feature
+    * prep as every other variant (fitted as a regressor-less pipeline),
+    * then [[MlpRegressor]] on the collected (features, time) rows.
+    * Training data is the accumulated metrics table — bounded per run —
+    * so the collect here moves the same rows the reference pickles.
+    */
+  def trainMlp(spark: SparkSession, training: DataFrame,
+      useMinMax: Boolean = true, hidden: Int = 100, maxIter: Int = 200,
+      lr: Double = 1e-3, seed: Long = 42L): (PipelineModel, MlpRegressor.Model) = {
+    val prep = trainPrep(training, useMinMax)
+    val rows = prep.transform(training)
+      .select(col("features"), col("execution_time").cast("double"))
+      .collect()
+    val xs = rows.map(_.getAs[org.apache.spark.ml.linalg.Vector](0).toArray)
+    val ys = rows.map(_.getDouble(1))
+    (prep, MlpRegressor.fit(xs, ys, hidden, maxIter, lr, seed))
+  }
+
+  /** Per-star predicted seconds through the MLP: prep pipeline on the
+    * ≤ n_stars rows, pure driver-side forward pass.
+    */
+  def predictMlp(spark: SparkSession, prep: PipelineModel,
+      mlp: MlpRegressor.Model, stars: Array[Star],
+      params: SvmParameters): Map[Int, Double] = {
+    import spark.implicits._
+    val rows = stars.map(s => (s.idx, s.nSelected, params.numberOfSamples,
+      params.kernel, params.optimizer)).toSeq
+      .toDF("star_idx", "n_features", "n_samples", "kernel", "optimizer")
+    prep.transform(rows)
+      .select(col("star_idx"), col("features"))
+      .collect()
+      .map(r => r.getInt(0) ->
+        mlp.predict(r.getAs[org.apache.spark.ml.linalg.Vector](1).toArray))
+      .toMap
+  }
+
+  /** The shared feature-prep stages fitted WITHOUT a regressor, so the
+    * MLP variants see byte-identical features to the Spark ML ones. */
+  private def trainPrep(training: DataFrame, useMinMax: Boolean): PipelineModel = {
+    val kernelIx = new StringIndexer().setInputCol("kernel")
+      .setOutputCol("kernel_enc").setHandleInvalid("keep")
+      .setStringOrderType("alphabetAsc")
+    val optimizerIx = new StringIndexer().setInputCol("optimizer")
+      .setOutputCol("optimizer_enc").setHandleInvalid("keep")
+      .setStringOrderType("alphabetAsc")
+    val numAssembler = new VectorAssembler()
+      .setInputCols(Array("n_features", "n_samples")).setOutputCol("num_raw")
+    val scaler = new MinMaxScaler().setInputCol("num_raw").setOutputCol("num_scaled")
+    val assembler = new VectorAssembler()
+      .setInputCols(Array(if (useMinMax) "num_scaled" else "num_raw",
+        "kernel_enc", "optimizer_enc"))
+      .setOutputCol("features")
+    val stages = Seq(kernelIx, optimizerIx, numAssembler) ++
+      (if (useMinMax) Seq(scaler) else Nil) ++ Seq(assembler)
+    new Pipeline().setStages(stages.toArray).fit(training)
+  }
+
   /** The debug model-comparison report (`report_all_load_balancer_models`,
     * /root/reference/scripts/metaheuristics.py:29-102): per-star predicted
     * times from every pipeline variant, one log line each. The reference
     * loads 10 pretrained pickles (linear d∈{1,2,3} ±MinMax, gradient
-    * booster ±MinMax, NN ±MinMax); this engine trains its variants from
-    * the accumulated metrics instead — linear d∈{1,2,3} ±MinMax and GBT
-    * ±MinMax. (Spark ML ships no MLP *regressor*, so the two NN pickles
-    * have no twin; the GBT pair is the reference's own best model.)
+    * booster ±MinMax, NN ±MinMax); this engine trains all 10 variants
+    * from the accumulated metrics instead — linear d∈{1,2,3} ±MinMax,
+    * GBT ±MinMax, and the [[MlpRegressor]] NN pair (Spark ML ships no
+    * MLP regressor, so the NN twin is the in-repo exact-math one).
     * Log-only and opt-in — debug cost, never on the scheduling path.
     */
   def reportAllModels(spark: SparkSession, training: DataFrame,
@@ -84,15 +142,23 @@ object LoadBalancerModel {
       ("Linear d=3 NO MinMax", Some(3), false, "linear"),
       ("Gradient booster with MinMax", None, true, "gbt"),
       ("Gradient booster NO MinMax", None, false, "gbt"))
-    variants.foreach { case (label, degree, minMax, reg) =>
-      val model = train(spark, training, degree, minMax, reg)
+    def logTimes(label: String, timed: () => Map[Int, Double]): Unit = {
       val start = System.nanoTime()
-      val times = predict(spark, model, stars, params)
+      val times = timed()
       val diff = math.round((System.nanoTime() - start) / 1e5) / 1e4
       val byStar = times.toSeq.sortBy(_._1)
         .map { case (k, v) => s"$k: ${math.round(v * 1e4) / 1e4}" }
         .mkString("{", ", ", "}")
       log(s"Predicted $label (in $diff seconds): $byStar")
+    }
+    variants.foreach { case (label, degree, minMax, reg) =>
+      val model = train(spark, training, degree, minMax, reg)
+      logTimes(label, () => predict(spark, model, stars, params))
+    }
+    Seq(("NN with MinMax", true), ("NN NO MinMax", false)).foreach {
+      case (label, minMax) =>
+        val (prep, mlp) = trainMlp(spark, training, minMax)
+        logTimes(label, () => predictMlp(spark, prep, mlp, stars, params))
     }
   }
 

@@ -247,20 +247,8 @@ object Multimodal {
       .as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
-          val rate = 8000 + (id % 3).toInt * 4000
-          val n = 1000 + (id % 500).toInt * 8
-          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(AudioGen.wavBytes(rate, n, id)))
-          val data = try ais.readAllBytes() finally ais.close()
-          val nSamples = data.length / 2
-          val nWin = (nSamples + winLen - 1) / winLen
-          val winSq = new Array[Long](nWin)
-          var i = 0
-          while (i + 1 < data.length) {
-            val s = ((data(i + 1) << 8) | (data(i) & 0xff)).toShort
-            winSq((i / 2) / winLen) += s.toLong * s
-            i += 2
-          }
+          val (nSamples, winSq) = windowEnergies(id, winLen)
+          val nWin = winSq.length
           val totalSq = winSq.sum
           var quiet = 0; var run = 0; var best = 0
           var w = 0
@@ -279,6 +267,84 @@ object Multimodal {
         col("longest_quiet_run"),
         round(col("n_quiet").cast("double") / col("n_windows"), 6)
           .as("quiet_frac"))
+      .orderBy(col("doc_id"))
+      .limit(2000)
+  }
+
+  /** Shared REAL-decode → window-energy pass for m9/m14: parse the doc's
+    * WAV payload with the JDK decoder, cut the PCM stream into
+    * `winLen`-sample windows, return (nSamples, per-window Σ s²) — all
+    * exact Long (window energy ≤ 500·32768² ≈ 5.4e11).
+    */
+  private def windowEnergies(id: Long, winLen: Int): (Int, Array[Long]) = {
+    val rate = 8000 + (id % 3).toInt * 4000
+    val n = 1000 + (id % 500).toInt * 8
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(AudioGen.wavBytes(rate, n, id)))
+    val data = try ais.readAllBytes() finally ais.close()
+    val nSamples = data.length / 2
+    val nWin = (nSamples + winLen - 1) / winLen
+    val winSq = new Array[Long](nWin)
+    var i = 0
+    while (i + 1 < data.length) {
+      val s = ((data(i + 1) << 8) | (data(i) & 0xff)).toShort
+      winSq((i / 2) / winLen) += s.toLong * s
+      i += 2
+    }
+    (nSamples, winSq)
+  }
+
+  /** Per-doc energy-envelope audio fingerprint (m14). */
+  case class AudioFingerprint(doc_id: Long, n_windows: Int, fingerprint: Long)
+
+  /** Audio fingerprint dedup (m14): the audio analog of m6's image
+    * phash — a Chromaprint-shaped ENVELOPE fingerprint, 2 exact bits per
+    * 500-sample window over the REAL PCM decode (same decoder as
+    * m4/m9): bit₁ = window quieter than the doc mean (the m9 integer
+    * cross-multiplication, `wsq·n < tsq·len`), bit₀ = energy rose vs
+    * the previous window. Bits fold MSB-first into one Long (≤ 10
+    * windows ⇒ ≤ 20 bits), so envelope-identical audio collides
+    * exactly; dup groups key on (n_windows, fingerprint) with the m6
+    * canonical-member convention (min doc_id).
+    *
+    * Scale: decode is map-only beside the data (binary never
+    * shuffles); the fingerprint table is slim (3 longs/doc); group
+    * stats + membership reuse ONE hash shuffle — the groupBy and the
+    * join key on the same (n_windows, fingerprint), so AQE plans the
+    * join off the aggregated side without a second exchange of the
+    * fingerprint table. The oracle replays the PCM formula in SQL and
+    * must match the folded integer bit-for-bit: a decoder that drops a
+    * frame or mis-signs a sample flips the envelope bits.
+    */
+  def m14AudioFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val winLen = 500
+    val fps = Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long"))
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val (nSamples, winSq) = windowEnergies(id, winLen)
+          val totalSq = winSq.sum
+          var fp = 0L
+          var w = 0
+          while (w < winSq.length) {
+            val len = math.min(winLen, nSamples - w * winLen)
+            val quiet = if (winSq(w) * nSamples < totalSq * len) 1L else 0L
+            val rise = if (w > 0 && winSq(w) > winSq(w - 1)) 1L else 0L
+            fp = fp * 4 + quiet * 2 + rise
+            w += 1
+          }
+          AudioFingerprint(id, winSq.length, fp)
+        }
+      }
+      .toDF()
+      .persist() // one decode pass feeds both the group stats and the join
+    val groups = fps.groupBy(col("n_windows"), col("fingerprint"))
+      .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("canon_id"))
+    fps.join(groups, Seq("n_windows", "fingerprint"))
+      .select(col("doc_id"), col("n_windows"), col("fingerprint"),
+        col("n_dups"), (col("doc_id") === col("canon_id")).as("is_canonical"))
       .orderBy(col("doc_id"))
       .limit(2000)
   }
@@ -1063,6 +1129,7 @@ object Multimodal {
     "m7_media_manifest" -> (m7MediaManifest _),
     "m8_scene_cuts" -> (m8SceneCuts _),
     "m9_audio_segments" -> (m9AudioSegments _),
+    "m14_audio_fingerprint" -> (m14AudioFingerprint _),
     "m10_sample_admission" -> (m10SampleAdmission _),
   )
 

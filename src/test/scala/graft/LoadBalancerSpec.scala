@@ -80,12 +80,58 @@ class LoadBalancerModelSpec extends AnyFunSuite {
       "Linear d=1 with MinMax", "Linear d=1 NO MinMax",
       "Linear d=2 with MinMax", "Linear d=2 NO MinMax",
       "Linear d=3 with MinMax", "Linear d=3 NO MinMax",
-      "Gradient booster with MinMax", "Gradient booster NO MinMax")
+      "Gradient booster with MinMax", "Gradient booster NO MinMax",
+      "NN with MinMax", "NN NO MinMax")
     assert(lines.size == expected.size)
     expected.zip(lines).foreach { case (label, line) =>
       assert(line.contains(s"Predicted $label"), line)
       // one rounded prediction per star, reference log shape
       assert(line.matches(""".*\{0: -?[\d.]+, 1: -?[\d.]+, 2: -?[\d.]+\}"""), line)
     }
+  }
+
+  test("MLP regressor learns a nonlinear cost curve the linear model cannot") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    // quadratic time law — d=1 linear is structurally unable to fit it
+    val data = (1 to 400).map { _ =>
+      val f = 1 + rng.nextInt(40)
+      (f, 100, "linear", "avltree", 0.01 * f * f + 0.2)
+    }
+    val hist = data.toDF("n_features", "n_samples", "kernel", "optimizer",
+      "execution_time")
+    val (prep, mlp) = LoadBalancerModel.trainMlp(spark, hist, useMinMax = true,
+      hidden = 32, maxIter = 4000, lr = 1e-2)
+    val linear = LoadBalancerModel.train(spark, hist, None, true, "linear")
+    val stars = Array.tabulate(8)(i =>
+      Star(i, Array.tabulate(40)(j => if (j < (i + 1) * 5) 1 else 0)))
+    val params = LoadBalancerModel.SvmParameters(100, "linear", "avltree")
+    val mlpT = LoadBalancerModel.predictMlp(spark, prep, mlp, stars, params)
+    val linT = LoadBalancerModel.predict(spark, linear, stars, params)
+    def mse(pred: Map[Int, Double]): Double = stars.map { s =>
+      val truth = 0.01 * s.nSelected * s.nSelected + 0.2
+      val e = pred(s.idx) - truth; e * e
+    }.sum / stars.length
+    assert(mse(mlpT) < mse(linT) / 4,
+      s"mlp mse ${mse(mlpT)} vs linear ${mse(linT)}")
+    // monotone on the extremes like every other predictor in the report
+    assert(mlpT(7) > mlpT(0), s"t7=${mlpT(7)} t0=${mlpT(0)}")
+  }
+
+  test("MLP fit is deterministic under a fixed seed") {
+    val rng = new scala.util.Random(3)
+    val xs = Array.fill(120)(Array.fill(4)(rng.nextDouble()))
+    val ys = xs.map(x => 2 * x(0) - x(1) + 0.5 * x(2) * x(2))
+    val a = graft.dist.MlpRegressor.fit(xs, ys, hidden = 16, maxIter = 4000,
+      lr = 1e-2)
+    val b = graft.dist.MlpRegressor.fit(xs, ys, hidden = 16, maxIter = 4000,
+      lr = 1e-2)
+    val probe = Array(0.3, 0.7, 0.1, 0.9)
+    assert(a.predict(probe) == b.predict(probe))
+    // and it actually learned: far better than predicting the mean
+    val meanY = ys.sum / ys.length
+    val sse = xs.zip(ys).map { case (x, y) => val e = a.predict(x) - y; e * e }.sum
+    val sst = ys.map(y => (y - meanY) * (y - meanY)).sum
+    assert(sse < 0.1 * sst, s"R2 too low: sse=$sse sst=$sst")
   }
 }

@@ -252,4 +252,41 @@ class MultimodalSpec extends AnyFunSuite {
     assert(quietSeen > 0 && loudSeen > 0,
       s"quiet rule must separate: quiet in $quietSeen docs, loud in $loudSeen")
   }
+
+  test("m14 audio fingerprint matches a formula twin and groups envelope dups") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.multimodal.Multimodal.m14AudioFingerprint(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    val ids = Tables.documents(spark, dir)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    def v(id: Long, i: Int): Long =
+      ((id % 65536L) * 2654435761L + i * 40503L) % 65536L - 32768L
+    // independent fold of the 2-bit envelope per doc
+    val fps = ids.map { id =>
+      val n = 1000 + (id % 500).toInt * 8
+      val sq = (0 until n).map { i => val x = v(id, i); x * x }
+      val wins = sq.grouped(500).map(_.toArray).toArray
+      val tot = sq.sum
+      var fp = 0L
+      wins.indices.foreach { w =>
+        val quiet = if (wins(w).sum * n < tot * wins(w).length) 1L else 0L
+        val rise = if (w > 0 && wins(w).sum > wins(w - 1).sum) 1L else 0L
+        fp = fp * 4 + quiet * 2 + rise
+      }
+      id -> ((wins.length, fp))
+    }.toMap
+    val groups = fps.toSeq.groupBy { case (_, k) => k }
+      .map { case (k, ms) => k -> ((ms.size.toLong, ms.map(_._1).min)) }
+    ids.take(2000).foreach { id =>
+      val (nw, fp) = fps(id)
+      val (nd, canon) = groups((nw, fp))
+      assert(got(id) == ((nw, fp, nd, id == canon)),
+        s"doc $id: got ${got(id)} want ${(nw, fp, nd, id == canon)}")
+    }
+    // the 20-bit envelope must actually separate AND collide on this corpus
+    assert(fps.values.map(_._2).toSet.size > 1, "all fingerprints equal")
+    assert(groups.values.exists(_._1 > 1), "no envelope dup group found")
+  }
 }
