@@ -1871,6 +1871,33 @@ object OraclesText {
         |  JOIN tc cb ON cb.event_type = pr.tb, tot
         |ORDER BY ta, tb""".stripMargin,
 
+    // Events.e26BotRegularity: per-user inter-event gap moments as exact
+    // integers; regular ⇔ cv < ½ ⇔ 4·(n·Σx² − S²) < S² (one integer
+    // cross-multiplication, HUGEINT-promoted); cv divides after one IEEE
+    // sqrt of the same exact integer on both engines.
+    "e26_bot_regularity" ->
+      """WITH g AS (SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |  FROM events),
+        |s AS (SELECT user_id, gap_us // 1000000 AS gap_s
+        |  FROM g WHERE gap_us IS NOT NULL),
+        |a AS (SELECT user_id, count(*) AS n_gaps,
+        |    CAST(sum(gap_s) AS BIGINT) AS sum_gap_s,
+        |    CAST(sum(gap_s * gap_s) AS BIGINT) AS sum_sq_gap_s
+        |  FROM s GROUP BY 1)
+        |SELECT user_id, n_gaps, sum_gap_s, sum_sq_gap_s,
+        |  (sum_gap_s > 0 AND 4 * (CAST(n_gaps AS HUGEINT) * sum_sq_gap_s
+        |     - CAST(sum_gap_s AS HUGEINT) * sum_gap_s)
+        |     < CAST(sum_gap_s AS HUGEINT) * sum_gap_s) AS regular,
+        |  CASE WHEN sum_gap_s > 0 THEN
+        |    round(sqrt(CAST(CAST(n_gaps AS HUGEINT) * sum_sq_gap_s
+        |      - CAST(sum_gap_s AS HUGEINT) * sum_gap_s AS DOUBLE))
+        |      / CAST(sum_gap_s AS DOUBLE), 6)
+        |  END AS cv
+        |FROM a WHERE n_gaps >= 19
+        |ORDER BY user_id LIMIT 2000""".stripMargin,
+
     // Events.e10CohortRetention: first-activity-hour cohorts, distinct
     // users active exactly +1h / +24h after their cohort hour.
     "e10_cohort_retention" ->
@@ -3607,6 +3634,26 @@ object OraclesText {
         |    - CAST(sclnc AS DOUBLE) / (CAST(n_grams AS DOUBLE) * 1000000.0), 6)
         |    AS entropy
         |FROM s ORDER BY source, n""".stripMargin,
+
+    // TextDedup.t28Readability: Flesch reading ease from three exact
+    // counts (t1 words, [.!?]+ sentence runs floored at 1, [aeiouy]+
+    // vowel-group syllables floored at 1); the score is IEEE double
+    // arithmetic over the same integers, rounded at 4.
+    "t28_readability" ->
+      """WITH x AS (SELECT doc_id, lang,
+        |    len(string_split_regex(trim(lower(text)), '\s+')) AS n_words,
+        |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+        |      AS n_sentences,
+        |    greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+        |      AS n_syllables
+        |  FROM documents)
+        |SELECT doc_id, lang, CAST(n_words AS INT) AS n_words,
+        |  CAST(n_sentences AS INT) AS n_sentences,
+        |  CAST(n_syllables AS INT) AS n_syllables,
+        |  round(206.835
+        |    - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+        |    - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4) AS flesch
+        |FROM x ORDER BY doc_id LIMIT 2000""".stripMargin,
   )
 
   def all: Map[String, String] =

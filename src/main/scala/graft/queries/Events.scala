@@ -938,6 +938,66 @@ object Events {
         round(expr("percentile(gap_us, 0.99)") / 1e6, 6).as("p99_gap_sec"))
       .orderBy(col("event_type"))
 
+  /** Automation detection by inter-event regularity (e26): humans
+    * arrive bursty, schedulers arrive metronomic — the coefficient of
+    * variation of a user's inter-event gaps separates them (the
+    * classic bot heuristic behind crawler/abuse filters, and a
+    * training-data curation read: machine-generated event streams
+    * poison behavioral corpora). Per user with ≥ 20 events, the gap
+    * moments accumulate as EXACT integers (count, Σgap, Σgap² in
+    * whole seconds) and the cv < ½ verdict is one integer
+    * cross-multiplication — 4·(n·Σx² − S²) < S², i.e. var < mean²/4 —
+    * decided in DECIMAL(38,0) (n·Σx² wraps a Long once a hot user
+    * passes ~10⁶ year-scale gaps; DuckDB promotes to HUGEINT). The
+    * reported cv divides after one IEEE sqrt of the same exact
+    * integer, so both engines round the same double.
+    *
+    * Scale: one user_id window for the lag (the e23 shuffle, reused
+    * shape), then a partial-aggregating groupBy on the same key —
+    * nothing exceeds 3 longs per user. Streaming twin:
+    * [[graft.streaming.EventStreams.fullGapFacts]] feeds the same
+    * finisher from O(1) last-timestamp state per user.
+    */
+  def e26BotRegularity(spark: SparkSession, dir: String): DataFrame =
+    botRegularityOf(userGapFrame(Tables.events(spark, dir)))
+
+  /** e26's gap extraction: per-user µs deltas, keyed by user — the
+    * e23 [[gapFrame]] with the user retained instead of the type. */
+  private[graft] def userGapFrame(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .filter(col("prev_us").isNotNull)
+      .select(col("user_id"), (col("us") - col("prev_us")).as("gap_us"))
+  }
+
+  /** Bounded finish of e26 over (user_id, gap_us) facts — shared with
+    * the streaming read. */
+  private[graft] def botRegularityOf(gaps: DataFrame): DataFrame = {
+    val agg = gaps
+      .withColumn("gap_s", expr("gap_us div 1000000"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap_s")).as("sum_gap_s"),
+        sum(col("gap_s") * col("gap_s")).as("sum_sq_gap_s"))
+      .filter(col("n_gaps") >= 19) // ≥ 20 events ⇒ ≥ 19 gaps
+    val n = col("n_gaps").cast("decimal(38,0)")
+    val s = col("sum_gap_s").cast("decimal(38,0)")
+    val q = col("sum_sq_gap_s").cast("decimal(38,0)")
+    agg.select(col("user_id"), col("n_gaps"), col("sum_gap_s"),
+      col("sum_sq_gap_s"),
+      (col("sum_gap_s") > 0 && (lit(4) * (n * q - s * s) < s * s))
+        .as("regular"),
+      when(col("sum_gap_s") > 0,
+        round(sqrt((n * q - s * s).cast("double")) /
+          col("sum_gap_s").cast("double"), 6)).as("cv"))
+      .orderBy(col("user_id"))
+      .limit(2000)
+  }
+
   /** Session-level event-type co-occurrence with lift (e25): which
     * behaviors happen TOGETHER in one visit — the association-rule
     * read of the e2 sessions (market-basket over sessions instead of
@@ -1016,6 +1076,7 @@ object Events {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e25_session_pairs" -> (e25SessionPairs _),
+    "e26_bot_regularity" -> (e26BotRegularity _),
     "e23_gap_percentiles" -> (e23GapPercentiles _),
     "e19_transition_matrix" -> (e19TransitionMatrix _),
     "e24_path_trigrams" -> (e24PathTrigrams _),

@@ -2822,6 +2822,38 @@ object TextDedup {
       .orderBy(col("source"), col("n"))
   }
 
+  /** Readability scoring (t28): Flesch reading ease per document from
+    * three exact counts — whitespace words (the t1 tokenizer),
+    * sentences as `[.!?]+` runs (floored at 1 so fragments score
+    * instead of dividing by zero), and a vowel-group syllable proxy
+    * (`[aeiouy]+` matches over the lowered text, floored at 1; the
+    * dictionary-free approximation every streaming readability filter
+    * uses — silent-e and diphthong errors wash out at corpus scale).
+    * The score is the classic 206.835 − 1.015·(W/S) − 84.6·(Y/W),
+    * computed as doubles from the SAME exact integers on both engines
+    * (IEEE ops on identical inputs — no cross-row float accumulation),
+    * rounded at 4. Quality-filter read: pair with t4 to drop
+    * unreadable boilerplate before training. Map-only over the text
+    * bytes — the t1/t4 cost class, no shuffle but the presentation
+    * sort.
+    */
+  def t28Readability(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(toks).as("n_words"),
+        greatest(size(regexp_extract_all(col("text"),
+          lit("[.!?]+"), lit(0))), lit(1)).as("n_sentences"),
+        greatest(size(regexp_extract_all(lower(col("text")),
+          lit("[aeiouy]+"), lit(0))), lit(1)).as("n_syllables"))
+      .select(col("doc_id"), col("lang"), col("n_words"),
+        col("n_sentences"), col("n_syllables"),
+        round(lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double") / col("n_sentences"))
+          - lit(84.6) * (col("n_syllables").cast("double") / col("n_words")),
+          4).as("flesch"))
+      .orderBy(col("doc_id"))
+      .limit(2000)
+
   /** DoReMi mixing-weight step (p23): one mirror-descent update of the
     * per-source sampling weights from each source's excess loss — the
     * Xie et al. 2023 recipe with the excess-loss proxy being t25's
@@ -2868,6 +2900,7 @@ object TextDedup {
       ((s: SparkSession, d: String) => p22QualityDupLift(s, d)),
     "t26_token_fertility" -> (t26TokenFertility _),
     "t27_ngram_entropy" -> (t27NgramEntropy _),
+    "t28_readability" -> (t28Readability _),
     "t25_source_divergence" -> (t25SourceDivergence _),
     "d23_unified_dedup" -> (d23UnifiedDedup _),
     "p20_unified_savings" -> (p20UnifiedSavings _),

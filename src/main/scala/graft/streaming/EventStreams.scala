@@ -950,6 +950,9 @@ object EventStreams {
   /** Last event timestamp per user — the entire gap-mining state. */
   case class GapState(lastUs: Long)
   case class GapFact(event_type: String, gap_us: Long)
+  /** The full gap fact: user + type + gap. e23 reads the (type, gap)
+    * projection, e26 the (user, gap) one — ONE keyed state serves both. */
+  case class FullGapFact(user_id: Long, event_type: String, gap_us: Long)
 
   /** Streaming twin of Events.e23's gap extraction
     * ([[graft.queries.Events.gapFrame]]): each arrival emits its
@@ -964,16 +967,25 @@ object EventStreams {
     */
   def gapFacts(events: Dataset[LocfIn]): Dataset[GapFact] = {
     import events.sparkSession.implicits._
+    fullGapFacts(events).map(f => GapFact(f.event_type, f.gap_us))
+  }
+
+  /** The one gap-mining state machine, now emitting the FULL fact so
+    * e23 (per-type percentiles) and e26 (per-user regularity) share a
+    * single flatMapGroupsWithState instead of duplicating keyed state.
+    */
+  def fullGapFacts(events: Dataset[LocfIn]): Dataset[FullGapFact] = {
+    import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[GapState, GapFact](
+      .flatMapGroupsWithState[GapState, FullGapFact](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: Long, rows: Iterator[LocfIn], state: GroupState[GapState]) =>
+        (uid: Long, rows: Iterator[LocfIn], state: GroupState[GapState]) =>
           val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
           var last = state.getOption.map(_.lastUs)
-          val out = Seq.newBuilder[GapFact]
+          val out = Seq.newBuilder[FullGapFact]
           sorted.foreach { e =>
             val us = micros(e.ts)
-            last.foreach(p => out += GapFact(e.event_type, us - p))
+            last.foreach(p => out += FullGapFact(uid, e.event_type, us - p))
             last = Some(us)
           }
           last.foreach(u => state.update(GapState(u)))

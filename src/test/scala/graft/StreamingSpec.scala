@@ -1395,6 +1395,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("streaming full gap facts finish to the batch e26 regularity table") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val stream = EventStreams.readEvents(spark, streamDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts"), col("value"))
+      .as[EventStreams.LocfIn]
+    val q = EventStreams.fullGapFacts(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("user_gaps")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // the shared finisher over the streamed (user, gap) facts IS batch e26
+    val fromStream = Events.botRegularityOf(
+        spark.table("user_gaps").select(col("user_id"), col("gap_us")))
+      .collect().map(_.toSeq).toSeq
+    val batch = Events.e26BotRegularity(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(fromStream == batch, s"stream=${fromStream.size} batch=${batch.size}")
+    assert(batch.nonEmpty)
+    // and the e23 projection of the SAME state machine still matches
+    val typed = spark.table("user_gaps")
+      .select(col("event_type"), col("gap_us")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    val batchTyped = Events.gapFrame(Tables.events(spark, dir)).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(typed == batchTyped)
+  }
+
   test("gap state carries the last timestamp across batch boundaries") {
     import spark.implicits._
     def ts(s: Long) = new java.sql.Timestamp(s * 1000)
