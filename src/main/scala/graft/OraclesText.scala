@@ -1476,6 +1476,54 @@ object OraclesText {
          |FROM sm GROUP BY label ORDER BY label""".stripMargin
     },
 
+    // Embeddings.s23MmrDiversify: greedy MMR (λ = 0.7) over the exact
+    // top-20, unrolled as k−1 chained step-CTEs (greedy selection is
+    // order-dependent — recursion depth = k, paid at build time). rel
+    // and sim snap to micro-cosines; each pick is an integer argmax
+    // 7·rel − 3·maxsim in tenth-micro units with a vec_id tie-break.
+    "s23_mmr_diversify" -> {
+      def step(i: Int): String =
+        s"""sel$i AS (SELECT q_id, vec_id FROM sel${i - 1}
+           |  UNION ALL SELECT q_id, vec_id FROM s${i - 1}),
+           |m$i AS (SELECT c.q_id, c.vec_id, c.cos, c.rel_micro,
+           |    7 * c.rel_micro - 3 * max(p.sim_micro) AS score10
+           |  FROM cand c JOIN pr p ON p.q_id = c.q_id AND p.va = c.vec_id
+           |  JOIN sel$i s ON s.q_id = p.q_id AND s.vec_id = p.vb
+           |  WHERE NOT EXISTS (SELECT 1 FROM sel$i x
+           |    WHERE x.q_id = c.q_id AND x.vec_id = c.vec_id)
+           |  GROUP BY c.q_id, c.vec_id, c.cos, c.rel_micro),
+           |s$i AS (SELECT q_id, vec_id, cos, score10, $i AS rk FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY q_id
+           |    ORDER BY score10 DESC, vec_id) AS rn FROM m$i) WHERE rn = 1)"""
+          .stripMargin
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+         |    FROM embeddings WHERE vec_id < 10),
+         |sc AS (SELECT q_id, vec_id, embedding,
+         |    round(${cosineSql("q_emb", "embedding")}, 6) AS cos
+         |  FROM embeddings, q WHERE vec_id != q_id),
+         |cand AS (SELECT q_id, vec_id, embedding, cos,
+         |    CAST(round(cos * 1000000) AS BIGINT) AS rel_micro
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cos DESC, vec_id) AS crk FROM sc)
+         |  WHERE crk <= 20),
+         |pr AS (SELECT a.q_id, a.vec_id AS va, b.vec_id AS vb,
+         |    CAST(round(round(${cosineSql("a.embedding", "b.embedding")}, 6)
+         |      * 1000000) AS BIGINT) AS sim_micro
+         |  FROM cand a JOIN cand b
+         |    ON a.q_id = b.q_id AND a.vec_id != b.vec_id),
+         |sel1 AS (SELECT q_id, vec_id FROM cand WHERE 1 = 0),
+         |s1 AS (SELECT q_id, vec_id, cos, 7 * rel_micro AS score10, 1 AS rk
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY rel_micro DESC, vec_id) AS rn FROM cand) WHERE rn = 1),
+         |${(2 to 5).map(step).mkString(",\n")},
+         |allsel AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+         |  UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+         |  UNION ALL SELECT * FROM s5)
+         |SELECT q_id, rk, vec_id, cos,
+         |  CAST(score10 AS DOUBLE) / 10000000.0 AS mmr
+         |FROM allsel ORDER BY q_id, rk""".stripMargin
+    },
+
     "s1_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
          |scored AS (SELECT q_id, vec_id,

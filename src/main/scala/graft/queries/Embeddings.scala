@@ -91,6 +91,91 @@ object Embeddings {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** MMR-diversified retrieval (s23): maximal marginal relevance over
+    * each query's exact top-20 — the classic greedy re-ranker
+    * (Carbonell & Goldstein 1998) that every dedup-aware retrieval
+    * stack runs so the k results aren't k near-copies of one
+    * neighborhood (for training-data pipelines: diversified exemplar
+    * selection from an over-sampled candidate pool). Greedy step i
+    * picks argmax λ·rel(c) − (1−λ)·max_{s∈S} sim(c,s), λ = 0.7.
+    *
+    * Exactness discipline: rel and sim snap to integer micro-cosines
+    * (round(cos,6)·10⁶ — the rounded cos is the gated s1 value), so
+    * the selection score 7·rel_micro − 3·maxsim_micro is EXACT integer
+    * arithmetic in tenth-micro units and every argmax is an integer
+    * compare with a vec_id tie-break — no float drift can flip a pick
+    * on either engine. The reported mmr divides the exact score once.
+    *
+    * Scale: candidate generation is the s1 broadcast scan + salted
+    * top-k; everything after is bounded at q·k² rows (10·400 here) —
+    * the pairwise sim matrix never sees the collection, only the
+    * top-20 pool. The greedy loop is k−1 = 4 driver-scheduled rounds
+    * over that bounded frame (the KMeans-iteration shape, not a
+    * per-row collect); at 1000 queries the frames stay ≤ 400k rows.
+    * The oracle unrolls the same 5 steps as chained CTEs — greedy
+    * selection is order-dependent, so recursion depth = k is the
+    * price of SQL-expressibility, paid at build time.
+    */
+  def s23MmrDiversify(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("nrm", norm(col("embedding")))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val scored = emb.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("embedding"), col("nrm"),
+        round(cosinePre(col("q_emb"), col("q_nrm"),
+          col("embedding"), col("nrm")), 6).as("cos"))
+    val cand = TopK.saltedTopK(scored, Seq(col("q_id")),
+        Seq(col("cos").desc, col("vec_id")), k = 20, saltBy = col("vec_id"))
+      .select(col("q_id"), col("vec_id"), col("embedding"), col("nrm"),
+        col("cos"), round(col("cos") * 1e6).cast("long").as("rel_micro"))
+      .persist()
+    cand.count() // one candidate pass feeds the pair matrix and 5 rounds
+    val slim = cand.select(col("q_id"), col("vec_id"), col("cos"),
+      col("rel_micro"))
+    val pa = cand.select(col("q_id").as("pq"), col("vec_id").as("va"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val pb = cand.select(col("q_id").as("pq2"), col("vec_id").as("vb"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val pairs = pa.join(pb, col("pq") === col("pq2") && col("va") =!= col("vb"))
+      .select(col("pq"), col("va"), col("vb"),
+        round(round(cosinePre(col("ea"), col("na"), col("eb"), col("nb")), 6)
+          * 1e6).cast("long").as("sim_micro"))
+      .persist()
+    pairs.count()
+    val firstW = Window.partitionBy(col("q_id"))
+      .orderBy(col("rel_micro").desc, col("vec_id"))
+    var selected = slim
+      .withColumn("rn", row_number().over(firstW)).filter(col("rn") === 1)
+      .select(col("q_id"), col("vec_id"), col("cos"),
+        (lit(7L) * col("rel_micro")).as("score10"), lit(1).as("rk"))
+    for (i <- 2 to 5) {
+      val selK = selected.select(col("q_id").as("kq"), col("vec_id").as("kv"))
+      val selS = selected.select(col("q_id").as("sq"), col("vec_id").as("sv"))
+      val pick = slim
+        .join(selK, col("q_id") === col("kq") && col("vec_id") === col("kv"),
+          "left_anti")
+        .join(pairs, col("pq") === col("q_id") && col("va") === col("vec_id"))
+        .join(selS, col("sq") === col("pq") && col("sv") === col("vb"))
+        .groupBy(col("q_id"), col("vec_id"), col("cos"), col("rel_micro"))
+        .agg(max(col("sim_micro")).as("maxsim"))
+        .withColumn("score10",
+          lit(7L) * col("rel_micro") - lit(3L) * col("maxsim"))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("q_id"))
+          .orderBy(col("score10").desc, col("vec_id"))))
+        .filter(col("rn") === 1)
+        .select(col("q_id"), col("vec_id"), col("cos"), col("score10"),
+          lit(i).as("rk"))
+      selected = selected.unionByName(pick)
+    }
+    selected
+      .select(col("q_id"), col("rk"), col("vec_id"), col("cos"),
+        (col("score10").cast("double") / 1e7).as("mmr"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   /** ANN recall/cost Pareto curve (s22): the dial-turning table behind
     * every IVF deployment decision — for nprobe ∈ {1, 2, 4}, measured
     * recall@3 against the exact brute-force top-3 AND the scan cost
@@ -985,6 +1070,7 @@ object Embeddings {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s22_recall_cost" -> (s22RecallCostCurve _),
+    "s23_mmr_diversify" -> (s23MmrDiversify _),
     "s21_silhouette" -> (s21Silhouette _),
     "s1_cosine_topk" -> (s1CosineTopK _),
     "s19_filtered_ann" -> (s19FilteredAnn _),

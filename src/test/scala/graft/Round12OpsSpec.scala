@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Session-12 operators: MMR diversification (s23), bot regularity
+  * (e26), readability (t28). The oracle gate covers engine-vs-DuckDB;
+  * these specs pin the SEMANTICS against independent driver-side twins.
+  */
+class Round12OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val dir = "/root/testdata/sf0.001"
+
+  test("s23 MMR picks replay a driver-side greedy twin over exact sims") {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def dot(x: Array[Float], y: Array[Float]): Double = {
+        var s = 0.0; var i = 0
+        while (i < x.length) { s += x(i).toDouble * y(i).toDouble; i += 1 }
+        s
+      }
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    def micro(x: Double): Long =
+      math.round(BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble * 1e6)
+    val got = graft.queries.Embeddings.s23MmrDiversify(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    var reordered = false
+    (0L until 10L).foreach { q =>
+      val rel = emb.keys.filter(_ != q).toSeq
+        .map(v => v -> micro(cos(emb(q), emb(v))))
+      val cand = rel.sortBy { case (v, m) => (-m, v) }.take(20)
+      val candSet = cand.toMap
+      var sel = Vector.empty[Long]
+      (1 to 5).foreach { _ =>
+        val pick = cand.filter(c => !sel.contains(c._1)).map { case (v, rm) =>
+          val maxsim = if (sel.isEmpty) 0L
+            else sel.map(s => micro(cos(emb(v), emb(s)))).max
+          val score = if (sel.isEmpty) 7L * rm else 7L * rm - 3L * maxsim
+          (v, score)
+        }.minBy { case (v, s) => (-s, v) }._1
+        sel :+= pick
+      }
+      sel.zipWithIndex.foreach { case (v, i) =>
+        assert(got((q, i + 1)) == v,
+          s"q=$q rk=${i + 1}: got ${got((q, i + 1))} want $v")
+      }
+      val byRel = cand.take(5).map(_._1)
+      if (sel != byRel.toVector) reordered = true
+      // rk1 is always the pure-relevance argmax
+      assert(sel.head == byRel.head)
+      assert(candSet.contains(sel.head))
+    }
+    assert(reordered,
+      "MMR never reordered any query's top-5 — diversity term is inert")
+  }
+
+  test("e26 regularity verdict replays a driver-side cv twin") {
+    val got = graft.queries.Events.e26BotRegularity(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byUser = ev.groupBy(_._1).view.mapValues(
+      _.sortBy(e => (e._2, e._3)).map(_._2)).toMap
+    var regulars = 0; var irregulars = 0
+    byUser.foreach { case (u, ts) =>
+      val gaps = ts.zip(ts.tail).map { case (a, b) => (b - a) / 1000000L }
+      if (gaps.length >= 19) {
+        val n = gaps.length.toLong
+        val s = gaps.sum
+        val q = gaps.map(g => g * g).sum
+        val regular = s > 0 && 4 * (BigInt(n) * q - BigInt(s) * s) < BigInt(s) * s
+        assert(got(u) == ((n, s, q, regular)), s"user $u")
+        if (regular) regulars += 1 else irregulars += 1
+      } else assert(!got.contains(u), s"user $u under threshold leaked")
+    }
+    // the verdict must separate on this corpus, else the gate is vacuous
+    assert(irregulars > 0, "no irregular user found")
+  }
+
+  test("t28 readability: exact counts, floors, and the flesch formula") {
+    val got = graft.queries.TextDedup.t28Readability(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(2), r.getInt(3), r.getInt(4), r.getDouble(5)))).toMap
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    docs.take(2000).foreach { case (id, text) =>
+      val w = text.trim.toLowerCase.split("\\s+", -1).length
+      val s = math.max("[.!?]+".r.findAllIn(text).length, 1)
+      val y = math.max("[aeiouy]+".r.findAllIn(text.toLowerCase).length, 1)
+      val f = BigDecimal(206.835 - 1.015 * (w.toDouble / s)
+        - 84.6 * (y.toDouble / w))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(id) == ((w, s, y, f)), s"doc $id: got ${got(id)} want ${(w, s, y, f)}")
+    }
+    // scores must spread (a constant score means a broken counter)
+    assert(got.values.map(_._4).toSet.size > 10)
+  }
+}
