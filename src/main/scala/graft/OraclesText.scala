@@ -3683,6 +3683,55 @@ object OraclesText {
         |    AS entropy
         |FROM s ORDER BY source, n""".stripMargin,
 
+    // TextDedup.p24RhoSelect: excess loss = xent under the corpus
+    // unigram LM minus xent under the doc's source LM, both from ONE tf
+    // pass (corpus vocab = rollup of the per-source vocab); ln c snaps
+    // to micro-nats per LM; the excess expression shares one evaluation
+    // order with Spark before the round-6 snap; p75 threshold via
+    // quantile_cont over the identical rounded doubles.
+    "p24_rho_select" ->
+      """WITH tok AS (SELECT doc_id, source,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |tfm AS (SELECT doc_id, source, unnest(toks) AS token FROM tok),
+        |tf AS (SELECT doc_id, source, token, count(*) AS m
+        |  FROM tfm GROUP BY 1, 2, 3),
+        |vs AS (SELECT source, token, CAST(sum(m) AS BIGINT) AS cs
+        |  FROM tf GROUP BY 1, 2),
+        |vsl AS (SELECT source, token, cs,
+        |    CAST(round(ln(CAST(cs AS DOUBLE)) * 1000000) AS BIGINT) AS lnc_s
+        |  FROM vs),
+        |vc AS (SELECT token, CAST(sum(cs) AS BIGINT) AS c FROM vs GROUP BY 1),
+        |vcl AS (SELECT token, c,
+        |    CAST(round(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT) AS lnc_c
+        |  FROM vc),
+        |nt AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM vc),
+        |ns AS (SELECT source, CAST(sum(cs) AS BIGINT) AS n_source
+        |  FROM vs GROUP BY 1),
+        |d AS (SELECT tf.doc_id, tf.source,
+        |    CAST(sum(tf.m * vcl.lnc_c) AS BIGINT) AS slnc_c,
+        |    CAST(sum(tf.m * vsl.lnc_s) AS BIGINT) AS slnc_s,
+        |    CAST(sum(tf.m) AS BIGINT) AS n_tokens
+        |  FROM tf JOIN vcl USING (token)
+        |    JOIN vsl ON vsl.source = tf.source AND vsl.token = tf.token
+        |  GROUP BY 1, 2),
+        |sc AS (SELECT d.doc_id, d.source, d.n_tokens,
+        |    round(ln(CAST(nt.n_total AS DOUBLE))
+        |      - CAST(slnc_c AS DOUBLE) / (n_tokens * 1000000.0), 6)
+        |      AS xent_corpus,
+        |    round(ln(CAST(ns.n_source AS DOUBLE))
+        |      - CAST(slnc_s AS DOUBLE) / (n_tokens * 1000000.0), 6)
+        |      AS xent_source,
+        |    round(ln(CAST(nt.n_total AS DOUBLE))
+        |      - ln(CAST(ns.n_source AS DOUBLE))
+        |      - CAST(slnc_c - slnc_s AS DOUBLE) / (n_tokens * 1000000.0), 6)
+        |      AS excess
+        |  FROM d JOIN ns ON ns.source = d.source, nt),
+        |thr AS (SELECT round(quantile_cont(excess, 0.75), 6) AS p75 FROM sc)
+        |SELECT doc_id, source, n_tokens, xent_corpus, xent_source, excess,
+        |  p75, (excess > p75) AS selected
+        |FROM sc, thr ORDER BY doc_id LIMIT 2000""".stripMargin,
+
     // TextDedup.t28Readability: Flesch reading ease from three exact
     // counts (t1 words, [.!?]+ sentence runs floored at 1, [aeiouy]+
     // vowel-group syllables floored at 1); the score is IEEE double

@@ -2892,7 +2892,87 @@ object TextDedup {
       .orderBy(col("source"))
   }
 
+  /** RHO-loss-shaped excess-loss selection (p24): per-doc "learnability"
+    * = cross-entropy under the CORPUS unigram LM minus cross-entropy
+    * under the doc's own SOURCE LM (the reference-model role of
+    * Mindermann et al. 2022's RHO-loss, with the holdout model played
+    * by the in-domain LM the pipeline already has). High excess = text
+    * the global model finds surprising but that is predictable
+    * in-domain — domain-distinctive signal worth training on; low
+    * excess = either generic (both LMs agree) or noise (BOTH find it
+    * surprising, the terms cancel). Selection keeps the top quartile by
+    * a corpus-level exact-percentile threshold.
+    *
+    * Exactness: ONE tf pass feeds both LMs (corpus vocab = rollup of
+    * the per-source vocab's counts over the same rows); each distinct
+    * token's ln c snaps to integer micro-nats per LM (the t12
+    * discipline), per-doc sums are exact longs, and the excess double
+    * is computed with one shared expression order on both engines
+    * before the round-6 snap. The p75 threshold interpolates over
+    * those identical rounded doubles (q16 precedent), so the selected
+    * bit cannot flip cross-engine.
+    *
+    * Scale: the shuffles key on (doc,token)/(token)/(source,token) —
+    * all high-cardinality; the per-source totals (|sources| rows) and
+    * the 1-row corpus total broadcast. The percentile is a single
+    * aggregate over one double per doc — swap in approx_percentile
+    * under the q16b bounded-error gate at lake scale.
+    */
+  def p24RhoSelect(spark: SparkSession, dir: String): DataFrame = {
+    val tfm = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), explode(toks).as("token"))
+      .groupBy(col("doc_id"), col("source"), col("token"))
+      .agg(count(lit(1)).as("m"))
+      .persist()
+    tfm.count() // eager: feeds both LM aggregations and the scoring join
+    val vocabS = tfm.groupBy(col("source"), col("token"))
+      .agg(sum(col("m")).as("cs"))
+      .withColumn("lnc_s",
+        round(log(col("cs").cast("double")) * 1e6).cast("long"))
+      .persist()
+    vocabS.count() // corpus vocab rolls up from this, never a second pass
+    val vocabC = vocabS.groupBy(col("token"))
+      .agg(sum(col("cs")).as("c"))
+      .withColumn("lnc_c",
+        round(log(col("c").cast("double")) * 1e6).cast("long"))
+    val nTotal = vocabC.agg(sum(col("c")).as("n_total"))
+    val nSource = vocabS.groupBy(col("source"))
+      .agg(sum(col("cs")).as("n_source"))
+    val scored = tfm
+      .join(vocabC.select(col("token"), col("lnc_c")), Seq("token"))
+      .join(vocabS.select(col("source"), col("token"), col("lnc_s")),
+        Seq("source", "token"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("m") * col("lnc_c")).as("slnc_c"),
+        sum(col("m") * col("lnc_s")).as("slnc_s"),
+        sum(col("m")).as("n_tokens"))
+      .join(broadcast(nSource), Seq("source"))
+      .crossJoin(broadcast(nTotal))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        round(log(col("n_total").cast("double")) -
+          col("slnc_c").cast("double") / (col("n_tokens") * lit(1e6)), 6)
+          .as("xent_corpus"),
+        round(log(col("n_source").cast("double")) -
+          col("slnc_s").cast("double") / (col("n_tokens") * lit(1e6)), 6)
+          .as("xent_source"),
+        round(log(col("n_total").cast("double")) -
+          log(col("n_source").cast("double")) -
+          (col("slnc_c") - col("slnc_s")).cast("double")
+            / (col("n_tokens") * lit(1e6)), 6).as("excess"))
+      .persist()
+    scored.count()
+    val thr = scored.agg(
+      round(expr("percentile(excess, 0.75)"), 6).as("p75"))
+    scored.crossJoin(broadcast(thr))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("xent_corpus"), col("xent_source"), col("excess"), col("p75"),
+        (col("excess") > col("p75")).as("selected"))
+      .orderBy(col("doc_id"))
+      .limit(2000)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p24_rho_select" -> (p24RhoSelect _),
     "p23_doremi_step" -> ((s: SparkSession, d: String) => p23DoremiStep(s, d)),
     "p21_perplexity_buckets" ->
       ((s: SparkSession, d: String) => p21PerplexityBuckets(s, d)),

@@ -83,6 +83,26 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(irregulars > 0, "no irregular user found")
   }
 
+  test("p24 excess loss is the LM difference and selection is a quartile") {
+    val rows = graft.queries.TextDedup.p24RhoSelect(spark, dir).collect()
+    assert(rows.nonEmpty)
+    var nSel = 0
+    rows.foreach { r =>
+      val (xc, xs, ex, p75) =
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      // excess is the LM difference up to the independent round-6 snaps
+      assert(math.abs(ex - (xc - xs)) < 3e-6, s"doc ${r.getLong(0)}")
+      val sel = r.getBoolean(7)
+      assert(sel == (ex > p75))
+      if (sel) nSel += 1
+    }
+    // strict > against an interpolated p75 keeps at most a quarter
+    assert(nSel > 0 && nSel <= rows.length / 4 + 1,
+      s"$nSel selected of ${rows.length}")
+    // both signs of excess must occur (generic docs vs domain-specific)
+    assert(rows.exists(_.getDouble(5) < 0) && rows.exists(_.getDouble(5) > 0))
+  }
+
   test("t28 readability: exact counts, floors, and the flesch formula") {
     val got = graft.queries.TextDedup.t28Readability(spark, dir).collect()
       .map(r => r.getLong(0) ->
