@@ -889,6 +889,32 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_"), p.take(1200))
   }
 
+  test("e26: moment agg rides the lag window's user_id exchange — no second shuffle") {
+    val p = plan(graft.queries.Events.e26BotRegularity(spark, dir))
+    // window hashpartition(user_id) + the presentation range sort only
+    assert("Exchange".r.findAllIn(p).length <= 2, p.take(1500))
+    assert(p.contains("partial_"), p.take(1200))
+    // the verdict is in-plan decimal arithmetic, not a UDF
+    assert(!p.contains("BatchEvalPython") && !p.toLowerCase.contains("scalaudf"),
+      p.take(1200))
+  }
+
+  test("t28: readability reads only (doc_id, lang, text); no shuffle before the sort") {
+    val df = TextDedup.t28Readability(spark, dir)
+    val p = plan(df)
+    val readSchema = p.split("ReadSchema: ")(1).split("\n")(0)
+    assert(readSchema.count(_ == ':') <= 3,
+      s"expected a 3-column documents read, got $readSchema")
+    assert("Exchange".r.findAllIn(p).length <= 1, p.take(1200))
+  }
+
+  test("s23: candidate pairs equi-join per query — never a cross product of the pool") {
+    val p = plan(Embeddings.s23MmrDiversify(spark, dir))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    // only the two 1-row-ish broadcasts (queries, thresholds) may nest-loop
+    assert(p.contains("InMemoryTableScan"), p.take(600)) // pool persisted once
+  }
+
   test("t27: one gram-key shuffle serves all three orders; union is map-side") {
     val p = plan(TextDedup.t27NgramEntropy(spark, dir))
     // the three n-gram legs union BEFORE the (source, n, gram) agg —
