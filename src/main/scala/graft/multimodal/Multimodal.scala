@@ -317,9 +317,26 @@ object Multimodal {
     * frame or mis-signs a sample flips the envelope bits.
     */
   def m14AudioFingerprint(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+    val fps = audioFingerprintOf(Tables.documents(spark, dir))
+      .persist() // one decode pass feeds both the group stats and the join
+    val groups = fps.groupBy(col("n_windows"), col("fingerprint"))
+      .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("canon_id"))
+    fps.join(groups, Seq("n_windows", "fingerprint"))
+      .select(col("doc_id"), col("n_windows"), col("fingerprint"),
+        col("n_dups"), (col("doc_id") === col("canon_id")).as("is_canonical"))
+      .orderBy(col("doc_id"))
+      .limit(2000)
+  }
+
+  /** m14's decode → envelope-fold pass over ANY frame with a doc_id
+    * column — shared verbatim by the batch operator and the ingest twin
+    * ([[graft.streaming.CorpusStreams.audioDedupAgainst]]), the
+    * phashOf discipline in audio space.
+    */
+  private[graft] def audioFingerprintOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     val winLen = 500
-    val fps = Tables.documents(spark, dir)
+    docs
       .select(col("doc_id").cast("long"))
       .as[Long]
       .mapPartitions { ids =>
@@ -339,14 +356,6 @@ object Multimodal {
         }
       }
       .toDF()
-      .persist() // one decode pass feeds both the group stats and the join
-    val groups = fps.groupBy(col("n_windows"), col("fingerprint"))
-      .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("canon_id"))
-    fps.join(groups, Seq("n_windows", "fingerprint"))
-      .select(col("doc_id"), col("n_windows"), col("fingerprint"),
-        col("n_dups"), (col("doc_id") === col("canon_id")).as("is_canonical"))
-      .orderBy(col("doc_id"))
-      .limit(2000)
   }
 
   /** Deterministic video payload generator: a REAL RIFF-AVI container

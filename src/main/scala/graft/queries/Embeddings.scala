@@ -123,14 +123,22 @@ object Embeddings {
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"))
+    // Rank SLIM (q_id, vec_id, cos) — never push the 64-float payload
+    // through the two top-k window exchanges (600k embedding-laden rows
+    // sorted twice cost ~7× the whole operator); the pool re-acquires
+    // its vectors afterward via a broadcast join touching q·k rows.
     val scored = emb.join(broadcast(queries), col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), col("embedding"), col("nrm"),
+      .select(col("q_id"), col("vec_id"),
         round(cosinePre(col("q_emb"), col("q_nrm"),
           col("embedding"), col("nrm")), 6).as("cos"))
-    val cand = TopK.saltedTopK(scored, Seq(col("q_id")),
+    val candIds = TopK.saltedTopK(scored, Seq(col("q_id")),
         Seq(col("cos").desc, col("vec_id")), k = 20, saltBy = col("vec_id"))
+      .select(col("q_id"), col("vec_id"), col("cos"),
+        round(col("cos") * 1e6).cast("long").as("rel_micro"))
+    val cand = emb.select(col("vec_id"), col("embedding"), col("nrm"))
+      .join(broadcast(candIds), Seq("vec_id"))
       .select(col("q_id"), col("vec_id"), col("embedding"), col("nrm"),
-        col("cos"), round(col("cos") * 1e6).cast("long").as("rel_micro"))
+        col("cos"), col("rel_micro"))
       .persist()
     cand.count() // one candidate pass feeds the pair matrix and 5 rounds
     val slim = cand.select(col("q_id"), col("vec_id"), col("cos"),
@@ -147,10 +155,19 @@ object Embeddings {
     pairs.count()
     val firstW = Window.partitionBy(col("q_id"))
       .orderBy(col("rel_micro").desc, col("vec_id"))
-    var selected = slim
+    // Each round's pick table is ≤ |queries| rows but sits at the root
+    // of the next round's lineage — and the pick plan references the
+    // running selection TWICE (exclusion + maxsim), so without lineage
+    // TRUNCATION the logical plan doubles per round and Catalyst
+    // re-optimizes the whole pyramid even with every byte cached
+    // (measured: rounds 2..5 at 2.9→19.9 s under plain persist, the
+    // d8 connected-components lesson). localCheckpoint pins the rows
+    // AND cuts the plan to an RDD scan — rounds drop to ~0.3 s.
+    def pin(df: DataFrame): DataFrame = df.localCheckpoint(true)
+    var selected = pin(slim
       .withColumn("rn", row_number().over(firstW)).filter(col("rn") === 1)
       .select(col("q_id"), col("vec_id"), col("cos"),
-        (lit(7L) * col("rel_micro")).as("score10"), lit(1).as("rk"))
+        (lit(7L) * col("rel_micro")).as("score10"), lit(1).as("rk")))
     for (i <- 2 to 5) {
       val selK = selected.select(col("q_id").as("kq"), col("vec_id").as("kv"))
       val selS = selected.select(col("q_id").as("sq"), col("vec_id").as("sv"))
@@ -168,7 +185,7 @@ object Embeddings {
         .filter(col("rn") === 1)
         .select(col("q_id"), col("vec_id"), col("cos"), col("score10"),
           lit(i).as("rk"))
-      selected = selected.unionByName(pick)
+      selected = pin(selected.unionByName(pick))
     }
     selected
       .select(col("q_id"), col("rk"), col("vec_id"), col("cos"),

@@ -338,6 +338,29 @@ object CorpusStreams {
       .select(col("doc_id"), col("phash"))
   }
 
+  /** Ingest-time AUDIO dedup against a standing corpus — m14's streaming
+    * half, extending incremental dedup to the fourth content space
+    * (text d13, embeddings s9, images m6, now audio). An arriving
+    * track is admitted iff its energy-envelope fingerprint (the SAME
+    * real-decode fold as batch m14 — `Multimodal.audioFingerprintOf`
+    * runs unchanged on the stream) is neither in the standing corpus's
+    * fingerprint set (stream-static LEFT ANTI join, zero state) nor
+    * already seen in-stream (`dropDuplicates` keyed state on the
+    * (n_windows, fingerprint) envelope key, first arrival wins). Same
+    * persist-the-static-decode discipline as [[imageDedupAgainst]]: the
+    * standing side pins once, triggers join a slim 2-long table.
+    */
+  def audioDedupAgainst(newDocs: DataFrame, standing: DataFrame): DataFrame = {
+    val standingFps = graft.multimodal.Multimodal
+      .audioFingerprintOf(standing)
+      .select(col("n_windows"), col("fingerprint")).distinct().persist()
+    standingFps.count()
+    graft.multimodal.Multimodal.audioFingerprintOf(newDocs)
+      .dropDuplicates("n_windows", "fingerprint")
+      .join(standingFps, Seq("n_windows", "fingerprint"), "left_anti")
+      .select(col("doc_id"), col("n_windows"), col("fingerprint"))
+  }
+
   /** Ingest-time image NEAR-dup alerts against a standing corpus —
     * m11's streaming half, the image-space sibling of
     * [[nearDupAlerts]]: an arriving image's perceptual hash is banded

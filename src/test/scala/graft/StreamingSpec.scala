@@ -858,6 +858,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(admitted == Set(11L), s"admitted=$admitted")
   }
 
+  test("streaming audio dedup admits only novel envelopes (m14 twin)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    // driver-side envelope twin (the Round12OpsSpec formula) to pick a
+    // scenario that survives testdata regeneration: two real dup groups
+    def v(id: Long, i: Int): Long =
+      ((id % 65536L) * 2654435761L + i * 40503L) % 65536L - 32768L
+    def envelope(id: Long): (Int, Long) = {
+      val n = 1000 + (id % 500).toInt * 8
+      val sq = (0 until n).map { i => val x = v(id, i); x * x }
+      val wins = sq.grouped(500).map(_.toArray).toArray
+      val tot = sq.sum
+      var fp = 0L
+      wins.indices.foreach { w =>
+        val quiet = if (wins(w).sum * n < tot * wins(w).length) 1L else 0L
+        val rise = if (w > 0 && wins(w).sum > wins(w - 1).sum) 1L else 0L
+        fp = fp * 4 + quiet * 2 + rise
+      }
+      (wins.length, fp)
+    }
+    val groups = (0L until 500L).groupBy(envelope).values
+      .filter(_.size >= 2).toSeq.sortBy(_.head)
+    assert(groups.size >= 2, "need two envelope dup groups")
+    val ga = groups(0).toSeq; val gb = groups(1).toSeq
+    val standing = Seq(ga(0)).toDF("doc_id")
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Long]
+    val q = graft.streaming.CorpusStreams
+      .audioDedupAgainst(mem.toDS().toDF("doc_id"), standing)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("audio_dedup").start()
+    try {
+      // batch 1: a standing-envelope copy (reject) + a novel track (admit)
+      mem.addData(ga(1), gb(0)); q.processAllAvailable()
+      // batch 2: in-stream envelope copy — loses to batch 1's arrival
+      mem.addData(gb(1)); q.processAllAvailable()
+    } finally q.stop()
+    val admitted = spark.table("audio_dedup").select(col("doc_id"))
+      .as[Long].collect().toSet
+    assert(admitted == Set(gb(0)), s"admitted=$admitted")
+  }
+
   test("admitted-corpus sink is exactly-once across a kill-and-restart") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit}
