@@ -105,6 +105,47 @@ object OraclesText {
          |SELECT doc_id, $mh FROM sig ORDER BY doc_id LIMIT 500""".stripMargin
     },
 
+    // TextDedup.d24BandSweep: the (b, r) dial table. The oracle bands at
+    // DOC level (simpler; the Spark side's distinct-signature ×
+    // group-size expansion emits the identical pair multiset) and
+    // counts; precision is the half-up micro integral divide; the
+    // theory column is the same build-time constant literal.
+    "d24_band_sweep" -> {
+      val k = queries.TextDedup.MinhashK
+      def leg(b: Int, r: Int): String = {
+        val bands = (0 until b).map { i =>
+          val key = (0 until r).map(j => s"mh${i * r + j}")
+            .mkString(" || '|' || ")
+          s"SELECT doc_id, $i AS band, md5($key) AS bkey FROM sig"
+        }.mkString("\n    UNION ALL ")
+        val agree = (0 until k)
+          .map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END")
+          .mkString("(", " + ", ")")
+        val theory = BigDecimal(1.0 - math.pow(1.0 - math.pow(0.5, r), b))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        s"""SELECT $b AS n_bands, $r AS rows_per_band,
+           |  CAST(count(*) AS BIGINT) AS n_candidates,
+           |  CAST(sum(CASE WHEN $agree >= 4 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_est_dups,
+           |  CASE WHEN count(*) > 0 THEN
+           |    CAST((CAST(sum(CASE WHEN $agree >= 4 THEN 1 ELSE 0 END)
+           |        AS HUGEINT) * 1000000 + count(*) // 2)
+           |      // count(*) AS BIGINT) / 1e6 END AS precision,
+           |  $theory AS p_at_threshold
+           |FROM (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |      FROM ($bands) a JOIN ($bands) b
+           |        ON a.band = b.band AND a.bkey = b.bkey
+           |          AND a.doc_id < b.doc_id) c
+           |JOIN sig sa ON c.id_a = sa.doc_id
+           |JOIN sig sb ON c.id_b = sb.doc_id""".stripMargin
+      }
+      s"""WITH $shingleCte, $minhashSigCte
+         |SELECT * FROM (
+         |${Seq((8, 1), (4, 2), (2, 4)).map { case (b, r) => s"(${leg(b, r)})" }
+           .mkString("\n  UNION ALL\n")}
+         |) ORDER BY n_bands DESC""".stripMargin
+    },
+
     "d3_minhash_lsh" -> {
       val bands = (0 until queries.TextDedup.MinhashBands).map { b =>
         s"SELECT doc_id, $b AS band, md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS bkey FROM sig"
@@ -2800,6 +2841,65 @@ object OraclesText {
 
     // Survival.v5LogRank: two-sample log-rank with per-time E1/V snapped
     // to integer micro-units before the exact integer accumulation.
+    // Survival.v12CoxHazardRatio: two-group Breslow Cox fit, three
+    // unrolled Newton steps (the s23 chained-CTE discipline). Per-time
+    // U/I terms snap to micro-units; β rounds at 6 between steps so
+    // both engines iterate from identical inputs; se = 1/√I at the last
+    // evaluation; the Wald CI exponentiates with the ROUNDED se.
+    "v12_cox_hr" -> {
+      val p = """((CAST(n1 AS DOUBLE) * exp(b.beta)) / (CAST(n0 AS DOUBLE)
+        |         + CAST(n1 AS DOUBLE) * exp(b.beta)))""".stripMargin
+      def it(n: Int, betaSrc: String): String =
+        s"""it$n AS (SELECT t.seg, max(b.beta) AS beta,
+           |    CAST(sum(CAST(round((CAST(d1 AS DOUBLE) - CAST(d AS DOUBLE)
+           |      * $p) * 1e6) AS BIGINT)) AS BIGINT) AS u_sum,
+           |    CAST(sum(CAST(round(CAST(d AS DOUBLE) * $p
+           |      * (1.0 - $p) * 1e6) AS BIGINT)) AS BIGINT) AS i_sum,
+           |    CAST(sum(d) AS BIGINT) AS n_events,
+           |    CAST(sum(d1) AS BIGINT) AS events_arm1
+           |  FROM terms t JOIN $betaSrc b ON t.seg = b.seg GROUP BY t.seg),
+           |b$n AS (SELECT seg, CASE WHEN i_sum > 0 THEN round(beta
+           |    + CAST(u_sum AS DOUBLE) / CAST(i_sum AS DOUBLE), 6)
+           |    ELSE beta END AS beta FROM it$n)""".stripMargin
+      s"""WITH s AS (SELECT c_mktsegment AS seg,
+         |    CAST(c_nationkey % 2 AS BIGINT) AS arm,
+         |    (c_custkey % 2 = 0) AS event,
+         |    CAST(c_custkey % 97 AS BIGINT) AS time
+         |  FROM customer WHERE c_custkey <= 2000),
+         |bt AS (SELECT seg, time,
+         |    CAST(sum(CASE WHEN event AND arm = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS d1,
+         |    CAST(sum(CASE WHEN event THEN 1 ELSE 0 END) AS BIGINT) AS d,
+         |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS m0,
+         |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS m1
+         |  FROM s GROUP BY 1, 2),
+         |tot AS (SELECT seg, CAST(sum(m0) AS BIGINT) AS tot0,
+         |    CAST(sum(m1) AS BIGINT) AS tot1 FROM bt GROUP BY 1),
+         |r AS (SELECT bt.seg, bt.time, d, d1,
+         |    tot0 - coalesce(sum(m0) OVER (PARTITION BY bt.seg
+         |      ORDER BY bt.time
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n0,
+         |    tot1 - coalesce(sum(m1) OVER (PARTITION BY bt.seg
+         |      ORDER BY bt.time
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1
+         |  FROM bt JOIN tot ON bt.seg = tot.seg),
+         |terms AS (SELECT * FROM r WHERE d > 0),
+         |b0 AS (SELECT DISTINCT seg, 0.0 AS beta FROM terms),
+         |${it(1, "b0")},
+         |${it(2, "b1")},
+         |${it(3, "b2")},
+         |fin AS (SELECT b3.seg, it3.n_events, it3.events_arm1, b3.beta,
+         |    round(exp(b3.beta), 6) AS hazard_ratio,
+         |    CASE WHEN it3.i_sum > 0 THEN
+         |      round(1.0 / sqrt(CAST(it3.i_sum AS DOUBLE) / 1e6), 6)
+         |    END AS se
+         |  FROM b3 JOIN it3 ON b3.seg = it3.seg)
+         |SELECT seg, n_events, events_arm1, beta, hazard_ratio, se,
+         |  round(exp(beta - 1.96 * se), 6) AS ci_lo,
+         |  round(exp(beta + 1.96 * se), 6) AS ci_hi
+         |FROM fin ORDER BY seg""".stripMargin
+    },
+
     "v5_logrank" ->
       """WITH s AS (SELECT c_mktsegment AS seg,
         |    CAST(c_nationkey % 2 AS BIGINT) AS arm,

@@ -206,6 +206,84 @@ object TextDedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** LSH banding Pareto sweep (d24): the band/row dial-turning table —
+    * for every (b, r) split of the 8 minhashes ((8,1), (4,2) = the d3
+    * production dial, (2,4)), the candidate-pair volume that banding
+    * generates and the fraction the agreement filter then confirms
+    * (precision), next to the theoretical hit probability
+    * 1 − (1 − s^r)^b at the s = 0.5 decision threshold. d21 plots the
+    * theory curve and d14 audits ONE dial's misses; this is the table
+    * that picks the dial — more bands buy recall with candidate volume,
+    * more rows buy precision with misses (s22's nprobe sweep in dedup
+    * space).
+    *
+    * Scale: every leg bands DISTINCT signatures (the d3/m11 skew rule —
+    * dup clusters collapse to one banded row) and never MATERIALIZES
+    * doc pairs at all: candidate counts expand through signature-group
+    * sizes as Σ nₐ·n_b + Σ C(n,2), so the sweep's cost is the
+    * signature-pair join, bounded by distinct content. The agreement
+    * verdict (≥ 4 of 8 minhashes) is a signature-pair property —
+    * integer compare, weighted by the same group sizes. The theory
+    * column is a build-time constant (identical literal on both
+    * engines, no cross-engine pow).
+    */
+  def d24BandSweep(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
+    val sig = minhashSignatures(spark, dir)
+    val sk = fastMd5(concat_ws("|",
+      (0 until MinhashK).map(i => col(s"mh$i")): _*))
+    val keyed = sig.withColumn("sk", sk).persist()
+    keyed.count() // one signature read feeds all three legs
+    val dsig = keyed
+      .select(col("sk") +: (0 until MinhashK).map(i => col(s"mh$i")): _*)
+      .distinct().persist()
+    dsig.count()
+    val sizes = keyed.groupBy(col("sk")).agg(count(lit(1)).as("n"))
+    val intraAgg = sizes
+      .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)).as("intra"))
+    val legs = Seq((8, 1), (4, 2), (2, 4)).map { case (b, r) =>
+      val bandCols = (0 until b).map { i =>
+        struct(lit(i).as("band"), fastMd5(concat_ws("|",
+          (0 until r).map(j => col(s"mh${i * r + j}")): _*)).as("bkey"))
+      }
+      val banded = dsig.select(col("sk"), explode(array(bandCols: _*)).as("bb"))
+        .select(col("sk"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      val closeSig = banded.as("x").join(banded.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.sk") < col("y.sk"))
+        .select(col("x.sk").as("ska"), col("y.sk").as("skb"))
+        .distinct()
+      val agree = (0 until MinhashK)
+        .map(i => when(col(s"a.mh$i") === col(s"b.mh$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      val weighted = closeSig
+        .join(dsig.as("a"), col("ska") === col("a.sk"))
+        .join(dsig.as("b"), col("skb") === col("b.sk"))
+        .join(sizes.select(col("sk").as("ska"), col("n").as("na")), Seq("ska"))
+        .join(sizes.select(col("sk").as("skb"), col("n").as("nb")), Seq("skb"))
+        .select((col("na") * col("nb")).as("w"), (agree >= lit(4)).as("dup"))
+      val theory = BigDecimal(1.0 - math.pow(1.0 - math.pow(0.5, r), b))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      weighted
+        .agg(coalesce(sum(col("w")), lit(0L)).as("inter_cand"),
+          coalesce(sum(when(col("dup"), col("w"))), lit(0L)).as("inter_dup"))
+        .crossJoin(broadcast(intraAgg))
+        .select(lit(b).as("n_bands"), lit(r).as("rows_per_band"),
+          (col("inter_cand") + col("intra")).as("n_candidates"),
+          (col("inter_dup") + col("intra")).as("n_est_dups"),
+          (col("inter_cand") + col("intra")).as("cand_tot"),
+          (col("inter_dup") + col("intra")).as("dup_tot"),
+          lit(theory).as("p_at_threshold"))
+        .select(col("n_bands"), col("rows_per_band"), col("n_candidates"),
+          col("n_est_dups"),
+          when(col("cand_tot") > 0,
+            intDiv(col("dup_tot") * 1000000L + intDiv(col("cand_tot"), lit(2L)),
+              col("cand_tot")).cast("double") / 1e6).as("precision"),
+          col("p_at_threshold"))
+    }
+    legs.reduce(_ unionByName _).orderBy(col("n_bands").desc)
+  }
+
   // -------------------------------------------------------------- simhash
 
   val SimhashBits = 16
@@ -2981,6 +3059,7 @@ object TextDedup {
     "t26_token_fertility" -> (t26TokenFertility _),
     "t27_ngram_entropy" -> (t27NgramEntropy _),
     "t28_readability" -> (t28Readability _),
+    "d24_band_sweep" -> (d24BandSweep _),
     "t25_source_divergence" -> (t25SourceDivergence _),
     "d23_unified_dedup" -> (d23UnifiedDedup _),
     "p20_unified_savings" -> (p20UnifiedSavings _),

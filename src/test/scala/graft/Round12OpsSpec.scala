@@ -103,6 +103,49 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(rows.exists(_.getDouble(5) < 0) && rows.exists(_.getDouble(5) > 0))
   }
 
+  test("v12 Cox HR replays a driver-side Newton twin and brackets the CI") {
+    val got = graft.queries.Survival.v12CoxHazardRatio(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.nonEmpty)
+    val rows = Tables.customer(spark, dir)
+      .filter(col("c_custkey") <= 2000)
+      .select(col("c_mktsegment"), col("c_nationkey"), col("c_custkey"))
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Number](1).longValue % 2,
+        r.getAs[Number](2).longValue % 2 == 0,
+        r.getAs[Number](2).longValue % 97))
+    rows.groupBy(_._1).foreach { case (seg, ss) =>
+      // independent float Newton (no micro-snapping) — must agree to ~1e-4
+      val byTime = ss.groupBy(_._4).map { case (t, xs) =>
+        (t, xs.count(x => x._3 && x._2 == 1L), xs.count(_._3),
+          xs.count(_._2 == 0L), xs.count(_._2 == 1L))
+      }.toSeq.sortBy(_._1)
+      var atRisk0 = ss.count(_._2 == 0L); var atRisk1 = ss.count(_._2 == 1L)
+      val terms = byTime.map { case (t, d1, d, m0, m1) =>
+        val r = (t, d1, d, atRisk0, atRisk1)
+        atRisk0 -= m0; atRisk1 -= m1; r
+      }.filter(_._3 > 0)
+      var b = 0.0
+      var info = 0.0
+      (1 to 3).foreach { _ =>
+        var u = 0.0; var inf = 0.0
+        terms.foreach { case (_, d1, d, n0, n1) =>
+          val p = n1 * math.exp(b) / (n0 + n1 * math.exp(b))
+          u += d1 - d * p; inf += d * p * (1 - p)
+        }
+        info = inf
+        if (inf > 0) b += u / inf
+      }
+      val r = got(seg)
+      val (beta, hr, se, lo, hi) = (r.getDouble(3), r.getDouble(4),
+        r.getDouble(5), r.getDouble(6), r.getDouble(7))
+      assert(math.abs(beta - b) < 1e-3, s"$seg: engine $beta vs twin $b")
+      assert(math.abs(hr - math.exp(b)) < 1e-3, s"$seg hr")
+      assert(math.abs(se - 1.0 / math.sqrt(info)) < 1e-3, s"$seg se")
+      assert(lo < hr && hr < hi, s"$seg CI must bracket the HR")
+    }
+  }
+
   test("t28 readability: exact counts, floors, and the flesch formula") {
     val got = graft.queries.TextDedup.t28Readability(spark, dir).collect()
       .map(r => r.getLong(0) ->
