@@ -871,6 +871,36 @@ object OraclesText {
          |  (bucket < rate_pm) AS keep
          |FROM r ORDER BY doc_id LIMIT 2000""".stripMargin,
 
+    // TextDedup.p25TempSweep: p7's rebalancer with the temperature dial
+    // swept at λ ∈ {¼, ½, 1} — exponents chosen so every leg is x,
+    // sqrt(x) or sqrt(sqrt(x)) (IEEE-exact cross-engine, no libm pow);
+    // one scan, all three verdicts map-side.
+    "p25_temp_sweep" ->
+      s"""WITH x AS (SELECT lang,
+         |    ${hex4ToInt("substr(md5('tmp:' || regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), 1, 4)")} % 1000 AS bucket
+         |  FROM documents),
+         |c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),
+         |m AS (SELECT min(n_lang) AS n_min FROM c),
+         |r AS (SELECT x.lang, CAST(x.bucket AS BIGINT) AS bucket, c.n_lang,
+         |    CAST(round(sqrt(sqrt(CAST(m.n_min AS DOUBLE) / c.n_lang)) * 1000)
+         |      AS BIGINT) AS r25,
+         |    CAST(round(sqrt(CAST(m.n_min AS DOUBLE) / c.n_lang) * 1000)
+         |      AS BIGINT) AS r50,
+         |    CAST(round(CAST(m.n_min AS DOUBLE) / c.n_lang * 1000)
+         |      AS BIGINT) AS r100
+         |  FROM x JOIN c ON x.lang = c.lang CROSS JOIN m)
+         |SELECT lang, CAST(max(n_lang) AS BIGINT) AS n_lang,
+         |  max(r25) AS rate_pm_25,
+         |  CAST(sum(CASE WHEN bucket < r25 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS kept_25,
+         |  max(r50) AS rate_pm_50,
+         |  CAST(sum(CASE WHEN bucket < r50 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS kept_50,
+         |  max(r100) AS rate_pm_100,
+         |  CAST(sum(CASE WHEN bucket < r100 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS kept_100
+         |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+
     // TextDedup.p8CurriculumBins: exact global quality rank → integer
     // decile (rank₀·10 div n_total — never a double percentile).
     "p8_curriculum_bins" ->

@@ -1329,6 +1329,47 @@ object TextDedup {
       .limit(2000)
   }
 
+  /** Temperature-sweep rebalancing table (p25): p7's language
+    * rebalancer with the temperature dial swept — per language, the
+    * sampling rate and kept count at λ ∈ {¼, ½, 1} of the
+    * (n_min/n_lang)^λ law. λ = 1 flattens every language to the
+    * smallest's size, λ = ½ is p7's production dial, λ = ¼ barely
+    * intervenes — the table a multilingual run reads to pick how hard
+    * to fight the head language (the s22/d24 sweep pattern applied to
+    * mixing). The exponents are CHOSEN so every leg is IEEE-exact
+    * cross-engine: x, √x, √√x — hardware-correctly-rounded sqrt
+    * compositions, never a libm pow. ONE scan computes all three keep
+    * verdicts map-side (the per-doc md5 bucket is shared across legs)
+    * into a per-language partial agg — sweeping the dial costs one
+    * pass, not three.
+    */
+  def p25TempSweep(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val nMin = counts.agg(min(col("n_lang")).as("n_min"))
+    val bucket = conv(substring(fastMd5(concat(lit("tmp:"),
+        regexp_replace(trim(lower(col("text"))), "\\s+", " "))), 1, 4),
+      16, 10).cast("long") % 1000
+    val x = col("n_min").cast("double") / col("n_lang")
+    docs
+      .select(col("lang"), bucket.as("bucket"))
+      .join(broadcast(counts), Seq("lang"))
+      .crossJoin(broadcast(nMin))
+      .withColumn("r25", round(sqrt(sqrt(x)) * 1000).cast("long"))
+      .withColumn("r50", round(sqrt(x) * 1000).cast("long"))
+      .withColumn("r100", round(x * 1000).cast("long"))
+      .groupBy(col("lang"))
+      .agg(max(col("n_lang")).as("n_lang"),
+        max(col("r25")).as("rate_pm_25"),
+        sum(when(col("bucket") < col("r25"), 1L).otherwise(0L)).as("kept_25"),
+        max(col("r50")).as("rate_pm_50"),
+        sum(when(col("bucket") < col("r50"), 1L).otherwise(0L)).as("kept_50"),
+        max(col("r100")).as("rate_pm_100"),
+        sum(when(col("bucket") < col("r100"), 1L).otherwise(0L))
+          .as("kept_100"))
+      .orderBy(col("lang"))
+  }
+
   /** Token-budget corpus selection (p3): take documents in descending
     * quality order until the token budget is exhausted (the straddling
     * document is kept, mirroring t10's packing rule) — the "best N
@@ -3060,6 +3101,7 @@ object TextDedup {
     "t27_ngram_entropy" -> (t27NgramEntropy _),
     "t28_readability" -> (t28Readability _),
     "d24_band_sweep" -> (d24BandSweep _),
+    "p25_temp_sweep" -> (p25TempSweep _),
     "t25_source_divergence" -> (t25SourceDivergence _),
     "d23_unified_dedup" -> (d23UnifiedDedup _),
     "p20_unified_savings" -> (p20UnifiedSavings _),

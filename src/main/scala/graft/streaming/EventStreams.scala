@@ -970,6 +970,50 @@ object EventStreams {
     fullGapFacts(events).map(f => GapFact(f.event_type, f.gap_us))
   }
 
+  /** Running per-user gap moments — the e26 ingest state: last arrival
+    * timestamp plus the EXACT integer moment triple (n, Σgap_s,
+    * Σgap_s²). O(1) per user regardless of history length. */
+  case class RegularityState(lastUs: Long, n: Long, s: Long, q: Long)
+  case class RegularityAlert(user_id: Long, n_gaps: Long, sum_gap_s: Long,
+      sum_sq_gap_s: Long, regular: Boolean)
+
+  /** Ingest-time bot-regularity verdicts — e26's TRUE streaming half
+    * (the post-hoc half is [[fullGapFacts]] → `botRegularityOf`, which
+    * re-aggregates facts; this one never re-reads anything): each
+    * user's state carries the exact moment triple, each trigger emits
+    * the user's CURRENT verdict once they cross the ≥ 20-event
+    * threshold, and the verdict is the same integer
+    * cross-multiplication as batch — 4·(n·Σx² − S²) < S², in BigInt so
+    * a hot user cannot wrap (the DECIMAL(38,0) discipline,
+    * driver-side). The latest alert per user is always equal to what
+    * batch e26 would say over the same replay — StreamingSpec pins it.
+    */
+  def regularityAlerts(events: Dataset[LocfIn]): Dataset[RegularityAlert] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[RegularityState, RegularityAlert](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[LocfIn],
+            state: GroupState[RegularityState]) =>
+          val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var st = state.getOption.getOrElse(RegularityState(Long.MinValue, 0L, 0L, 0L))
+          sorted.foreach { e =>
+            val us = micros(e.ts)
+            if (st.lastUs != Long.MinValue) {
+              val g = (us - st.lastUs) / 1000000L
+              st = RegularityState(us, st.n + 1, st.s + g, st.q + g * g)
+            } else st = st.copy(lastUs = us)
+          }
+          state.update(st)
+          if (st.n >= 19) {
+            val regular = st.s > 0 &&
+              4 * (BigInt(st.n) * st.q - BigInt(st.s) * st.s) <
+                BigInt(st.s) * st.s
+            Iterator(RegularityAlert(uid, st.n, st.s, st.q, regular))
+          } else Iterator.empty
+      }
+  }
+
   /** The one gap-mining state machine, now emitting the FULL fact so
     * e23 (per-type percentiles) and e26 (per-user regularity) share a
     * single flatMapGroupsWithState instead of duplicating keyed state.

@@ -1468,6 +1468,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(typed == batchTyped)
   }
 
+  test("ingest regularity alerts: latest verdict per user equals batch e26") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, max => smax}
+    val stream = EventStreams.readEvents(spark, streamDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts"), col("value"))
+      .as[EventStreams.LocfIn]
+    val q = EventStreams.regularityAlerts(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("reg_alerts")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // latest alert per user (max n_gaps — monotone per user)
+    val alerts = spark.table("reg_alerts").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).maxBy(_._1)).toMap
+    val batch = Events.e26BotRegularity(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))).toMap
+    assert(alerts == batch,
+      s"stream users=${alerts.size} batch users=${batch.size}")
+    assert(batch.nonEmpty)
+  }
+
+  test("regularity state carries exact moments across batch boundaries") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    // 21 metronomic events 10 s apart, split across two bursts: the
+    // verdict must fire only once n ≥ 19 gaps, with burst-1 moments kept
+    val all = (0 until 21).map(i =>
+      EventStreams.LocfIn(i.toLong, 1L, "tick", ts(100 + 10L * i), None))
+    implicit val sq = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventStreams.LocfIn]
+    val q = EventStreams.regularityAlerts(mem.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("reg_bursts").start()
+    mem.addData(all.take(12): _*); q.processAllAvailable()
+    assert(spark.table("reg_bursts").count() == 0) // 11 gaps — silent
+    mem.addData(all.drop(12): _*); q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("reg_bursts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    // 20 gaps of exactly 10 s: n=20, S=200, Q=2000; cv=0 → regular
+    assert(rows.toSeq == Seq((1L, 20L, 200L, 2000L, true)), rows.toSeq)
+  }
+
   test("gap state carries the last timestamp across batch boundaries") {
     import spark.implicits._
     def ts(s: Long) = new java.sql.Timestamp(s * 1000)
