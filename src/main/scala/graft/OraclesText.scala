@@ -2017,6 +2017,37 @@ object OraclesText {
         |FROM a WHERE n_gaps >= 19
         |ORDER BY user_id LIMIT 2000""".stripMargin,
 
+    // Events.e27NearestAsof: nearest-direction as-of — backward last /
+    // forward first candidates from one window pass; winner by smaller
+    // |Δ| on exact µs, ties to the earlier (backward) view.
+    "e27_nearest_asof" ->
+      """WITH x AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |c AS (SELECT *,
+        |    last_value(CASE WHEN event_type = 'view' THEN event_id END
+        |      IGNORE NULLS) OVER wb AS b_id,
+        |    last_value(CASE WHEN event_type = 'view' THEN us END
+        |      IGNORE NULLS) OVER wb AS b_us,
+        |    first_value(CASE WHEN event_type = 'view' THEN event_id END
+        |      IGNORE NULLS) OVER wf AS f_id,
+        |    first_value(CASE WHEN event_type = 'view' THEN us END
+        |      IGNORE NULLS) OVER wf AS f_us
+        |  FROM x
+        |  WINDOW wb AS (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wf AS (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+        |u AS (SELECT *, (f_us IS NULL OR (b_us IS NOT NULL
+        |    AND (us - b_us) <= (f_us - us))) AS use_back
+        |  FROM c WHERE event_type = 'purchase'
+        |    AND (b_us IS NOT NULL OR f_us IS NOT NULL))
+        |SELECT user_id, event_id,
+        |  CASE WHEN use_back THEN b_id ELSE f_id END AS view_id,
+        |  CASE WHEN use_back THEN 'backward' ELSE 'forward' END AS direction,
+        |  (CASE WHEN use_back THEN b_us ELSE f_us END - us) / 1000000.0
+        |    AS delta_sec
+        |FROM u ORDER BY user_id, event_id LIMIT 3000""".stripMargin,
+
     // Events.e10CohortRetention: first-activity-hour cohorts, distinct
     // users active exactly +1h / +24h after their cohort hour.
     "e10_cohort_retention" ->
@@ -2691,6 +2722,55 @@ object OraclesText {
         |  CAST(coalesce(max(d.delta), 0) AS BIGINT) AS max_delta
         |FROM pp LEFT JOIN delta d ON pp.doc_id = d.doc_id
         |GROUP BY 1, 2 ORDER BY pp.doc_id LIMIT 2000""".stripMargin,
+
+    // Multimodal.m15VideoFingerprint: the m8 inter-frame delta (cut bit)
+    // and per-frame byte sums (rise bit) folded MSB-first into a 2-bit-
+    // per-transition envelope; dup groups key (w, h, n_frames,
+    // fingerprint). Replays the generator's byte formula arithmetically.
+    "m15_video_fingerprint" ->
+      """WITH p AS (SELECT doc_id,
+        |    CAST(1 + doc_id % 16 AS INT) AS w,
+        |    CAST(1 + doc_id % 12 AS INT) AS h,
+        |    1 + doc_id % 6 AS nf
+        |  FROM documents),
+        |pp AS (SELECT doc_id, w, h, w * h * 3 AS flen, nf FROM p),
+        |fs AS (SELECT pp.doc_id, f.i AS f,
+        |    CAST(sum(((pp.doc_id % 256) * 31 + f.i * 7919
+        |      + j.i * 2654435761) % 256) AS BIGINT) AS fsum
+        |  FROM pp, range(0, 6) f(i), range(0, 576) j(i)
+        |  WHERE f.i < pp.nf AND j.i < pp.flen
+        |  GROUP BY 1, 2),
+        |delta AS (SELECT pp.doc_id, f.i AS f,
+        |    CAST(sum(abs(
+        |        ((pp.doc_id % 256) * 31 + f.i * 7919 + j.i * 2654435761) % 256
+        |      - ((pp.doc_id % 256) * 31 + (f.i - 1) * 7919 + j.i * 2654435761) % 256))
+        |      AS BIGINT) AS delta,
+        |    max(pp.flen) AS flen
+        |  FROM pp, range(1, 6) f(i), range(0, 576) j(i)
+        |  WHERE f.i < pp.nf AND j.i < pp.flen
+        |  GROUP BY 1, 2),
+        |bits AS (SELECT d.doc_id, d.f,
+        |    CASE WHEN d.delta > 32 * d.flen THEN 1 ELSE 0 END AS cut,
+        |    CASE WHEN a.fsum > b.fsum THEN 1 ELSE 0 END AS rise,
+        |    pp.nf
+        |  FROM delta d
+        |  JOIN fs a ON a.doc_id = d.doc_id AND a.f = d.f
+        |  JOIN fs b ON b.doc_id = d.doc_id AND b.f = d.f - 1
+        |  JOIN pp ON pp.doc_id = d.doc_id),
+        |fp AS (SELECT pp.doc_id, pp.w, pp.h, CAST(pp.nf AS BIGINT) AS n_frames,
+        |    CAST(coalesce(sum((b.cut * 2 + b.rise)
+        |      * (CAST(1 AS BIGINT) << CAST(2 * (b.nf - 1 - b.f) AS INT))), 0)
+        |      AS BIGINT) AS fingerprint
+        |  FROM pp LEFT JOIN bits b ON pp.doc_id = b.doc_id
+        |  GROUP BY 1, 2, 3, 4),
+        |g AS (SELECT w, h, n_frames, fingerprint,
+        |    CAST(count(*) AS BIGINT) AS n_dups, min(doc_id) AS canon_id
+        |  FROM fp GROUP BY 1, 2, 3, 4)
+        |SELECT f.doc_id, f.w AS width, f.h AS height, f.n_frames,
+        |  f.fingerprint, g.n_dups, (f.doc_id = g.canon_id) AS is_canonical
+        |FROM fp f JOIN g ON f.w = g.w AND f.h = g.h
+        |  AND f.n_frames = g.n_frames AND f.fingerprint = g.fingerprint
+        |ORDER BY f.doc_id LIMIT 2000""".stripMargin,
 
     "m4_audio_features" ->
       """WITH p AS (SELECT doc_id,

@@ -578,6 +578,73 @@ object Multimodal {
       .limit(2000)
   }
 
+  /** Per-doc video envelope fingerprint (m15). */
+  case class VideoFingerprint(doc_id: Long, width: Int, height: Int,
+      n_frames: Long, fingerprint: Long)
+
+  /** Video fingerprint dedup (m15): the video analog of m6 (images) and
+    * m14 (audio) — with this, incremental dedup spans every content
+    * space the engine models (text, embeddings, images, audio, video).
+    * Two exact bits per frame TRANSITION over the REAL RIFF-AVI walk
+    * (the m5/m8 parser): bit₁ = scene cut (m8's inter-frame byte delta
+    * above the 32·frameLen threshold), bit₀ = frame byte-sum rose.
+    * Bits fold MSB-first into one Long (≤ 6 frames ⇒ ≤ 10 bits); dup
+    * groups key on (width, height, n_frames, fingerprint) with the m6
+    * canonical convention. The walk is map-only beside the data; group
+    * stats + membership reuse ONE hash shuffle (the m14 shape). The
+    * oracle replays the generator's byte formula arithmetically — a
+    * walker that misaligns a frame boundary flips the envelope.
+    */
+  def m15VideoFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val fps = videoFingerprintOf(Tables.documents(spark, dir)).persist()
+    val groups = fps.groupBy(col("width"), col("height"), col("n_frames"),
+        col("fingerprint"))
+      .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("canon_id"))
+    fps.join(groups, Seq("width", "height", "n_frames", "fingerprint"))
+      .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
+        col("fingerprint"), col("n_dups"),
+        (col("doc_id") === col("canon_id")).as("is_canonical"))
+      .orderBy(col("doc_id"))
+      .limit(2000)
+  }
+
+  /** m15's walk → envelope-fold pass over ANY frame with a doc_id
+    * column — shared by the batch operator and the ingest twin
+    * ([[graft.streaming.CorpusStreams.videoDedupAgainst]]). */
+  private[graft] def videoFingerprintOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .select(col("doc_id").cast("long"))
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val (w, h, nf) =
+            ((1 + id % 16).toInt, (1 + id % 12).toInt, (1 + id % 6).toInt)
+          val frameLen = w * h * 3
+          var prev: Array[Byte] = null
+          var prevSum = 0L
+          var fp = 0L
+          val raw = AviParser.parse(VideoGen.aviBytes(w, h, nf, id), frame => {
+            var s = 0L; var j = 0
+            while (j < frame.length) { s += (frame(j) & 0xff); j += 1 }
+            if (prev != null) {
+              var d = 0L; var k = 0
+              while (k < frame.length) {
+                d += math.abs((frame(k) & 0xff) - (prev(k) & 0xff)); k += 1
+              }
+              val cut = if (d > 32L * frameLen) 1L else 0L
+              val rise = if (s > prevSum) 1L else 0L
+              fp = fp * 4 + cut * 2 + rise
+            }
+            prev = frame
+            prevSum = s
+          })
+          VideoFingerprint(id, raw.width, raw.height, raw.nFrames, fp)
+        }
+      }
+      .toDF()
+  }
+
   /** Audio features (m4): the audio modality decoded FOR REAL — each
     * document derives a genuine PCM WAV payload ([[AudioGen]]; rate and
     * length from doc_id arithmetic, samples an exact integer formula),
@@ -1139,6 +1206,7 @@ object Multimodal {
     "m8_scene_cuts" -> (m8SceneCuts _),
     "m9_audio_segments" -> (m9AudioSegments _),
     "m14_audio_fingerprint" -> (m14AudioFingerprint _),
+    "m15_video_fingerprint" -> (m15VideoFingerprint _),
     "m10_sample_admission" -> (m10SampleAdmission _),
   )
 

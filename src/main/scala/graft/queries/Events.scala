@@ -167,6 +167,51 @@ object Events {
       .limit(3000)
   }
 
+  /** Nearest-direction as-of join (e27): each purchase matched to its
+    * NEAREST view either side (pandas `merge_asof(direction='nearest')`
+    * semantics) — e6 answers "what did they last see", this answers
+    * "what exposure is this purchase closest to", the attribution read
+    * when post-purchase confirmation views exist. One user_id window
+    * pass computes BOTH candidates (backward `last` over the preceding
+    * frame, forward `first` over the following frame, ignoreNulls);
+    * the winner is the smaller |Δ| with ties to the earlier (backward)
+    * view. Exact µs integers decide; only the reported delta divides.
+    * Same single-shuffle shape as e6 — no self-join, no bucketing.
+    */
+  def e27NearestAsof(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val back = base.rowsBetween(Window.unboundedPreceding, 0)
+    val fwd = base.rowsBetween(0, Window.unboundedFollowing)
+    val isView = col("event_type") === "view"
+    Tables.events(spark, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("b_id",
+        last(when(isView, col("event_id")), ignoreNulls = true).over(back))
+      .withColumn("b_us",
+        last(when(isView, col("us")), ignoreNulls = true).over(back))
+      .withColumn("f_id",
+        first(when(isView, col("event_id")), ignoreNulls = true).over(fwd))
+      .withColumn("f_us",
+        first(when(isView, col("us")), ignoreNulls = true).over(fwd))
+      .filter(col("event_type") === "purchase")
+      .withColumn("use_back",
+        col("f_us").isNull ||
+          (col("b_us").isNotNull &&
+            (col("us") - col("b_us")) <= (col("f_us") - col("us"))))
+      .filter(col("b_us").isNotNull || col("f_us").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        when(col("use_back"), col("b_id")).otherwise(col("f_id"))
+          .as("view_id"),
+        when(col("use_back"), lit("backward")).otherwise(lit("forward"))
+          .as("direction"),
+        ((when(col("use_back"), col("b_us")).otherwise(col("f_us"))
+          - col("us")) / lit(1000000.0)).as("delta_sec"))
+      .orderBy(col("user_id"), col("event_id"))
+      .limit(3000)
+  }
+
   /** Time-range aggregation: views in the 30 minutes strictly before
     * each click, per user — the range-join pattern expressed as a
     * VALUE-based window frame (`rangeBetween` on µs), so it is one
@@ -1077,6 +1122,7 @@ object Events {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e25_session_pairs" -> (e25SessionPairs _),
     "e26_bot_regularity" -> (e26BotRegularity _),
+    "e27_nearest_asof" -> (e27NearestAsof _),
     "e23_gap_percentiles" -> (e23GapPercentiles _),
     "e19_transition_matrix" -> (e19TransitionMatrix _),
     "e24_path_trigrams" -> (e24PathTrigrams _),

@@ -2015,6 +2015,31 @@ object TextDedup {
   private val xentAssetPaths =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Run-scoped per-doc TERM-FREQUENCY asset (the minhash-signature /
+    * xent discipline one layer lower): the corpus explode + (doc,
+    * token) count — the single most-repeated expensive pass in the
+    * text family — parquets once per (run, dir); t25's per-source LM
+    * (and p23 through it) and p24's dual-LM scoring all derive from
+    * the slim (doc_id, source, token, m) table by rollup instead of
+    * re-exploding the corpus. At lake scale this IS the tokenized
+    * corpus snapshot every LM-scoring pipeline checkpoints first.
+    */
+  private[graft] def termFreqAsset(spark: SparkSession, dir: String): DataFrame = {
+    val path = tfAssetPaths.computeIfAbsent(dir, _ => {
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft-tf-" +
+        s"$dupPairRunId-${dupPairSeq.getAndIncrement()}.parquet"
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), explode(toks).as("token"))
+        .groupBy(col("doc_id"), col("source"), col("token"))
+        .agg(count(lit(1)).as("m"))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    spark.read.parquet(path)
+  }
+  private val tfAssetPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** t12's body over any documents frame — per-doc (doc_id, n_tokens,
     * xent), unordered and unlimited so rollups (p21's CCNet buckets)
     * can consume EVERY document's score, not the gate's 2000-row
@@ -2684,10 +2709,9 @@ object TextDedup {
     import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
     def lnMicro(c: Column): Column =
       round(log(c.cast("double")) * 1e6).cast("long")
-    val tf = Tables.documents(spark, dir)
-      .select(col("source"), explode(toks).as("token"))
+    val tf = termFreqAsset(spark, dir)
       .groupBy(col("source"), col("token"))
-      .agg(count(lit(1)).as("cst"))
+      .agg(sum(col("m")).cast("long").as("cst"))
       .persist()
     tf.count() // eager: feeds the corpus, per-source, and scoring reads
     val corpus = tf.groupBy(col("token"))
@@ -3038,12 +3062,7 @@ object TextDedup {
     * under the q16b bounded-error gate at lake scale.
     */
   def p24RhoSelect(spark: SparkSession, dir: String): DataFrame = {
-    val tfm = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), explode(toks).as("token"))
-      .groupBy(col("doc_id"), col("source"), col("token"))
-      .agg(count(lit(1)).as("m"))
-      .persist()
-    tfm.count() // eager: feeds both LM aggregations and the scoring join
+    val tfm = termFreqAsset(spark, dir) // (doc_id, source, token, m), on disk
     val vocabS = tfm.groupBy(col("source"), col("token"))
       .agg(sum(col("m")).as("cs"))
       .withColumn("lnc_s",

@@ -361,6 +361,31 @@ object CorpusStreams {
       .select(col("doc_id"), col("n_windows"), col("fingerprint"))
   }
 
+  /** Ingest-time VIDEO dedup against a standing corpus — m15's
+    * streaming half, the last content space (text d13, embeddings s9,
+    * images m6, audio m14, now video): an arriving clip is admitted iff
+    * its scene-cut/byte-sum envelope (the SAME real RIFF-AVI walk as
+    * batch — `Multimodal.videoFingerprintOf` unchanged on the stream)
+    * is neither in the standing fingerprint set (stream-static LEFT
+    * ANTI, zero state) nor already seen in-stream (dropDuplicates keyed
+    * state on the (w, h, n_frames, fingerprint) key, first arrival
+    * wins). Same persist-the-static-walk discipline as
+    * [[imageDedupAgainst]]/[[audioDedupAgainst]].
+    */
+  def videoDedupAgainst(newDocs: DataFrame, standing: DataFrame): DataFrame = {
+    val standingFps = graft.multimodal.Multimodal
+      .videoFingerprintOf(standing)
+      .select(col("width"), col("height"), col("n_frames"),
+        col("fingerprint")).distinct().persist()
+    standingFps.count()
+    graft.multimodal.Multimodal.videoFingerprintOf(newDocs)
+      .dropDuplicates("width", "height", "n_frames", "fingerprint")
+      .join(standingFps, Seq("width", "height", "n_frames", "fingerprint"),
+        "left_anti")
+      .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
+        col("fingerprint"))
+  }
+
   /** Ingest-time image NEAR-dup alerts against a standing corpus —
     * m11's streaming half, the image-space sibling of
     * [[nearDupAlerts]]: an arriving image's perceptual hash is banded

@@ -289,4 +289,43 @@ class MultimodalSpec extends AnyFunSuite {
     assert(fps.values.map(_._2).toSet.size > 1, "all fingerprints equal")
     assert(groups.values.exists(_._1 > 1), "no envelope dup group found")
   }
+
+  test("m15 video fingerprint matches a formula twin over the real AVI walk") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.multimodal.Multimodal.m15VideoFingerprint(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getBoolean(6)))).toMap
+    val ids = Tables.documents(spark, dir)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    def byte(id: Long, f: Int, j: Int): Long =
+      ((id % 256) * 31 + f.toLong * 7919 + j.toLong * 2654435761L) % 256
+    val fps = ids.map { id =>
+      val (w, h, nf) = ((1 + id % 16).toInt, (1 + id % 12).toInt,
+        (1 + id % 6).toInt)
+      val flen = w * h * 3
+      var fp = 0L
+      (1 until nf).foreach { f =>
+        val d = (0 until flen).map(j => math.abs(byte(id, f, j) -
+          byte(id, f - 1, j))).sum
+        val sCur = (0 until flen).map(j => byte(id, f, j)).sum
+        val sPrev = (0 until flen).map(j => byte(id, f - 1, j)).sum
+        val cut = if (d > 32L * flen) 1L else 0L
+        val rise = if (sCur > sPrev) 1L else 0L
+        fp = fp * 4 + cut * 2 + rise
+      }
+      id -> ((w, h, nf.toLong, fp))
+    }.toMap
+    val groups = fps.toSeq.groupBy(_._2)
+      .map { case (k, ms) => k -> ((ms.size.toLong, ms.map(_._1).min)) }
+    ids.take(2000).foreach { id =>
+      val k @ (w, h, nf, fp) = fps(id)
+      val (nd, canon) = groups(k)
+      assert(got(id) == ((w, h, nf, fp, nd, id == canon)),
+        s"doc $id: got ${got(id)} want ${(w, h, nf, fp, nd, id == canon)}")
+    }
+    assert(groups.values.exists(_._1 > 1), "no video dup group found")
+    assert(fps.values.map(_._4).toSet.size > 1, "all video envelopes equal")
+  }
 }

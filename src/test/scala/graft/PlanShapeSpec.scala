@@ -908,11 +908,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).length <= 1, p.take(1200))
   }
 
-  test("s23: candidate pairs equi-join per query — never a cross product of the pool") {
+  test("s23: greedy rounds truncate lineage — final plan reads a checkpointed RDD") {
     val p = plan(Embeddings.s23MmrDiversify(spark, dir))
     assert(!p.contains("CartesianProduct"), p.take(1500))
-    // only the two 1-row-ish broadcasts (queries, thresholds) may nest-loop
-    assert(p.contains("InMemoryTableScan"), p.take(600)) // pool persisted once
+    // the selection pyramid must NOT replay: after k rounds the result
+    // is a localCheckpoint scan + presentation sort, nothing else
+    assert(p.contains("Scan ExistingRDD"), p.take(1200))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      p.take(1200))
   }
 
   test("t27: one gram-key shuffle serves all three orders; union is map-side") {

@@ -901,6 +901,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(admitted == Set(gb(0)), s"admitted=$admitted")
   }
 
+  test("streaming video dedup admits only novel envelopes (m15 twin)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    // driver-side envelope twin picks two real dup groups among ids 0..499
+    def byte(id: Long, f: Int, j: Int): Long =
+      ((id % 256) * 31 + f.toLong * 7919 + j.toLong * 2654435761L) % 256
+    def envelope(id: Long): (Int, Int, Long, Long) = {
+      val (w, h, nf) = ((1 + id % 16).toInt, (1 + id % 12).toInt,
+        (1 + id % 6).toInt)
+      val flen = w * h * 3
+      var fp = 0L
+      (1 until nf).foreach { f =>
+        val d = (0 until flen).map(j => math.abs(byte(id, f, j) -
+          byte(id, f - 1, j))).sum
+        val sc = (0 until flen).map(j => byte(id, f, j)).sum
+        val sp = (0 until flen).map(j => byte(id, f - 1, j)).sum
+        fp = fp * 4 + (if (d > 32L * flen) 2L else 0L) +
+          (if (sc > sp) 1L else 0L)
+      }
+      (w, h, nf.toLong, fp)
+    }
+    val groups = (0L until 500L).groupBy(envelope).values
+      .filter(_.size >= 2).toSeq.sortBy(_.head)
+    assert(groups.size >= 2, "need two envelope dup groups")
+    val ga = groups(0).toSeq; val gb = groups(1).toSeq
+    val standing = Seq(ga(0)).toDF("doc_id")
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Long]
+    val q = graft.streaming.CorpusStreams
+      .videoDedupAgainst(mem.toDS().toDF("doc_id"), standing)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("video_dedup").start()
+    try {
+      mem.addData(ga(1), gb(0)); q.processAllAvailable()
+      mem.addData(gb(1)); q.processAllAvailable()
+    } finally q.stop()
+    val admitted = spark.table("video_dedup").select(col("doc_id"))
+      .as[Long].collect().toSet
+    assert(admitted == Set(gb(0)), s"admitted=$admitted")
+  }
+
   test("admitted-corpus sink is exactly-once across a kill-and-restart") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit}
