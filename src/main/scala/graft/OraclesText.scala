@@ -2235,6 +2235,45 @@ object OraclesText {
         |    / 1e6, 6) AS prob
         |FROM t ORDER BY prev_type, next_type""".stripMargin,
 
+    // Events.e28StationaryProfile: three unrolled power-iteration steps
+    // over e19's micro-probability matrix, uniform start, exact-integer
+    // mass products (HUGEINT) and half-up micro renormalization per
+    // step — the v12 fixed-depth discipline.
+    "e28_stationary_profile" -> {
+      def step(i: Int): String =
+        s"""s$i AS (SELECT next_type,
+           |    sum(CAST(pi_micro AS HUGEINT) * p_micro) AS x
+           |  FROM mat JOIN p${i - 1} ON mat.prev_type = p${i - 1}.t
+           |  GROUP BY 1),
+           |z$i AS (SELECT sum(x) AS z FROM s$i),
+           |p$i AS (SELECT next_type AS t,
+           |    CAST((x * 1000000 + z // 2) // z AS BIGINT) AS pi_micro
+           |  FROM s$i, z$i)""".stripMargin
+      s"""WITH x AS (SELECT user_id, event_id, event_type,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+         |pr AS (SELECT event_type AS next_type,
+         |    lag(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY us, event_id) AS prev_type
+         |  FROM x),
+         |c AS (SELECT prev_type, next_type, count(*) AS n
+         |  FROM pr WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+         |t AS (SELECT *, CAST(sum(n) OVER (PARTITION BY prev_type)
+         |    AS BIGINT) AS n_from FROM c),
+         |mat AS (SELECT prev_type, next_type,
+         |    CAST((n * 1000000 + n_from // 2) // n_from AS BIGINT)
+         |      AS p_micro FROM t),
+         |u AS (SELECT count(DISTINCT prev_type) AS cnt FROM mat),
+         |p0 AS (SELECT DISTINCT prev_type AS t,
+         |    CAST((1000000 + cnt // 2) // cnt AS BIGINT) AS pi_micro
+         |  FROM mat, u),
+         |${step(1)},
+         |${step(2)},
+         |${step(3)}
+         |SELECT t AS event_type, pi_micro,
+         |  CAST(pi_micro AS DOUBLE) / 1e6 AS stationary
+         |FROM p3 ORDER BY event_type""".stripMargin
+    },
+
     // Events.e24PathTrigrams: per-user consecutive event-type triples
     // in (ts, event_id) order, global top-20 with full lexicographic
     // tie-break below the count.
@@ -3548,6 +3587,42 @@ object OraclesText {
          |  round(CAST(coalesce(lsh_hits, 0) AS DOUBLE) / n_exact, 6) AS recall_lsh,
          |  round(CAST(coalesce(ivf_hits, 0) AS DOUBLE) / n_exact, 6) AS recall_ivf
          |FROM base LEFT JOIN lh ON base.q_id = lh.q_id
+         |          LEFT JOIN ih ON base.q_id = ih.q_id
+         |ORDER BY base.q_id""".stripMargin
+    },
+
+    // Embeddings.s24PqRecall: recall@3 of the two PQ stacks (s11 flat
+    // ADC, s20 IVF-PQ) against the exact top-3 — the s8 composition
+    // discipline over the quantized paths, gated legs nested verbatim.
+    "s24_pq_recall" -> {
+      val exact3 =
+        s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+           |           FROM embeddings WHERE vec_id < 10),
+           |scored AS (SELECT q_id, vec_id,
+           |    round(${cosineSql("q_emb", "embedding")}, 6) AS cos
+           |  FROM embeddings, q WHERE vec_id != q_id),
+           |rk AS (SELECT q_id, vec_id,
+           |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+           |  FROM scored)
+           |SELECT q_id, vec_id FROM rk WHERE rk <= 3""".stripMargin
+      s"""WITH exact3 AS ($exact3),
+         |pq AS (SELECT q_id, vec_id FROM (${similarity("s11_pq_adc")})),
+         |ivfpq AS (SELECT q_id, vec_id FROM (${similarity("s20_ivfpq")})),
+         |base AS (SELECT q_id, count(*) AS n_exact FROM exact3 GROUP BY 1),
+         |ph AS (SELECT p.q_id, count(*) AS pq_hits FROM pq p
+         |       JOIN exact3 e ON p.q_id = e.q_id AND p.vec_id = e.vec_id
+         |       GROUP BY 1),
+         |ih AS (SELECT i.q_id, count(*) AS ivfpq_hits FROM ivfpq i
+         |       JOIN exact3 e ON i.q_id = e.q_id AND i.vec_id = e.vec_id
+         |       GROUP BY 1)
+         |SELECT base.q_id, CAST(n_exact AS BIGINT) AS n_exact,
+         |  CAST(coalesce(pq_hits, 0) AS BIGINT) AS pq_hits,
+         |  CAST(coalesce(ivfpq_hits, 0) AS BIGINT) AS ivfpq_hits,
+         |  round(CAST(coalesce(pq_hits, 0) AS DOUBLE) / n_exact, 6)
+         |    AS recall_pq,
+         |  round(CAST(coalesce(ivfpq_hits, 0) AS DOUBLE) / n_exact, 6)
+         |    AS recall_ivfpq
+         |FROM base LEFT JOIN ph ON base.q_id = ph.q_id
          |          LEFT JOIN ih ON base.q_id = ih.q_id
          |ORDER BY base.q_id""".stripMargin
     },

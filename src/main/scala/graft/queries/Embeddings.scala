@@ -632,6 +632,38 @@ object Embeddings {
       .orderBy(col("q_id"))
   }
 
+  /** PQ recall evaluation (s24): s8's measurement discipline extended
+    * to the QUANTIZED paths — recall@3 of s11 (flat PQ-ADC) and s20
+    * (IVF-PQ) against the exact brute-force top-3, completing the
+    * audit coverage of every ANN family the engine ships (s8 audits
+    * LSH + IVF, s22 sweeps the IVF dial, s24 audits the two PQ
+    * stacks). A compression dial without a measured recall is how
+    * billion-scale indexes silently rot; the added work beyond the
+    * already-gated legs is a few 10-row semi-joins and aggregates on
+    * the query sample.
+    */
+  def s24PqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact3 = s1CosineTopK(spark, dir).filter(col("rk") <= 3)
+      .select(col("q_id"), col("vec_id")).persist()
+    exact3.count() // feeds both hit joins
+    val base = exact3.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact"))
+    def hits(ann: DataFrame, name: String): DataFrame =
+      ann.select(col("q_id"), col("vec_id"))
+        .join(exact3, Seq("q_id", "vec_id"), "left_semi")
+        .groupBy(col("q_id")).agg(count(lit(1)).as(name))
+    base
+      .join(hits(s11PqAdc(spark, dir), "pq_hits"), Seq("q_id"), "left")
+      .join(hits(s20IvfPq(spark, dir), "ivfpq_hits"), Seq("q_id"), "left")
+      .select(col("q_id"), col("n_exact"),
+        coalesce(col("pq_hits"), lit(0L)).as("pq_hits"),
+        coalesce(col("ivfpq_hits"), lit(0L)).as("ivfpq_hits"),
+        round(coalesce(col("pq_hits"), lit(0L)).cast("double")
+          / col("n_exact"), 6).as("recall_pq"),
+        round(coalesce(col("ivfpq_hits"), lit(0L)).cast("double")
+          / col("n_exact"), 6).as("recall_ivfpq"))
+      .orderBy(col("q_id"))
+  }
+
   /** Per-(label, subspace) PQ codebook: the 64-dim space split into 4
     * contiguous 16-dim subspaces; each subspace's codewords are the
     * exact integer-unit per-dim means of the label groups (the s4/s7
@@ -1088,6 +1120,7 @@ object Embeddings {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s22_recall_cost" -> (s22RecallCostCurve _),
     "s23_mmr_diversify" -> (s23MmrDiversify _),
+    "s24_pq_recall" -> (s24PqRecall _),
     "s21_silhouette" -> (s21Silhouette _),
     "s1_cosine_topk" -> (s1CosineTopK _),
     "s19_filtered_ann" -> (s19FilteredAnn _),

@@ -1043,6 +1043,53 @@ object Events {
       .limit(2000)
   }
 
+  /** Stationary behavior profile (e28): the long-run occupancy of the
+    * e19 transition matrix — where user behavior settles if the
+    * observed dynamics keep running (the steady-state read product
+    * teams put next to the raw matrix: "at equilibrium, X% of actions
+    * are purchases"). Three unrolled power-iteration steps π ← πP from
+    * the uniform start — the v12 fixed-depth discipline that keeps an
+    * iterative estimator oracle-expressible. EVERYTHING is exact
+    * integer arithmetic: the matrix entries are e19's half-up
+    * micro-probabilities, π carries in micro units, each step's mass
+    * products accumulate in DECIMAL(38,0) and renormalize by one
+    * half-up integral division (dangling next-types that never emit
+    * re-inject their mass through the renormalizer, the PageRank
+    * convention). |types| is small by nature, so each step is a
+    * broadcast join over the persisted matrix — the corpus is touched
+    * exactly once, by e19's pair extraction.
+    */
+  def e28StationaryProfile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
+    val mat = transitionMatrixOf(Tables.events(spark, dir))
+      .select(col("prev_type"), col("next_type"),
+        intDiv(col("n") * 1000000L + intDiv(col("n_from"), lit(2L)),
+          col("n_from")).as("p_micro"))
+      .persist()
+    mat.count() // three iteration joins read the tiny matrix
+    val types = mat.select(col("prev_type").as("t")).distinct()
+    val cnt = types.count() // |event types| — bounded scalar
+    var pi = types.select(col("t"),
+      lit((1000000L + cnt / 2) / cnt).as("pi_micro"))
+    for (_ <- 1 to 3) {
+      val stepped = mat
+        .join(pi.select(col("t").as("prev_type"), col("pi_micro")),
+          Seq("prev_type"))
+        .groupBy(col("next_type"))
+        .agg(sum(col("pi_micro").cast("decimal(38,0)") * col("p_micro"))
+          .as("x"))
+      val z = stepped.agg(sum(col("x")).as("z"))
+      pi = stepped.crossJoin(broadcast(z))
+        .select(col("next_type").as("t"),
+          intDiv(col("x") * 1000000L + intDiv(col("z"), lit(2L)), col("z"))
+            .cast("long").as("pi_micro"))
+        .localCheckpoint(true)
+    }
+    pi.select(col("t").as("event_type"), col("pi_micro"),
+        (col("pi_micro").cast("double") / 1e6).as("stationary"))
+      .orderBy(col("event_type"))
+  }
+
   /** Session-level event-type co-occurrence with lift (e25): which
     * behaviors happen TOGETHER in one visit — the association-rule
     * read of the e2 sessions (market-basket over sessions instead of
@@ -1123,6 +1170,7 @@ object Events {
     "e25_session_pairs" -> (e25SessionPairs _),
     "e26_bot_regularity" -> (e26BotRegularity _),
     "e27_nearest_asof" -> (e27NearestAsof _),
+    "e28_stationary_profile" -> (e28StationaryProfile _),
     "e23_gap_percentiles" -> (e23GapPercentiles _),
     "e19_transition_matrix" -> (e19TransitionMatrix _),
     "e24_path_trigrams" -> (e24PathTrigrams _),

@@ -146,6 +146,34 @@ class Round12OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("e28 stationary profile: mass conserves and replays a driver twin") {
+    val got = graft.queries.Events.e28StationaryProfile(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    // renormalization keeps total mass at 1e6 up to per-type half-up slack
+    assert(math.abs(got.map(_._2).sum - 1000000L) <= got.length,
+      s"mass=${got.map(_._2).sum}")
+    // driver twin: the same integer power iteration over the e19 matrix
+    val mat = graft.queries.Events.e19TransitionMatrix(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    def halfUp(num: BigInt, den: BigInt): Long = ((num + den / 2) / den).toLong
+    val p = mat.map { case (a, b, n, nf) =>
+      (a, b) -> halfUp(BigInt(n) * 1000000L, BigInt(nf)) }.toMap
+    val types = mat.map(_._1).distinct.sorted
+    var pi: Map[String, Long] =
+      types.map(_ -> (1000000L + types.length / 2) / types.length).toMap
+    (1 to 3).foreach { _ =>
+      val x = mat.map(_._2).distinct.map { j =>
+        j -> p.collect { case ((a, b), pm) if b == j && pi.contains(a) =>
+          BigInt(pi(a)) * pm }.sum
+      }.filter(_._2 > 0)
+      val z = x.map(_._2).sum
+      pi = x.map { case (t, v) => t -> halfUp(v * 1000000L, z) }.toMap
+    }
+    got.foreach { case (t, m) =>
+      assert(pi(t) == m, s"$t: engine $m vs twin ${pi(t)}")
+    }
+  }
+
   test("t28 readability: exact counts, floors, and the flesch formula") {
     val got = graft.queries.TextDedup.t28Readability(spark, dir).collect()
       .map(r => r.getLong(0) ->
