@@ -278,6 +278,43 @@ object OraclesText {
     // TextDedup.d16SourceOverlap: near-dup pairs rolled up by the
     // unordered source pair — the provenance mirror matrix; mean
     // Jaccard is the exact grid average of 6-decimal scores.
+    // TextDedup.d26ThresholdSweep: the verdict dial — pair and
+    // flagged-doc counts at Jaccard thresholds {0.8, 0.9, 0.95} over
+    // the d6 exact pair table; flagged = distinct id_b (drop-the-later
+    // convention); fraction by half-up micro division.
+    "d26_threshold_sweep" -> {
+      // CASE-filtered aggregates (not WHERE) so a threshold with zero
+      // surviving pairs still emits its row, like Spark's global agg
+      def leg(thr: String): String =
+        s"""SELECT $thr AS threshold,
+           |  CAST(sum(CASE WHEN jaccard >= $thr THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_pairs,
+           |  CAST(count(DISTINCT CASE WHEN jaccard >= $thr THEN id_b END)
+           |    AS BIGINT) AS n_flagged,
+           |  CAST((CAST(count(DISTINCT CASE WHEN jaccard >= $thr THEN id_b END)
+           |      AS HUGEINT) * 1000000
+           |      + nd.n_docs // 2) // nd.n_docs AS BIGINT) / 1e6
+           |    AS flagged_frac
+           |FROM jp, nd GROUP BY nd.n_docs""".stripMargin
+      s"""WITH $shingleCte,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sidx GROUP BY doc_id),
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+         |          FROM sidx a JOIN sidx b
+         |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |jp AS (SELECT id_a, id_b,
+         |    round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) AS jaccard
+         |  FROM pairs JOIN sizes sa ON id_a = sa.doc_id
+         |       JOIN sizes sb ON id_b = sb.doc_id
+         |  WHERE round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) >= 0.8),
+         |nd AS (SELECT count(*) AS n_docs FROM documents)
+         |SELECT * FROM (
+         |  (${leg("0.8")})
+         |  UNION ALL (${leg("0.9")})
+         |  UNION ALL (${leg("0.95")})
+         |) ORDER BY threshold""".stripMargin
+    },
+
     "d16_source_overlap" ->
       s"""WITH $shingleCte,
          |sizes AS (SELECT doc_id, count(*) AS n FROM sidx GROUP BY doc_id),
@@ -2234,6 +2271,23 @@ object OraclesText {
         |  round(CAST((n * 1000000 + n_from // 2) // n_from AS DOUBLE)
         |    / 1e6, 6) AS prob
         |FROM t ORDER BY prev_type, next_type""".stripMargin,
+
+    // Events.e29TypeEntropy: per-user Shannon entropy of the type
+    // distribution — ln c snapped to micro-nats per (user, type) row
+    // (t27 discipline), exact accumulation, one final double subtract.
+    "e29_type_entropy" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |a AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+        |    CAST(count(*) AS BIGINT) AS n_types,
+        |    CAST(sum(c * CAST(round(ln(CAST(c AS DOUBLE)) * 1000000)
+        |      AS BIGINT)) AS BIGINT) AS sclnc
+        |  FROM c GROUP BY 1)
+        |SELECT user_id, n_events, n_types,
+        |  round(ln(CAST(n_events AS DOUBLE))
+        |    - CAST(sclnc AS DOUBLE) / (n_events * 1000000.0), 6)
+        |    AS type_entropy
+        |FROM a ORDER BY user_id LIMIT 2000""".stripMargin,
 
     // Events.e28StationaryProfile: three unrolled power-iteration steps
     // over e19's micro-probability matrix, uniform start, exact-integer

@@ -1090,6 +1090,35 @@ object Events {
       .orderBy(col("event_type"))
   }
 
+  /** Behavioral-diversity entropy (e29): Shannon entropy of each user's
+    * event-type distribution — the single-note-actor signal that
+    * complements e26's timing regularity (a scraper clicks one thing
+    * metronomically: LOW type entropy AND low gap cv; a human browses:
+    * high both). H = ln n − (Σ c·ln c)/n with each per-(user, type)
+    * count's ln snapped to integer micro-nats (the t27 discipline), so
+    * the per-user accumulation is exact under any partitioning and only
+    * the final presentation subtracts doubles. One shuffle on the
+    * (user, type) key, then a user-key partial agg — the e26 cost
+    * class.
+    */
+  def e29TypeEntropy(spark: SparkSession, dir: String): DataFrame = {
+    def lnMicro(c: Column): Column =
+      round(log(c.cast("double")) * 1e6).cast("long")
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("c")).as("n_events"),
+        count(lit(1)).as("n_types"),
+        sum(col("c") * lnMicro(col("c"))).as("sclnc"))
+      .select(col("user_id"), col("n_events"), col("n_types"),
+        round(log(col("n_events").cast("double")) -
+          col("sclnc").cast("double") / (col("n_events") * lit(1e6)), 6)
+          .as("type_entropy"))
+      .orderBy(col("user_id"))
+      .limit(2000)
+  }
+
   /** Session-level event-type co-occurrence with lift (e25): which
     * behaviors happen TOGETHER in one visit — the association-rule
     * read of the e2 sessions (market-basket over sessions instead of
@@ -1171,6 +1200,7 @@ object Events {
     "e26_bot_regularity" -> (e26BotRegularity _),
     "e27_nearest_asof" -> (e27NearestAsof _),
     "e28_stationary_profile" -> (e28StationaryProfile _),
+    "e29_type_entropy" -> (e29TypeEntropy _),
     "e23_gap_percentiles" -> (e23GapPercentiles _),
     "e19_transition_matrix" -> (e19TransitionMatrix _),
     "e24_path_trigrams" -> (e24PathTrigrams _),

@@ -284,6 +284,33 @@ object TextDedup {
     legs.reduce(_ unionByName _).orderBy(col("n_bands").desc)
   }
 
+  /** Dedup-verdict threshold sweep (d26): the OTHER dedup dial — d24
+    * sweeps how candidates are FOUND, d26 sweeps how aggressively they
+    * are JUDGED. For Jaccard thresholds {0.8, 0.9, 0.95} over the
+    * run-scoped exact pair table: surviving pair count, documents
+    * flagged for removal (the d15/p9 drop-the-later convention:
+    * distinct id_b), and the corpus fraction that flagging removes
+    * (half-up micro division). One read of the already-materialized
+    * pair asset; each leg is a filtered aggregate — sweeping the
+    * verdict costs three ≤1-row reductions, never a new pair pass.
+    */
+  def d26ThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
+    val pairs = dupPairs(spark, dir).persist()
+    pairs.count()
+    val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val legs = Seq(0.8, 0.9, 0.95).map { thr =>
+      pairs.filter(col("jaccard") >= thr)
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("id_b")).as("n_flagged"))
+        .crossJoin(broadcast(nDocs))
+        .select(lit(thr).as("threshold"), col("n_pairs"), col("n_flagged"),
+          (intDiv(col("n_flagged") * 1000000L + intDiv(col("n_docs"), lit(2L)),
+            col("n_docs")).cast("double") / 1e6).as("flagged_frac"))
+    }
+    legs.reduce(_ unionByName _).orderBy(col("threshold"))
+  }
+
   // -------------------------------------------------------------- simhash
 
   val SimhashBits = 16
@@ -3121,6 +3148,7 @@ object TextDedup {
     "t28_readability" -> (t28Readability _),
     "d24_band_sweep" -> (d24BandSweep _),
     "p25_temp_sweep" -> (p25TempSweep _),
+    "d26_threshold_sweep" -> (d26ThresholdSweep _),
     "t25_source_divergence" -> (t25SourceDivergence _),
     "d23_unified_dedup" -> (d23UnifiedDedup _),
     "p20_unified_savings" -> (p20UnifiedSavings _),
