@@ -918,6 +918,29 @@ class PlanShapeSpec extends AnyFunSuite {
       p.take(1200))
   }
 
+  test("p25: the temperature sweep is one scan — three verdicts map-side") {
+    val df = TextDedup.p25TempSweep(spark, dir)
+    val p = plan(df)
+    val readSchema = p.split("ReadSchema: ")(1).split("\n")(0)
+    assert(readSchema.count(_ == ':') <= 2,
+      s"expected a 2-column documents read, got $readSchema")
+    // no pow anywhere — the λ legs are sqrt compositions
+    assert(!p.toLowerCase.contains("pow"), p.take(1200))
+  }
+
+  test("e29: entropy rides two partial-agg exchanges, nothing global") {
+    val p = plan(graft.queries.Events.e29TypeEntropy(spark, dir))
+    assert("Exchange".r.findAllIn(p).length <= 3, p.take(1500))
+    assert(p.contains("partial_"), p.take(1200))
+    assert(!p.toLowerCase.contains("ntile"), p.take(800))
+  }
+
+  test("v12: Newton rounds truncate lineage like s23 — final plan is a checkpoint read") {
+    val p = plan(graft.queries.Survival.v12CoxHazardRatio(spark, dir))
+    assert(p.contains("Scan ExistingRDD"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
   test("t27: one gram-key shuffle serves all three orders; union is map-side") {
     val p = plan(TextDedup.t27NgramEntropy(spark, dir))
     // the three n-gram legs union BEFORE the (source, n, gram) agg —
