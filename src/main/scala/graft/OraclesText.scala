@@ -3893,6 +3893,60 @@ object OraclesText {
   val round11: Map[String, String] = Map(
     "s22_recall_cost" -> s22Sql,
 
+    // TextDedup.p26ContaminationBySource: d10's contaminated train set
+    // (gated SQL nested verbatim) rolled up to per-source rates with
+    // one half-up micro division each.
+    "p26_contamination_by_source" ->
+      s"""WITH d10 AS (${decontamination("d10_decontamination")}),
+         |cont AS (SELECT DISTINCT train_id AS doc_id FROM d10),
+         |a AS (SELECT d.source, count(*) AS n_docs,
+         |    CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_contaminated
+         |  FROM documents d LEFT JOIN cont c ON d.doc_id = c.doc_id
+         |  GROUP BY 1)
+         |SELECT source, CAST(n_docs AS BIGINT) AS n_docs, n_contaminated,
+         |  CAST((n_contaminated * 1000000 + n_docs // 2) // n_docs
+         |    AS BIGINT) / 1e6 AS contamination_rate
+         |FROM a ORDER BY source""".stripMargin,
+
+    // TextDedup.t29SplitDrift: per-language total-variation distance
+    // between the train and val unigram distributions — exact integer
+    // cross products in HUGEINT, one half-up micro division per
+    // language (TV, not JSD: no libm anywhere).
+    "t29_split_drift" ->
+      s"""WITH sp AS (SELECT doc_id,
+         |    CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |    ${hex4ToInt("substr(md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), 1, 4)")} % 100 AS bucket
+         |    FROM documents)),
+         |tok AS (SELECT d.doc_id, d.lang, sp.split,
+         |    unnest(string_split_regex(trim(lower(d.text)), '\\s+')) AS token
+         |  FROM documents d JOIN sp ON d.doc_id = sp.doc_id
+         |  WHERE sp.split IN ('train', 'val')),
+         |tf AS (SELECT lang, token,
+         |    CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS cp,
+         |    CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS cq
+         |  FROM tok GROUP BY 1, 2),
+         |tot AS (SELECT lang, CAST(sum(cp) AS BIGINT) AS np,
+         |    CAST(sum(cq) AS BIGINT) AS nq FROM tf GROUP BY 1),
+         |nm AS (SELECT tf.lang,
+         |    sum(abs(CAST(cp AS HUGEINT) * nq - CAST(cq AS HUGEINT) * np))
+         |      AS num,
+         |    CAST(count(*) AS BIGINT) AS vocab_union
+         |  FROM tf JOIN tot ON tf.lang = tot.lang GROUP BY 1)
+         |SELECT nm.lang, np AS n_train_tokens, nq AS n_val_tokens,
+         |  vocab_union,
+         |  CASE WHEN np > 0 AND nq > 0 THEN
+         |    CAST((num * 1000000
+         |        + (CAST(np AS HUGEINT) * nq * 2) // 2)
+         |      // (CAST(np AS HUGEINT) * nq * 2) AS BIGINT) / 1e6
+         |  END AS tv_distance
+         |FROM nm JOIN tot ON nm.lang = tot.lang
+         |ORDER BY nm.lang""".stripMargin,
+
     // TextDedup.p23DoremiStep: one DoReMi mirror-descent update over
     // t25's gated KL (composed verbatim as a CTE). Boosted weights are
     // rounded at 6 decimals BEFORE the normalizer sums them in exact

@@ -1397,6 +1397,77 @@ object TextDedup {
       .orderBy(col("lang"))
   }
 
+  /** Contamination attribution by source (p26): d10's benchmark-
+    * contaminated train docs rolled up to the provenance dashboard —
+    * which SOURCE ships the train documents that near-dup the val/test
+    * sets (the feed you renegotiate, not just the docs you drop).
+    * Pure composition over two gated pipelines: the contaminated set
+    * is a slim distinct-doc frame left-joined onto (doc_id, source);
+    * the rate is one half-up micro division per source. AQE broadcasts
+    * the drop set; cost is the d10 read.
+    */
+  def p26ContaminationBySource(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
+    val cont = d10Decontamination(spark, dir)
+      .select(col("train_id").as("doc_id")).distinct()
+      .withColumn("c", lit(true))
+    Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+      .join(cont, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("c"), 1L).otherwise(0L)).as("n_contaminated"))
+      .select(col("source"), col("n_docs"), col("n_contaminated"),
+        (intDiv(col("n_contaminated") * 1000000L + intDiv(col("n_docs"),
+          lit(2L)), col("n_docs")).cast("double") / 1e6)
+          .as("contamination_rate"))
+      .orderBy(col("source"))
+  }
+
+  /** Train/val distribution drift (t29): total-variation distance
+    * between the two splits' unigram distributions, per language — the
+    * release-over-release drift monitor (apply to two corpus snapshots
+    * and it is the same operator). TV = ½ Σ_t |P(t) − Q(t)| =
+    * Σ|c_p·N_q − c_q·N_p| / (2·N_p·N_q) — EXACT integer arithmetic end
+    * to end (the per-token cross products in DECIMAL(38,0); one
+    * half-up micro division per language at the very end), which is
+    * why TV and not JSD: the divergence with logs of mixed-denominator
+    * rationals would leak libm into every token, TV leaks nothing.
+    * Derives from the term-frequency asset joined to the slim
+    * (doc_id, lang, split) map — no new corpus explode; the only
+    * corpus-sized shuffle is the asset's own (already paid).
+    */
+  def t29SplitDrift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
+    val (_, split) = splitCols
+    val lab = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), split.as("split"))
+      .filter(col("split").isin("train", "val"))
+    val tf = termFreqAsset(spark, dir)
+      .join(lab, Seq("doc_id"))
+      .groupBy(col("lang"), col("token"))
+      .agg(sum(when(col("split") === "train", col("m")).otherwise(0L))
+          .as("cp"),
+        sum(when(col("split") === "val", col("m")).otherwise(0L)).as("cq"))
+      .persist()
+    tf.count() // feeds the totals and the distance pass
+    val totals = tf.groupBy(col("lang"))
+      .agg(sum(col("cp")).as("np"), sum(col("cq")).as("nq"))
+    val num = tf.join(broadcast(totals), Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(sum(abs(col("cp").cast("decimal(38,0)") * col("nq")
+          - col("cq").cast("decimal(38,0)") * col("np"))).as("num"),
+        count(lit(1)).as("vocab_union"))
+    num.join(broadcast(totals), Seq("lang"))
+      .select(col("lang"), col("np").as("n_train_tokens"),
+        col("nq").as("n_val_tokens"), col("vocab_union"),
+        when(col("np") > 0 && col("nq") > 0,
+          intDiv(col("num") * 1000000L
+            + intDiv(col("np").cast("decimal(38,0)") * col("nq") * 2, lit(2L)),
+          col("np").cast("decimal(38,0)") * col("nq") * 2).cast("double")
+          / 1e6).as("tv_distance"))
+      .orderBy(col("lang"))
+  }
+
   /** Token-budget corpus selection (p3): take documents in descending
     * quality order until the token budget is exhausted (the straddling
     * document is kept, mirroring t10's packing rule) — the "best N
@@ -3149,6 +3220,8 @@ object TextDedup {
     "d24_band_sweep" -> (d24BandSweep _),
     "p25_temp_sweep" -> (p25TempSweep _),
     "d26_threshold_sweep" -> (d26ThresholdSweep _),
+    "p26_contamination_by_source" -> (p26ContaminationBySource _),
+    "t29_split_drift" -> (t29SplitDrift _),
     "t25_source_divergence" -> (t25SourceDivergence _),
     "d23_unified_dedup" -> (d23UnifiedDedup _),
     "p20_unified_savings" -> (p20UnifiedSavings _),
