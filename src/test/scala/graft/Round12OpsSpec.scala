@@ -174,6 +174,54 @@ class Round12OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sweep tables are monotone along their dials (d24, d26, p25)") {
+    // d24: fewer rows per band ⇒ more candidates; precision moves inversely
+    val d24 = graft.queries.TextDedup.d24BandSweep(spark, dir).collect()
+      .map(r => r.getInt(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(d24(1)._1 >= d24(2)._1 && d24(2)._1 >= d24(4)._1,
+      s"candidates not monotone: $d24")
+    d24.values.foreach { case (cand, dups) => assert(dups <= cand) }
+    // d26: a stricter verdict can only shrink pairs and flagged docs
+    val d26 = graft.queries.TextDedup.d26ThresholdSweep(spark, dir).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    d26.toSeq.sliding(2).foreach { w =>
+      val (lo, hi) = (w.head, w.last)
+      assert(hi._2 <= lo._2 && hi._3 <= lo._3, s"$lo -> $hi")
+    }
+    // p25: hotter temperature (bigger λ) can only sample harder
+    graft.queries.TextDedup.p25TempSweep(spark, dir).collect().foreach { r =>
+      val (r25, k25) = (r.getLong(2), r.getLong(3))
+      val (r50, k50) = (r.getLong(4), r.getLong(5))
+      val (r100, k100) = (r.getLong(6), r.getLong(7))
+      assert(r25 >= r50 && r50 >= r100, s"rates not monotone: $r")
+      assert(k25 >= k50 && k50 >= k100, s"kept not monotone: $r")
+    }
+  }
+
+  test("p26 rates and t29 distances stay in bounds and reconcile") {
+    val docs = Tables.documents(spark, dir)
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val p26 = graft.queries.TextDedup
+      .p26ContaminationBySource(spark, dir).collect()
+    assert(p26.map(r => r.getString(0) -> r.getLong(1)).toMap == docs,
+      "per-source doc totals must reconcile with the corpus")
+    p26.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      val rate = r.getDouble(3)
+      assert(rate >= 0.0 && rate <= 1.0, r.toString)
+    }
+    val t29 = graft.queries.TextDedup.t29SplitDrift(spark, dir).collect()
+    assert(t29.nonEmpty)
+    t29.foreach { r =>
+      val tv = r.getDouble(4)
+      assert(tv >= 0.0 && tv <= 1.0, r.toString)
+      assert(r.getLong(1) > 0 && r.getLong(2) > 0, r.toString)
+    }
+    // drift must be non-degenerate: splits differ on a finite corpus
+    assert(t29.exists(_.getDouble(4) > 0))
+  }
+
   test("t28 readability: exact counts, floors, and the flesch formula") {
     val got = graft.queries.TextDedup.t28Readability(spark, dir).collect()
       .map(r => r.getLong(0) ->
