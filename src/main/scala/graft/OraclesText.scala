@@ -3893,6 +3893,19 @@ object OraclesText {
   val round11: Map[String, String] = Map(
     "s22_recall_cost" -> s22Sql,
 
+    // Events.e30BotTriage: e26 ∧ e29 composed on user_id (the p9/p18
+    // composition discipline); the entropy cut compares the gated
+    // round-6 double to a literal.
+    "e30_bot_triage" ->
+      s"""WITH reg AS (${events("e26_bot_regularity")}),
+         |ent AS (${events("e29_type_entropy")})
+         |SELECT reg.user_id, ent.n_events, reg.regular, reg.cv,
+         |  ent.type_entropy,
+         |  (ent.type_entropy < 0.5) AS low_entropy,
+         |  (reg.regular AND ent.type_entropy < 0.5) AS bot
+         |FROM reg JOIN ent ON reg.user_id = ent.user_id
+         |ORDER BY reg.user_id LIMIT 2000""".stripMargin,
+
     // TextDedup.p26ContaminationBySource: d10's contaminated train set
     // (gated SQL nested verbatim) rolled up to per-source rates with
     // one half-up micro division each.

@@ -1119,6 +1119,30 @@ object Events {
       .limit(2000)
   }
 
+  /** Bot triage (e30): the composed verdict the abuse pipeline
+    * actually consumes — metronomic timing (e26's cv < ½) AND
+    * single-note behavior (e29's type entropy < ½ nat) ⇒ bot. Either
+    * signal alone false-positives (shift workers are regular; casual
+    * readers are single-note); the conjunction is the standard triage
+    * cut. Pure composition of two gated pipelines joined on user_id —
+    * the p9/p18 discipline: each leg is already gated, the gate here
+    * checks the COMPOSITION. Entropy threshold compares the gated
+    * round-6 double against a literal, so the verdict cannot drift
+    * cross-engine.
+    */
+  def e30BotTriage(spark: SparkSession, dir: String): DataFrame =
+    e26BotRegularity(spark, dir)
+      .select(col("user_id"), col("n_gaps"), col("regular"), col("cv"))
+      .join(e29TypeEntropy(spark, dir)
+        .select(col("user_id"), col("n_events"), col("n_types"),
+          col("type_entropy")), Seq("user_id"))
+      .select(col("user_id"), col("n_events"), col("regular"), col("cv"),
+        col("type_entropy"),
+        (col("type_entropy") < 0.5).as("low_entropy"),
+        (col("regular") && col("type_entropy") < 0.5).as("bot"))
+      .orderBy(col("user_id"))
+      .limit(2000)
+
   /** Session-level event-type co-occurrence with lift (e25): which
     * behaviors happen TOGETHER in one visit — the association-rule
     * read of the e2 sessions (market-basket over sessions instead of
@@ -1201,6 +1225,7 @@ object Events {
     "e27_nearest_asof" -> (e27NearestAsof _),
     "e28_stationary_profile" -> (e28StationaryProfile _),
     "e29_type_entropy" -> (e29TypeEntropy _),
+    "e30_bot_triage" -> (e30BotTriage _),
     "e23_gap_percentiles" -> (e23GapPercentiles _),
     "e19_transition_matrix" -> (e19TransitionMatrix _),
     "e24_path_trigrams" -> (e24PathTrigrams _),

@@ -1014,6 +1014,46 @@ object EventStreams {
       }
   }
 
+  /** Per-user event-type counts — e29's ingest state: bounded at
+    * |event types| entries per user regardless of history. */
+  case class TypeEntropyState(counts: Map[String, Long])
+  case class TypeEntropyAlert(user_id: Long, n_events: Long, n_types: Long,
+      type_entropy: Double)
+
+  /** Ingest-time behavioral-entropy verdicts — e29's streaming half:
+    * each user's state carries the per-type count map (O(|types|), the
+    * smallest sufficient statistic for the entropy), and every trigger
+    * emits the user's CURRENT entropy with EXACTLY the batch
+    * arithmetic — per-count ln snapped to micro-nats (half-up), exact
+    * long accumulation, one double subtract rounded at 6 — so the
+    * latest alert per user always equals batch e29 over the same
+    * replay (StreamingSpec pins it). Pairs with [[regularityAlerts]]
+    * as the two real-time legs of the e30 bot-triage conjunction.
+    */
+  def typeEntropyAlerts(events: Dataset[LocfIn]): Dataset[TypeEntropyAlert] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[TypeEntropyState, TypeEntropyAlert](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[LocfIn],
+            state: GroupState[TypeEntropyState]) =>
+          var counts = state.getOption.map(_.counts)
+            .getOrElse(Map.empty[String, Long])
+          rows.foreach { e =>
+            counts = counts.updated(e.event_type,
+              counts.getOrElse(e.event_type, 0L) + 1L)
+          }
+          state.update(TypeEntropyState(counts))
+          val n = counts.values.sum
+          val sclnc = counts.values
+            .map(c => c * math.round(math.log(c.toDouble) * 1e6)).sum
+          val entropy = BigDecimal(math.log(n.toDouble)
+              - sclnc.toDouble / (n * 1e6))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          Iterator(TypeEntropyAlert(uid, n, counts.size.toLong, entropy))
+      }
+  }
+
   /** The one gap-mining state machine, now emitting the FULL fact so
     * e23 (per-type percentiles) and e26 (per-user regularity) share a
     * single flatMapGroupsWithState instead of duplicating keyed state.

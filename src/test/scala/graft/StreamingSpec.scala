@@ -1536,6 +1536,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("ingest type-entropy alerts: latest verdict per user equals batch e29") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val stream = EventStreams.readEvents(spark, streamDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts"), col("value"))
+      .as[EventStreams.LocfIn]
+    val q = EventStreams.typeEntropyAlerts(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ent_alerts")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val alerts = spark.table("ent_alerts").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).maxBy(_._1)).toMap
+    val batch = Events.e29TypeEntropy(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(alerts == batch,
+      s"stream users=${alerts.size} batch users=${batch.size}")
+    assert(batch.nonEmpty)
+  }
+
   test("regularity state carries exact moments across batch boundaries") {
     import spark.implicits._
     def ts(s: Long) = new java.sql.Timestamp(s * 1000)
