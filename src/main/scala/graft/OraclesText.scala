@@ -501,6 +501,23 @@ object OraclesText {
          |FROM comp JOIN sz ON comp.component = sz.component
          |ORDER BY comp.doc_id""".stripMargin,
 
+    // TextDedup.d27ComponentHistogram: component-size distribution over
+    // the d8 labels — n_components and corpus fraction per size bucket
+    // (half-up micro).
+    "d27_component_histogram" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |$componentCte,
+         |sz AS (SELECT component, count(*) AS cluster_size
+         |       FROM comp GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cluster_size) AS BIGINT) AS n_docs FROM sz)
+         |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+         |  CAST(count(*) AS BIGINT) AS n_components,
+         |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs_in_bucket,
+         |  CAST((cluster_size * count(*) * 1000000 + tot.n_docs // 2)
+         |    // tot.n_docs AS BIGINT) / 1e6 AS doc_frac
+         |FROM sz, tot GROUP BY cluster_size, tot.n_docs
+         |ORDER BY cluster_size""".stripMargin,
+
     // TextDedup.p13DedupSavings: per-source doc/token counts before vs
     // after keeping only d17 canonicals; one double division per source.
     "p13_dedup_savings" ->

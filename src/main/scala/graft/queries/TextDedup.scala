@@ -311,6 +311,31 @@ object TextDedup {
     legs.reduce(_ unionByName _).orderBy(col("threshold"))
   }
 
+  /** Dup-component size histogram (d27): the distribution read the
+    * dedup planner consumes — how many components of each size the
+    * ≥ 0.8 pair graph produces, and what fraction of the corpus sits
+    * in each bucket (half-up micro). Boilerplate-heavy crawls show a
+    * heavy tail here (one 10⁶-member component IS the skew d6b/m11
+    * guard against); a healthy corpus is mostly singletons. Reads the
+    * materialized component-label asset — the histogram costs two
+    * partial aggs over (doc, component) labels, never a new CC run.
+    */
+  def d27ComponentHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
+    val sizes = componentLabels(spark, dir)
+      .groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+    val total = sizes.agg(sum(col("cluster_size")).as("n_docs"))
+    sizes.groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_components"))
+      .crossJoin(broadcast(total))
+      .select(col("cluster_size"), col("n_components"),
+        (col("cluster_size") * col("n_components")).as("n_docs_in_bucket"),
+        (intDiv(col("cluster_size") * col("n_components") * 1000000L
+            + intDiv(col("n_docs"), lit(2L)), col("n_docs")).cast("double")
+          / 1e6).as("doc_frac"))
+      .orderBy(col("cluster_size"))
+  }
+
   // -------------------------------------------------------------- simhash
 
   val SimhashBits = 16
@@ -3222,6 +3247,7 @@ object TextDedup {
     "d26_threshold_sweep" -> (d26ThresholdSweep _),
     "p26_contamination_by_source" -> (p26ContaminationBySource _),
     "t29_split_drift" -> (t29SplitDrift _),
+    "d27_component_histogram" -> (d27ComponentHistogram _),
     "t25_source_divergence" -> (t25SourceDivergence _),
     "d23_unified_dedup" -> (d23UnifiedDedup _),
     "p20_unified_savings" -> (p20UnifiedSavings _),
