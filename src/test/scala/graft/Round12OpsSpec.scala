@@ -198,6 +198,18 @@ class Round12OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("d27 histogram reconciles with the corpus and the d8 labels") {
+    val hist = graft.queries.TextDedup.d27ComponentHistogram(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nDocs = Tables.documents(spark, dir).count()
+    assert(hist.map(_._3).sum == nDocs, "bucket docs must sum to the corpus")
+    hist.foreach { case (size, nc, docs) =>
+      assert(size >= 1 && nc >= 1 && docs == size * nc)
+    }
+    // the synthetic corpus has real dup clusters — the tail must exist
+    assert(hist.exists(_._1 > 1), "no multi-doc component found")
+  }
+
   test("p26 rates and t29 distances stay in bounds and reconcile") {
     val docs = Tables.documents(spark, dir)
       .groupBy(col("source")).count().collect()
