@@ -518,6 +518,39 @@ object OraclesText {
          |FROM sz, tot GROUP BY cluster_size, tot.n_docs
          |ORDER BY cluster_size""".stripMargin,
 
+    // TextDedup.p27DeletionPropagation: the takedown impact report —
+    // named docs (doc_id ≡ 0 mod 97) expand through their d8
+    // components to every surviving copy; per-source rollup with one
+    // half-up micro token-loss division.
+    "p27_deletion_propagation" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |$componentCte,
+         |dt AS (SELECT doc_id, source,
+         |    CAST(len(string_split_regex(trim(lower(text)), '\\s+'))
+         |      AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |named AS (SELECT doc_id FROM documents WHERE doc_id % 97 = 0),
+         |hitc AS (SELECT DISTINCT component FROM comp
+         |         JOIN named ON comp.doc_id = named.doc_id),
+         |exp AS (SELECT comp.doc_id FROM comp
+         |        JOIN hitc ON comp.component = hitc.component),
+         |a AS (SELECT dt.source, count(*) AS n_docs,
+         |    CAST(sum(CASE WHEN n.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_named,
+         |    CAST(sum(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_expanded,
+         |    CAST(sum(dt.n_tokens) AS BIGINT) AS n_tokens,
+         |    CAST(sum(CASE WHEN e.doc_id IS NOT NULL THEN dt.n_tokens
+         |      ELSE 0 END) AS BIGINT) AS tokens_lost
+         |  FROM dt LEFT JOIN named n ON dt.doc_id = n.doc_id
+         |    LEFT JOIN exp e ON dt.doc_id = e.doc_id
+         |  GROUP BY 1)
+         |SELECT source, CAST(n_docs AS BIGINT) AS n_docs, n_named,
+         |  n_expanded, tokens_lost,
+         |  CAST((tokens_lost * 1000000 + n_tokens // 2) // n_tokens
+         |    AS BIGINT) / 1e6 AS token_loss_frac
+         |FROM a ORDER BY source""".stripMargin,
+
     // TextDedup.p13DedupSavings: per-source doc/token counts before vs
     // after keeping only d17 canonicals; one double division per source.
     "p13_dedup_savings" ->

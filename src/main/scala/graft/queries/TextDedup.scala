@@ -1493,6 +1493,48 @@ object TextDedup {
       .orderBy(col("lang"))
   }
 
+  /** Deletion propagation (p27): the right-to-be-forgotten impact
+    * report — a deletion request doesn't end at the named documents,
+    * because near-copies of the deleted content survive dedup-aware
+    * storage (the d8 components ARE the copy registry). For the
+    * simulated delete-list (doc_id ≡ 0 mod 97), the report rolls up
+    * per source: directly named docs, the EXPANDED set (every doc
+    * sharing a component with a named one — the copies that must also
+    * go), and the token mass lost. The lake operation every governed
+    * corpus runs before a takedown ships. Composition over the
+    * materialized label asset: the delete set semi-joins to components
+    * (slim, AQE-broadcast), components expand back through the same
+    * labels, and the rollup is one partial agg — no new pair work.
+    */
+  def p27DeletionPropagation(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
+    val labels = componentLabels(spark, dir)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), size(toks).as("n_tokens"))
+    val named = docs.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id")).withColumn("named", lit(true))
+    val hitComponents = labels.join(named, Seq("doc_id"))
+      .select(col("component")).distinct()
+    val expanded = labels.join(hitComponents, Seq("component"))
+      .select(col("doc_id")).withColumn("expanded", lit(true))
+    docs
+      .join(named, Seq("doc_id"), "left")
+      .join(expanded, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("named"), 1L).otherwise(0L)).as("n_named"),
+        sum(when(col("expanded"), 1L).otherwise(0L)).as("n_expanded"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(when(col("expanded"), col("n_tokens")).otherwise(0L))
+          .as("tokens_lost"))
+      .select(col("source"), col("n_docs"), col("n_named"),
+        col("n_expanded"), col("tokens_lost"),
+        (intDiv(col("tokens_lost") * 1000000L + intDiv(col("n_tokens"),
+          lit(2L)), col("n_tokens")).cast("double") / 1e6)
+          .as("token_loss_frac"))
+      .orderBy(col("source"))
+  }
+
   /** Token-budget corpus selection (p3): take documents in descending
     * quality order until the token budget is exhausted (the straddling
     * document is kept, mirroring t10's packing rule) — the "best N
@@ -3248,6 +3290,7 @@ object TextDedup {
     "p26_contamination_by_source" -> (p26ContaminationBySource _),
     "t29_split_drift" -> (t29SplitDrift _),
     "d27_component_histogram" -> (d27ComponentHistogram _),
+    "p27_deletion_propagation" -> (p27DeletionPropagation _),
     "t25_source_divergence" -> (t25SourceDivergence _),
     "d23_unified_dedup" -> (d23UnifiedDedup _),
     "p20_unified_savings" -> (p20UnifiedSavings _),

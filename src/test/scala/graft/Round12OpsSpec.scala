@@ -210,6 +210,29 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(hist.exists(_._1 > 1), "no multi-doc component found")
   }
 
+  test("p27 expansion is the exact component closure of the named set") {
+    val lab = graft.queries.TextDedup.d8DedupComponents(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val named = lab.keySet.filter(_ % 97 == 0)
+    val hitComps = named.map(lab)
+    val closure = lab.filter { case (_, c) => hitComps(c) }.keySet
+    val got = graft.queries.TextDedup.p27DeletionPropagation(spark, dir)
+      .collect()
+    assert(got.map(_.getLong(2)).sum == named.size,
+      "named counts must reconcile")
+    assert(got.map(_.getLong(3)).sum == closure.size,
+      "expanded counts must equal the component closure")
+    assert(closure.size >= named.size)
+    got.foreach { r =>
+      assert(r.getLong(3) >= r.getLong(2) ||
+        // a named doc's copies may live under ANOTHER source — per-source
+        // expanded can undershoot named only if closure crosses sources
+        closure.size > named.size, r.toString)
+      val f = r.getDouble(5)
+      assert(f >= 0.0 && f <= 1.0)
+    }
+  }
+
   test("p26 rates and t29 distances stay in bounds and reconcile") {
     val docs = Tables.documents(spark, dir)
       .groupBy(col("source")).count().collect()
