@@ -3943,6 +3943,81 @@ object OraclesText {
   val round11: Map[String, String] = Map(
     "s22_recall_cost" -> s22Sql,
 
+    // Events.e31MarkovAttribution: removal-effect attribution — 5
+    // absorbing chains (base + one per configured channel) × 4 unrolled
+    // steps over e19's micro matrix, all half-up integer arithmetic
+    // (the v12/e28 fixed-depth discipline at its largest).
+    "e31_markov_attribution" -> {
+      val channels = Seq("click", "error", "signup", "view")
+      def legSql(sfx: String, removed: Option[String]): String = {
+        val colRm = removed.map(x => s" AND m.next_type != '$x'").getOrElse("")
+        val rowRm = removed.map(x => s"WHEN ty.t = '$x' THEN 0 ").getOrElse("")
+        val c0 =
+          s"""c${sfx}0 AS (SELECT t, CASE WHEN t = 'purchase' THEN 1000000
+             |  ELSE 0 END AS cmicro FROM ty)""".stripMargin
+        val steps = (1 to 4).map { k =>
+          s"""c$sfx$k AS (SELECT ty.t,
+             |    CASE WHEN ty.t = 'purchase' THEN 1000000
+             |    ${rowRm}ELSE CAST((coalesce(sum(m.p_micro * c.cmicro), 0)
+             |      + 500000) // 1000000 AS BIGINT) END AS cmicro
+             |  FROM ty LEFT JOIN mat m ON m.prev_type = ty.t$colRm
+             |    LEFT JOIN c$sfx${k - 1} c ON c.t = m.next_type
+             |  GROUP BY ty.t)""".stripMargin
+        }
+        val convWhere =
+          removed.map(x => s" WHERE ss.t != '$x'").getOrElse("")
+        val conv =
+          s"""conv$sfx AS (SELECT CAST((coalesce(sum(ss.s_micro * c.cmicro), 0)
+             |  + 500000) // 1000000 AS BIGINT) AS conv
+             |  FROM ss JOIN c${sfx}4 c ON ss.t = c.t$convWhere)""".stripMargin
+        (c0 +: steps :+ conv).mkString(",\n")
+      }
+      val legs = legSql("b", None) + ",\n" +
+        channels.map(x => legSql(x, Some(x))).mkString(",\n")
+      val res = channels.map { x =>
+        s"SELECT '$x' AS event_type, convb.conv AS base, conv$x.conv AS removed FROM convb, conv$x"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH x AS (SELECT user_id, event_id, event_type,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+         |pr AS (SELECT event_type AS next_type,
+         |    lag(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY us, event_id) AS prev_type
+         |  FROM x),
+         |c AS (SELECT prev_type, next_type, count(*) AS n
+         |  FROM pr WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+         |t AS (SELECT *, CAST(sum(n) OVER (PARTITION BY prev_type)
+         |    AS BIGINT) AS n_from FROM c),
+         |mat AS (SELECT prev_type, next_type,
+         |    CAST((n * 1000000 + n_from // 2) // n_from AS BIGINT)
+         |      AS p_micro FROM t),
+         |ty AS (SELECT DISTINCT prev_type AS t FROM mat
+         |       UNION SELECT DISTINCT next_type FROM mat),
+         |fe AS (SELECT event_type, count(*) AS n FROM (
+         |    SELECT user_id, event_type, row_number() OVER (
+         |      PARTITION BY user_id ORDER BY us, event_id) AS rn FROM x)
+         |  WHERE rn = 1 GROUP BY 1),
+         |nu AS (SELECT CAST(sum(n) AS BIGINT) AS n_users FROM fe),
+         |ss AS (SELECT event_type AS t,
+         |    CAST((n * 1000000 + n_users // 2) // n_users AS BIGINT)
+         |      AS s_micro
+         |  FROM fe, nu),
+         |$legs,
+         |res AS ($res),
+         |eff AS (SELECT event_type, base, removed,
+         |    CASE WHEN base > 0 THEN 1000000
+         |      - (removed * 1000000 + base // 2) // base ELSE 0 END
+         |      AS eff_micro
+         |  FROM res),
+         |tot AS (SELECT CAST(sum(eff_micro) AS BIGINT) AS s FROM eff)
+         |SELECT event_type, CAST(base AS DOUBLE) / 1e6 AS base_conv,
+         |  CAST(removed AS DOUBLE) / 1e6 AS removed_conv,
+         |  CAST(eff_micro AS DOUBLE) / 1e6 AS removal_effect,
+         |  CASE WHEN tot.s > 0 THEN
+         |    CAST((eff_micro * 1000000 + tot.s // 2) // tot.s AS BIGINT) / 1e6
+         |  END AS attribution_share
+         |FROM eff, tot ORDER BY event_type""".stripMargin
+    },
+
     // Events.e30BotTriage: e26 ∧ e29 composed on user_id (the p9/p18
     // composition discipline); the entropy cut compares the gated
     // round-6 double to a literal.

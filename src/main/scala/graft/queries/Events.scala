@@ -1143,6 +1143,85 @@ object Events {
       .orderBy(col("user_id"))
       .limit(2000)
 
+  /** Markov removal-effect attribution (e31): the data-driven
+    * multi-touch attribution model — each configured channel's credit
+    * is how much CONVERSION DISAPPEARS when the channel is removed
+    * from the behavior chain (paths through it fail; no
+    * renormalization — the standard removal-effect convention).
+    * Conversion = probability of reaching the absorbing 'purchase'
+    * state within 4 steps of e19's transition matrix, starting from
+    * the observed first-event distribution; the channel list is
+    * CONFIG (the four non-conversion types), exactly as production
+    * attribution configures its channels.
+    *
+    * Exactness: the matrix entries are e19's half-up micro
+    * probabilities; the chain iterates in micro units with one
+    * half-up division per (state, step); effects and shares are
+    * half-up micro divisions — integer end to end, so the oracle's
+    * fully-unrolled CTE pyramid (5 chains × 4 steps, the v12/e28
+    * fixed-depth discipline) lands on identical bits. The chain math
+    * itself runs DRIVER-SIDE over the collected ≤|types|² matrix —
+    * the corpus-sized work (pair extraction, first-event ranking)
+    * stays distributed, and the finisher consumes a bounded
+    * quantizer-sized aggregate, the KMeans-centroid pattern.
+    */
+  def e31MarkovAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
+    import spark.implicits._
+    val channels = Seq("click", "error", "signup", "view")
+    val mat = transitionMatrixOf(Tables.events(spark, dir))
+      .select(col("prev_type"), col("next_type"),
+        intDiv(col("n") * 1000000L + intDiv(col("n_from"), lit(2L)),
+          col("n_from")).as("p_micro"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val fe = Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val types = (mat.map(_._1) ++ mat.map(_._2)).distinct
+    val p = mat.map { case (a, b, m) => (a, b) -> m }.toMap
+    val nUsers = fe.map(_._2).sum
+    val sAll = fe.map { case (t, n) =>
+      t -> (n * 1000000L + nUsers / 2) / nUsers }.toMap
+    def conv(removed: Option[String]): Long = {
+      var c: Map[String, Long] = types.map(t =>
+        t -> (if (t == "purchase") 1000000L else 0L)).toMap
+      (1 to 4).foreach { _ =>
+        c = types.map { j =>
+          j -> (if (j == "purchase") 1000000L
+            else if (removed.contains(j)) 0L
+            else {
+              val s = types.filter(l => !removed.contains(l))
+                .map(l => p.getOrElse((j, l), 0L) * c(l)).sum
+              (s + 500000L) / 1000000L
+            })
+        }.toMap
+      }
+      val tot = types.filter(t => !removed.contains(t))
+        .map(t => sAll.getOrElse(t, 0L) * c(t)).sum
+      (tot + 500000L) / 1000000L
+    }
+    val base = conv(None)
+    val effects = channels.map { x =>
+      val cx = conv(Some(x))
+      val eff = if (base > 0) 1000000L - (cx * 1000000L + base / 2) / base
+        else 0L
+      (x, cx, eff)
+    }
+    val sumEff = effects.map(_._3).sum
+    effects.map { case (x, cx, eff) =>
+      (x, base.toDouble / 1e6, cx.toDouble / 1e6, eff.toDouble / 1e6,
+        if (sumEff > 0)
+          Some(((eff * 1000000L + sumEff / 2) / sumEff).toDouble / 1e6)
+        else None)
+    }.toDF("event_type", "base_conv", "removed_conv", "removal_effect",
+      "attribution_share")
+      .orderBy(col("event_type"))
+  }
+
   /** Session-level event-type co-occurrence with lift (e25): which
     * behaviors happen TOGETHER in one visit — the association-rule
     * read of the e2 sessions (market-basket over sessions instead of
@@ -1226,6 +1305,7 @@ object Events {
     "e28_stationary_profile" -> (e28StationaryProfile _),
     "e29_type_entropy" -> (e29TypeEntropy _),
     "e30_bot_triage" -> (e30BotTriage _),
+    "e31_markov_attribution" -> (e31MarkovAttribution _),
     "e23_gap_percentiles" -> (e23GapPercentiles _),
     "e19_transition_matrix" -> (e19TransitionMatrix _),
     "e24_path_trigrams" -> (e24PathTrigrams _),

@@ -257,6 +257,25 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(t29.exists(_.getDouble(4) > 0))
   }
 
+  test("e31 removal effects are non-negative, bounded, and shares sum to one") {
+    val rows = graft.queries.Events.e31MarkovAttribution(spark, dir).collect()
+    assert(rows.length == 4)
+    val base = rows.head.getDouble(1)
+    assert(base > 0 && base <= 1)
+    var shareSum = 0.0
+    rows.foreach { r =>
+      assert(r.getDouble(1) == base, "base conversion must be constant")
+      assert(r.getDouble(2) <= base + 1e-9,
+        "removing a channel cannot raise conversion")
+      val eff = r.getDouble(3)
+      assert(eff >= 0 && eff <= 1, r.toString)
+      shareSum += r.getDouble(4)
+    }
+    assert(math.abs(shareSum - 1.0) < 1e-4, s"shares sum to $shareSum")
+    // channels must differentiate (identical effects = degenerate chain)
+    assert(rows.map(_.getDouble(3)).distinct.length > 1)
+  }
+
   test("t28 readability: exact counts, floors, and the flesch formula") {
     val got = graft.queries.TextDedup.t28Readability(spark, dir).collect()
       .map(r => r.getLong(0) ->
