@@ -125,10 +125,10 @@ object OraclesText {
           .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
         s"""SELECT $b AS n_bands, $r AS rows_per_band,
            |  CAST(count(*) AS BIGINT) AS n_candidates,
-           |  CAST(sum(CASE WHEN $agree >= 4 THEN 1 ELSE 0 END) AS BIGINT)
-           |    AS n_est_dups,
+           |  CAST(coalesce(sum(CASE WHEN $agree >= 4 THEN 1 ELSE 0 END), 0)
+           |    AS BIGINT) AS n_est_dups,
            |  CASE WHEN count(*) > 0 THEN
-           |    CAST((CAST(sum(CASE WHEN $agree >= 4 THEN 1 ELSE 0 END)
+           |    CAST((CAST(coalesce(sum(CASE WHEN $agree >= 4 THEN 1 ELSE 0 END), 0)
            |        AS HUGEINT) * 1000000 + count(*) // 2)
            |      // count(*) AS BIGINT) / 1e6 END AS precision,
            |  $theory AS p_at_threshold
@@ -295,7 +295,7 @@ object OraclesText {
            |      AS HUGEINT) * 1000000
            |      + nd.n_docs // 2) // nd.n_docs AS BIGINT) / 1e6
            |    AS flagged_frac
-           |FROM jp, nd GROUP BY nd.n_docs""".stripMargin
+           |FROM nd LEFT JOIN jp ON 1 = 1 GROUP BY nd.n_docs""".stripMargin
       s"""WITH $shingleCte,
          |sizes AS (SELECT doc_id, count(*) AS n FROM sidx GROUP BY doc_id),
          |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
@@ -2093,9 +2093,10 @@ object OraclesText {
         |    CAST(sum(gap_s * gap_s) AS BIGINT) AS sum_sq_gap_s
         |  FROM s GROUP BY 1)
         |SELECT user_id, n_gaps, sum_gap_s, sum_sq_gap_s,
-        |  (sum_gap_s > 0 AND 4 * (CAST(n_gaps AS HUGEINT) * sum_sq_gap_s
+        |  ((sum_gap_s > 0 AND 4 * (CAST(n_gaps AS HUGEINT) * sum_sq_gap_s
         |     - CAST(sum_gap_s AS HUGEINT) * sum_gap_s)
-        |     < CAST(sum_gap_s AS HUGEINT) * sum_gap_s) AS regular,
+        |     < CAST(sum_gap_s AS HUGEINT) * sum_gap_s)
+        |   OR sum_gap_s = 0) AS regular,
         |  CASE WHEN sum_gap_s > 0 THEN
         |    round(sqrt(CAST(CAST(n_gaps AS HUGEINT) * sum_sq_gap_s
         |      - CAST(sum_gap_s AS HUGEINT) * sum_gap_s AS DOUBLE))

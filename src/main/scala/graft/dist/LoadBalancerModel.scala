@@ -34,6 +34,28 @@ object LoadBalancerModel {
   def train(spark: SparkSession, training: DataFrame,
       polyDegree: Option[Int] = None, useMinMax: Boolean = true,
       regressor: String = "gbt"): PipelineModel = {
+    val reg = regressor match {
+      case "gbt" => new GBTRegressor().setLabelCol("execution_time")
+        .setFeaturesCol("features").setMaxIter(50).setMaxDepth(4).setSeed(42)
+      case "linear" => new LinearRegression().setLabelCol("execution_time")
+        .setFeaturesCol("features").setMaxIter(100)
+      case other => throw new IllegalArgumentException(s"unknown regressor $other")
+    }
+    val stages = prepStages(useMinMax,
+        if (polyDegree.isDefined) "features_raw" else "features") ++
+      polyDegree.map(d => new PolynomialExpansion()
+        .setInputCol("features_raw").setOutputCol("features").setDegree(d)).toSeq ++
+      Seq(reg)
+    new Pipeline().setStages(stages.toArray).fit(training)
+  }
+
+  /** The ONE feature-prep stage list (StringIndexer / MinMax /
+    * assembler) — every variant, including the MLP pair, derives its
+    * features from this builder, so the "byte-identical features"
+    * invariant cannot drift between copies.
+    */
+  private def prepStages(useMinMax: Boolean,
+      assemblerOut: String): Seq[org.apache.spark.ml.PipelineStage] = {
     val kernelIx = new StringIndexer().setInputCol("kernel")
       .setOutputCol("kernel_enc").setHandleInvalid("keep")
       .setStringOrderType("alphabetAsc")
@@ -42,24 +64,23 @@ object LoadBalancerModel {
       .setStringOrderType("alphabetAsc")
     val numAssembler = new VectorAssembler()
       .setInputCols(Array("n_features", "n_samples")).setOutputCol("num_raw")
-    val scaler = new MinMaxScaler().setInputCol("num_raw").setOutputCol("num_scaled")
+    val scaler = new MinMaxScaler().setInputCol("num_raw")
+      .setOutputCol("num_scaled")
     val assembler = new VectorAssembler()
       .setInputCols(Array(if (useMinMax) "num_scaled" else "num_raw",
         "kernel_enc", "optimizer_enc"))
-      .setOutputCol(if (polyDegree.isDefined) "features_raw" else "features")
-    val reg = regressor match {
-      case "gbt" => new GBTRegressor().setLabelCol("execution_time")
-        .setFeaturesCol("features").setMaxIter(50).setMaxDepth(4).setSeed(42)
-      case "linear" => new LinearRegression().setLabelCol("execution_time")
-        .setFeaturesCol("features").setMaxIter(100)
-      case other => throw new IllegalArgumentException(s"unknown regressor $other")
-    }
-    val stages = Seq(kernelIx, optimizerIx, numAssembler) ++
-      (if (useMinMax) Seq(scaler) else Nil) ++ Seq(assembler) ++
-      polyDegree.map(d => new PolynomialExpansion()
-        .setInputCol("features_raw").setOutputCol("features").setDegree(d)).toSeq ++
-      Seq(reg)
-    new Pipeline().setStages(stages.toArray).fit(training)
+      .setOutputCol(assemblerOut)
+    Seq(kernelIx, optimizerIx, numAssembler) ++
+      (if (useMinMax) Seq(scaler) else Nil) ++ Seq(assembler)
+  }
+
+  /** The ≤ n_stars prediction frame, shared by every predictor. */
+  private def starRows(spark: SparkSession, stars: Array[Star],
+      params: SvmParameters): DataFrame = {
+    import spark.implicits._
+    stars.map(s => (s.idx, s.nSelected, params.numberOfSamples,
+      params.kernel, params.optimizer)).toSeq
+      .toDF("star_idx", "n_features", "n_samples", "kernel", "optimizer")
   }
 
   /** NN twin of the reference's `best_nn_model[_no_min_max].pkl`
@@ -87,11 +108,7 @@ object LoadBalancerModel {
   def predictMlp(spark: SparkSession, prep: PipelineModel,
       mlp: MlpRegressor.Model, stars: Array[Star],
       params: SvmParameters): Map[Int, Double] = {
-    import spark.implicits._
-    val rows = stars.map(s => (s.idx, s.nSelected, params.numberOfSamples,
-      params.kernel, params.optimizer)).toSeq
-      .toDF("star_idx", "n_features", "n_samples", "kernel", "optimizer")
-    prep.transform(rows)
+    prep.transform(starRows(spark, stars, params))
       .select(col("star_idx"), col("features"))
       .collect()
       .map(r => r.getInt(0) ->
@@ -102,22 +119,8 @@ object LoadBalancerModel {
   /** The shared feature-prep stages fitted WITHOUT a regressor, so the
     * MLP variants see byte-identical features to the Spark ML ones. */
   private def trainPrep(training: DataFrame, useMinMax: Boolean): PipelineModel = {
-    val kernelIx = new StringIndexer().setInputCol("kernel")
-      .setOutputCol("kernel_enc").setHandleInvalid("keep")
-      .setStringOrderType("alphabetAsc")
-    val optimizerIx = new StringIndexer().setInputCol("optimizer")
-      .setOutputCol("optimizer_enc").setHandleInvalid("keep")
-      .setStringOrderType("alphabetAsc")
-    val numAssembler = new VectorAssembler()
-      .setInputCols(Array("n_features", "n_samples")).setOutputCol("num_raw")
-    val scaler = new MinMaxScaler().setInputCol("num_raw").setOutputCol("num_scaled")
-    val assembler = new VectorAssembler()
-      .setInputCols(Array(if (useMinMax) "num_scaled" else "num_raw",
-        "kernel_enc", "optimizer_enc"))
-      .setOutputCol("features")
-    val stages = Seq(kernelIx, optimizerIx, numAssembler) ++
-      (if (useMinMax) Seq(scaler) else Nil) ++ Seq(assembler)
-    new Pipeline().setStages(stages.toArray).fit(training)
+    new Pipeline().setStages(prepStages(useMinMax, "features").toArray)
+      .fit(training)
   }
 
   /** The debug model-comparison report (`report_all_load_balancer_models`,
@@ -168,11 +171,7 @@ object LoadBalancerModel {
     */
   def predict(spark: SparkSession, model: PipelineModel,
       stars: Array[Star], params: SvmParameters): Map[Int, Double] = {
-    import spark.implicits._
-    val rows = stars.map(s => (s.idx, s.nSelected, params.numberOfSamples,
-      params.kernel, params.optimizer)).toSeq
-      .toDF("star_idx", "n_features", "n_samples", "kernel", "optimizer")
-    model.transform(rows)
+    model.transform(starRows(spark, stars, params))
       .select(col("star_idx"), col("prediction"))
       .collect()
       .map(r => r.getInt(0) -> r.getDouble(1))

@@ -319,6 +319,8 @@ object Multimodal {
   def m14AudioFingerprint(spark: SparkSession, dir: String): DataFrame = {
     val fps = audioFingerprintOf(Tables.documents(spark, dir))
       .persist() // one decode pass feeds both the group stats and the join
+    fps.count() // eager (see d3): concurrent stages racing a cold cache
+                // could decode partitions twice
     val groups = fps.groupBy(col("n_windows"), col("fingerprint"))
       .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("canon_id"))
     fps.join(groups, Seq("n_windows", "fingerprint"))
@@ -597,6 +599,7 @@ object Multimodal {
     */
   def m15VideoFingerprint(spark: SparkSession, dir: String): DataFrame = {
     val fps = videoFingerprintOf(Tables.documents(spark, dir)).persist()
+    fps.count() // eager (see d3) — one container walk per run
     val groups = fps.groupBy(col("width"), col("height"), col("n_frames"),
         col("fingerprint"))
       .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("canon_id"))

@@ -1032,10 +1032,14 @@ object Events {
     val n = col("n_gaps").cast("decimal(38,0)")
     val s = col("sum_gap_s").cast("decimal(38,0)")
     val q = col("sum_sq_gap_s").cast("decimal(38,0)")
+    // sum = 0 with ≥19 gaps means EVERY gap floored below one second —
+    // sub-second automation, the most regular stream possible; the cv
+    // compare needs s > 0, so that case is flagged directly (a whole-
+    // second moment table would otherwise be blind to fast bots)
     agg.select(col("user_id"), col("n_gaps"), col("sum_gap_s"),
       col("sum_sq_gap_s"),
-      (col("sum_gap_s") > 0 && (lit(4) * (n * q - s * s) < s * s))
-        .as("regular"),
+      ((col("sum_gap_s") > 0 && (lit(4) * (n * q - s * s) < s * s)) ||
+        col("sum_gap_s") === 0).as("regular"),
       when(col("sum_gap_s") > 0,
         round(sqrt((n * q - s * s).cast("double")) /
           col("sum_gap_s").cast("double"), 6)).as("cv"))

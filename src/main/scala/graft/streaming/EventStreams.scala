@@ -1006,9 +1006,11 @@ object EventStreams {
           }
           state.update(st)
           if (st.n >= 19) {
-            val regular = st.s > 0 &&
+            // s = 0 over ≥19 gaps ⇒ all gaps sub-second — flagged
+            // directly, same rule as batch botRegularityOf
+            val regular = (st.s > 0 &&
               4 * (BigInt(st.n) * st.q - BigInt(st.s) * st.s) <
-                BigInt(st.s) * st.s
+                BigInt(st.s) * st.s) || st.s == 0
             Iterator(RegularityAlert(uid, st.n, st.s, st.q, regular))
           } else Iterator.empty
       }

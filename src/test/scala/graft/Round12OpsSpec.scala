@@ -74,7 +74,8 @@ class Round12OpsSpec extends AnyFunSuite {
         val n = gaps.length.toLong
         val s = gaps.sum
         val q = gaps.map(g => g * g).sum
-        val regular = s > 0 && 4 * (BigInt(n) * q - BigInt(s) * s) < BigInt(s) * s
+        val regular = (s > 0 &&
+          4 * (BigInt(n) * q - BigInt(s) * s) < BigInt(s) * s) || s == 0
         assert(got(u) == ((n, s, q, regular)), s"user $u")
         if (regular) regulars += 1 else irregulars += 1
       } else assert(!got.contains(u), s"user $u under threshold leaked")
