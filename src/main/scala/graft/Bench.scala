@@ -17,7 +17,7 @@ object Bench {
     * timing aggregate, and never surface as a fast timing.
     */
   case class Output(headline: String, full: String,
-      errors: Map[String, String])
+      errors: Map[String, String], summary: String)
 
   def runBench(spark: SparkSession, sfDir: String,
       queries: Map[String, (SparkSession, String) => DataFrame],
@@ -142,8 +142,31 @@ object Bench {
       if (errors.isEmpty) "" else s""","errors":${errObj(identity, identity)}"""
     val headline = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${objShort(best)},"sf":$sfJson$errShort}"""
     val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${obj(best)},"sf":"$sfDir","warmup_passes":1,"timed_passes":$timedPasses,"agg":"per-query min of first 3","total_median5":${r3(totalMedian)},"queries_median5":${obj(median)},"pass_totals":$passTotals,"queries_per_pass":${passes.map(p => obj(names.map(n => n -> p(n)))).mkString("[", ",", "]")}$errFull}"""
-    Output(headline, full, errors)
+    // r9 post-mortem: at 202 queries even the short-key headline outgrew
+    // the driver's 2000-char log tail and BENCH_r09 recorded
+    // "parsed": null. A ~100-char summary printed AFTER the full line is
+    // what the tail parse actually lands on — it carries the aggregate
+    // contract fields only; per-query detail stays in the headline line
+    // and bench_result.json.
+    val summary = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${names.size},"errors":${errors.size},"sf":$sfJson}"""
+    Output(headline, full, errors, summary)
   }
+
+  /** The quantizer/offset-frame finishers legitimately window ≤32-row
+    * bounded aggregates with no partition key, and WindowExec logs
+    * `No Partition Defined for Window operation` for each — ~200
+    * known-bounded repeats per pass that bury any REAL unpartitioned
+    * window a regression might introduce. The replacement signal is
+    * `BoundedWindowSpec`, which walks every query's optimized plan and
+    * fails by name if an empty-partition window ever reads more than
+    * its documented row bound; with that guard in place the bench and
+    * verify logs silence this one logger so their tails stay
+    * warning-free (round-9 verdict, wrong-list item 4).
+    */
+  private[graft] def suppressBoundedWindowWarning(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -157,13 +180,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    suppressBoundedWindowWarning()
 
     val out = runBench(spark, sfDir, SparkEntry.queries)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outFile), out.full + "\n")
-    // LAST line of output, flushed: the driver tails the log
+    // Full per-query headline first, compact summary LAST: the driver
+    // tails the log, and the summary line is small enough (~100 chars)
+    // that it can never be clipped out of a 2000-char tail.
     println(out.headline)
+    println(out.summary)
     Console.out.flush()
     spark.stop()
     // A bench with errored queries is not a valid measurement — fail loud.

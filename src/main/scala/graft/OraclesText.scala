@@ -4019,18 +4019,26 @@ object OraclesText {
          |FROM eff, tot ORDER BY event_type""".stripMargin
     },
 
-    // Events.e30BotTriage: e26 ∧ e29 composed on user_id (the p9/p18
-    // composition discipline); the entropy cut compares the gated
-    // round-6 double to a literal.
-    "e30_bot_triage" ->
-      s"""WITH reg AS (${events("e26_bot_regularity")}),
-         |ent AS (${events("e29_type_entropy")})
+    // Events.e30BotTriage: e26 ∧ e29 composed on user_id from the
+    // UNGATED legs (each nested SQL with its presentation
+    // ORDER BY/LIMIT stripped — kept in sync with the gated twins
+    // mechanically), ONE 2000-row limit after the join; nesting the
+    // LIMITed legs would truncate by user_id, not risk.
+    "e30_bot_triage" -> {
+      def ungate(sql: String): String = {
+        val cut = sql.lastIndexOf("ORDER BY user_id LIMIT 2000")
+        require(cut > 0, "e30 leg lost its presentation gate marker")
+        sql.substring(0, cut)
+      }
+      s"""WITH reg AS (${ungate(events("e26_bot_regularity"))}),
+         |ent AS (${ungate(events("e29_type_entropy"))})
          |SELECT reg.user_id, ent.n_events, reg.regular, reg.cv,
          |  ent.type_entropy,
          |  (ent.type_entropy < 0.5) AS low_entropy,
          |  (reg.regular AND ent.type_entropy < 0.5) AS bot
          |FROM reg JOIN ent ON reg.user_id = ent.user_id
-         |ORDER BY reg.user_id LIMIT 2000""".stripMargin,
+         |ORDER BY reg.user_id LIMIT 2000""".stripMargin
+    },
 
     // TextDedup.p26ContaminationBySource: d10's contaminated train set
     // (gated SQL nested verbatim) rolled up to per-source rates with

@@ -19,6 +19,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // bounded whole-frame windows are spec-guarded (BoundedWindowSpec);
+    // their per-query WindowExec warning is noise here — see Bench
+    Bench.suppressBoundedWindowWarning()
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => wanted(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -7,10 +7,16 @@ package graft.dist
   * MLP *classifier* but no regressor, so this closes the one documented
   * coverage drop with ~100 lines of exact, dependency-free driver math.
   *
-  * Architecture mirrors the sklearn `MLPRegressor` defaults those pickles
-  * were trained with: one ReLU hidden layer (default 100 units), identity
-  * output, squared-error loss, full-batch Adam (lr 1e-3, β₁ 0.9,
-  * β₂ 0.999, ε 1e-8), Glorot-uniform init from a caller-fixed seed.
+  * Approximates the sklearn `MLPRegressor` *architecture* those pickles
+  * were trained with — one ReLU hidden layer (default 100 units),
+  * identity output, squared-error loss, Adam (lr 1e-3, β₁ 0.9, β₂ 0.999,
+  * ε 1e-8), Glorot-uniform weight init from a caller-fixed seed — but
+  * NOT its training defaults: sklearn uses minibatch Adam
+  * (batch_size=min(200,n)), L2 penalty alpha=1e-4, and also
+  * Glorot-initialises biases, where this trains full-batch,
+  * unregularised, zero-bias-init. Parity with the reference pickles is
+  * therefore functional (same model family and capacity), not
+  * weight-for-weight.
   *
   * Scale posture: this trains DRIVER-SIDE on the accumulated experiment
   * metrics table — at most a few thousand (n_features, n_samples, kernel,

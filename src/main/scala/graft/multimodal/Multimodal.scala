@@ -890,8 +890,9 @@ object Multimodal {
   private def runScopedAsset(spark: SparkSession, asset: String,
       dir: String)(build: => DataFrame): DataFrame = {
     val path = assetPaths.computeIfAbsent(s"$asset:$dir", _ => {
-      val p = s"${System.getProperty("java.io.tmpdir")}/graft-$asset-" +
-        s"$mediaRunId-${mediaSeq.getAndIncrement()}.parquet"
+      val p = graft.RunAssets.register(
+        s"${System.getProperty("java.io.tmpdir")}/graft-$asset-" +
+        s"$mediaRunId-${mediaSeq.getAndIncrement()}.parquet")
       build.write.mode("overwrite").parquet(p)
       p
     })

@@ -1020,31 +1020,47 @@ object Events {
   }
 
   /** Bounded finish of e26 over (user_id, gap_us) facts — shared with
-    * the streaming read. */
-  private[graft] def botRegularityOf(gaps: DataFrame): DataFrame = {
+    * the streaming read. Presentation-gated ([[botRegularityCoreOf]] +
+    * the 2000-row user_id cut). */
+  private[graft] def botRegularityOf(gaps: DataFrame): DataFrame =
+    botRegularityCoreOf(gaps).orderBy(col("user_id")).limit(2000)
+
+  /** e26's UNGATED verdict table — every qualifying user, no
+    * presentation limit. Compositions (e30) must read this, not the
+    * gated view: nesting two independently-LIMITed legs truncates by
+    * user_id, not by risk, so on a corpus with > 2000 users a bot past
+    * the id cut would silently vanish from the composed triage. */
+  private[graft] def botRegularityCoreOf(gaps: DataFrame): DataFrame = {
+    // Σgap² accumulates in DECIMAL(38,0) from the first multiply: a
+    // Long accumulator wraps silently on an extreme-skew user
+    // (year-scale gaps × many events) exactly where DuckDB's
+    // HUGEINT-promoted sum errors on its BIGINT cast instead —
+    // wrapped-verdict-vs-hard-failure cross-engine divergence. With the
+    // decimal accumulator the verdict math never touches a Long; only
+    // the presentation cast below can overflow, and there both engines
+    // fail hard (ANSI cast ↔ DuckDB CAST), neither wraps.
+    val gapDec = col("gap_s").cast("decimal(19,0)")
     val agg = gaps
       .withColumn("gap_s", expr("gap_us div 1000000"))
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_gaps"),
         sum(col("gap_s")).as("sum_gap_s"),
-        sum(col("gap_s") * col("gap_s")).as("sum_sq_gap_s"))
+        sum((gapDec * gapDec).cast("decimal(38,0)")).as("sq_dec"))
       .filter(col("n_gaps") >= 19) // ≥ 20 events ⇒ ≥ 19 gaps
     val n = col("n_gaps").cast("decimal(38,0)")
     val s = col("sum_gap_s").cast("decimal(38,0)")
-    val q = col("sum_sq_gap_s").cast("decimal(38,0)")
+    val q = col("sq_dec")
     // sum = 0 with ≥19 gaps means EVERY gap floored below one second —
     // sub-second automation, the most regular stream possible; the cv
     // compare needs s > 0, so that case is flagged directly (a whole-
     // second moment table would otherwise be blind to fast bots)
     agg.select(col("user_id"), col("n_gaps"), col("sum_gap_s"),
-      col("sum_sq_gap_s"),
+      col("sq_dec").cast("long").as("sum_sq_gap_s"),
       ((col("sum_gap_s") > 0 && (lit(4) * (n * q - s * s) < s * s)) ||
         col("sum_gap_s") === 0).as("regular"),
       when(col("sum_gap_s") > 0,
         round(sqrt((n * q - s * s).cast("double")) /
           col("sum_gap_s").cast("double"), 6)).as("cv"))
-      .orderBy(col("user_id"))
-      .limit(2000)
   }
 
   /** Stationary behavior profile (e28): the long-run occupancy of the
@@ -1105,10 +1121,16 @@ object Events {
     * (user, type) key, then a user-key partial agg — the e26 cost
     * class.
     */
-  def e29TypeEntropy(spark: SparkSession, dir: String): DataFrame = {
+  def e29TypeEntropy(spark: SparkSession, dir: String): DataFrame =
+    typeEntropyOf(Tables.events(spark, dir))
+      .orderBy(col("user_id")).limit(2000)
+
+  /** e29's UNGATED entropy table — every user, no presentation limit;
+    * the composition-safe leg (see [[botRegularityCoreOf]]). */
+  private[graft] def typeEntropyOf(events: DataFrame): DataFrame = {
     def lnMicro(c: Column): Column =
       round(log(c.cast("double")) * 1e6).cast("long")
-    Tables.events(spark, dir)
+    events
       .groupBy(col("user_id"), col("event_type"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col("user_id"))
@@ -1119,8 +1141,6 @@ object Events {
         round(log(col("n_events").cast("double")) -
           col("sclnc").cast("double") / (col("n_events") * lit(1e6)), 6)
           .as("type_entropy"))
-      .orderBy(col("user_id"))
-      .limit(2000)
   }
 
   /** Bot triage (e30): the composed verdict the abuse pipeline
@@ -1128,16 +1148,20 @@ object Events {
     * single-note behavior (e29's type entropy < ½ nat) ⇒ bot. Either
     * signal alone false-positives (shift workers are regular; casual
     * readers are single-note); the conjunction is the standard triage
-    * cut. Pure composition of two gated pipelines joined on user_id —
-    * the p9/p18 discipline: each leg is already gated, the gate here
-    * checks the COMPOSITION. Entropy threshold compares the gated
+    * cut. Composed from the UNGATED finishers
+    * ([[botRegularityCoreOf]] ⋈ [[typeEntropyOf]]) with ONE 2000-row
+    * presentation limit after the join — nesting the two
+    * independently-LIMITed legs would truncate by user_id rather than
+    * risk, silently dropping any bot whose id falls past either leg's
+    * cut on a > 2000-user corpus. Entropy threshold compares the gated
     * round-6 double against a literal, so the verdict cannot drift
     * cross-engine.
     */
-  def e30BotTriage(spark: SparkSession, dir: String): DataFrame =
-    e26BotRegularity(spark, dir)
+  def e30BotTriage(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+    botRegularityCoreOf(userGapFrame(events))
       .select(col("user_id"), col("n_gaps"), col("regular"), col("cv"))
-      .join(e29TypeEntropy(spark, dir)
+      .join(typeEntropyOf(events)
         .select(col("user_id"), col("n_events"), col("n_types"),
           col("type_entropy")), Seq("user_id"))
       .select(col("user_id"), col("n_events"), col("regular"), col("cv"),
@@ -1146,6 +1170,7 @@ object Events {
         (col("regular") && col("type_entropy") < 0.5).as("bot"))
       .orderBy(col("user_id"))
       .limit(2000)
+  }
 
   /** Markov removal-effect attribution (e31): the data-driven
     * multi-touch attribution model — each configured channel's credit

@@ -76,8 +76,9 @@ object TextDedup {
     */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
     val path = sigAssetPaths.computeIfAbsent(dir, _ => {
-      val p = s"${System.getProperty("java.io.tmpdir")}/graft-minhash-" +
-        s"$dupPairRunId-${dupPairSeq.getAndIncrement()}.parquet"
+      val p = graft.RunAssets.register(
+        s"${System.getProperty("java.io.tmpdir")}/graft-minhash-" +
+        s"$dupPairRunId-${dupPairSeq.getAndIncrement()}.parquet")
       val idx = shingleIndex(Tables.documents(spark, dir))
       val mins = (0 until MinhashK).map { i =>
         min(fastMd5(concat(lit(s"$i:"), col("shingle")))).as(s"mh$i")
@@ -482,8 +483,9 @@ object TextDedup {
     // a per-dir counter, not dir.hashCode, names the file — hash
     // collisions between two corpus dirs must not alias their pair tables
     val path = dupPairPaths.computeIfAbsent(dir, _ => {
-      val p = s"${System.getProperty("java.io.tmpdir")}/graft-pairs-" +
-        s"$dupPairRunId-${dupPairSeq.getAndIncrement()}.parquet"
+      val p = graft.RunAssets.register(
+        s"${System.getProperty("java.io.tmpdir")}/graft-pairs-" +
+        s"$dupPairRunId-${dupPairSeq.getAndIncrement()}.parquet")
       jaccardPairsUnordered(spark, dir, maxShingleDf = None)
         .write.mode("overwrite").parquet(p)
       p
@@ -707,8 +709,9 @@ object TextDedup {
   private[graft] def componentLabels(spark: SparkSession,
       dir: String): DataFrame = {
     val path = compLabelPaths.computeIfAbsent(dir, _ => {
-      val p = s"${System.getProperty("java.io.tmpdir")}/graft-complabels-" +
-        s"$dupPairRunId-${dupPairSeq.getAndIncrement()}.parquet"
+      val p = graft.RunAssets.register(
+        s"${System.getProperty("java.io.tmpdir")}/graft-complabels-" +
+        s"$dupPairRunId-${dupPairSeq.getAndIncrement()}.parquet")
       val docs = Tables.documents(spark, dir)
         .select(col("doc_id").as("id"))
       val pairs = dupPairs(spark, dir)
@@ -2169,8 +2172,9 @@ object TextDedup {
   private[graft] def unigramXentAsset(spark: SparkSession,
       dir: String): DataFrame = {
     val path = xentAssetPaths.computeIfAbsent(dir, _ => {
-      val p = s"${System.getProperty("java.io.tmpdir")}/graft-xent-" +
-        s"$dupPairRunId-${dupPairSeq.getAndIncrement()}.parquet"
+      val p = graft.RunAssets.register(
+        s"${System.getProperty("java.io.tmpdir")}/graft-xent-" +
+        s"$dupPairRunId-${dupPairSeq.getAndIncrement()}.parquet")
       unigramXentOf(Tables.documents(spark, dir))
         .write.mode("overwrite").parquet(p)
       p
@@ -2191,8 +2195,9 @@ object TextDedup {
     */
   private[graft] def termFreqAsset(spark: SparkSession, dir: String): DataFrame = {
     val path = tfAssetPaths.computeIfAbsent(dir, _ => {
-      val p = s"${System.getProperty("java.io.tmpdir")}/graft-tf-" +
-        s"$dupPairRunId-${dupPairSeq.getAndIncrement()}.parquet"
+      val p = graft.RunAssets.register(
+        s"${System.getProperty("java.io.tmpdir")}/graft-tf-" +
+        s"$dupPairRunId-${dupPairSeq.getAndIncrement()}.parquet")
       Tables.documents(spark, dir)
         .select(col("doc_id"), col("source"), explode(toks).as("token"))
         .groupBy(col("doc_id"), col("source"), col("token"))
@@ -2803,8 +2808,9 @@ object TextDedup {
   private[graft] def unifiedLabels(spark: SparkSession,
       dir: String): DataFrame = {
     val path = unifiedLabelPaths.computeIfAbsent(dir, _ => {
-      val p = s"${System.getProperty("java.io.tmpdir")}/graft-unified-" +
-        s"$dupPairRunId-${dupPairSeq.getAndIncrement()}.parquet"
+      val p = graft.RunAssets.register(
+        s"${System.getProperty("java.io.tmpdir")}/graft-unified-" +
+        s"$dupPairRunId-${dupPairSeq.getAndIncrement()}.parquet")
       val textE = dupPairs(spark, dir).select(col("id_a"), col("id_b"))
       val imgE = graft.multimodal.Multimodal
         .phashPairsOf(graft.multimodal.Multimodal.phashAsset(spark, dir))

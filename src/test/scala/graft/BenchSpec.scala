@@ -30,6 +30,13 @@ class BenchSpec extends AnyFunSuite {
     assert(!out.full.contains("\"errors\""))
     assert(out.headline.contains("\"qa\":") && out.headline.contains("\"qb\":"))
     assert(out.full.contains("\"qa_one\":") && out.full.contains("\"qb_two\":"))
+    // the tail-proof summary (r9: the per-query headline outgrew the
+    // driver's 2000-char tail at 202 queries): aggregate fields only,
+    // no per-query map, and small enough to always survive the tail
+    assert(out.summary.contains("\"n\":2") && out.summary.contains("\"errors\":0"),
+      out.summary)
+    assert(!out.summary.contains("\"queries\""), out.summary)
+    assert(out.summary.length < 200, out.summary)
   }
 
   test("a throwing query lands in errors and is excluded from every aggregate") {
@@ -53,5 +60,9 @@ class BenchSpec extends AnyFunSuite {
     // ~0.05 s per failure was r8's integrity hole)
     val total = out.headline.split("\"value\":")(1).split(",")(0).toDouble
     assert(total >= 0.0 && total < 60.0)
+    // the summary reports the failure count so a mass-failure round is
+    // visible even when only the last 100 chars of the log survive
+    assert(out.summary.contains("\"n\":1") && out.summary.contains("\"errors\":1"),
+      out.summary)
   }
 }
