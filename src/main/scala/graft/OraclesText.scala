@@ -4293,9 +4293,135 @@ object OraclesText {
         |FROM x ORDER BY doc_id LIMIT 2000""".stripMargin,
   )
 
+  val round10: Map[String, String] = Map(
+    // Events.e32TouchComparison: first/last/linear attribution over the
+    // same 24 h journeys — row_number picks under exact (µs, event_id)
+    // order; linear is one half-up micro division per (purchase,
+    // channel) summed as BIGINTs; linear is the base relation (a
+    // channel can carry credit without ever being first/last).
+    "e32_touch_comparison" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |p AS (SELECT user_id, event_id AS p_id, us AS p_us FROM ev
+        |  WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, event_id AS t_id, event_type AS channel,
+        |    us AS t_us FROM ev WHERE event_type != 'purchase'),
+        |j AS (SELECT p.p_id, t.channel, t.t_id, t.t_us
+        |  FROM p JOIN t ON p.user_id = t.user_id
+        |    AND t.t_us < p.p_us AND t.t_us >= p.p_us - 86400000000),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY p_id ORDER BY t_us, t_id)
+        |      AS rn_f,
+        |    row_number() OVER (PARTITION BY p_id
+        |      ORDER BY t_us DESC, t_id DESC) AS rn_l
+        |  FROM j),
+        |ends AS (SELECT channel,
+        |    CAST(sum(CASE WHEN rn_f = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_first,
+        |    CAST(sum(CASE WHEN rn_l = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_last
+        |  FROM r WHERE rn_f = 1 OR rn_l = 1 GROUP BY 1),
+        |nt AS (SELECT p_id, count(*) AS n_touches FROM j GROUP BY 1),
+        |m AS (SELECT p_id, channel, count(*) AS m FROM j GROUP BY 1, 2),
+        |lin AS (SELECT m.channel,
+        |    CAST(sum((m.m * 1000000 + nt.n_touches // 2) // nt.n_touches)
+        |      AS BIGINT) AS linear_micro
+        |  FROM m JOIN nt ON m.p_id = nt.p_id GROUP BY 1)
+        |SELECT lin.channel, coalesce(ends.n_first, 0) AS n_first,
+        |  coalesce(ends.n_last, 0) AS n_last, lin.linear_micro,
+        |  round(CAST(lin.linear_micro AS DOUBLE) / 1e6, 6) AS linear_credit
+        |FROM lin LEFT JOIN ends ON lin.channel = ends.channel
+        |ORDER BY lin.channel""".stripMargin,
+
+    // TextDedup.t30LangConfusion: the t3 vote pipeline rolled up to the
+    // declared × predicted matrix; row share by half-up micro division
+    // against the declared language's total.
+    "t30_lang_confusion" ->
+      """WITH x AS (SELECT doc_id, lang,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |v AS (SELECT doc_id, lang,
+        |  len(list_filter(toks, t -> list_contains(['the','a','of','and','is','to'], t))) AS v_en,
+        |  len(list_filter(toks, t -> list_contains(['der','die','das','und','ist'], t))) AS v_de,
+        |  len(list_filter(toks, t -> list_contains(['el','la','de','y','es'], t))) AS v_es,
+        |  len(list_filter(toks, t -> list_contains(['le','la','de','et','est'], t))) AS v_fr
+        |  FROM x),
+        |p AS (SELECT lang,
+        |  CASE WHEN v_en >= v_de AND v_en >= v_es AND v_en >= v_fr THEN 'en'
+        |       WHEN v_de >= v_es AND v_de >= v_fr THEN 'de'
+        |       WHEN v_es >= v_fr THEN 'es'
+        |       ELSE 'fr' END AS predicted
+        |  FROM v),
+        |c AS (SELECT lang, predicted, count(*) AS n FROM p GROUP BY 1, 2),
+        |w AS (SELECT *, CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT)
+        |    AS n_lang FROM c)
+        |SELECT lang, predicted, n,
+        |  CAST((n * 1000000 + n_lang // 2) // n_lang AS BIGINT)
+        |    AS share_micro,
+        |  round(CAST((n * 1000000 + n_lang // 2) // n_lang AS DOUBLE)
+        |    / 1e6, 6) AS share
+        |FROM w ORDER BY lang, predicted""".stripMargin,
+
+    // TextDedup.p28QuotaFrontier: p15's quota-independent prefix-sum
+    // frame aggregated once per candidate quota (VALUES sweep); mean
+    // quality by one half-up micro division per quota row.
+    "p28_quota_frontier" ->
+      """WITH x AS (SELECT doc_id, source,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |r AS (SELECT doc_id, source,
+        |    CAST(len(toks) AS INT) AS n_tokens,
+        |    CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','is','to'], t))) AS DOUBLE) / len(toks) AS stop_ratio,
+        |    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+        |    CAST(len(list_filter(toks, t -> length(t) >= 4)) AS DOUBLE) / len(toks) AS long_ratio
+        |  FROM x),
+        |q AS (SELECT doc_id, source, n_tokens,
+        |    round(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.3
+        |      + ttr * 0.3 + stop_ratio * 0.2 + long_ratio * 0.2, 6) AS quality
+        |  FROM r),
+        |c AS (SELECT source, doc_id, quality, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY quality DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS cum_before
+        |  FROM q)
+        |SELECT CAST(qv.quota AS BIGINT) AS quota,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(c.n_tokens) AS BIGINT) AS n_tokens_kept,
+        |  round(CAST((sum(CAST(round(c.quality * 1000000) AS BIGINT))
+        |    + count(*) // 2) // count(*) AS DOUBLE) / 1e6, 6)
+        |    AS mean_quality
+        |FROM c, (VALUES (250), (500), (1000)) AS qv(quota)
+        |WHERE c.cum_before < qv.quota
+        |GROUP BY qv.quota ORDER BY qv.quota""".stripMargin,
+
+    // Embeddings.s25CellOccupancy: per-label population, raw pair work
+    // n(n−1)/2, HUGEINT-promoted half-up work share, and the cap-32
+    // sub-split's cell count + residual pair work (cell = vec_id mod
+    // ceil(n/32), s2b's exact arithmetic).
+    "s25_cell_occupancy" ->
+      """WITH c AS (SELECT label, count(*) AS n_vecs FROM embeddings
+        |  GROUP BY 1),
+        |tw AS (SELECT CAST(sum(n_vecs * (n_vecs - 1) // 2) AS HUGEINT)
+        |    AS total_work FROM c),
+        |sub AS (SELECT e.label,
+        |    e.vec_id % ((c.n_vecs + 31) // 32) AS cell
+        |  FROM embeddings e JOIN c ON e.label = c.label),
+        |sc AS (SELECT label, cell, count(*) AS nc FROM sub GROUP BY 1, 2),
+        |cap AS (SELECT label, CAST(count(*) AS BIGINT) AS capped_cells,
+        |    CAST(sum(nc * (nc - 1) // 2) AS BIGINT) AS capped_pair_work
+        |  FROM sc GROUP BY 1)
+        |SELECT c.label, CAST(c.n_vecs AS BIGINT) AS n_vecs,
+        |  CAST(c.n_vecs * (c.n_vecs - 1) // 2 AS BIGINT) AS pair_work,
+        |  CAST((CAST(c.n_vecs * (c.n_vecs - 1) // 2 AS HUGEINT) * 1000000
+        |    + tw.total_work // 2) // tw.total_work AS BIGINT)
+        |    AS work_share_micro,
+        |  cap.capped_cells, cap.capped_pair_work
+        |FROM c JOIN cap ON c.label = cap.label, tw
+        |ORDER BY c.label""".stripMargin,
+  )
+
   def all: Map[String, String] =
     dedup ++ dedupCapped ++ dedupDecision ++ dedupComponents ++ containment ++
       decontamination ++ simhash ++ text ++ xent ++ pipeline ++ similarity ++
       events ++ multimodal ++ multimodalManifest ++ survival ++ ingest ++
-      curation ++ release ++ round11
+      curation ++ release ++ round11 ++ round10
 }

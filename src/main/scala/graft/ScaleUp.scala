@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-rehearsal data builder: derives an N× dataset from a
+  * driver-generated scale-factor directory by id-shifted replication,
+  * so the per-query scaling exponents in SCALE.md are MEASURED, not
+  * argued (round-9 verdict, next-round item 1). Everything is derived
+  * from the driver's own parquet — no synthesized content — and lands
+  * under `java.io.tmpdir`, never in `/root/testdata`.
+  *
+  * Replica design (replica r of R, r = 0 is the original):
+  *  - every key family shifts by `r · 10^10` (doc_id, vec_id,
+  *    event_id, user_id, and the TPC-H key columns), so foreign keys
+  *    stay consistent WITHIN a replica and never collide across
+  *    replicas — cardinalities scale ×R like a real bigger corpus,
+  *    not like a hotter one;
+  *  - `documents.text` suffixes every token with `~r` for r > 0: the
+  *    vocabulary, bigram table, shingle space, and media bytes all
+  *    grow ×R (real-corpus growth), and a replica is NOT a near-dup
+  *    of its original — the duplicate structure of the source corpus
+  *    is preserved per replica (components ×R in count, unchanged in
+  *    size), which is the honest null hypothesis for dedup scaling.
+  *    Within-replica dup/overlap relations are untouched because the
+  *    suffix is a bijection on tokens;
+  *  - `embeddings.embedding` adds a small deterministic per-replica,
+  *    per-dimension jitter (±1e-2 scale) so replicas are distinct
+  *    points that still follow the source distribution — cells get
+  *    denser the way real 10× data makes them denser;
+  *  - `events.ts` shifts by r seconds so replica streams interleave
+  *    instead of stacking 10 events on every timestamp;
+  *  - `nation`/`region` stay as-is: they are dimensions, and at 100 TB
+  *    they would still be 25/5 rows.
+  */
+object ScaleUp {
+
+  val KeyOffset = 10_000_000_000L
+
+  private def shift(c: String, r: Int): Column =
+    col(c) + lit(r * KeyOffset)
+
+  private[graft] def replicate(df: DataFrame, factor: Int)
+      (per: (DataFrame, Int) => DataFrame): DataFrame =
+    (0 until factor).map(r => per(df, r)).reduce(_ unionAll _)
+
+  private[graft] def documents(df: DataFrame, factor: Int): DataFrame =
+    replicate(df, factor) { (d, r) =>
+      val text =
+        if (r == 0) col("text")
+        else array_join(transform(split(col("text"), "\\s+"),
+          t => concat(t, lit(s"~$r"))), " ")
+      d.select(shift("doc_id", r).as("doc_id"), text.as("text"),
+        col("lang"), col("source"), length(text).as("n_chars"))
+    }
+
+  private[graft] def embeddings(df: DataFrame, factor: Int): DataFrame =
+    replicate(df, factor) { (d, r) =>
+      val emb =
+        if (r == 0) col("embedding")
+        else transform(col("embedding"), (x, i) =>
+          x + ((pmod(col("vec_id") * 31 + i * 13, lit(101)) - 50)
+            .cast("float") * lit(r * 2e-4f)))
+      d.select(shift("vec_id", r).as("vec_id"), emb.as("embedding"),
+        col("label"))
+    }
+
+  private[graft] def events(df: DataFrame, factor: Int): DataFrame =
+    replicate(df, factor) { (d, r) =>
+      d.select(shift("event_id", r).as("event_id"),
+        timestamp_micros(unix_micros(col("ts")) + lit(r * 1000000L)).as("ts"),
+        shift("user_id", r).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }
+
+  private[graft] def lineitem(df: DataFrame, factor: Int): DataFrame =
+    replicate(df, factor) { (d, r) =>
+      d.withColumn("l_orderkey", shift("l_orderkey", r))
+        .withColumn("l_partkey", shift("l_partkey", r))
+        .withColumn("l_suppkey", shift("l_suppkey", r))
+    }
+
+  private[graft] def orders(df: DataFrame, factor: Int): DataFrame =
+    replicate(df, factor) { (d, r) =>
+      d.withColumn("o_orderkey", shift("o_orderkey", r))
+        .withColumn("o_custkey", shift("o_custkey", r))
+    }
+
+  private def keyShifted(df: DataFrame, factor: Int,
+      keys: String*): DataFrame =
+    replicate(df, factor) { (d, r) =>
+      keys.foldLeft(d)((acc, k) => acc.withColumn(k, shift(k, r)))
+    }
+
+  def build(spark: SparkSession, srcDir: String, outDir: String,
+      factor: Int): Unit = {
+    def write(name: String, df: DataFrame): Unit =
+      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    def src(name: String): DataFrame =
+      spark.read.parquet(s"$srcDir/$name.parquet")
+    write("documents", documents(src("documents"), factor))
+    write("embeddings", embeddings(src("embeddings"), factor))
+    // the source file's physical ts encoding varies (int64-nanos / NTZ /
+    // UTC-µs — see Tables.events); replicate the NORMALIZED load so the
+    // shift arithmetic always sees TimestampType
+    write("events", events(Tables.events(spark, srcDir), factor))
+    write("lineitem", lineitem(src("lineitem"), factor))
+    write("orders", orders(src("orders"), factor))
+    write("customer", keyShifted(src("customer"), factor, "c_custkey"))
+    write("part", keyShifted(src("part"), factor, "p_partkey"))
+    write("supplier", keyShifted(src("supplier"), factor, "s_suppkey"))
+    write("nation", src("nation"))
+    write("region", src("region"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val outDir = if (args.length > 1) args(1)
+      else s"${System.getProperty("java.io.tmpdir")}/graft-sf1"
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    build(spark, srcDir, outDir, factor)
+    println(s"""{"scaled":"$outDir","factor":$factor,"src":"$srcDir"}""")
+    spark.stop()
+  }
+}

@@ -1117,7 +1117,59 @@ object Embeddings {
       .orderBy(col("label"))
   }
 
+  /** IVF cell-occupancy audit (s25): the per-cell population table and
+    * its pair-work mass — Σ n_c·(n_c−1)/2, the quantity EVERY in-cell
+    * scan's cost is quadratic in — for the raw coarse cells and for
+    * the cap-32 sub-split that s2b actually runs. This is the scale
+    * dashboard behind SCALE.md's IVF arguments: a hot cell shows up
+    * here as one row owning most of the pair-work share long before it
+    * shows up as a straggling task, and the capped columns show
+    * exactly how much the sub-split buys (cap² · cells vs n²). With a
+    * FIXED quantizer, 10× denser data multiplies every n_c by 10 and
+    * the raw pair-work by 100 — the audit row that tells an operator
+    * the quantizer must grow with the corpus. All columns are exact
+    * integer counts; the share is one half-up micro division.
+    *
+    * Scale shape: two partial-agg groupBys on (label) / (label, cell)
+    * and a broadcast of the ≤|labels|-row count table — the corpus is
+    * touched once, map-side.
+    */
+  def s25CellOccupancy(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
+    val cap = 32L
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"))
+    val counts = base.groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
+      .persist()
+    counts.count() // tiny; feeds the sub-split join and the final select
+    val capped = base.join(broadcast(counts), Seq("label"))
+      .withColumn("cell",
+        pmod(col("vec_id"), intDiv(col("n_vecs") + (cap - 1), lit(cap))))
+      .groupBy(col("label"), col("cell"))
+      .agg(count(lit(1)).as("nc"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("capped_cells"),
+        sum(expr("nc * (nc - 1) div 2")).as("capped_pair_work"))
+    val total = counts
+      .agg(sum(expr("n_vecs * (n_vecs - 1) div 2")).as("total_work"))
+    counts.join(capped, Seq("label"))
+      .crossJoin(broadcast(total))
+      .select(col("label"), col("n_vecs"),
+        expr("n_vecs * (n_vecs - 1) div 2").as("pair_work"),
+        // share arithmetic in DECIMAL(38,0): pair_work · 1e6 wraps a
+        // Long once a cell holds ~10⁶ vectors (DuckDB promotes to
+        // HUGEINT); the share itself is ≤ 1e6 so the final cast is safe
+        intDiv(expr("n_vecs * (n_vecs - 1) div 2").cast("decimal(38,0)")
+            * 1000000L +
+          intDiv(col("total_work").cast("decimal(38,0)"), lit(2L)),
+          col("total_work").cast("decimal(38,0)"))
+          .cast("long").as("work_share_micro"),
+        col("capped_cells"), col("capped_pair_work"))
+      .orderBy(col("label"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s25_cell_occupancy" -> (s25CellOccupancy _),
     "s22_recall_cost" -> (s22RecallCostCurve _),
     "s23_mmr_diversify" -> (s23MmrDiversify _),
     "s24_pq_recall" -> (s24PqRecall _),

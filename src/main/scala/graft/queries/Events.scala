@@ -1327,7 +1327,76 @@ object Events {
       .orderBy(col("ta"), col("tb"))
   }
 
+  /** Multi-touch model comparison (e32): first-touch, last-touch, and
+    * linear attribution credited per channel over the SAME journeys,
+    * side by side with each other — the model-selection table an
+    * attribution team reads before standardizing on one convention
+    * (e18 ships last-touch alone; e31 ships removal-effect alone; the
+    * disagreement BETWEEN models is itself the product signal — a
+    * channel whose first-touch share dwarfs its last-touch share is a
+    * prospector, the reverse a closer). A journey is all non-purchase
+    * events by the purchase's user in the 24 h before it (e18's
+    * window, e9's interval-join shape: the fan-out is bounded by a
+    * user's activity inside one day, never the whole history).
+    *
+    * Exactness: first/last are row_number picks under the exact
+    * (µs, event_id) order; linear credit is one half-up micro
+    * division per (purchase, channel) — m_touches/n_touches — summed
+    * as longs, so per-channel totals are order-independent integers
+    * end to end. Scale: one shuffle on user_id for the interval join,
+    * then every aggregate keys on the 4-value channel space and
+    * collapses map-side.
+    */
+  def e32TouchComparison(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
+    val dayUs = 24L * 3600 * 1000 * 1000
+    val ev = Tables.events(spark, dir)
+      .withColumn("us", unix_micros(col("ts")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("us").as("p_us"))
+    val touches = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_id").as("t_id"),
+        col("event_type").as("channel"), col("us").as("t_us"))
+    val journeys = purchases.join(touches, Seq("user_id"))
+      .filter(col("t_us") < col("p_us") && col("t_us") >= col("p_us") - dayUs)
+      .persist()
+    journeys.count() // three model reads share the interval join (see d3)
+    val wAsc = Window.partitionBy(col("p_id"))
+      .orderBy(col("t_us"), col("t_id"))
+    val wDesc = Window.partitionBy(col("p_id"))
+      .orderBy(col("t_us").desc, col("t_id").desc)
+    val ends = journeys
+      .withColumn("rn_f", row_number().over(wAsc))
+      .withColumn("rn_l", row_number().over(wDesc))
+      .filter(col("rn_f") === 1 || col("rn_l") === 1)
+      .groupBy(col("channel"))
+      .agg(sum(when(col("rn_f") === 1, 1L).otherwise(0L)).as("n_first"),
+        sum(when(col("rn_l") === 1, 1L).otherwise(0L)).as("n_last"))
+    val perPurchase = journeys.groupBy(col("p_id"))
+      .agg(count(lit(1)).as("n_touches"))
+    val linear = journeys.groupBy(col("p_id"), col("channel"))
+      .agg(count(lit(1)).as("m"))
+      .join(perPurchase, Seq("p_id"))
+      .select(col("channel"),
+        intDiv(col("m") * 1000000L + intDiv(col("n_touches"), lit(2L)),
+          col("n_touches")).as("lm"))
+      .groupBy(col("channel"))
+      .agg(sum(col("lm")).as("linear_micro"))
+    // linear is the base: every channel with ANY touch credit has a
+    // linear row, but a channel can go its whole life without ever
+    // being a journey's first or last touch — left-join, not inner
+    linear.join(ends, Seq("channel"), "left")
+      .select(col("channel"),
+        coalesce(col("n_first"), lit(0L)).as("n_first"),
+        coalesce(col("n_last"), lit(0L)).as("n_last"),
+        col("linear_micro"),
+        round(col("linear_micro").cast("double") / 1e6, 6).as("linear_credit"))
+      .orderBy(col("channel"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e32_touch_comparison" -> (e32TouchComparison _),
     "e25_session_pairs" -> (e25SessionPairs _),
     "e26_bot_regularity" -> (e26BotRegularity _),
     "e27_nearest_asof" -> (e27NearestAsof _),

@@ -767,13 +767,13 @@ object TextDedup {
   private def voteFor(words: Seq[String]): Column =
     size(filter_(col("toks"), t => t.isin(words: _*)))
 
-  /** Language-ID heuristic: stopword votes per candidate language,
-    * deterministic priority tie-break. (The harness corpus shares one
-    * vocabulary across its `lang` labels, so the interesting part is the
-    * deterministic vote pipeline, not the accuracy.)
-    */
-  def t3LangId(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+  /** The ONE language-ID vote pipeline — per doc: stopword votes per
+    * candidate language + the deterministic priority tie-break verdict.
+    * Shared by t3 (per-doc classifier), t15 (label audit), and t30
+    * (confusion matrix) so the prediction cannot fork between the
+    * classifier and its audits. */
+  private def langVotes(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("lang"), toks.as("toks"))
       .select(col("doc_id"), col("lang"),
         voteFor(StopEn).as("v_en"), voteFor(StopDe).as("v_de"),
@@ -784,6 +784,14 @@ object TextDedup {
           .when(col("v_de") >= col("v_es") && col("v_de") >= col("v_fr"), "de")
           .when(col("v_es") >= col("v_fr"), "es")
           .otherwise("fr"))
+
+  /** Language-ID heuristic: stopword votes per candidate language,
+    * deterministic priority tie-break. (The harness corpus shares one
+    * vocabulary across its `lang` labels, so the interesting part is the
+    * deterministic vote pipeline, not the accuracy.)
+    */
+  def t3LangId(spark: SparkSession, dir: String): DataFrame =
+    langVotes(Tables.documents(spark, dir))
       .orderBy(col("doc_id"))
       .limit(2000)
 
@@ -799,17 +807,7 @@ object TextDedup {
     * BIGINT per the cross-engine dtype discipline.
     */
   def t15LabelAudit(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("lang"), toks.as("toks"))
-      .select(col("lang"),
-        voteFor(StopEn).as("v_en"), voteFor(StopDe).as("v_de"),
-        voteFor(StopEs).as("v_es"), voteFor(StopFr).as("v_fr"))
-      .withColumn("predicted",
-        when(col("v_en") >= col("v_de") && col("v_en") >= col("v_es")
-          && col("v_en") >= col("v_fr"), "en")
-          .when(col("v_de") >= col("v_es") && col("v_de") >= col("v_fr"), "de")
-          .when(col("v_es") >= col("v_fr"), "es")
-          .otherwise("fr"))
+    langVotes(Tables.documents(spark, dir))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("predicted") =!= col("lang"), 1).otherwise(0))
@@ -817,6 +815,32 @@ object TextDedup {
       .withColumn("mismatch_rate",
         round(col("n_mismatch").cast("double") / col("n_docs"), 6))
       .orderBy(col("lang"))
+
+  /** Language confusion matrix (t30): the full declared × predicted
+    * count table t15 collapses to a per-language mismatch rate — WHICH
+    * language the mislabeled documents get mistaken FOR is what decides
+    * the remediation (en→de confusion means bad stopword coverage;
+    * everything→en means a prior-dominant tie-break), and a rate alone
+    * cannot say. Row share is one half-up micro division against the
+    * declared language's total (the v3/q28 discipline). Scale: the
+    * same single map-only vote pass as t15, rolled up to the ≤|langs|²
+    * key — the matrix is driver-sized by construction, like e19's.
+    */
+  def t30LangConfusion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
+    langVotes(Tables.documents(spark, dir))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_lang",
+        sum(col("n")).over(Window.partitionBy(col("lang"))))
+      .select(col("lang"), col("predicted"), col("n"),
+        intDiv(col("n") * 1000000L + intDiv(col("n_lang"), lit(2L)),
+          col("n_lang")).as("share_micro"))
+      .withColumn("share",
+        round(col("share_micro").cast("double") / 1e6, 6))
+      .orderBy(col("lang"), col("predicted"))
+  }
 
   /** Quality score in [0,1]: length saturation, lexical diversity,
     * stopword presence, long-token share — the standard cheap pretraining
@@ -1695,7 +1719,15 @@ object TextDedup {
     * (post-dedup canonicals), so the quota arithmetic cannot fork.
     */
   private[graft] def sourceQuotaOf(q: DataFrame,
-      quota: Long, nParts: Int): DataFrame = {
+      quota: Long, nParts: Int): DataFrame =
+    sourceCumOf(q, nParts)
+      .filter(col("cum_before") < quota)
+      .orderBy(col("source"), col("quality").desc, col("doc_id"))
+
+  /** The UNGATED per-source prefix-sum frame — every doc with its
+    * tokens-before-it-in-quality-order; quota-independent, so one pass
+    * serves p15/p16 (single cut) AND p28's whole frontier sweep. */
+  private[graft] def sourceCumOf(q: DataFrame, nParts: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val parts = q.repartitionByRange(nParts,
         col("source"), col("quality").desc, col("doc_id"))
@@ -1716,8 +1748,38 @@ object TextDedup {
       .join(broadcast(offsets), Seq("source", "pid"))
       .select(col("source"), col("doc_id"), col("quality"), col("n_tokens"),
         (col("cum_in") + col("offset")).as("cum_before"))
-      .filter(col("cum_before") < quota)
-      .orderBy(col("source"), col("quality").desc, col("doc_id"))
+  }
+
+  /** Quota frontier (p28): what each candidate per-source token budget
+    * would keep — docs, tokens, and mean quality per quota — the
+    * curve a curation team reads to PICK p15's quota instead of
+    * inheriting a default (the d24/d26 sweep discipline applied to
+    * admission: sweeps aggregate one shared pass, they never re-run
+    * it). The prefix-sum frame is quota-independent, so the whole
+    * frontier is ONE [[sourceCumOf]] pass fanned out ×|quotas| by a
+    * generator explode and collapsed to a |quotas|-row table;
+    * admission-order quality is micro-snapped before summation and the
+    * mean is one half-up integral division per quota row.
+    */
+  def p28QuotaFrontier(spark: SparkSession, dir: String,
+      quotas: Seq[Long] = Seq(250L, 500L, 1000L),
+      nParts: Int = 32): DataFrame = {
+    import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
+    sourceCumOf(qualityFrame(spark, dir)
+        .select(col("doc_id"), col("quality"), col("n_tokens"))
+        .join(Tables.documents(spark, dir)
+          .select(col("doc_id"), col("source")), Seq("doc_id")), nParts)
+      .withColumn("quota", explode(lit(quotas.toArray)))
+      .filter(col("cum_before") < col("quota"))
+      .withColumn("q_micro", round(col("quality") * 1e6).cast("long"))
+      .groupBy(col("quota"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens_kept"),
+        sum(col("q_micro")).as("sum_q_micro"))
+      .select(col("quota"), col("n_docs"), col("n_tokens_kept"),
+        round(intDiv(col("sum_q_micro") + intDiv(col("n_docs"), lit(2L)),
+          col("n_docs")).cast("double") / 1e6, 6).as("mean_quality"))
+      .orderBy(col("quota"))
   }
 
   /** MinHash estimate calibration (d21): for every banded CANDIDATE
@@ -1817,28 +1879,29 @@ object TextDedup {
   private[graft] def dsirScoresOf(docs: DataFrame): DataFrame = {
     val (_, split) = splitCols
     val tagged = docs.select(col("doc_id"), split.as("split"), toks.as("toks"))
-    val n = size(col("toks"))
-    val tfm = tagged
-      .select(col("doc_id"),  col("split"),
-        explode(zip_with(slice(col("toks"), lit(1), n - 1),
-          slice(col("toks"), lit(2), n - 1),
-          (a, b) => concat(a, lit(" "), b))).as("bigram"))
-      .groupBy(col("doc_id"), col("split"), col("bigram"))
-      .agg(count(lit(1)).as("m"))
-      .persist()
+    def vocab(sp: String, sfx: String) = tagged.filter(col("split") === sp)
+      .select(explode(col("toks")).as("token")).distinct()
+      .agg(count(lit(1)).as("v" + sfx))
+    dsirBody(bigramFreqOf(docs), vocab("train", "_src"), vocab("val", "_tgt"))
+  }
+
+  /** p17's scoring over a prebuilt (doc_id, split, bigram, m) table
+    * and the two 1-row vocab frames (v_src / v_tgt) — the asset-backed
+    * entry reads [[bigramFreqAsset]] + [[splitVocabSize]], the
+    * frame-generic one builds both from the documents frame. */
+  private def dsirBody(tfmIn: DataFrame, vS: DataFrame,
+      vT: DataFrame): DataFrame = {
+    val tfm = tfmIn.persist()
     tfm.count() // eager materialization (see d3)
     def lmCols(sp: String, sfx: String) = {
       val cb = tfm.filter(col("split") === sp)
         .groupBy(col("bigram")).agg(sum(col("m")).as("cb" + sfx))
         .withColumn("w1", substring_index(col("bigram"), " ", 1))
       val cw = cb.groupBy(col("w1")).agg(sum(col("cb" + sfx)).as("cw" + sfx))
-      val v = tagged.filter(col("split") === sp)
-        .select(explode(col("toks")).as("token")).distinct()
-        .agg(count(lit(1)).as("v" + sfx))
-      (cb.select(col("bigram"), col("cb" + sfx)), cw, v)
+      (cb.select(col("bigram"), col("cb" + sfx)), cw)
     }
-    val (cbS, cwS, vS) = lmCols("train", "_src")
-    val (cbT, cwT, vT) = lmCols("val", "_tgt")
+    val (cbS, cwS) = lmCols("train", "_src")
+    val (cbT, cwT) = lmCols("val", "_tgt")
     def lnpMicro(cb: Column, cw: Column, v: Column): Column =
       round((log(coalesce(cb, lit(0L)).cast("double") + 1.0)
         - log(coalesce(cw, lit(0L)).cast("double") + v.cast("double")))
@@ -1865,16 +1928,22 @@ object TextDedup {
     * under ONE model", p17 scores "how much more target-like than
     * source-like", the signal that survives when both models find the
     * text equally (un)likely. Both LMs are t16's Laplace-smoothed
-    * bigram machinery over the SAME persisted tf table (one corpus
-    * pass feeds four aggregates); each bigram's lnP is snapped to
-    * integer micro-nats per LM once, so the ratio and every per-doc
-    * sum are exact integer math. The top-k rides
-    * TakeOrderedAndProject; single-token docs have no bigrams and are
-    * unrankable by construction (documented, like t16).
+    * bigram machinery over the SAME run-scoped [[bigramFreqAsset]]
+    * (one bigram pass per run feeds t16 AND both of p17's LMs), with
+    * the split vocabularies derived from the unigram
+    * [[termFreqAsset]] — no corpus explode left anywhere in this
+    * query (round-9 verdict: p17 was the slowest query because it
+    * rebuilt both). Each bigram's lnP is snapped to integer
+    * micro-nats per LM once, so the ratio and every per-doc sum are
+    * exact integer math. The top-k rides TakeOrderedAndProject;
+    * single-token docs have no bigrams and are unrankable by
+    * construction (documented, like t16).
     */
   def p17DsirSelect(spark: SparkSession, dir: String,
       k: Int = 100): DataFrame =
-    dsirScoresOf(Tables.documents(spark, dir))
+    dsirBody(bigramFreqAsset(spark, dir),
+      splitVocabSize(spark, dir, "train").select(col("v").as("v_src")),
+      splitVocabSize(spark, dir, "val").select(col("v").as("v_tgt")))
       .select(col("doc_id"), col("split"), col("n_bigrams"),
         col("llr_micro"),
         round(col("llr_micro").cast("double") / 1e6, 6).as("llr"))
@@ -2257,28 +2326,89 @@ object TextDedup {
     * cost nothing extra (left joins + coalesce-to-zero, no OOV table).
     */
   def t16BigramLmXent(spark: SparkSession, dir: String): DataFrame =
-    bigramLmXentOf(Tables.documents(spark, dir))
+    bigramXentBody(bigramFreqAsset(spark, dir),
+      splitVocabSize(spark, dir, "train"))
 
-  private[graft] def bigramLmXentOf(docs: DataFrame): DataFrame = {
+  /** Run-scoped per-doc BIGRAM-frequency asset (the termFreqAsset
+    * discipline one n-gram up): the bigram explode + (doc, split,
+    * bigram) count — the most expensive text pass after the unigram
+    * one — parquets once per (run, dir); t16's LM scoring and p17's
+    * dual-LM DSIR selection both derive from the slim (doc_id, split,
+    * bigram, m) table by rollup instead of re-exploding the corpus
+    * (round-9 verdict: p17 was the slowest query because it rebuilt
+    * exactly this). At lake scale this IS the n-gram count shard every
+    * LM pipeline checkpoints beside the tokenized snapshot.
+    */
+  private[graft] def bigramFreqAsset(spark: SparkSession,
+      dir: String): DataFrame = {
+    val path = bigramAssetPaths.computeIfAbsent(dir, _ => {
+      val p = graft.RunAssets.register(
+        s"${System.getProperty("java.io.tmpdir")}/graft-bigram-" +
+        s"$dupPairRunId-${dupPairSeq.getAndIncrement()}.parquet")
+      bigramFreqOf(Tables.documents(spark, dir))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    spark.read.parquet(path)
+  }
+  private val bigramAssetPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The (doc_id, split, bigram, m) count table over any documents
+    * frame — [[bigramFreqAsset]]'s body, frame-generic for specs and
+    * streaming twins. */
+  private[graft] def bigramFreqOf(docs: DataFrame): DataFrame = {
     val (_, split) = splitCols
     val tagged = docs.select(col("doc_id"), split.as("split"), toks.as("toks"))
     val n = size(col("toks"))
-    val tfm = tagged
+    tagged
       .select(col("doc_id"), col("split"),
         explode(zip_with(slice(col("toks"), lit(1), n - 1),
           slice(col("toks"), lit(2), n - 1),
           (a, b) => concat(a, lit(" "), b))).as("bigram"))
       .groupBy(col("doc_id"), col("split"), col("bigram"))
       .agg(count(lit(1)).as("m"))
-      .persist()
+  }
+
+  /** One split's distinct-token vocabulary size as a 1-row (v) frame,
+    * derived from the run-scoped [[termFreqAsset]] joined to the slim
+    * (doc_id → split) map — no corpus explode: the tf asset already
+    * holds every (doc, token) once, and the split tag is a hash of the
+    * normalized text prefix computable from `documents` without
+    * touching the token arrays. */
+  private[graft] def splitVocabSize(spark: SparkSession, dir: String,
+      sp: String): DataFrame = {
+    val (_, split) = splitCols
+    val splitMap = Tables.documents(spark, dir)
+      .select(col("doc_id"), split.as("split"))
+    termFreqAsset(spark, dir).select(col("doc_id"), col("token"))
+      .join(splitMap, Seq("doc_id"))
+      .filter(col("split") === sp)
+      .select(col("token")).distinct()
+      .agg(count(lit(1)).as("v"))
+  }
+
+  /** Frame-generic t16 (specs / streaming twins): builds the bigram
+    * table and train vocabulary from the documents frame directly. */
+  private[graft] def bigramLmXentOf(docs: DataFrame): DataFrame = {
+    val (_, split) = splitCols
+    val vocabN = docs
+      .select(col("doc_id"), split.as("split"), toks.as("toks"))
+      .filter(col("split") === "train")
+      .select(explode(col("toks")).as("token")).distinct()
+      .agg(count(lit(1)).as("v"))
+    bigramXentBody(bigramFreqOf(docs), vocabN)
+  }
+
+  /** t16's scoring over a prebuilt (doc_id, split, bigram, m) table
+    * and a 1-row train-vocab frame. */
+  private def bigramXentBody(tfmIn: DataFrame, vocabN: DataFrame): DataFrame = {
+    val tfm = tfmIn.persist()
     tfm.count() // eager materialization (see d3)
     val cb = tfm.filter(col("split") === "train")
       .groupBy(col("bigram")).agg(sum(col("m")).as("cb"))
       .withColumn("w1", substring_index(col("bigram"), " ", 1))
     val cw = cb.groupBy(col("w1")).agg(sum(col("cb")).as("cw"))
-    val vocabN = tagged.filter(col("split") === "train")
-      .select(explode(col("toks")).as("token")).distinct()
-      .agg(count(lit(1)).as("v"))
     tfm.withColumn("w1", substring_index(col("bigram"), " ", 1))
       .join(cb.select(col("bigram"), col("cb")), Seq("bigram"), "left")
       .join(cw, Seq("w1"), "left")
@@ -3363,5 +3493,7 @@ object TextDedup {
     "d21_minhash_calibration" -> (d21MinhashCalibration _),
     "p18_clean_release" -> (p18CleanRelease _),
     "p17_dsir_select" -> ((s: SparkSession, d: String) => p17DsirSelect(s, d)),
+    "t30_lang_confusion" -> (t30LangConfusion _),
+    "p28_quota_frontier" -> ((s: SparkSession, d: String) => p28QuotaFrontier(s, d)),
   )
 }
