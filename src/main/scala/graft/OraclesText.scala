@@ -4403,7 +4403,8 @@ object OraclesText {
         |tw AS (SELECT CAST(sum(n_vecs * (n_vecs - 1) // 2) AS HUGEINT)
         |    AS total_work FROM c),
         |sub AS (SELECT e.label,
-        |    e.vec_id % ((c.n_vecs + 31) // 32) AS cell
+        |    ((e.vec_id % ((c.n_vecs + 31) // 32))
+        |      + ((c.n_vecs + 31) // 32)) % ((c.n_vecs + 31) // 32) AS cell
         |  FROM embeddings e JOIN c ON e.label = c.label),
         |sc AS (SELECT label, cell, count(*) AS nc FROM sub GROUP BY 1, 2),
         |cap AS (SELECT label, CAST(count(*) AS BIGINT) AS capped_cells,

@@ -48,7 +48,7 @@ object ScaleUp {
     replicate(df, factor) { (d, r) =>
       val text =
         if (r == 0) col("text")
-        else array_join(transform(split(col("text"), "\\s+"),
+        else array_join(transform(split(trim(col("text")), "\\s+"),
           t => concat(t, lit(s"~$r"))), " ")
       d.select(shift("doc_id", r).as("doc_id"), text.as("text"),
         col("lang"), col("source"), length(text).as("n_chars"))

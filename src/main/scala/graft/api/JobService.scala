@@ -171,7 +171,11 @@ object JobService {
 
 class JobService(backend: JobService.JobBackend,
     multiomixUrl: Option[String] = sys.env.get("MULTIOMIX_URL"),
-    sleepTimeMs: Long = sys.env.get("SLEEP_TIME").map(_.toLong * 1000).getOrElse(10000L)) {
+    sleepTimeMs: Long = sys.env.get("SLEEP_TIME").map(_.toLong * 1000).getOrElse(10000L),
+    // 100 s — just under the reference's 2-minute NGINX proxy timeout
+    // (app.py:121-123); constructor-injectable so the timeout BRANCH is
+    // spec-testable without a 100 s wait
+    relayTimeoutMs: Long = 100000L) {
   import JobService._
 
   private val jobs = new ConcurrentHashMap[String, Job]()
@@ -282,12 +286,12 @@ class JobService(backend: JobService.JobBackend,
       case (Some(job), Some(url)) =>
         try {
           val client = HttpClient.newBuilder()
-            .connectTimeout(java.time.Duration.ofSeconds(100)).build()
+            .connectTimeout(java.time.Duration.ofMillis(relayTimeoutMs)).build()
           val req = HttpRequest.newBuilder()
             // strip ALL trailing slashes from the env value (reference:
             // app.py rstrip('/')) so the callback never doubles the '/'
             .uri(java.net.URI.create(s"${url.replaceAll("/+$", "")}/$id/"))
-            .timeout(java.time.Duration.ofSeconds(100))
+            .timeout(java.time.Duration.ofMillis(relayTimeoutMs))
             .header("Content-Type", "application/json")
             .POST(HttpRequest.BodyPublishers.ofString(jobJson(job)))
             .build()

@@ -20,6 +20,25 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** javax.imageio defaults to DISK-backed stream caches: every
+    * `ImageIO.read`/`write`/`createImage{Input,Output}Stream` call on a
+    * plain Input/OutputStream creates (and deletes) a temp file under
+    * `java.io.tmpdir`. At 32 concurrent tasks × millions of rows that
+    * filesystem churn made the decode kernel super-linear (measured
+    * sf1→sf10 exponents 1.17–1.42 in SCALEBENCH_r10). Our payloads are
+    * in-memory byte arrays — heap caches are strictly better. Idempotent
+    * and called at the top of every decode/encode closure, so each
+    * executor JVM flips the flag before its first codec use.
+    */
+  private[graft] def imageIoNoDiskCache(): Unit =
+    if (javax.imageio.ImageIO.getUseCache) javax.imageio.ImageIO.setUseCache(false)
+
+  /** Decode an in-memory payload without touching the filesystem. */
+  private[graft] def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    imageIoNoDiskCache()
+    javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+  }
+
   /** A media blob with typed metadata, as stored in a lakehouse table. */
   case class MediaRow(doc_id: Long, media_type: String, content: Array[Byte])
 
@@ -69,6 +88,7 @@ object Multimodal {
   object ImageIoDecoder extends MediaDecoder {
     def decode(mediaType: String, bytes: Array[Byte]): MediaFeatures.Dims =
       if (mediaType.startsWith("image/") || mediaType == "video/gif") {
+        imageIoNoDiskCache()
         val iis = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(bytes))
         try {
@@ -107,6 +127,7 @@ object Multimodal {
     }
 
     def imageBytes(format: String, width: Int, height: Int, seed: Long): Array[Byte] = {
+      imageIoNoDiskCache()
       val bos = new java.io.ByteArrayOutputStream()
       // write() returns false when no writer exists for the format —
       // fail HERE, not later as a confusing "undecodable" on the read side
@@ -123,6 +144,7 @@ object Multimodal {
       */
     def gifBytes(width: Int, height: Int, nFrames: Int, seed: Long): Array[Byte] = {
       require(nFrames >= 1, s"nFrames must be >= 1, got $nFrames")
+      imageIoNoDiskCache()
       val writers = javax.imageio.ImageIO.getImageWritersByFormatName("gif")
       require(writers.hasNext, "no imageio writer for format 'gif'")
       val writer = writers.next()
@@ -776,8 +798,7 @@ object Multimodal {
     import spark.implicits._
     syntheticMedia(spark, dir).mapPartitions { rows =>
       rows.map { r =>
-        val src = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(r.content))
+        val src = readImage(r.content)
         require(src != null, s"undecodable payload for doc ${r.doc_id}")
         val (w, h) = (src.getWidth, src.getHeight)
         val m = math.max(w, h)
@@ -791,8 +812,7 @@ object Multimodal {
         val bos = new java.io.ByteArrayOutputStream()
         require(javax.imageio.ImageIO.write(thumb, "png", bos),
           "no png writer in this JRE")
-        val re = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(bos.toByteArray))
+        val re = readImage(bos.toByteArray)
         (r.doc_id, r.media_type, w, h, re.getWidth, re.getHeight)
       }
     }.toDF("doc_id", "media_type", "width", "height", "thumb_w", "thumb_h")
@@ -915,8 +935,7 @@ object Multimodal {
       .filter(col("media_type").startsWith("image/"))
       .mapPartitions { rows =>
         rows.map { r =>
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(r.content))
+          val img = readImage(r.content)
           require(img != null, s"undecodable payload for doc ${r.doc_id}")
           val (w, h) = (img.getWidth, img.getHeight)
           val lums = new Array[Long](64)
@@ -1166,8 +1185,7 @@ object Multimodal {
       .filter(_.media_type.startsWith("image/"))
       .mapPartitions { rows =>
         rows.map { r =>
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(r.content))
+          val img = readImage(r.content)
           require(img != null, s"undecodable payload for doc ${r.doc_id}")
           val (w, h) = (img.getWidth, img.getHeight)
           var sr = 0L; var sg = 0L; var sb = 0L

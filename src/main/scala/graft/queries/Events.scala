@@ -771,13 +771,22 @@ object Events {
     * ([[graft.streaming.EventStreams.transitionPairs]]), so the two
     * surfaces cannot drift in the probability arithmetic.
     */
-  private[graft] def matrixOfPairs(pairs: DataFrame): DataFrame = {
+  private[graft] def matrixOfPairs(pairs: DataFrame): DataFrame =
+    matrixOfCounts(pairs
+      .groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n")))
+
+  /** The normalize half of [[matrixOfPairs]] over an ALREADY-counted
+    * (prev_type, next_type, n) table — what a live reader applies to
+    * the streaming count sink
+    * ([[graft.streaming.EventStreams.transitionCounts]]): O(|types|²)
+    * work per refresh, never a rescan of the emitted pair stream.
+    */
+  private[graft] def matrixOfCounts(counts: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
     val wp = Window.partitionBy(col("prev_type"))
-    pairs
-      .groupBy(col("prev_type"), col("next_type"))
-      .agg(count(lit(1)).as("n"))
+    counts
       .withColumn("n_from", sum(col("n")).over(wp))
       .select(col("prev_type"), col("next_type"), col("n"), col("n_from"),
         round(intDiv(col("n") * 1000000L + intDiv(col("n_from"), lit(2L)),

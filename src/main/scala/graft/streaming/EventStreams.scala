@@ -947,6 +947,23 @@ object EventStreams {
       }
   }
 
+  /** Live (prev → next) transition COUNTS over the [[transitionPairs]]
+    * stream: a complete-mode streaming aggregation whose state is
+    * bounded by |event types|² regardless of event volume, refreshed
+    * incrementally by Spark's StateStore (each trigger merges only the
+    * new pairs into the running counts — emitted pairs are never
+    * rescanned). The e28/e31 finishers read a live matrix by applying
+    * [[graft.queries.Events.matrixOfCounts]] (the batch e19 arithmetic,
+    * shared verbatim) to this tiny table — O(|types|²) per dashboard
+    * refresh where re-aggregating the pair stream would be O(events).
+    * Complete mode is the right trade HERE because the result set is
+    * driver-sized by construction; an unbounded-key aggregate would
+    * need watermarked windows instead.
+    */
+  def transitionCounts(pairs: Dataset[TransPair]): DataFrame =
+    pairs.groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+
   /** Last event timestamp per user — the entire gap-mining state. */
   case class GapState(lastUs: Long)
   case class GapFact(event_type: String, gap_us: Long)

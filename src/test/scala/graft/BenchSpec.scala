@@ -31,12 +31,15 @@ class BenchSpec extends AnyFunSuite {
     assert(out.headline.contains("\"qa\":") && out.headline.contains("\"qb\":"))
     assert(out.full.contains("\"qa_one\":") && out.full.contains("\"qb_two\":"))
     // the tail-proof summary (r9: the per-query headline outgrew the
-    // driver's 2000-char tail at 202 queries): aggregate fields only,
-    // no per-query map, and small enough to always survive the tail
+    // driver's 2000-char tail at 202 queries; r10: a queries-free
+    // summary still parsed null): full headline schema with a bounded
+    // top-20 "queries" map, small enough to always survive the tail
     assert(out.summary.contains("\"n\":2") && out.summary.contains("\"errors\":0"),
       out.summary)
-    assert(!out.summary.contains("\"queries\""), out.summary)
-    assert(out.summary.length < 200, out.summary)
+    assert(out.summary.contains("\"queries\":{") &&
+      out.summary.contains("\"qa\":") && out.summary.contains("\"qb\":"),
+      out.summary)
+    assert(out.summary.length < 600, out.summary)
   }
 
   test("a throwing query lands in errors and is excluded from every aggregate") {

@@ -138,4 +138,94 @@ class JobServiceSpec extends AnyFunSuite {
     val n = generateJobName(0, new scala.util.Random(1))
     assert(n.matches("multiomix-blindsearch-[a-z]{6}-[0-9]{6}"), n)
   }
+
+  // ---- failure paths (reference emr.py:53-60 / app.py:55-57, 116-134) ----
+
+  test("backend submission failure → 500 and no zombie job record") {
+    // the reference's emr.schedule catches the AWS exception, logs it and
+    // returns None; app.py then abort(500)s and persists NOTHING
+    val throwing = new JobBackend {
+      def submit(job: Job, onFinish: (JobState, Option[String]) => Unit): Unit =
+        throw new RuntimeException("ValidationException: bad virtual cluster")
+      def cancel(job: Job): Boolean = false
+    }
+    val svc = new JobService(throwing, multiomixUrl = None, sleepTimeMs = 10)
+    val port = svc.start()
+    try {
+      val r = req(port, "POST", "/job", validBody)
+      assert(r.statusCode() == 500, r.body())
+      assert((JsonMethods.parse(r.body()) \ "error").values.toString
+        .contains("ValidationException"))
+      // the failed submission left no record behind — and the service
+      // still serves subsequent requests
+      assert(req(port, "GET", "/").statusCode() == 200)
+      assert(req(port, "POST", "/job", "not json").statusCode() == 400)
+    } finally svc.stop()
+  }
+
+  test("relay timeout: one attempt, logged not retried, service healthy") {
+    // target accepts the request then stalls past the (injected) relay
+    // timeout — the app.py:121-127 requests.Timeout branch
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val stall = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(0), 0)
+    stall.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      attempts.incrementAndGet()
+      Thread.sleep(2000) // > relayTimeoutMs
+      ex.sendResponseHeaders(200, -1); ex.close()
+    })
+    stall.start()
+    val svc = new JobService(new InProcessBackend(_ => ()),
+      multiomixUrl = Some(s"http://localhost:${stall.getAddress.getPort}"),
+      sleepTimeMs = 10, relayTimeoutMs = 150)
+    val port = svc.start()
+    try {
+      val id = (JsonMethods.parse(req(port, "POST", "/job", validBody).body()) \ "id")
+        .values.toString
+      assert(req(port, "PATCH", s"/job/$id").statusCode() == 204)
+      Thread.sleep(1200) // settle + timeout + any (forbidden) retry window
+      assert(attempts.get() == 1, s"expected exactly one relay attempt, got $attempts")
+      assert(req(port, "GET", s"/job/$id").statusCode() == 200)
+    } finally { svc.stop(); stall.stop(0) }
+  }
+
+  test("relay connection-refused and HTTP-500 targets: logged, not retried") {
+    // ConnectionError branch: nothing listens on the target port
+    val dead = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(0), 0)
+    val deadPort = dead.getAddress.getPort // allocated then never started
+    val svcDead = new JobService(new InProcessBackend(_ => ()),
+      multiomixUrl = Some(s"http://localhost:$deadPort"),
+      sleepTimeMs = 10, relayTimeoutMs = 500)
+    val p1 = svcDead.start()
+    try {
+      val id = (JsonMethods.parse(req(p1, "POST", "/job", validBody).body()) \ "id")
+        .values.toString
+      assert(req(p1, "PATCH", s"/job/$id").statusCode() == 204)
+      Thread.sleep(400)
+      assert(req(p1, "GET", s"/job/$id").statusCode() == 200)
+    } finally svcDead.stop()
+    // HTTPError branch (raise_for_status): target answers 500 — exactly
+    // one attempt, no retry
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val failing = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(0), 0)
+    failing.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      attempts.incrementAndGet()
+      ex.sendResponseHeaders(500, -1); ex.close()
+    })
+    failing.start()
+    val svc = new JobService(new InProcessBackend(_ => ()),
+      multiomixUrl = Some(s"http://localhost:${failing.getAddress.getPort}"),
+      sleepTimeMs = 10, relayTimeoutMs = 500)
+    val p2 = svc.start()
+    try {
+      val id = (JsonMethods.parse(req(p2, "POST", "/job", validBody).body()) \ "id")
+        .values.toString
+      assert(req(p2, "PATCH", s"/job/$id").statusCode() == 204)
+      Thread.sleep(600)
+      assert(attempts.get() == 1, s"expected exactly one relay attempt, got $attempts")
+      assert(req(p2, "GET", s"/job/$id").statusCode() == 200)
+    } finally { svc.stop(); failing.stop(0) }
+  }
 }

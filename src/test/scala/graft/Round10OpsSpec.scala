@@ -31,19 +31,18 @@ class Round10OpsSpec extends AnyFunSuite {
     ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     val tmp = java.nio.file.Files.createTempDirectory("e32spec")
     events.write.mode("overwrite").parquet(s"$tmp/events.parquet")
-    val got = graft.queries.Events.e32TouchComparison(spark, tmp.toString)
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-        r.getLong(3))).toMap
     // Map keyed by channel name → (n_first, n_last, linear_micro)
-    val asMap = got.map { case (ch, f, l, m) => ch -> ((f, l, m)) }
+    val asMap = graft.queries.Events.e32TouchComparison(spark, tmp.toString)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     assert(asMap("view") == ((1L, 1L, 666667L)), asMap)
     assert(asMap("click") == ((1L, 1L, 1333333L)), asMap)
     // credit conservation: each model distributes exactly one credit
     // per purchase (2 purchases; linear in micro units)
-    assert(got.values.map(_._1).sum == 2L)
-    assert(got.values.map(_._2).sum == 2L)
-    val linTotal = got.values.map(_._3).sum
-    assert(math.abs(linTotal - 2000000L) <= got.size, linTotal)
+    assert(asMap.values.map(_._1).sum == 2L)
+    assert(asMap.values.map(_._2).sum == 2L)
+    val linTotal = asMap.values.map(_._3).sum
+    assert(math.abs(linTotal - 2000000L) <= asMap.size, linTotal)
   }
 
   test("t30: confusion rows reconcile with t15 and shares sum to ~1") {

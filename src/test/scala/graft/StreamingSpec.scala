@@ -1422,6 +1422,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("live transition counts finish to the batch e19 matrix") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val stream = EventStreams.readEvents(spark, streamDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts"), col("value"))
+      .as[EventStreams.LocfIn]
+    val q = EventStreams.transitionCounts(
+        EventStreams.transitionPairs(stream))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("trans_counts")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val counts = spark.table("trans_counts")
+    // the live read is O(|types|²): the finisher runs over the count
+    // table, never the emitted pair stream
+    val live = Events.matrixOfCounts(counts).collect().map(_.toSeq).toSet
+    val batch = Events.e19TransitionMatrix(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(live == batch,
+      s"diff=${(live diff batch).take(2)} / ${(batch diff live).take(2)}")
+    assert(live.nonEmpty)
+    // state boundedness: the count table is at most |types|² rows
+    val nTypes = counts.select(col("prev_type")).union(
+      counts.select(col("next_type"))).distinct().count()
+    assert(counts.count() <= nTypes * nTypes)
+  }
+
   test("transition state carries the predecessor across batch boundaries") {
     import spark.implicits._
     def ts(s: Long) = new java.sql.Timestamp(s * 1000)
