@@ -4420,9 +4420,179 @@ object OraclesText {
         |ORDER BY c.label""".stripMargin,
   )
 
+  /** Round-11 session operators: d30 winnowing, p29 temperature mix,
+    * s27 int8 recall, m16 luminance histogram, v13 Nelson–Aalen CI.
+    */
+  val round12: Map[String, String] = Map(
+    // TextDedup.d30Winnowing: robust winnowing — each 4-window of 3-gram
+    // shingle hashes selects (min hash, rightmost pos) via one integer
+    // min over the composite h·2^20 + (2^20−1−pos) key; docs sharing
+    // ≥ 2 selected fingerprints pair up. Positions are 1-based here vs
+    // 0-based in Spark — only their relative order matters to the min.
+    "d30_winnowing" ->
+      s"""WITH tok AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\\s+') AS toks
+        |  FROM documents),
+        |sh0 AS (SELECT doc_id, unnest(range(1, len(toks)-1)) AS pos, toks
+        |  FROM tok WHERE len(toks) >= 3),
+        |sh AS (SELECT doc_id, pos,
+        |    ${hex4ToInt("substr(md5(toks[pos] || ' ' || toks[pos+1] || ' ' || toks[pos+2]), 1, 4)")} AS h
+        |  FROM sh0),
+        |enc AS (SELECT doc_id, pos,
+        |    h * 1048576 + (1048575 - pos) AS ek FROM sh),
+        |win AS (SELECT doc_id,
+        |    min(ek) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk,
+        |    count(*) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS cnt
+        |  FROM enc),
+        |fp AS (SELECT DISTINCT doc_id, mk // 1048576 AS fp
+        |  FROM win WHERE cnt = 4),
+        |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    count(*) AS n_shared
+        |  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared FROM pr
+        |WHERE n_shared >= 2 ORDER BY id_a, id_b LIMIT 2000""".stripMargin,
+
+    // TextDedup.p29TemperatureMix: w_s ∝ n_s^τ via exp(τ·ln n) with ln
+    // and exp outputs micro-snapped per distinct value BEFORE the
+    // normalizer sums them (t12/p23 libm discipline); share is one
+    // half-up micro division per row.
+    "p29_temperature_mix" ->
+      """WITH bysrc AS (SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(string_split_regex(trim(lower(text)), '\s+')))
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |l AS (SELECT *, CAST(round(ln(CAST(n_docs AS DOUBLE)) * 1e6)
+        |    AS BIGINT) AS ln_micro FROM bysrc),
+        |t AS (SELECT l.*, tau_micro FROM l,
+        |  (VALUES (300000), (700000), (1000000)) AS tv(tau_micro)),
+        |wv AS (SELECT *, CAST(round(exp(
+        |    CAST(tau_micro * ln_micro AS DOUBLE) / 1e12) * 1e6)
+        |    AS BIGINT) AS w_micro FROM t),
+        |z AS (SELECT tau_micro, CAST(sum(w_micro) AS BIGINT) AS z_micro
+        |  FROM wv GROUP BY 1)
+        |SELECT round(CAST(wv.tau_micro AS DOUBLE) / 1e6, 1) AS tau,
+        |  wv.source, CAST(wv.n_docs AS BIGINT) AS n_docs, wv.n_tokens,
+        |  round(CAST((w_micro * 1000000 + z_micro // 2) // z_micro
+        |    AS DOUBLE) / 1e6, 6) AS share
+        |FROM wv JOIN z ON wv.tau_micro = z.tau_micro
+        |ORDER BY tau, wv.source""".stripMargin,
+
+    // Embeddings.s27Int8Recall: symmetric per-dim int8 quantization
+    // (sign-split half-up integral division against the integer per-dim
+    // max), exact vs quantized top-1 MIPS — every comparison is over
+    // exact BIGINTs with a vec_id tie-break; no float leaves the
+    // micro-snap.
+    "s27_int8_recall" ->
+      """WITH em AS (SELECT vec_id, list_transform(embedding,
+        |    v -> CAST(round(CAST(v AS DOUBLE) * 1e6) AS BIGINT)) AS em
+        |  FROM embeddings),
+        |dd AS (SELECT unnest(range(1, 65)) AS d),
+        |sc AS (SELECT d, max(abs(em[d])) AS s FROM em, dd GROUP BY d),
+        |scl AS (SELECT list(s ORDER BY d) AS scales FROM sc),
+        |qz AS (SELECT vec_id, em, list_transform(range(1, 65), i ->
+        |    CASE WHEN scales[i] = 0 THEN 0
+        |         WHEN em[i] >= 0
+        |           THEN (em[i] * 127 + scales[i] // 2) // scales[i]
+        |         ELSE -(((-em[i]) * 127 + scales[i] // 2) // scales[i])
+        |    END) AS qv
+        |  FROM em, scl),
+        |q AS (SELECT vec_id AS q_id, em AS q_em, qv AS q_qv FROM qz
+        |  WHERE ((vec_id % 100) + 100) % 100 = 0),
+        |dots AS (SELECT q_id, v.vec_id,
+        |    list_reduce(list_transform(range(1, 65),
+        |      i -> q_em[i] * v.em[i]), (s, x) -> s + x) AS dot_e,
+        |    list_reduce(list_transform(range(1, 65),
+        |      i -> q_qv[i] * v.qv[i]), (s, x) -> s + x) AS dot_q
+        |  FROM q, qz v WHERE v.vec_id != q_id),
+        |rk AS (SELECT q_id, vec_id,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY dot_e DESC, vec_id) AS rk_e,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY dot_q DESC, vec_id) AS rk_q
+        |  FROM dots)
+        |SELECT q_id,
+        |  max(CASE WHEN rk_e = 1 THEN vec_id END) AS exact_nn,
+        |  max(CASE WHEN rk_q = 1 THEN vec_id END) AS quant_nn,
+        |  max(CASE WHEN rk_e = 1 THEN vec_id END)
+        |    = max(CASE WHEN rk_q = 1 THEN vec_id END) AS agree
+        |FROM rk WHERE rk_e = 1 OR rk_q = 1
+        |GROUP BY q_id ORDER BY q_id""".stripMargin,
+
+    // Multimodal.m16LumHistogram: the m12 pixel replay binned to the
+    // 16-bucket exposure histogram — lum·16 div 255001 keeps pure white
+    // in bin 15; share is one half-up micro division per row.
+    "m16_lum_histogram" ->
+      """WITH p AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image/bmp'
+        |         ELSE 'image/png' END AS media_type,
+        |    CAST(1 + doc_id % 64 AS BIGINT) AS w,
+        |    CAST(1 + doc_id % 48 AS BIGINT) AS h
+        |  FROM documents WHERE doc_id % 3 IN (0, 1)),
+        |px AS (SELECT p.media_type,
+        |    ((p.doc_id % 16777216) * 31 + y.i * p.w + x.i) % 16777216 AS v
+        |  FROM p, range(0, 64) x(i), range(0, 48) y(i)
+        |  WHERE x.i < p.w AND y.i < p.h),
+        |lb AS (SELECT media_type,
+        |    299 * (v // 65536) + 587 * ((v // 256) % 256) + 114 * (v % 256)
+        |      AS lum FROM px),
+        |b AS (SELECT media_type, (lum * 16) // 255001 AS bin,
+        |    count(*) AS n_px FROM lb GROUP BY 1, 2),
+        |t AS (SELECT media_type, CAST(sum(n_px) AS BIGINT) AS n_type
+        |  FROM b GROUP BY 1)
+        |SELECT b.media_type, CAST(bin AS BIGINT) AS bin,
+        |  CAST(n_px AS BIGINT) AS n_px,
+        |  round(CAST((n_px * 1000000 + n_type // 2) // n_type
+        |    AS DOUBLE) / 1e6, 6) AS share
+        |FROM b JOIN t ON b.media_type = t.media_type
+        |ORDER BY b.media_type, bin""".stripMargin,
+
+    // Survival.v13NelsonAalenCi: v3's risk frame with the Klein variance
+    // Σ d(n−d)/n³ in pico units and the linear 95 % band — the only
+    // floats are presentation divisions plus one IEEE sqrt of the same
+    // exact integer, in the same expression order as Spark.
+    "v13_nelson_aalen_ci" ->
+      """WITH s AS (SELECT c_mktsegment AS seg,
+        |    (c_custkey % 2 = 0) AS event,
+        |    CAST(c_custkey % 97 AS BIGINT) AS time
+        |  FROM customer WHERE c_custkey <= 2000),
+        |bt AS (SELECT seg, time,
+        |    CAST(sum(CASE WHEN event THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    count(*) AS m
+        |  FROM s GROUP BY 1, 2),
+        |tot AS (SELECT seg, CAST(sum(m) AS BIGINT) AS n_seg
+        |        FROM bt GROUP BY 1),
+        |r AS (SELECT bt.seg, bt.time, bt.d,
+        |    n_seg - coalesce(sum(m) OVER (PARTITION BY bt.seg
+        |      ORDER BY bt.time
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+        |  FROM bt JOIN tot ON bt.seg = tot.seg),
+        |h AS (SELECT seg, time, d, CAST(n_risk AS BIGINT) AS n_risk,
+        |    CAST((d * 1000000 + n_risk // 2) // n_risk AS BIGINT) AS h_micro,
+        |    CAST((d * (n_risk - d) * 1000000000000
+        |        + (n_risk * n_risk * n_risk) // 2)
+        |      // (n_risk * n_risk * n_risk) AS BIGINT) AS v_pico
+        |  FROM r),
+        |c AS (SELECT *,
+        |    CAST(sum(h_micro) OVER win AS BIGINT) AS cum_h_micro,
+        |    CAST(sum(v_pico) OVER win AS BIGINT) AS cum_v_pico
+        |  FROM h WINDOW win AS (PARTITION BY seg ORDER BY time
+        |    ROWS UNBOUNDED PRECEDING))
+        |SELECT seg, time, d, n_risk,
+        |  round(CAST(cum_h_micro AS DOUBLE) / 1e6, 6) AS cum_hazard,
+        |  round(CAST(cum_v_pico AS DOUBLE) / 1e12, 6) AS var_hazard,
+        |  round(CAST(cum_h_micro AS DOUBLE) / 1e6
+        |    - 1.96 * (sqrt(CAST(cum_v_pico AS DOUBLE)) / 1e6), 6) AS ci_lo,
+        |  round(CAST(cum_h_micro AS DOUBLE) / 1e6
+        |    + 1.96 * (sqrt(CAST(cum_v_pico AS DOUBLE)) / 1e6), 6) AS ci_hi
+        |FROM c WHERE d > 0 ORDER BY seg, time""".stripMargin,
+  )
+
   def all: Map[String, String] =
     dedup ++ dedupCapped ++ dedupDecision ++ dedupComponents ++ containment ++
       decontamination ++ simhash ++ text ++ xent ++ pipeline ++ similarity ++
       events ++ multimodal ++ multimodalManifest ++ survival ++ ingest ++
-      curation ++ release ++ round11 ++ round10
+      curation ++ release ++ round11 ++ round10 ++ round12
 }

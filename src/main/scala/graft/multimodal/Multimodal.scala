@@ -1214,7 +1214,66 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Global luminance histogram (m16): 16 exposure bins over the
+    * REALLY-decoded raster of every still image, rolled up per format —
+    * the corpus-level exposure profile a vision-data pipeline reads
+    * before setting its washed-out / near-black admission thresholds
+    * (m12 gives the per-sample mean; this gives the distribution those
+    * thresholds actually cut). Integer end to end: per-pixel luminance
+    * in milli-units (299R + 587G + 114B ∈ [0, 255000]), bin =
+    * `lum·16 div 255001`, so a pure-white pixel lands in bin 15 and no
+    * float ever appears; the share is one half-up micro division per
+    * row. GIFs are excluded like m12 (palette quantization makes their
+    * RGB encoder-defined).
+    *
+    * Shape at scale: the 16-bin count array accumulates per PARTITION
+    * beside the decoder (one Array[Long](16) per image, emitted as 16
+    * slim rows), then a partial-agg groupBy collapses to ≤ |formats|·16
+    * rows map-side — binary never shuffles, and the final exchange
+    * carries a few dozen rows no matter the corpus size.
+    */
+  def m16LumHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
+    import org.apache.spark.sql.expressions.Window
+    val binned = syntheticMedia(spark, dir)
+      .filter(_.media_type.startsWith("image/"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val img = readImage(r.content)
+          require(img != null, s"undecodable payload for doc ${r.doc_id}")
+          val (w, h) = (img.getWidth, img.getHeight)
+          val bins = new Array[Long](16)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val lum = 299L * ((rgb >> 16) & 0xff) +
+                587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+              bins((lum * 16L / 255001L).toInt) += 1L
+              x += 1
+            }
+            y += 1
+          }
+          (0 until 16).iterator.filter(bins(_) > 0L)
+            .map(b => (r.media_type, b, bins(b)))
+        }
+      }
+      .toDF("media_type", "bin", "n_px_part")
+      .groupBy(col("media_type"), col("bin"))
+      .agg(sum(col("n_px_part")).as("n_px"))
+    val wt = Window.partitionBy(col("media_type"))
+    binned
+      .withColumn("n_type", sum(col("n_px")).over(wt))
+      .select(col("media_type"), col("bin").cast("long").as("bin"), col("n_px"),
+        round(intDiv(col("n_px") * 1000000L + intDiv(col("n_type"), lit(2L)),
+          col("n_type")).cast("double") / 1e6, 6).as("share"))
+      .orderBy(col("media_type"), col("bin"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m16_lum_histogram" -> (m16LumHistogram _),
     "m11_phash_neardup" -> (m11PhashNearDup _),
     "m13_hamming_curve" -> (m13HammingCurve _),
     "m12_color_stats" -> (m12ColorStats _),

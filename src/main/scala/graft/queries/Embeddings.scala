@@ -1168,7 +1168,69 @@ object Embeddings {
       .orderBy(col("label"))
   }
 
+  /** Int8 scalar-quantization recall audit (s27): symmetric per-dim
+    * quantization `q_d = round(127·v_d / max|v_d|)` — the 4× memory /
+    * SIMD-dot compression every production vector store offers — scored
+    * by top-1 MIPS agreement: for each query (every 100th vector), does
+    * the int8 dot product pick the same nearest neighbour as the exact
+    * one? The disagreement rate IS the recall price of the compression,
+    * measured, not quoted from a datasheet.
+    *
+    * All-integer end to end (stronger than s1's round-6 cosine): floats
+    * snap once to micro units, the per-dim scales are integer maxima,
+    * quantized values come from sign-split half-up integral division,
+    * and both argmaxes compare exact Longs with a vec_id tie-break —
+    * no engine can drift. Shape at scale: the scale vector is one
+    * 64-row partial agg broadcast back as a single array; queries
+    * broadcast against the corpus like s1 (brute force is the audit
+    * leg — production serves from the s7 IVF cells); the exact dot stays
+    * in Long because 64 · (2²⁰)² ≪ 2⁶³.
+    */
+  def s27Int8Recall(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
+    val em = Tables.embeddings(spark, dir).select(col("vec_id"),
+      transform(col("embedding"),
+        v => round(v.cast("double") * 1e6, 0).cast("long")).as("em"))
+    // per-dim max |v|: 64-row aggregate folded into ONE array row
+    val scales = em
+      .select(posexplode(col("em")).as(Seq("d", "v")))
+      .groupBy(col("d")).agg(max(abs(col("v"))).as("s"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("s")))),
+        x => x.getField("s")).as("scales"))
+    val qz = em.crossJoin(broadcast(scales)) // 1-row build side
+      .select(col("vec_id"), col("em"),
+        zip_with(col("em"), col("scales"), (v, s) =>
+          when(s === 0L, 0L)
+            .when(v >= 0L, intDiv(v * 127L + intDiv(s, lit(2L)), s))
+            .otherwise(-intDiv(-v * 127L + intDiv(s, lit(2L)), s))).as("qv"))
+    val queries = qz.filter(pmod(col("vec_id"), lit(100)) === 0)
+      .select(col("vec_id").as("q_id"), col("em").as("q_em"),
+        col("qv").as("q_qv"))
+    val dots = qz.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        aggregate(zip_with(col("q_em"), col("em"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("dot_e"),
+        aggregate(zip_with(col("q_qv"), col("qv"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("dot_q"))
+    val we = Window.partitionBy(col("q_id"))
+      .orderBy(col("dot_e").desc, col("vec_id"))
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("dot_q").desc, col("vec_id"))
+    val top = dots
+      .withColumn("rk_e", row_number().over(we))
+      .withColumn("rk_q", row_number().over(wq))
+      .filter(col("rk_e") === 1 || col("rk_q") === 1)
+      .groupBy(col("q_id"))
+      .agg(max(when(col("rk_e") === 1, col("vec_id"))).as("exact_nn"),
+        max(when(col("rk_q") === 1, col("vec_id"))).as("quant_nn"))
+    top.select(col("q_id"), col("exact_nn"), col("quant_nn"),
+        (col("exact_nn") === col("quant_nn")).as("agree"))
+      .orderBy(col("q_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s27_int8_recall" -> (s27Int8Recall _),
     "s25_cell_occupancy" -> (s25CellOccupancy _),
     "s22_recall_cost" -> (s22RecallCostCurve _),
     "s23_mmr_diversify" -> (s23MmrDiversify _),

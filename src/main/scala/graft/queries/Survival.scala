@@ -594,7 +594,49 @@ object Survival {
       .orderBy(col("seg"), col("q").desc)
   }
 
+  /** Nelson–Aalen variance + 95 % confidence band (v13): the Klein
+    * variance estimator σ²(t) = Σ_{tᵢ≤t} dᵢ(nᵢ−dᵢ)/nᵢ³ over v3's risk
+    * frame, with the linear CI band H(t) ± 1.96·σ(t) — the uncertainty
+    * companion v3's point estimate lacks, what v7's Greenwood band is
+    * to v4's Kaplan–Meier. All cross-row state is exact integers: the
+    * per-time variance increment snaps to pico units by one half-up
+    * integral division (d(n−d)·10¹² ≤ 10¹⁸ keeps Long headroom at the
+    * 2000-row frame; a lake-scale caller promotes to DECIMAL(38,0) the
+    * s25 way), the running sums are Long additions, and the only
+    * floats are the presentation divisions plus ONE IEEE-exact sqrt of
+    * the same integer on both engines, in one shared expression order.
+    * Single shuffle on seg like v3; the band is a window cumsum, not a
+    * second pass.
+    */
+  def v13NelsonAalenCi(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
+    val w = Window.partitionBy(col("seg")).orderBy(col("time"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val n3 = col("n_risk") * col("n_risk") * col("n_risk")
+    atRiskFrame(spark, dir)
+      .withColumn("h_micro",
+        intDiv(col("d") * 1000000L + intDiv(col("n_risk"), lit(2L)),
+          col("n_risk")))
+      .withColumn("v_pico",
+        intDiv(col("d") * (col("n_risk") - col("d")) * 1000000000000L
+          + intDiv(n3, lit(2L)), n3))
+      .withColumn("cum_h_micro", sum(col("h_micro")).over(w))
+      .withColumn("cum_v_pico", sum(col("v_pico")).over(w))
+      .filter(col("d") > 0)
+      .withColumn("se", sqrt(col("cum_v_pico").cast("double")) / 1e6)
+      .select(col("seg"), col("time"), col("d"), col("n_risk"),
+        round(col("cum_h_micro").cast("double") / 1e6, 6).as("cum_hazard"),
+        round(col("cum_v_pico").cast("double") / 1e12, 6).as("var_hazard"),
+        round(col("cum_h_micro").cast("double") / 1e6
+          - lit(1.96) * col("se"), 6).as("ci_lo"),
+        round(col("cum_h_micro").cast("double") / 1e6
+          + lit(1.96) * col("se"), 6).as("ci_hi"))
+      .orderBy(col("seg"), col("time"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v13_nelson_aalen_ci" -> (v13NelsonAalenCi _),
     "v1_cindex" -> (v1CIndex _),
     "v10_survival_at_times" -> (v10SurvivalAtTimes _),
     "v11_median_survival" -> (v11MedianSurvival _),

@@ -533,6 +533,13 @@ object TextDedup {
     * candidate machinery as d6 — bucketed by shingle, never all-pairs;
     * the unordered pair counts are computed ONCE (id_a < id_b) and then
     * emitted in both directions, since containment is per-side.
+    *
+    * SCALE DECISION (r11, SCALE.md): the uncapped exponent keeps rising
+    * with corpus size (0.52 → 0.77 → ~0.9 per decade, measured at
+    * 10×/100× bench scale) because shingle document frequency grows
+    * with replication — at lake scale run [[d9bContainmentCapped]]
+    * (2.5–6× cheaper at 100×, same verdict in the filtered space);
+    * this uncapped form is the small-corpus / audit leg.
     */
   def d9Containment(spark: SparkSession, dir: String): DataFrame =
     containmentPairs(spark, dir, maxShingleDf = None)
@@ -549,6 +556,58 @@ object TextDedup {
     */
   def d9bContainmentCapped(spark: SparkSession, dir: String): DataFrame =
     containmentPairs(spark, dir, maxShingleDf = Some(4))
+
+  /** Winnowing fingerprint dedup (d30): the MOSS/Stanford local
+    * fingerprinting scheme — every window of [[WinnowW]] consecutive
+    * 3-gram shingle hashes selects its minimum (rightmost on ties, the
+    * robust-winnowing rule), and documents sharing ≥ 2 selected
+    * fingerprints pair up. Where d6/d9 index EVERY distinct shingle,
+    * winnowing keeps ~2/(w+1) of them with a guarantee: any shared run
+    * of w + 2 tokens yields at least one shared fingerprint, so partial
+    * overlap (plagiarized paragraphs, quoted blocks) is still caught at
+    * a fraction of the index size — the scale lever when the inverted
+    * index itself is the cost driver at 100 TB.
+    *
+    * Arithmetic is cross-engine exact: the 16-bit md5-prefix shingle
+    * hash rides in a composite `h·2²⁰ + (2²⁰−1−pos)` key so one window
+    * `min` picks (min hash, max pos) with no float anywhere; both
+    * per-doc windows (the shingle `lead` and the fingerprint min)
+    * partition and order identically, so Catalyst plans ONE exchange +
+    * sort for the pair. The fingerprint self-join is bucketed by
+    * fingerprint value — high-cardinality, hash-partitions evenly, and
+    * candidate counts stay near-linear like d3's band join.
+    */
+  val WinnowW = 4
+
+  def d30Winnowing(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
+    val wLead = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val hashed = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
+      .withColumn("t1", lead(col("tok"), 1).over(wLead))
+      .withColumn("t2", lead(col("tok"), 2).over(wLead))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"), col("pos"),
+        (conv(substring(fastMd5(concat_ws(" ", col("tok"), col("t1"),
+          col("t2"))), 1, 4), 16, 10).cast("long") * 1048576L +
+          (lit(1048575L) - col("pos"))).as("ek"))
+    val wWin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(0, WinnowW - 1)
+    val fp = hashed
+      .select(col("doc_id"), min(col("ek")).over(wWin).as("mk"),
+        count(lit(1)).over(wWin).as("cnt"))
+      .filter(col("cnt") === WinnowW) // full windows only
+      .select(col("doc_id"), intDiv(col("mk"), lit(1048576L)).as("fp"))
+      .distinct()
+    fp.as("a").join(fp.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .orderBy(col("id_a"), col("id_b"))
+      .limit(2000)
+  }
 
   private[queries] def containmentPairs(spark: SparkSession, dir: String,
       maxShingleDf: Option[Long]): DataFrame =
@@ -1780,6 +1839,48 @@ object TextDedup {
         round(intDiv(col("sum_q_micro") + intDiv(col("n_docs"), lit(2L)),
           col("n_docs")).cast("double") / 1e6, 6).as("mean_quality"))
       .orderBy(col("quota"))
+  }
+
+  /** Sampling-temperature mix (p29): the multilingual/source-balancing
+    * dial every large-corpus trainer sets (mT5 §3.1, XLM-R): sampling
+    * weight w_s ∝ n_s^τ for τ ∈ {0.3, 0.7, 1.0} — τ = 1 reproduces
+    * natural proportions, τ → 0 flattens toward uniform, and the sweep
+    * row-set shows exactly how much each low-resource source gains per
+    * τ step. One partial-agg pass over `documents` builds the per-source
+    * doc/token counts; the τ fan-out is a generator explode over a
+    * |sources|-row table (the p28 sweep discipline — sweeps share one
+    * pass), so the corpus is scanned once regardless of how many
+    * temperatures are audited.
+    *
+    * Exactness: n^τ = exp(τ·ln n) crosses libm, so ln n snaps to
+    * integer micro-nats per DISTINCT count and the exp output snaps to
+    * micro-weights BEFORE the normalizer sums them (the t12/p23
+    * discipline); shares are one half-up integral division per row.
+    */
+  def p29TemperatureMix(spark: SparkSession, dir: String,
+      taus: Seq[Long] = Seq(300000L, 700000L, 1000000L)): DataFrame = {
+    import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
+    val bySource = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(trim(lower(col("text"))), "\\s+")).as("n_toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      .withColumn("ln_micro",
+        round(log(col("n_docs").cast("double")) * 1e6).cast("long"))
+      .withColumn("tau_micro", explode(lit(taus.toArray)))
+      .withColumn("w_micro",
+        round(exp((col("tau_micro") * col("ln_micro")).cast("double") / 1e12)
+          * 1e6).cast("long"))
+    val z = bySource.groupBy(col("tau_micro").as("z_tau"))
+      .agg(sum(col("w_micro")).as("z_micro"))
+    bySource
+      .join(broadcast(z), col("tau_micro") === col("z_tau"))
+      .select(
+        round(col("tau_micro").cast("double") / 1e6, 1).as("tau"),
+        col("source"), col("n_docs"), col("n_tokens"),
+        round(intDiv(col("w_micro") * 1000000L + intDiv(col("z_micro"), lit(2L)),
+          col("z_micro")).cast("double") / 1e6, 6).as("share"))
+      .orderBy(col("tau"), col("source"))
   }
 
   /** MinHash estimate calibration (d21): for every banded CANDIDATE
@@ -3411,6 +3512,9 @@ object TextDedup {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d30_winnowing" -> (d30Winnowing _),
+    "p29_temperature_mix" ->
+      ((s: SparkSession, d: String) => p29TemperatureMix(s, d)),
     "p24_rho_select" -> (p24RhoSelect _),
     "p23_doremi_step" -> ((s: SparkSession, d: String) => p23DoremiStep(s, d)),
     "p21_perplexity_buckets" ->
