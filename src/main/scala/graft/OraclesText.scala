@@ -4549,6 +4549,44 @@ object OraclesText {
         |FROM b JOIN t ON b.media_type = t.media_type
         |ORDER BY b.media_type, bin""".stripMargin,
 
+    // TextDedup.p30ContextPacking: next-fit packing into 512-token
+    // windows, folded per (source, doc_id div 8192) shard in doc_id
+    // order — the recursive CTE replays the same deterministic fold the
+    // Spark mapGroups runs, one row per step per shard.
+    "p30_context_packing" ->
+      """WITH RECURSIVE d AS (SELECT source, doc_id // 8192 AS shard,
+        |    least(CAST(len(string_split_regex(trim(lower(text)), '\s+'))
+        |      AS BIGINT), 512) AS t,
+        |    (len(string_split_regex(trim(lower(text)), '\s+')) > 512)
+        |      AS tr,
+        |    row_number() OVER (PARTITION BY source, doc_id // 8192
+        |      ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |pack AS (
+        |  SELECT source, shard, rn, t AS fill, CAST(1 AS BIGINT) AS bin
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.source, d.shard, d.rn,
+        |    CASE WHEN p.fill + d.t <= 512 THEN p.fill + d.t ELSE d.t END,
+        |    CASE WHEN p.fill + d.t <= 512 THEN p.bin ELSE p.bin + 1 END
+        |  FROM pack p JOIN d ON d.source = p.source AND d.shard = p.shard
+        |    AND d.rn = p.rn + 1),
+        |sh AS (SELECT source, shard, max(bin) AS bins FROM pack
+        |  GROUP BY 1, 2),
+        |agg AS (SELECT d.source, count(*) AS n_docs,
+        |    CAST(sum(t) AS BIGINT) AS n_tokens_packed,
+        |    CAST(sum(CASE WHEN tr THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_truncated
+        |  FROM d GROUP BY 1),
+        |w AS (SELECT source, CAST(sum(bins) AS BIGINT) AS n_windows
+        |  FROM sh GROUP BY 1)
+        |SELECT agg.source, CAST(n_docs AS BIGINT) AS n_docs, n_windows,
+        |  n_tokens_packed, n_truncated,
+        |  round(CAST((n_tokens_packed * 1000000 + (n_windows * 512) // 2)
+        |    // (n_windows * 512) AS DOUBLE) / 1e6, 6) AS fill
+        |FROM agg JOIN w ON agg.source = w.source
+        |ORDER BY agg.source""".stripMargin,
+
     // Survival.v13NelsonAalenCi: v3's risk frame with the Klein variance
     // Σ d(n−d)/n³ in pico units and the linear 95 % band — the only
     // floats are presentation divisions plus one IEEE sqrt of the same

@@ -1883,6 +1883,59 @@ object TextDedup {
       .orderBy(col("tau"), col("source"))
   }
 
+  /** Context-window packing audit (p30): next-fit sequence packing of
+    * the corpus into fixed C = 512-token training windows — the step
+    * between curation and the trainer, where padding waste is real
+    * money (a 60 %-fill corpus buys 40 % idle FLOPs). Docs pack in
+    * doc_id order per (source, shard) with shard = doc_id div 8192:
+    * the shard key BOUNDS per-task state at any corpus size (a source
+    * with a billion docs is still 8192-doc packing problems, each
+    * independent and deterministic), which is what makes the
+    * order-dependent fold distributable — the `mapGroups` state is one
+    * (fill, bins) pair per group, the e2-sessionize discipline applied
+    * to packing. Over-length docs truncate to C (counted, not
+    * dropped). Output per source: docs, windows, packed tokens,
+    * truncations, and the fill fraction (one half-up micro division).
+    */
+  val PackC = 512L
+  val PackShard = 8192L
+
+  def p30ContextPacking(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("nt"))
+      .select(col("source"), col("doc_id"),
+        least(col("nt"), lit(PackC)).as("t"), (col("nt") > PackC).as("tr"))
+      .as[(String, Long, Long, Boolean)]
+    docs.groupByKey(r => (r._1, r._2 / PackShard))
+      .mapGroups { (key: (String, Long), it: Iterator[(String, Long, Long, Boolean)]) =>
+        val source = key._1
+        val rows = it.toArray.sortBy(_._2)
+        var bins = 0L; var fill = PackC // first doc always opens a bin
+        var sumT = 0L; var nTrunc = 0L
+        rows.foreach { case (_, _, t, tr) =>
+          if (fill + t <= PackC) fill += t else { bins += 1; fill = t }
+          sumT += t
+          if (tr) nTrunc += 1
+        }
+        (source, rows.length.toLong, bins, sumT, nTrunc)
+      }
+      .toDF("source", "n_docs_part", "n_bins_part", "sum_t_part", "n_trunc_part")
+      .groupBy(col("source"))
+      .agg(sum(col("n_docs_part")).as("n_docs"),
+        sum(col("n_bins_part")).as("n_windows"),
+        sum(col("sum_t_part")).as("n_tokens_packed"),
+        sum(col("n_trunc_part")).as("n_truncated"))
+      .select(col("source"), col("n_docs"), col("n_windows"),
+        col("n_tokens_packed"), col("n_truncated"),
+        round(intDiv(col("n_tokens_packed") * 1000000L
+            + intDiv(col("n_windows") * PackC, lit(2L)),
+          col("n_windows") * PackC).cast("double") / 1e6, 6).as("fill"))
+      .orderBy(col("source"))
+  }
+
   /** MinHash estimate calibration (d21): for every banded CANDIDATE
     * pair, the signature-agreement estimate against the exact Jaccard —
     * the precision/calibration half of the LSH dial audit whose recall
@@ -3515,6 +3568,7 @@ object TextDedup {
     "d30_winnowing" -> (d30Winnowing _),
     "p29_temperature_mix" ->
       ((s: SparkSession, d: String) => p29TemperatureMix(s, d)),
+    "p30_context_packing" -> (p30ContextPacking _),
     "p24_rho_select" -> (p24RhoSelect _),
     "p23_doremi_step" -> ((s: SparkSession, d: String) => p23DoremiStep(s, d)),
     "p21_perplexity_buckets" ->

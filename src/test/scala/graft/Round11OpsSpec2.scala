@@ -110,6 +110,40 @@ class Round11OpsSpec2 extends AnyFunSuite {
     }
   }
 
+  test("p30: packing matches a from-scratch driver-side next-fit twin") {
+    val got = graft.queries.TextDedup.p30ContextPacking(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    val c = graft.queries.TextDedup.PackC
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("text")).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getString(2).trim.toLowerCase.split("\\s+").length.toLong))
+    val expected = docs.groupBy(_._1).toSeq.map { case (src, rows) =>
+      val shards = rows.groupBy(_._2 / graft.queries.TextDedup.PackShard)
+      var bins = 0L; var sumT = 0L; var nTrunc = 0L
+      shards.toSeq.sortBy(_._1).foreach { case (_, ds) =>
+        var fill = c
+        ds.sortBy(_._2).foreach { case (_, _, nt) =>
+          val t = math.min(nt, c)
+          if (fill + t <= c) fill += t else { bins += 1; fill = t }
+          sumT += t
+          if (nt > c) nTrunc += 1
+        }
+      }
+      val denom = bins * c
+      val fillFrac = ((sumT * 1000000L + denom / 2) / denom).toDouble / 1e6
+      (src, rows.length.toLong, bins, sumT, nTrunc,
+        math.round(fillFrac * 1e6) / 1e6.toDouble)
+    }.sortBy(_._1)
+    assert(got == expected,
+      s"first diff: ${got.zip(expected).find(p => p._1 != p._2)}")
+    // every window is genuinely needed: fill can never exceed 1
+    got.foreach { case (src, _, w, tk, _, f) =>
+      assert(w >= 1 && tk <= w * c && f <= 1.0, src)
+    }
+  }
+
   test("p29: shares normalize per tau; tau=1 is natural; tau<1 flattens") {
     val rows = graft.queries.TextDedup.p29TemperatureMix(spark, dir)
       .collect()
