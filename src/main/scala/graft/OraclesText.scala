@@ -4549,6 +4549,36 @@ object OraclesText {
         |FROM b JOIN t ON b.media_type = t.media_type
         |ORDER BY b.media_type, bin""".stripMargin,
 
+    // Events.e33HourUniformity: χ² against uniform over the 24-bin hour
+    // histogram — Σ(24·O−n)²/(24n) as one half-up micro division of two
+    // exact integers (HUGEINT-promoted squares), verdict vs the literal
+    // χ²₀.₉₉₉(23) critical value in micro units.
+    "e33_hour_uniformity" ->
+      """WITH o AS (SELECT event_type,
+        |    CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS h,
+        |    count(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |frame AS (SELECT DISTINCT event_type, hh.h
+        |  FROM o, (SELECT unnest(range(0, 24)) AS h) hh),
+        |full_h AS (SELECT f.event_type, f.h, coalesce(o.o, 0) AS o
+        |  FROM frame f LEFT JOIN o ON f.event_type = o.event_type
+        |    AND f.h = o.h),
+        |n AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS n_events
+        |  FROM full_h GROUP BY 1),
+        |s AS (SELECT full_h.event_type, n.n_events,
+        |    sum(CAST((o * 24 - n_events) AS HUGEINT)
+        |      * CAST((o * 24 - n_events) AS HUGEINT)) AS ss
+        |  FROM full_h JOIN n ON full_h.event_type = n.event_type
+        |  GROUP BY 1, 2),
+        |c AS (SELECT event_type, n_events,
+        |    CAST((ss * 1000000 + (CAST(n_events AS HUGEINT) * 24) // 2)
+        |      // (CAST(n_events AS HUGEINT) * 24) AS BIGINT) AS chi2_micro
+        |  FROM s)
+        |SELECT event_type, n_events,
+        |  round(CAST(chi2_micro AS DOUBLE) / 1e6, 6) AS chi2,
+        |  (chi2_micro >= 49728000) AS non_uniform
+        |FROM c ORDER BY event_type""".stripMargin,
+
     // TextDedup.p30ContextPacking: next-fit packing into 512-token
     // windows, folded per (source, doc_id div 8192) shard in doc_id
     // order — the recursive CTE replays the same deterministic fold the

@@ -1168,13 +1168,19 @@ object Embeddings {
       .orderBy(col("label"))
   }
 
-  /** Int8 scalar-quantization recall audit (s27): symmetric per-dim
-    * quantization `q_d = round(127·v_d / max|v_d|)` — the 4× memory /
-    * SIMD-dot compression every production vector store offers — scored
-    * by top-1 MIPS agreement: for each query (every 100th vector), does
-    * the int8 dot product pick the same nearest neighbour as the exact
-    * one? The disagreement rate IS the recall price of the compression,
-    * measured, not quoted from a datasheet.
+  /** Int8 scalar-quantization recall audit (s27): SYMMETRIC per-dim
+    * quantization `q_d = round(127·v_d / max|v_d|)` — the signed-int8
+    * scheme (faiss SQ8_uniform / ScaNN int8) whose zero-point-free dot
+    * product is pure SIMD — scored by top-1 MIPS agreement: for each
+    * query (every 100th vector), does the int8 dot product pick the
+    * same nearest neighbour as the exact one? Completes the
+    * scalar-quantization audit pair with s16, which audits the AFFINE
+    * uint8 (min/max zero-point) scheme against cosine top-5: the two
+    * schemes fail differently (affine bakes the distribution shift
+    * into the zero point; symmetric clips asymmetric dims harder), so
+    * a deployment choosing between them needs both columns of this
+    * audit. The disagreement rate IS the recall price of the
+    * compression, measured, not quoted from a datasheet.
     *
     * All-integer end to end (stronger than s1's round-6 cosine): floats
     * snap once to micro units, the per-dim scales are integer maxima,

@@ -1404,7 +1404,57 @@ object Events {
       .orderBy(col("channel"))
   }
 
+  /** Hour-of-day uniformity test (e33): per event type, the χ²
+    * goodness-of-fit statistic of the 24-bin hour histogram against a
+    * uniform profile — the behavioral-seasonality screen that separates
+    * human traffic (strong diurnal signature → astronomically large χ²)
+    * from schedulers and replayed logs (flat profile → χ² near the
+    * 23-df expectation), complementing e26/e29/e30's per-user bot
+    * signals with a population-level one. EXACT integer end to end: with
+    * observed counts O_h and total n, χ² = Σ(O_h − n/24)²/(n/24)
+    * rearranges to Σ(24·O_h − n)² / (24·n), so the statistic is one
+    * half-up micro division of two exact integers; the α = 0.001
+    * verdict compares micro-units against the literal χ²₀.₉₉₉(23) =
+    * 49.728 critical value — no distribution function crosses an
+    * engine. Shape at scale: one partial-agg groupBy to ≤ |types|·24
+    * rows, then a |types|-row rollup; the squared term promotes to
+    * DECIMAL(38,0) before summing because (24·O)² wraps a Long once a
+    * type logs ~4·10⁸ events in one hour at lake scale.
+    */
+  def e33HourUniformity(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
+    val byHour = Tables.events(spark, dir)
+      .select(col("event_type"), hour(col("ts")).cast("long").as("h"))
+      .groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("o"))
+    // absent hours contribute (0 − n/24)² too: fan each type across a
+    // literal 24-hour frame and left-join the observed counts
+    val frame = byHour.select(col("event_type")).distinct()
+      .withColumn("h", explode(lit((0L until 24L).toArray)))
+    val full = frame.join(byHour, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"),
+        coalesce(col("o"), lit(0L)).as("o"))
+    val dev = col("o") * 24L - col("n")
+    full
+      .withColumn("n", sum(col("o")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_events"),
+        sum((dev * dev).cast("decimal(38,0)")).as("ss"))
+      .select(col("event_type"), col("n_events"),
+        round(intDiv(col("ss") * 1000000L
+            + intDiv(col("n_events").cast("decimal(38,0)") * 24L, lit(2L)),
+          col("n_events").cast("decimal(38,0)") * 24L)
+          .cast("long").cast("double") / 1e6, 6).as("chi2"),
+        (intDiv(col("ss") * 1000000L
+            + intDiv(col("n_events").cast("decimal(38,0)") * 24L, lit(2L)),
+          col("n_events").cast("decimal(38,0)") * 24L)
+          .cast("long") >= 49728000L).as("non_uniform"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e33_hour_uniformity" -> (e33HourUniformity _),
     "e32_touch_comparison" -> (e32TouchComparison _),
     "e25_session_pairs" -> (e25SessionPairs _),
     "e26_bot_regularity" -> (e26BotRegularity _),

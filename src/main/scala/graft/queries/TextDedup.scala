@@ -579,11 +579,18 @@ object TextDedup {
     */
   val WinnowW = 4
 
-  def d30Winnowing(spark: SparkSession, dir: String): DataFrame = {
+  /** Distinct (doc_id, fp) winnow selections — the fingerprint INDEX
+    * half of d30, shared with the streaming ingest twin
+    * ([[graft.streaming.CorpusStreams.winnowStream]], which re-derives
+    * the same selections through a per-doc flatMap closure since window
+    * functions don't exist on streams; `StreamingSpec` pins the two
+    * row-identical).
+    */
+  private[graft] def winnowFingerprints(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
     val wLead = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val hashed = Tables.documents(spark, dir)
+    val hashed = docs
       .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
       .withColumn("t1", lead(col("tok"), 1).over(wLead))
       .withColumn("t2", lead(col("tok"), 2).over(wLead))
@@ -594,12 +601,16 @@ object TextDedup {
           (lit(1048575L) - col("pos"))).as("ek"))
     val wWin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(0, WinnowW - 1)
-    val fp = hashed
+    hashed
       .select(col("doc_id"), min(col("ek")).over(wWin).as("mk"),
         count(lit(1)).over(wWin).as("cnt"))
       .filter(col("cnt") === WinnowW) // full windows only
       .select(col("doc_id"), intDiv(col("mk"), lit(1048576L)).as("fp"))
       .distinct()
+  }
+
+  def d30Winnowing(spark: SparkSession, dir: String): DataFrame = {
+    val fp = winnowFingerprints(Tables.documents(spark, dir))
     fp.as("a").join(fp.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
@@ -1859,8 +1870,9 @@ object TextDedup {
     */
   def p29TemperatureMix(spark: SparkSession, dir: String,
       taus: Seq[Long] = Seq(300000L, 700000L, 1000000L)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
-    val bySource = Tables.documents(spark, dir)
+    Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
         size(split(trim(lower(col("text"))), "\\s+")).as("n_toks"))
       .groupBy(col("source"))
@@ -1871,10 +1883,11 @@ object TextDedup {
       .withColumn("w_micro",
         round(exp((col("tau_micro") * col("ln_micro")).cast("double") / 1e12)
           * 1e6).cast("long"))
-    val z = bySource.groupBy(col("tau_micro").as("z_tau"))
-      .agg(sum(col("w_micro")).as("z_micro"))
-    bySource
-      .join(broadcast(z), col("tau_micro") === col("z_tau"))
+      // the normalizer is a window over the |sources|·|taus|-row fanned
+      // aggregate, NOT a second aggregation of it — a groupBy+self-join
+      // here would re-run the corpus scan (caught by PlanShapeSpec)
+      .withColumn("z_micro",
+        sum(col("w_micro")).over(Window.partitionBy(col("tau_micro"))))
       .select(
         round(col("tau_micro").cast("double") / 1e6, 1).as("tau"),
         col("source"), col("n_docs"), col("n_tokens"),

@@ -112,6 +112,53 @@ object CorpusStreams {
     else toks.sliding(3).map(_.mkString(" ")).toSet
   }
 
+  /** Per-document winnow fingerprints of a STREAMING document frame —
+    * d30's selection rule ([[graft.queries.TextDedup.winnowFingerprints]])
+    * re-expressed as a compiled per-doc flatMap closure, the
+    * [[streamShingles]] precedent one level up the dedup stack: the
+    * batch form needs two window functions (lead + windowed min), both
+    * unavailable on streams, but every selection depends only on the
+    * document's own token sequence, so the map-side closure is exactly
+    * as distributed — an ingest-time near-dup probe joins these against
+    * a standing fingerprint index the way [[imageDedupAgainst]] probes
+    * phashes. `StreamingSpec` pins the selected (doc_id, fp) set
+    * row-identical to the batch index.
+    */
+  def winnowStream(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        winnowFingerprintSetOf(text).iterator.map(fp => (id, fp))
+      }
+      .toDF("doc_id", "fp")
+  }
+
+  /** The winnow-selection closure: 16-bit md5-prefix hashes of the
+    * word-3-grams (the [[shingleSetOf]] tokenizer, positions kept), each
+    * 4-window selecting (min hash, rightmost pos) through the same
+    * composite h·2²⁰+(2²⁰−1−pos) integer key as the batch SQL — kept in
+    * ONE place so a tokenizer or hash-width change can't drift between
+    * the surfaces.
+    */
+  private[graft] def winnowFingerprintSetOf(text: String): Set[Long] = {
+    val toks = text.replaceAll("^ +| +$", "")
+      .toLowerCase(java.util.Locale.ROOT).split("\\s+")
+    if (toks.length < 3) return Set.empty
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hashes = toks.sliding(3).map { sh =>
+      md.reset()
+      val d = md.digest(sh.mkString(" ").getBytes("UTF-8"))
+      ((d(0) & 0xffL) << 8) | (d(1) & 0xffL)
+    }.toArray
+    val w = graft.queries.TextDedup.WinnowW
+    if (hashes.length < w) Set.empty
+    else (0 to hashes.length - w).map { i =>
+      (i until i + w).map(j => hashes(j) * 1048576L + (1048575L - j)).min / 1048576L
+    }.toSet
+  }
+
   /** [[streamShingles]] with the document's arrival timestamp carried
     * through the flatMap — every shingle of a document shares its
     * arrival instant, which is what lets the watermarked alert

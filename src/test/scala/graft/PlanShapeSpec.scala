@@ -952,4 +952,63 @@ class PlanShapeSpec extends AnyFunSuite {
     // gram-count agg + 15-row rollup + result sort — map-side partials
     assert(p.contains("partial_"), p.take(1200))
   }
+
+  test("d30: the shingle lead and winnow min share ONE doc_id exchange") {
+    val df = TextDedup.d30Winnowing(spark, dir)
+    df.collect() // finalize the adaptive plan so exchange REUSE is visible
+    val p = plan(df)
+    // the fingerprint frame feeds both self-join sides: after AQE the
+    // doc_id exchange must execute ONCE (the second print is a
+    // ReusedExchange/stage reuse) — two live doc_id shuffles would mean
+    // Catalyst re-ran the heaviest stage per side
+    val docExchanges = "Exchange hashpartitioning\\(doc_id".r.findAllIn(p).length
+    val reused = p.contains("ReusedExchange") || p.contains("ShuffleQueryStage")
+    assert(docExchanges <= 1 || reused,
+      s"doc_id exchanges=$docExchanges reused=$reused\n${p.take(1500)}")
+    // the pair join buckets by fingerprint — any EQUI join is fine
+    // (AQE may broadcast the small side at spec scale); a nested-loop
+    // or cartesian means fp fell out of the join keys
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      p.take(1500))
+  }
+
+  test("s27: the corpus never shuffles for scales/queries; ranks share the q_id exchange") {
+    val p = plan(Embeddings.s27Int8Recall(spark, dir))
+    // the 1-row scale vector and the query set join by broadcast — the
+    // corpus side must reach the dot computation without an exchange
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(1500))
+    // the two top-1 windows partition identically on q_id, and the
+    // agree-rollup groups by q_id too: ONE real exchange serves all
+    val qidExchanges = "Exchange hashpartitioning\\(q_id".r.findAllIn(p).length
+    assert(qidExchanges == 1,
+      s"expected 1 real q_id exchange, got $qidExchanges\n${p.take(1500)}")
+  }
+
+  test("m16: histogram collapses map-side; binary never reaches an exchange") {
+    val p = plan(graft.multimodal.Multimodal.m16LumHistogram(spark, dir))
+    assert(p.contains("partial_sum"), p.take(1200))
+    // the exchange carries only (media_type, bin, count) — any 'content'
+    // column in an exchange means payload bytes are shuffling
+    val afterExchange = p.split("Exchange").drop(1).mkString
+    assert(!afterExchange.contains("content"), p.take(1500))
+  }
+
+  test("p30: packing aggregates ride the groupByKey exchange; one source agg") {
+    val p = plan(TextDedup.p30ContextPacking(spark, dir))
+    // mapGroups shuffles once on the (source, shard) key; the per-source
+    // rollup then partial-aggs shard rows — no second wide shuffle of
+    // doc-level rows
+    assert(p.contains("partial_sum"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("p29: the tau sweep is one corpus scan fanned by generator explode") {
+    val p = plan(TextDedup.p29TemperatureMix(spark, dir))
+    // documents must be scanned once — the sweep explodes a
+    // |sources|-row aggregate, never re-reads the corpus per tau
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected 1 documents scan, got $scans\n${p.take(1200)}")
+    assert(p.contains("Generate explode"), p.take(1200))
+  }
 }

@@ -144,6 +144,25 @@ class Round11OpsSpec2 extends AnyFunSuite {
     }
   }
 
+  test("e33: chi-square matches a driver-side integer twin; human traffic flags") {
+    val got = graft.queries.Events.e33HourUniformity(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3))).toSeq
+    val counts = Tables.events(spark, dir)
+      .select(col("event_type"), hour(col("ts")).cast("long").as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expected = counts.keys.map(_._1).toSeq.distinct.sorted.map { et =>
+      val o = (0L until 24L).map(h => counts.getOrElse((et, h), 0L))
+      val n = o.sum
+      val ss = o.map(c => BigInt(c * 24 - n).pow(2)).sum
+      val chi2Micro = ((ss * 1000000 + BigInt(n * 24) / 2) / BigInt(n * 24)).toLong
+      (et, n, chi2Micro.toDouble / 1e6, chi2Micro >= 49728000L)
+    }
+    assert(got == expected, s"got $got\nexpected $expected")
+    assert(got.nonEmpty)
+  }
+
   test("p29: shares normalize per tau; tau=1 is natural; tau<1 flattens") {
     val rows = graft.queries.TextDedup.p29TemperatureMix(spark, dir)
       .collect()

@@ -644,6 +644,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batchIdx)
   }
 
+  test("streaming winnow fingerprints equal the batch d30 index row-for-row") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    // real corpus texts + crafted edges: too-short doc, leading tab
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text")).limit(40)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val arrivals = corpus ++ Seq(
+      (9001L, "one two"), (9002L, "\tlead tab one two three four five six"))
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = graft.streaming.CorpusStreams
+      .winnowStream(mem.toDS().toDF("doc_id", "text"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("winnow_stream").start()
+    try {
+      mem.addData(arrivals.take(20): _*); q.processAllAvailable()
+      mem.addData(arrivals.drop(20): _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("winnow_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.queries.TextDedup
+      .winnowFingerprints(arrivals.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch,
+      s"diff=${(streamed diff batch).take(3)} / ${(batch diff streamed).take(3)}")
+    assert(streamed.map(_._1).contains(corpus.head._1))
+    assert(!streamed.map(_._1).contains(9001L), "sub-window doc must emit nothing")
+  }
+
   test("watermarked near-dup alerts emit once in append mode and equal the unwatermarked verdicts") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
