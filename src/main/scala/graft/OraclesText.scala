@@ -1989,7 +1989,8 @@ object OraclesText {
     "s2b_ivf_capped" ->
       s"""WITH counts AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1),
          |cells AS (SELECT e.vec_id, e.label, e.embedding,
-         |    e.vec_id % ((c.n + 31) // 32) AS cell
+         |    ((e.vec_id % ((c.n + 31) // 32)) + ((c.n + 31) // 32))
+         |      % ((c.n + 31) // 32) AS cell
          |  FROM embeddings e JOIN counts c ON e.label = c.label)
          |SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
          |  round(${cosineSql("a.embedding", "b.embedding")}, 6) AS cos
@@ -4658,9 +4659,285 @@ object OraclesText {
         |FROM c WHERE d > 0 ORDER BY seg, time""".stripMargin,
   )
 
+  /** The s11/s20 PQ pipeline prefix (codebook derivation + code
+    * assignment) as a reusable CTE block — s29 audits the codes table
+    * those oracles already derive; sharing the text keeps the
+    * arithmetic from forking.
+    */
+  private def pqCodeCtes: String = {
+    val centAvg =
+      Oracles.exactAvg("CAST(embedding[CAST(i AS INT)] AS DOUBLE)", 6, 6)
+    def sliceDot(emb: String, sub: String) = dotSql(
+      s"list_slice($emb, 1 + 16 * $sub, 16 + 16 * $sub)", "codeword")
+    s"""cd AS (SELECT label, CAST(i AS INT) AS dim, $centAvg AS m
+       |  FROM embeddings, range(1, 65) t(i) GROUP BY label, i),
+       |cwv AS (SELECT label, CAST((dim - 1) // 16 AS INT) AS sub,
+       |    list(m ORDER BY dim) AS codeword
+       |  FROM cd GROUP BY 1, 2),
+       |cb AS (SELECT label, sub, codeword,
+       |    ${dotSql("codeword", "codeword")} AS cnorm2 FROM cwv),
+       |asg AS (SELECT e.vec_id, c.sub, c.label,
+       |    round(c.cnorm2 - 2 * ${sliceDot("e.embedding", "c.sub")}, 6) AS dist
+       |  FROM embeddings e, cb c),
+       |codes AS (SELECT vec_id, sub, label AS code FROM (
+       |    SELECT vec_id, sub, label, row_number() OVER (
+       |      PARTITION BY vec_id, sub ORDER BY dist, label) AS rk
+       |    FROM asg) WHERE rk = 1)""".stripMargin
+  }
+
+  /** The m6 phash derivation (generator arithmetic → 64-bit strings)
+    * as a reusable CTE block for m18's bit audit — same sharing
+    * rationale as [[pqCodeCtes]].
+    */
+  private def phashBitsCtes: String =
+    """p AS (SELECT doc_id,
+      |    CAST(1 + doc_id % 64 AS BIGINT) AS w,
+      |    CAST(1 + doc_id % 48 AS BIGINT) AS h
+      |  FROM documents WHERE doc_id % 3 IN (0, 1)),
+      |g AS (SELECT p.doc_id, i.i AS i, j.i AS j,
+      |    ((p.doc_id % 16777216) * 31
+      |      + (j.i * p.h // 8) * p.w + (i.i * p.w // 8)) % 16777216 AS v
+      |  FROM p, range(0, 8) i(i), range(0, 8) j(i)),
+      |l AS (SELECT doc_id, i, j,
+      |    299 * (v // 65536) + 587 * ((v // 256) % 256) + 114 * (v % 256) AS lum
+      |  FROM g),
+      |s AS (SELECT doc_id, CAST(sum(lum) AS BIGINT) AS total
+      |  FROM l GROUP BY 1),
+      |bits AS (SELECT l.doc_id,
+      |    string_agg(CASE WHEN 64 * l.lum > s.total THEN '1' ELSE '0' END,
+      |      '' ORDER BY l.j, l.i) AS phash
+      |  FROM l JOIN s USING (doc_id) GROUP BY 1)""".stripMargin
+
+  val round14: Map[String, String] = Map(
+    // TextDedup.t32SimpsonDiversity: identical token counts, HUGEINT
+    // Σc(c−1) from the first multiply, and the same two half-up
+    // integral divisions; divisor-0 cases (singleton corpora) are NULL
+    // on both engines (Spark LEGACY div ≡ DuckDB //).
+    "t32_simpson_diversity" ->
+      """WITH tf AS (SELECT source, token, count(*) AS c FROM (
+        |    SELECT source,
+        |      unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |    FROM documents) t GROUP BY 1, 2),
+        |m AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    count(*) AS vocab,
+        |    CAST(sum(CAST(c AS HUGEINT) * (c - 1)) AS HUGEINT) AS s
+        |  FROM tf GROUP BY 1)
+        |SELECT source, n_tokens, vocab,
+        |  round(CAST((s * 1000000
+        |      + (CAST(n_tokens AS HUGEINT) * (n_tokens - 1)) // 2)
+        |    // (CAST(n_tokens AS HUGEINT) * (n_tokens - 1)) AS BIGINT)
+        |    / 1e6, 6) AS simpson,
+        |  round(CAST((CAST(n_tokens AS HUGEINT) * (n_tokens - 1) * 1000000
+        |      + s // 2) // s AS BIGINT) / 1e6, 6) AS eff_vocab
+        |FROM m ORDER BY source""".stripMargin,
+
+    // Embeddings.s29CodeBalance: the codes CTE is the s11/s20 prefix
+    // verbatim (pqCodeCtes); the audit itself is the e33 χ² algebra
+    // over the full (label × sub) spine plus one top-share division
+    // and an integer cross-multiplied verdict.
+    "s29_code_balance" ->
+      s"""WITH $pqCodeCtes,
+        |spine AS (SELECT CAST(s.sub AS INT) AS sub, l.label AS code
+        |  FROM (SELECT DISTINCT label FROM embeddings) l, range(0, 4) s(sub)),
+        |cnt AS (SELECT sub, code, count(*) AS n FROM codes GROUP BY 1, 2),
+        |f AS (SELECT sp.sub, sp.code, coalesce(c.n, 0) AS n
+        |  FROM spine sp LEFT JOIN cnt c
+        |    ON c.sub = sp.sub AND c.code = sp.code),
+        |tot AS (SELECT sub, count(*) AS k, CAST(sum(n) AS BIGINT) AS n_vec
+        |  FROM f GROUP BY 1),
+        |ag AS (SELECT f.sub, t.k, t.n_vec,
+        |    sum(CASE WHEN f.n > 0 THEN 1 ELSE 0 END) AS codes_used,
+        |    CAST(sum((CAST(f.n AS HUGEINT) * t.k - t.n_vec)
+        |        * (CAST(f.n AS HUGEINT) * t.k - t.n_vec)) AS HUGEINT) AS ss,
+        |    max(f.n) AS top_n
+        |  FROM f JOIN tot t USING (sub) GROUP BY 1, 2, 3)
+        |SELECT sub, n_vec, CAST(k AS BIGINT) AS k,
+        |  CAST(codes_used AS BIGINT) AS codes_used,
+        |  round(CAST((ss * 1000000 + (CAST(n_vec AS HUGEINT) * k) // 2)
+        |    // (CAST(n_vec AS HUGEINT) * k) AS BIGINT) / 1e6, 6) AS chi2,
+        |  round(CAST((CAST(top_n AS HUGEINT) * 1000000 + n_vec // 2)
+        |    // n_vec AS BIGINT) / 1e6, 6) AS top_share,
+        |  (top_n * k <= n_vec * 2) AS balanced
+        |FROM ag ORDER BY sub""".stripMargin,
+
+    // Multimodal.m18PhashBitBalance: the phash strings come from the
+    // m6 generator-arithmetic CTEs verbatim (phashBitsCtes — the Spark
+    // side reads the REAL-decode asset, the m1 discipline); the audit
+    // is one half-up share division and an integer band check.
+    "m18_phash_bit_balance" ->
+      s"""WITH $phashBitsCtes,
+        |b AS (SELECT CAST(t.i AS INT) AS bit,
+        |    CASE WHEN substr(bits.phash, CAST(t.i + 1 AS INT), 1) = '1'
+        |      THEN 1 ELSE 0 END AS bset
+        |  FROM bits, range(0, 64) t(i)),
+        |ag AS (SELECT bit, count(*) AS n,
+        |    CAST(sum(bset) AS BIGINT) AS n_set
+        |  FROM b GROUP BY 1)
+        |SELECT bit, n, n_set,
+        |  round(CAST((CAST(n_set AS HUGEINT) * 1000000 + n // 2)
+        |    // n AS BIGINT) / 1e6, 6) AS share,
+        |  ((CAST(n_set AS HUGEINT) * 1000000 + n // 2) // n < 200000
+        |    OR (CAST(n_set AS HUGEINT) * 1000000 + n // 2) // n > 800000)
+        |    AS degenerate
+        |FROM ag ORDER BY bit""".stripMargin,
+    // TextDedup.t31HeapsLaw: identical per-doc token/new-type counts,
+    // window prefix sums in doc_id order (DuckDB has no single-task
+    // hazard at oracle scale; Spark runs the two-phase distributed
+    // prefix sum), the same micro-nat ln snap per checkpoint, HUGEINT
+    // OLS moments, and t24's closed-form half-up integral divisions.
+    "t31_heaps_law" ->
+      """WITH tok AS (SELECT source, doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |dt AS (SELECT source, doc_id, count(*) AS n_toks
+        |  FROM tok GROUP BY 1, 2),
+        |fo AS (SELECT source, token, min(doc_id) AS doc_id
+        |  FROM tok GROUP BY 1, 2),
+        |nv AS (SELECT source, doc_id, count(*) AS n_new
+        |  FROM fo GROUP BY 1, 2),
+        |fr AS (SELECT d.source, d.doc_id, d.n_toks,
+        |    coalesce(v.n_new, 0) AS n_new
+        |  FROM dt d LEFT JOIN nv v USING (source, doc_id)),
+        |cum AS (SELECT source,
+        |    CAST(sum(n_toks) OVER w AS BIGINT) AS cum_toks,
+        |    CAST(sum(n_new) OVER w AS BIGINT) AS cum_vocab
+        |  FROM fr WINDOW w AS (PARTITION BY source ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING)),
+        |xy AS (SELECT source,
+        |    CAST(round(ln(CAST(cum_toks AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+        |    CAST(round(ln(CAST(cum_vocab AS DOUBLE)) * 1e6) AS BIGINT) AS y
+        |  FROM cum WHERE cum_toks > 0 AND cum_vocab > 0),
+        |m AS (SELECT source, count(*) AS n_fit,
+        |    CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+        |    CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+        |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+        |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+        |  FROM xy GROUP BY 1)
+        |SELECT source, n_fit,
+        |  CAST(((n_fit * sxy - sx * sy) * 1000000
+        |      + (n_fit * sxx - sx * sx) // 2)
+        |    // (n_fit * sxx - sx * sx) AS BIGINT) / 1e6 AS beta,
+        |  CAST((sxx * sy - sx * sxy
+        |      + (n_fit * sxx - sx * sx) // 2)
+        |    // (n_fit * sxx - sx * sx) AS BIGINT) / 1e6 AS ln_k
+        |FROM m ORDER BY source""".stripMargin,
+
+    // TextDedup.p31RepeatSchedule: the effective-epoch multipliers are
+    // the SAME driver-computed micro literals injected into both plans
+    // (p31EffMicro) — libm's exp runs once, driver-side; everything
+    // downstream is HUGEINT arithmetic with half-up divisions.
+    "p31_repeat_schedule" -> {
+      val vals = graft.queries.TextDedup.p31EffMicro
+        .map { case (r, f) => s"($r, $f)" }.mkString(", ")
+      s"""WITH u AS (SELECT source,
+        |    CAST(sum(len(string_split_regex(trim(lower(text)), '\\s+')))
+        |      AS BIGINT) AS u_tokens
+        |  FROM documents GROUP BY 1),
+        |f AS (SELECT * FROM (VALUES $vals) t(r_epochs, f_micro)),
+        |x AS (SELECT u.source, CAST(f.r_epochs AS BIGINT) AS r_epochs,
+        |    u.u_tokens,
+        |    CAST(u.u_tokens * f.r_epochs AS BIGINT) AS budget_tokens,
+        |    CAST((CAST(u.u_tokens AS HUGEINT) * f.f_micro + 500000)
+        |      // 1000000 AS BIGINT) AS eff_tokens
+        |  FROM u, f)
+        |SELECT source, r_epochs, u_tokens, budget_tokens, eff_tokens,
+        |  CAST((CAST(eff_tokens AS HUGEINT) * 1000000 + budget_tokens // 2)
+        |    // budget_tokens AS BIGINT) / 1e6 AS eff_ratio
+        |FROM x ORDER BY source, r_epochs""".stripMargin
+    },
+
+    // Events.e34DiurnalAutocorr: identical epoch-hour floor division,
+    // global spine with absent hours as 0, lead-24 pairing, exact
+    // HUGEINT correlation moments, and the v13-style single float
+    // crossing — the same num/(√denx·√deny) expression over the same
+    // exact integers, snapped to micro.
+    "e34_diurnal_autocorr" ->
+      """WITH c AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h,
+        |    count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT min(h) AS h0, max(h) AS h1 FROM c),
+        |spine AS (SELECT t.event_type, s.h
+        |  FROM (SELECT DISTINCT event_type FROM c) t,
+        |    (SELECT unnest(range(h0, h1 + 1)) AS h FROM span) s),
+        |f AS (SELECT sp.event_type, sp.h, coalesce(c.c, 0) AS x
+        |  FROM spine sp LEFT JOIN c
+        |    ON c.event_type = sp.event_type AND c.h = sp.h),
+        |pr AS (SELECT event_type, x,
+        |    lead(x, 24) OVER (PARTITION BY event_type ORDER BY h) AS y
+        |  FROM f),
+        |m AS (SELECT event_type, count(*) AS n_pairs,
+        |    CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+        |    CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+        |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+        |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+        |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+        |  FROM pr WHERE y IS NOT NULL GROUP BY 1),
+        |r AS (SELECT event_type, n_pairs,
+        |    (n_pairs * sxx - sx * sx > 0 AND n_pairs * syy - sy * sy > 0)
+        |      AS defined,
+        |    CASE WHEN n_pairs * sxx - sx * sx > 0
+        |        AND n_pairs * syy - sy * sy > 0
+        |      THEN CAST(round(CAST(n_pairs * sxy - sx * sy AS DOUBLE) * 1e6
+        |        / (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+        |          * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))))
+        |        AS BIGINT)
+        |      ELSE 0 END AS r_micro
+        |  FROM m)
+        |SELECT event_type, n_pairs, defined, r_micro,
+        |  round(CAST(r_micro AS DOUBLE) / 1e6, 6) AS r24,
+        |  (defined AND r_micro >= 300000) AS diurnal
+        |FROM r ORDER BY event_type""".stripMargin,
+
+    // Embeddings.s28Anisotropy: identical per-dim micro snap, HUGEINT
+    // S_d/ΣΣv² moments, and ONE half-up integral division per label —
+    // no sqrt, no float compare anywhere.
+    "s28_anisotropy" ->
+      """WITH m AS (SELECT label, CAST(i AS INT) AS dim,
+        |    CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1e6)
+        |      AS BIGINT) AS v
+        |  FROM embeddings, range(1, 65) t(i)),
+        |pd AS (SELECT label, dim, count(*) AS n,
+        |    CAST(sum(CAST(v AS HUGEINT)) AS HUGEINT) AS s,
+        |    CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS ss
+        |  FROM m GROUP BY 1, 2),
+        |ag AS (SELECT label, max(n) AS n, sum(s * s) AS s2,
+        |    sum(ss) AS sumsq
+        |  FROM pd GROUP BY 1)
+        |SELECT label, CAST(n AS BIGINT) AS n,
+        |  round(CAST((s2 * 1000000 + (n * sumsq) // 2)
+        |    // (n * sumsq) AS BIGINT) / 1e6, 6) AS anisotropy
+        |FROM ag ORDER BY label""".stripMargin,
+
+    // Multimodal.m17AspectBuckets: the oracle predicts width/height
+    // from the generator's doc_id arithmetic (the m1 discipline — the
+    // Spark side re-derives them from the REAL ImageIO decode), and
+    // the bucket CASE tests the same integer cross-multiplications in
+    // the same order.
+    "m17_aspect_buckets" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'image/png'
+        |         ELSE 'video/gif' END AS media_type,
+        |    CAST(1 + doc_id % 64 AS BIGINT) AS w,
+        |    CAST(1 + doc_id % 48 AS BIGINT) AS h
+        |  FROM documents),
+        |b AS (SELECT media_type,
+        |    CASE WHEN w > h * 4 OR h > w * 4 THEN 'extreme'
+        |         WHEN w * 4 < h * 3 THEN 'portrait'
+        |         WHEN w * 3 > h * 4 THEN 'landscape'
+        |         ELSE 'square' END AS bucket,
+        |    w * h AS px
+        |  FROM d)
+        |SELECT media_type, bucket, count(*) AS n,
+        |  CAST(sum(px) AS BIGINT) AS total_px,
+        |  round(CAST((CAST(sum(px) AS HUGEINT) * 1000000 + count(*) // 2)
+        |    // count(*) AS BIGINT) / 1e6, 6) AS mean_px
+        |FROM b GROUP BY 1, 2 ORDER BY media_type, bucket""".stripMargin,
+  )
+
   def all: Map[String, String] =
     dedup ++ dedupCapped ++ dedupDecision ++ dedupComponents ++ containment ++
       decontamination ++ simhash ++ text ++ xent ++ pipeline ++ similarity ++
       events ++ multimodal ++ multimodalManifest ++ survival ++ ingest ++
-      curation ++ release ++ round11 ++ round10 ++ round12
+      curation ++ release ++ round11 ++ round10 ++ round12 ++ round14
 }

@@ -9,17 +9,27 @@ import org.apache.spark.sql.SparkSession
   * honesty — so sf0.1 → sf1 per-query scaling exponents in SCALE.md
   * are apples-to-apples with the round bench.
   *
-  * Args: dataDir namesCsv [timedPasses=3] [outFile].
+  * Args: dataDir namesCsv [timedPasses=3] [outFile] [shufflePartitions=32].
+  *
+  * `shufflePartitions` is the knob the 100-TB sizing rule actually
+  * turns: partitions must fit in executor memory at the target scale
+  * (the r11 rehearsal's first sf1000 attempt OOM'd the whole context
+  * with 32 partitions over 16 GB input — ~500 MB shuffle partitions
+  * plus sort buffers; 256 partitions of ~60 MB run in the same heap).
+  * On a real cluster this is spark.sql.shuffle.partitions growing with
+  * input size — AQE coalesces small ones back, so oversizing is cheap
+  * and undersizing is fatal.
   */
 object ScaleBench {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: ScaleBench dataDir namesCsv [passes] [outFile]")
+    require(args.length >= 2, "usage: ScaleBench dataDir namesCsv [passes] [outFile] [shufflePartitions]")
     val dataDir = args(0)
     val names = args(1).split(",").toSet
     val passes = if (args.length > 2) args(2).toInt else 3
+    val shuffleParts = if (args.length > 4) args(4).toInt else 32
     val spark = SparkSession.builder()
       .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", shuffleParts.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

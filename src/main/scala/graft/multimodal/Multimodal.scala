@@ -1272,7 +1272,74 @@ object Multimodal {
       .orderBy(col("media_type"), col("bin"))
   }
 
+  /** Aspect-ratio curation buckets (m17): the geometry screen every
+    * image-training pipeline runs before the expensive decodes —
+    * extreme aspect ratios (banner ads, scanbars; w > 4h or h > 4w)
+    * are dropped, the rest bucket into portrait (w/h < 3/4),
+    * landscape (w/h > 4/3), or square for aspect-aware batch packing.
+    * Dimensions come from the REAL ImageIO decode of the generated
+    * payloads (the m1 verifiability discipline — the oracle's doc_id
+    * arithmetic can only match if the containers genuinely parsed);
+    * every bucket verdict is an integer cross-multiplication checked
+    * in the SAME order on both engines, so no float ratio exists
+    * anywhere. Per (media_type, bucket): count, total pixels, and the
+    * half-up mean pixel count — a map-side decode beside the data
+    * collapsing straight to a ≤ |types|·4-row table; payloads never
+    * shuffle.
+    */
+  def m17AspectBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
+    val feats = extractFeatures(syntheticMedia(spark, dir), ImageIoDecoder)
+      .toDF()
+    val w = col("width").cast("long")
+    val h = col("height").cast("long")
+    val bucket = when(w > h * 4L || h > w * 4L, "extreme")
+      .when(w * 4L < h * 3L, "portrait")
+      .when(w * 3L > h * 4L, "landscape")
+      .otherwise("square")
+    feats
+      .select(col("media_type"), bucket.as("bucket"), (w * h).as("px"))
+      .groupBy(col("media_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("px")).as("total_px"))
+      .select(col("media_type"), col("bucket"), col("n"), col("total_px"),
+        round(intDiv(col("total_px") * 1000000L + intDiv(col("n"), lit(2L)),
+          col("n")).cast("double") / 1e6, 6).as("mean_px"))
+      .orderBy(col("media_type"), col("bucket"))
+  }
+
+  /** Perceptual-hash bit-balance audit (m18): per phash bit position,
+    * the share of images setting it — the index-health screen for the
+    * m6/m11/m13 hash family: a bit stuck near 0 or 1 carries no
+    * Hamming information, so a degenerate bit silently halves the
+    * effective hash width and inflates every banded near-dup bucket
+    * (m11's cap then bites earlier). Reads the run-scoped
+    * [[phashAsset]] — no re-decode — explodes the 64 positions
+    * map-side, and collapses to a fixed 64-row table; the share is one
+    * half-up integral division and the degenerate verdict is an
+    * integer band check (share outside [0.2, 0.8]).
+    */
+  def m18PhashBitBalance(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
+    phashAsset(spark, dir)
+      .select(explode(sequence(lit(0), lit(63))).as("bit"), col("phash"))
+      .select(col("bit"),
+        when(expr("substring(phash, bit + 1, 1)") === "1", 1L)
+          .otherwise(0L).as("b"))
+      .groupBy(col("bit"))
+      .agg(count(lit(1)).as("n"), sum(col("b")).as("n_set"))
+      .select(col("bit"), col("n"), col("n_set"),
+        round(intDiv(col("n_set") * 1000000L + intDiv(col("n"), lit(2L)),
+          col("n")).cast("double") / 1e6, 6).as("share"),
+        (intDiv(col("n_set") * 1000000L + intDiv(col("n"), lit(2L)),
+          col("n")) < 200000L ||
+         intDiv(col("n_set") * 1000000L + intDiv(col("n"), lit(2L)),
+          col("n")) > 800000L).as("degenerate"))
+      .orderBy(col("bit"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m18_phash_bit_balance" -> (m18PhashBitBalance _),
+    "m17_aspect_buckets" -> (m17AspectBuckets _),
     "m16_lum_histogram" -> (m16LumHistogram _),
     "m11_phash_neardup" -> (m11PhashNearDup _),
     "m13_hamming_curve" -> (m13HammingCurve _),

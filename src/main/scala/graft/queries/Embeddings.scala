@@ -1235,7 +1235,99 @@ object Embeddings {
       .orderBy(col("q_id"))
   }
 
+  /** Embedding anisotropy audit (s28): per label, the norm-energy ratio
+    * ‖μ‖²/E‖v‖² ∈ [0, 1] where μ is the label's mean vector — the
+    * standard embedding-space health diagnostic (Ethayarajh 2019's
+    * mean-pairwise-cosine anisotropy equals exactly this ratio for
+    * unit-norm vectors: E[cos(u,v)] over independent pairs = ‖μ‖²
+    * when ‖v‖ = 1): a ratio near 0 means the label's vectors spread
+    * around the origin (healthy contrast); near 1 means they collapse
+    * into a narrow cone, where cosine retrieval loses discrimination
+    * and semantic-dedup (s6) over-merges. Exact integer end to end:
+    * each float dim snaps once to micro units, per-(label, dim)
+    * partial aggs give S_d = Σv and Σv² (the s4 centroid shuffle), and
+    * the algebra ‖μ‖²/E‖v‖² = ΣS_d²/(n·ΣΣv²) needs only those exact
+    * sums — ONE half-up integral division per label, no sqrt, no
+    * per-row normalization. Scale: two partial-agg groupBys to
+    * |labels|·dims then |labels| rows; S_d² ≈ (n·10⁶·v̄)² stays far
+    * inside DECIMAL(38,0) through 10⁹ vectors.
+    */
+  def s28Anisotropy(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val m = Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "e")))
+      .select(col("label"), col("dim"),
+        round(col("e").cast("double") * 1e6).cast("long").as("v"))
+    val perDim = m.groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("v"))).as("s"),
+        sum(dec(col("v")) * dec(col("v"))).as("ss"))
+    perDim.groupBy(col("label"))
+      .agg(max(col("n")).as("n"), sum(col("s") * col("s")).as("s2"),
+        sum(col("ss")).as("sumsq"))
+      .select(col("label"), col("n"),
+        round(intDiv(col("s2") * 1000000L
+            + intDiv(col("n") * col("sumsq"), lit(2L)),
+          col("n") * col("sumsq")).cast("double") / 1e6, 6)
+          .as("anisotropy"))
+      .orderBy(col("label"))
+  }
+
+  /** PQ code-utilization balance (s29): per subspace, how evenly the
+    * assigned codes (s11's [[pqCodesOf]]) spread over the codebook —
+    * the index-health audit behind every PQ deployment: a subspace
+    * whose assignments collapse onto a few codewords quantizes
+    * coarsely there (recall loss s24 would later measure), and the fix
+    * (re-training that subspace's codebook) is per-subspace, so the
+    * diagnosis must be too. Per sub: vectors, codes used of the
+    * codebook's K, the e33 χ² algebra against uniform over the FULL
+    * code spine (unused codewords contribute (0 − N/K)², via a
+    * labels × subs frame left-joined with the counts), the top-code
+    * share, and a balanced verdict (top share ≤ 2× uniform — one
+    * integer cross-multiplication). Shape: the codes table is the
+    * already-bounded (vec, sub) frame; two partial aggs collapse it to
+    * 4·K then 4 rows.
+    */
+  def s29CodeBalance(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .persist()
+    emb.count() // eager: codebook + assignment both read it
+    val counts = pqCodesOf(emb)
+      .groupBy(col("sub").cast("int").as("sub"), col("code"))
+      .agg(count(lit(1)).as("n"))
+    val spine = emb.select(col("label").as("code")).distinct()
+      .withColumn("sub", explode(lit((0 until 4).toArray)))
+    val full = spine.join(counts, Seq("sub", "code"), "left")
+      .select(col("sub"), col("code"), coalesce(col("n"), lit(0L)).as("n"))
+    val k = count(lit(1))
+    val dev = dec(col("n")) * col("k") - col("n_vec")
+    full
+      .withColumn("k", k.over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("sub"))))
+      .withColumn("n_vec", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("sub"))))
+      .groupBy(col("sub"))
+      .agg(max(col("k")).as("k"), max(col("n_vec")).as("n_vec"),
+        sum(when(col("n") > 0, 1L).otherwise(0L)).as("codes_used"),
+        sum(dev * dev).as("ss"), max(col("n")).as("top_n"))
+      .select(col("sub"), col("n_vec"), col("k"), col("codes_used"),
+        round(intDiv(col("ss") * 1000000L
+            + intDiv(dec(col("n_vec")) * col("k"), lit(2L)),
+          dec(col("n_vec")) * col("k")).cast("double") / 1e6, 6)
+          .as("chi2"),
+        round(intDiv(dec(col("top_n")) * 1000000L
+            + intDiv(dec(col("n_vec")), lit(2L)), dec(col("n_vec")))
+          .cast("double") / 1e6, 6).as("top_share"),
+        (col("top_n") * col("k") <= col("n_vec") * 2L).as("balanced"))
+      .orderBy(col("sub"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s29_code_balance" -> (s29CodeBalance _),
+    "s28_anisotropy" -> (s28Anisotropy _),
     "s27_int8_recall" -> (s27Int8Recall _),
     "s25_cell_occupancy" -> (s25CellOccupancy _),
     "s22_recall_cost" -> (s22RecallCostCurve _),

@@ -1453,7 +1453,81 @@ object Events {
       .orderBy(col("event_type"))
   }
 
+  /** Diurnal periodicity strength (e34): per event type, the lag-24
+    * autocorrelation of the hourly event-count series over the full
+    * observed timeline — the sharpest population-level diurnal signal:
+    * e33's χ² says the 24-bin profile is non-flat, this says the shape
+    * actually REPEATS day over day (human traffic ≈ strong positive r;
+    * uniform schedulers ≈ 0; replayed or constant-rate logs decorrelate).
+    * Series construction: one partial-agg groupBy to (type, epoch-hour)
+    * counts, a GLOBAL one-row min/max hour broadcast, and a per-type
+    * explode of the hour spine with absent hours as 0 — the series is
+    * timeline-bounded (|types|·|hours| rows grows with calendar time,
+    * never with corpus size), so the per-type lead-24 window partition
+    * is bounded for the same reason e33's 24-row frame is. The six
+    * correlation moments accumulate as EXACT integers (products promote
+    * to DECIMAL(38,0)/HUGEINT from the first multiply, the e26
+    * discipline); r then takes the v13 route — the identical
+    * num/√denx·√deny expression over the SAME exact integers on both
+    * engines, the only float crossing, snapped to micro at the end.
+    * Types whose series is constant on either leg (denominator 0) emit
+    * defined = false with r = 0.
+    */
+  def e34DiurnalAutocorr(spark: SparkSession, dir: String): DataFrame =
+    diurnalAutocorrOf(Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("h"))
+      .groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("c")))
+
+  /** The e34 finisher over any (event_type, h, c) hourly count frame —
+    * exactly the standing table the streaming ingest
+    * ([[graft.streaming.EventStreams.windowedAgg]]) maintains, so the
+    * live path and the batch query share every step after the count
+    * (`StreamingSpec` pins replay ≡ batch through this seam).
+    */
+  private[graft] def diurnalAutocorrOf(byHour: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val span = byHour.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    // aliases mint fresh attribute ids so the spine→counts left join
+    // can't trip self-join reference conflicts (the spine derives FROM
+    // byHour; with a streamed memory-table input Spark would otherwise
+    // reject the plan)
+    val spine = byHour.select(col("event_type").as("et")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("et"), explode(sequence(col("h0"), col("h1"))).as("sh"))
+    val full = spine.as("sp").join(byHour.as("bh"),
+        col("sp.et") === col("bh.event_type") && col("sp.sh") === col("bh.h"),
+        "left")
+      .select(col("sp.et").as("event_type"), col("sp.sh").as("h"),
+        coalesce(col("bh.c"), lit(0L)).as("x"))
+    val wLead = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val m = full.withColumn("y", lead(col("x"), 24).over(wLead))
+      .filter(col("y").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+        sum(dec(col("x")) * dec(col("y"))).as("sxy"),
+        sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+        sum(dec(col("y")) * dec(col("y"))).as("syy"))
+    val num = col("n_pairs") * col("sxy") - col("sx") * col("sy")
+    val denx = col("n_pairs") * col("sxx") - col("sx") * col("sx")
+    val deny = col("n_pairs") * col("syy") - col("sy") * col("sy")
+    m.select(col("event_type"), col("n_pairs"),
+        (denx > 0 && deny > 0).as("defined"),
+        when(denx > 0 && deny > 0,
+          round(num.cast("double") * 1e6
+            / (sqrt(denx.cast("double")) * sqrt(deny.cast("double"))))
+            .cast("long"))
+          .otherwise(lit(0L)).as("r_micro"))
+      .withColumn("r24", round(col("r_micro").cast("double") / 1e6, 6))
+      .withColumn("diurnal", col("defined") && col("r_micro") >= 300000L)
+      .orderBy(col("event_type"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e34_diurnal_autocorr" -> (e34DiurnalAutocorr _),
     "e33_hour_uniformity" -> (e33HourUniformity _),
     "e32_touch_comparison" -> (e32TouchComparison _),
     "e25_session_pairs" -> (e25SessionPairs _),

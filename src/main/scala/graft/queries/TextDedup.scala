@@ -3577,7 +3577,170 @@ object TextDedup {
       .limit(2000)
   }
 
+  /** Heaps'-law vocabulary growth fit (t31): per source, the OLS fit of
+    * ln V(n) over ln n where V(n) is the vocabulary size after the first
+    * n tokens in doc_id ingest order — the corpus-health twin of t24's
+    * Zipf fit (Heaps β ≈ 0.7–0.9 for natural text; duplicated or
+    * templated corpora bend β down because replayed docs stop minting
+    * new types). A growth curve needs running totals, so the checkpoint
+    * frame is the [[sourceCumOf]] two-phase distributed prefix sum
+    * re-keyed to (source, doc_id) ingest order, accumulating BOTH
+    * per-doc token counts and per-doc newly-first-seen type counts
+    * (first sighting = min doc_id per (source, token), one partial-agg
+    * pass over the exploded tokens) — no per-source single-task window
+    * anywhere. Every doc is a checkpoint; the fit consumes them as the
+    * same five exact OLS moments as t24 (micro-nat ln snap per
+    * checkpoint, DECIMAL(38,0)/HUGEINT accumulation, closed-form
+    * half-up integral divisions), so β and ln K agree across engines by
+    * construction.
+    */
+  def t31HeapsLaw(spark: SparkSession, dir: String,
+      nParts: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
+    val tok = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), explode(toks).as("token"))
+    val docTok = tok.groupBy(col("source"), col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"))
+    val newTypes = tok.groupBy(col("source"), col("token"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("source"), col("doc_id"))
+      .agg(count(lit(1)).as("n_new"))
+    val frame = docTok.join(newTypes, Seq("source", "doc_id"), "left")
+      .select(col("source"), col("doc_id"), col("n_toks"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+    val parts = frame.repartitionByRange(nParts, col("source"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .persist()
+    parts.count() // freeze the range sample + pid assignment (see d3)
+    val wIn = Window.partitionBy(col("source"), col("pid"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wOff = Window.partitionBy(col("source")).orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parts.groupBy(col("source"), col("pid"))
+      .agg(sum(col("n_toks")).as("pt"), sum(col("n_new")).as("pv"))
+      .select(col("source"), col("pid"),
+        coalesce(sum(col("pt")).over(wOff), lit(0L)).as("off_t"),
+        coalesce(sum(col("pv")).over(wOff), lit(0L)).as("off_v"))
+    val xy = parts
+      .withColumn("cin_t", sum(col("n_toks")).over(wIn))
+      .withColumn("cin_v", sum(col("n_new")).over(wIn))
+      .join(broadcast(offsets), Seq("source", "pid"))
+      .select(col("source"),
+        (col("cin_t") + col("off_t")).as("cum_toks"),
+        (col("cin_v") + col("off_v")).as("cum_vocab"))
+      .filter(col("cum_toks") > 0 && col("cum_vocab") > 0)
+      .select(col("source"),
+        round(log(col("cum_toks").cast("double")) * 1e6).cast("long").as("x"),
+        round(log(col("cum_vocab").cast("double")) * 1e6).cast("long").as("y"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val m = xy.groupBy(col("source")).agg(
+      count(lit(1)).cast("long").as("n_fit"),
+      sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+      sum(dec(col("x") * col("y"))).as("sxy"),
+      sum(dec(col("x") * col("x"))).as("sxx"))
+    val den = col("n_fit") * col("sxx") - col("sx") * col("sx")
+    val slopeNum =
+      (col("n_fit") * col("sxy") - col("sx") * col("sy")) * 1000000L
+    val interNum = col("sxx") * col("sy") - col("sx") * col("sxy")
+    m.select(col("source"), col("n_fit"),
+        (intDiv(slopeNum + intDiv(den, lit(2L)), den).cast("double") / 1e6)
+          .as("beta"),
+        (intDiv(interNum + intDiv(den, lit(2L)), den).cast("double") / 1e6)
+          .as("ln_k"))
+      .orderBy(col("source"))
+  }
+
+  /** Data-constrained repeat-schedule audit (p31): for each source and
+    * each candidate epoch count R ∈ {1, 2, 4, 8}, the effective unique-
+    * data value of training R passes over the source under the
+    * exponential-decay repeated-data model (Muennighoff et al. 2023,
+    * "Scaling Data-Constrained Language Models": repeated tokens decay
+    * with fitted constant R* ≈ 15; beyond ~16 epochs extra passes are
+    * worthless) — the table a data-constrained pretrain run reads to
+    * decide HOW MANY epochs each source can sustain before fresh data
+    * must be found. Effective-epoch multiplier 1 + R*·(1−e^{−(R−1)/R*})
+    * is computed ONCE in Scala per candidate R and the identical
+    * micro-literal is injected into both engines' plans ([[p31EffMicro]]),
+    * so no exp/ln ever crosses an engine; per-source token totals are
+    * one partial-agg corpus pass fanned ×|R| by a generator explode
+    * (the p28/p29 sweep discipline), and every derived column is a
+    * half-up integral division of exact integers.
+    */
+  def p31RepeatSchedule(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
+    val u = Tables.documents(spark, dir)
+      .select(col("source"), size(toks).cast("long").as("n"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("u_tokens"))
+    val fan = p31EffMicro.map { case (r, f) => s"$r:$f" }.mkString(",")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    u.withColumn("rf", explode(split(lit(fan), ",")))
+      .select(col("source"), col("u_tokens"),
+        split(col("rf"), ":").getItem(0).cast("long").as("r_epochs"),
+        split(col("rf"), ":").getItem(1).cast("long").as("f_micro"))
+      .select(col("source"), col("r_epochs"), col("u_tokens"),
+        (col("u_tokens") * col("r_epochs")).as("budget_tokens"),
+        intDiv(dec(col("u_tokens")) * col("f_micro") + 500000L,
+          lit(1000000L)).cast("long").as("eff_tokens"))
+      .withColumn("eff_ratio",
+        intDiv(dec(col("eff_tokens")) * 1000000L
+            + intDiv(dec(col("budget_tokens")), lit(2L)),
+          dec(col("budget_tokens"))).cast("double") / 1e6)
+      .orderBy(col("source"), col("r_epochs"))
+  }
+
+  /** The shared effective-epoch multiplier table for p31: candidate
+    * epoch counts with micro-snapped 1 + R*·(1−e^{−(R−1)/R*}), R* = 15.
+    * Computed once here and injected as literals into BOTH the Spark
+    * plan and the DuckDB oracle, so the libm exp call happens exactly
+    * once, driver-side (the strongest form of the t12 snap discipline).
+    */
+  private[graft] val p31EffMicro: Seq[(Int, Long)] =
+    Seq(1, 2, 4, 8).map { r =>
+      r -> math.round(
+        (1.0 + 15.0 * (1.0 - math.exp(-(r - 1) / 15.0))) * 1e6)
+    }
+
+  /** Simpson vocabulary concentration (t32): per source, the unbiased
+    * Simpson/Herfindahl index λ = Σc_t(c_t−1)/(N(N−1)) over token
+    * counts — the probability two tokens drawn without replacement are
+    * the SAME type — plus its inverse, the effective vocabulary size
+    * (how many equally-common types would produce the same
+    * concentration). The libm-free sibling of t27's entropy curve:
+    * boilerplate floods and template spam spike λ and crater the
+    * effective vocabulary long before mean quality moves. EXACT
+    * integer end to end — counts, Σc(c−1) (promoted DECIMAL(38,0)/
+    * HUGEINT from the first multiply; a 100-TB hot token makes c²
+    * wrap a Long), and two half-up integral divisions; no log, no
+    * float, nothing to snap. Shape: one (source, token) partial-agg
+    * shuffle, then a |sources|-row rollup — t25's scan without the
+    * join.
+    */
+  def t32SimpsonDiversity(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val tf = Tables.documents(spark, dir)
+      .select(col("source"), explode(toks).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    val m = tf.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("vocab"),
+        sum(dec(col("c")) * (dec(col("c")) - 1)).as("s"))
+    val d = dec(col("n_tokens")) * (dec(col("n_tokens")) - 1)
+    m.select(col("source"), col("n_tokens"), col("vocab"),
+        round(intDiv(col("s") * 1000000L + intDiv(d, lit(2L)), d)
+          .cast("double") / 1e6, 6).as("simpson"),
+        round(intDiv(d * 1000000L + intDiv(col("s"), lit(2L)), col("s"))
+          .cast("double") / 1e6, 6).as("eff_vocab"))
+      .orderBy(col("source"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t32_simpson_diversity" -> (t32SimpsonDiversity _),
+    "t31_heaps_law" -> ((s: SparkSession, d: String) => t31HeapsLaw(s, d)),
+    "p31_repeat_schedule" -> (p31RepeatSchedule _),
     "d30_winnowing" -> (d30Winnowing _),
     "p29_temperature_mix" ->
       ((s: SparkSession, d: String) => p29TemperatureMix(s, d)),

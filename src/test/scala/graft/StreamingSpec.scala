@@ -1684,4 +1684,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(mergeDay(List((2L, 3L), (9L, 9L)), 5) ==
       List((2L, 3L), (5L, 5L), (9L, 9L)))
   }
+
+  test("streaming hourly counts finish to the batch diurnal autocorr (e34 twin)") {
+    import org.apache.spark.sql.functions._
+    val stream = EventStreams.readEvents(spark, streamDir)
+    val q = EventStreams.windowedAgg(stream)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("e34_hours")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // the standing hourly table IS e34's series: window start →
+    // epoch-hour (UTC session, so the ntz cast is exact), count → c
+    val byHour = spark.table("e34_hours")
+      .select(col("event_type"),
+        expr("unix_micros(cast(hour as timestamp)) div 3600000000")
+          .as("h"),
+        col("n").as("c"))
+    val fromStream = Events.diurnalAutocorrOf(byHour)
+      .collect().map(_.toSeq).toSeq
+    val batch = Events.e34DiurnalAutocorr(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(fromStream == batch, s"stream rows=${fromStream.size}")
+    assert(batch.nonEmpty)
+  }
 }
