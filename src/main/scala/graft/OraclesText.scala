@@ -4709,6 +4709,67 @@ object OraclesText {
       |  FROM l JOIN s USING (doc_id) GROUP BY 1)""".stripMargin
 
   val round14: Map[String, String] = Map(
+    // TextDedup.d31CrossLangPairs: the d8 oracle's ≥ 0.8 Jaccard pair
+    // derivation verbatim, rolled up by unordered language pair with
+    // one half-up share division (lexicographic least/greatest on both
+    // engines).
+    "d31_cross_lang_pairs" ->
+      s"""WITH $shingleCte,
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sidx GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    count(*) AS shared
+        |  FROM sidx a JOIN sidx b
+        |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |np AS (SELECT id_a, id_b
+        |  FROM pairs JOIN sizes sa ON id_a = sa.doc_id
+        |             JOIN sizes sb ON id_b = sb.doc_id
+        |  WHERE round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6)
+        |    >= 0.8),
+        |lp AS (SELECT least(da.lang, db.lang) AS lang_lo,
+        |    greatest(da.lang, db.lang) AS lang_hi
+        |  FROM np JOIN documents da ON np.id_a = da.doc_id
+        |          JOIN documents db ON np.id_b = db.doc_id),
+        |tot AS (SELECT count(*) AS n_all FROM lp)
+        |SELECT lang_lo, lang_hi, (lang_lo != lang_hi) AS cross_lang,
+        |  count(*) AS n_pairs,
+        |  round(CAST((CAST(count(*) AS HUGEINT) * 1000000 + tot.n_all // 2)
+        |    // tot.n_all AS BIGINT) / 1e6, 6) AS pair_share
+        |FROM lp, tot GROUP BY lang_lo, lang_hi, tot.n_all
+        |ORDER BY lang_lo, lang_hi""".stripMargin,
+
+    // TextDedup.p32DedupEpochs: the d8 component closure (componentCte,
+    // min-id keepers) composed with p31's driver-injected multipliers —
+    // same VALUES literals, HUGEINT arithmetic, half-up divisions.
+    "p32_dedup_epochs" -> {
+      val vals = graft.queries.TextDedup.p31EffMicro
+        .map { case (r, f) => s"($r, $f)" }.mkString(", ")
+      s"""WITH RECURSIVE $shingleCte,
+        |$componentCte,
+        |dt AS (SELECT doc_id, source,
+        |    CAST(len(string_split_regex(trim(lower(text)), '\\s+'))
+        |      AS BIGINT) AS n
+        |  FROM documents),
+        |fl AS (SELECT dt.source, dt.n,
+        |    (comp.doc_id = comp.component) AS kp
+        |  FROM dt JOIN comp ON dt.doc_id = comp.doc_id),
+        |u AS (SELECT source, CAST(sum(n) AS BIGINT) AS u_raw,
+        |    CAST(sum(CASE WHEN kp THEN n ELSE 0 END) AS BIGINT) AS u_unique
+        |  FROM fl GROUP BY 1),
+        |f AS (SELECT * FROM (VALUES $vals) t(r_epochs, f_micro)),
+        |x AS (SELECT u.source, CAST(f.r_epochs AS BIGINT) AS r_epochs,
+        |    u.u_raw, u.u_unique,
+        |    CAST(u.u_raw * f.r_epochs AS BIGINT) AS budget_tokens,
+        |    CAST((CAST(u.u_unique AS HUGEINT) * f.f_micro + 500000)
+        |      // 1000000 AS BIGINT) AS eff_tokens
+        |  FROM u, f)
+        |SELECT source, r_epochs, u_raw, u_unique, budget_tokens, eff_tokens,
+        |  round(CAST((CAST(eff_tokens AS HUGEINT) * 1000000
+        |      + budget_tokens // 2)
+        |    // budget_tokens AS BIGINT) / 1e6, 6) AS eff_vs_raw
+        |FROM x ORDER BY source, r_epochs""".stripMargin
+    },
+
     // TextDedup.t32SimpsonDiversity: identical token counts, HUGEINT
     // Σc(c−1) from the first multiply, and the same two half-up
     // integral divisions; divisor-0 cases (singleton corpora) are NULL

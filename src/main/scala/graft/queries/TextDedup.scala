@@ -3737,7 +3737,87 @@ object TextDedup {
       .orderBy(col("source"))
   }
 
+  /** Cross-language near-dup audit (d31): the ≥ 0.8 Jaccard pair table
+    * rolled up by (unordered) language pair — the screen that separates
+    * WITHIN-language duplication (mirrors, re-posts) from CROSS-language
+    * duplication (templated boilerplate, navigation chrome, machine
+    * translation), which dedup policy treats differently: a cross-lang
+    * pair usually means shared scaffolding worth stripping rather than
+    * a doc worth dropping. Pure composition over the gated machinery —
+    * the run-scoped [[dupPairs]] asset joined twice against the slim
+    * (doc_id, lang) projection (equi-joins on the key, payloads never
+    * move), with one broadcast total for the half-up pair-share
+    * division. Output is ≤ |langs|² rows with a cross_lang flag.
+    */
+  def d31CrossLangPairs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
+    val langs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"))
+    val lp = dupPairs(spark, dir).select(col("id_a"), col("id_b"))
+      .join(langs.select(col("doc_id").as("id_a"), col("lang").as("lang_a")),
+        Seq("id_a"))
+      .join(langs.select(col("doc_id").as("id_b"), col("lang").as("lang_b")),
+        Seq("id_b"))
+      .select(least(col("lang_a"), col("lang_b")).as("lang_lo"),
+        greatest(col("lang_a"), col("lang_b")).as("lang_hi"))
+      .persist()
+    val tot = lp.agg(count(lit(1)).as("n_all"))
+    lp.groupBy(col("lang_lo"), col("lang_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(broadcast(tot))
+      .select(col("lang_lo"), col("lang_hi"),
+        (col("lang_lo") =!= col("lang_hi")).as("cross_lang"),
+        col("n_pairs"),
+        round(intDiv(col("n_pairs") * 1000000L + intDiv(col("n_all"),
+          lit(2L)), col("n_all")).cast("double") / 1e6, 6).as("pair_share"))
+      .orderBy(col("lang_lo"), col("lang_hi"))
+  }
+
+  /** Dedup-aware repeat schedule (p32): p31's data-constrained epoch
+    * table recomputed on the DEDUPED corpus — the composition every
+    * real pretrain runs, because repeating a corpus whose clusters were
+    * never collapsed double-counts the duplicates twice (once as
+    * within-epoch copies, again as epochs). Per source: raw tokens,
+    * unique tokens (the [[componentLabels]] min-id keepers — the d23
+    * convention), and for each candidate R the effective tokens of R
+    * passes over the UNIQUE data ([[p31EffMicro]], same driver-injected
+    * multipliers) against the raw-token budget R passes would burn —
+    * eff_vs_raw < 1 quantifies exactly how much of the compute the
+    * duplication wastes. One corpus pass + the asset join; the ×|R|
+    * fan-out explodes a |sources|-row aggregate.
+    */
+  def p32DedupEpochs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), size(toks).cast("long").as("n"))
+    val keepers = componentLabels(spark, dir)
+      .filter(col("doc_id") === col("component"))
+      .select(col("doc_id"), lit(1L).as("kp"))
+    val u = docs.join(keepers, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("u_raw"),
+        sum(when(col("kp").isNotNull, col("n")).otherwise(0L))
+          .as("u_unique"))
+    val fan = p31EffMicro.map { case (r, f) => s"$r:$f" }.mkString(",")
+    u.withColumn("rf", explode(split(lit(fan), ",")))
+      .select(col("source"), col("u_raw"), col("u_unique"),
+        split(col("rf"), ":").getItem(0).cast("long").as("r_epochs"),
+        split(col("rf"), ":").getItem(1).cast("long").as("f_micro"))
+      .select(col("source"), col("r_epochs"), col("u_raw"), col("u_unique"),
+        (col("u_raw") * col("r_epochs")).as("budget_tokens"),
+        intDiv(dec(col("u_unique")) * col("f_micro") + 500000L,
+          lit(1000000L)).cast("long").as("eff_tokens"))
+      .withColumn("eff_vs_raw",
+        round(intDiv(dec(col("eff_tokens")) * 1000000L
+            + intDiv(dec(col("budget_tokens")), lit(2L)),
+          dec(col("budget_tokens"))).cast("double") / 1e6, 6))
+      .orderBy(col("source"), col("r_epochs"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d31_cross_lang_pairs" -> (d31CrossLangPairs _),
+    "p32_dedup_epochs" -> (p32DedupEpochs _),
     "t32_simpson_diversity" -> (t32SimpsonDiversity _),
     "t31_heaps_law" -> ((s: SparkSession, d: String) => t31HeapsLaw(s, d)),
     "p31_repeat_schedule" -> (p31RepeatSchedule _),

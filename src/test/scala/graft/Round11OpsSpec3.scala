@@ -254,6 +254,61 @@ class Round11OpsSpec3 extends AnyFunSuite {
     assert(got == expected, s"got $got\nexpected $expected")
   }
 
+  test("d31: lang rollup matches a driver-side composition over the pair asset") {
+    val langs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = graft.queries.TextDedup.dupPairs(spark, dir)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val got = graft.queries.TextDedup.d31CrossLangPairs(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    val nAll = pairs.length.toLong
+    val expected = pairs.map { case (a, b) =>
+      val (la, lb) = (langs(a), langs(b))
+      (if (la <= lb) la else lb, if (la <= lb) lb else la)
+    }.groupBy(identity).toSeq.sortBy(_._1).map { case ((lo, hi), vs) =>
+      val n = vs.length.toLong
+      val share = (BigInt(n) * 1000000 + nAll / 2) / BigInt(nAll)
+      (lo, hi, lo != hi, n, share.toLong / 1e6)
+    }
+    assert(got == expected, s"got $got\nexpected $expected")
+    assert(got.map(_._4).sum == nAll && nAll > 0,
+      "every pair lands in exactly one lang bucket")
+  }
+
+  test("p32: dedup-aware schedule matches a BigInt twin; eff never beats budget") {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        toksOf(r.getString(2)).length.toLong))
+    val keepers = graft.queries.TextDedup.componentLabels(spark, dir)
+      .collect().filter(r => r.getLong(0) == r.getLong(1))
+      .map(_.getLong(0)).toSet
+    val f = graft.queries.TextDedup.p31EffMicro
+    val got = graft.queries.TextDedup.p32DedupEpochs(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))).toSeq
+    val expected = docs.groupBy(_._2).toSeq.sortBy(_._1).flatMap {
+      case (src, rows) =>
+        val uRaw = rows.map(_._3).sum
+        val uUnique = rows.filter(r => keepers(r._1)).map(_._3).sum
+        f.map { case (r, fm) =>
+          val budget = uRaw * r
+          val eff = ((BigInt(uUnique) * fm + 500000) / 1000000).toLong
+          val ratio =
+            ((BigInt(eff) * 1000000 + budget / 2) / BigInt(budget)).toLong
+          (src, r.toLong, uRaw, uUnique, budget, eff, ratio / 1e6)
+        }
+    }
+    assert(got == expected, s"got $got\nexpected $expected")
+    got.foreach { case (src, r, uRaw, uUnique, _, _, ratio) =>
+      assert(uUnique <= uRaw, s"$src unique>raw")
+      assert(ratio <= 1.0 + 1e-9, s"$src r=$r dedup can't mint data")
+    }
+  }
+
   test("m17: buckets match the generator arithmetic; partition is total") {
     val got = graft.multimodal.Multimodal.m17AspectBuckets(spark, dir)
       .collect()
