@@ -1003,6 +1003,81 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(1200))
   }
 
+  test("t31: growth checkpoints ride the pid-keyed prefix sum — no per-source single-task window") {
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val root = try TextDedup.t31HeapsLaw(spark, dir).queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try {
+      val p = root.toString
+      // both cumulative windows key on (source, pid) — the corpus never
+      // funnels a whole source into one task
+      assert(p.contains("windowspecdefinition(source"), p.take(1200))
+      assert(p.contains("pid"), p.take(1200))
+      // offsets reach the checkpoint frame as a broadcast
+      assert(p.contains("BroadcastHashJoin"), p.take(1200))
+      val singles = root.collect {
+        case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e
+      }
+      assert(singles.length <= 3,
+        s"funnels must be the ≤nParts offset tables:\n${p.take(1200)}")
+    } finally spark.catalog.clearCache()
+  }
+
+  test("s28: anisotropy is two partial aggs — micro dims shuffle, the float payload doesn't") {
+    val p = plan(Embeddings.s28Anisotropy(spark, dir))
+    assert(p.contains("partial_"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    p.split("\n").filter(_.contains("Exchange")).foreach { line =>
+      assert(!line.contains("embedding"), s"payload shuffled: $line")
+    }
+  }
+
+  test("t32: Simpson is one token shuffle + a source rollup, no window") {
+    val root = physicalRoot(TextDedup.t32SimpsonDiversity(spark, dir))
+    val p = root.toString
+    assert(p.contains("partial_"), p.take(1200))
+    assert(root.collect { case n if n.nodeName.startsWith("Window") => n }.isEmpty,
+      s"t32 must not use windows:\n${p.take(1200)}")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2, p.take(1200))
+  }
+
+  test("e34: spine joins keyed; moments partial-agg; only the 1-row span broadcasts nested-loop") {
+    val root = physicalRoot(graft.queries.Events.e34DiurnalAutocorr(spark, dir))
+    val p = root.toString
+    assert(p.contains("partial_"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    // the only nested-loop is the 1-row (h0, h1) span fanning the type
+    // list — every corpus-sized join must be keyed
+    val bnl = root.collect {
+      case n if n.nodeName.contains("BroadcastNestedLoop") => n }
+    assert(bnl.length <= 1, s"unexpected nested loops:\n${p.take(1200)}")
+  }
+
+  test("m18: reads the phash asset — no decode, no payload, no re-derivation") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val root = physicalRoot(
+      graft.multimodal.Multimodal.m18PhashBitBalance(spark, dir))
+    val assetScans = root.collect {
+      case s: FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains("graft-phash")) => s
+    }
+    assert(assetScans.length == 1,
+      s"want 1 phash-asset scan:\n${root.toString.take(1200)}")
+    assert(!root.toString.contains("content"),
+      "m18 must never touch payload bytes")
+  }
+
+  test("d31/p32: compose the materialized dedup assets — no shingle re-derivation") {
+    for (df <- Seq(TextDedup.d31CrossLangPairs(spark, dir),
+        TextDedup.p32DedupEpochs(spark, dir))) {
+      val p = plan(df)
+      assert(!p.contains("shingle"),
+        s"must read the run-scoped assets, not re-shingle:\n${p.take(800)}")
+    }
+  }
+
   test("p29: the tau sweep is one corpus scan fanned by generator explode") {
     val p = plan(TextDedup.p29TemperatureMix(spark, dir))
     // documents must be scanned once — the sweep explodes a
