@@ -4770,6 +4770,54 @@ object OraclesText {
         |FROM x ORDER BY source, r_epochs""".stripMargin
     },
 
+    // TextDedup.d32ShingleDfProfile: same sidx derivation, the SAME
+    // generated CASE ladder for the power-of-two bucket (pow2CaseSql —
+    // no log2 crosses an engine), HUGEINT df(df−1) from the first
+    // multiply, and one half-up share division per bucket.
+    "d32_shingle_df_profile" ->
+      s"""WITH $shingleCte,
+        |dfreq AS (SELECT shingle, count(*) AS df FROM sidx GROUP BY 1),
+        |b AS (SELECT CAST(${graft.queries.TextDedup.pow2CaseSql("df")}
+        |    AS BIGINT) AS bucket_lo, df FROM dfreq),
+        |r AS (SELECT bucket_lo, count(*) AS n_shingles,
+        |    CAST(sum(df) AS BIGINT) AS n_postings,
+        |    CAST(sum(CAST(df AS HUGEINT) * (df - 1)) AS HUGEINT) AS pw2
+        |  FROM b GROUP BY 1),
+        |tot AS (SELECT CAST(sum(pw2) AS HUGEINT) AS total_pw2 FROM r)
+        |SELECT bucket_lo, n_shingles, n_postings,
+        |  CAST(pw2 // 2 AS BIGINT) AS pair_work,
+        |  round(CAST((pw2 * 1000000 + total_pw2 // 2) // total_pw2
+        |    AS BIGINT) / 1e6, 6) AS pair_work_share
+        |FROM r, tot ORDER BY bucket_lo""".stripMargin,
+
+    // TextDedup.p33SourceLorenz: identical ascending (n_tokens, source)
+    // rank, HUGEINT Gini algebra, half-up Lorenz shares; the global
+    // window is |sources|-bounded on both engines.
+    "p33_source_lorenz" ->
+      """WITH u AS (SELECT source,
+        |    CAST(sum(len(string_split_regex(trim(lower(text)), '\s+')))
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |r AS (SELECT source, n_tokens,
+        |    CAST(row_number() OVER (ORDER BY n_tokens, source) AS INT)
+        |      AS rank,
+        |    CAST(sum(n_tokens) OVER (ORDER BY n_tokens, source
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM u),
+        |g AS (SELECT count(*) AS n_src,
+        |    CAST(sum(CAST(n_tokens AS HUGEINT)) AS HUGEINT) AS s_all,
+        |    CAST(sum(CAST(rank AS HUGEINT) * n_tokens) AS HUGEINT) AS six
+        |  FROM r),
+        |gg AS (SELECT s_all,
+        |    CAST(((six * 2 - (n_src + 1) * s_all) * 1000000
+        |        + (n_src * s_all) // 2)
+        |      // (n_src * s_all) AS BIGINT) AS gini_micro FROM g)
+        |SELECT r.rank, r.source, r.n_tokens, r.cum_tokens,
+        |  round(CAST((CAST(r.cum_tokens AS HUGEINT) * 1000000
+        |      + gg.s_all // 2) // gg.s_all AS BIGINT) / 1e6, 6) AS lorenz,
+        |  round(CAST(gg.gini_micro AS DOUBLE) / 1e6, 6) AS gini
+        |FROM r, gg ORDER BY r.rank""".stripMargin,
+
     // TextDedup.t32SimpsonDiversity: identical token counts, HUGEINT
     // Σc(c−1) from the first multiply, and the same two half-up
     // integral divisions; divisor-0 cases (singleton corpora) are NULL

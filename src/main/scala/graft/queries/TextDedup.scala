@@ -3815,7 +3815,91 @@ object TextDedup {
       .orderBy(col("source"), col("r_epochs"))
   }
 
+  /** Shared power-of-two bucket ladder for d32: the SAME generated CASE
+    * text runs in both engines (Spark `expr` and DuckDB SQL), so the
+    * bucketing is exact without any log2 float crossing.
+    */
+  private[graft] def pow2CaseSql(c: String): String = {
+    val branches = (0 until 41).map { k =>
+      s"WHEN $c < ${1L << (k + 1)} THEN ${1L << k}"
+    }.mkString(" ")
+    s"CASE $branches ELSE ${1L << 41} END"
+  }
+
+  /** Shingle document-frequency profile (d32): the df histogram in
+    * power-of-two buckets with each bucket's share of inverted-index
+    * pair work Σdf(df−1)/2 — the MEASURED quantity behind every
+    * stop-shingle decision in this engine (d6b's cap, d9b's valve, the
+    * SCALE.md d9 watch item): the top buckets' share says exactly how
+    * much of the self-join a df-cap removes, turning "hot shingles blow
+    * up quadratically" from an argument into a gated number. One
+    * shingle-index pass, a vocabulary-sized partial agg, and a ≤42-row
+    * rollup; df(df−1) promotes to DECIMAL(38,0)/HUGEINT at the first
+    * multiply (a boilerplate shingle across 10⁸ docs wraps a Long), and
+    * the share is one half-up micro division per bucket.
+    */
+  def d32ShingleDfProfile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val rows = shingleIndex(Tables.documents(spark, dir))
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .select(expr(pow2CaseSql("df")).cast("long").as("bucket_lo"), col("df"))
+      .groupBy(col("bucket_lo"))
+      .agg(count(lit(1)).as("n_shingles"), sum(col("df")).as("n_postings"),
+        sum(dec(col("df")) * (dec(col("df")) - 1)).as("pw2"))
+    val tot = rows.agg(sum(col("pw2")).as("total_pw2"))
+    rows.crossJoin(broadcast(tot))
+      .select(col("bucket_lo"), col("n_shingles"), col("n_postings"),
+        intDiv(col("pw2"), lit(2L)).cast("long").as("pair_work"),
+        round(intDiv(col("pw2") * 1000000L + intDiv(col("total_pw2"),
+          lit(2L)), col("total_pw2")).cast("double") / 1e6, 6)
+          .as("pair_work_share"))
+      .orderBy(col("bucket_lo"))
+  }
+
+  /** Source-size Lorenz curve + Gini (p33): how unequally the corpus
+    * spreads over its sources — the one-number composition audit read
+    * beside p2's mixing weights (a Gini near 1 means one crawl dump IS
+    * the corpus and every p5/p15/p29 rebalancing dial will fight it).
+    * Sources ranked ascending by token count; per source the cumulative
+    * Lorenz share, plus the exact-integer Gini
+    * (2Σi·xᵢ − (n+1)Σx)/(nΣx) broadcast onto every row. The global
+    * rank window is bounded by |sources| — the e33 dimension-table
+    * argument, never the corpus — and everything after the one corpus
+    * pass is arithmetic on a |sources|-row table.
+    */
+  def p33SourceLorenz(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val u = Tables.documents(spark, dir)
+      .select(col("source"), size(toks).cast("long").as("n"))
+      .groupBy(col("source")).agg(sum(col("n")).as("n_tokens"))
+    val w = Window.orderBy(col("n_tokens"), col("source"))
+    val ranked = u
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .persist()
+    val g = ranked.agg(count(lit(1)).as("n_src"),
+        sum(dec(col("n_tokens"))).as("s_all"),
+        sum(dec(col("rank")) * dec(col("n_tokens"))).as("six"))
+      .select(col("s_all"),
+        intDiv((col("six") * 2 - (col("n_src") + 1) * col("s_all"))
+            * 1000000L + intDiv(col("n_src") * col("s_all"), lit(2L)),
+          col("n_src") * col("s_all")).cast("long").as("gini_micro"))
+    ranked.crossJoin(broadcast(g))
+      .select(col("rank"), col("source"), col("n_tokens"), col("cum_tokens"),
+        round(intDiv(dec(col("cum_tokens")) * 1000000L
+            + intDiv(col("s_all"), lit(2L)),
+          col("s_all")).cast("double") / 1e6, 6).as("lorenz"),
+        round(col("gini_micro").cast("double") / 1e6, 6).as("gini"))
+      .orderBy(col("rank"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d32_shingle_df_profile" -> (d32ShingleDfProfile _),
+    "p33_source_lorenz" -> (p33SourceLorenz _),
     "d31_cross_lang_pairs" -> (d31CrossLangPairs _),
     "p32_dedup_epochs" -> (p32DedupEpochs _),
     "t32_simpson_diversity" -> (t32SimpsonDiversity _),

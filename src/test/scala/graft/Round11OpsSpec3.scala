@@ -309,6 +309,60 @@ class Round11OpsSpec3 extends AnyFunSuite {
     }
   }
 
+  test("d32: df profile matches a from-scratch driver-side twin; shares sum to 1") {
+    val got = graft.queries.TextDedup.d32ShingleDfProfile(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val dfCounts = docs.flatMap { case (_, text) =>
+      val ts = toksOf(text)
+      if (ts.length < 3) Seq.empty
+      else ts.sliding(3).map(_.mkString(" ")).toSet.toSeq
+    }.groupBy(identity).values.map(_.length.toLong).toSeq
+    val totalPw2 = dfCounts.map(d => BigInt(d) * (d - 1)).sum
+    val expected = dfCounts
+      .groupBy(d => java.lang.Long.highestOneBit(d))
+      .toSeq.sortBy(_._1).map { case (lo, ds) =>
+        val pw2 = ds.map(d => BigInt(d) * (d - 1)).sum
+        val share = ((pw2 * 1000000 + totalPw2 / 2) / totalPw2).toLong / 1e6
+        (lo, ds.size.toLong, ds.sum, (pw2 / 2).toLong, share)
+      }
+    assert(got == expected, s"got $got\nexpected $expected")
+    val shareSum = math.round(got.map(_._5).sum * 1e6)
+    assert(math.abs(shareSum - 1000000L) <= got.length, s"share sum $shareSum")
+  }
+
+  test("p33: Lorenz/Gini match a BigInt twin; curve is convex to the diagonal") {
+    val got = graft.queries.TextDedup.p33SourceLorenz(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5))).toSeq
+    val u = Tables.documents(spark, dir)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), toksOf(r.getString(1)).length.toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      .sortBy(p => (p._2, p._1))
+    val sAll = BigInt(u.map(_._2).sum)
+    val n = BigInt(u.length)
+    val six = u.zipWithIndex.map { case ((_, x), i) => BigInt(i + 1) * x }.sum
+    val gini = ((six * 2 - (n + 1) * sAll) * 1000000
+      + (n * sAll) / 2) / (n * sAll)
+    var cum = 0L
+    val expected = u.zipWithIndex.map { case ((src, x), i) =>
+      cum += x
+      val lorenz = ((BigInt(cum) * 1000000 + sAll / 2) / sAll).toLong / 1e6
+      (i + 1, src, x, cum, lorenz, gini.toLong / 1e6)
+    }
+    assert(got == expected, s"got $got\nexpected $expected")
+    // ascending-order ranking makes the Lorenz curve lie on or below
+    // the diagonal; Gini in [0, 1)
+    got.foreach { case (rank, _, _, _, lorenz, g) =>
+      assert(lorenz <= rank.toDouble / got.length + 1e-6)
+      assert(g >= 0.0 && g < 1.0)
+    }
+  }
+
   test("m17: buckets match the generator arithmetic; partition is total") {
     val got = graft.multimodal.Multimodal.m17AspectBuckets(spark, dir)
       .collect()
