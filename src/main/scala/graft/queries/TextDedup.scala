@@ -3718,13 +3718,21 @@ object TextDedup {
     * shuffle, then a |sources|-row rollup — t25's scan without the
     * join.
     */
-  def t32SimpsonDiversity(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
-    val dec = (c: Column) => c.cast("decimal(38,0)")
-    val tf = Tables.documents(spark, dir)
+  def t32SimpsonDiversity(spark: SparkSession, dir: String): DataFrame =
+    simpsonOf(Tables.documents(spark, dir)
       .select(col("source"), explode(toks).as("token"))
       .groupBy(col("source"), col("token"))
-      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("c")))
+
+  /** The t32 finisher over any (source, token, c) term-frequency frame —
+    * exactly the standing table the streaming ingest
+    * ([[graft.streaming.CorpusStreams.tokenCounts]]) maintains, so the
+    * live path shares every step after the count (`StreamingSpec` pins
+    * replay ≡ batch through this seam, the e34 pattern).
+    */
+  private[graft] def simpsonOf(tf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
+    val dec = (c: Column) => c.cast("decimal(38,0)")
     val m = tf.groupBy(col("source"))
       .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("vocab"),
         sum(dec(col("c")) * (dec(col("c")) - 1)).as("s"))

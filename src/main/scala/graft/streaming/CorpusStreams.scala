@@ -73,6 +73,20 @@ object CorpusStreams {
   def encodingGate(docs: DataFrame): DataFrame =
     graft.queries.TextDedup.encodingSanityOf(docs)
 
+  /** Running (source, token, c) counts of a streaming corpus — the
+    * standing term-frequency table an ingest pipeline maintains so
+    * vocabulary-level diagnostics never re-scan the corpus; t32's
+    * Simpson finisher ([[graft.queries.TextDedup.simpsonOf]]) reads it
+    * directly, and `StreamingSpec` pins replay ≡ batch through that
+    * seam. State is vocabulary-sized per source — the same budget as
+    * the standing LM tables (t16's stream twin).
+    */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("c"))
+
   /** Distinct (doc_id, shingle, n_shingles) triples of a STREAMING
     * document frame. The batch `TextDedup.shingleIndex` derives shingles
     * with a `lead` window — unavailable on streams — so this twin uses a

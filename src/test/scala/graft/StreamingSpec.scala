@@ -1685,6 +1685,35 @@ class StreamingSpec extends AnyFunSuite {
       List((2L, 3L), (5L, 5L), (9L, 9L)))
   }
 
+  test("streaming token counts finish to the batch Simpson diversity (t32 twin)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, dir)
+      .select(org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, String)]
+    val q = graft.streaming.CorpusStreams
+      .tokenCounts(mem.toDS().toDF("source", "text"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("t32_tf").start()
+    try {
+      // two bursts so the running counts genuinely update state
+      mem.addData(docs.take(docs.length / 2).toIndexedSeq: _*)
+      q.processAllAvailable()
+      mem.addData(docs.drop(docs.length / 2).toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val fromStream = graft.queries.TextDedup
+      .simpsonOf(spark.table("t32_tf"))
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.queries.TextDedup.t32SimpsonDiversity(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(fromStream == batch, s"stream rows=${fromStream.size}")
+    assert(batch.nonEmpty)
+  }
+
   test("streaming hourly counts finish to the batch diurnal autocorr (e34 twin)") {
     import org.apache.spark.sql.functions._
     val stream = EventStreams.readEvents(spark, streamDir)
