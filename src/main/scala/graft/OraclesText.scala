@@ -4869,6 +4869,31 @@ object OraclesText {
         |  (top_n * k <= n_vec * 2) AS balanced
         |FROM ag ORDER BY sub""".stripMargin,
 
+    // Survival.v14WeibullFit: composes the gated v3 SQL verbatim as a
+    // CTE (the s8/m7 discipline), snaps both lns with the shared
+    // expressions, and reuses the t24 OLS closed forms.
+    "v14_weibull_fit" ->
+      s"""WITH v3 AS (${survival("v3_cum_hazard")}),
+        |xy AS (SELECT seg,
+        |    CAST(round(ln(CAST(time AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+        |    CAST(round(ln(CAST(cum_h_micro AS DOUBLE) / 1e6) * 1e6)
+        |      AS BIGINT) AS y
+        |  FROM v3 WHERE time > 0),
+        |m AS (SELECT seg, count(*) AS n_fit,
+        |    CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+        |    CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+        |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+        |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+        |  FROM xy GROUP BY 1)
+        |SELECT seg, n_fit,
+        |  CAST(((n_fit * sxy - sx * sy) * 1000000
+        |      + (n_fit * sxx - sx * sx) // 2)
+        |    // (n_fit * sxx - sx * sx) AS BIGINT) / 1e6 AS shape,
+        |  CAST((sxx * sy - sx * sxy
+        |      + (n_fit * sxx - sx * sx) // 2)
+        |    // (n_fit * sxx - sx * sx) AS BIGINT) / 1e6 AS ln_h_intercept
+        |FROM m ORDER BY seg""".stripMargin,
+
     // Multimodal.m18PhashBitBalance: the phash strings come from the
     // m6 generator-arithmetic CTEs verbatim (phashBitsCtes — the Spark
     // side reads the REAL-decode asset, the m1 discipline); the audit

@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.io.SurvivalClean
 import graft.surv.{CIndex, Clinical}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
@@ -635,7 +635,48 @@ object Survival {
       .orderBy(col("seg"), col("time"))
   }
 
+  /** Weibull fit of the cumulative hazard (v14): per segment, the OLS
+    * fit of ln H(t) over ln t across v3's Nelson–Aalen curve — under a
+    * Weibull lifetime H(t) = (t/λ)^α the plot is a line with slope α
+    * (the shape: α < 1 infant-mortality, α ≈ 1 memoryless, α > 1
+    * wear-out) and intercept −α·ln λ, so the fit IS the parametric
+    * survival model every reliability pipeline reads next after the
+    * nonparametric curve. Composition discipline: the input is the
+    * GATED v3 frame (cum_h_micro — exact integers on both engines);
+    * both ln snaps are one shared expression per point, the five OLS
+    * moments ride the t24 DECIMAL(38,0)/HUGEINT machinery, and shape /
+    * intercept come out of the same closed-form half-up divisions.
+    * Emitted in the (α, −α·ln λ) parameterization — deriving λ itself
+    * would cross exp, which stays out of the gate.
+    */
+  def v14WeibullFit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
+    val xy = v3CumHazard(spark, dir)
+      .filter(col("time") > 0)
+      .select(col("seg"),
+        round(log(col("time").cast("double")) * 1e6).cast("long").as("x"),
+        round(log(col("cum_h_micro").cast("double") / 1e6) * 1e6)
+          .cast("long").as("y"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val m = xy.groupBy(col("seg")).agg(
+      count(lit(1)).cast("long").as("n_fit"),
+      sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+      sum(dec(col("x")) * dec(col("y"))).as("sxy"),
+      sum(dec(col("x")) * dec(col("x"))).as("sxx"))
+    val den = col("n_fit") * col("sxx") - col("sx") * col("sx")
+    val slopeNum =
+      (col("n_fit") * col("sxy") - col("sx") * col("sy")) * 1000000L
+    val interNum = col("sxx") * col("sy") - col("sx") * col("sxy")
+    m.select(col("seg"), col("n_fit"),
+        (intDiv(slopeNum + intDiv(den, lit(2L)), den).cast("double") / 1e6)
+          .as("shape"),
+        (intDiv(interNum + intDiv(den, lit(2L)), den).cast("double") / 1e6)
+          .as("ln_h_intercept"))
+      .orderBy(col("seg"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v14_weibull_fit" -> (v14WeibullFit _),
     "v13_nelson_aalen_ci" -> (v13NelsonAalenCi _),
     "v1_cindex" -> (v1CIndex _),
     "v10_survival_at_times" -> (v10SurvivalAtTimes _),

@@ -363,6 +363,36 @@ class Round11OpsSpec3 extends AnyFunSuite {
     }
   }
 
+  test("v14: Weibull fit matches a BigInt twin over the gated v3 frame") {
+    val v3 = graft.queries.Survival.v3CumHazard(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(5)))
+    val got = graft.queries.Survival.v14WeibullFit(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSeq
+    val expected = v3.filter(_._2 > 0).groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (seg, rows) =>
+        val xy = rows.map { case (_, t, cum) =>
+          (math.round(math.log(t.toDouble) * 1e6),
+            math.round(math.log(cum.toDouble / 1e6) * 1e6))
+        }
+        val n = BigInt(xy.length)
+        val sx = xy.map(p => BigInt(p._1)).sum
+        val sy = xy.map(p => BigInt(p._2)).sum
+        val sxy = xy.map(p => BigInt(p._1) * p._2).sum
+        val sxx = xy.map(p => BigInt(p._1) * p._1).sum
+        val den = n * sxx - sx * sx
+        val shape = ((n * sxy - sx * sy) * 1000000 + den / 2) / den
+        val inter = (sxx * sy - sx * sxy + den / 2) / den
+        (seg, xy.length.toLong, shape.toLong / 1e6, inter.toLong / 1e6)
+      }
+    assert(got == expected, s"got $got\nexpected $expected")
+    // a cumulative hazard is non-decreasing in t, so the fitted shape
+    // can't be negative; the harness frame is near-memoryless (α ≈ 1)
+    got.foreach { case (seg, n, shape, _) =>
+      assert(n >= 10 && shape > 0.0, s"$seg n=$n shape=$shape")
+    }
+  }
+
   test("m17: buckets match the generator arithmetic; partition is total") {
     val got = graft.multimodal.Multimodal.m17AspectBuckets(spark, dir)
       .collect()
