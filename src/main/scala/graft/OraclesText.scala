@@ -4440,14 +4440,14 @@ object OraclesText {
         |    ${hex4ToInt("substr(md5(toks[pos] || ' ' || toks[pos+1] || ' ' || toks[pos+2]), 1, 4)")} AS h
         |  FROM sh0),
         |enc AS (SELECT doc_id, pos,
-        |    h * 1048576 + (1048575 - pos) AS ek FROM sh),
+        |    h * 1099511627776 + (1099511627775 - pos) AS ek FROM sh),
         |win AS (SELECT doc_id,
         |    min(ek) OVER (PARTITION BY doc_id ORDER BY pos
         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk,
         |    count(*) OVER (PARTITION BY doc_id ORDER BY pos
         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS cnt
         |  FROM enc),
-        |fp AS (SELECT DISTINCT doc_id, mk // 1048576 AS fp
+        |fp AS (SELECT DISTINCT doc_id, mk // 1099511627776 AS fp
         |  FROM win WHERE cnt = 4),
         |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |    count(*) AS n_shared

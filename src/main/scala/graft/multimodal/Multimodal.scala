@@ -1327,13 +1327,13 @@ object Multimodal {
           .otherwise(0L).as("b"))
       .groupBy(col("bit"))
       .agg(count(lit(1)).as("n"), sum(col("b")).as("n_set"))
+      .withColumn("share_micro",
+        intDiv(col("n_set") * 1000000L + intDiv(col("n"), lit(2L)),
+          col("n")))
       .select(col("bit"), col("n"), col("n_set"),
-        round(intDiv(col("n_set") * 1000000L + intDiv(col("n"), lit(2L)),
-          col("n")).cast("double") / 1e6, 6).as("share"),
-        (intDiv(col("n_set") * 1000000L + intDiv(col("n"), lit(2L)),
-          col("n")) < 200000L ||
-         intDiv(col("n_set") * 1000000L + intDiv(col("n"), lit(2L)),
-          col("n")) > 800000L).as("degenerate"))
+        round(col("share_micro").cast("double") / 1e6, 6).as("share"),
+        (col("share_micro") < 200000L || col("share_micro") > 800000L)
+          .as("degenerate"))
       .orderBy(col("bit"))
   }
 

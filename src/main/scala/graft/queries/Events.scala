@@ -1434,22 +1434,24 @@ object Events {
     val full = frame.join(byHour, Seq("event_type", "h"), "left")
       .select(col("event_type"), col("h"),
         coalesce(col("o"), lit(0L)).as("o"))
-    val dev = col("o") * 24L - col("n")
+    // dev promotes to decimal BEFORE the square — (24·O − n)² wraps a
+    // Long once a type logs ~4·10⁸ events in one hour, and a Long-space
+    // square would wrap exactly where the promotion matters (the DuckDB
+    // oracle multiplies HUGEINTs, so the gate would diverge)
+    val dev = col("o").cast("decimal(38,0)") * 24L -
+      col("n").cast("decimal(38,0)")
     full
       .withColumn("n", sum(col("o")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))))
       .groupBy(col("event_type"))
       .agg(max(col("n")).as("n_events"),
-        sum((dev * dev).cast("decimal(38,0)")).as("ss"))
+        sum(dev * dev).as("ss"))
+      .withColumn("chi2_micro", intDiv(col("ss") * 1000000L
+          + intDiv(col("n_events").cast("decimal(38,0)") * 24L, lit(2L)),
+        col("n_events").cast("decimal(38,0)") * 24L).cast("long"))
       .select(col("event_type"), col("n_events"),
-        round(intDiv(col("ss") * 1000000L
-            + intDiv(col("n_events").cast("decimal(38,0)") * 24L, lit(2L)),
-          col("n_events").cast("decimal(38,0)") * 24L)
-          .cast("long").cast("double") / 1e6, 6).as("chi2"),
-        (intDiv(col("ss") * 1000000L
-            + intDiv(col("n_events").cast("decimal(38,0)") * 24L, lit(2L)),
-          col("n_events").cast("decimal(38,0)") * 24L)
-          .cast("long") >= 49728000L).as("non_uniform"))
+        round(col("chi2_micro").cast("double") / 1e6, 6).as("chi2"),
+        (col("chi2_micro") >= 49728000L).as("non_uniform"))
       .orderBy(col("event_type"))
   }
 

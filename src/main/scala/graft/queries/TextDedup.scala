@@ -569,7 +569,7 @@ object TextDedup {
     * index itself is the cost driver at 100 TB.
     *
     * Arithmetic is cross-engine exact: the 16-bit md5-prefix shingle
-    * hash rides in a composite `h·2²⁰ + (2²⁰−1−pos)` key so one window
+    * hash rides in a composite `h·2⁴⁰ + (2⁴⁰−1−pos)` key (the 2⁴⁰ position field keeps the key exact for documents up to 10¹² tokens; a 2²⁰ field would corrupt selections past ~10⁶ tokens) so one window
     * `min` picks (min hash, max pos) with no float anywhere; both
     * per-doc windows (the shingle `lead` and the fingerprint min)
     * partition and order identically, so Catalyst plans ONE exchange +
@@ -597,15 +597,15 @@ object TextDedup {
       .filter(col("t2").isNotNull)
       .select(col("doc_id"), col("pos"),
         (conv(substring(fastMd5(concat_ws(" ", col("tok"), col("t1"),
-          col("t2"))), 1, 4), 16, 10).cast("long") * 1048576L +
-          (lit(1048575L) - col("pos"))).as("ek"))
+          col("t2"))), 1, 4), 16, 10).cast("long") * 1099511627776L +
+          (lit(1099511627775L) - col("pos"))).as("ek"))
     val wWin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(0, WinnowW - 1)
     hashed
       .select(col("doc_id"), min(col("ek")).over(wWin).as("mk"),
         count(lit(1)).over(wWin).as("cnt"))
       .filter(col("cnt") === WinnowW) // full windows only
-      .select(col("doc_id"), intDiv(col("mk"), lit(1048576L)).as("fp"))
+      .select(col("doc_id"), intDiv(col("mk"), lit(1099511627776L)).as("fp"))
       .distinct()
   }
 

@@ -190,10 +190,14 @@ class JobServiceSpec extends AnyFunSuite {
   }
 
   test("relay connection-refused and HTTP-500 targets: logged, not retried") {
-    // ConnectionError branch: nothing listens on the target port
-    val dead = com.sun.net.httpserver.HttpServer.create(
-      new java.net.InetSocketAddress(0), 0)
-    val deadPort = dead.getAddress.getPort // allocated then never started
+    // ConnectionError branch: nothing listens on the target port.
+    // HttpServer.create BINDS (and so accepts into the kernel backlog
+    // even before start()) — to get a genuine refused connection the
+    // port must be allocated and then RELEASED before the relay fires.
+    val deadPort = {
+      val s = new java.net.ServerSocket(0)
+      try s.getLocalPort finally s.close()
+    }
     val svcDead = new JobService(new InProcessBackend(_ => ()),
       multiomixUrl = Some(s"http://localhost:$deadPort"),
       sleepTimeMs = 10, relayTimeoutMs = 500)
