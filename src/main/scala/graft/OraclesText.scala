@@ -4869,6 +4869,35 @@ object OraclesText {
         |  (top_n * k <= n_vec * 2) AS balanced
         |FROM ag ORDER BY sub""".stripMargin,
 
+    // Embeddings.s30PqDistortion: the s11 assignment CTEs verbatim
+    // (pqCodeCtes — asg already carries the (‖c‖² − 2x·c) term at the
+    // shared 6-decimal snap), plus the per-subspace self-dot through
+    // the same sequential double fold; micro distortions aggregate as
+    // HUGEINTs with one half-up mean per subspace.
+    "s30_pq_distortion" -> {
+      val sl = "list_slice(e.embedding, 1 + 16 * s.sub, 16 + 16 * s.sub)"
+      s"""WITH $pqCodeCtes,
+        |xx AS (SELECT e.vec_id, CAST(s.sub AS INT) AS sub,
+        |    round(${dotSql(sl, sl)}, 6) AS xx
+        |  FROM embeddings e, range(0, 4) s(sub)),
+        |dmin AS (SELECT vec_id, sub, dist FROM (
+        |    SELECT vec_id, sub, dist, row_number() OVER (
+        |      PARTITION BY vec_id, sub ORDER BY dist, label) AS rk
+        |    FROM asg) WHERE rk = 1),
+        |m AS (SELECT d.sub,
+        |    CAST(round((d.dist + x.xx) * 1e6) AS BIGINT) AS d_micro
+        |  FROM dmin d JOIN xx x ON d.vec_id = x.vec_id AND d.sub = x.sub),
+        |ag AS (SELECT sub, count(*) AS n,
+        |    CAST(sum(CAST(d_micro AS HUGEINT)) AS HUGEINT) AS sum_d,
+        |    max(d_micro) AS max_micro
+        |  FROM m GROUP BY 1)
+        |SELECT sub, n,
+        |  round(CAST((sum_d + n // 2) // n AS BIGINT) / 1e6, 6)
+        |    AS mean_distortion,
+        |  round(CAST(max_micro AS DOUBLE) / 1e6, 6) AS max_distortion
+        |FROM ag ORDER BY sub""".stripMargin
+    },
+
     // Survival.v14WeibullFit: composes the gated v3 SQL verbatim as a
     // CTE (the s8/m7 discipline), snaps both lns with the shared
     // expressions, and reuses the t24 OLS closed forms.

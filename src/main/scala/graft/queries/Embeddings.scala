@@ -672,7 +672,7 @@ object Embeddings {
     * assignment's `‖c‖² − 2·x·c` distance. nLabels × 4 rows —
     * broadcast-sized by construction, like s7's coarse quantizer.
     */
-  private def pqCodebook(emb: DataFrame): DataFrame = emb
+  private[graft] def pqCodebook(emb: DataFrame): DataFrame = emb
     .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
     .groupBy(col("label"), col("dim"))
     .agg(GridMath.gridAvgRound(col("v").cast("double"), 6, 6).as("m"))
@@ -1325,7 +1325,53 @@ object Embeddings {
       .orderBy(col("sub"))
   }
 
+  /** PQ quantization distortion (s30): per subspace, the mean and max
+    * reconstruction error ‖x_s − c_{code(x_s)}‖² of the s11 code
+    * assignment — the third leg of the PQ audit triangle (s24 measures
+    * recall loss, s29 code balance, s30 the geometric error that CAUSES
+    * the recall loss), and the quantity whose per-subspace breakdown
+    * says WHICH codebook to retrain. The scoring pass is the s11
+    * assignment verbatim (broadcast codebook, codegen'd float×double
+    * fold, bounded-group argmin with the same (dist, label) order), plus
+    * the per-subspace self-dot ‖x_s‖² that the argmin itself never
+    * needs; both terms snap at 6 decimals exactly where s11 snaps, the
+    * micro distortions aggregate as exact integers, and the mean is one
+    * half-up division per subspace. Distortion is non-negative by
+    * construction (it is a squared distance), which the spec pins.
+    */
+  def s30PqDistortion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftfn.GraftExpressions.{floatVecDot, intDiv}
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .persist()
+    emb.count() // eager: codebook + scoring both read it
+    val sl = slice(col("embedding"), lit(1) + col("sub") * 16, lit(16))
+    val scored = emb.crossJoin(broadcast(pqCodebook(emb)))
+      .select(col("vec_id"), col("sub"),
+        round(col("cnorm2") - lit(2.0) *
+          org.apache.spark.sql.graftfn.GraftExpressions.floatDoubleVecDot(
+            sl, col("codeword")), 6).as("dist"),
+        round(floatVecDot(sl, sl).cast("double"), 6).as("xx"),
+        col("c_label"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id"), col("sub"))
+          .orderBy(col("dist"), col("c_label"))))
+      .filter(col("rk") === 1)
+      .select(col("sub").cast("int").as("sub"),
+        round((col("dist") + col("xx")) * 1e6).cast("long").as("d_micro"))
+    scored.groupBy(col("sub"))
+      .agg(count(lit(1)).as("n"), sum(col("d_micro")).as("sum_d"),
+        max(col("d_micro")).as("max_micro"))
+      .select(col("sub"), col("n"),
+        round(intDiv(col("sum_d") + intDiv(col("n"), lit(2L)), col("n"))
+          .cast("double") / 1e6, 6).as("mean_distortion"),
+        round(col("max_micro").cast("double") / 1e6, 6).as("max_distortion"))
+      .orderBy(col("sub"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s30_pq_distortion" -> (s30PqDistortion _),
     "s29_code_balance" -> (s29CodeBalance _),
     "s28_anisotropy" -> (s28Anisotropy _),
     "s27_int8_recall" -> (s27Int8Recall _),

@@ -393,6 +393,49 @@ class Round11OpsSpec3 extends AnyFunSuite {
     }
   }
 
+  test("s30: distortion matches a driver-side recomputation over the query's codebook") {
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding")).persist()
+    emb.count()
+    val cb = graft.queries.Embeddings.pqCodebook(emb).collect()
+      .map(r => (r.getAs[Number](1).intValue,
+        (r.getAs[Number](0).intValue, r.getSeq[Double](2).toArray,
+          r.getDouble(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val vecs = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val perSub = (0 until 4).map { sub =>
+      val ds = vecs.map { case (_, v) =>
+        val sl = v.slice(sub * 16, sub * 16 + 16)
+        def dotF(cw: Array[Double]): Double = {
+          var s = 0.0; var i = 0
+          while (i < 16) { s += sl(i).toDouble * cw(i); i += 1 }; s
+        }
+        var xx = 0.0
+        var xi = 0
+        while (xi < 16) { xx += sl(xi).toDouble * sl(xi).toDouble; xi += 1 }
+        val best = cb(sub).map { case (label, cw, cnorm2) =>
+          (r6(cnorm2 - 2.0 * dotF(cw)), label)
+        }.minBy(identity)
+        (BigDecimal((best._1 + r6(xx)) * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact)
+      }
+      val n = BigInt(ds.length)
+      val mean = ((ds.map(BigInt(_)).sum + n / 2) / n).toLong / 1e6
+      (sub, ds.length.toLong, math.round(mean * 1e6) / 1e6.toDouble,
+        ds.max / 1e6)
+    }
+    val got = graft.queries.Embeddings.s30PqDistortion(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSeq
+    assert(got == perSub, s"got $got\nexpected $perSub")
+    got.foreach { case (sub, _, mean, mx) =>
+      assert(mean >= 0.0 && mx >= mean, s"sub $sub")
+    }
+  }
+
   test("m17: buckets match the generator arithmetic; partition is total") {
     val got = graft.multimodal.Multimodal.m17AspectBuckets(spark, dir)
       .collect()
