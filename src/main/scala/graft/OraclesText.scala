@@ -4818,6 +4818,66 @@ object OraclesText {
         |  round(CAST(gg.gini_micro AS DOUBLE) / 1e6, 6) AS gini
         |FROM r, gg ORDER BY r.rank""".stripMargin,
 
+    // TextDedup.d33WinnowSweep: the d30 hashed-shingle CTEs shared by
+    // all three widths (the sweep-shares-one-pass discipline in SQL
+    // form), the d8/d31 ≥0.8-Jaccard truth pairs, and per-w selection/
+    // pair/hit counts with half-up micro divisions; a pair-free corpus
+    // divides by zero into NULL on both engines.
+    "d33_winnow_sweep" -> {
+      def wCtes(w: Int) =
+        s"""win$w AS (SELECT doc_id,
+           |    min(ek) OVER (PARTITION BY doc_id ORDER BY pos
+           |      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS mk,
+           |    count(*) OVER (PARTITION BY doc_id ORDER BY pos
+           |      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS cnt
+           |  FROM enc),
+           |fp$w AS (SELECT DISTINCT doc_id, mk // 1099511627776 AS fp
+           |  FROM win$w WHERE cnt = $w),
+           |pr$w AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM fp$w a JOIN fp$w b ON a.fp = b.fp AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2 HAVING count(*) >= 2),
+           |row$w AS (SELECT CAST($w AS INT) AS w, p.n_postings,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM fp$w) AS n_fps,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM pr$w) AS n_pairs,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM pr$w x JOIN np t
+           |       ON x.id_a = t.id_a AND x.id_b = t.id_b) AS n_hits
+           |  FROM posts p)""".stripMargin
+      s"""WITH $shingleCte,
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sidx GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    count(*) AS shared
+        |  FROM sidx a JOIN sidx b
+        |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |np AS (SELECT id_a, id_b
+        |  FROM pairs JOIN sizes sa ON id_a = sa.doc_id
+        |             JOIN sizes sb ON id_b = sb.doc_id
+        |  WHERE round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6)
+        |    >= 0.8),
+        |tcnt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM np),
+        |wsh0 AS (SELECT doc_id, unnest(range(1, len(toks)-1)) AS pos, toks
+        |  FROM tok WHERE len(toks) >= 3),
+        |wsh AS (SELECT doc_id, pos,
+        |    ${hex4ToInt("substr(md5(toks[pos] || ' ' || toks[pos+1] || ' ' || toks[pos+2]), 1, 4)")} AS h
+        |  FROM wsh0),
+        |enc AS (SELECT doc_id, pos,
+        |    h * 1099511627776 + (1099511627775 - pos) AS ek FROM wsh),
+        |posts AS (SELECT CAST(count(*) AS BIGINT) AS n_postings FROM enc),
+        |${wCtes(2)},
+        |${wCtes(4)},
+        |${wCtes(8)}
+        |SELECT r.w, r.n_postings, r.n_fps,
+        |  round(CAST((CAST(r.n_fps AS HUGEINT) * 1000000
+        |      + r.n_postings // 2) // r.n_postings AS BIGINT) / 1e6, 6)
+        |    AS index_frac,
+        |  r.n_pairs, t.n_true AS n_true_pairs, r.n_hits,
+        |  round(CAST((CAST(r.n_hits AS HUGEINT) * 1000000 + t.n_true // 2)
+        |    // t.n_true AS BIGINT) / 1e6, 6) AS recall
+        |FROM (SELECT * FROM row2 UNION ALL SELECT * FROM row4
+        |      UNION ALL SELECT * FROM row8) r, tcnt t
+        |ORDER BY r.w""".stripMargin
+    },
+
     // TextDedup.t32SimpsonDiversity: identical token counts, HUGEINT
     // Σc(c−1) from the first multiply, and the same two half-up
     // integral divisions; divisor-0 cases (singleton corpora) are NULL

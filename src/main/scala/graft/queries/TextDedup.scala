@@ -586,11 +586,18 @@ object TextDedup {
     * functions don't exist on streams; `StreamingSpec` pins the two
     * row-identical).
     */
-  private[graft] def winnowFingerprints(docs: DataFrame): DataFrame = {
+  private[graft] def winnowFingerprints(docs: DataFrame,
+      w: Int = WinnowW): DataFrame =
+    winnowSelect(winnowHashed(docs), w)
+
+  /** The shared (doc_id, pos, ek) hashed-shingle frame — d30 and the
+    * d33 sweep both select over it, so the expensive explode+md5 pass
+    * exists once.
+    */
+  private[graft] def winnowHashed(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
     val wLead = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val hashed = docs
+    docs
       .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
       .withColumn("t1", lead(col("tok"), 1).over(wLead))
       .withColumn("t2", lead(col("tok"), 2).over(wLead))
@@ -599,12 +606,21 @@ object TextDedup {
         (conv(substring(fastMd5(concat_ws(" ", col("tok"), col("t1"),
           col("t2"))), 1, 4), 16, 10).cast("long") * 1099511627776L +
           (lit(1099511627775L) - col("pos"))).as("ek"))
+  }
+
+  /** The winnow selection rule over a hashed frame, parametric in the
+    * window width w — width is the index-size/recall dial the d33
+    * sweep measures.
+    */
+  private[graft] def winnowSelect(hashed: DataFrame, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
     val wWin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(0, WinnowW - 1)
+      .rowsBetween(0, w - 1)
     hashed
       .select(col("doc_id"), min(col("ek")).over(wWin).as("mk"),
         count(lit(1)).over(wWin).as("cnt"))
-      .filter(col("cnt") === WinnowW) // full windows only
+      .filter(col("cnt") === w) // full windows only
       .select(col("doc_id"), intDiv(col("mk"), lit(1099511627776L)).as("fp"))
       .distinct()
   }
@@ -3905,7 +3921,54 @@ object TextDedup {
       .orderBy(col("rank"))
   }
 
+  /** Winnow window-width frontier (d33): for w ∈ {2, 4, 8}, the
+    * index-size/recall trade the winnowing parameter actually buys —
+    * per width: selected fingerprints, their fraction of the full
+    * posting list (the ~2/(w+1) theory made a measured number), the
+    * ≥2-shared candidate pairs, and their recall against the exact
+    * ≥0.8-Jaccard truth (the run-scoped [[dupPairs]] asset). This is
+    * the d24/p28 sweep discipline applied to d30's dial: the expensive
+    * explode+md5 pass ([[winnowHashed]]) runs ONCE and persists; each
+    * width re-windows the slim (doc_id, pos, ek) frame (same
+    * partition/order keys — the exchange is reused), and the finisher
+    * is a |w|-row driver-assembled table whose half-up micro divisions
+    * run in exact integer arithmetic (the KMeans-centroid pattern:
+    * corpus work distributed, bounded finisher driver-side). A
+    * pair-free corpus emits NULL recall on both engines (d26
+    * discipline — division by zero is null, not a skipped row).
+    */
+  def d33WinnowSweep(spark: SparkSession, dir: String,
+      ws: Seq[Int] = Seq(2, 4, 8)): DataFrame = {
+    val hashed = winnowHashed(Tables.documents(spark, dir)).persist()
+    val nPostings = hashed.count()
+    val truth = dupPairs(spark, dir).select(col("id_a"), col("id_b"))
+      .persist()
+    val nTrue = truth.count()
+    def halfUp(num: Long, den: Long): Option[Double] =
+      if (den == 0L) None
+      else Some(((BigInt(num) * 1000000 + den / 2) / BigInt(den)).toLong / 1e6)
+    val rows = ws.sorted.map { w =>
+      val fp = winnowSelect(hashed, w).persist()
+      val nFp = fp.count()
+      val pairs = fp.as("a").join(fp.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("ns")).filter(col("ns") >= 2)
+        .select(col("id_a"), col("id_b")).persist()
+      val nPairs = pairs.count()
+      val nHits = pairs.join(truth, Seq("id_a", "id_b")).count()
+      fp.unpersist(); pairs.unpersist()
+      (w, nPostings, nFp, halfUp(nFp, nPostings).map(Double.box).orNull,
+        nPairs, nTrue, nHits, halfUp(nHits, nTrue).map(Double.box).orNull)
+    }
+    import spark.implicits._
+    rows.toDF("w", "n_postings", "n_fps", "index_frac",
+        "n_pairs", "n_true_pairs", "n_hits", "recall")
+      .orderBy(col("w"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d33_winnow_sweep" -> ((s: SparkSession, d: String) => d33WinnowSweep(s, d)),
     "d32_shingle_df_profile" -> (d32ShingleDfProfile _),
     "p33_source_lorenz" -> (p33SourceLorenz _),
     "d31_cross_lang_pairs" -> (d31CrossLangPairs _),

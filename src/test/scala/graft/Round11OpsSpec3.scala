@@ -436,6 +436,65 @@ class Round11OpsSpec3 extends AnyFunSuite {
     }
   }
 
+  test("d33: sweep matches a from-scratch driver twin; index shrinks as w grows") {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hashesOf(text: String): Array[Long] = {
+      val ts = toksOf(text)
+      if (ts.length < 3) Array.empty
+      else ts.sliding(3).map { sh =>
+        md.reset()
+        val d = md.digest(sh.mkString(" ").getBytes("UTF-8"))
+        ((d(0) & 0xffL) << 8) | (d(1) & 0xffL)
+      }.toArray
+    }
+    val hashed = docs.map { case (id, t) => id -> hashesOf(t) }
+    val nPostings = hashed.map(_._2.length.toLong).sum
+    // truth: exact >=0.8 Jaccard over distinct shingle sets
+    val sets = docs.map { case (id, t) =>
+      val ts = toksOf(t)
+      id -> (if (ts.length < 3) Set.empty[String]
+             else ts.sliding(3).map(_.mkString(" ")).toSet)
+    }
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val truth = (for {
+      (a, sa) <- sets; (b, sb) <- sets
+      if a < b && sa.nonEmpty
+      shared = (sa & sb).size
+      if shared > 0 && r6(shared.toDouble / (sa.size + sb.size - shared)) >= 0.8
+    } yield (a, b)).toSet
+    def halfUp(num: Long, den: Long): Double =
+      ((BigInt(num) * 1000000 + den / 2) / BigInt(den)).toLong / 1e6
+    val expected = Seq(2, 4, 8).map { w =>
+      val fps = hashed.map { case (id, hs) =>
+        id -> (if (hs.length < w) Set.empty[Long]
+          else (0 to hs.length - w).map { i =>
+            (i until i + w)
+              .map(j => hs(j) * 1099511627776L + (1099511627775L - j)).min
+          }.map(_ / 1099511627776L).toSet)
+      }
+      val nFp = fps.map(_._2.size.toLong).sum
+      val pairs = (for {
+        (a, fa) <- fps; (b, fb) <- fps
+        if a < b && (fa & fb).size >= 2
+      } yield (a, b)).toSet
+      (w, nPostings, nFp, halfUp(nFp, nPostings), pairs.size.toLong,
+        truth.size.toLong, (pairs & truth).size.toLong,
+        halfUp((pairs & truth).size.toLong, truth.size.toLong))
+    }
+    val got = graft.queries.TextDedup.d33WinnowSweep(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getDouble(7))).toSeq
+    assert(got == expected, s"got $got\nexpected $expected")
+    // wider windows select fewer fingerprints — the whole point of w
+    val byW = got.map(r => r._1 -> r._3).toMap
+    assert(byW(2) >= byW(4) && byW(4) >= byW(8), s"$byW")
+  }
+
   test("m17: buckets match the generator arithmetic; partition is total") {
     val got = graft.multimodal.Multimodal.m17AspectBuckets(spark, dir)
       .collect()
