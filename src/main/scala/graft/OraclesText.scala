@@ -4878,6 +4878,16 @@ object OraclesText {
         |ORDER BY r.w""".stripMargin
     },
 
+    // TextDedup.d34IncrementalComponents: the oracle recomputes the
+    // FULL-corpus closure from scratch (componentCte), so the hash
+    // match proves the Spark side's ledger-merge path converges to the
+    // identical min-id labeling — incremental ≡ batch.
+    "d34_incremental_components" ->
+      s"""WITH RECURSIVE $shingleCte,
+        |$componentCte
+        |SELECT doc_id, component, (doc_id % 5 = 0) AS is_increment
+        |FROM comp ORDER BY doc_id""".stripMargin,
+
     // TextDedup.t32SimpsonDiversity: identical token counts, HUGEINT
     // Σc(c−1) from the first multiply, and the same two half-up
     // integral divisions; divisor-0 cases (singleton corpora) are NULL

@@ -3967,7 +3967,69 @@ object TextDedup {
       .orderBy(col("w"))
   }
 
+  /** Incremental dedup-ledger maintenance (d34): merge an arriving
+    * shard into a STANDING component ledger without recomputing the
+    * closure from scratch — the operation a live corpus actually runs
+    * on every crawl drop (the d13/s9 incremental discipline applied to
+    * d8's component table). Arrival split: doc_id ≡ 0 (mod 5) is the
+    * increment; the rest is the standing corpus whose (doc, component)
+    * ledger a production pipeline keeps checkpointed. The increment's
+    * edges come from the SAME inverted-index probe d13 uses (increment
+    * shingles join the standing postings — never a standing×standing
+    * re-join — plus the increment's own self-join), and the merge runs
+    * star contraction over ledger edges (doc → its standing label) ∪
+    * new edges: O(log n) rounds over a frame that is |ledger| +
+    * |increment edges|, not the full pair graph. The GATE is the whole
+    * point: the oracle recomputes the closure over the full corpus from
+    * scratch, so the hash match PROVES merge ≡ recompute — min-id
+    * labels are stable under incremental maintenance.
+    */
+  def d34IncrementalComponents(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val standing = docs.filter(col("doc_id") % 5 =!= 0)
+    val inc = docs.filter(col("doc_id") % 5 === 0)
+    val sIdx = shingleIndex(standing).persist()
+    sIdx.count() // eager: postings probe + standing ledger build
+    val iIdx = shingleIndex(inc).persist()
+    iIdx.count()
+    val sSizes = sIdx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val iSizes = iIdx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // the ONE jaccard verdict all three edge sources share
+    def edgesOf(a: DataFrame, aSizes: DataFrame, b: DataFrame,
+        bSizes: DataFrame, strict: Boolean): DataFrame = {
+      val cond = col("a.shingle") === col("b.shingle") &&
+        (if (strict) col("a.doc_id") < col("b.doc_id")
+         else col("a.doc_id") =!= col("b.doc_id"))
+      a.as("a").join(b.as("b"), cond)
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("shared"))
+        .join(aSizes.select(col("doc_id").as("id_a"), col("n").as("na")),
+          Seq("id_a"))
+        .join(bSizes.select(col("doc_id").as("id_b"), col("n").as("nb")),
+          Seq("id_b"))
+        .filter(round(col("shared").cast("double") /
+          (col("na") + col("nb") - col("shared")), 6) >= 0.8)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+    }
+    // standing ledger (in production: the checkpointed component table)
+    val (sLabels, _) = starContractComponents(
+      standing.select(col("doc_id").as("id")),
+      edgesOf(sIdx, sSizes, sIdx, sSizes, strict = true))
+    val ledgerEdges = sLabels.filter(col("id") =!= col("component"))
+      .select(col("id").as("src"), col("component").as("dst"))
+    // arrival edges: increment↔standing postings probe + increment self
+    val newEdges = edgesOf(iIdx, iSizes, sIdx, sSizes, strict = false)
+      .unionByName(edgesOf(iIdx, iSizes, iIdx, iSizes, strict = true))
+    val (labels, _) = starContractComponents(
+      docs.select(col("doc_id").as("id")),
+      ledgerEdges.unionByName(newEdges))
+    labels.select(col("id").as("doc_id"), col("component"),
+        (col("id") % 5 === 0).as("is_increment"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d34_incremental_components" -> (d34IncrementalComponents _),
     "d33_winnow_sweep" -> ((s: SparkSession, d: String) => d33WinnowSweep(s, d)),
     "d32_shingle_df_profile" -> (d32ShingleDfProfile _),
     "p33_source_lorenz" -> (p33SourceLorenz _),

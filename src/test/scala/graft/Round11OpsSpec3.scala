@@ -495,6 +495,28 @@ class Round11OpsSpec3 extends AnyFunSuite {
     assert(byW(2) >= byW(4) && byW(4) >= byW(8), s"$byW")
   }
 
+  test("d34: ledger merge equals the full-recompute labels; both halves populated") {
+    val merged = graft.queries.TextDedup
+      .d34IncrementalComponents(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val batch = graft.queries.TextDedup.componentLabels(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged.nonEmpty && merged.length == batch.size)
+    merged.foreach { case (id, comp, isInc) =>
+      assert(comp == batch(id), s"doc $id: merged $comp vs batch ${batch(id)}")
+      assert(isInc == (id % 5 == 0), s"doc $id flag")
+    }
+    assert(merged.count(_._3) > 0 && merged.count(!_._3) > 0,
+      "both the increment and the standing corpus must be non-empty")
+    // the merge genuinely crossed the arrival boundary somewhere: at
+    // least one component must contain docs from both halves (the
+    // harness corpus has verbatim dups spread across ids)
+    val mixed = merged.groupBy(_._2).values
+      .exists(g => g.exists(_._3) && g.exists(!_._3) && g.size > 1)
+    assert(mixed, "no component spans the increment boundary — the " +
+      "cross-probe leg is untested by this corpus")
+  }
+
   test("m17: buckets match the generator arithmetic; partition is total") {
     val got = graft.multimodal.Multimodal.m17AspectBuckets(spark, dir)
       .collect()
