@@ -5122,6 +5122,50 @@ object OraclesText {
         |  (defined AND r_micro >= 300000) AS diurnal
         |FROM r ORDER BY event_type""".stripMargin,
 
+    // Events.e35LagSweep: the e34 spine verbatim, four lead legs
+    // UNION-ALL'd (one per lag), the same exact HUGEINT moments and
+    // the same single float crossing per (type, lag) row.
+    "e35_lag_sweep" -> {
+      val legs = Seq(1, 12, 24, 168).map { l =>
+        s"""SELECT event_type, CAST($l AS BIGINT) AS lag, x,
+           |    lead(x, $l) OVER (PARTITION BY event_type ORDER BY h) AS y
+           |  FROM f""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH c AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h,
+        |    count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT min(h) AS h0, max(h) AS h1 FROM c),
+        |spine AS (SELECT t.event_type, s.h
+        |  FROM (SELECT DISTINCT event_type FROM c) t,
+        |    (SELECT unnest(range(h0, h1 + 1)) AS h FROM span) s),
+        |f AS (SELECT sp.event_type, sp.h, coalesce(c.c, 0) AS x
+        |  FROM spine sp LEFT JOIN c
+        |    ON c.event_type = sp.event_type AND c.h = sp.h),
+        |pr AS ($legs),
+        |m AS (SELECT event_type, lag, count(*) AS n_pairs,
+        |    CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+        |    CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+        |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+        |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+        |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+        |  FROM pr WHERE y IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT event_type, lag, n_pairs,
+        |    (n_pairs * sxx - sx * sx > 0 AND n_pairs * syy - sy * sy > 0)
+        |      AS defined,
+        |    CASE WHEN n_pairs * sxx - sx * sx > 0
+        |        AND n_pairs * syy - sy * sy > 0
+        |      THEN CAST(round(CAST(n_pairs * sxy - sx * sy AS DOUBLE) * 1e6
+        |        / (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+        |          * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))))
+        |        AS BIGINT)
+        |      ELSE 0 END AS r_micro
+        |  FROM m)
+        |SELECT event_type, lag, n_pairs, defined, r_micro,
+        |  round(CAST(r_micro AS DOUBLE) / 1e6, 6) AS r
+        |FROM r ORDER BY event_type, lag""".stripMargin
+    },
+
     // Embeddings.s28Anisotropy: identical per-dim micro snap, HUGEINT
     // S_d/ΣΣv² moments, and ONE half-up integral division per label —
     // no sqrt, no float compare anywhere.

@@ -1488,8 +1488,11 @@ object Events {
     * live path and the batch query share every step after the count
     * (`StreamingSpec` pins replay ≡ batch through this seam).
     */
-  private[graft] def diurnalAutocorrOf(byHour: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** The zero-filled (event_type, h, x) hourly series over the global
+    * span — e34's lag-24 read and e35's lag sweep both window over this
+    * ONE spine construction, so the series definition cannot fork.
+    */
+  private[graft] def hourSpineOf(byHour: DataFrame): DataFrame = {
     val span = byHour.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
     // aliases mint fresh attribute ids so the spine→counts left join
     // can't trip self-join reference conflicts (the spine derives FROM
@@ -1498,11 +1501,16 @@ object Events {
     val spine = byHour.select(col("event_type").as("et")).distinct()
       .crossJoin(broadcast(span))
       .select(col("et"), explode(sequence(col("h0"), col("h1"))).as("sh"))
-    val full = spine.as("sp").join(byHour.as("bh"),
+    spine.as("sp").join(byHour.as("bh"),
         col("sp.et") === col("bh.event_type") && col("sp.sh") === col("bh.h"),
         "left")
       .select(col("sp.et").as("event_type"), col("sp.sh").as("h"),
         coalesce(col("bh.c"), lit(0L)).as("x"))
+  }
+
+  private[graft] def diurnalAutocorrOf(byHour: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val full = hourSpineOf(byHour)
     val wLead = Window.partitionBy(col("event_type")).orderBy(col("h"))
     val dec = (c: Column) => c.cast("decimal(38,0)")
     val m = full.withColumn("y", lead(col("x"), 24).over(wLead))
@@ -1528,7 +1536,61 @@ object Events {
       .orderBy(col("event_type"))
   }
 
+  /** Periodicity signature sweep (e35): e34's autocorrelation at lags
+    * {1, 12, 24, 168} hours — the four lags that separate traffic
+    * shapes a single lag can't: smooth drift (high r@1 only), half-day
+    * split shifts (r@12), circadian users (r@24), weekly business
+    * cycles (r@168 above r@24). The p28/d33 sweep discipline on the
+    * events side: ONE [[hourSpineOf]] pass, all four lead columns over
+    * the SAME per-type window spec (one Window operator, one exchange),
+    * then a generator explode stacks (lag, x, y) pairs and the e34
+    * moment algebra runs per (type, lag) — the corpus is scanned once
+    * regardless of how many lags are audited. Exactness is e34's:
+    * integer moments, the single shared float crossing per row.
+    */
+  def e35LagSweep(spark: SparkSession, dir: String,
+      lags: Seq[Int] = Seq(1, 12, 24, 168)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val full = hourSpineOf(Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("h"))
+      .groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("c")))
+    val wLead = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val withLeads = lags.foldLeft(full) { (df, l) =>
+      df.withColumn(s"y$l", lead(col("x"), l).over(wLead))
+    }
+    val stacked = withLeads
+      .select(col("event_type"), col("x"),
+        explode(array(lags.map(l =>
+          struct(lit(l.toLong).as("lag"), col(s"y$l").as("y"))): _*))
+          .as("p"))
+      .select(col("event_type"), col("p.lag").as("lag"), col("x"),
+        col("p.y").as("y"))
+      .filter(col("y").isNotNull)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val m = stacked.groupBy(col("event_type"), col("lag"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+        sum(dec(col("x")) * dec(col("y"))).as("sxy"),
+        sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+        sum(dec(col("y")) * dec(col("y"))).as("syy"))
+    val num = col("n_pairs") * col("sxy") - col("sx") * col("sy")
+    val denx = col("n_pairs") * col("sxx") - col("sx") * col("sx")
+    val deny = col("n_pairs") * col("syy") - col("sy") * col("sy")
+    m.select(col("event_type"), col("lag"), col("n_pairs"),
+        (denx > 0 && deny > 0).as("defined"),
+        when(denx > 0 && deny > 0,
+          round(num.cast("double") * 1e6
+            / (sqrt(denx.cast("double")) * sqrt(deny.cast("double"))))
+            .cast("long"))
+          .otherwise(lit(0L)).as("r_micro"))
+      .withColumn("r", round(col("r_micro").cast("double") / 1e6, 6))
+      .orderBy(col("event_type"), col("lag"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e35_lag_sweep" -> ((s: SparkSession, d: String) => e35LagSweep(s, d)),
     "e34_diurnal_autocorr" -> (e34DiurnalAutocorr _),
     "e33_hour_uniformity" -> (e33HourUniformity _),
     "e32_touch_comparison" -> (e32TouchComparison _),

@@ -152,6 +152,48 @@ class Round11OpsSpec3 extends AnyFunSuite {
     assert(got("flat")._1 == false, s"flat series must be undefined: $got")
   }
 
+  test("e35: lag-24 leg equals e34 exactly; all lags match the integer twin") {
+    val got = graft.queries.Events.e35LagSweep(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getLong(4), r.getDouble(5))).toSeq
+    val e34 = graft.queries.Events.e34DiurnalAutocorr(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2),
+        r.getLong(3)))).toMap
+    got.filter(_._2 == 24L).foreach { case (et, _, n, d, rm, _) =>
+      assert(e34(et) == ((n, d, rm)), s"$et lag-24 leg must equal e34")
+    }
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val counts = ev.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val h0 = ev.map(_._2).min
+    val h1 = ev.map(_._2).max
+    val expected = (for {
+      et <- ev.map(_._1).distinct.sorted
+      lag <- Seq(1, 12, 24, 168)
+    } yield {
+      val xs = (h0 to h1).map(h => counts.getOrElse((et, h), 0L))
+      val pairs = xs.dropRight(lag).zip(xs.drop(lag))
+      val n = BigInt(pairs.length)
+      val sx = pairs.map(p => BigInt(p._1)).sum
+      val sy = pairs.map(p => BigInt(p._2)).sum
+      val sxy = pairs.map(p => BigInt(p._1) * p._2).sum
+      val sxx = pairs.map(p => BigInt(p._1) * p._1).sum
+      val syy = pairs.map(p => BigInt(p._2) * p._2).sum
+      val denx = n * sxx - sx * sx
+      val deny = n * syy - sy * sy
+      val defined = denx > 0 && deny > 0
+      val rMicro = if (!defined) 0L
+        else math.round((n * sxy - sx * sy).toDouble * 1e6
+          / (math.sqrt(denx.toDouble) * math.sqrt(deny.toDouble)))
+      (et, lag.toLong, pairs.length.toLong, defined, rMicro,
+        math.round(rMicro.toDouble / 1e6 * 1e6) / 1e6.toDouble)
+    }).toSeq
+    assert(got == expected, s"got $got\nexpected $expected")
+  }
+
   test("s28: anisotropy matches a BigInt twin and stays in [0,1]") {
     val got = graft.queries.Embeddings.s28Anisotropy(spark, dir)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
