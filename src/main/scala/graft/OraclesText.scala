@@ -4888,6 +4888,26 @@ object OraclesText {
         |SELECT doc_id, component, (doc_id % 5 = 0) AS is_increment
         |FROM comp ORDER BY doc_id""".stripMargin,
 
+    // TextDedup.t33TokenLengthProfile: d32's generated CASE ladder on
+    // token lengths, one half-up share division per (lang, bucket).
+    "t33_token_length_profile" ->
+      s"""WITH t0 AS (SELECT lang,
+        |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+        |  FROM documents),
+        |b AS (SELECT lang,
+        |    CAST(${graft.queries.TextDedup.pow2CaseSql("length(token)")}
+        |      AS BIGINT) AS bucket_lo
+        |  FROM t0),
+        |g AS (SELECT lang, bucket_lo, count(*) AS n_tokens
+        |  FROM b GROUP BY 1, 2),
+        |tot AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS n_lang
+        |  FROM g GROUP BY 1)
+        |SELECT g.lang, g.bucket_lo, g.n_tokens,
+        |  round(CAST((CAST(g.n_tokens AS HUGEINT) * 1000000
+        |      + t2.n_lang // 2) // t2.n_lang AS BIGINT) / 1e6, 6) AS share
+        |FROM g JOIN tot t2 USING (lang)
+        |ORDER BY g.lang, g.bucket_lo""".stripMargin,
+
     // TextDedup.t32SimpsonDiversity: identical token counts, HUGEINT
     // Σc(c−1) from the first multiply, and the same two half-up
     // integral divisions; divisor-0 cases (singleton corpora) are NULL

@@ -4028,7 +4028,36 @@ object TextDedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Token-length profile (t33): per language, the token-length
+    * histogram in power-of-two buckets with per-bucket shares — the
+    * subword-readiness screen a tokenizer team reads before setting
+    * vocabulary budgets (a long-tail of 16+-char tokens means URLs/
+    * concatenations that will fragment into many subwords; t26 then
+    * measures the realized fertility). Reuses d32's [[pow2CaseSql]]
+    * ladder — the same generated CASE text on both engines, no log2
+    * crossing — over one explode + partial-agg pass collapsing to
+    * ≤ |langs|·buckets rows; shares are one half-up micro division
+    * against the per-language total carried on the same row set.
+    */
+  def t33TokenLengthProfile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
+    val b = Tables.documents(spark, dir)
+      .select(col("lang"), explode(toks).as("token"))
+      .select(col("lang"), length(col("token")).cast("long").as("len"))
+      .select(col("lang"), expr(pow2CaseSql("len")).cast("long").as("bucket_lo"))
+      .groupBy(col("lang"), col("bucket_lo"))
+      .agg(count(lit(1)).as("n_tokens"))
+    b.withColumn("n_lang", sum(col("n_tokens")).over(
+        Window.partitionBy(col("lang"))))
+      .select(col("lang"), col("bucket_lo"), col("n_tokens"),
+        round(intDiv(col("n_tokens") * 1000000L + intDiv(col("n_lang"),
+          lit(2L)), col("n_lang")).cast("double") / 1e6, 6).as("share"))
+      .orderBy(col("lang"), col("bucket_lo"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t33_token_length_profile" -> (t33TokenLengthProfile _),
     "d34_incremental_components" -> (d34IncrementalComponents _),
     "d33_winnow_sweep" -> ((s: SparkSession, d: String) => d33WinnowSweep(s, d)),
     "d32_shingle_df_profile" -> (d32ShingleDfProfile _),

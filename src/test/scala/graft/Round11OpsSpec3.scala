@@ -559,6 +559,31 @@ class Round11OpsSpec3 extends AnyFunSuite {
       "cross-probe leg is untested by this corpus")
   }
 
+  test("t33: length profile matches a driver twin; shares sum to 1 per lang") {
+    val got = graft.queries.TextDedup.t33TokenLengthProfile(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    val docs = Tables.documents(spark, dir)
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expected = docs.flatMap { case (lang, t) =>
+      toksOf(t).map(tok =>
+        (lang, java.lang.Long.highestOneBit(math.max(1L, tok.length.toLong))))
+    }.groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .groupBy(_._1._1).toSeq.sortBy(_._1).flatMap { case (lang, rows) =>
+        val nLang = rows.map(_._2).sum
+        rows.sortBy(_._1._2).map { case ((_, lo), n) =>
+          (lang, lo, n,
+            ((BigInt(n) * 1000000 + nLang / 2) / BigInt(nLang)).toLong / 1e6)
+        }
+      }
+    assert(got == expected, s"got $got\nexpected $expected")
+    got.groupBy(_._1).foreach { case (lang, rs) =>
+      val s = math.round(rs.map(_._4).sum * 1e6)
+      assert(math.abs(s - 1000000L) <= rs.length, s"$lang share sum $s")
+    }
+  }
+
   test("m17: buckets match the generator arithmetic; partition is total") {
     val got = graft.multimodal.Multimodal.m17AspectBuckets(spark, dir)
       .collect()
