@@ -4427,7 +4427,10 @@ object OraclesText {
   val round12: Map[String, String] = Map(
     // TextDedup.d30Winnowing: robust winnowing — each 4-window of 3-gram
     // shingle hashes selects (min hash, rightmost pos) via one integer
-    // min over the composite h·2^20 + (2^20−1−pos) key; docs sharing
+    // min over the composite h·2^40 + (2^40−1−pos) key (matching the
+    // 1099511627776/1099511627775 literals below and the Spark side —
+    // a 2^20 field would corrupt selections for long documents); docs
+    // sharing
     // ≥ 2 selected fingerprints pair up. Positions are 1-based here vs
     // 0-based in Spark — only their relative order matters to the min.
     "d30_winnowing" ->

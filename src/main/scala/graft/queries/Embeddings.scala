@@ -1304,7 +1304,7 @@ object Embeddings {
       .select(col("sub"), col("code"), coalesce(col("n"), lit(0L)).as("n"))
     val k = count(lit(1))
     val dev = dec(col("n")) * col("k") - col("n_vec")
-    full
+    val out = full
       .withColumn("k", k.over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("sub"))))
       .withColumn("n_vec", sum(col("n")).over(
@@ -1323,6 +1323,10 @@ object Embeddings {
           .cast("double") / 1e6, 6).as("top_share"),
         (col("top_n") * col("k") <= col("n_vec") * 2L).as("balanced"))
       .orderBy(col("sub"))
+      .persist()
+    out.count() // 4 rows: pin the audit, free the embedding cache
+    emb.unpersist()
+    out
   }
 
   /** PQ quantization distortion (s30): per subspace, the mean and max
@@ -1360,7 +1364,7 @@ object Embeddings {
       .filter(col("rk") === 1)
       .select(col("sub").cast("int").as("sub"),
         round((col("dist") + col("xx")) * 1e6).cast("long").as("d_micro"))
-    scored.groupBy(col("sub"))
+    val out = scored.groupBy(col("sub"))
       .agg(count(lit(1)).as("n"), sum(col("d_micro")).as("sum_d"),
         max(col("d_micro")).as("max_micro"))
       .select(col("sub"), col("n"),
@@ -1368,6 +1372,10 @@ object Embeddings {
           .cast("double") / 1e6, 6).as("mean_distortion"),
         round(col("max_micro").cast("double") / 1e6, 6).as("max_distortion"))
       .orderBy(col("sub"))
+      .persist()
+    out.count() // 4 rows: pin the audit, free the embedding cache
+    emb.unpersist()
+    out
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

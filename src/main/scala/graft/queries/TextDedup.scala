@@ -3660,12 +3660,16 @@ object TextDedup {
     val slopeNum =
       (col("n_fit") * col("sxy") - col("sx") * col("sy")) * 1000000L
     val interNum = col("sxx") * col("sy") - col("sx") * col("sxy")
-    m.select(col("source"), col("n_fit"),
+    val out = m.select(col("source"), col("n_fit"),
         (intDiv(slopeNum + intDiv(den, lit(2L)), den).cast("double") / 1e6)
           .as("beta"),
         (intDiv(interNum + intDiv(den, lit(2L)), den).cast("double") / 1e6)
           .as("ln_k"))
       .orderBy(col("source"))
+      .persist()
+    out.count() // |sources| rows: pin the fit, free the per-doc frame
+    parts.unpersist()
+    out
   }
 
   /** Data-constrained repeat-schedule audit (p31): for each source and
@@ -3786,7 +3790,7 @@ object TextDedup {
         greatest(col("lang_a"), col("lang_b")).as("lang_hi"))
       .persist()
     val tot = lp.agg(count(lit(1)).as("n_all"))
-    lp.groupBy(col("lang_lo"), col("lang_hi"))
+    val out = lp.groupBy(col("lang_lo"), col("lang_hi"))
       .agg(count(lit(1)).as("n_pairs"))
       .crossJoin(broadcast(tot))
       .select(col("lang_lo"), col("lang_hi"),
@@ -3795,6 +3799,10 @@ object TextDedup {
         round(intDiv(col("n_pairs") * 1000000L + intDiv(col("n_all"),
           lit(2L)), col("n_all")).cast("double") / 1e6, 6).as("pair_share"))
       .orderBy(col("lang_lo"), col("lang_hi"))
+      .persist()
+    out.count() // ≤|langs|² rows: pin the finisher, free the pair frame
+    lp.unpersist()
+    out
   }
 
   /** Dedup-aware repeat schedule (p32): p31's data-constrained epoch
@@ -3961,6 +3969,8 @@ object TextDedup {
       (w, nPostings, nFp, halfUp(nFp, nPostings).map(Double.box).orNull,
         nPairs, nTrue, nHits, halfUp(nHits, nTrue).map(Double.box).orNull)
     }
+    hashed.unpersist() // rows are driver-side: the shared pass is done
+    truth.unpersist()
     import spark.implicits._
     rows.toDF("w", "n_postings", "n_fps", "index_frac",
         "n_pairs", "n_true_pairs", "n_hits", "recall")

@@ -29,7 +29,10 @@ object GoldenFixture {
       val vals = (0 until nSamples).map { s =>
         val v = if (m < 3) group(s) * 3.0 + rng.nextGaussian() * 0.3
         else rng.nextGaussian()
-        f"$v%.4f"
+        // explicit ROOT locale: f"" uses the default locale, so a
+        // comma-decimal JVM would regenerate TSVs that differ from the
+        // committed golden bytes
+        String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
       }
       s"MOL$m\t${vals.mkString("\t")}"
     }
