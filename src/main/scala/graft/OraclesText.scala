@@ -4827,6 +4827,10 @@ object OraclesText {
     // pair/hit counts with half-up micro divisions; a pair-free corpus
     // divides by zero into NULL on both engines.
     "d33_winnow_sweep" -> {
+      // the sweep legs pair up in the WinnowSweepCap-capped posting
+      // space (row_number by doc_id within a fingerprint — the m11
+      // band-cap discipline); n_fps/index_frac stay uncapped
+      val cap = graft.queries.TextDedup.WinnowSweepCap
       def wCtes(w: Int) =
         s"""win$w AS (SELECT doc_id,
            |    min(ek) OVER (PARTITION BY doc_id ORDER BY pos
@@ -4836,8 +4840,11 @@ object OraclesText {
            |  FROM enc),
            |fp$w AS (SELECT DISTINCT doc_id, mk // 1099511627776 AS fp
            |  FROM win$w WHERE cnt = $w),
+           |fpc$w AS (SELECT doc_id, fp FROM (SELECT doc_id, fp,
+           |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+           |  FROM fp$w) WHERE rk <= $cap),
            |pr$w AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-           |  FROM fp$w a JOIN fp$w b ON a.fp = b.fp AND a.doc_id < b.doc_id
+           |  FROM fpc$w a JOIN fpc$w b ON a.fp = b.fp AND a.doc_id < b.doc_id
            |  GROUP BY 1, 2 HAVING count(*) >= 2),
            |row$w AS (SELECT CAST($w AS INT) AS w, p.n_postings,
            |    (SELECT CAST(count(*) AS BIGINT) FROM fp$w) AS n_fps,

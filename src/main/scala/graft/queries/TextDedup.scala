@@ -625,6 +625,41 @@ object TextDedup {
       .distinct()
   }
 
+  /** Hot-fingerprint cap for the d33 sweep legs: at most this many
+    * DISTINCT documents participate per fingerprint bucket, ranked by
+    * doc_id (deterministic, oracle-mirrorable) — the m11 band-cap
+    * discipline in fingerprint space. A fingerprint with df postings
+    * contributes df² candidate pairs while carrying almost no identity
+    * signal once df is large (boilerplate shared by thousands of docs
+    * is not a duplication verdict); the cap bounds the worst bucket at
+    * CAP²/2 pairs regardless of corpus size. A pair dropped from a hot
+    * bucket survives only if the two docs share ≥ 2 OTHER, uncapped
+    * fingerprints — the d3/d6b/m11 recall-for-boundedness trade, and at
+    * narrow w (the sweep's whole reason to exist) the trade is the
+    * difference between a 603 s and a bounded sweep at sf10 (SCALE.md).
+    */
+  private[graft] val WinnowSweepCap = 256
+
+  /** ≥2-shared-fingerprint candidate pairs over a (doc_id, fp) index,
+    * with each fingerprint's posting list capped at `cap` docs (by
+    * doc_id rank — the ranking window runs over the already-distinct
+    * selection frame, so the hot key holds df rows, not df·positions).
+    * Shared by the d33 sweep legs; `cap = Int.MaxValue` recovers the
+    * uncapped d30 semantics (specs use small caps to pin the cut).
+    */
+  private[graft] def winnowPairsCapped(fp: DataFrame, cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val capped = fp.withColumn("rk", row_number().over(
+        Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+      .filter(col("rk") <= cap)
+      .select(col("doc_id"), col("fp"))
+    capped.as("a").join(capped.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("ns")).filter(col("ns") >= 2)
+      .select(col("id_a"), col("id_b"))
+  }
+
   def d30Winnowing(spark: SparkSession, dir: String): DataFrame = {
     val fp = winnowFingerprints(Tables.documents(spark, dir))
     fp.as("a").join(fp.as("b"),
@@ -3944,9 +3979,21 @@ object TextDedup {
     * corpus work distributed, bounded finisher driver-side). A
     * pair-free corpus emits NULL recall on both engines (d26
     * discipline — division by zero is null, not a skipped row).
+    *
+    * SCALE (r12): every sweep leg's fingerprint self-join runs in the
+    * [[WinnowSweepCap]]-capped posting space ([[winnowPairsCapped]] —
+    * the m11 band-cap discipline). The narrow-w legs are exactly where
+    * the cap matters: at w = 2 winnowing keeps ~46% of postings, and a
+    * high-df fingerprint blows up df² candidate pairs like d6's hot
+    * shingles (603 s at sf10 uncapped, SCALE.md). `n_fps`/`index_frac`
+    * still report the UNCAPPED selection — the cap bounds pair
+    * GENERATION, not the index-size statistic the sweep exists to
+    * measure — and the oracle applies the identical cap, so the capped
+    * candidate semantics are gated, not approximated.
     */
   def d33WinnowSweep(spark: SparkSession, dir: String,
-      ws: Seq[Int] = Seq(2, 4, 8)): DataFrame = {
+      ws: Seq[Int] = Seq(2, 4, 8),
+      fpCap: Int = WinnowSweepCap): DataFrame = {
     val hashed = winnowHashed(Tables.documents(spark, dir)).persist()
     val nPostings = hashed.count()
     val truth = dupPairs(spark, dir).select(col("id_a"), col("id_b"))
@@ -3958,11 +4005,7 @@ object TextDedup {
     val rows = ws.sorted.map { w =>
       val fp = winnowSelect(hashed, w).persist()
       val nFp = fp.count()
-      val pairs = fp.as("a").join(fp.as("b"),
-          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        .agg(count(lit(1)).as("ns")).filter(col("ns") >= 2)
-        .select(col("id_a"), col("id_b")).persist()
+      val pairs = winnowPairsCapped(fp, fpCap).persist()
       val nPairs = pairs.count()
       val nHits = pairs.join(truth, Seq("id_a", "id_b")).count()
       fp.unpersist(); pairs.unpersist()

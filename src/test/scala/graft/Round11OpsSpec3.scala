@@ -510,6 +510,7 @@ class Round11OpsSpec3 extends AnyFunSuite {
     } yield (a, b)).toSet
     def halfUp(num: Long, den: Long): Double =
       ((BigInt(num) * 1000000 + den / 2) / BigInt(den)).toLong / 1e6
+    val cap = graft.queries.TextDedup.WinnowSweepCap
     val expected = Seq(2, 4, 8).map { w =>
       val fps = hashed.map { case (id, hs) =>
         id -> (if (hs.length < w) Set.empty[Long]
@@ -519,9 +520,19 @@ class Round11OpsSpec3 extends AnyFunSuite {
           }.map(_ / 1099511627776L).toSet)
       }
       val nFp = fps.map(_._2.size.toLong).sum
+      // r12: pairs run in the capped posting space — per fingerprint,
+      // only the cap smallest doc_ids participate (mirrors
+      // winnowPairsCapped; at this fixture scale the cap rarely bites,
+      // the dedicated cap spec pins the cut itself)
+      val posting = fps.flatMap { case (id, s) => s.map(f => (f, id)) }
+        .groupBy(_._1).view
+        .mapValues(_.map(_._2).sorted.take(cap).toSet).toMap
       val pairs = (for {
         (a, fa) <- fps; (b, fb) <- fps
-        if a < b && (fa & fb).size >= 2
+        if a < b
+        shared = (fa & fb).count(f =>
+          posting(f).contains(a) && posting(f).contains(b))
+        if shared >= 2
       } yield (a, b)).toSet
       (w, nPostings, nFp, halfUp(nFp, nPostings), pairs.size.toLong,
         truth.size.toLong, (pairs & truth).size.toLong,

@@ -3,297 +3,42 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Session-12 operators: MMR diversification (s23), bot regularity
-  * (e26), readability (t28). The oracle gate covers engine-vs-DuckDB;
-  * these specs pin the SEMANTICS against independent driver-side twins.
+/** Round-12 session operators and scale-valve changes: the d33
+  * hot-fingerprint cap, the scale-aware d9b/d6b stop-shingle fraction,
+  * and this round's new operators — driver-side twins and the cut
+  * semantics the oracle hash can't localize.
   */
 class Round12OpsSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
-  val dir = "/root/testdata/sf0.001"
+  private val dir = "/root/testdata/sf0.001"
 
-  test("s23 MMR picks replay a driver-side greedy twin over exact sims") {
-    val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
-    def cos(a: Array[Float], b: Array[Float]): Double = {
-      def dot(x: Array[Float], y: Array[Float]): Double = {
-        var s = 0.0; var i = 0
-        while (i < x.length) { s += x(i).toDouble * y(i).toDouble; i += 1 }
-        s
-      }
-      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
-    }
-    def micro(x: Double): Long =
-      math.round(BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
-        .toDouble * 1e6)
-    val got = graft.queries.Embeddings.s23MmrDiversify(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
-    var reordered = false
-    (0L until 10L).foreach { q =>
-      val rel = emb.keys.filter(_ != q).toSeq
-        .map(v => v -> micro(cos(emb(q), emb(v))))
-      val cand = rel.sortBy { case (v, m) => (-m, v) }.take(20)
-      val candSet = cand.toMap
-      var sel = Vector.empty[Long]
-      (1 to 5).foreach { _ =>
-        val pick = cand.filter(c => !sel.contains(c._1)).map { case (v, rm) =>
-          val maxsim = if (sel.isEmpty) 0L
-            else sel.map(s => micro(cos(emb(v), emb(s)))).max
-          val score = if (sel.isEmpty) 7L * rm else 7L * rm - 3L * maxsim
-          (v, score)
-        }.minBy { case (v, s) => (-s, v) }._1
-        sel :+= pick
-      }
-      sel.zipWithIndex.foreach { case (v, i) =>
-        assert(got((q, i + 1)) == v,
-          s"q=$q rk=${i + 1}: got ${got((q, i + 1))} want $v")
-      }
-      val byRel = cand.take(5).map(_._1)
-      if (sel != byRel.toVector) reordered = true
-      // rk1 is always the pure-relevance argmax
-      assert(sel.head == byRel.head)
-      assert(candSet.contains(sel.head))
-    }
-    assert(reordered,
-      "MMR never reordered any query's top-5 — diversity term is inert")
-  }
-
-  test("e26 regularity verdict replays a driver-side cv twin") {
-    val got = graft.queries.Events.e26BotRegularity(spark, dir).collect()
-      .map(r => r.getLong(0) ->
-        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
-    val ev = Tables.events(spark, dir)
-      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    val byUser = ev.groupBy(_._1).view.mapValues(
-      _.sortBy(e => (e._2, e._3)).map(_._2)).toMap
-    var regulars = 0; var irregulars = 0
-    byUser.foreach { case (u, ts) =>
-      val gaps = ts.zip(ts.tail).map { case (a, b) => (b - a) / 1000000L }
-      if (gaps.length >= 19) {
-        val n = gaps.length.toLong
-        val s = gaps.sum
-        val q = gaps.map(g => g * g).sum
-        val regular = (s > 0 &&
-          4 * (BigInt(n) * q - BigInt(s) * s) < BigInt(s) * s) || s == 0
-        assert(got(u) == ((n, s, q, regular)), s"user $u")
-        if (regular) regulars += 1 else irregulars += 1
-      } else assert(!got.contains(u), s"user $u under threshold leaked")
-    }
-    // the verdict must separate on this corpus, else the gate is vacuous
-    assert(irregulars > 0, "no irregular user found")
-  }
-
-  test("p24 excess loss is the LM difference and selection is a quartile") {
-    val rows = graft.queries.TextDedup.p24RhoSelect(spark, dir).collect()
-    assert(rows.nonEmpty)
-    var nSel = 0
-    rows.foreach { r =>
-      val (xc, xs, ex, p75) =
-        (r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))
-      // excess is the LM difference up to the independent round-6 snaps
-      assert(math.abs(ex - (xc - xs)) < 3e-6, s"doc ${r.getLong(0)}")
-      val sel = r.getBoolean(7)
-      assert(sel == (ex > p75))
-      if (sel) nSel += 1
-    }
-    // strict > against an interpolated p75 keeps at most a quarter
-    assert(nSel > 0 && nSel <= rows.length / 4 + 1,
-      s"$nSel selected of ${rows.length}")
-    // both signs of excess must occur (generic docs vs domain-specific)
-    assert(rows.exists(_.getDouble(5) < 0) && rows.exists(_.getDouble(5) > 0))
-  }
-
-  test("v12 Cox HR replays a driver-side Newton twin and brackets the CI") {
-    val got = graft.queries.Survival.v12CoxHazardRatio(spark, dir).collect()
-      .map(r => r.getString(0) -> r).toMap
-    assert(got.nonEmpty)
-    val rows = Tables.customer(spark, dir)
-      .filter(col("c_custkey") <= 2000)
-      .select(col("c_mktsegment"), col("c_nationkey"), col("c_custkey"))
-      .collect()
-      .map(r => (r.getString(0), r.getAs[Number](1).longValue % 2,
-        r.getAs[Number](2).longValue % 2 == 0,
-        r.getAs[Number](2).longValue % 97))
-    rows.groupBy(_._1).foreach { case (seg, ss) =>
-      // independent float Newton (no micro-snapping) — must agree to ~1e-4
-      val byTime = ss.groupBy(_._4).map { case (t, xs) =>
-        (t, xs.count(x => x._3 && x._2 == 1L), xs.count(_._3),
-          xs.count(_._2 == 0L), xs.count(_._2 == 1L))
-      }.toSeq.sortBy(_._1)
-      var atRisk0 = ss.count(_._2 == 0L); var atRisk1 = ss.count(_._2 == 1L)
-      val terms = byTime.map { case (t, d1, d, m0, m1) =>
-        val r = (t, d1, d, atRisk0, atRisk1)
-        atRisk0 -= m0; atRisk1 -= m1; r
-      }.filter(_._3 > 0)
-      var b = 0.0
-      var info = 0.0
-      (1 to 3).foreach { _ =>
-        var u = 0.0; var inf = 0.0
-        terms.foreach { case (_, d1, d, n0, n1) =>
-          val p = n1 * math.exp(b) / (n0 + n1 * math.exp(b))
-          u += d1 - d * p; inf += d * p * (1 - p)
-        }
-        info = inf
-        if (inf > 0) b += u / inf
-      }
-      val r = got(seg)
-      val (beta, hr, se, lo, hi) = (r.getDouble(3), r.getDouble(4),
-        r.getDouble(5), r.getDouble(6), r.getDouble(7))
-      assert(math.abs(beta - b) < 1e-3, s"$seg: engine $beta vs twin $b")
-      assert(math.abs(hr - math.exp(b)) < 1e-3, s"$seg hr")
-      assert(math.abs(se - 1.0 / math.sqrt(info)) < 1e-3, s"$seg se")
-      assert(lo < hr && hr < hi, s"$seg CI must bracket the HR")
-    }
-  }
-
-  test("e28 stationary profile: mass conserves and replays a driver twin") {
-    val got = graft.queries.Events.e28StationaryProfile(spark, dir).collect()
-      .map(r => r.getString(0) -> r.getLong(1))
-    // renormalization keeps total mass at 1e6 up to per-type half-up slack
-    assert(math.abs(got.map(_._2).sum - 1000000L) <= got.length,
-      s"mass=${got.map(_._2).sum}")
-    // driver twin: the same integer power iteration over the e19 matrix
-    val mat = graft.queries.Events.e19TransitionMatrix(spark, dir).collect()
-      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
-    def halfUp(num: BigInt, den: BigInt): Long = ((num + den / 2) / den).toLong
-    val p = mat.map { case (a, b, n, nf) =>
-      (a, b) -> halfUp(BigInt(n) * 1000000L, BigInt(nf)) }.toMap
-    val types = mat.map(_._1).distinct.sorted
-    var pi: Map[String, Long] =
-      types.map(_ -> (1000000L + types.length / 2) / types.length).toMap
-    (1 to 3).foreach { _ =>
-      val x = mat.map(_._2).distinct.map { j =>
-        j -> p.collect { case ((a, b), pm) if b == j && pi.contains(a) =>
-          BigInt(pi(a)) * pm }.sum
-      }.filter(_._2 > 0)
-      val z = x.map(_._2).sum
-      pi = x.map { case (t, v) => t -> halfUp(v * 1000000L, z) }.toMap
-    }
-    got.foreach { case (t, m) =>
-      assert(pi(t) == m, s"$t: engine $m vs twin ${pi(t)}")
-    }
-  }
-
-  test("sweep tables are monotone along their dials (d24, d26, p25)") {
-    // d24: fewer rows per band ⇒ more candidates; precision moves inversely
-    val d24 = graft.queries.TextDedup.d24BandSweep(spark, dir).collect()
-      .map(r => r.getInt(1) -> ((r.getLong(2), r.getLong(3)))).toMap
-    assert(d24(1)._1 >= d24(2)._1 && d24(2)._1 >= d24(4)._1,
-      s"candidates not monotone: $d24")
-    d24.values.foreach { case (cand, dups) => assert(dups <= cand) }
-    // d26: a stricter verdict can only shrink pairs and flagged docs
-    val d26 = graft.queries.TextDedup.d26ThresholdSweep(spark, dir).collect()
-      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
-    d26.toSeq.sliding(2).foreach { w =>
-      val (lo, hi) = (w.head, w.last)
-      assert(hi._2 <= lo._2 && hi._3 <= lo._3, s"$lo -> $hi")
-    }
-    // p25: hotter temperature (bigger λ) can only sample harder
-    graft.queries.TextDedup.p25TempSweep(spark, dir).collect().foreach { r =>
-      val (r25, k25) = (r.getLong(2), r.getLong(3))
-      val (r50, k50) = (r.getLong(4), r.getLong(5))
-      val (r100, k100) = (r.getLong(6), r.getLong(7))
-      assert(r25 >= r50 && r50 >= r100, s"rates not monotone: $r")
-      assert(k25 >= k50 && k50 >= k100, s"kept not monotone: $r")
-    }
-  }
-
-  test("d27 histogram reconciles with the corpus and the d8 labels") {
-    val hist = graft.queries.TextDedup.d27ComponentHistogram(spark, dir)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    val nDocs = Tables.documents(spark, dir).count()
-    assert(hist.map(_._3).sum == nDocs, "bucket docs must sum to the corpus")
-    hist.foreach { case (size, nc, docs) =>
-      assert(size >= 1 && nc >= 1 && docs == size * nc)
-    }
-    // the synthetic corpus has real dup clusters — the tail must exist
-    assert(hist.exists(_._1 > 1), "no multi-doc component found")
-  }
-
-  test("p27 expansion is the exact component closure of the named set") {
-    val lab = graft.queries.TextDedup.d8DedupComponents(spark, dir).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val named = lab.keySet.filter(_ % 97 == 0)
-    val hitComps = named.map(lab)
-    val closure = lab.filter { case (_, c) => hitComps(c) }.keySet
-    val got = graft.queries.TextDedup.p27DeletionPropagation(spark, dir)
-      .collect()
-    assert(got.map(_.getLong(2)).sum == named.size,
-      "named counts must reconcile")
-    assert(got.map(_.getLong(3)).sum == closure.size,
-      "expanded counts must equal the component closure")
-    assert(closure.size >= named.size)
-    got.foreach { r =>
-      assert(r.getLong(3) >= r.getLong(2) ||
-        // a named doc's copies may live under ANOTHER source — per-source
-        // expanded can undershoot named only if closure crosses sources
-        closure.size > named.size, r.toString)
-      val f = r.getDouble(5)
-      assert(f >= 0.0 && f <= 1.0)
-    }
-  }
-
-  test("p26 rates and t29 distances stay in bounds and reconcile") {
-    val docs = Tables.documents(spark, dir)
-      .groupBy(col("source")).count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val p26 = graft.queries.TextDedup
-      .p26ContaminationBySource(spark, dir).collect()
-    assert(p26.map(r => r.getString(0) -> r.getLong(1)).toMap == docs,
-      "per-source doc totals must reconcile with the corpus")
-    p26.foreach { r =>
-      assert(r.getLong(2) <= r.getLong(1))
-      val rate = r.getDouble(3)
-      assert(rate >= 0.0 && rate <= 1.0, r.toString)
-    }
-    val t29 = graft.queries.TextDedup.t29SplitDrift(spark, dir).collect()
-    assert(t29.nonEmpty)
-    t29.foreach { r =>
-      val tv = r.getDouble(4)
-      assert(tv >= 0.0 && tv <= 1.0, r.toString)
-      assert(r.getLong(1) > 0 && r.getLong(2) > 0, r.toString)
-    }
-    // drift must be non-degenerate: splits differ on a finite corpus
-    assert(t29.exists(_.getDouble(4) > 0))
-  }
-
-  test("e31 removal effects are non-negative, bounded, and shares sum to one") {
-    val rows = graft.queries.Events.e31MarkovAttribution(spark, dir).collect()
-    assert(rows.length == 4)
-    val base = rows.head.getDouble(1)
-    assert(base > 0 && base <= 1)
-    var shareSum = 0.0
-    rows.foreach { r =>
-      assert(r.getDouble(1) == base, "base conversion must be constant")
-      assert(r.getDouble(2) <= base + 1e-9,
-        "removing a channel cannot raise conversion")
-      val eff = r.getDouble(3)
-      assert(eff >= 0 && eff <= 1, r.toString)
-      shareSum += r.getDouble(4)
-    }
-    assert(math.abs(shareSum - 1.0) < 1e-4, s"shares sum to $shareSum")
-    // channels must differentiate (identical effects = degenerate chain)
-    assert(rows.map(_.getDouble(3)).distinct.length > 1)
-  }
-
-  test("t28 readability: exact counts, floors, and the flesch formula") {
-    val got = graft.queries.TextDedup.t28Readability(spark, dir).collect()
-      .map(r => r.getLong(0) ->
-        ((r.getInt(2), r.getInt(3), r.getInt(4), r.getDouble(5)))).toMap
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text")).collect()
-      .map(r => (r.getLong(0), r.getString(1)))
-    docs.take(2000).foreach { case (id, text) =>
-      val w = text.trim.toLowerCase.split("\\s+", -1).length
-      val s = math.max("[.!?]+".r.findAllIn(text).length, 1)
-      val y = math.max("[aeiouy]+".r.findAllIn(text.toLowerCase).length, 1)
-      val f = BigDecimal(206.835 - 1.015 * (w.toDouble / s)
-        - 84.6 * (y.toDouble / w))
-        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-      assert(got(id) == ((w, s, y, f)), s"doc $id: got ${got(id)} want ${(w, s, y, f)}")
-    }
-    // scores must spread (a constant score means a broken counter)
-    assert(got.values.map(_._4).toSet.size > 10)
+  test("winnowPairsCapped: the cap cuts hot-fingerprint pairs " +
+      "deterministically by doc_id rank") {
+    import spark.implicits._
+    // 5 docs all carrying fingerprints 10 and 20 (a hot bucket), plus
+    // docs 1 and 2 sharing the cold fingerprints 30 and 40
+    val fp = (for (id <- 1L to 5L; f <- Seq(10L, 20L)) yield (id, f))
+      .++(Seq((1L, 30L), (2L, 30L), (1L, 40L), (2L, 40L)))
+      .toDF("doc_id", "fp")
+    def pairsAt(cap: Int): Set[(Long, Long)] =
+      graft.queries.TextDedup.winnowPairsCapped(fp, cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // uncapped: all C(5,2) hot pairs (each shares fps 10 AND 20)
+    val un = pairsAt(Int.MaxValue)
+    assert(un == (for (a <- 1L to 5L; b <- a + 1 to 5L) yield (a, b)).toSet)
+    // cap 2: per fingerprint only doc_ids {1, 2} survive the rank —
+    // hot pairs collapse to (1,2); the cold fps 30/40 also pair (1,2)
+    assert(pairsAt(2) == Set((1L, 2L)))
+    // cap 3: hot bucket keeps {1,2,3} → pairs among them only
+    assert(pairsAt(3) ==
+      (for (a <- 1L to 3L; b <- a + 1 to 3L) yield (a, b)).toSet)
+    // a dropped pair survives via other uncapped fingerprints: give
+    // docs 4 and 5 two private cold fps — the hot-bucket cut no longer
+    // removes them from the answer
+    val fp2 = fp.unionAll(Seq((4L, 50L), (5L, 50L), (4L, 60L), (5L, 60L))
+      .toDF("doc_id", "fp"))
+    assert(graft.queries.TextDedup.winnowPairsCapped(fp2, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 2L), (4L, 5L)))
   }
 }
