@@ -413,13 +413,16 @@ object OraclesText {
   )
 
   val dedupCapped: Map[String, String] = Map(
-    // TextDedup.d6bJaccardCapped: stop-shingle df cut at 4, Jaccard in
+    // TextDedup.d6bJaccardCapped: scale-aware stop-shingle df cut
+    // (max(4, nDocs // 125) — mirrors stopShingleCap), Jaccard in
     // the filtered shingle space (sizes + intersections both capped).
     "d6b_jaccard_capped" ->
       s"""WITH $shingleCte,
          |capped AS (SELECT doc_id, shingle FROM (
          |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
-         |    FROM sidx) t WHERE df <= 4),
+         |    FROM sidx) t WHERE df <= (SELECT greatest(4, count(*)
+         |      // ${graft.queries.TextDedup.StopShingleDenom})
+         |    FROM documents)),
          |sizes AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY doc_id),
          |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
          |          FROM capped a JOIN capped b
@@ -592,13 +595,16 @@ object OraclesText {
          |WHERE round(CAST(shared AS DOUBLE) / sa.n, 6) >= 0.9
          |ORDER BY contained_id, container_id LIMIT 3000""".stripMargin,
 
-    // TextDedup.d9bContainmentCapped: df cut at 4, containment computed
+    // TextDedup.d9bContainmentCapped: scale-aware df cut (max(4,
+    // nDocs // 125) — mirrors stopShingleCap), containment computed
     // entirely in the filtered shingle space (sizes AND intersections).
     "d9b_containment_capped" ->
       s"""WITH $shingleCte,
          |capped AS (SELECT doc_id, shingle FROM (
          |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
-         |    FROM sidx) t WHERE df <= 4),
+         |    FROM sidx) t WHERE df <= (SELECT greatest(4, count(*)
+         |      // ${graft.queries.TextDedup.StopShingleDenom})
+         |    FROM documents)),
          |sizes AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY doc_id),
          |pairs AS (SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
          |            count(*) AS shared
@@ -3551,15 +3557,18 @@ object OraclesText {
          |        LEFT JOIN near ON hx.doc_id = near.new_id
          |WHERE hx.is_new ORDER BY doc_id""".stripMargin,
 
-    // Ingest.d13bIncrementalCapped: d13 with the df-4 stop-shingle
-    // valve — sizes, intersections, and Jaccard all in the capped
-    // shingle space (the d9b discipline); the exact-hash verdict is
-    // untouched by the valve.
+    // Ingest.d13bIncrementalCapped: d13 with the scale-aware
+    // stop-shingle valve (max(4, nDocs // 125) — mirrors
+    // stopShingleCap) — sizes, intersections, and Jaccard all in the
+    // capped shingle space (the d9b discipline); the exact-hash verdict
+    // is untouched by the valve.
     "d13b_incremental_capped" ->
       s"""WITH $shingleCte,
          |capped AS (SELECT doc_id, shingle FROM (
          |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
-         |    FROM sidx) t WHERE df <= 4),
+         |    FROM sidx) t WHERE df <= (SELECT greatest(4, count(*)
+         |      // ${graft.queries.TextDedup.StopShingleDenom})
+         |    FROM documents)),
          |tag AS (SELECT doc_id, (source IN ('src18', 'src19')) AS is_new
          |        FROM documents),
          |hx AS (SELECT doc_id,

@@ -206,7 +206,8 @@ object Ingest {
   def d13bIncrementalCapped(spark: SparkSession, dir: String): DataFrame =
     incrementalDedupOf(Tables.documents(spark, dir)
       .withColumn("is_new", col("source").isin(NewSources: _*)),
-      maxShingleDf = Some(4))
+      maxShingleDf = Some(TextDedup.stopShingleCap(
+        Tables.documents(spark, dir).count())))
 
   /** Bloom-gated exact incremental dedup (d19): the d13 exact-hash
     * verdict with the probe the 100-TB deployment actually runs FIRST —

@@ -434,10 +434,30 @@ object TextDedup {
     * between Σ df² and n². Jaccard is then computed in the filtered
     * shingle space (the standard stop-word approximation; sizes and
     * intersections use the same filtered index, so the ratio stays
-    * consistent).
+    * consistent). The cap is [[stopShingleCap]] — a fraction of corpus
+    * size, not a constant (r12).
     */
   def d6bJaccardCapped(spark: SparkSession, dir: String): DataFrame =
-    ngramJaccard(spark, dir, maxShingleDf = Some(4))
+    ngramJaccard(spark, dir, maxShingleDf =
+      Some(stopShingleCap(Tables.documents(spark, dir).count())))
+
+  /** Scale-aware stop-shingle valve: a shingle is boilerplate when it
+    * appears in more than 1/[[StopShingleDenom]] (0.8%) of the corpus's
+    * documents, floored at 4 so tiny corpora keep a working cut. The
+    * round-11 constant-4 valve had the wrong units: "hot" is a property
+    * of a shingle's df RELATIVE to the corpus — on a 10⁹-document lake a
+    * df-1000 shingle (one in 10⁶ docs) is a legitimate duplication
+    * signal that a constant cap silently discards, while a df-10⁷
+    * boilerplate header still blows the self-join up. Dividing by a
+    * fixed denominator keeps the kept-band's worst-case pair work at
+    * Σ df² ≤ nShingles·(n/denom)² — quadratic in the FRACTION, linear
+    * in corpus growth for a fixed df distribution — and the gate scale
+    * (500 docs) lands exactly on the old cap (max(4, 500/125) = 4), so
+    * the valve tightens/loosens only where corpus size says it should.
+    */
+  private[graft] val StopShingleDenom = 125L
+  private[graft] def stopShingleCap(nDocs: Long): Long =
+    math.max(4L, nDocs / StopShingleDenom)
 
   /** Drops shingles with document frequency above the cap.
     *
@@ -553,9 +573,11 @@ object TextDedup {
     * filtered size, not a deflated score against a raw size. Without
     * the shared-space discipline a capped numerator over a raw
     * denominator would silently under-report containment.
+    * The cap is the scale-aware [[stopShingleCap]] (r12).
     */
   def d9bContainmentCapped(spark: SparkSession, dir: String): DataFrame =
-    containmentPairs(spark, dir, maxShingleDf = Some(4))
+    containmentPairs(spark, dir, maxShingleDf =
+      Some(stopShingleCap(Tables.documents(spark, dir).count())))
 
   /** Winnowing fingerprint dedup (d30): the MOSS/Stanford local
     * fingerprinting scheme — every window of [[WinnowW]] consecutive

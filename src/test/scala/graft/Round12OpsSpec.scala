@@ -41,4 +41,50 @@ class Round12OpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
       Set((1L, 2L), (4L, 5L)))
   }
+
+  test("stopShingleCap: fraction of corpus size, floored at 4") {
+    import graft.queries.TextDedup.stopShingleCap
+    // tiny corpora: the floor holds (gate scale 500 lands exactly on 4)
+    assert(stopShingleCap(0L) == 4L)
+    assert(stopShingleCap(100L) == 4L)
+    assert(stopShingleCap(500L) == 4L)
+    // the valve loosens with corpus size: 0.8% of documents
+    assert(stopShingleCap(5000L) == 40L)
+    assert(stopShingleCap(50000000L) == 400000L)
+    // a df just under the fraction survives, just over is cut — the
+    // semantics the oracles mirror with greatest(4, count(*) // 125)
+    assert(stopShingleCap(624L) == 4L) // 624/125 = 4 (floor)
+    assert(stopShingleCap(625L) == 5L)
+  }
+
+  test("scale-aware valve: a fixed-df shingle flips from cut to kept " +
+      "as the corpus grows around it") {
+    import spark.implicits._
+    // 10 docs share one boilerplate 3-shingle line (df 10); two docs
+    // are genuine near-dups through their remaining text
+    def corpus(nFiller: Int) = {
+      val boiler = (1 to 10).map(i =>
+        (i.toLong, s"the same header line plus unique$i tail$i word$i"))
+      val filler = (101 to 100 + nFiller).map(i =>
+        (i.toLong, s"filler$i text$i body$i alpha$i beta$i gamma$i"))
+      (boiler ++ filler).toDF("doc_id", "text")
+    }
+    // kept postings of the 10 boilerplate docs only: each has 6
+    // shingles — 3 shared (df 10) + 3 unique (df 1)
+    def keptBoilerPostings(nFiller: Int): Long = {
+      val docs = corpus(nFiller)
+      val idx = graft.queries.TextDedup.shingleIndex(docs)
+      graft.queries.TextDedup.capShingleDf(idx,
+          graft.queries.TextDedup.stopShingleCap(docs.count()))
+        .filter(col("doc_id") <= 10L).count()
+    }
+    // small corpus (60 docs → cap 4): the df-10 boilerplate shingles
+    // are cut (30 kept); big corpus (1500 docs → cap 12): the same
+    // shingles are now below 0.8% of documents and survive (60 kept)
+    assert(keptBoilerPostings(50) == 30L)
+    assert(keptBoilerPostings(1490) == 60L)
+    // directly: df=10 > cap(60)=4 but ≤ cap(1500)=12
+    assert(graft.queries.TextDedup.stopShingleCap(60L) < 10L)
+    assert(graft.queries.TextDedup.stopShingleCap(1500L) >= 10L)
+  }
 }
