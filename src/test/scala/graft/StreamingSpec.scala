@@ -1737,4 +1737,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(fromStream == batch, s"stream rows=${fromStream.size}")
     assert(batch.nonEmpty)
   }
+
+  test("component-ledger maintainer: replayed increment shards converge " +
+      "to the batch d34 labels (d34 streaming twin)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val standing = docs.filter(col("doc_id") % 5 =!= 0)
+    val incRows = docs.filter(col("doc_id") % 5 === 0)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val m = new graft.streaming.CorpusStreams
+      .ComponentLedgerMaintainer(standing)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = m.attach(mem.toDS().toDF("doc_id", "text"))
+    try {
+      // three shards — components must knit across shard boundaries
+      val (sh1, rest) = incRows.splitAt(incRows.length / 3)
+      val (sh2, sh3) = rest.splitAt(rest.length / 2)
+      for (sh <- Seq(sh1, sh2, sh3) if sh.nonEmpty) {
+        mem.addData(sh.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = m.currentLedger.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = graft.queries.TextDedup
+      .d34IncrementalComponents(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch,
+      s"${streamed.size} streamed vs ${batch.size} batch labels; " +
+        s"diff=${(streamed.toSet diff batch.toSet).take(5)}")
+    // the replay genuinely crossed a shard boundary: some component
+    // holds docs from the standing corpus AND the increment
+    val flags = graft.queries.TextDedup
+      .d34IncrementalComponents(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getBoolean(2)))
+    assert(flags.groupBy(_._1).values
+      .exists(g => g.exists(_._2) && g.exists(!_._2)))
+  }
 }
