@@ -2750,6 +2750,35 @@ object OraclesText {
         |    // (3 * w * h) AS DOUBLE) / 1e6, 6) AS mean_channel
         |FROM s ORDER BY doc_id""".stripMargin,
 
+    // Multimodal.m12bColorStatsSampled: the same generator pixel
+    // arithmetic replayed at the stride-4 lattice only — a decoder
+    // misreading stride or origin cannot hash-match; n_sampled is the
+    // lattice cardinality ceil(w/4)·ceil(h/4) emitted by the loop.
+    "m12b_color_stats_sampled" ->
+      s"""WITH p AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image/bmp'
+        |         ELSE 'image/png' END AS media_type,
+        |    CAST(1 + doc_id % 64 AS BIGINT) AS w,
+        |    CAST(1 + doc_id % 48 AS BIGINT) AS h
+        |  FROM documents WHERE doc_id % 3 IN (0, 1)),
+        |px AS (SELECT p.doc_id, p.media_type, p.w, p.h,
+        |    ((p.doc_id % 16777216) * 31 + y.i * p.w + x.i) % 16777216 AS v
+        |  FROM p, range(0, 64) x(i), range(0, 48) y(i)
+        |  WHERE x.i < p.w AND y.i < p.h
+        |    AND x.i % ${graft.multimodal.Multimodal.M12SampleStride} = 0
+        |    AND y.i % ${graft.multimodal.Multimodal.M12SampleStride} = 0),
+        |s AS (SELECT doc_id, media_type, w, h,
+        |    CAST(count(*) AS BIGINT) AS n_sampled,
+        |    CAST(sum(v // 65536) AS BIGINT) AS sum_r,
+        |    CAST(sum((v // 256) % 256) AS BIGINT) AS sum_g,
+        |    CAST(sum(v % 256) AS BIGINT) AS sum_b
+        |  FROM px GROUP BY 1, 2, 3, 4)
+        |SELECT doc_id, media_type, w AS width, h AS height, n_sampled,
+        |  sum_r, sum_g, sum_b,
+        |  round(CAST(((sum_r + sum_g + sum_b) * 1000000 + (3 * n_sampled) // 2)
+        |    // (3 * n_sampled) AS DOUBLE) / 1e6, 6) AS mean_channel
+        |FROM s ORDER BY doc_id""".stripMargin,
+
     // Multimodal.m11PhashNearDup: the m6 pixel replay + 16-bit banding
     // over DISTINCT hashes with the 256-per-bucket hot-band cap (ranked
     // by phash string — identical '0'/'1' lexicographic order on both

@@ -1214,6 +1214,63 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Lattice stride for [[m12bColorStatsSampled]]: every 4th pixel in
+    * both axes → a deterministic 1/16 sample of the raster.
+    */
+  private[graft] val M12SampleStride = 4
+
+  /** Sampled-raster channel statistics (m12b): m12's per-sample color
+    * profile over a deterministic stride-4 pixel lattice instead of the
+    * full raster — the at-scale default, with full-raster m12 staying
+    * as the audit leg (the d9/d9b split). m12's cost at 10,000× bench
+    * scale is ~4× the decode itself because the per-pixel loop touches
+    * every pixel (370 s, exponent 0.85 — SCALE.md); the lattice cuts
+    * the loop 16× so the pass costs ≈ one decode, and for the
+    * wash-out/near-black ADMISSION read the statistic serves, a 1/16
+    * systematic sample of the raster answers the same question (the
+    * mean estimator is exact over the lattice, not an approximation of
+    * it — and the lattice is pinned cross-engine: the oracle replays
+    * the generator's pixel formula at exactly the same (x, y) grid, so
+    * a decoder misreading stride or origin cannot hash-match).
+    */
+  def m12bColorStatsSampled(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
+    val s = M12SampleStride
+    val stats = syntheticMedia(spark, dir)
+      .filter(_.media_type.startsWith("image/"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val img = readImage(r.content)
+          require(img != null, s"undecodable payload for doc ${r.doc_id}")
+          val (w, h) = (img.getWidth, img.getHeight)
+          var sr = 0L; var sg = 0L; var sb = 0L; var n = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sr += (rgb >> 16) & 0xff
+              sg += (rgb >> 8) & 0xff
+              sb += rgb & 0xff
+              n += 1
+              x += s
+            }
+            y += s
+          }
+          (r.doc_id, r.media_type, w.toLong, h.toLong, n, sr, sg, sb)
+        }
+      }
+      .toDF("doc_id", "media_type", "width", "height", "n_sampled",
+        "sum_r", "sum_g", "sum_b")
+    val n3 = col("n_sampled") * 3L
+    stats
+      .withColumn("mean_channel",
+        round(intDiv((col("sum_r") + col("sum_g") + col("sum_b")) * 1000000L
+          + intDiv(n3, lit(2L)), n3).cast("double") / 1e6, 6))
+      .orderBy(col("doc_id"))
+  }
+
   /** Global luminance histogram (m16): 16 exposure bins over the
     * REALLY-decoded raster of every still image, rolled up per format —
     * the corpus-level exposure profile a vision-data pipeline reads
@@ -1344,6 +1401,7 @@ object Multimodal {
     "m11_phash_neardup" -> (m11PhashNearDup _),
     "m13_hamming_curve" -> (m13HammingCurve _),
     "m12_color_stats" -> (m12ColorStats _),
+    "m12b_color_stats_sampled" -> (m12bColorStatsSampled _),
     "m1_media_features" -> (m1MediaFeatures _),
     "m2_frame_sample" -> (m2FrameSample _),
     "m3_thumbnail" -> (m3Thumbnail _),

@@ -87,4 +87,23 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(graft.queries.TextDedup.stopShingleCap(60L) < 10L)
     assert(graft.queries.TextDedup.stopShingleCap(1500L) >= 10L)
   }
+
+  test("m12b: stride-4 lattice covers every image m12 covers, with " +
+      "exact lattice cardinality and in-range means") {
+    val full = graft.multimodal.Multimodal.m12ColorStats(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val samp = graft.multimodal.Multimodal
+      .m12bColorStatsSampled(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(8)))
+    assert(samp.map(_._1).toSet == full.keySet, "doc coverage differs")
+    samp.foreach { case (id, w, h, n, mean) =>
+      assert((w, h) == full(id), s"dims for $id")
+      // x = 0, 4, 8, … < w → ceil(w/4) per axis
+      assert(n == ((w + 3) / 4) * ((h + 3) / 4), s"lattice count for $id")
+      assert(mean >= 0.0 && mean <= 255.0, s"mean for $id")
+    }
+    assert(samp.nonEmpty)
+  }
 }
