@@ -21,12 +21,45 @@ object OraclesText {
     s"sig AS (SELECT doc_id, $mins FROM sidx GROUP BY doc_id)"
   }
 
-  /** `(strpos(...)-1)*16^k` polynomial turning 4 hex chars into an int. */
-  private def hex4ToInt(h: String): String =
-    (0 until 4).map { i =>
-      val mult = math.pow(16, 3 - i).toLong
+  /** `(strpos(...)-1)*16^k` polynomial turning k hex chars into an int. */
+  private def hexToInt(h: String, k: Int): String =
+    (0 until k).map { i =>
+      val mult = math.pow(16, k - 1 - i).toLong
       s"(strpos('0123456789abcdef', substr($h, ${i + 1}, 1)) - 1) * $mult"
     }.mkString("(", " + ", ")")
+
+  private def hex4ToInt(h: String): String = hexToInt(h, 4)
+
+  /** Wide (20-bit / 5-hex) winnow fingerprint selections and capped
+    * pairs — mirrors TextDedup.winnowPairs (w = WinnowW, cap =
+    * WinnowSweepCap). Requires `tok` from [[shingleCte]]; yields
+    * wfp(doc_id, fp) and wpairs(id_a, id_b).
+    */
+  private val winnowPairCte: String = {
+    val cap = queries.TextDedup.WinnowSweepCap
+    val w = queries.TextDedup.WinnowW
+    s"""wsh0 AS (SELECT doc_id, unnest(range(1, len(toks)-1)) AS pos, toks
+       |  FROM tok WHERE len(toks) >= 3),
+       |wsh AS (SELECT doc_id, pos,
+       |    ${hexToInt("substr(md5(toks[pos] || ' ' || toks[pos+1] || ' ' || toks[pos+2]), 1, 5)", 5)} AS h
+       |  FROM wsh0),
+       |wenc AS (SELECT doc_id, pos,
+       |    h * 1099511627776 + (1099511627775 - pos) AS ek FROM wsh),
+       |wwin AS (SELECT doc_id,
+       |    min(ek) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS mk,
+       |    count(*) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS cnt
+       |  FROM wenc),
+       |wfp AS (SELECT DISTINCT doc_id, mk // 1099511627776 AS fp
+       |  FROM wwin WHERE cnt = $w),
+       |wfpc AS (SELECT doc_id, fp FROM (SELECT doc_id, fp,
+       |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+       |  FROM wfp) WHERE rk <= $cap),
+       |wpairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM wfpc a JOIN wfpc b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
+  }
 
   /** Connected components over the ≥0.8 Jaccard pair graph (mirrors
     * TextDedup.componentLabels): yields comp(doc_id, component). Requires
@@ -5280,9 +5313,91 @@ object OraclesText {
         |FROM b GROUP BY 1, 2 ORDER BY media_type, bucket""".stripMargin,
   )
 
+  val round15: Map[String, String] = Map(
+    // TextDedup.d31bCrossLangWinnow: d31's rollup over the capped wide
+    // winnow pair space (winnowPairCte mirrors the winnowPairs asset).
+    "d31b_crosslang_winnow" ->
+      s"""WITH $shingleCte,
+        |$winnowPairCte,
+        |lp AS (SELECT least(da.lang, db.lang) AS lang_lo,
+        |    greatest(da.lang, db.lang) AS lang_hi
+        |  FROM wpairs JOIN documents da ON wpairs.id_a = da.doc_id
+        |          JOIN documents db ON wpairs.id_b = db.doc_id),
+        |tot AS (SELECT count(*) AS n_all FROM lp)
+        |SELECT lang_lo, lang_hi, (lang_lo != lang_hi) AS cross_lang,
+        |  count(*) AS n_pairs,
+        |  round(CAST((CAST(count(*) AS HUGEINT) * 1000000 + tot.n_all // 2)
+        |    // tot.n_all AS BIGINT) / 1e6, 6) AS pair_share
+        |FROM lp, tot GROUP BY lang_lo, lang_hi, tot.n_all
+        |ORDER BY lang_lo, lang_hi""".stripMargin,
+
+    // TextDedup.d32bWinnowDfProfile: the d32 ladder over the wide
+    // winnow fingerprint df distribution (wfp from winnowPairCte).
+    "d32b_winnow_df_profile" ->
+      s"""WITH $shingleCte,
+        |$winnowPairCte,
+        |dfreq AS (SELECT fp, count(*) AS df FROM wfp GROUP BY 1),
+        |b AS (SELECT CAST(${graft.queries.TextDedup.pow2CaseSql("df")}
+        |    AS BIGINT) AS bucket_lo, df FROM dfreq),
+        |r AS (SELECT bucket_lo, count(*) AS n_fps,
+        |    CAST(sum(df) AS BIGINT) AS n_postings,
+        |    CAST(sum(CAST(df AS HUGEINT) * (df - 1)) AS HUGEINT) AS pw2
+        |  FROM b GROUP BY 1),
+        |tot AS (SELECT CAST(sum(pw2) AS HUGEINT) AS total_pw2 FROM r)
+        |SELECT bucket_lo, n_fps, n_postings,
+        |  CAST(pw2 // 2 AS BIGINT) AS pair_work,
+        |  round(CAST((pw2 * 1000000 + total_pw2 // 2) // total_pw2
+        |    AS BIGINT) / 1e6, 6) AS pair_work_share
+        |FROM r, tot ORDER BY bucket_lo""".stripMargin,
+
+    // TextDedup.p32bDedupEpochsWinnow: the p32 epoch table with keepers
+    // from the transitive closure over the capped winnow pairs — the
+    // oracle recomputes that closure from scratch, so the hash proves
+    // the Spark star contraction over the SAME pair space converges to
+    // identical min-id labels.
+    "p32b_dedup_epochs_winnow" -> {
+      val vals = graft.queries.TextDedup.p31EffMicro
+        .map { case (r, f) => s"($r, $f)" }.mkString(", ")
+      s"""WITH RECURSIVE $shingleCte,
+        |$winnowPairCte,
+        |wedges AS (SELECT id_a AS src, id_b AS dst FROM wpairs
+        |           UNION SELECT id_b, id_a FROM wpairs),
+        |wreach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT wreach.id, wedges.dst
+        |  FROM wreach JOIN wedges ON wreach.r = wedges.src),
+        |wcomp AS (SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component
+        |          FROM wreach GROUP BY id),
+        |dt AS (SELECT doc_id, source,
+        |    CAST(len(string_split_regex(trim(lower(text)), '\\s+'))
+        |      AS BIGINT) AS n
+        |  FROM documents),
+        |fl AS (SELECT dt.source, dt.n,
+        |    (wcomp.doc_id = wcomp.component) AS kp
+        |  FROM dt JOIN wcomp ON dt.doc_id = wcomp.doc_id),
+        |u AS (SELECT source, CAST(sum(n) AS BIGINT) AS u_raw,
+        |    CAST(sum(CASE WHEN kp THEN n ELSE 0 END) AS BIGINT) AS u_unique
+        |  FROM fl GROUP BY 1),
+        |f AS (SELECT * FROM (VALUES $vals) t(r_epochs, f_micro)),
+        |x AS (SELECT u.source, CAST(f.r_epochs AS BIGINT) AS r_epochs,
+        |    u.u_raw, u.u_unique,
+        |    CAST(u.u_raw * f.r_epochs AS BIGINT) AS budget_tokens,
+        |    CAST((CAST(u.u_unique AS HUGEINT) * f.f_micro + 500000)
+        |      // 1000000 AS BIGINT) AS eff_tokens
+        |  FROM u, f)
+        |SELECT source, r_epochs, u_raw, u_unique, budget_tokens, eff_tokens,
+        |  round(CAST((CAST(eff_tokens AS HUGEINT) * 1000000
+        |      + budget_tokens // 2)
+        |    // budget_tokens AS BIGINT) / 1e6, 6) AS eff_vs_raw
+        |FROM x ORDER BY source, r_epochs""".stripMargin
+    },
+  )
+
   def all: Map[String, String] =
     dedup ++ dedupCapped ++ dedupDecision ++ dedupComponents ++ containment ++
       decontamination ++ simhash ++ text ++ xent ++ pipeline ++ similarity ++
       events ++ multimodal ++ multimodalManifest ++ survival ++ ingest ++
-      curation ++ release ++ round11 ++ round10 ++ round12 ++ round14
+      curation ++ release ++ round11 ++ round10 ++ round12 ++ round14 ++
+      round15
 }

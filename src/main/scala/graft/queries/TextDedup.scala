@@ -616,7 +616,13 @@ object TextDedup {
     * d33 sweep both select over it, so the expensive explode+md5 pass
     * exists once.
     */
-  private[graft] def winnowHashed(docs: DataFrame): DataFrame = {
+  /** `hexChars` widens the fingerprint space: 4 (default, d30/d33) →
+    * 16-bit; 5 → 20-bit for the at-scale [[winnowPairs]] asset, where
+    * 65k buckets over a lake-sized corpus would make EVERY bucket hot
+    * (h < 2²⁰ keeps the composite h·2⁴⁰ + pos key inside a long).
+    */
+  private[graft] def winnowHashed(docs: DataFrame,
+      hexChars: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wLead = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     docs
@@ -626,7 +632,7 @@ object TextDedup {
       .filter(col("t2").isNotNull)
       .select(col("doc_id"), col("pos"),
         (conv(substring(fastMd5(concat_ws(" ", col("tok"), col("t1"),
-          col("t2"))), 1, 4), 16, 10).cast("long") * 1099511627776L +
+          col("t2"))), 1, hexChars), 16, 10).cast("long") * 1099511627776L +
           (lit(1099511627775L) - col("pos"))).as("ek"))
   }
 
@@ -681,6 +687,35 @@ object TextDedup {
       .agg(count(lit(1)).as("ns")).filter(col("ns") >= 2)
       .select(col("id_a"), col("id_b"))
   }
+
+  /** The SPILL-BOUNDED pair source for at-scale compositions (r12,
+    * round-11 directive 4): winnow-selected fingerprints (w = 4, so the
+    * index holds ~2/(w+1) = 40% of postings) in the WIDE 20-bit hash
+    * space, capped per fingerprint at [[WinnowSweepCap]], paired on ≥ 2
+    * shared selections, MATERIALIZED once per (run, dir) like
+    * [[dupPairs]]. Where the exact pair asset's raw-shingle self-join
+    * spills >60 GB at 16 GB input (SCALE.md box limit), this source's
+    * shuffles are the winnow window (linear in tokens) and a
+    * posting-list join whose worst bucket is CAP²/2 — the d6b trade at
+    * the ASSET level: downstream compositions (d31b, p32b) read a
+    * recall-traded pair space whose semantics are exactly gated, while
+    * the dupPairs compositions remain the exact audit legs.
+    */
+  private[graft] def winnowPairs(spark: SparkSession, dir: String): DataFrame = {
+    val path = winnowPairPaths.computeIfAbsent(dir, _ => {
+      val p = graft.RunAssets.register(
+        s"${System.getProperty("java.io.tmpdir")}/graft-winnowpairs-" +
+        s"$dupPairRunId-${dupPairSeq.getAndIncrement()}.parquet")
+      val fp = winnowSelect(
+        winnowHashed(Tables.documents(spark, dir), hexChars = 5), WinnowW)
+      winnowPairsCapped(fp, WinnowSweepCap)
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    spark.read.parquet(path)
+  }
+  private val winnowPairPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   def d30Winnowing(spark: SparkSession, dir: String): DataFrame = {
     val fp = winnowFingerprints(Tables.documents(spark, dir))
@@ -3834,11 +3869,24 @@ object TextDedup {
     * move), with one broadcast total for the half-up pair-share
     * division. Output is ≤ |langs|² rows with a cross_lang flag.
     */
-  def d31CrossLangPairs(spark: SparkSession, dir: String): DataFrame = {
+  def d31CrossLangPairs(spark: SparkSession, dir: String): DataFrame =
+    crossLangMixOf(spark, dir, dupPairs(spark, dir))
+
+  /** d31 over the spill-bounded [[winnowPairs]] asset (d31b) — the
+    * at-scale leg of the cross-language audit: identical rollup, pair
+    * source traded from the exact ≥0.8-Jaccard table to the capped
+    * winnow space so the composition can run where the raw-shingle
+    * asset cannot even materialize (the sf1000 disk limit, SCALE.md).
+    */
+  def d31bCrossLangWinnow(spark: SparkSession, dir: String): DataFrame =
+    crossLangMixOf(spark, dir, winnowPairs(spark, dir))
+
+  private def crossLangMixOf(spark: SparkSession, dir: String,
+      pairs: DataFrame): DataFrame = {
     import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
     val langs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"))
-    val lp = dupPairs(spark, dir).select(col("id_a"), col("id_b"))
+    val lp = pairs.select(col("id_a"), col("id_b"))
       .join(langs.select(col("doc_id").as("id_a"), col("lang").as("lang_a")),
         Seq("id_a"))
       .join(langs.select(col("doc_id").as("id_b"), col("lang").as("lang_b")),
@@ -3875,12 +3923,31 @@ object TextDedup {
     * duplication wastes. One corpus pass + the asset join; the ×|R|
     * fan-out explodes a |sources|-row aggregate.
     */
-  def p32DedupEpochs(spark: SparkSession, dir: String): DataFrame = {
+  def p32DedupEpochs(spark: SparkSession, dir: String): DataFrame =
+    dedupEpochsOf(spark, dir, componentLabels(spark, dir))
+
+  /** p32 with keepers from the spill-bounded [[winnowPairs]] component
+    * graph (p32b) — the at-scale leg: star contraction runs over the
+    * capped winnow pairs (a graph the box can build at any rehearsal
+    * scale), and the epoch table reads its min-id keepers. The exact
+    * componentLabels leg stays the audit path, the d9/d9b split.
+    */
+  def p32bDedupEpochsWinnow(spark: SparkSession, dir: String): DataFrame = {
+    val ids = Tables.documents(spark, dir).select(col("doc_id").as("id"))
+    val pairs = winnowPairs(spark, dir)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val (labels, _) = starContractComponents(ids, pairs)
+    dedupEpochsOf(spark, dir,
+      labels.select(col("id").as("doc_id"), col("component")))
+  }
+
+  private def dedupEpochsOf(spark: SparkSession, dir: String,
+      labels: DataFrame): DataFrame = {
     import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
     val dec = (c: Column) => c.cast("decimal(38,0)")
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), size(toks).cast("long").as("n"))
-    val keepers = componentLabels(spark, dir)
+    val keepers = labels
       .filter(col("doc_id") === col("component"))
       .select(col("doc_id"), lit(1L).as("kp"))
     val u = docs.join(keepers, Seq("doc_id"), "left")
@@ -3927,18 +3994,38 @@ object TextDedup {
     * multiply (a boilerplate shingle across 10⁸ docs wraps a Long), and
     * the share is one half-up micro division per bucket.
     */
-  def d32ShingleDfProfile(spark: SparkSession, dir: String): DataFrame = {
+  def d32ShingleDfProfile(spark: SparkSession, dir: String): DataFrame =
+    dfProfileOf(
+      shingleIndex(Tables.documents(spark, dir))
+        .groupBy(col("shingle")).agg(count(lit(1)).as("df")),
+      keyCount = "n_shingles")
+
+  /** Winnow-index df profile (d32b): d32's histogram over the WIDE
+    * winnow fingerprint index — the index the at-scale pair source
+    * ([[winnowPairs]]) actually builds, so this is the pair-work audit
+    * for the spill-bounded path: the top buckets' share says how much
+    * of the posting join [[WinnowSweepCap]] removes. One winnow pass, a
+    * |fingerprint-space|-bounded agg, the same generated CASE ladder.
+    */
+  def d32bWinnowDfProfile(spark: SparkSession, dir: String): DataFrame =
+    dfProfileOf(
+      winnowSelect(
+        winnowHashed(Tables.documents(spark, dir), hexChars = 5), WinnowW)
+        .groupBy(col("fp")).agg(count(lit(1)).as("df")),
+      keyCount = "n_fps")
+
+  private def dfProfileOf(dfreq: DataFrame,
+      keyCount: String): DataFrame = {
     import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
     val dec = (c: Column) => c.cast("decimal(38,0)")
-    val rows = shingleIndex(Tables.documents(spark, dir))
-      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val rows = dfreq
       .select(expr(pow2CaseSql("df")).cast("long").as("bucket_lo"), col("df"))
       .groupBy(col("bucket_lo"))
-      .agg(count(lit(1)).as("n_shingles"), sum(col("df")).as("n_postings"),
+      .agg(count(lit(1)).as(keyCount), sum(col("df")).as("n_postings"),
         sum(dec(col("df")) * (dec(col("df")) - 1)).as("pw2"))
     val tot = rows.agg(sum(col("pw2")).as("total_pw2"))
     rows.crossJoin(broadcast(tot))
-      .select(col("bucket_lo"), col("n_shingles"), col("n_postings"),
+      .select(col("bucket_lo"), col(keyCount), col("n_postings"),
         intDiv(col("pw2"), lit(2L)).cast("long").as("pair_work"),
         round(intDiv(col("pw2") * 1000000L + intDiv(col("total_pw2"),
           lit(2L)), col("total_pw2")).cast("double") / 1e6, 6)
@@ -4178,6 +4265,9 @@ object TextDedup {
     "d34_incremental_components" -> (d34IncrementalComponents _),
     "d33_winnow_sweep" -> ((s: SparkSession, d: String) => d33WinnowSweep(s, d)),
     "d32_shingle_df_profile" -> (d32ShingleDfProfile _),
+    "d31b_crosslang_winnow" -> (d31bCrossLangWinnow _),
+    "d32b_winnow_df_profile" -> (d32bWinnowDfProfile _),
+    "p32b_dedup_epochs_winnow" -> (p32bDedupEpochsWinnow _),
     "p33_source_lorenz" -> (p33SourceLorenz _),
     "d31_cross_lang_pairs" -> (d31CrossLangPairs _),
     "p32_dedup_epochs" -> (p32DedupEpochs _),

@@ -88,6 +88,57 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(graft.queries.TextDedup.stopShingleCap(1500L) >= 10L)
   }
 
+  test("winnowPairs asset: matches a from-scratch driver twin in the " +
+      "wide 20-bit space; memoized across calls") {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    // first 5 hex chars of md5 = top 20 bits: d0 << 12 | d1 << 4 | d2 >> 4
+    def hashesOf(text: String): Array[Long] = {
+      val ts = text.trim.toLowerCase.split("\\s+")
+      if (ts.length < 3) Array.empty
+      else ts.sliding(3).map { sh =>
+        md.reset()
+        val d = md.digest(sh.mkString(" ").getBytes("UTF-8"))
+        ((d(0) & 0xffL) << 12) | ((d(1) & 0xffL) << 4) |
+          ((d(2) & 0xf0L) >> 4)
+      }.toArray
+    }
+    val w = graft.queries.TextDedup.WinnowW
+    val cap = graft.queries.TextDedup.WinnowSweepCap
+    val fps = docs.map { case (id, t) =>
+      val hs = hashesOf(t)
+      id -> (if (hs.length < w) Set.empty[Long]
+        else (0 to hs.length - w).map { i =>
+          (i until i + w)
+            .map(j => hs(j) * 1099511627776L + (1099511627775L - j)).min
+        }.map(_ / 1099511627776L).toSet)
+    }
+    val posting = fps.flatMap { case (id, s) => s.map(f => (f, id)) }
+      .groupBy(_._1).view
+      .mapValues(_.map(_._2).sorted.take(cap).toSet).toMap
+    val expected = (for {
+      (a, fa) <- fps; (b, fb) <- fps
+      if a < b
+      shared = (fa & fb).count(f =>
+        posting(f).contains(a) && posting(f).contains(b))
+      if shared >= 2
+    } yield (a, b)).toSet
+    val got = graft.queries.TextDedup.winnowPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected,
+      s"got ${got.size} pairs, expected ${expected.size}; " +
+        s"diff=${(got diff expected).take(3)} / ${(expected diff got).take(3)}")
+    assert(got.nonEmpty, "the harness corpus has near-dups; the wide " +
+      "winnow index must recover some of them")
+    // the memo returns the same materialization (one registered path)
+    val n1 = graft.RunAssets.registered.count(_.contains("winnowpairs"))
+    graft.queries.TextDedup.winnowPairs(spark, dir).count()
+    val n2 = graft.RunAssets.registered.count(_.contains("winnowpairs"))
+    assert(n1 == n2 && n1 >= 1)
+  }
+
   test("m12b: stride-4 lattice covers every image m12 covers, with " +
       "exact lattice cardinality and in-range means") {
     val full = graft.multimodal.Multimodal.m12ColorStats(spark, dir)
