@@ -26,6 +26,31 @@ object Oracles {
   }
 
   val relational: Map[String, String] = Map(
+    // Relational.q34SupplierHhi: per-row 4-decimal grid snap, HUGEINT
+    // unit sums, half-up micro shares, HHI = Σ share² divided once at
+    // presentation — identical integer path on both engines.
+    "q34_supplier_hhi" ->
+      """WITH rev AS (SELECT n_name, s_suppkey,
+        |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+        |      * 10000.0) AS BIGINT)) AS HUGEINT) AS units
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |sh AS (SELECT n_name, units,
+        |    CAST(sum(units) OVER (PARTITION BY n_name) AS HUGEINT) AS tot
+        |  FROM rev),
+        |sm AS (SELECT n_name, tot,
+        |    CAST((units * 1000000 + tot // 2) // tot AS BIGINT)
+        |      AS share_micro
+        |  FROM sh)
+        |SELECT n_name, count(*) AS n_suppliers,
+        |  round(CAST(max(tot) AS DOUBLE) / 1e4, 2) AS revenue,
+        |  round(CAST(sum(CAST(share_micro AS HUGEINT) * share_micro)
+        |    AS DOUBLE) / 1e12, 6) AS hhi,
+        |  round(CAST(max(share_micro) AS DOUBLE) / 1e6, 6) AS top_share
+        |FROM sm GROUP BY n_name ORDER BY n_name""".stripMargin,
+
     // Relational.q32BasketPairs: identical DISTINCT-items basket,
     // within-order pair join, support filter, and total-order top-100.
     "q32_basket_pairs" ->

@@ -5394,10 +5394,108 @@ object OraclesText {
     },
   )
 
+  val round15b: Map[String, String] = Map(
+    // Events.e36GapHistogram: e23's lag-derived gap facts (same
+    // ordering, later event's type), d32's CASE ladder over whole
+    // seconds, half-up shares per type.
+    "e36_gap_histogram" ->
+      s"""WITH x AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |gp AS (SELECT event_type,
+        |    us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |      AS gap_us
+        |  FROM x),
+        |b AS (SELECT event_type,
+        |    CAST(${graft.queries.TextDedup.pow2CaseSql("(gap_us // 1000000)")}
+        |      AS BIGINT) AS bucket_lo
+        |  FROM gp WHERE gap_us IS NOT NULL),
+        |g AS (SELECT event_type, bucket_lo, count(*) AS n_gaps
+        |  FROM b GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(sum(n_gaps) AS BIGINT) AS n_type
+        |  FROM g GROUP BY 1)
+        |SELECT g.event_type, g.bucket_lo, g.n_gaps,
+        |  round(CAST((CAST(g.n_gaps AS HUGEINT) * 1000000 + t.n_type // 2)
+        |    // t.n_type AS BIGINT) / 1e6, 6) AS share
+        |FROM g JOIN t USING (event_type)
+        |ORDER BY g.event_type, g.bucket_lo""".stripMargin,
+
+    // TextDedup.d35ClusterSizeProfile: the d8 closure (componentCte),
+    // component sizes through the CASE ladder, half-up doc shares.
+    "d35_cluster_size_profile" ->
+      s"""WITH RECURSIVE $shingleCte,
+        |$componentCte,
+        |cs AS (SELECT component, count(*) AS csize FROM comp GROUP BY 1),
+        |b AS (SELECT CAST(${graft.queries.TextDedup.pow2CaseSql("csize")}
+        |    AS BIGINT) AS bucket_lo, csize FROM cs),
+        |r AS (SELECT bucket_lo, count(*) AS n_clusters,
+        |    CAST(sum(csize) AS BIGINT) AS n_docs
+        |  FROM b GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_all FROM r)
+        |SELECT bucket_lo, n_clusters, n_docs,
+        |  round(CAST((CAST(n_docs AS HUGEINT) * 1000000 + tot.n_all // 2)
+        |    // tot.n_all AS BIGINT) / 1e6, 6) AS doc_share
+        |FROM r, tot ORDER BY bucket_lo""".stripMargin,
+
+    // TextDedup.t34ZipfFit: (freq DESC, token) rank over the vocabulary
+    // aggregate, top-256, micro-snapped lns, t31's exact-OLS tail.
+    "t34_zipf_fit" ->
+      s"""WITH tk AS (SELECT lang,
+        |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+        |  FROM documents),
+        |fq AS (SELECT lang, token, count(*) AS f FROM tk GROUP BY 1, 2),
+        |rk AS (SELECT lang, f,
+        |    row_number() OVER (PARTITION BY lang ORDER BY f DESC, token)
+        |      AS rank
+        |  FROM fq),
+        |xy AS (SELECT lang,
+        |    CAST(round(ln(CAST(rank AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+        |    CAST(round(ln(CAST(f AS DOUBLE)) * 1e6) AS BIGINT) AS y
+        |  FROM rk WHERE rank <= ${graft.queries.TextDedup.ZipfTopK}),
+        |m AS (SELECT lang, count(*) AS n_fit,
+        |    CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+        |    CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+        |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+        |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+        |  FROM xy GROUP BY 1)
+        |SELECT lang, n_fit,
+        |  CAST(((n_fit * sxy - sx * sy) * 1000000
+        |      + (n_fit * sxx - sx * sx) // 2)
+        |    // (n_fit * sxx - sx * sx) AS BIGINT) / 1e6 AS zipf_slope,
+        |  CAST((sxx * sy - sx * sxy
+        |      + (n_fit * sxx - sx * sx) // 2)
+        |    // (n_fit * sxx - sx * sx) AS BIGINT) / 1e6 AS ln_c
+        |FROM m ORDER BY lang""".stripMargin,
+
+    // Embeddings.s31NormProfile: per-row ‖x‖² snapped at 6 decimals
+    // (the s21/s30 snap point) into micro integers; HUGEINT sums,
+    // half-up mean, integer cross-multiplied outlier verdict.
+    "s31_norm_profile" ->
+      s"""WITH n AS (SELECT label,
+        |    CAST(round(round(${dotSql("embedding", "embedding")}, 6)
+        |      * 1000000) AS BIGINT) AS n2_micro
+        |  FROM embeddings),
+        |a AS (SELECT label, count(*) AS n_vecs,
+        |    CAST(sum(CAST(n2_micro AS HUGEINT)) AS HUGEINT) AS sum_micro,
+        |    min(n2_micro) AS min_micro, max(n2_micro) AS max_micro
+        |  FROM n GROUP BY 1),
+        |o AS (SELECT n.label, count(*) AS n_outliers
+        |  FROM n JOIN a ON n.label = a.label
+        |  WHERE CAST(n.n2_micro AS HUGEINT) * a.n_vecs > a.sum_micro * 2
+        |  GROUP BY 1)
+        |SELECT a.label, a.n_vecs,
+        |  round(CAST((a.sum_micro + a.n_vecs // 2) // a.n_vecs AS BIGINT)
+        |    / 1e6, 6) AS mean_norm2,
+        |  round(CAST(a.min_micro AS DOUBLE) / 1e6, 6) AS min_norm2,
+        |  round(CAST(a.max_micro AS DOUBLE) / 1e6, 6) AS max_norm2,
+        |  CAST(coalesce(o.n_outliers, 0) AS BIGINT) AS n_outliers
+        |FROM a LEFT JOIN o ON a.label = o.label
+        |ORDER BY a.label""".stripMargin,
+  )
+
   def all: Map[String, String] =
     dedup ++ dedupCapped ++ dedupDecision ++ dedupComponents ++ containment ++
       decontamination ++ simhash ++ text ++ xent ++ pipeline ++ similarity ++
       events ++ multimodal ++ multimodalManifest ++ survival ++ ingest ++
       curation ++ release ++ round11 ++ round10 ++ round12 ++ round14 ++
-      round15
+      round15 ++ round15b
 }

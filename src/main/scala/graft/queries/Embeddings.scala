@@ -1378,7 +1378,53 @@ object Embeddings {
     out
   }
 
+  /** Embedding norm audit (s31): per label, the L2-norm² profile
+    * (mean/min/max) and the count of >2×-mean outliers — the health
+    * screen run BEFORE any cosine machinery is trusted: unnormalized or
+    * norm-skewed vectors make inner product diverge from cosine,
+    * inflate s28's anisotropy read, and let one hot vector dominate
+    * centroid updates (s10/s12). Exactness: ‖x‖² is one codegen'd
+    * float-fold per row snapped at 6 decimals (exactly where s21/s30
+    * snap their dots), accumulated as micro integers in DECIMAL(38,0);
+    * the outlier verdict is an integer cross-multiplication
+    * (n2·n > 2·Σn2 — no division crosses an engine). Shape: one scan
+    * to a slim (label, micro) frame, a |labels|-row aggregate broadcast
+    * back for the outlier count — the embedding payload never shuffles.
+    */
+  def s31NormProfile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftfn.GraftExpressions.{floatVecDot, intDiv}
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val n2 = Tables.embeddings(spark, dir)
+      .select(col("label"),
+        round(round(floatVecDot(col("embedding"), col("embedding"))
+          .cast("double"), 6) * 1e6).cast("long").as("n2_micro"))
+      .persist()
+    n2.count() // eager: the aggregate and the outlier probe both read it
+    val agg = n2.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"), sum(dec(col("n2_micro"))).as("sum_micro"),
+        min(col("n2_micro")).as("min_micro"),
+        max(col("n2_micro")).as("max_micro"))
+    val outliers = n2
+      .join(broadcast(agg.select(col("label"), col("n_vecs").as("nv"),
+        col("sum_micro").as("sm"))), Seq("label"))
+      .filter(dec(col("n2_micro")) * col("nv") > col("sm") * 2)
+      .groupBy(col("label")).agg(count(lit(1)).as("n_outliers"))
+    val out = agg.join(outliers, Seq("label"), "left")
+      .select(col("label"), col("n_vecs"),
+        round(intDiv(col("sum_micro") + intDiv(col("n_vecs"), lit(2L)),
+          col("n_vecs")).cast("double") / 1e6, 6).as("mean_norm2"),
+        round(col("min_micro").cast("double") / 1e6, 6).as("min_norm2"),
+        round(col("max_micro").cast("double") / 1e6, 6).as("max_norm2"),
+        coalesce(col("n_outliers"), lit(0L)).as("n_outliers"))
+      .orderBy(col("label"))
+      .persist()
+    out.count() // |labels| rows: pin the audit, free the micro frame
+    n2.unpersist()
+    out
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s31_norm_profile" -> (s31NormProfile _),
     "s30_pq_distortion" -> (s30PqDistortion _),
     "s29_code_balance" -> (s29CodeBalance _),
     "s28_anisotropy" -> (s28Anisotropy _),

@@ -1589,7 +1589,40 @@ object Events {
       .orderBy(col("event_type"), col("lag"))
   }
 
+  /** Inter-event gap distribution (e36): per event type, the power-of-
+    * two histogram of the gap (in whole seconds) between a user's
+    * consecutive events, with half-up shares — e23 reads three
+    * percentile points off this distribution; e36 is the full shape the
+    * bot/batching screens actually look at (sub-second spikes = scripted
+    * bursts, a day-scale mode = humans returning; one distribution per
+    * type makes the contrast readable). COMPOSES the shared
+    * [[gapFrame]] extraction (one user-keyed lag pass, the same facts
+    * the streaming gapFacts twin emits) and d32's generated CASE ladder
+    * — no log2 float crossing; the share's per-type total rides a
+    * window over the ≤ |types|·buckets aggregate (the e33 bounded-frame
+    * argument). Zero-gap pairs (same-second arrivals) land in the
+    * bucket_lo = 1 bucket with everything under 2 s.
+    */
+  def e36GapHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
+    val g = gapFrame(Tables.events(spark, dir))
+      .select(col("event_type"),
+        expr(graft.queries.TextDedup.pow2CaseSql("(gap_us div 1000000)"))
+          .cast("long").as("bucket_lo"))
+      .groupBy(col("event_type"), col("bucket_lo"))
+      .agg(count(lit(1)).as("n_gaps"))
+    g.withColumn("n_type", sum(col("n_gaps")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type"))))
+      .select(col("event_type"), col("bucket_lo"), col("n_gaps"),
+        round(intDiv(col("n_gaps") * 1000000L
+            + intDiv(col("n_type"), lit(2L)),
+          col("n_type")).cast("double") / 1e6, 6).as("share"))
+      .orderBy(col("event_type"), col("bucket_lo"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e36_gap_histogram" -> (e36GapHistogram _),
     "e35_lag_sweep" -> ((s: SparkSession, d: String) => e35LagSweep(s, d)),
     "e34_diurnal_autocorr" -> (e34DiurnalAutocorr _),
     "e33_hour_uniformity" -> (e33HourUniformity _),

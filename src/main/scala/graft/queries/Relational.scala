@@ -655,7 +655,50 @@ object Relational {
       .limit(100)
   }
 
+  /** Supplier revenue concentration per nation (q34): Herfindahl index
+    * over each nation's supplier revenue shares — the supply-chain
+    * concentration read (an HHI near 1 means one supplier IS the
+    * nation's flow and any rebalancing fights it; the p33 Gini story
+    * on the relational side). Exactness: revenue snaps to its 4-decimal
+    * grid per row and sums as DECIMAL(38,0) (the gridSum discipline —
+    * order-insensitive at any partitioning); each supplier's micro
+    * share is one half-up division, HHI sums the SQUARED micro shares
+    * exactly and divides once at presentation. Shape: dims broadcast,
+    * one fact groupBy to (nation, supplier) — the share window then
+    * runs over that |suppliers|-bounded aggregate, the e33 argument.
+    */
+  def q34SupplierHhi(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
+    val li = Tables.lineitem(spark, dir)
+    val sup = Tables.supplier(spark, dir)
+    val nat = Tables.nation(spark, dir)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val rev = li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+      .groupBy(col("n_name"), col("s_suppkey"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+        * 10000).cast("long").cast("decimal(38,0)")).as("units"))
+    val shared = rev
+      .withColumn("tot", sum(col("units")).over(
+        Window.partitionBy(col("n_name"))))
+      .withColumn("share_micro",
+        intDiv(col("units") * 1000000L + intDiv(col("tot"), lit(2L)),
+          col("tot")).cast("long"))
+    shared.groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        max(col("tot")).as("tot_units"),
+        sum(dec(col("share_micro")) * dec(col("share_micro"))).as("ssq"),
+        max(col("share_micro")).as("top_micro"))
+      .select(col("n_name"), col("n_suppliers"),
+        round(col("tot_units").cast("double") / 1e4, 2).as("revenue"),
+        round(col("ssq").cast("double") / 1e12, 6).as("hhi"),
+        round(col("top_micro").cast("double") / 1e6, 6).as("top_share"))
+      .orderBy(col("n_name"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_supplier_hhi" -> (q34SupplierHhi _),
     "q32_basket_pairs" -> (q32BasketPairs _),
     "q28_revenue_share" -> (q28RevenueShare _),
     "q29_window_battery" -> (q29WindowBattery _),

@@ -4033,6 +4033,78 @@ object TextDedup {
       .orderBy(col("bucket_lo"))
   }
 
+  /** Duplicate-cluster size profile (d35): the power-of-two histogram
+    * of d8 component sizes — how the corpus's duplication mass is
+    * shaped (many pairs vs a few mega-clusters), the reading that
+    * decides whether canonical-selection (d17) or hot-cluster capping
+    * (m11's clusterCap) is the binding control. COMPOSES the
+    * [[componentLabels]] asset (no re-shingling, the d31/p32
+    * discipline): one |docs|-row groupBy to component sizes, the d32
+    * CASE ladder, a ≤42-row rollup with half-up doc shares. Singletons
+    * land in bucket_lo = 1 — their share is exactly the corpus's
+    * unique fraction, read directly off the first row.
+    */
+  def d35ClusterSizeProfile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
+    val rows = componentLabels(spark, dir)
+      .groupBy(col("component")).agg(count(lit(1)).as("csize"))
+      .select(expr(pow2CaseSql("csize")).cast("long").as("bucket_lo"),
+        col("csize"))
+      .groupBy(col("bucket_lo"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("csize")).as("n_docs"))
+    val tot = rows.agg(sum(col("n_docs")).as("n_all"))
+    rows.crossJoin(broadcast(tot))
+      .select(col("bucket_lo"), col("n_clusters"), col("n_docs"),
+        round(intDiv(col("n_docs") * 1000000L + intDiv(col("n_all"),
+          lit(2L)), col("n_all")).cast("double") / 1e6, 6).as("doc_share"))
+      .orderBy(col("bucket_lo"))
+  }
+
+  /** Zipf rank-frequency fit (t34): per language, the OLS slope of
+    * ln(freq) on ln(rank) over the top-[[ZipfTopK]] terms — the
+    * vocabulary-shape screen beside t31's Heaps fit (Heaps says how
+    * fast types accumulate; Zipf says how steeply mass concentrates:
+    * a slope far above −1 flags templated/boilerplate text whose head
+    * dominates, far below −1 flags noisy long tails). One explode +
+    * partial-agg pass to the (lang, token, freq) vocabulary frame; the
+    * rank window runs over that AGGREGATE (vocabulary-sized, not
+    * corpus-sized — the t23 shape) with (freq DESC, token) order so no
+    * tie can flip a rank; both lns micro-snap per distinct value before
+    * the integer moment sums (t31's exact-OLS algebra).
+    */
+  val ZipfTopK = 256
+
+  def t34ZipfFit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
+    val freq = Tables.documents(spark, dir)
+      .select(col("lang"), explode(toks).as("token"))
+      .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("f"))
+    val ranked = freq
+      .withColumn("rank", row_number().over(Window.partitionBy(col("lang"))
+        .orderBy(col("f").desc, col("token"))))
+      .filter(col("rank") <= ZipfTopK)
+    val xy = ranked.select(col("lang"),
+      round(log(col("rank").cast("double")) * 1e6).cast("long").as("x"),
+      round(log(col("f").cast("double")) * 1e6).cast("long").as("y"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val m = xy.groupBy(col("lang")).agg(
+      count(lit(1)).cast("long").as("n_fit"),
+      sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+      sum(dec(col("x") * col("y"))).as("sxy"),
+      sum(dec(col("x") * col("x"))).as("sxx"))
+    val den = col("n_fit") * col("sxx") - col("sx") * col("sx")
+    val slopeNum =
+      (col("n_fit") * col("sxy") - col("sx") * col("sy")) * 1000000L
+    val interNum = col("sxx") * col("sy") - col("sx") * col("sxy")
+    m.select(col("lang"), col("n_fit"),
+        (intDiv(slopeNum + intDiv(den, lit(2L)), den).cast("double") / 1e6)
+          .as("zipf_slope"),
+        (intDiv(interNum + intDiv(den, lit(2L)), den).cast("double") / 1e6)
+          .as("ln_c"))
+      .orderBy(col("lang"))
+  }
+
   /** Source-size Lorenz curve + Gini (p33): how unequally the corpus
     * spreads over its sources — the one-number composition audit read
     * beside p2's mixing weights (a Gini near 1 means one crawl dump IS
@@ -4268,6 +4340,8 @@ object TextDedup {
     "d31b_crosslang_winnow" -> (d31bCrossLangWinnow _),
     "d32b_winnow_df_profile" -> (d32bWinnowDfProfile _),
     "p32b_dedup_epochs_winnow" -> (p32bDedupEpochsWinnow _),
+    "d35_cluster_size_profile" -> (d35ClusterSizeProfile _),
+    "t34_zipf_fit" -> (t34ZipfFit _),
     "p33_source_lorenz" -> (p33SourceLorenz _),
     "d31_cross_lang_pairs" -> (d31CrossLangPairs _),
     "p32_dedup_epochs" -> (p32DedupEpochs _),
