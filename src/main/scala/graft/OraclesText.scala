@@ -5492,10 +5492,78 @@ object OraclesText {
         |ORDER BY a.label""".stripMargin,
   )
 
+  val round15c: Map[String, String] = Map(
+    // Embeddings.s32LabelMargin: the s7 exact-grid centroid CTEs,
+    // member cosines snapped at 6 decimals into half-up micro means,
+    // inter-centroid cosine over the same exact vectors, margin as
+    // micro-integer subtraction.
+    "s32_label_margin" -> {
+      val centAvg =
+        Oracles.exactAvg("CAST(embedding[CAST(i AS INT)] AS DOUBLE)", 6, 6)
+      s"""WITH cd AS (SELECT label, CAST(i AS INT) AS dim, $centAvg AS m
+        |  FROM embeddings, range(1, 65) t(i) GROUP BY label, i),
+        |cent AS (SELECT label, list(m ORDER BY dim) AS centroid
+        |         FROM cd GROUP BY label),
+        |cn AS (SELECT label, centroid,
+        |    sqrt(${dotSql("centroid", "centroid")}) AS nrm FROM cent),
+        |wv AS (SELECT e.label,
+        |    CAST(round(round(${dotSql("e.embedding", "c.centroid")} /
+        |      (sqrt(${dotSql("e.embedding", "e.embedding")}) * c.nrm), 6)
+        |      * 1000000) AS BIGINT) AS c_micro
+        |  FROM embeddings e JOIN cn c ON e.label = c.label),
+        |w AS (SELECT label,
+        |    CAST((CAST(sum(CAST(c_micro AS HUGEINT)) AS HUGEINT)
+        |      + count(*) // 2) // count(*) AS BIGINT) AS w_micro
+        |  FROM wv GROUP BY 1),
+        |pr AS (SELECT a.label AS label_a, b.label AS label_b,
+        |    CAST(round(round(${dotSql("a.centroid", "b.centroid")} /
+        |      (a.nrm * b.nrm), 6) * 1000000) AS BIGINT) AS inter_micro
+        |  FROM cn a JOIN cn b ON a.label < b.label)
+        |SELECT pr.label_a, pr.label_b,
+        |  round(CAST(pr.inter_micro AS DOUBLE) / 1e6, 6) AS inter_cos,
+        |  round(CAST(wa.w_micro AS DOUBLE) / 1e6, 6) AS within_a,
+        |  round(CAST(wb.w_micro AS DOUBLE) / 1e6, 6) AS within_b,
+        |  round(CAST(least(wa.w_micro, wb.w_micro) - pr.inter_micro
+        |    AS DOUBLE) / 1e6, 6) AS margin
+        |FROM pr JOIN w wa ON pr.label_a = wa.label
+        |        JOIN w wb ON pr.label_b = wb.label
+        |ORDER BY pr.label_a, pr.label_b""".stripMargin
+    },
+
+    // Events.e37ValueOutliers: quantile_cont medians rounded at 6 (the
+    // e23 percentile parity), deviations snapped to micro BEFORE the
+    // 3×MAD comparison so the verdict is an integer compare on both
+    // engines, half-up outlier share.
+    "e37_value_outliers" ->
+      """WITH v AS (SELECT event_type, value FROM events
+        |  WHERE value IS NOT NULL),
+        |md AS (SELECT event_type,
+        |    round(quantile_cont(value, 0.5), 6) AS med
+        |  FROM v GROUP BY 1),
+        |dv AS (SELECT v.event_type, md.med,
+        |    CAST(round(round(abs(v.value - md.med), 6) * 1000000)
+        |      AS BIGINT) AS dev_micro
+        |  FROM v JOIN md USING (event_type)),
+        |mad AS (SELECT event_type,
+        |    CAST(round(quantile_cont(dev_micro, 0.5)) AS BIGINT)
+        |      AS mad_micro
+        |  FROM dv GROUP BY 1)
+        |SELECT dv.event_type, count(*) AS n_events,
+        |  max(dv.med) AS median,
+        |  max(round(CAST(mad.mad_micro AS DOUBLE) / 1e6, 6)) AS mad,
+        |  CAST(sum(CASE WHEN dv.dev_micro > mad.mad_micro * 3 THEN 1
+        |    ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  round(CAST((CAST(sum(CASE WHEN dv.dev_micro > mad.mad_micro * 3
+        |      THEN 1 ELSE 0 END) AS HUGEINT) * 1000000 + count(*) // 2)
+        |    // count(*) AS BIGINT) / 1e6, 6) AS outlier_share
+        |FROM dv JOIN mad USING (event_type)
+        |GROUP BY dv.event_type ORDER BY dv.event_type""".stripMargin,
+  )
+
   def all: Map[String, String] =
     dedup ++ dedupCapped ++ dedupDecision ++ dedupComponents ++ containment ++
       decontamination ++ simhash ++ text ++ xent ++ pipeline ++ similarity ++
       events ++ multimodal ++ multimodalManifest ++ survival ++ ingest ++
       curation ++ release ++ round11 ++ round10 ++ round12 ++ round14 ++
-      round15 ++ round15b
+      round15 ++ round15b ++ round15c
 }

@@ -1423,7 +1423,69 @@ object Embeddings {
     out
   }
 
+  /** Label-margin audit (s32): for every ordered label pair, the
+    * centroid-to-centroid cosine against each side's mean member-to-
+    * own-centroid cosine, and the margin between them — the geometric
+    * read behind s21's silhouette verdict and the first thing to check
+    * when s13/s15 classification degrades: a pair whose inter-centroid
+    * cosine approaches the within-label coherence has collapsed in
+    * embedding space (margin ≤ 0 = the clusters overlap). Exactness:
+    * centroids are the s4/s7 grid-exact per-dim means; member cosines
+    * snap at 6 decimals and mean as half-up micro integers; the
+    * inter cosine is one double-fold over the two EXACT centroid
+    * vectors; the margin is pure micro-integer subtraction. Shape: one
+    * member pass against a broadcast |labels|-row centroid table; the
+    * pair frame is |labels|² — the e33 bounded-finisher argument.
+    */
+  def s32LabelMargin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftfn.GraftExpressions.{floatDoubleVecDot, intDiv}
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("label"), col("embedding"),
+        norm(col("embedding")).as("nrm"))
+      .persist()
+    emb.count() // eager: centroid build + member pass both read it
+    val cent = coarseCentroids(emb).persist()
+    cent.count()
+    val within = emb.join(broadcast(cent), col("label") === col("c_label"))
+      .select(col("label"),
+        round(round(floatDoubleVecDot(col("embedding"), col("centroid"))
+          / (col("nrm") * col("c_nrm")), 6) * 1e6).cast("long")
+          .as("c_micro"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), sum(col("c_micro")).as("s"))
+      .select(col("label"),
+        intDiv(col("s") + intDiv(col("n"), lit(2L)), col("n"))
+          .cast("long").as("w_micro"))
+    val ca = cent.select(col("c_label").as("label_a"),
+      col("centroid").as("va"), col("c_nrm").as("na"))
+    val cb = cent.select(col("c_label").as("label_b"),
+      col("centroid").as("vb"), col("c_nrm").as("nb"))
+    val inter = ca.crossJoin(broadcast(cb))
+      .filter(col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"),
+        round(round(expr("aggregate(zip_with(va, vb, (x, y) -> x * y)," +
+          " 0D, (s, x) -> s + x)") / (col("na") * col("nb")), 6) * 1e6)
+          .cast("long").as("inter_micro"))
+    val out = inter
+      .join(broadcast(within.select(col("label").as("label_a"),
+        col("w_micro").as("wa"))), Seq("label_a"))
+      .join(broadcast(within.select(col("label").as("label_b"),
+        col("w_micro").as("wb"))), Seq("label_b"))
+      .select(col("label_a"), col("label_b"),
+        round(col("inter_micro").cast("double") / 1e6, 6).as("inter_cos"),
+        round(col("wa").cast("double") / 1e6, 6).as("within_a"),
+        round(col("wb").cast("double") / 1e6, 6).as("within_b"),
+        round((least(col("wa"), col("wb")) - col("inter_micro"))
+          .cast("double") / 1e6, 6).as("margin"))
+      .orderBy(col("label_a"), col("label_b"))
+      .persist()
+    out.count() // |labels|² rows: pin the audit, free emb + centroids
+    emb.unpersist(); cent.unpersist()
+    out
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s32_label_margin" -> (s32LabelMargin _),
     "s31_norm_profile" -> (s31NormProfile _),
     "s30_pq_distortion" -> (s30PqDistortion _),
     "s29_code_balance" -> (s29CodeBalance _),

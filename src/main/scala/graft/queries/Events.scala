@@ -1621,7 +1621,57 @@ object Events {
       .orderBy(col("event_type"), col("bucket_lo"))
   }
 
+  /** Robust value-outlier triage (e37): per event type, median/MAD of
+    * the `value` payload and the count of |v − med| > 3·MAD outliers —
+    * the screen a metrics pipeline runs before trusting aggregates
+    * (mean/stddev-based z-scores are themselves corrupted by the
+    * outliers they hunt; median/MAD is the standard robust pair). Two
+    * bounded passes: medians per type (the e23 percentile idiom), MAD
+    * from the absolute deviations against the BROADCAST median table,
+    * then the outlier verdict as an integer micro comparison —
+    * deviations and MAD snap to micro units first, so no float
+    * inequality crosses an engine at the 3×-boundary. Output is one
+    * row per type with a half-up outlier share.
+    */
+  def e37ValueOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
+    val v = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"))
+      .persist()
+    v.count() // eager: median pass + deviation pass both read it
+    val med = v.groupBy(col("event_type"))
+      .agg(round(expr("percentile(value, 0.5)"), 6).as("med"))
+    val dev = v.join(broadcast(med), Seq("event_type"))
+      .select(col("event_type"), col("med"),
+        round(round(abs(col("value") - col("med")), 6) * 1e6)
+          .cast("long").as("dev_micro"))
+      .persist()
+    dev.count() // eager: MAD pass + verdict pass both read it
+    val mad = dev.groupBy(col("event_type"))
+      .agg(round(expr("percentile(dev_micro, 0.5)")).cast("long")
+        .as("mad_micro"))
+    val out = dev.join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("med")).as("median"),
+        max(round(col("mad_micro").cast("double") / 1e6, 6)).as("mad"),
+        sum(when(col("dev_micro") > col("mad_micro") * 3L, 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .select(col("event_type"), col("n_events"), col("median"), col("mad"),
+        col("n_outliers"),
+        round(intDiv(col("n_outliers") * 1000000L
+            + intDiv(col("n_events"), lit(2L)),
+          col("n_events")).cast("double") / 1e6, 6).as("outlier_share"))
+      .orderBy(col("event_type"))
+      .persist()
+    out.count() // |types| rows: pin the verdict, free the value frames
+    v.unpersist(); dev.unpersist()
+    out
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e37_value_outliers" -> (e37ValueOutliers _),
     "e36_gap_histogram" -> (e36GapHistogram _),
     "e35_lag_sweep" -> ((s: SparkSession, d: String) => e35LagSweep(s, d)),
     "e34_diurnal_autocorr" -> (e34DiurnalAutocorr _),

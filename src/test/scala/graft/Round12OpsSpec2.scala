@@ -192,4 +192,62 @@ class Round12OpsSpec2 extends AnyFunSuite {
       assert(mn <= mean && mean <= mx, s"label $l ordering")
     }
   }
+
+  test("e37: median/MAD outlier triage matches a driver twin with " +
+      "Spark's percentile interpolation") {
+    def pct(sorted: Array[Double], q: Double): Double = {
+      val pos = (sorted.length - 1) * q
+      val lo = pos.toInt
+      if (lo == sorted.length - 1) sorted(lo)
+      else sorted(lo) + (pos - lo) * (sorted(lo + 1) - sorted(lo))
+    }
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vals = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val expected = vals.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (t, vs) =>
+        val med = r6(pct(vs.map(_._2).sorted, 0.5))
+        val devs = vs.map(v => BigDecimal(r6(math.abs(v._2 - med)) * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact)
+        val madMicro = math.round(pct(devs.map(_.toDouble).sorted, 0.5))
+        val nOut = devs.count(_ > madMicro * 3).toLong
+        val n = vs.length.toLong
+        (t, n, med, madMicro / 1e6, nOut,
+          ((BigInt(nOut) * 1000000 + n / 2) / BigInt(n)).toLong / 1e6)
+    }
+    val got = graft.queries.Events.e37ValueOutliers(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == expected, s"got ${got.take(3)}…\nexp ${expected.take(3)}…")
+    got.foreach { case (t, n, _, mad, o, _) =>
+      assert(mad >= 0.0 && o <= n, s"$t")
+    }
+  }
+
+  test("s32: margin algebra is internally exact and pair coverage " +
+      "complete; within-coherence beats inter-centroid cosine on the " +
+      "harness labels") {
+    val rows = graft.queries.Embeddings.s32LabelMargin(spark, dir)
+      .collect().map(r => (r.getAs[Number](0).longValue,
+        r.getAs[Number](1).longValue, r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    val labels = Tables.embeddings(spark, dir)
+      .select(col("label")).distinct().collect()
+      .map(_.getAs[Number](0).longValue).sorted
+    assert(rows.length == labels.length * (labels.length - 1) / 2)
+    rows.foreach { case (a, b, inter, wa, wb, margin) =>
+      assert(a < b)
+      // margin must equal min(within) − inter at micro precision
+      val m = math.round((math.min(wa, wb) - inter) * 1e6) / 1e6
+      assert(math.abs(margin - m) < 1e-9, s"($a,$b) margin $margin vs $m")
+      Seq(inter, wa, wb).foreach(c =>
+        assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9, s"($a,$b) cos $c"))
+    }
+    // the harness embeds labels as separated clusters: every label's
+    // within-coherence must beat at least one cross-label cosine
+    assert(rows.exists(_._6 > 0), "no positive margin anywhere")
+  }
 }
