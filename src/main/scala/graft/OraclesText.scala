@@ -4939,7 +4939,7 @@ object OraclesText {
         |wsh0 AS (SELECT doc_id, unnest(range(1, len(toks)-1)) AS pos, toks
         |  FROM tok WHERE len(toks) >= 3),
         |wsh AS (SELECT doc_id, pos,
-        |    ${hex4ToInt("substr(md5(toks[pos] || ' ' || toks[pos+1] || ' ' || toks[pos+2]), 1, 4)")} AS h
+        |    ${hexToInt("substr(md5(toks[pos] || ' ' || toks[pos+1] || ' ' || toks[pos+2]), 1, 5)", 5)} AS h
         |  FROM wsh0),
         |enc AS (SELECT doc_id, pos,
         |    h * 1099511627776 + (1099511627775 - pos) AS ek FROM wsh),

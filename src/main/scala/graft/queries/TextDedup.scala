@@ -4161,21 +4161,40 @@ object TextDedup {
     * pair-free corpus emits NULL recall on both engines (d26
     * discipline — division by zero is null, not a skipped row).
     *
-    * SCALE (r12): every sweep leg's fingerprint self-join runs in the
+    * SCALE (r12): two structural changes follow the round-11 verdict.
+    * (1) Every sweep leg's fingerprint self-join runs in the
     * [[WinnowSweepCap]]-capped posting space ([[winnowPairsCapped]] —
-    * the m11 band-cap discipline). The narrow-w legs are exactly where
-    * the cap matters: at w = 2 winnowing keeps ~46% of postings, and a
-    * high-df fingerprint blows up df² candidate pairs like d6's hot
-    * shingles (603 s at sf10 uncapped, SCALE.md). `n_fps`/`index_frac`
-    * still report the UNCAPPED selection — the cap bounds pair
-    * GENERATION, not the index-size statistic the sweep exists to
-    * measure — and the oracle applies the identical cap, so the capped
-    * candidate semantics are gated, not approximated.
+    * the m11 band-cap discipline): at w = 2 winnowing keeps ~46% of
+    * postings and a hot fingerprint blows up df² pairs like d6's hot
+    * shingles (603 s at sf10 uncapped). (2) The sweep measures the
+    * WIDE 20-bit fingerprint space — the space [[winnowPairs]], the
+    * at-scale pair asset this sweep exists to calibrate, actually
+    * builds. The 16-bit d30 space is structurally hot at corpus scale:
+    * 65k buckets ALL saturate the cap once postings pass cap·65k
+    * (~17 M), pinning the sweep at buckets·cap²/2 ≈ 2.1 B joined rows
+    * regardless of corpus (the capped re-measure still cost 294 s at
+    * sf10). In the 2²⁰ space the same corpus spreads 16× thinner and
+    * the cap returns to being the hot-bucket exception, not the rule.
+    * All three width selections come from ONE multi-frame window pass
+    * over one (doc_id, pos) exchange+sort — Catalyst chains the three
+    * min/count frames over a single sort order. `n_fps`/`index_frac`
+    * still report the UNCAPPED selection; the oracle mirrors the wide
+    * hash, the shared pass, and the cap exactly.
     */
   def d33WinnowSweep(spark: SparkSession, dir: String,
       ws: Seq[Int] = Seq(2, 4, 8),
       fpCap: Int = WinnowSweepCap): DataFrame = {
-    val hashed = winnowHashed(Tables.documents(spark, dir)).persist()
+    import org.apache.spark.sql.expressions.Window
+    val sorted = ws.sorted
+    val wWin = (w: Int) => Window.partitionBy(col("doc_id"))
+      .orderBy(col("pos")).rowsBetween(0, w - 1)
+    // one exchange+sort serves every width's min/count frames
+    val hashed = sorted.foldLeft(
+        winnowHashed(Tables.documents(spark, dir), hexChars = 5)) {
+      (df, w) => df
+        .withColumn(s"mk$w", min(col("ek")).over(wWin(w)))
+        .withColumn(s"cnt$w", count(lit(1)).over(wWin(w)))
+    }.persist()
     val nPostings = hashed.count()
     val truth = dupPairs(spark, dir).select(col("id_a"), col("id_b"))
       .persist()
@@ -4183,8 +4202,12 @@ object TextDedup {
     def halfUp(num: Long, den: Long): Option[Double] =
       if (den == 0L) None
       else Some(((BigInt(num) * 1000000 + den / 2) / BigInt(den)).toLong / 1e6)
-    val rows = ws.sorted.map { w =>
-      val fp = winnowSelect(hashed, w).persist()
+    val rows = sorted.map { w =>
+      import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
+      val fp = hashed.filter(col(s"cnt$w") === w)
+        .select(col("doc_id"),
+          intDiv(col(s"mk$w"), lit(1099511627776L)).as("fp"))
+        .distinct().persist()
       val nFp = fp.count()
       val pairs = winnowPairsCapped(fp, fpCap).persist()
       val nPairs = pairs.count()

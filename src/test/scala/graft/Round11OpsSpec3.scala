@@ -483,13 +483,16 @@ class Round11OpsSpec3 extends AnyFunSuite {
       .select(col("doc_id"), col("text")).collect()
       .map(r => (r.getLong(0), r.getString(1)))
     val md = java.security.MessageDigest.getInstance("MD5")
+    // the sweep measures the WIDE 20-bit space (r12): first 5 hex chars
+    // of md5 = d0 << 12 | d1 << 4 | d2 >> 4
     def hashesOf(text: String): Array[Long] = {
       val ts = toksOf(text)
       if (ts.length < 3) Array.empty
       else ts.sliding(3).map { sh =>
         md.reset()
         val d = md.digest(sh.mkString(" ").getBytes("UTF-8"))
-        ((d(0) & 0xffL) << 8) | (d(1) & 0xffL)
+        ((d(0) & 0xffL) << 12) | ((d(1) & 0xffL) << 4) |
+          ((d(2) & 0xf0L) >> 4)
       }.toArray
     }
     val hashed = docs.map { case (id, t) => id -> hashesOf(t) }
