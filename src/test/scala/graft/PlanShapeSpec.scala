@@ -1086,4 +1086,37 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(scans == 1, s"expected 1 documents scan, got $scans\n${p.take(1200)}")
     assert(p.contains("Generate explode"), p.take(1200))
   }
+
+  test("d35/p32b: compose the materialized assets — no shingle " +
+      "re-derivation, no winnow re-hash") {
+    for (df <- Seq(TextDedup.d35ClusterSizeProfile(spark, dir),
+        TextDedup.p32bDedupEpochsWinnow(spark, dir))) {
+      val p = plan(df)
+      assert(!p.contains("shingle"),
+        s"must read the run-scoped assets, not re-shingle:\n${p.take(800)}")
+      assert(!p.contains("md5"),
+        s"must read the pair asset, not re-hash:\n${p.take(800)}")
+    }
+  }
+
+  test("q34: both dimension joins broadcast; share window keys on the " +
+      "nation aggregate, never sort-merge") {
+    val p = plan(Relational.q34SupplierHhi(spark, dir))
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 2, p.take(1000))
+    assert(!p.contains("SortMergeJoin"), p.take(1000))
+    assert(p.contains("windowspecdefinition(n_name"), p.take(1200))
+    assert(p.contains("partial_"), p.take(1200))
+  }
+
+  test("e36: one user-keyed exchange feeds the lag; the share window " +
+      "rides the bounded type aggregate") {
+    val p = plan(graft.queries.Events.e36GapHistogram(spark, dir))
+    val userEx = p.split("\n")
+      .filter(l => l.contains("Exchange hashpartitioning")
+        && l.contains("user_id"))
+    assert(userEx.length == 1,
+      s"want exactly one user_id exchange:\n${p.take(1200)}")
+    assert(p.contains("partial_"), p.take(1200))
+    assert(p.contains("windowspecdefinition(event_type"), p.take(1200))
+  }
 }
