@@ -5530,6 +5530,28 @@ object OraclesText {
         |ORDER BY pr.label_a, pr.label_b""".stripMargin
     },
 
+    // TextDedup.t35TermBurstiness: two-level agg (per-doc counts, then
+    // cf/df), (cf DESC, token) rank over the vocabulary, half-up micro
+    // burstiness.
+    "t35_term_burstiness" ->
+      s"""WITH occ AS (SELECT lang, doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+        |  FROM documents),
+        |pd AS (SELECT lang, token, doc_id, count(*) AS n
+        |  FROM occ GROUP BY 1, 2, 3),
+        |v AS (SELECT lang, token, CAST(sum(n) AS BIGINT) AS cf,
+        |    CAST(count(*) AS BIGINT) AS df
+        |  FROM pd GROUP BY 1, 2),
+        |r AS (SELECT lang, token, cf, df,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY cf DESC, token) AS INT) AS rank
+        |  FROM v)
+        |SELECT lang, rank, token, cf, df,
+        |  round(CAST((CAST(cf AS HUGEINT) * 1000000 + df // 2) // df
+        |    AS BIGINT) / 1e6, 6) AS burstiness
+        |FROM r WHERE rank <= ${graft.queries.TextDedup.BurstTopK}
+        |ORDER BY lang, rank""".stripMargin,
+
     // Events.e37ValueOutliers: quantile_cont medians rounded at 6 (the
     // e23 percentile parity), deviations snapped to micro BEFORE the
     // 3×MAD comparison so the verdict is an integer compare on both

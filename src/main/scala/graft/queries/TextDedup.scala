@@ -4105,6 +4105,41 @@ object TextDedup {
       .orderBy(col("lang"))
   }
 
+  /** Term burstiness (t35): for each language's top-[[BurstTopK]] terms
+    * by collection frequency, the Church–Gale burstiness cf/df — how
+    * concentrated a term's occurrences are in the documents that use it
+    * at all. Function words repeat everywhere (df ≈ docs, burstiness ≈
+    * cf/docs); topical terms cluster (high cf over few docs) — the
+    * discrimination read behind stopword lists and t23's tf-idf
+    * keywords, here as a gated corpus-level table. One explode pass
+    * feeds BOTH counts (cf = all occurrences, df = distinct docs via a
+    * two-level agg — never a count-distinct shuffle of raw positions);
+    * the top-K rank runs over the vocabulary aggregate (the t34/t23
+    * shape) and burstiness is one half-up micro division.
+    */
+  val BurstTopK = 64
+
+  def t35TermBurstiness(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
+    val occ = Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"), explode(toks).as("token"))
+    // per (lang, token, doc): occurrences — partial agg collapses the
+    // explode map-side; df is then a plain count over this frame
+    val perDoc = occ.groupBy(col("lang"), col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("n"))
+    val vocab = perDoc.groupBy(col("lang"), col("token"))
+      .agg(sum(col("n")).as("cf"), count(lit(1)).as("df"))
+    vocab
+      .withColumn("rank", row_number().over(Window.partitionBy(col("lang"))
+        .orderBy(col("cf").desc, col("token"))))
+      .filter(col("rank") <= BurstTopK)
+      .select(col("lang"), col("rank"), col("token"), col("cf"), col("df"),
+        round(intDiv(col("cf") * 1000000L + intDiv(col("df"), lit(2L)),
+          col("df")).cast("double") / 1e6, 6).as("burstiness"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
   /** Source-size Lorenz curve + Gini (p33): how unequally the corpus
     * spreads over its sources — the one-number composition audit read
     * beside p2's mixing weights (a Gini near 1 means one crawl dump IS
@@ -4365,6 +4400,7 @@ object TextDedup {
     "p32b_dedup_epochs_winnow" -> (p32bDedupEpochsWinnow _),
     "d35_cluster_size_profile" -> (d35ClusterSizeProfile _),
     "t34_zipf_fit" -> (t34ZipfFit _),
+    "t35_term_burstiness" -> (t35TermBurstiness _),
     "p33_source_lorenz" -> (p33SourceLorenz _),
     "d31_cross_lang_pairs" -> (d31CrossLangPairs _),
     "p32_dedup_epochs" -> (p32DedupEpochs _),

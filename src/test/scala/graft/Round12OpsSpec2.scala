@@ -193,6 +193,32 @@ class Round12OpsSpec2 extends AnyFunSuite {
     }
   }
 
+  test("t35: burstiness matches a driver twin; burstiness >= 1 always " +
+      "(cf >= df by construction)") {
+    val docs = Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"), col("text")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val expected = docs.flatMap { case (l, id, t) =>
+        t.trim.toLowerCase.split("\\s+").map(tok => (l, tok, id))
+      }.groupBy(p => (p._1, p._2)).toSeq.map { case ((l, tok), occ) =>
+        (l, tok, occ.length.toLong, occ.map(_._3).distinct.length.toLong)
+      }.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (l, vs) =>
+        vs.sortBy { case (_, tok, cf, _) => (-cf, tok) }
+          .take(graft.queries.TextDedup.BurstTopK).zipWithIndex
+          .map { case ((_, tok, cf, df), i) =>
+            (l, i + 1, tok, cf, df,
+              ((BigInt(cf) * 1000000 + df / 2) / BigInt(df)).toLong / 1e6)
+          }
+      }
+    val got = graft.queries.TextDedup.t35TermBurstiness(spark, dir)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == expected, s"got ${got.take(3)}…\nexp ${expected.take(3)}…")
+    got.foreach { case (l, _, tok, cf, df, b) =>
+      assert(cf >= df && b >= 1.0, s"$l/$tok cf=$cf df=$df b=$b")
+    }
+  }
+
   test("e37: median/MAD outlier triage matches a driver twin with " +
       "Spark's percentile interpolation") {
     def pct(sorted: Array[Double], q: Double): Double = {
