@@ -447,15 +447,19 @@ object OraclesText {
 
   val dedupCapped: Map[String, String] = Map(
     // TextDedup.d6bJaccardCapped: scale-aware stop-shingle df cut
-    // (max(4, nDocs // 125) — mirrors stopShingleCap), Jaccard in
-    // the filtered shingle space (sizes + intersections both capped).
+    // (max(4, nDocs // 125) — mirrors stopShingleCap) plus the
+    // hot-posting rank cap (row_number ≤ HotPostingCap within a
+    // shingle, by doc_id — mirrors capHotPostings), Jaccard in the
+    // filtered shingle space (sizes + intersections both capped).
     "d6b_jaccard_capped" ->
       s"""WITH $shingleCte,
          |capped AS (SELECT doc_id, shingle FROM (
-         |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+         |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df,
+         |      row_number() OVER (PARTITION BY shingle ORDER BY doc_id) AS rk
          |    FROM sidx) t WHERE df <= (SELECT greatest(4, count(*)
          |      // ${graft.queries.TextDedup.StopShingleDenom})
-         |    FROM documents)),
+         |    FROM documents)
+         |    AND rk <= ${graft.queries.TextDedup.HotPostingCap}),
          |sizes AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY doc_id),
          |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
          |          FROM capped a JOIN capped b
@@ -629,15 +633,19 @@ object OraclesText {
          |ORDER BY contained_id, container_id LIMIT 3000""".stripMargin,
 
     // TextDedup.d9bContainmentCapped: scale-aware df cut (max(4,
-    // nDocs // 125) — mirrors stopShingleCap), containment computed
-    // entirely in the filtered shingle space (sizes AND intersections).
+    // nDocs // 125) — mirrors stopShingleCap) plus the hot-posting
+    // rank cap (row_number ≤ HotPostingCap within a shingle, by
+    // doc_id — mirrors capHotPostings), containment computed entirely
+    // in the filtered shingle space (sizes AND intersections).
     "d9b_containment_capped" ->
       s"""WITH $shingleCte,
          |capped AS (SELECT doc_id, shingle FROM (
-         |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+         |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df,
+         |      row_number() OVER (PARTITION BY shingle ORDER BY doc_id) AS rk
          |    FROM sidx) t WHERE df <= (SELECT greatest(4, count(*)
          |      // ${graft.queries.TextDedup.StopShingleDenom})
-         |    FROM documents)),
+         |    FROM documents)
+         |    AND rk <= ${graft.queries.TextDedup.HotPostingCap}),
          |sizes AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY doc_id),
          |pairs AS (SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
          |            count(*) AS shared
@@ -4863,6 +4871,21 @@ object OraclesText {
         |  round(CAST((pw2 * 1000000 + total_pw2 // 2) // total_pw2
         |    AS BIGINT) / 1e6, 6) AS pair_work_share
         |FROM r, tot ORDER BY bucket_lo""".stripMargin,
+
+    // TextDedup.d36BoilerShingles: the over-cap cut list — same sidx
+    // derivation and valve expression as d6b/d9b (greatest(4,
+    // count(*) // 125)), half-up per-mille share, BIGINT pair work,
+    // top-100 on the total order (df DESC, shingle).
+    "d36_boiler_shingles" ->
+      s"""WITH $shingleCte,
+        |dfreq AS (SELECT shingle, count(*) AS df FROM sidx GROUP BY 1),
+        |nd AS (SELECT count(*) AS n FROM documents)
+        |SELECT shingle, CAST(df AS BIGINT) AS df,
+        |  CAST((df * 1000 + n // 2) // n AS BIGINT) AS df_share_pm,
+        |  CAST(CAST(df AS HUGEINT) * (df - 1) // 2 AS BIGINT) AS pair_work
+        |FROM dfreq CROSS JOIN nd
+        |WHERE df > greatest(4, n // ${graft.queries.TextDedup.StopShingleDenom})
+        |ORDER BY df DESC, shingle LIMIT 100""".stripMargin,
 
     // TextDedup.p33SourceLorenz: identical ascending (n_tokens, source)
     // rank, HUGEINT Gini algebra, half-up Lorenz shares; the global

@@ -37,38 +37,99 @@ object ScaleUp {
 
   val KeyOffset = 10_000_000_000L
 
-  private def shift(c: String, r: Int): Column =
-    col(c) + lit(r * KeyOffset)
+  private def shift(c: String, r: Column): Column =
+    col(c) + r.cast("long") * KeyOffset
 
+  /** Replication as a generator, not a union: each source row explodes
+    * into `factor` rows carrying a replica index column, and every
+    * per-replica transform is a column expression over that index.
+    *
+    * The first ScaleUp build was `(0 until factor).map(per)
+    * .reduce(_ unionAll _)` — fine at factor 10–100, but at factor
+    * 10⁴ the left-deep 10,000-way union made Catalyst ANALYSIS itself
+    * the bottleneck (quadratic in union width; the r12 sf1000 build
+    * spun a full core for >10 minutes without reaching the first write
+    * job). ScaleUp failing its own scale test is exactly the class of
+    * bug this repo exists to avoid, so the builder now follows the
+    * same rule as the engine: constant-size plan, data-sized work —
+    * one posexplode of a `factor`-long sequence, fully
+    * whole-stage-codegen'd, parallel across input partitions at any
+    * factor. Output rows are value-identical to the union build
+    * (replica 0 is bit-identical source, transforms are the same
+    * expressions); only row order/partitioning differs, which no
+    * consumer observes.
+    */
   private[graft] def replicate(df: DataFrame, factor: Int)
-      (per: (DataFrame, Int) => DataFrame): DataFrame =
-    (0 until factor).map(r => per(df, r)).reduce(_ unionAll _)
+      (per: (DataFrame, Column) => DataFrame): DataFrame = {
+    val withR = df.withColumn("__r",
+      explode(sequence(lit(0), lit(factor - 1))))
+    per(withR, col("__r")).drop("__r")
+  }
 
-  private[graft] def documents(df: DataFrame, factor: Int): DataFrame =
+  /** Boilerplate-injection mode (`boilerPct > 0`): a fixed percentage
+    * of documents — the same base docs in every replica, selected by
+    * `doc_id % 100` (the replica offset 10^10 is divisible by 100, so
+    * selection is replica-stable) — get one of [[BoilerHeaders]]
+    * prepended WITHOUT the per-replica token suffix. This is the df
+    * regime token-disjoint replication cannot produce: header-shingle
+    * document frequency grows ∝ corpus size (real boilerplate — cookie
+    * banners, footer chrome — scales exactly like this), so it is the
+    * measurement bed for df valves whose semantics are fractions of
+    * corpus size. Default 0 leaves every table byte-identical to the
+    * classic replication, keeping r10/r11 exponent tables comparable.
+    */
+  private[graft] val BoilerHeaders = Vector(
+    "terms of service apply to this document all rights reserved by publisher",
+    "subscribe to our newsletter for updates and follow us on social media",
+    "this page was generated automatically please do not reply to the sender")
+
+  private[graft] def documents(df: DataFrame, factor: Int,
+      boilerPct: Int = 0): DataFrame =
     replicate(df, factor) { (d, r) =>
+      val base = when(r === 0, col("text")).otherwise(
+        array_join(transform(split(trim(col("text")), "\\s+"),
+          t => concat(t, lit("~"), r.cast("string"))), " "))
       val text =
-        if (r == 0) col("text")
-        else array_join(transform(split(trim(col("text")), "\\s+"),
-          t => concat(t, lit(s"~$r"))), " ")
+        if (boilerPct <= 0) base
+        else {
+          val header = element_at(array(BoilerHeaders.map(lit): _*),
+            (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
+          when(pmod(col("doc_id"), lit(100)) < boilerPct,
+            concat(header, lit(" "), base)).otherwise(base)
+        }
       d.select(shift("doc_id", r).as("doc_id"), text.as("text"),
         col("lang"), col("source"), length(text).as("n_chars"))
     }
 
+  /** Replica jitter keys on the SHIFTED vec_id (the output id), made
+    * explicit here: the historical select wrote `col("vec_id")` inside
+    * the lambda with `shift(...).as("vec_id")` in the same list, and
+    * the analyzer's lateral-column-alias resolution bound the name to
+    * the new alias, not the input column. The shifted id is now
+    * computed once under a collision-free name (`__sid`) so the lambda
+    * binds to the child column deterministically — same values as the
+    * historical build (replica corpora stay comparable across rounds)
+    * without depending on a name-resolution accident. (Re-spelling the
+    * shift expression inline inside the lambda is NOT equivalent: its
+    * inner `col("vec_id")` lateral-resolves to the alias again and
+    * double-shifts.)
+    */
   private[graft] def embeddings(df: DataFrame, factor: Int): DataFrame =
     replicate(df, factor) { (d, r) =>
-      val emb =
-        if (r == 0) col("embedding")
-        else transform(col("embedding"), (x, i) =>
-          x + ((pmod(col("vec_id") * 31 + i * 13, lit(101)) - 50)
-            .cast("float") * lit(r * 2e-4f)))
-      d.select(shift("vec_id", r).as("vec_id"), emb.as("embedding"),
+      val withSid = d.withColumn("__sid", shift("vec_id", r))
+      val emb = when(r === 0, col("embedding")).otherwise(
+        transform(col("embedding"), (x, i) =>
+          x + ((pmod(col("__sid") * 31 + i * 13, lit(101)) - 50)
+            .cast("float") * (r.cast("float") * lit(2e-4f)))))
+      withSid.select(col("__sid").as("vec_id"), emb.as("embedding"),
         col("label"))
     }
 
   private[graft] def events(df: DataFrame, factor: Int): DataFrame =
     replicate(df, factor) { (d, r) =>
       d.select(shift("event_id", r).as("event_id"),
-        timestamp_micros(unix_micros(col("ts")) + lit(r * 1000000L)).as("ts"),
+        timestamp_micros(unix_micros(col("ts")) + r.cast("long") * 1000000L)
+          .as("ts"),
         shift("user_id", r).as("user_id"),
         col("event_type"), col("value"), col("props"))
     }
@@ -92,13 +153,24 @@ object ScaleUp {
       keys.foldLeft(d)((acc, k) => acc.withColumn(k, shift(k, r)))
     }
 
+  val AllTables: Set[String] = Set("documents", "embeddings", "events",
+    "lineitem", "orders", "customer", "part", "supplier", "nation",
+    "region")
+
+  /** `tables` restricts the build to a subset (a rehearsal measuring
+    * only document-family queries does not need the ×N lineitem, which
+    * dominates the disk footprint ~20:1); `boilerPct` enables
+    * boilerplate injection on `documents` (see [[documents]]).
+    */
   def build(spark: SparkSession, srcDir: String, outDir: String,
-      factor: Int): Unit = {
-    def write(name: String, df: DataFrame): Unit =
-      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      factor: Int, tables: Set[String] = AllTables,
+      boilerPct: Int = 0): Unit = {
+    def write(name: String, df: => DataFrame): Unit =
+      if (tables(name))
+        df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
     def src(name: String): DataFrame =
       spark.read.parquet(s"$srcDir/$name.parquet")
-    write("documents", documents(src("documents"), factor))
+    write("documents", documents(src("documents"), factor, boilerPct))
     write("embeddings", embeddings(src("embeddings"), factor))
     // the source file's physical ts encoding varies (int64-nanos / NTZ /
     // UTC-µs — see Tables.events); replicate the NORMALIZED load so the
@@ -118,6 +190,11 @@ object ScaleUp {
     val outDir = if (args.length > 1) args(1)
       else s"${System.getProperty("java.io.tmpdir")}/graft-sf1"
     val factor = if (args.length > 2) args(2).toInt else 10
+    val tables = if (args.length > 3 && args(3) != "all")
+      args(3).split(",").toSet else AllTables
+    val boilerPct = if (args.length > 4) args(4).toInt else 0
+    require((tables -- AllTables).isEmpty,
+      s"unknown tables: ${(tables -- AllTables).mkString(",")}")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -125,8 +202,9 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    build(spark, srcDir, outDir, factor)
-    println(s"""{"scaled":"$outDir","factor":$factor,"src":"$srcDir"}""")
+    build(spark, srcDir, outDir, factor, tables, boilerPct)
+    println(s"""{"scaled":"$outDir","factor":$factor,"src":"$srcDir",""" +
+      s""""tables":${tables.size},"boilerPct":$boilerPct}""")
     spark.stop()
   }
 }

@@ -459,6 +459,39 @@ object TextDedup {
   private[graft] def stopShingleCap(nDocs: Long): Long =
     math.max(4L, nDocs / StopShingleDenom)
 
+  /** Hot-posting guard for the capped self-join pipelines (d6b/d9b):
+    * after the [[stopShingleCap]] valve, each surviving shingle's
+    * posting list is additionally truncated to its first
+    * [[HotPostingCap]] documents by doc_id rank (the m11 /
+    * [[WinnowSweepCap]] discipline in shingle space).
+    *
+    * The two caps guard different failure modes. The fractional valve
+    * has the right UNITS — boilerplate is a shingle appearing in a
+    * fixed fraction of the corpus — but as a worst-case bound it is
+    * useless: with cap ∝ n, a kept shingle can still hold n/125
+    * postings, so the pair join's worst bucket is (n/125)², i.e. the
+    * valve alone admits quadratic work from an adversarial df
+    * distribution sitting just under the fraction. The rank cap
+    * restores the engineering bound — pair work ≤ postings · CAP — at
+    * the usual recall trade: a pair dropped from a hot bucket is still
+    * found iff the docs share a sub-cap shingle. Sizes and
+    * intersections are BOTH computed in the rank-capped space (the
+    * shared-space discipline, same as the valve itself), so the verdict
+    * stays a consistent ratio and the DuckDB oracle mirrors it exactly
+    * with a `row_number() OVER (PARTITION BY shingle ORDER BY doc_id)`
+    * filter. On the gate corpora the cap never binds (max df 40 at
+    * sf0.1 < 256), so d6b/d9b hashes are unchanged; specs pin the
+    * binding behavior with a small synthetic cap.
+    */
+  private[graft] val HotPostingCap = 256L
+  private[graft] def capHotPostings(idx: DataFrame, cap: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    idx.withColumn("rk", row_number().over(
+        Window.partitionBy(col("shingle")).orderBy(col("doc_id"))))
+      .filter(col("rk") <= cap)
+      .drop("rk")
+  }
+
   /** Drops shingles with document frequency above the cap.
     *
     * Df is computed by groupBy — partial aggregation collapses a hot
@@ -479,9 +512,10 @@ object TextDedup {
     idx.join(hot, Seq("shingle"), "left_anti")
   }
 
-  private[queries] def ngramJaccard(spark: SparkSession, dir: String,
-      maxShingleDf: Option[Long]): DataFrame =
-    jaccardPairsUnordered(spark, dir, maxShingleDf)
+  private[graft] def ngramJaccard(spark: SparkSession, dir: String,
+      maxShingleDf: Option[Long],
+      hotPostingCap: Long = HotPostingCap): DataFrame =
+    jaccardPairsUnordered(spark, dir, maxShingleDf, hotPostingCap)
       .orderBy(col("id_a"), col("id_b"))
 
   /** The duplicate-pair table (id_a < id_b, jaccard ≥ 0.8), MEMOIZED and
@@ -520,10 +554,14 @@ object TextDedup {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def jaccardPairsUnordered(spark: SparkSession, dir: String,
-      maxShingleDf: Option[Long]): DataFrame = {
-    // inverted index feeds both self-join sides plus the size table
+      maxShingleDf: Option[Long],
+      hotPostingCap: Long = HotPostingCap): DataFrame = {
+    // inverted index feeds both self-join sides plus the size table;
+    // the capped variants additionally rank-cap surviving posting
+    // lists (capHotPostings — the worst-case bound the valve lacks)
     val raw = shingleIndex(Tables.documents(spark, dir))
-    val idx = maxShingleDf.fold(raw)(capShingleDf(raw, _)).persist()
+    val idx = maxShingleDf.fold(raw)(c =>
+      capHotPostings(capShingleDf(raw, c), hotPostingCap)).persist()
     idx.count() // eager materialization (see d3)
     val sizes = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = idx.as("a")
@@ -733,9 +771,11 @@ object TextDedup {
     containmentOf(Tables.documents(spark, dir), maxShingleDf)
 
   private[graft] def containmentOf(docs: DataFrame,
-      maxShingleDf: Option[Long]): DataFrame = {
+      maxShingleDf: Option[Long],
+      hotPostingCap: Long = HotPostingCap): DataFrame = {
     val raw = shingleIndex(docs)
-    val idx = maxShingleDf.fold(raw)(capShingleDf(raw, _)).persist()
+    val idx = maxShingleDf.fold(raw)(c =>
+      capHotPostings(capShingleDf(raw, c), hotPostingCap)).persist()
     idx.count() // eager materialization (see d3)
     val sizes = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val shared = idx.as("a").join(idx.as("b"),
@@ -4014,6 +4054,37 @@ object TextDedup {
         .groupBy(col("fp")).agg(count(lit(1)).as("df")),
       keyCount = "n_fps")
 
+  /** Stop-shingle audit (d36): the concrete shingles the scale-aware
+    * valve ([[stopShingleCap]]) cuts — df, half-up per-mille corpus
+    * share, and the pair work each would have injected into the d6/d9
+    * self-join (df·(df−1)/2). This is the dashboard a corpus operator
+    * reads before trusting the valve: d32 says how much mass sits over
+    * the cap, d36 says WHAT it is (cookie banners and license headers,
+    * or — the false-positive smell — legitimate template prose). Same
+    * groupBy-df aggregate as d32 (partial agg collapses hot keys
+    * map-side; the hot-key rows never converge on one task), then a
+    * cut-only filter and a top-100 TakeOrdered on (df desc, shingle) —
+    * a total order, since dfreq holds one row per shingle. The valve
+    * itself (capShingleDf) anti-joins exactly this over-cap set, so
+    * the audit IS the cut list, not a parallel approximation.
+    */
+  def d36BoilerShingles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
+    val docs = Tables.documents(spark, dir)
+    val n = docs.count()
+    val cap = stopShingleCap(n)
+    shingleIndex(docs)
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap)
+      .select(col("shingle"), col("df"),
+        intDiv(col("df") * 1000L + lit(n / 2L), lit(n)).cast("long")
+          .as("df_share_pm"),
+        intDiv(col("df") * (col("df") - 1L), lit(2L)).cast("long")
+          .as("pair_work"))
+      .orderBy(col("df").desc, col("shingle"))
+      .limit(100)
+  }
+
   private def dfProfileOf(dfreq: DataFrame,
       keyCount: String): DataFrame = {
     import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
@@ -4395,6 +4466,7 @@ object TextDedup {
     "d34_incremental_components" -> (d34IncrementalComponents _),
     "d33_winnow_sweep" -> ((s: SparkSession, d: String) => d33WinnowSweep(s, d)),
     "d32_shingle_df_profile" -> (d32ShingleDfProfile _),
+    "d36_boiler_shingles" -> (d36BoilerShingles _),
     "d31b_crosslang_winnow" -> (d31bCrossLangWinnow _),
     "d32b_winnow_df_profile" -> (d32bWinnowDfProfile _),
     "p32b_dedup_epochs_winnow" -> (p32bDedupEpochsWinnow _),

@@ -88,6 +88,65 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(graft.queries.TextDedup.stopShingleCap(1500L) >= 10L)
   }
 
+  test("capHotPostings: rank-caps a surviving posting list by doc_id; " +
+      "sizes and intersections stay in the shared capped space") {
+    import spark.implicits._
+    // one shingle held by 5 docs (survives a loose valve), plus a
+    // private shingle per doc
+    val idx = ((1L to 5L).map(id => (id, "common shingle here")) ++
+      (1L to 5L).map(id => (id, s"private shingle $id")))
+      .toDF("doc_id", "shingle")
+    val capped = graft.queries.TextDedup.capHotPostings(idx, 3L)
+    // docs 1-3 keep both postings; docs 4-5 lose the hot one only
+    val kept = capped.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kept == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 1L, 5L -> 1L))
+    // never binds below the cap: identity on the gate-scale shape
+    assert(graft.queries.TextDedup.capHotPostings(idx, 5L).count()
+      == idx.count())
+    // and d6b/d9b at gate scale are unaffected (max df at sf0.001 is
+    // far below HotPostingCap = 256): the capped query equals a run
+    // with the rank cap disabled
+    val withCap = graft.queries.TextDedup
+      .d6bJaccardCapped(spark, dir).collect().toSeq
+    val noCap = graft.queries.TextDedup.ngramJaccard(spark, dir,
+        maxShingleDf = Some(graft.queries.TextDedup.stopShingleCap(
+          Tables.documents(spark, dir).count())),
+        hotPostingCap = Long.MaxValue)
+      .collect().toSeq
+    assert(withCap == noCap)
+  }
+
+  test("d36 boiler audit: the (df desc, shingle) top-100 of exactly " +
+      "the set capShingleDf cuts") {
+    val docs = Tables.documents(spark, dir)
+    val n = docs.count()
+    val cap = graft.queries.TextDedup.stopShingleCap(n)
+    val idx = graft.queries.TextDedup.shingleIndex(docs)
+    // driver-side expectation: over-cap dfs ranked on the total order
+    val expected = idx.groupBy("shingle").count()
+      .filter(col("count") > cap)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (s, df) => (-df, s) }.take(100).toSeq
+    val audit = graft.queries.TextDedup.d36BoilerShingles(spark, dir)
+      .collect()
+    assert(audit.map(r => (r.getString(0), r.getLong(1))).toSeq == expected)
+    // every audited shingle is genuinely in the valve's anti-join cut set
+    val cutShingles = idx
+      .join(graft.queries.TextDedup.capShingleDf(idx, cap),
+        Seq("doc_id", "shingle"), "left_anti")
+      .select("shingle").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(audit.map(_.getString(0)).forall(cutShingles))
+    // share and pair-work arithmetic
+    audit.foreach { r =>
+      val (df, pm, pw) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(df > cap)
+      assert(pm == (df * 1000L + n / 2) / n)
+      assert(pw == df * (df - 1) / 2)
+    }
+  }
+
   test("winnowPairs asset: matches a from-scratch driver twin in the " +
       "wide 20-bit space; memoized across calls") {
     val docs = Tables.documents(spark, dir)
