@@ -482,14 +482,46 @@ object TextDedup {
     * filter. On the gate corpora the cap never binds (max df 40 at
     * sf0.1 < 256), so d6b/d9b hashes are unchanged; specs pin the
     * binding behavior with a small synthetic cap.
+    *
+    * Cost discipline: a naive `row_number` over the whole index
+    * sort-shuffles EVERY posting to enforce a cap that binds on almost
+    * none of them (the first cut of this guard doubled d6b/d9b bench
+    * cost at sf0.1 where the cap cannot bind at all). Two layers keep
+    * the guard plan-free until it has work to do: (1) the pipelines
+    * skip it entirely when the valve cap ≤ the rank cap — post-valve
+    * df ≤ valve cap, so the rank can provably never exceed the cap;
+    * (2) when it does run, only postings of over-cap shingles pay the
+    * window sort — the df aggregate splits the index (partial agg
+    * collapses hot keys map-side), the ≤ #postings/cap over-cap
+    * shingle list broadcasts into map-side semi/anti joins, cold
+    * postings pass through untouched, and the window's partition
+    * count is the over-cap shingle count, not the corpus.
     */
   private[graft] val HotPostingCap = 256L
   private[graft] def capHotPostings(idx: DataFrame, cap: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    idx.withColumn("rk", row_number().over(
+    val hot = idx.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap)
+      .select(col("shingle"))
+    val cold = idx.join(hot, Seq("shingle"), "left_anti")
+    val capped = idx.join(hot, Seq("shingle"), "left_semi")
+      .withColumn("rk", row_number().over(
         Window.partitionBy(col("shingle")).orderBy(col("doc_id"))))
       .filter(col("rk") <= cap)
       .drop("rk")
+    cold.unionByName(capped)
+  }
+
+  /** The valve + rank-cap composition both capped pipelines share:
+    * rank-capping is skipped when the valve cap already implies it
+    * cannot bind (see [[capHotPostings]] layer 1).
+    */
+  private def valveAndRankCap(raw: DataFrame, valveCap: Long,
+      hotPostingCap: Long): DataFrame = {
+    val valved = capShingleDf(raw, valveCap)
+    if (valveCap <= hotPostingCap) valved
+    else capHotPostings(valved, hotPostingCap)
   }
 
   /** Drops shingles with document frequency above the cap.
@@ -561,7 +593,7 @@ object TextDedup {
     // lists (capHotPostings — the worst-case bound the valve lacks)
     val raw = shingleIndex(Tables.documents(spark, dir))
     val idx = maxShingleDf.fold(raw)(c =>
-      capHotPostings(capShingleDf(raw, c), hotPostingCap)).persist()
+      valveAndRankCap(raw, c, hotPostingCap)).persist()
     idx.count() // eager materialization (see d3)
     val sizes = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = idx.as("a")
@@ -775,7 +807,7 @@ object TextDedup {
       hotPostingCap: Long = HotPostingCap): DataFrame = {
     val raw = shingleIndex(docs)
     val idx = maxShingleDf.fold(raw)(c =>
-      capHotPostings(capShingleDf(raw, c), hotPostingCap)).persist()
+      valveAndRankCap(raw, c, hotPostingCap)).persist()
     idx.count() // eager materialization (see d3)
     val sizes = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val shared = idx.as("a").join(idx.as("b"),

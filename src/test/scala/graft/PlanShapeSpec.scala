@@ -1119,4 +1119,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_"), p.take(1200))
     assert(p.contains("windowspecdefinition(event_type"), p.take(1200))
   }
+
+  test("d6b: the hot-posting rank cap is plan-free when the valve cap " +
+      "already implies it (no Window over the posting index)") {
+    // gate corpora: stopShingleCap(n) ≤ HotPostingCap, so the rank
+    // guard must short-circuit — a shingle-partitioned row_number here
+    // would mean every posting pays a sort-shuffle to enforce a cap
+    // that cannot bind (the per-doc lead() windows of shingling itself
+    // are fine and expected)
+    val p = plan(TextDedup.d6bJaccardCapped(spark, dir))
+    assert(!p.contains("row_number"), p.take(1200))
+    assert(!p.contains("windowspecdefinition(shingle"), p.take(1200))
+  }
+
+  test("capHotPostings: only over-cap shingles' postings enter the " +
+      "window; cold postings bypass via broadcast anti-join") {
+    import spark.implicits._
+    val idx = ((1L to 50L).map(id => (id, "hot")) ++
+      (1L to 50L).map(id => (id, s"cold $id"))).toDF("doc_id", "shingle")
+    val p = plan(TextDedup.capHotPostings(idx, 8L))
+    assert(p.contains("Window"), p.take(1200))
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    // the union reunites the two legs
+    assert(p.contains("Union"), p.take(1200))
+  }
 }
