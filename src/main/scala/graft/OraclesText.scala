@@ -4872,6 +4872,27 @@ object OraclesText {
         |    AS BIGINT) / 1e6, 6) AS pair_work_share
         |FROM r, tot ORDER BY bucket_lo""".stripMargin,
 
+    // TextDedup.d9wContainmentWinnow: directional containment in the
+    // capped winnow fingerprint space — wfpc from winnowPairCte (same
+    // 20-bit selection + rank cap as the winnowPairs asset), sizes AND
+    // intersections both over wfpc, the d9 round/threshold/order.
+    "d9w_containment_winnow" ->
+      s"""WITH $shingleCte,
+        |$winnowPairCte,
+        |wsizes AS (SELECT doc_id, count(*) AS n FROM wfpc GROUP BY 1),
+        |wshared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    count(*) AS shared
+        |  FROM wfpc a JOIN wfpc b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |wboth AS (SELECT id_a AS contained_id, id_b AS container_id, shared
+        |    FROM wshared
+        |  UNION ALL SELECT id_b, id_a, shared FROM wshared)
+        |SELECT contained_id, container_id,
+        |  round(CAST(shared AS DOUBLE) / sa.n, 6) AS containment
+        |FROM wboth JOIN wsizes sa ON contained_id = sa.doc_id
+        |WHERE round(CAST(shared AS DOUBLE) / sa.n, 6) >= 0.9
+        |ORDER BY contained_id, container_id LIMIT 3000""".stripMargin,
+
     // TextDedup.d36BoilerShingles: the over-cap cut list — same sidx
     // derivation and valve expression as d6b/d9b (greatest(4,
     // count(*) // 125)), half-up per-mille share, BIGINT pair work,

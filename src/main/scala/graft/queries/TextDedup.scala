@@ -649,6 +649,58 @@ object TextDedup {
     containmentPairs(spark, dir, maxShingleDf =
       Some(stopShingleCap(Tables.documents(spark, dir).count())))
 
+  /** Containment in the capped winnow fingerprint space (d9w) — the
+    * AT-SCALE containment default, with d9/d9b as the exact audit legs
+    * (the dupPairs → winnowPairs precedent at the query level).
+    *
+    * Why a third leg exists: the r12 fractional valve fixed d9b's
+    * recall (the old constant df-4 cut amputated genuine near-dup
+    * signal as the corpus grew), but exact containment over the full
+    * posting index is Θ(Σ df·min(df, cap)) pair emissions — linear in
+    * postings at best, and measured at sf100 (5M docs) the pair
+    * shuffle spills past this box's 60+ GB free disk before finishing
+    * (SCALE.md r12). No exact algorithm that touches every posting
+    * does better; the scale lever is the index itself. d9w computes
+    * the same directional ratio — |A∩B| / |A|, sizes and
+    * intersections BOTH in the shared capped space — over the
+    * winnow-selected fingerprint frame (w = 4 → ~2/(w+1) = 40% of
+    * postings, 20-bit space, [[WinnowSweepCap]]-capped buckets), so
+    * pair work is bounded by selections·CAP and the winnowing
+    * guarantee (any shared w+2-token run yields a shared selection)
+    * keeps containment-style overlap visible. The DuckDB oracle
+    * replays the identical selection (md5-prefix integer space,
+    * composite-key window min, rank cap), so the verdict is
+    * hash-gated end to end.
+    */
+  def d9wContainmentWinnow(spark: SparkSession, dir: String): DataFrame = {
+    val fpc = winnowCapped(
+      winnowSelect(winnowHashed(Tables.documents(spark, dir),
+        hexChars = 5), WinnowW), WinnowSweepCap).persist()
+    fpc.count() // eager materialization (see d3)
+    val sizes = fpc.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val shared = fpc.as("a").join(fpc.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    val both = shared.select(col("id_a").as("contained_id"),
+        col("id_b").as("container_id"), col("shared"))
+      .unionByName(shared.select(col("id_b").as("contained_id"),
+        col("id_a").as("container_id"), col("shared")))
+    val out = both
+      .join(sizes.withColumnRenamed("doc_id", "contained_id"),
+        Seq("contained_id"))
+      .withColumn("containment",
+        round(col("shared").cast("double") / col("n"), 6))
+      .filter(col("containment") >= 0.9)
+      .select(col("contained_id"), col("container_id"), col("containment"))
+      .orderBy(col("contained_id"), col("container_id"))
+      .limit(3000)
+    val pinned = out.persist()
+    pinned.count()
+    fpc.unpersist()
+    out
+  }
+
   /** Winnowing fingerprint dedup (d30): the MOSS/Stanford local
     * fingerprinting scheme — every window of [[WinnowW]] consecutive
     * 3-gram shingle hashes selects its minimum (rightmost on ties, the
@@ -745,12 +797,20 @@ object TextDedup {
     * Shared by the d33 sweep legs; `cap = Int.MaxValue` recovers the
     * uncapped d30 semantics (specs use small caps to pin the cut).
     */
-  private[graft] def winnowPairsCapped(fp: DataFrame, cap: Int): DataFrame = {
+  /** The rank-capped winnow frame shared by [[winnowPairsCapped]] and
+    * [[d9wContainmentWinnow]]: at most `cap` docs per fingerprint, by
+    * doc_id rank over the already-distinct selection.
+    */
+  private[graft] def winnowCapped(fp: DataFrame, cap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val capped = fp.withColumn("rk", row_number().over(
+    fp.withColumn("rk", row_number().over(
         Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
       .filter(col("rk") <= cap)
       .select(col("doc_id"), col("fp"))
+  }
+
+  private[graft] def winnowPairsCapped(fp: DataFrame, cap: Int): DataFrame = {
+    val capped = winnowCapped(fp, cap)
     capped.as("a").join(capped.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
@@ -4549,6 +4609,7 @@ object TextDedup {
     "d8_dedup_components" -> (d8DedupComponents _),
     "d9_containment" -> (d9Containment _),
     "d9b_containment_capped" -> (d9bContainmentCapped _),
+    "d9w_containment_winnow" -> (d9wContainmentWinnow _),
     "d10_decontamination" -> (d10Decontamination _),
     "d11_chunk_dedup" -> (d11ChunkDedup _),
     "d12_train_overlap" -> (d12TrainOverlap _),

@@ -147,6 +147,36 @@ class Round12OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("d9w winnow containment: detects prefix containment on a " +
+      "synthetic corpus; rows stay in the [0.9, 1] band, ordered") {
+    import spark.implicits._
+    val body = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val extra = (1 to 40).map(i => s"tail$i").mkString(" ")
+    val docs = Seq(
+      (1L, body, "en", "s"),                     // contained
+      (2L, s"$body $extra", "en", "s"),          // container
+      (3L, (1 to 80).map(i => s"other$i").mkString(" "), "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val dir = java.nio.file.Files.createTempDirectory("d9w").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.queries.TextDedup.d9wContainmentWinnow(spark, dir)
+      .collect()
+    // doc 1's winnow selections nearly all recur in doc 2 (only the
+    // suffix-boundary windows can differ), so the directional verdict
+    // must surface (1 contained-in 2) and NOT claim 2-in-1 (doc 2 has
+    // ~40% more selections than it shares)
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"missing 1-in-2: ${pairs.mkString(",")}")
+    assert(!pairs.contains((2L, 1L)))
+    assert(pairs.forall { case (a, b) => a != 3L && b != 3L })
+    rows.foreach { r =>
+      val c = r.getDouble(2)
+      assert(c >= 0.9 && c <= 1.0)
+    }
+    val sorted = rows.map(r => (r.getLong(0), r.getLong(1)))
+    assert(sorted.toSeq == sorted.toSeq.sorted)
+  }
+
   test("winnowPairs asset: matches a from-scratch driver twin in the " +
       "wide 20-bit space; memoized across calls") {
     val docs = Tables.documents(spark, dir)

@@ -61,6 +61,38 @@ class ScaleUpSpec extends AnyFunSuite {
     assert(jit.toSeq == exp.toSeq)
   }
 
+  test("boiler corpus end-to-end: d36 surfaces the injected headers as " +
+      "the valve's cut list; d9b still completes in the capped space") {
+    import spark.implicits._
+    // 200 base docs x 5 replicas with roughly half the base docs
+    // boiler-headed (doc_id mod 100 < 50) → n = 1000, valve cap =
+    // max(4, 1000/125) = 8; header tokens stay unsuffixed in every
+    // replica so header-shingle df ≈ 500 ≫ 8, while body shingles
+    // stay doc-private (df = 1 — body tokens are doc- and
+    // replica-unique), and header→body bridge shingles carry the
+    // doc-unique body token so they are df-1 too
+    val src = (1L to 200L).map(i =>
+      (i, s"alpha$i beta$i gamma$i delta$i epsilon$i", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val dir = java.nio.file.Files.createTempDirectory("boiler").toString
+    ScaleUp.documents(src, 5, boilerPct = 50)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val audit = graft.queries.TextDedup.d36BoilerShingles(spark, dir)
+      .collect()
+    assert(audit.nonEmpty)
+    // every over-cap shingle is header-born: all its tokens come from
+    // one of the three fixed headers (headers never take the ~r suffix)
+    val headerToks = ScaleUp.BoilerHeaders.flatMap(_.split(" ")).toSet
+    audit.foreach { r =>
+      val toks = r.getString(0).split(" ")
+      assert(toks.forall(headerToks), s"non-header shingle cut: ${r.getString(0)}")
+      assert(r.getLong(1) > 8L) // df over the valve cap
+    }
+    // and the capped containment pipeline runs clean on the same corpus
+    assert(graft.queries.TextDedup.d9bContainmentCapped(spark, dir)
+      .count() >= 0L)
+  }
+
   test("replicate scales: a 10^4-factor plan analyzes and runs (the " +
       "union build could not)") {
     import spark.implicits._
