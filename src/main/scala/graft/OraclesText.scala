@@ -30,7 +30,7 @@ object OraclesText {
 
   private def hex4ToInt(h: String): String = hexToInt(h, 4)
 
-  /** Wide (20-bit / 5-hex) winnow fingerprint selections and capped
+  /** Wide (36-bit / 9-hex) winnow fingerprint selections and capped
     * pairs — mirrors TextDedup.winnowPairs (w = WinnowW, cap =
     * WinnowSweepCap). Requires `tok` from [[shingleCte]]; yields
     * wfp(doc_id, fp) and wpairs(id_a, id_b).
@@ -41,17 +41,17 @@ object OraclesText {
     s"""wsh0 AS (SELECT doc_id, unnest(range(1, len(toks)-1)) AS pos, toks
        |  FROM tok WHERE len(toks) >= 3),
        |wsh AS (SELECT doc_id, pos,
-       |    ${hexToInt("substr(md5(toks[pos] || ' ' || toks[pos+1] || ' ' || toks[pos+2]), 1, 5)", 5)} AS h
+       |    ${hexToInt("substr(md5(toks[pos] || ' ' || toks[pos+1] || ' ' || toks[pos+2]), 1, 9)", 9)} AS h
        |  FROM wsh0),
        |wenc AS (SELECT doc_id, pos,
-       |    h * 1099511627776 + (1099511627775 - pos) AS ek FROM wsh),
+       |    h * 16777216 + (16777215 - pos) AS ek FROM wsh),
        |wwin AS (SELECT doc_id,
        |    min(ek) OVER (PARTITION BY doc_id ORDER BY pos
        |      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS mk,
        |    count(*) OVER (PARTITION BY doc_id ORDER BY pos
        |      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS cnt
        |  FROM wenc),
-       |wfp AS (SELECT DISTINCT doc_id, mk // 1099511627776 AS fp
+       |wfp AS (SELECT DISTINCT doc_id, mk // 16777216 AS fp
        |  FROM wwin WHERE cnt = $w),
        |wfpc AS (SELECT doc_id, fp FROM (SELECT doc_id, fp,
        |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
@@ -4506,9 +4506,10 @@ object OraclesText {
   val round12: Map[String, String] = Map(
     // TextDedup.d30Winnowing: robust winnowing — each 4-window of 3-gram
     // shingle hashes selects (min hash, rightmost pos) via one integer
-    // min over the composite h·2^40 + (2^40−1−pos) key (matching the
-    // 1099511627776/1099511627775 literals below and the Spark side —
-    // a 2^20 field would corrupt selections for long documents); docs
+    // min over the composite h·2^24 + (2^24−1−pos) key (matching the
+    // 16777216/16777215 literals below and the Spark side —
+    // a position field narrower than any document would corrupt
+    // selections); docs
     // sharing
     // ≥ 2 selected fingerprints pair up. Positions are 1-based here vs
     // 0-based in Spark — only their relative order matters to the min.
@@ -4522,14 +4523,14 @@ object OraclesText {
         |    ${hex4ToInt("substr(md5(toks[pos] || ' ' || toks[pos+1] || ' ' || toks[pos+2]), 1, 4)")} AS h
         |  FROM sh0),
         |enc AS (SELECT doc_id, pos,
-        |    h * 1099511627776 + (1099511627775 - pos) AS ek FROM sh),
+        |    h * 16777216 + (16777215 - pos) AS ek FROM sh),
         |win AS (SELECT doc_id,
         |    min(ek) OVER (PARTITION BY doc_id ORDER BY pos
         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk,
         |    count(*) OVER (PARTITION BY doc_id ORDER BY pos
         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS cnt
         |  FROM enc),
-        |fp AS (SELECT DISTINCT doc_id, mk // 1099511627776 AS fp
+        |fp AS (SELECT DISTINCT doc_id, mk // 16777216 AS fp
         |  FROM win WHERE cnt = 4),
         |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |    count(*) AS n_shared
@@ -4874,7 +4875,7 @@ object OraclesText {
 
     // TextDedup.d9wContainmentWinnow: directional containment in the
     // capped winnow fingerprint space — wfpc from winnowPairCte (same
-    // 20-bit selection + rank cap as the winnowPairs asset), sizes AND
+    // 36-bit selection + rank cap as the winnowPairs asset), sizes AND
     // intersections both over wfpc, the d9 round/threshold/order.
     "d9w_containment_winnow" ->
       s"""WITH $shingleCte,
@@ -4953,7 +4954,7 @@ object OraclesText {
            |    count(*) OVER (PARTITION BY doc_id ORDER BY pos
            |      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS cnt
            |  FROM enc),
-           |fp$w AS (SELECT DISTINCT doc_id, mk // 1099511627776 AS fp
+           |fp$w AS (SELECT DISTINCT doc_id, mk // 16777216 AS fp
            |  FROM win$w WHERE cnt = $w),
            |fpc$w AS (SELECT doc_id, fp FROM (SELECT doc_id, fp,
            |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
@@ -4983,10 +4984,10 @@ object OraclesText {
         |wsh0 AS (SELECT doc_id, unnest(range(1, len(toks)-1)) AS pos, toks
         |  FROM tok WHERE len(toks) >= 3),
         |wsh AS (SELECT doc_id, pos,
-        |    ${hexToInt("substr(md5(toks[pos] || ' ' || toks[pos+1] || ' ' || toks[pos+2]), 1, 5)", 5)} AS h
+        |    ${hexToInt("substr(md5(toks[pos] || ' ' || toks[pos+1] || ' ' || toks[pos+2]), 1, 9)", 9)} AS h
         |  FROM wsh0),
         |enc AS (SELECT doc_id, pos,
-        |    h * 1099511627776 + (1099511627775 - pos) AS ek FROM wsh),
+        |    h * 16777216 + (16777215 - pos) AS ek FROM wsh),
         |posts AS (SELECT CAST(count(*) AS BIGINT) AS n_postings FROM enc),
         |${wCtes(2)},
         |${wCtes(4)},

@@ -162,12 +162,26 @@ object ScaleUp {
     * dominates the disk footprint ~20:1); `boilerPct` enables
     * boilerplate injection on `documents` (see [[documents]]).
     */
+  /** Output file count: a lake at N× scale has ~N× the files, and several
+    * consumers' parallelism is scan-split arithmetic (mapPartitions codec
+    * kernels chiefly). The first explode build inherited the SOURCE's
+    * partitioning — one ~76 MB file for 100× documents — which serialized
+    * every media decode onto one task (measured 25×, r12). Cap at 2048 so
+    * a 10⁴× build doesn't degenerate into the small-files problem.
+    */
+  private[graft] def outFiles(factor: Int): Int =
+    math.max(64, math.min(2048, factor))
+
   def build(spark: SparkSession, srcDir: String, outDir: String,
       factor: Int, tables: Set[String] = AllTables,
       boilerPct: Int = 0): Unit = {
     def write(name: String, df: => DataFrame): Unit =
-      if (tables(name))
-        df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      if (tables(name)) {
+        // dimensions stay single-file (25/5 rows at any scale)
+        val out = if (name == "nation" || name == "region") df.coalesce(1)
+                  else df.repartition(outFiles(factor))
+        out.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      }
     def src(name: String): DataFrame =
       spark.read.parquet(s"$srcDir/$name.parquet")
     write("documents", documents(src("documents"), factor, boilerPct))

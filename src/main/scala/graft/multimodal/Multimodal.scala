@@ -39,6 +39,26 @@ object Multimodal {
     javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
   }
 
+  /** The id frame every codec kernel derives its payloads from, spread
+    * evenly across cores BEFORE the synthesis/decode map. The kernels are
+    * CPU-bound, and without the spread their parallelism is scan-split
+    * arithmetic — a compactly-written rehearsal table (one ~76 MB file at
+    * 100× bench scale) handed every decode to ONE task, measured as a 25×
+    * media slowdown (r12, SCALE.md). Only the 8-byte ids cross the
+    * round-robin exchange; payloads are generated after it and never
+    * shuffle (the m1 discipline). A real binary lake gets the same spread
+    * from its file layout — and when a compacted table doesn't,
+    * repartitioning the slim key frame ahead of the decode join is
+    * exactly the production fix.
+    */
+  private[graft] def codecIds(docs: DataFrame): Dataset[Long] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"))
+      .repartition(spark.sparkContext.defaultParallelism * 4)
+      .as[Long]
+  }
+
   /** A media blob with typed metadata, as stored in a lakehouse table. */
   case class MediaRow(doc_id: Long, media_type: String, content: Array[Byte])
 
@@ -264,9 +284,7 @@ object Multimodal {
   def m9AudioSegments(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val winLen = 500
-    Tables.documents(spark, dir)
-      .select(col("doc_id").cast("long"))
-      .as[Long]
+    codecIds(Tables.documents(spark, dir))
       .mapPartitions { ids =>
         ids.map { id =>
           val (nSamples, winSq) = windowEnergies(id, winLen)
@@ -360,9 +378,7 @@ object Multimodal {
   private[graft] def audioFingerprintOf(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     val winLen = 500
-    docs
-      .select(col("doc_id").cast("long"))
-      .as[Long]
+    codecIds(docs)
       .mapPartitions { ids =>
         ids.map { id =>
           val (nSamples, winSq) = windowEnergies(id, winLen)
@@ -536,9 +552,7 @@ object Multimodal {
     */
   def m5VideoFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .select(col("doc_id").cast("long"))
-      .as[Long]
+    codecIds(Tables.documents(spark, dir))
       .mapPartitions { ids =>
         ids.map { id =>
           val (w, h, nf) =
@@ -572,9 +586,7 @@ object Multimodal {
     */
   def m8SceneCuts(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .select(col("doc_id").cast("long"))
-      .as[Long]
+    codecIds(Tables.documents(spark, dir))
       .mapPartitions { ids =>
         ids.map { id =>
           val (w, h, nf) =
@@ -638,9 +650,7 @@ object Multimodal {
     * ([[graft.streaming.CorpusStreams.videoDedupAgainst]]). */
   private[graft] def videoFingerprintOf(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    docs
-      .select(col("doc_id").cast("long"))
-      .as[Long]
+    codecIds(docs)
       .mapPartitions { ids =>
         ids.map { id =>
           val (w, h, nf) =
@@ -683,9 +693,7 @@ object Multimodal {
     */
   def m4AudioFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .select(col("doc_id").cast("long"))
-      .as[Long]
+    codecIds(Tables.documents(spark, dir))
       .mapPartitions { ids =>
         ids.map { id =>
           val rate = 8000 + (id % 3).toInt * 4000
@@ -763,10 +771,8 @@ object Multimodal {
   private def syntheticMedia(spark: SparkSession,
       dir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .select(col("doc_id").cast("long"), col("text"))
-      .as[(Long, String)]
-      .map { case (id, _) =>
+    codecIds(Tables.documents(spark, dir))
+      .map { id =>
         (id % 3) match {
           case 0 => MediaRow(id, "image/bmp",
             MediaGen.imageBytes("bmp", (1 + id % 64).toInt, (1 + id % 48).toInt, id))

@@ -664,7 +664,7 @@ object TextDedup {
     * the same directional ratio — |A∩B| / |A|, sizes and
     * intersections BOTH in the shared capped space — over the
     * winnow-selected fingerprint frame (w = 4 → ~2/(w+1) = 40% of
-    * postings, 20-bit space, [[WinnowSweepCap]]-capped buckets), so
+    * postings, 36-bit space, [[WinnowSweepCap]]-capped buckets), so
     * pair work is bounded by selections·CAP and the winnowing
     * guarantee (any shared w+2-token run yields a shared selection)
     * keeps containment-style overlap visible. The DuckDB oracle
@@ -675,7 +675,7 @@ object TextDedup {
   def d9wContainmentWinnow(spark: SparkSession, dir: String): DataFrame = {
     val fpc = winnowCapped(
       winnowSelect(winnowHashed(Tables.documents(spark, dir),
-        hexChars = 5), WinnowW), WinnowSweepCap).persist()
+        hexChars = WinnowWideHex), WinnowW), WinnowSweepCap).persist()
     fpc.count() // eager materialization (see d3)
     val sizes = fpc.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val shared = fpc.as("a").join(fpc.as("b"),
@@ -713,7 +713,9 @@ object TextDedup {
     * index itself is the cost driver at 100 TB.
     *
     * Arithmetic is cross-engine exact: the 16-bit md5-prefix shingle
-    * hash rides in a composite `h·2⁴⁰ + (2⁴⁰−1−pos)` key (the 2⁴⁰ position field keeps the key exact for documents up to 10¹² tokens; a 2²⁰ field would corrupt selections past ~10⁶ tokens) so one window
+    * hash rides in a composite `h·F + (F−1−pos)` key ([[WinnowPosField]]
+    * F = 2²⁴ keeps the key exact for documents up to ~10⁷ tokens while
+    * leaving 39 bits of hash width) so one window
     * `min` picks (min hash, max pos) with no float anywhere; both
     * per-doc windows (the shingle `lead` and the fingerprint min)
     * partition and order identically, so Catalyst plans ONE exchange +
@@ -738,10 +740,32 @@ object TextDedup {
     * d33 sweep both select over it, so the expensive explode+md5 pass
     * exists once.
     */
-  /** `hexChars` widens the fingerprint space: 4 (default, d30/d33) →
-    * 16-bit; 5 → 20-bit for the at-scale [[winnowPairs]] asset, where
-    * 65k buckets over a lake-sized corpus would make EVERY bucket hot
-    * (h < 2²⁰ keeps the composite h·2⁴⁰ + pos key inside a long).
+  /** Position field of the composite winnow key h·F + (F−1−pos): 2²⁴
+    * positions is ≫ any real document, and keeping the field SMALL is
+    * what buys hash width — the original 2⁴⁰ field left only 2²³ for h
+    * over a signed long, and a fingerprint space that cannot grow with
+    * the corpus saturates: once postings ≫ buckets every bucket is hot,
+    * pair work pins at buckets·cap²/2, and the rank cap starts eating
+    * recall corpus-wide (the d33 16-bit lesson, re-learned at 20 bits
+    * when sf10's d9w hit 212 s — SCALE.md r12). The field width only
+    * rescales the composite key; the (h, −pos) ORDER — and therefore
+    * every selection — is unchanged for any document shorter than F.
+    */
+  private[graft] val WinnowPosField = 16777216L // 2^24
+
+  /** Hash width for the at-scale winnow legs (d9w, [[winnowPairs]],
+    * the d33 sweep): 9 hex chars → a 36-bit space, effectively
+    * collision-free at any rehearsal scale, so a fingerprint's df is
+    * its shingle's TRUE df — boilerplate stays the valve's problem and
+    * the rank cap is a backstop, not the operating regime. (d30 keeps
+    * the narrow 4-hex default: its gated contract IS the small-space
+    * selection.)
+    */
+  private[graft] val WinnowWideHex = 9
+
+  /** `hexChars` widens the fingerprint space: 4 (default, d30) →
+    * 16-bit; [[WinnowWideHex]] → 36-bit for the at-scale legs
+    * (h < 2³⁹ keeps the composite h·2²⁴ + pos key inside a long).
     */
   private[graft] def winnowHashed(docs: DataFrame,
       hexChars: Int = 4): DataFrame = {
@@ -754,8 +778,8 @@ object TextDedup {
       .filter(col("t2").isNotNull)
       .select(col("doc_id"), col("pos"),
         (conv(substring(fastMd5(concat_ws(" ", col("tok"), col("t1"),
-          col("t2"))), 1, hexChars), 16, 10).cast("long") * 1099511627776L +
-          (lit(1099511627775L) - col("pos"))).as("ek"))
+          col("t2"))), 1, hexChars), 16, 10).cast("long") * WinnowPosField +
+          (lit(WinnowPosField - 1L) - col("pos"))).as("ek"))
   }
 
   /** The winnow selection rule over a hashed frame, parametric in the
@@ -771,7 +795,7 @@ object TextDedup {
       .select(col("doc_id"), min(col("ek")).over(wWin).as("mk"),
         count(lit(1)).over(wWin).as("cnt"))
       .filter(col("cnt") === w) // full windows only
-      .select(col("doc_id"), intDiv(col("mk"), lit(1099511627776L)).as("fp"))
+      .select(col("doc_id"), intDiv(col("mk"), lit(WinnowPosField)).as("fp"))
       .distinct()
   }
 
@@ -820,7 +844,7 @@ object TextDedup {
 
   /** The SPILL-BOUNDED pair source for at-scale compositions (r12,
     * round-11 directive 4): winnow-selected fingerprints (w = 4, so the
-    * index holds ~2/(w+1) = 40% of postings) in the WIDE 20-bit hash
+    * index holds ~2/(w+1) = 40% of postings) in the WIDE 36-bit hash
     * space, capped per fingerprint at [[WinnowSweepCap]], paired on ≥ 2
     * shared selections, MATERIALIZED once per (run, dir) like
     * [[dupPairs]]. Where the exact pair asset's raw-shingle self-join
@@ -837,7 +861,7 @@ object TextDedup {
         s"${System.getProperty("java.io.tmpdir")}/graft-winnowpairs-" +
         s"$dupPairRunId-${dupPairSeq.getAndIncrement()}.parquet")
       val fp = winnowSelect(
-        winnowHashed(Tables.documents(spark, dir), hexChars = 5), WinnowW)
+        winnowHashed(Tables.documents(spark, dir), hexChars = WinnowWideHex), WinnowW)
       winnowPairsCapped(fp, WinnowSweepCap)
         .write.mode("overwrite").parquet(p)
       p
@@ -4142,7 +4166,7 @@ object TextDedup {
   def d32bWinnowDfProfile(spark: SparkSession, dir: String): DataFrame =
     dfProfileOf(
       winnowSelect(
-        winnowHashed(Tables.documents(spark, dir), hexChars = 5), WinnowW)
+        winnowHashed(Tables.documents(spark, dir), hexChars = WinnowWideHex), WinnowW)
         .groupBy(col("fp")).agg(count(lit(1)).as("df")),
       keyCount = "n_fps")
 
@@ -4365,13 +4389,13 @@ object TextDedup {
     * the m11 band-cap discipline): at w = 2 winnowing keeps ~46% of
     * postings and a hot fingerprint blows up df² pairs like d6's hot
     * shingles (603 s at sf10 uncapped). (2) The sweep measures the
-    * WIDE 20-bit fingerprint space — the space [[winnowPairs]], the
+    * WIDE 36-bit fingerprint space — the space [[winnowPairs]], the
     * at-scale pair asset this sweep exists to calibrate, actually
     * builds. The 16-bit d30 space is structurally hot at corpus scale:
     * 65k buckets ALL saturate the cap once postings pass cap·65k
     * (~17 M), pinning the sweep at buckets·cap²/2 ≈ 2.1 B joined rows
     * regardless of corpus (the capped re-measure still cost 294 s at
-    * sf10). In the 2²⁰ space the same corpus spreads 16× thinner and
+    * sf10). In the wide space the same corpus spreads thinner and
     * the cap returns to being the hot-bucket exception, not the rule.
     * All three width selections come from ONE multi-frame window pass
     * over one (doc_id, pos) exchange+sort — Catalyst chains the three
@@ -4388,7 +4412,7 @@ object TextDedup {
       .orderBy(col("pos")).rowsBetween(0, w - 1)
     // one exchange+sort serves every width's min/count frames
     val hashed = sorted.foldLeft(
-        winnowHashed(Tables.documents(spark, dir), hexChars = 5)) {
+        winnowHashed(Tables.documents(spark, dir), hexChars = WinnowWideHex)) {
       (df, w) => df
         .withColumn(s"mk$w", min(col("ek")).over(wWin(w)))
         .withColumn(s"cnt$w", count(lit(1)).over(wWin(w)))
@@ -4404,7 +4428,7 @@ object TextDedup {
       import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
       val fp = hashed.filter(col(s"cnt$w") === w)
         .select(col("doc_id"),
-          intDiv(col(s"mk$w"), lit(1099511627776L)).as("fp"))
+          intDiv(col(s"mk$w"), lit(WinnowPosField)).as("fp"))
         .distinct().persist()
       val nFp = fp.count()
       val pairs = winnowPairsCapped(fp, fpCap).persist()

@@ -152,7 +152,8 @@ object CorpusStreams {
   /** The winnow-selection closure: 16-bit md5-prefix hashes of the
     * word-3-grams (the [[shingleSetOf]] tokenizer, positions kept), each
     * 4-window selecting (min hash, rightmost pos) through the same
-    * composite h·2⁴⁰+(2⁴⁰−1−pos) integer key (position field wide enough for 10⁹-token documents) as the batch SQL — kept in
+    * composite h·F+(F−1−pos) integer key (F = WinnowPosField = 2²⁴,
+    * wide enough for 10⁷-token documents) as the batch SQL — kept in
     * ONE place so a tokenizer or hash-width change can't drift between
     * the surfaces.
     */
@@ -169,7 +170,8 @@ object CorpusStreams {
     val w = graft.queries.TextDedup.WinnowW
     if (hashes.length < w) Set.empty
     else (0 to hashes.length - w).map { i =>
-      (i until i + w).map(j => hashes(j) * 1099511627776L + (1099511627775L - j)).min / 1099511627776L
+      val f = graft.queries.TextDedup.WinnowPosField
+      (i until i + w).map(j => hashes(j) * f + (f - 1L - j)).min / f
     }.toSet
   }
 

@@ -38,8 +38,8 @@ class Round11OpsSpec2 extends AnyFunSuite {
     }.toArray
     val w = graft.queries.TextDedup.WinnowW
     val fps = hashes.indices.dropRight(w - 1).map { i =>
-      (i until i + w).map(j => hashes(j) * 1099511627776L + (1099511627775L - j)).min
-    }.map(_ / 1099511627776L).toSet
+      (i until i + w).map(j => hashes(j) * 16777216L + (16777215L - j)).min
+    }.map(_ / 16777216L).toSet
     assert(fps.nonEmpty && fps.size < hashes.length,
       s"winnowing must thin the index (${fps.size} of ${hashes.length})")
     assert(pairs.toSeq == Seq((1L, 2L, fps.size.toLong)),

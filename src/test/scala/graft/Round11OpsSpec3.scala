@@ -483,16 +483,17 @@ class Round11OpsSpec3 extends AnyFunSuite {
       .select(col("doc_id"), col("text")).collect()
       .map(r => (r.getLong(0), r.getString(1)))
     val md = java.security.MessageDigest.getInstance("MD5")
-    // the sweep measures the WIDE 20-bit space (r12): first 5 hex chars
-    // of md5 = d0 << 12 | d1 << 4 | d2 >> 4
+    // the sweep measures the WIDE 36-bit space (r12): first 9 hex chars
+    // of md5 = d0 << 28 | d1 << 20 | d2 << 12 | d3 << 4 | d4 >> 4
     def hashesOf(text: String): Array[Long] = {
       val ts = toksOf(text)
       if (ts.length < 3) Array.empty
       else ts.sliding(3).map { sh =>
         md.reset()
         val d = md.digest(sh.mkString(" ").getBytes("UTF-8"))
-        ((d(0) & 0xffL) << 12) | ((d(1) & 0xffL) << 4) |
-          ((d(2) & 0xf0L) >> 4)
+        ((d(0) & 0xffL) << 28) | ((d(1) & 0xffL) << 20) |
+          ((d(2) & 0xffL) << 12) | ((d(3) & 0xffL) << 4) |
+          ((d(4) & 0xf0L) >> 4)
       }.toArray
     }
     val hashed = docs.map { case (id, t) => id -> hashesOf(t) }
@@ -519,8 +520,8 @@ class Round11OpsSpec3 extends AnyFunSuite {
         id -> (if (hs.length < w) Set.empty[Long]
           else (0 to hs.length - w).map { i =>
             (i until i + w)
-              .map(j => hs(j) * 1099511627776L + (1099511627775L - j)).min
-          }.map(_ / 1099511627776L).toSet)
+              .map(j => hs(j) * 16777216L + (16777215L - j)).min
+          }.map(_ / 16777216L).toSet)
       }
       val nFp = fps.map(_._2.size.toLong).sum
       // r12: pairs run in the capped posting space — per fingerprint,
