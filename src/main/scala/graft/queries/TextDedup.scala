@@ -4088,14 +4088,35 @@ object TextDedup {
     * scale), and the epoch table reads its min-id keepers. The exact
     * componentLabels leg stays the audit path, the d9/d9b split.
     */
-  def p32bDedupEpochsWinnow(spark: SparkSession, dir: String): DataFrame = {
-    val ids = Tables.documents(spark, dir).select(col("doc_id").as("id"))
-    val pairs = winnowPairs(spark, dir)
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-    val (labels, _) = starContractComponents(ids, pairs)
-    dedupEpochsOf(spark, dir,
-      labels.select(col("id").as("doc_id"), col("component")))
+  def p32bDedupEpochsWinnow(spark: SparkSession, dir: String): DataFrame =
+    dedupEpochsOf(spark, dir, winnowLabels(spark, dir))
+
+  /** Min-id component labels over the [[winnowPairs]] graph,
+    * MATERIALIZED once per (run, dir) exactly like [[componentLabels]]
+    * over dupPairs: the star contraction's O(log n) rounds converge
+    * once and every at-scale consumer reads the fixpoint — re-running
+    * an iterative graph algorithm per downstream query is the same
+    * mistake as re-shingling per query, just in round count instead of
+    * token count.
+    */
+  private[graft] def winnowLabels(spark: SparkSession,
+      dir: String): DataFrame = {
+    val path = winnowLabelPaths.computeIfAbsent(dir, _ => {
+      val p = graft.RunAssets.register(
+        s"${System.getProperty("java.io.tmpdir")}/graft-winnowlabels-" +
+        s"$dupPairRunId-${dupPairSeq.getAndIncrement()}.parquet")
+      val ids = Tables.documents(spark, dir).select(col("doc_id").as("id"))
+      val pairs = winnowPairs(spark, dir)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      val (labels, _) = starContractComponents(ids, pairs)
+      labels.select(col("id").as("doc_id"), col("component"))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    spark.read.parquet(path)
   }
+  private val winnowLabelPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def dedupEpochsOf(spark: SparkSession, dir: String,
       labels: DataFrame): DataFrame = {
