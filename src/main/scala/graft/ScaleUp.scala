@@ -175,12 +175,30 @@ object ScaleUp {
   def build(spark: SparkSession, srcDir: String, outDir: String,
       factor: Int, tables: Set[String] = AllTables,
       boilerPct: Int = 0): Unit = {
+    // Parallelism IN comes from splitting the small source files finely
+    // (1 MB splits → tens of scan tasks over a bench-scale source); file
+    // count OUT comes from maxRecordsPerFile splitting each task's
+    // output. The first cut of this fix used repartition(outFiles) —
+    // correct file count, but it SHUFFLES the entire scaled dataset: the
+    // factor-1000 lineitem build wrote 41+ GB of shuffle before its first
+    // parquet byte and would have exhausted the box at factor 10⁴. The
+    // builder obeys the engine's own rule: never shuffle what a
+    // write-time option can do for free.
+    spark.conf.set("spark.sql.files.maxPartitionBytes", (1 << 20).toString)
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
     def write(name: String, df: => DataFrame): Unit =
       if (tables(name)) {
         // dimensions stay single-file (25/5 rows at any scale)
-        val out = if (name == "nation" || name == "region") df.coalesce(1)
-                  else df.repartition(outFiles(factor))
-        out.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+        if (name == "nation" || name == "region")
+          df.coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name.parquet")
+        else {
+          val srcRows = spark.read.parquet(s"$srcDir/$name.parquet").count()
+          val perFile = math.max(1L,
+            srcRows * factor / outFiles(factor))
+          df.write.option("maxRecordsPerFile", perFile)
+            .mode("overwrite").parquet(s"$outDir/$name.parquet")
+        }
       }
     def src(name: String): DataFrame =
       spark.read.parquet(s"$srcDir/$name.parquet")
