@@ -44,7 +44,7 @@ object OraclesText {
        |    ${hexToInt("substr(md5(toks[pos] || ' ' || toks[pos+1] || ' ' || toks[pos+2]), 1, 9)", 9)} AS h
        |  FROM wsh0),
        |wenc AS (SELECT doc_id, pos,
-       |    h * 16777216 + (16777215 - pos) AS ek FROM wsh),
+       |    h * 16777216 + (16777215 - least(pos, 16777215)) AS ek FROM wsh),
        |wwin AS (SELECT doc_id,
        |    min(ek) OVER (PARTITION BY doc_id ORDER BY pos
        |      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS mk,
@@ -4504,37 +4504,19 @@ object OraclesText {
     * s27 int8 recall, m16 luminance histogram, v13 Nelson–Aalen CI.
     */
   val round12: Map[String, String] = Map(
-    // TextDedup.d30Winnowing: robust winnowing — each 4-window of 3-gram
-    // shingle hashes selects (min hash, rightmost pos) via one integer
-    // min over the composite h·2^24 + (2^24−1−pos) key (matching the
-    // 16777216/16777215 literals below and the Spark side —
-    // a position field narrower than any document would corrupt
-    // selections); docs
-    // sharing
-    // ≥ 2 selected fingerprints pair up. Positions are 1-based here vs
-    // 0-based in Spark — only their relative order matters to the min.
+    // TextDedup.d30Winnowing (r13 contract): robust winnowing in the
+    // WIDE 36-bit, WinnowSweepCap-capped space — wfpc from
+    // winnowPairCte, the same selection + rank cap as the
+    // winnowSelectionAsset every at-scale consumer shares (the r12
+    // verdict re-gated d30 off the saturating 16-bit space). Positions
+    // are 1-based here vs 0-based in Spark — only their relative order
+    // matters to the min; both sides clamp at the field boundary.
     "d30_winnowing" ->
-      s"""WITH tok AS (SELECT doc_id,
-        |    string_split_regex(trim(lower(text)), '\\s+') AS toks
-        |  FROM documents),
-        |sh0 AS (SELECT doc_id, unnest(range(1, len(toks)-1)) AS pos, toks
-        |  FROM tok WHERE len(toks) >= 3),
-        |sh AS (SELECT doc_id, pos,
-        |    ${hex4ToInt("substr(md5(toks[pos] || ' ' || toks[pos+1] || ' ' || toks[pos+2]), 1, 4)")} AS h
-        |  FROM sh0),
-        |enc AS (SELECT doc_id, pos,
-        |    h * 16777216 + (16777215 - pos) AS ek FROM sh),
-        |win AS (SELECT doc_id,
-        |    min(ek) OVER (PARTITION BY doc_id ORDER BY pos
-        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk,
-        |    count(*) OVER (PARTITION BY doc_id ORDER BY pos
-        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS cnt
-        |  FROM enc),
-        |fp AS (SELECT DISTINCT doc_id, mk // 16777216 AS fp
-        |  FROM win WHERE cnt = 4),
+      s"""WITH $shingleCte,
+        |$winnowPairCte,
         |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |    count(*) AS n_shared
-        |  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  FROM wfpc a JOIN wfpc b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared FROM pr
         |WHERE n_shared >= 2 ORDER BY id_a, id_b LIMIT 2000""".stripMargin,
@@ -4987,7 +4969,7 @@ object OraclesText {
         |    ${hexToInt("substr(md5(toks[pos] || ' ' || toks[pos+1] || ' ' || toks[pos+2]), 1, 9)", 9)} AS h
         |  FROM wsh0),
         |enc AS (SELECT doc_id, pos,
-        |    h * 16777216 + (16777215 - pos) AS ek FROM wsh),
+        |    h * 16777216 + (16777215 - least(pos, 16777215)) AS ek FROM wsh),
         |posts AS (SELECT CAST(count(*) AS BIGINT) AS n_postings FROM enc),
         |${wCtes(2)},
         |${wCtes(4)},

@@ -172,6 +172,26 @@ object ScaleUp {
   private[graft] def outFiles(factor: Int): Int =
     math.max(64, math.min(2048, factor))
 
+  /** Row count from parquet FOOTER metadata — no Spark job, no data
+    * pages read (r12 advisor: the per-table `count()` doubled source
+    * reads, and under the build's 1 MB-split conf each count fanned
+    * into many tasks for a number the footers already carry).
+    */
+  private[graft] def parquetRowCount(spark: SparkSession,
+      path: String): Long = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hconf)
+    fs.listStatus(p)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map { f =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromStatus(f, hconf))
+        try r.getRecordCount finally r.close()
+      }.sum
+  }
+
   def build(spark: SparkSession, srcDir: String, outDir: String,
       factor: Int, tables: Set[String] = AllTables,
       boilerPct: Int = 0): Unit = {
@@ -184,37 +204,53 @@ object ScaleUp {
     // parquet byte and would have exhausted the box at factor 10⁴. The
     // builder obeys the engine's own rule: never shuffle what a
     // write-time option can do for free.
+    //
+    // Both split confs are scoped to the build (r12 advisor): they are
+    // session-global, and leaving 1 MB splits behind would silently
+    // shred every later scan in the session — ~76k tasks over a 76 GB
+    // lake — skewing any in-session benchmark that follows.
+    val prevMax = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
+    val prevOpen = spark.conf.getOption("spark.sql.files.openCostInBytes")
+    def restore(key: String, prev: Option[String]): Unit = prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
     spark.conf.set("spark.sql.files.maxPartitionBytes", (1 << 20).toString)
     spark.conf.set("spark.sql.files.openCostInBytes", "0")
-    def write(name: String, df: => DataFrame): Unit =
-      if (tables(name)) {
-        // dimensions stay single-file (25/5 rows at any scale)
-        if (name == "nation" || name == "region")
-          df.coalesce(1).write.mode("overwrite")
-            .parquet(s"$outDir/$name.parquet")
-        else {
-          val srcRows = spark.read.parquet(s"$srcDir/$name.parquet").count()
-          val perFile = math.max(1L,
-            srcRows * factor / outFiles(factor))
-          df.write.option("maxRecordsPerFile", perFile)
-            .mode("overwrite").parquet(s"$outDir/$name.parquet")
+    try {
+      def write(name: String, df: => DataFrame): Unit =
+        if (tables(name)) {
+          // dimensions stay single-file (25/5 rows at any scale)
+          if (name == "nation" || name == "region")
+            df.coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name.parquet")
+          else {
+            val srcRows = parquetRowCount(spark, s"$srcDir/$name.parquet")
+            val perFile = math.max(1L,
+              srcRows * factor / outFiles(factor))
+            df.write.option("maxRecordsPerFile", perFile)
+              .mode("overwrite").parquet(s"$outDir/$name.parquet")
+          }
         }
-      }
-    def src(name: String): DataFrame =
-      spark.read.parquet(s"$srcDir/$name.parquet")
-    write("documents", documents(src("documents"), factor, boilerPct))
-    write("embeddings", embeddings(src("embeddings"), factor))
-    // the source file's physical ts encoding varies (int64-nanos / NTZ /
-    // UTC-µs — see Tables.events); replicate the NORMALIZED load so the
-    // shift arithmetic always sees TimestampType
-    write("events", events(Tables.events(spark, srcDir), factor))
-    write("lineitem", lineitem(src("lineitem"), factor))
-    write("orders", orders(src("orders"), factor))
-    write("customer", keyShifted(src("customer"), factor, "c_custkey"))
-    write("part", keyShifted(src("part"), factor, "p_partkey"))
-    write("supplier", keyShifted(src("supplier"), factor, "s_suppkey"))
-    write("nation", src("nation"))
-    write("region", src("region"))
+      def src(name: String): DataFrame =
+        spark.read.parquet(s"$srcDir/$name.parquet")
+      write("documents", documents(src("documents"), factor, boilerPct))
+      write("embeddings", embeddings(src("embeddings"), factor))
+      // the source file's physical ts encoding varies (int64-nanos /
+      // NTZ / UTC-µs — see Tables.events); replicate the NORMALIZED
+      // load so the shift arithmetic always sees TimestampType
+      write("events", events(Tables.events(spark, srcDir), factor))
+      write("lineitem", lineitem(src("lineitem"), factor))
+      write("orders", orders(src("orders"), factor))
+      write("customer", keyShifted(src("customer"), factor, "c_custkey"))
+      write("part", keyShifted(src("part"), factor, "p_partkey"))
+      write("supplier", keyShifted(src("supplier"), factor, "s_suppkey"))
+      write("nation", src("nation"))
+      write("region", src("region"))
+    } finally {
+      restore("spark.sql.files.maxPartitionBytes", prevMax)
+      restore("spark.sql.files.openCostInBytes", prevOpen)
+    }
   }
 
   def main(args: Array[String]): Unit = {

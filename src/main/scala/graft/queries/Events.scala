@@ -1603,9 +1603,19 @@ object Events {
     * argument). Zero-gap pairs (same-second arrivals) land in the
     * bucket_lo = 1 bucket with everything under 2 s.
     */
-  def e36GapHistogram(spark: SparkSession, dir: String): DataFrame = {
+  def e36GapHistogram(spark: SparkSession, dir: String): DataFrame =
+    gapHistogramOf(gapFrame(Tables.events(spark, dir)))
+
+  /** The e36 histogram finisher over a (event_type, gap_us) fact frame
+    * — shared VERBATIM with the streaming twin (the e23
+    * `gapPercentilesOf` split: [[graft.streaming.EventStreams.
+    * fullGapFacts]] emits the same facts at ingest, and the dashboard
+    * re-reads this finisher over the fact sink without revisiting raw
+    * events; `StreamingSpec` pins replay ≡ batch).
+    */
+  private[graft] def gapHistogramOf(gaps: DataFrame): DataFrame = {
     import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
-    val g = gapFrame(Tables.events(spark, dir))
+    val g = gaps
       .select(col("event_type"),
         expr(graft.queries.TextDedup.pow2CaseSql("(gap_us div 1000000)"))
           .cast("long").as("bucket_lo"))
@@ -1640,12 +1650,8 @@ object Events {
       .select(col("event_type"), col("value"))
       .persist()
     v.count() // eager: median pass + deviation pass both read it
-    val med = v.groupBy(col("event_type"))
-      .agg(round(expr("percentile(value, 0.5)"), 6).as("med"))
-    val dev = v.join(broadcast(med), Seq("event_type"))
-      .select(col("event_type"), col("med"),
-        round(round(abs(col("value") - col("med")), 6) * 1e6)
-          .cast("long").as("dev_micro"))
+    val dev = v.join(broadcast(valueMedianOf(v)), Seq("event_type"))
+      .select(col("event_type"), col("med"), deviationMicro)
       .persist()
     dev.count() // eager: MAD pass + verdict pass both read it
     val mad = dev.groupBy(col("event_type"))
@@ -1668,6 +1674,43 @@ object Events {
     out.count() // |types| rows: pin the verdict, free the value frames
     v.unpersist(); dev.unpersist()
     out
+  }
+
+  /** Per-type median of a (event_type, value) frame — the first half of
+    * e37's robust pair, split out for the calibration seam below. */
+  private[graft] def valueMedianOf(v: DataFrame): DataFrame =
+    v.groupBy(col("event_type"))
+      .agg(round(expr("percentile(value, 0.5)"), 6).as("med"))
+
+  /** e37's micro-snapped absolute deviation |value − med| — the ONE
+    * spelling of the outlier distance, shared by the batch verdict and
+    * the streaming alert twin so the 3×-boundary can never drift
+    * between them. */
+  private[graft] def deviationMicro: Column =
+    round(round(abs(col("value") - col("med")), 6) * 1e6)
+      .cast("long").as("dev_micro")
+
+  /** The (event_type, med, mad_micro) calibration table e37 derives —
+    * the BROADCAST side of the streaming outlier-alert twin
+    * ([[graft.streaming.EventStreams.valueOutlierAlerts]]): a
+    * production monitor recomputes this per release/day batch-side and
+    * ships it to the ingest stream, which flags arrivals in real time
+    * against yesterday's robust calibration (medians are not
+    * streamable; the 3·MAD verdict is). |types| rows, so the broadcast
+    * is free at any corpus scale.
+    */
+  private[graft] def valueMedMad(spark: SparkSession,
+      dir: String): DataFrame = {
+    val v = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"))
+    val med = valueMedianOf(v)
+    val mad = v.join(broadcast(med), Seq("event_type"))
+      .select(col("event_type"), deviationMicro)
+      .groupBy(col("event_type"))
+      .agg(round(expr("percentile(dev_micro, 0.5)")).cast("long")
+        .as("mad_micro"))
+    med.join(mad, Seq("event_type"))
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -673,9 +673,10 @@ object TextDedup {
     * hash-gated end to end.
     */
   def d9wContainmentWinnow(spark: SparkSession, dir: String): DataFrame = {
-    val fpc = winnowCapped(
-      winnowSelect(winnowHashed(Tables.documents(spark, dir),
-        hexChars = WinnowWideHex), WinnowW), WinnowSweepCap).persist()
+    // the capped wide selection is the run-scoped asset (r13): the
+    // timed leg is sizes + the fingerprint self-join, not a corpus
+    // hash pass per call
+    val fpc = winnowSelectionAsset(spark, dir).persist()
     fpc.count() // eager materialization (see d3)
     val sizes = fpc.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val shared = fpc.as("a").join(fpc.as("b"),
@@ -763,9 +764,19 @@ object TextDedup {
     */
   private[graft] val WinnowWideHex = 9
 
-  /** `hexChars` widens the fingerprint space: 4 (default, d30) →
-    * 16-bit; [[WinnowWideHex]] → 36-bit for the at-scale legs
-    * (h < 2³⁹ keeps the composite h·2²⁴ + pos key inside a long).
+  /** `hexChars` widens the fingerprint space: 4 (default, d30's narrow
+    * audit leg) → 16-bit; [[WinnowWideHex]] → 36-bit for the at-scale
+    * legs (h < 2³⁹ keeps the composite h·2²⁴ + pos key inside a long).
+    *
+    * Positions CLAMP at the field boundary (r12 advisor): a document
+    * past 2²⁴ tokens would otherwise push (F−1−pos) negative and bleed
+    * into the hash field, silently corrupting both the ek order and the
+    * mk/F extraction. Clamped, every position ≥ F−1 carries the same
+    * position key — selections degrade deterministically (the min over
+    * a tied tail picks the same ek on every engine; the oracle mirrors
+    * the same `least`) instead of corrupting the space. 2²⁴ tokens is
+    * ≫ any real document; the clamp is the loud-failure backstop for a
+    * pathological concatenation at lake scale.
     */
   private[graft] def winnowHashed(docs: DataFrame,
       hexChars: Int = 4): DataFrame = {
@@ -779,8 +790,74 @@ object TextDedup {
       .select(col("doc_id"), col("pos"),
         (conv(substring(fastMd5(concat_ws(" ", col("tok"), col("t1"),
           col("t2"))), 1, hexChars), 16, 10).cast("long") * WinnowPosField +
-          (lit(WinnowPosField - 1L) - col("pos"))).as("ek"))
+          (lit(WinnowPosField - 1L) -
+            least(col("pos").cast("long"), lit(WinnowPosField - 1L))))
+          .as("ek"))
   }
+
+  /** The winnow selection computed as PER-DOCUMENT ARRAY math — the
+    * r13 scale rewrite of the window-based [[winnowHashed]] →
+    * [[winnowSelect]] pipeline, value-identical by construction (the
+    * same composite `h·F + (F−1−pos)` key, the same full-window min,
+    * the same per-doc distinct; `WinnowLocalParitySpec`-pinned against
+    * the window twin on real data).
+    *
+    * Why: winnowing is per-document-local — every shingle, window, and
+    * selection of a document derives from that document's own token
+    * array, which arrives CONTIGUOUS in its row. The window pipeline
+    * still paid a token-scale posexplode followed by a corpus-wide
+    * `hashpartitioning(doc_id)` exchange + sort (Catalyst cannot know
+    * the exploded rows are already doc-grouped), which at sf1000 is a
+    * multi-hundred-GB shuffle of rows that never needed to move. Here
+    * the shingle-hash array and the per-doc distinct selections are
+    * two codegen'd kernel expressions ([[graft.functions.WinnowKernel]]
+    * via `winnowEk`/`winnowMinSelect` — primitive-long loops behind a
+    * static call, the FastMd5 discipline; a first cut as
+    * `transform`/`slice`/`array_min` HOFs was plan-identical but 2.3×
+    * slower through the interpreted lambda path) inside ONE narrow
+    * projection — the first exchange in any consumer is over the
+    * SELECTED fingerprints (~2/(w+1) of postings, already per-doc
+    * deduped), and the scan parallelism is file-split arithmetic like
+    * every other scan in the engine. Short docs (< 3 tokens, or fewer
+    * than w full windows) emit nothing, exactly like the window twin's
+    * `t2 IS NOT NULL` / `cnt = w` gates.
+    */
+  private[graft] def winnowLocalSelect(docs: DataFrame, w: Int,
+      hexChars: Int): DataFrame = {
+    import org.apache.spark.sql.graftfn.GraftExpressions.{winnowEk, winnowMinSelect}
+    docs.select(col("doc_id"),
+      explode(winnowMinSelect(winnowEk(toks, hexChars, WinnowPosField),
+        w, WinnowPosField)).as("fp"))
+  }
+
+  /** The capped WIDE winnow selection `(doc_id, fp)` as a run-scoped
+    * asset (r12 verdict, directive 2): ONE shingle-hash pass per
+    * (run, dir), materialized like [[dupPairs]], consumed by
+    * [[d9wContainmentWinnow]], [[winnowPairs]], and the gated
+    * [[d30Winnowing]] — previously each re-ran the full corpus hash
+    * pass. At lake scale this is the fingerprint index a production
+    * dedup pipeline checkpoints once per corpus snapshot; every
+    * containment/pair/ledger consumer composes over it. The build is
+    * the [[winnowLocalSelect]] array pass (no token-scale shuffle; the
+    * only exchange is the per-fingerprint rank cap over the selection
+    * frame, ~2/(w+1) of postings, per-doc deduped before it moves).
+    */
+  private[graft] def winnowSelectionAsset(spark: SparkSession,
+      dir: String): DataFrame = {
+    val path = winnowSelectionPaths.computeIfAbsent(dir, _ => {
+      val p = graft.RunAssets.register(
+        s"${System.getProperty("java.io.tmpdir")}/graft-winnowsel-" +
+        s"$dupPairRunId-${dupPairSeq.getAndIncrement()}.parquet")
+      winnowCapped(
+        winnowLocalSelect(Tables.documents(spark, dir), WinnowW,
+          WinnowWideHex), WinnowSweepCap)
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    spark.read.parquet(path)
+  }
+  private val winnowSelectionPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** The winnow selection rule over a hashed frame, parametric in the
     * window width w — width is the index-size/recall dial the d33
@@ -833,14 +910,20 @@ object TextDedup {
       .select(col("doc_id"), col("fp"))
   }
 
-  private[graft] def winnowPairsCapped(fp: DataFrame, cap: Int): DataFrame = {
-    val capped = winnowCapped(fp, cap)
+  private[graft] def winnowPairsCapped(fp: DataFrame, cap: Int): DataFrame =
+    winnowPairsOf(winnowCapped(fp, cap))
+
+  /** ≥2-shared pairs over an ALREADY-capped (doc_id, fp) frame — the
+    * join half of [[winnowPairsCapped]], split out so asset consumers
+    * ([[winnowPairs]], [[d30Winnowing]]) don't re-rank a frame the
+    * asset build already capped.
+    */
+  private[graft] def winnowPairsOf(capped: DataFrame): DataFrame =
     capped.as("a").join(capped.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("ns")).filter(col("ns") >= 2)
       .select(col("id_a"), col("id_b"))
-  }
 
   /** The SPILL-BOUNDED pair source for at-scale compositions (r12,
     * round-11 directive 4): winnow-selected fingerprints (w = 4, so the
@@ -860,9 +943,10 @@ object TextDedup {
       val p = graft.RunAssets.register(
         s"${System.getProperty("java.io.tmpdir")}/graft-winnowpairs-" +
         s"$dupPairRunId-${dupPairSeq.getAndIncrement()}.parquet")
-      val fp = winnowSelect(
-        winnowHashed(Tables.documents(spark, dir), hexChars = WinnowWideHex), WinnowW)
-      winnowPairsCapped(fp, WinnowSweepCap)
+      // composes the shared selection asset (r13): the pair build is
+      // the posting join only — the corpus hash pass happens once per
+      // (run, dir) inside [[winnowSelectionAsset]]
+      winnowPairsOf(winnowSelectionAsset(spark, dir))
         .write.mode("overwrite").parquet(p)
       p
     })
@@ -871,7 +955,36 @@ object TextDedup {
   private val winnowPairPaths =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** d30's GATED contract since r13: winnow candidate pairs with their
+    * shared-selection counts in the WIDE 36-bit, [[WinnowSweepCap]]-
+    * capped space — the same index every at-scale consumer composes
+    * over (the shared [[winnowSelectionAsset]]). The r12 verdict
+    * measured the old 16-bit uncapped gate at 406 s at sf10: a
+    * fingerprint space that cannot grow with the corpus saturates (65k
+    * buckets all hot, pair work pinned at buckets·cap²/2), so gating
+    * it made the registry's one remaining scale-killer look like a
+    * first-class operator. The narrow leg survives as
+    * [[d30WinnowingNarrow]], spec-pinned, never composed at scale.
+    */
   def d30Winnowing(spark: SparkSession, dir: String): DataFrame = {
+    val fpc = winnowSelectionAsset(spark, dir)
+    fpc.as("a").join(fpc.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .orderBy(col("id_a"), col("id_b"))
+      .limit(2000)
+  }
+
+  /** The pre-r13 narrow (16-bit, uncapped) winnowing — the saturation
+    * AUDIT leg, demoted from the gate per the r12 verdict: it measures
+    * what a non-growing fingerprint space costs (406 s at sf10,
+    * SCALE.md), and `Round11OpsSpec2` pins its selection rule against
+    * a driver-side twin. Nothing composes over it.
+    */
+  private[graft] def d30WinnowingNarrow(spark: SparkSession,
+      dir: String): DataFrame = {
     val fp = winnowFingerprints(Tables.documents(spark, dir))
     fp.as("a").join(fp.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
@@ -4185,9 +4298,11 @@ object TextDedup {
     * |fingerprint-space|-bounded agg, the same generated CASE ladder.
     */
   def d32bWinnowDfProfile(spark: SparkSession, dir: String): DataFrame =
+    // the UNCAPPED wide selection (a capped frame would clip the very
+    // df tail this audit measures), via the array pass — one scan, the
+    // fp agg is the first and only shuffle
     dfProfileOf(
-      winnowSelect(
-        winnowHashed(Tables.documents(spark, dir), hexChars = WinnowWideHex), WinnowW)
+      winnowLocalSelect(Tables.documents(spark, dir), WinnowW, WinnowWideHex)
         .groupBy(col("fp")).agg(count(lit(1)).as("df")),
       keyCount = "n_fps")
 
@@ -4427,18 +4542,26 @@ object TextDedup {
   def d33WinnowSweep(spark: SparkSession, dir: String,
       ws: Seq[Int] = Seq(2, 4, 8),
       fpCap: Int = WinnowSweepCap): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftfn.GraftExpressions.{winnowEk, winnowMinSelect}
     val sorted = ws.sorted
-    val wWin = (w: Int) => Window.partitionBy(col("doc_id"))
-      .orderBy(col("pos")).rowsBetween(0, w - 1)
-    // one exchange+sort serves every width's min/count frames
-    val hashed = sorted.foldLeft(
-        winnowHashed(Tables.documents(spark, dir), hexChars = WinnowWideHex)) {
-      (df, w) => df
-        .withColumn(s"mk$w", min(col("ek")).over(wWin(w)))
-        .withColumn(s"cnt$w", count(lit(1)).over(wWin(w)))
-    }.persist()
-    val nPostings = hashed.count()
+    // r13: the window pipeline (posexplode → corpus-wide doc_id
+    // exchange+sort → |ws| window frames) is replaced by the
+    // [[graft.functions.WinnowKernel]] pass — each shingle hashes ONCE
+    // per row (the ek array) and all |ws| selections derive from it in
+    // the same projection; the persisted frame holds only the per-doc
+    // SELECTION arrays (~2/(w+1) of postings each), and the first
+    // shuffle of the sweep is each leg's fingerprint rank cap. Values
+    // are identical to the window build by construction (same
+    // composite key, same full-window min, same per-doc distinct) —
+    // the oracle and `Round11OpsSpec3`'s driver twin are unchanged.
+    val hashed = Tables.documents(spark, dir).select(col("doc_id"),
+      winnowEk(toks, WinnowWideHex, WinnowPosField).as("ek"))
+    val sel = sorted.foldLeft(
+        hashed.withColumn("n_sh", size(col("ek")).cast("long"))) {
+      (df, w) => df.withColumn(s"fps$w",
+        winnowMinSelect(col("ek"), w, WinnowPosField))
+    }.drop("ek").persist()
+    val nPostings = sel.agg(sum(col("n_sh"))).head.getLong(0)
     val truth = dupPairs(spark, dir).select(col("id_a"), col("id_b"))
       .persist()
     val nTrue = truth.count()
@@ -4446,20 +4569,18 @@ object TextDedup {
       if (den == 0L) None
       else Some(((BigInt(num) * 1000000 + den / 2) / BigInt(den)).toLong / 1e6)
     val rows = sorted.map { w =>
-      import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
-      val fp = hashed.filter(col(s"cnt$w") === w)
-        .select(col("doc_id"),
-          intDiv(col(s"mk$w"), lit(WinnowPosField)).as("fp"))
-        .distinct().persist()
-      val nFp = fp.count()
+      // per-doc arrays are already distinct, and doc_id keys rows, so
+      // n_fps is a size sum — no distinct shuffle for the count
+      val nFp = sel.agg(sum(size(col(s"fps$w")))).head.getLong(0)
+      val fp = sel.select(col("doc_id"), explode(col(s"fps$w")).as("fp"))
       val pairs = winnowPairsCapped(fp, fpCap).persist()
       val nPairs = pairs.count()
       val nHits = pairs.join(truth, Seq("id_a", "id_b")).count()
-      fp.unpersist(); pairs.unpersist()
+      pairs.unpersist()
       (w, nPostings, nFp, halfUp(nFp, nPostings).map(Double.box).orNull,
         nPairs, nTrue, nHits, halfUp(nHits, nTrue).map(Double.box).orNull)
     }
-    hashed.unpersist() // rows are driver-side: the shared pass is done
+    sel.unpersist() // rows are driver-side: the shared pass is done
     truth.unpersist()
     import spark.implicits._
     rows.toDF("w", "n_postings", "n_fps", "index_frac",

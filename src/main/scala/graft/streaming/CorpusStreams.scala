@@ -171,7 +171,9 @@ object CorpusStreams {
     if (hashes.length < w) Set.empty
     else (0 to hashes.length - w).map { i =>
       val f = graft.queries.TextDedup.WinnowPosField
-      (i until i + w).map(j => hashes(j) * f + (f - 1L - j)).min / f
+      // position clamps at the field boundary like the batch side
+      (i until i + w).map(j =>
+        hashes(j) * f + (f - 1L - math.min(j.toLong, f - 1L))).min / f
     }.toSet
   }
 

@@ -30,6 +30,16 @@ object GraftExpressions {
   def rollingHash(c: Column): Column =
     ExpressionUtils.column(RollingHashExpr(ExpressionUtils.expression(c)))
 
+  /** Per-document composite winnow-key array over a token array. */
+  def winnowEk(toks: Column, hexChars: Int, posField: Long): Column =
+    ExpressionUtils.column(WinnowEkExpr(
+      ExpressionUtils.expression(toks), hexChars, posField))
+
+  /** Winnow selection (distinct window minima / F) over an ek array. */
+  def winnowMinSelect(ek: Column, w: Int, posField: Long): Column =
+    ExpressionUtils.column(WinnowMinSelectExpr(
+      ExpressionUtils.expression(ek), w, posField))
+
   /** Dot of a float-array column against a fixed double-array weight
     * vector (hyperplane projections): two expression nodes instead of a
     * ~4×64-term Add chain, whose deep tree cost shows up in every
@@ -161,6 +171,53 @@ case class RollingHashExpr(child: Expression) extends UnaryExpression
   override protected def withNewChildInternal(newChild: Expression): RollingHashExpr =
     copy(child = newChild)
   override def prettyName: String = "rolling_hash"
+}
+
+/** Codegen'd per-document winnow keys: the composite
+  * `h·F + (F−1−min(pos, F−1))` array over 3-gram shingle md5 prefixes
+  * of a token array ([[graft.functions.WinnowKernel.ekArray]]) — one
+  * static call per row, so the documents projection stays inside
+  * whole-stage codegen while the kernel runs primitive-long loops.
+  */
+case class WinnowEkExpr(child: Expression, hexChars: Int, posField: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType))
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    graft.functions.WinnowKernel.ekArray(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      hexChars, posField)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.WinnowKernel.ekArray($c, $hexChars, ${posField}L)")
+  override protected def withNewChildInternal(newChild: Expression): WinnowEkExpr =
+    copy(child = newChild)
+  override def prettyName: String = "winnow_ek"
+}
+
+/** Codegen'd winnow selection at width `w` over a precomputed ek array
+  * ([[graft.functions.WinnowKernel.select]]): distinct full-window
+  * minima / F, sorted. Splitting ek from selection lets the d33 sweep
+  * hash each shingle ONCE and select at three widths per row.
+  */
+case class WinnowMinSelectExpr(child: Expression, w: Int, posField: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.LongType))
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    graft.functions.WinnowKernel.select(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      w, posField)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.WinnowKernel.select($c, $w, ${posField}L)")
+  override protected def withNewChildInternal(newChild: Expression): WinnowMinSelectExpr =
+    copy(child = newChild)
+  override def prettyName: String = "winnow_min_select"
 }
 
 /** Codegen'd md5-hex via [[graft.functions.FastMd5.hexOf]] (thread-local

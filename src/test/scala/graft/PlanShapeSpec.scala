@@ -953,22 +953,45 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_"), p.take(1200))
   }
 
-  test("d30: the shingle lead and winnow min share ONE doc_id exchange") {
-    val df = TextDedup.d30Winnowing(spark, dir)
-    df.collect() // finalize the adaptive plan so exchange REUSE is visible
-    val p = plan(df)
-    // the fingerprint frame feeds both self-join sides: after AQE the
-    // doc_id exchange must execute ONCE (the second print is a
-    // ReusedExchange/stage reuse) — two live doc_id shuffles would mean
-    // Catalyst re-ran the heaviest stage per side
-    val docExchanges = "Exchange hashpartitioning\\(doc_id".r.findAllIn(p).length
-    val reused = p.contains("ReusedExchange") || p.contains("ShuffleQueryStage")
-    assert(docExchanges <= 1 || reused,
-      s"doc_id exchanges=$docExchanges reused=$reused\n${p.take(1500)}")
-    // the pair join buckets by fingerprint — any EQUI join is fine
-    // (AQE may broadcast the small side at spec scale); a nested-loop
-    // or cartesian means fp fell out of the join keys
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+  test("winnow consumers share the run-scoped selection asset: no re-hash " +
+      "in d30/d9w/winnowPairs plans (r12 verdict, directive 2)") {
+    // force the asset to exist, then inspect CONSUMER plans: each must
+    // be a parquet scan of the materialized selection — any md5 or
+    // token explode in a consumer means it re-ran the corpus hash pass
+    TextDedup.winnowSelectionAsset(spark, dir).count()
+    val consumers = Seq(
+      "d30" -> TextDedup.d30Winnowing(spark, dir),
+      "d9w" -> TextDedup.d9wContainmentWinnow(spark, dir),
+      "winnowPairs" -> TextDedup.winnowPairs(spark, dir))
+    consumers.foreach { case (name, df) =>
+      val p = plan(df)
+      assert(!p.contains("md5") && !p.toLowerCase.contains("posexplode"),
+        s"$name re-hashes the corpus instead of reading the asset:\n" +
+          p.take(1500))
+      assert(p.contains("graft-winnowsel") || p.contains("winnowpairs"),
+        s"$name does not scan a run-scoped winnow asset:\n${p.take(1500)}")
+      // the pair join buckets by fingerprint — any EQUI join is fine
+      // (AQE may broadcast the small side at spec scale); a nested-loop
+      // or cartesian means fp fell out of the join keys
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoop"), s"$name:\n${p.take(1500)}")
+    }
+  }
+
+  test("winnow asset build: per-doc array math — NO token-scale doc_id " +
+      "exchange anywhere in the build plan (r13 scale rewrite)") {
+    val p = plan(TextDedup.winnowCapped(
+      TextDedup.winnowLocalSelect(Tables.documents(spark, dir),
+        TextDedup.WinnowW, TextDedup.WinnowWideHex),
+      TextDedup.WinnowSweepCap))
+    // the window pipeline paid posexplode → hashpartitioning(doc_id) →
+    // sort over EVERY token; the array build's only exchange is the
+    // fingerprint rank cap over the per-doc-deduped selection frame
+    assert(!"Exchange hashpartitioning\\(doc_id".r.findFirstIn(p).isDefined,
+      p.take(1500))
+    assert(!p.toLowerCase.contains("posexplode"), p.take(1500))
+    val fpExchanges = "Exchange hashpartitioning\\(fp".r.findAllIn(p).length
+    assert(fpExchanges == 1, s"expected 1 fp exchange, got $fpExchanges\n" +
       p.take(1500))
   }
 

@@ -25,25 +25,37 @@ class Round11OpsSpec2 extends AnyFunSuite {
     ).toDF("doc_id", "text", "lang", "source", "n_chars")
     val tmp = java.nio.file.Files.createTempDirectory("d30spec")
     docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
-    val pairs = graft.queries.TextDedup.d30Winnowing(spark, tmp.toString)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    // driver-side twin: winnow `text` from scratch with the same
-    // md5-prefix hash and (min hash, rightmost pos) selection rule
+    // driver-side twins: winnow `text` from scratch with the same
+    // (min hash, rightmost pos) selection rule, at both hash widths
     val toks = text.trim.toLowerCase.split("\\s+")
-    val hashes = toks.sliding(3).map { sh =>
-      java.lang.Long.parseLong(
-        java.security.MessageDigest.getInstance("MD5")
-          .digest(sh.mkString(" ").getBytes("UTF-8"))
-          .take(2).map(b => f"$b%02x").mkString, 16)
-    }.toArray
     val w = graft.queries.TextDedup.WinnowW
-    val fps = hashes.indices.dropRight(w - 1).map { i =>
-      (i until i + w).map(j => hashes(j) * 16777216L + (16777215L - j)).min
-    }.map(_ / 16777216L).toSet
-    assert(fps.nonEmpty && fps.size < hashes.length,
-      s"winnowing must thin the index (${fps.size} of ${hashes.length})")
-    assert(pairs.toSeq == Seq((1L, 2L, fps.size.toLong)),
-      s"got ${pairs.toSeq}, expected one pair sharing ${fps.size}")
+    def fpsAt(hexChars: Int): Set[Long] = {
+      val hashes = toks.sliding(3).map { sh =>
+        java.lang.Long.parseLong(
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(sh.mkString(" ").getBytes("UTF-8"))
+            .map(b => f"$b%02x").mkString.take(hexChars), 16)
+      }.toArray
+      hashes.indices.dropRight(w - 1).map { i =>
+        (i until i + w).map(j => hashes(j) * 16777216L + (16777215L - j)).min
+      }.map(_ / 16777216L).toSet
+    }
+    // the GATED leg (r13): wide 36-bit capped space — the cap never
+    // bites at 3 docs, so the pair must share exactly the wide count
+    val widePairs = graft.queries.TextDedup.d30Winnowing(spark, tmp.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val wideFps = fpsAt(9)
+    assert(wideFps.nonEmpty && wideFps.size < toks.length - 1,
+      s"winnowing must thin the index (${wideFps.size})")
+    assert(widePairs.toSeq == Seq((1L, 2L, wideFps.size.toLong)),
+      s"got ${widePairs.toSeq}, expected one pair sharing ${wideFps.size}")
+    // the NARROW audit leg keeps the pre-r13 16-bit semantics
+    val narrowPairs = graft.queries.TextDedup
+      .d30WinnowingNarrow(spark, tmp.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val narrowFps = fpsAt(4)
+    assert(narrowPairs.toSeq == Seq((1L, 2L, narrowFps.size.toLong)),
+      s"got ${narrowPairs.toSeq}, expected one pair sharing ${narrowFps.size}")
   }
 
   test("s27: query output equals a from-scratch driver-side twin") {

@@ -1777,4 +1777,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(flags.groupBy(_._1).values
       .exists(g => g.exists(_._2) && g.exists(!_._2)))
   }
+
+  test("streamed gap facts finish to the batch gap histogram (e36 twin)") {
+    import spark.implicits._
+    val in = EventStreams.readEvents(spark, streamDir)
+      .select($"event_id", $"user_id", $"event_type", $"ts", $"value")
+      .as[EventStreams.LocfIn]
+    EventStreams.runToMemorySink(
+      EventStreams.fullGapFacts(in).toDF(), "e36_facts")
+    val fromStream = EventStreams
+      .gapHistogramFromFacts(spark.table("e36_facts"))
+      .collect().map(_.toSeq).toSeq
+    val batch = Events.e36GapHistogram(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(fromStream == batch, s"stream rows=${fromStream.size} " +
+      s"batch rows=${batch.size}")
+    assert(batch.nonEmpty)
+  }
+
+  test("streaming outlier alerts against the broadcast calibration " +
+      "equal the batch 3·MAD verdicts (e37 twin)") {
+    import org.apache.spark.sql.functions._
+    // the calibration a production monitor recomputes batch-side and
+    // ships to the ingest stream
+    val medMad = Events.valueMedMad(spark, dir)
+    val q = EventStreams.valueOutlierAlerts(
+        EventStreams.readEvents(spark, streamDir), medMad)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("e37_alerts")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("e37_alerts")
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    // batch reference: the identical join + snap + 3× predicate
+    val batch = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .join(broadcast(medMad), Seq("event_type"))
+      .select(col("event_id"), col("event_type"),
+        Events.deviationMicro, col("mad_micro"))
+      .filter(col("dev_micro") > col("mad_micro") * 3L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed == batch, s"stream=${streamed.size} batch=${batch.size}")
+    assert(streamed.nonEmpty, "the harness corpus has value outliers")
+    // cross-check the alert volume against the gated e37 rollup
+    val e37Total = Events.e37ValueOutliers(spark, dir)
+      .agg(sum(col("n_outliers"))).head.getLong(0)
+    assert(streamed.size.toLong == e37Total,
+      s"alerts=${streamed.size} vs e37 n_outliers=$e37Total")
+  }
 }
