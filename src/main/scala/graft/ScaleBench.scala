@@ -27,9 +27,18 @@ object ScaleBench {
     val names = args(1).split(",").toSet
     val passes = if (args.length > 2) args(2).toInt else 3
     val shuffleParts = if (args.length > 4) args(4).toInt else 32
-    val spark = SparkSession.builder()
+    // Spill-codec knob for disk-bound rehearsals: the sf1000 pair-join
+    // shuffle is ~3.5B slim long rows — zstd compresses them ~2× over
+    // lz4 and is the difference between fitting this box's free disk
+    // and not. On a cluster the same conf trades shuffle CPU for
+    // network/disk bytes; the round bench keeps lz4 (Spark default)
+    // so BENCH_r{N} numbers stay comparable.
+    val codec = sys.env.get("SPARK_GRAFT_CODEC")
+    val builder = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", shuffleParts.toString)
+    codec.foreach(c => builder.config("spark.io.compression.codec", c))
+    val spark = builder
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
