@@ -178,7 +178,7 @@ class Round12OpsSpec extends AnyFunSuite {
   }
 
   test("winnowPairs asset: matches a from-scratch driver twin in the " +
-      "wide 20-bit space; memoized across calls") {
+      "wide 36-bit space; memoized across calls") {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text")).collect()
       .map(r => (r.getLong(0), r.getString(1)))
