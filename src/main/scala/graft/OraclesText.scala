@@ -5609,10 +5609,46 @@ object OraclesText {
         |GROUP BY dv.event_type ORDER BY dv.event_type""".stripMargin,
   )
 
+  /** Round-16 session operators. */
+  val round16: Map[String, String] = Map(
+    // TextDedup.p34DedupDividend: the winnow-closure canonical split
+    // (min-id component = canonical, the p32b wcomp CTEs verbatim) ×
+    // per-doc token counts → per source, the compute a canonical-only
+    // training set saves; half-up micro share.
+    "p34_dedup_dividend" ->
+      s"""WITH RECURSIVE $shingleCte,
+        |$winnowPairCte,
+        |wedges AS (SELECT id_a AS src, id_b AS dst FROM wpairs
+        |           UNION SELECT id_b, id_a FROM wpairs),
+        |wreach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT wreach.id, wedges.dst
+        |  FROM wreach JOIN wedges ON wreach.r = wedges.src),
+        |wcomp AS (SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component
+        |          FROM wreach GROUP BY id),
+        |dt AS (SELECT doc_id, source,
+        |    CAST(len(string_split_regex(trim(lower(text)), '\\s+'))
+        |      AS BIGINT) AS n
+        |  FROM documents),
+        |fl AS (SELECT dt.source, dt.n,
+        |    (wcomp.doc_id != wcomp.component) AS dup
+        |  FROM dt JOIN wcomp ON dt.doc_id = wcomp.doc_id)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+        |  CAST(sum(n) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN dup THEN n ELSE 0 END) AS BIGINT)
+        |    AS dup_tokens,
+        |  round(CAST((CAST(sum(CASE WHEN dup THEN n ELSE 0 END) AS HUGEINT)
+        |      * 1000000 + CAST(sum(n) AS HUGEINT) // 2)
+        |    // CAST(sum(n) AS HUGEINT) AS BIGINT) / 1e6, 6) AS saved_share
+        |FROM fl GROUP BY source ORDER BY source""".stripMargin,
+  )
+
   def all: Map[String, String] =
     dedup ++ dedupCapped ++ dedupDecision ++ dedupComponents ++ containment ++
       decontamination ++ simhash ++ text ++ xent ++ pipeline ++ similarity ++
       events ++ multimodal ++ multimodalManifest ++ survival ++ ingest ++
       curation ++ release ++ round11 ++ round10 ++ round12 ++ round14 ++
-      round15 ++ round15b ++ round15c
+      round15 ++ round15b ++ round15c ++ round16
 }

@@ -4204,6 +4204,40 @@ object TextDedup {
   def p32bDedupEpochsWinnow(spark: SparkSession, dir: String): DataFrame =
     dedupEpochsOf(spark, dir, winnowLabels(spark, dir))
 
+  /** Dedup dividend (p34): per source, the compute a canonical-only
+    * training set saves — docs, duplicate docs (non-canonical members
+    * of a winnow near-dup component), tokens, duplicate tokens, and
+    * the half-up micro share of tokens dedup removes. This is the
+    * budgeting number a pretraining-data owner actually reports ("dedup
+    * cut source X's token bill by Y%"); p32b then turns the surviving
+    * unique mass into effective-epoch curves. Composes the
+    * [[winnowLabels]] run-scoped asset (which itself rides
+    * [[winnowPairs]] → [[winnowSelectionAsset]]): the only work here is
+    * one |docs|-row join of token counts against the label ledger and a
+    * |sources|-bounded aggregate — no shingling, no pair join, nothing
+    * corpus-quadratic; the oracle recomputes the winnow closure from
+    * scratch (the p32b recursive CTEs), so the hash gate re-proves the
+    * asset's min-id canonical labels end to end.
+    */
+  def p34DedupDividend(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), size(toks).cast("long").as("n"))
+    val j = docs.join(winnowLabels(spark, dir), Seq("doc_id"))
+      .withColumn("dup", col("doc_id") =!= col("component"))
+    j.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("n_dups"),
+        sum(col("n")).as("n_tokens"),
+        sum(when(col("dup"), col("n")).otherwise(0L)).as("dup_tokens"))
+      .select(col("source"), col("n_docs"), col("n_dups"),
+        col("n_tokens"), col("dup_tokens"),
+        round(intDiv(col("dup_tokens") * 1000000L
+            + intDiv(col("n_tokens"), lit(2L)),
+          col("n_tokens")).cast("double") / 1e6, 6).as("saved_share"))
+      .orderBy(col("source"))
+  }
+
   /** Min-id component labels over the [[winnowPairs]] graph,
     * MATERIALIZED once per (run, dir) exactly like [[componentLabels]]
     * over dupPairs: the star contraction's O(log n) rounds converge
@@ -4728,6 +4762,7 @@ object TextDedup {
     "d31b_crosslang_winnow" -> (d31bCrossLangWinnow _),
     "d32b_winnow_df_profile" -> (d32bWinnowDfProfile _),
     "p32b_dedup_epochs_winnow" -> (p32bDedupEpochsWinnow _),
+    "p34_dedup_dividend" -> (p34DedupDividend _),
     "d35_cluster_size_profile" -> (d35ClusterSizeProfile _),
     "t34_zipf_fit" -> (t34ZipfFit _),
     "t35_term_burstiness" -> (t35TermBurstiness _),
