@@ -153,7 +153,14 @@ object Bench {
     // (~400 chars, tail-safe at any query count), and build.sbt routes
     // forked stdout unprefixed (run / outputStrategy := StdoutOutput).
     val topK = best.sortBy(-_._2).take(20).sortBy(_._1)
-    val summary = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${objShort(topK)},"sf":$sfJson,"n":${names.size},"errors":${errors.size}}"""
+    // tm5 (median-of-5 total) + the min/max pass totals ride the
+    // tail-captured summary so every BENCH_r{N}.json carries the
+    // variance band, not just bench_result.json (r13 verdict,
+    // directive 3): min-agg vs median divergence is the box-noise
+    // tell, and the pass spread bounds what a round-over-round total
+    // drift can mean before anyone bisects a query.
+    val passTotalNums = passes.map(p => names.map(p).sum)
+    val summary = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${objShort(topK)},"sf":$sfJson,"n":${names.size},"errors":${errors.size},"tm5":${r2(totalMedian)},"pass_min":${r2(passTotalNums.min)},"pass_max":${r2(passTotalNums.max)}}"""
     Output(headline, full, errors, summary)
   }
 

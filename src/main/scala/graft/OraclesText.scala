@@ -30,13 +30,13 @@ object OraclesText {
 
   private def hex4ToInt(h: String): String = hexToInt(h, 4)
 
-  /** Wide (36-bit / 9-hex) winnow fingerprint selections and capped
-    * pairs — mirrors TextDedup.winnowPairs (w = WinnowW, cap =
-    * WinnowSweepCap). Requires `tok` from [[shingleCte]]; yields
-    * wfp(doc_id, fp) and wpairs(id_a, id_b).
+  /** Wide (36-bit / 9-hex) winnow fingerprint selections — the UNCAPPED
+    * per-document half (mirrors TextDedup.winnowLocalSelect with
+    * WinnowWideHex; selections are per-doc-local, so this frame is
+    * identical whether computed over the full corpus or any subset).
+    * Requires `tok` from [[shingleCte]]; yields wfp(doc_id, fp).
     */
-  private val winnowPairCte: String = {
-    val cap = queries.TextDedup.WinnowSweepCap
+  private val winnowSelCte: String = {
     val w = queries.TextDedup.WinnowW
     s"""wsh0 AS (SELECT doc_id, unnest(range(1, len(toks)-1)) AS pos, toks
        |  FROM tok WHERE len(toks) >= 3),
@@ -52,7 +52,17 @@ object OraclesText {
        |      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS cnt
        |  FROM wenc),
        |wfp AS (SELECT DISTINCT doc_id, mk // 16777216 AS fp
-       |  FROM wwin WHERE cnt = $w),
+       |  FROM wwin WHERE cnt = $w)""".stripMargin
+  }
+
+  /** Capped postings + pairs over [[winnowSelCte]] — mirrors
+    * TextDedup.winnowPairs (w = WinnowW, cap = WinnowSweepCap).
+    * Requires `tok` from [[shingleCte]]; yields wfp(doc_id, fp),
+    * wfpc(doc_id, fp) and wpairs(id_a, id_b).
+    */
+  private val winnowPairCte: String = {
+    val cap = queries.TextDedup.WinnowSweepCap
+    s"""$winnowSelCte,
        |wfpc AS (SELECT doc_id, fp FROM (SELECT doc_id, fp,
        |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
        |  FROM wfp) WHERE rk <= $cap),
@@ -4995,6 +5005,54 @@ object OraclesText {
         |$componentCte
         |SELECT doc_id, component, (doc_id % 5 = 0) AS is_increment
         |FROM comp ORDER BY doc_id""".stripMargin,
+
+    // TextDedup.d34wIncrementalWinnow: the oracle recomputes the
+    // one-shot closure over (standing pairs ∪ probe ∪ increment self)
+    // from scratch; star-contraction algebra makes that identical to
+    // the Spark side's ledger merge, so the hash match proves
+    // incremental ≡ batch in the bounded winnow space. The per-doc
+    // selections (wfp) are subset-invariant, so standing/increment
+    // frames are plain filters; caps are replayed per the declared
+    // contract (standing rank cap over standing lists, increment cap
+    // over increment lists, probe = uncapped increment vs capped
+    // standing).
+    "d34w_incremental_winnow" -> {
+      val cap = queries.TextDedup.WinnowSweepCap
+      s"""WITH RECURSIVE $shingleCte,
+        |$winnowSelCte,
+        |sfp AS (SELECT doc_id, fp FROM wfp WHERE doc_id % 5 <> 0),
+        |ifp AS (SELECT doc_id, fp FROM wfp WHERE doc_id % 5 = 0),
+        |sfpc AS (SELECT doc_id, fp FROM (SELECT doc_id, fp,
+        |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+        |  FROM sfp) WHERE rk <= $cap),
+        |ifpc AS (SELECT doc_id, fp FROM (SELECT doc_id, fp,
+        |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+        |  FROM ifp) WHERE rk <= $cap),
+        |spairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sfpc a JOIN sfpc b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |ipairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM ifpc a JOIN ifpc b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |wprobe AS (SELECT i.doc_id AS id_a, s.doc_id AS id_b
+        |  FROM ifp i JOIN sfpc s ON i.fp = s.fp
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |wedges AS (SELECT id_a AS src, id_b AS dst FROM spairs
+        |  UNION SELECT id_b, id_a FROM spairs
+        |  UNION SELECT id_a, id_b FROM ipairs
+        |  UNION SELECT id_b, id_a FROM ipairs
+        |  UNION SELECT id_a, id_b FROM wprobe
+        |  UNION SELECT id_b, id_a FROM wprobe),
+        |wreach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT wreach.id, wedges.dst
+        |  FROM wreach JOIN wedges ON wreach.r = wedges.src),
+        |wcomp AS (SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component
+        |  FROM wreach GROUP BY id)
+        |SELECT doc_id, component, (doc_id % 5 = 0) AS is_increment
+        |FROM wcomp ORDER BY doc_id""".stripMargin
+    },
 
     // TextDedup.t33TokenLengthProfile: d32's generated CASE ladder on
     // token lengths, one half-up share division per (lang, bucket).

@@ -9,7 +9,16 @@ import org.apache.spark.sql.SparkSession
   * honesty — so sf0.1 → sf1 per-query scaling exponents in SCALE.md
   * are apples-to-apples with the round bench.
   *
-  * Args: dataDir namesCsv [timedPasses=3] [outFile] [shufflePartitions=32].
+  * Args: dataDir namesCsv [timedPasses=3] [outFile] [shufflePartitions=32]
+  * [assetsCsv].
+  *
+  * `assetsCsv` (r13 verdict, directive 5) names [[Assets]] registry
+  * entries to FORCE-BUILD — timed individually, dependency order —
+  * before the warmup pass, emitted as the `asset_builds` map in the
+  * output JSON. With it, every consumer row is pure marginal cost and
+  * the once-per-snapshot build prices as its own battery row; without
+  * it, builds land untimed inside the warmup (fine for correctness,
+  * invisible to the battery).
   *
   * `shufflePartitions` is the knob the 100-TB sizing rule actually
   * turns: partitions must fit in executor memory at the target scale
@@ -49,12 +58,23 @@ object ScaleBench {
 
     val missing = names -- SparkEntry.queries.keySet
     require(missing.isEmpty, s"unknown queries: ${missing.mkString(",")}")
+    val assetNames: Set[String] =
+      if (args.length > 5 && args(5).nonEmpty) args(5).split(",").toSet
+      else Set.empty
+    val assetRows = Assets.buildTimed(spark, dataDir, assetNames)
+    def r3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val assetJson = assetRows
+      .map { case (n, t) => "\"" + n + "\":" + r3(t) }
+      .mkString("{", ",", "}")
     val out = Bench.runBench(spark, dataDir,
       SparkEntry.queries.view.filterKeys(names).toMap, timedPasses = passes)
+    // asset_builds rides the same JSON object as the query rows
+    val full = out.full.stripSuffix("}") + s""","asset_builds":$assetJson}"""
     if (args.length > 3)
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(args(3)), out.full + "\n")
-    println(out.full)
+        java.nio.file.Paths.get(args(3)), full + "\n")
+    println(full)
     spark.stop()
     if (out.errors.nonEmpty) sys.exit(1)
   }

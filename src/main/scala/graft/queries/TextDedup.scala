@@ -673,25 +673,39 @@ object TextDedup {
     * hash-gated end to end.
     */
   def d9wContainmentWinnow(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // the capped wide selection is the run-scoped asset (r13): the
     // timed leg is sizes + the fingerprint self-join, not a corpus
-    // hash pass per call
-    val fpc = winnowSelectionAsset(spark, dir).persist()
+    // hash pass per call.
+    //
+    // r14 shuffle shrink (r13 verdict, directive 4): the old leg
+    // aggregated (min,max,shared), UNIONED it in both directions, and
+    // joined sizes on the doubled frame — 2× the pair aggregate's
+    // bytes through the size exchange, which at sf1000 is what pushed
+    // the shuffle past the box's disk (d30 on the same base fits).
+    // Now each selection row carries its document's capped size n via
+    // ONE window count over doc_id (selection-scale, no join), the
+    // pair aggregate picks na/nb up as group constants (max() of a
+    // per-group-constant column), and BOTH containment directions
+    // derive from the single aggregated row — the pair frame is never
+    // unioned, never re-exchanged, and no size join exists at all.
+    val fpc = winnowSelectionAsset(spark, dir)
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("doc_id"))))
+      .persist()
     fpc.count() // eager materialization (see d3)
-    val sizes = fpc.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val shared = fpc.as("a").join(fpc.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("shared"))
+      .agg(count(lit(1)).as("shared"),
+        max(col("a.n")).as("na"), max(col("b.n")).as("nb"))
     val both = shared.select(col("id_a").as("contained_id"),
-        col("id_b").as("container_id"), col("shared"))
+        col("id_b").as("container_id"),
+        round(col("shared").cast("double") / col("na"), 6).as("containment"))
       .unionByName(shared.select(col("id_b").as("contained_id"),
-        col("id_a").as("container_id"), col("shared")))
+        col("id_a").as("container_id"),
+        round(col("shared").cast("double") / col("nb"), 6).as("containment")))
     val out = both
-      .join(sizes.withColumnRenamed("doc_id", "contained_id"),
-        Seq("contained_id"))
-      .withColumn("containment",
-        round(col("shared").cast("double") / col("n"), 6))
       .filter(col("containment") >= 0.9)
       .select(col("contained_id"), col("container_id"), col("containment"))
       .orderBy(col("contained_id"), col("container_id"))
@@ -726,12 +740,14 @@ object TextDedup {
     */
   val WinnowW = 4
 
-  /** Distinct (doc_id, fp) winnow selections — the fingerprint INDEX
-    * half of d30, shared with the streaming ingest twin
-    * ([[graft.streaming.CorpusStreams.winnowStream]], which re-derives
-    * the same selections through a per-doc flatMap closure since window
-    * functions don't exist on streams; `StreamingSpec` pins the two
-    * row-identical).
+  /** Distinct (doc_id, fp) NARROW (4-hex) winnow selections — since r13
+    * this is only the [[d30WinnowingNarrow]] saturation-audit base; the
+    * gated d30 contract, every at-scale consumer, and (since r14) the
+    * streaming ingest twin ([[graft.streaming.CorpusStreams
+    * .winnowStream]]) all select in the wide 36-bit space
+    * ([[winnowSelectionAsset]] / [[winnowLocalSelect]] with
+    * [[WinnowWideHex]]). `StreamingSpec` keeps a narrow parity pin so
+    * the audit leg's selection rule can't drift either.
     */
   private[graft] def winnowFingerprints(docs: DataFrame,
       w: Int = WinnowW): DataFrame =
@@ -758,9 +774,11 @@ object TextDedup {
     * the d33 sweep): 9 hex chars → a 36-bit space, effectively
     * collision-free at any rehearsal scale, so a fingerprint's df is
     * its shingle's TRUE df — boilerplate stays the valve's problem and
-    * the rank cap is a backstop, not the operating regime. (d30 keeps
-    * the narrow 4-hex default: its gated contract IS the small-space
-    * selection.)
+    * the rank cap is a backstop, not the operating regime. (Since r13
+    * d30's gated contract is ALSO this wide capped space, via
+    * [[winnowSelectionAsset]]; since r14 the streaming ingest twin
+    * selects wide too. The 4-hex default serves only the
+    * [[d30WinnowingNarrow]] saturation-audit leg.)
     */
   private[graft] val WinnowWideHex = 9
 
@@ -4219,11 +4237,29 @@ object TextDedup {
     * scratch (the p32b recursive CTEs), so the hash gate re-proves the
     * asset's min-id canonical labels end to end.
     */
-  def p34DedupDividend(spark: SparkSession, dir: String): DataFrame = {
+  def p34DedupDividend(spark: SparkSession, dir: String): DataFrame =
+    dedupDividendOf(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), size(toks).cast("long").as("n")),
+      winnowLabels(spark, dir))
+
+  /** The p34 finisher over an explicit (doc_id, source, n) token frame
+    * and a (doc_id, component) ledger — split out so the streaming twin
+    * ([[graft.streaming.CorpusStreams.dividendFromLedger]]) reads the
+    * live [[graft.streaming.CorpusStreams.WinnowLedgerMaintainer]]
+    * ledger through the SAME aggregation (the budgeting dashboard never
+    * revisits raw documents on either surface). `saved_share`'s
+    * numerator widens to decimal(38,0) BEFORE the ×10⁶ (r13 advisor):
+    * dup_tokens · 10⁶ wraps a Long past ~9.2e12 dup tokens per source —
+    * i.e. exactly at the 100 TB lake scale — while the oracle
+    * deliberately computes in HUGEINT; the dec widening keeps the two
+    * engines byte-identical where the hash gate matters.
+    */
+  private[graft] def dedupDividendOf(docTokens: DataFrame,
+      labels: DataFrame): DataFrame = {
     import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), size(toks).cast("long").as("n"))
-    val j = docs.join(winnowLabels(spark, dir), Seq("doc_id"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val j = docTokens.join(labels, Seq("doc_id"))
       .withColumn("dup", col("doc_id") =!= col("component"))
     j.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
@@ -4232,9 +4268,9 @@ object TextDedup {
         sum(when(col("dup"), col("n")).otherwise(0L)).as("dup_tokens"))
       .select(col("source"), col("n_docs"), col("n_dups"),
         col("n_tokens"), col("dup_tokens"),
-        round(intDiv(col("dup_tokens") * 1000000L
-            + intDiv(col("n_tokens"), lit(2L)),
-          col("n_tokens")).cast("double") / 1e6, 6).as("saved_share"))
+        round(intDiv(dec(col("dup_tokens")) * 1000000L
+            + intDiv(dec(col("n_tokens")), lit(2L)),
+          dec(col("n_tokens"))).cast("double") / 1e6, 6).as("saved_share"))
       .orderBy(col("source"))
   }
 
@@ -4725,6 +4761,96 @@ object TextDedup {
       .orderBy(col("doc_id"))
   }
 
+  /** The BOUNDED standing assets for [[d34wIncrementalWinnow]] — the
+    * r13 verdict's top directive: d34's marginal merge is scale-clean,
+    * but its standing ledger bootstrap ran the unvalved raw-shingle
+    * pair machinery, which this box cannot rehearse past sf100
+    * (SCALE.md) — and at 100 TB the once-per-corpus build must be the
+    * bounded class too. Here the standing corpus (doc_id % 5 ≠ 0)
+    * bootstraps through the winnow spine instead: per-doc wide
+    * selections ([[winnowLocalSelect]], no token-scale shuffle), a
+    * [[WinnowSweepCap]] rank cap over the STANDING posting lists, ≥2-
+    * shared pairs bounded at cap²/2 per bucket, and one star-contraction
+    * fixpoint — the same machinery [[winnowPairs]]/[[winnowLabels]]
+    * rehearsed at sf1000. The raw-shingle bootstrap
+    * ([[d34StandingAssets]]) stays gated as the exactness audit — the
+    * d9/d9b default/audit split applied to the ledger build. Returns
+    * (capped standing postings, standing ledger), materialized once per
+    * (run, dir): production checkpoints exactly these two tables
+    * between crawl drops.
+    */
+  private[graft] def d34wStandingAssets(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val (pPath, lPath) = winnowStandingPaths.computeIfAbsent(dir, _ => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft-wstanding-" +
+        s"$dupPairRunId-${dupPairSeq.getAndIncrement()}"
+      val pp = graft.RunAssets.register(s"$base-postings.parquet")
+      val lp = graft.RunAssets.register(s"$base-ledger.parquet")
+      val standing = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 5 =!= 0)
+      winnowCapped(winnowLocalSelect(standing, WinnowW, WinnowWideHex),
+          WinnowSweepCap)
+        .write.mode("overwrite").parquet(pp)
+      val post = spark.read.parquet(pp)
+      val (sLabels, _) = starContractComponents(
+        standing.select(col("doc_id").as("id")),
+        winnowPairsOf(post)
+          .select(col("id_a").as("src"), col("id_b").as("dst")))
+      sLabels.write.mode("overwrite").parquet(lp)
+      (pp, lp)
+    })
+    (spark.read.parquet(pPath), spark.read.parquet(lPath))
+  }
+  private val winnowStandingPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** d34 over the WINNOW-BOOTSTRAPPED standing ledger (d34w) — the
+    * at-scale incremental-maintenance leg. The arriving shard
+    * (doc_id ≡ 0 mod 5) computes its per-doc wide selections, probes
+    * the capped STANDING postings (increment×standing only — a standing
+    * posting list never exceeds [[WinnowSweepCap]], so probe work is
+    * linear in increment selections), self-joins within the capped
+    * increment, and the merge star-contracts (standing ledger star
+    * edges) ∪ (probe edges) ∪ (self edges).
+    *
+    * The gate proves merge ≡ recompute: replacing a connected subgraph
+    * by its star (the ledger) preserves connectivity, so the merged
+    * components equal the one-shot closure over (standing pairs ∪ probe
+    * ∪ self) — and that one-shot closure is exactly what the DuckDB
+    * oracle recomputes from scratch with recursive CTEs. Min-id labels
+    * are stable under incremental maintenance in the winnow space, with
+    * every leg of the composition bounded. Pair semantics are the
+    * declared probe space (standing-capped postings, ≥2 shared wide
+    * selections), mirrored term-for-term by the oracle — the cap is
+    * part of the contract like d30's, not an un-gated approximation.
+    */
+  def d34wIncrementalWinnow(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val inc = docs.filter(col("doc_id") % 5 === 0)
+    val (post, sLabels) = d34wStandingAssets(spark, dir)
+    val incSel = winnowLocalSelect(inc, WinnowW, WinnowWideHex).persist()
+    incSel.count() // probe + self + cap all read it
+    val probe = incSel.as("i").join(post.as("s"), col("i.fp") === col("s.fp"))
+      .groupBy(col("i.doc_id").as("src"), col("s.doc_id").as("dst"))
+      .agg(count(lit(1)).as("ns")).filter(col("ns") >= 2)
+      .select(col("src"), col("dst"))
+    val self = winnowPairsOf(winnowCapped(incSel, WinnowSweepCap))
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val ledgerEdges = sLabels.filter(col("id") =!= col("component"))
+      .select(col("id").as("src"), col("component").as("dst"))
+    val (labels, _) = starContractComponents(
+      docs.select(col("doc_id").as("id")),
+      ledgerEdges.unionByName(probe).unionByName(self))
+    val out = labels.select(col("id").as("doc_id"), col("component"),
+        (col("id") % 5 === 0).as("is_increment"))
+      .orderBy(col("doc_id"))
+    val pinned = out.persist()
+    pinned.count()
+    incSel.unpersist()
+    out
+  }
+
   /** Token-length profile (t33): per language, the token-length
     * histogram in power-of-two buckets with per-bucket shares — the
     * subword-readiness screen a tokenizer team reads before setting
@@ -4756,6 +4882,7 @@ object TextDedup {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t33_token_length_profile" -> (t33TokenLengthProfile _),
     "d34_incremental_components" -> (d34IncrementalComponents _),
+    "d34w_incremental_winnow" -> (d34wIncrementalWinnow _),
     "d33_winnow_sweep" -> ((s: SparkSession, d: String) => d33WinnowSweep(s, d)),
     "d32_shingle_df_profile" -> (d32ShingleDfProfile _),
     "d36_boiler_shingles" -> (d36BoilerShingles _),

@@ -127,37 +127,52 @@ object CorpusStreams {
   }
 
   /** Per-document winnow fingerprints of a STREAMING document frame —
-    * d30's selection rule ([[graft.queries.TextDedup.winnowFingerprints]])
-    * re-expressed as a compiled per-doc flatMap closure, the
-    * [[streamShingles]] precedent one level up the dedup stack: the
-    * batch form needs two window functions (lead + windowed min), both
-    * unavailable on streams, but every selection depends only on the
-    * document's own token sequence, so the map-side closure is exactly
-    * as distributed — an ingest-time near-dup probe joins these against
-    * a standing fingerprint index the way [[imageDedupAgainst]] probes
-    * phashes. `StreamingSpec` pins the selected (doc_id, fp) set
-    * row-identical to the batch index.
+    * d30's selection rule re-expressed as a compiled per-doc flatMap
+    * closure, the [[streamShingles]] precedent one level up the dedup
+    * stack: the batch form needs two window functions (lead + windowed
+    * min), both unavailable on streams, but every selection depends only
+    * on the document's own token sequence, so the map-side closure is
+    * exactly as distributed — an ingest-time near-dup probe joins these
+    * against a standing fingerprint index the way [[imageDedupAgainst]]
+    * probes phashes.
+    *
+    * Since r14 the stream selects in the WIDE 36-bit space
+    * ([[graft.queries.TextDedup.WinnowWideHex]]) — the space the gated
+    * d30 contract and every at-scale consumer have lived in since r13
+    * (the shared `winnowSelectionAsset`). An ingest probe selecting in
+    * the demoted 16-bit narrow space would pick DIFFERENT fingerprints
+    * than the standing index it probes, breaking the batch/ingest seam
+    * the engine guarantees everywhere else (r13 verdict, wrong #1).
+    * `StreamingSpec` pins the selected (doc_id, fp) set row-identical
+    * to the batch wide selection (`winnowLocalSelect(…, WinnowWideHex)`,
+    * the selection asset's uncapped base — the cap is standing-side,
+    * like imageDedupAgainst's band probe); a narrow pin remains for the
+    * [[graft.queries.TextDedup.d30WinnowingNarrow]] audit leg.
     */
-  def winnowStream(docs: DataFrame): DataFrame = {
+  def winnowStream(docs: DataFrame,
+      hexChars: Int = graft.queries.TextDedup.WinnowWideHex): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
-        winnowFingerprintSetOf(text).iterator.map(fp => (id, fp))
+        winnowFingerprintSetOf(text, hexChars).iterator.map(fp => (id, fp))
       }
       .toDF("doc_id", "fp")
   }
 
-  /** The winnow-selection closure: 16-bit md5-prefix hashes of the
-    * word-3-grams (the [[shingleSetOf]] tokenizer, positions kept), each
-    * 4-window selecting (min hash, rightmost pos) through the same
-    * composite h·F+(F−1−pos) integer key (F = WinnowPosField = 2²⁴,
-    * wide enough for 10⁷-token documents) as the batch SQL — kept in
-    * ONE place so a tokenizer or hash-width change can't drift between
-    * the surfaces.
+  /** The winnow-selection closure: `hexChars`-nibble md5-prefix hashes
+    * of the word-3-grams (the [[shingleSetOf]] tokenizer, positions
+    * kept), each 4-window selecting (min hash, rightmost pos) through
+    * the same composite h·F+(F−1−pos) integer key (F = WinnowPosField =
+    * 2²⁴, wide enough for 10⁷-token documents) as the batch SQL — kept
+    * in ONE place so a tokenizer or hash-width change can't drift
+    * between the surfaces. The nibble walk mirrors the batch
+    * `conv(substring(md5(...), 1, hexChars), 16, 10)` exactly: the
+    * first `hexChars` hex digits of the digest, high nibble first.
     */
-  private[graft] def winnowFingerprintSetOf(text: String): Set[Long] = {
+  private[graft] def winnowFingerprintSetOf(text: String,
+      hexChars: Int = graft.queries.TextDedup.WinnowWideHex): Set[Long] = {
     val toks = text.replaceAll("^ +| +$", "")
       .toLowerCase(java.util.Locale.ROOT).split("\\s+")
     if (toks.length < 3) return Set.empty
@@ -165,7 +180,14 @@ object CorpusStreams {
     val hashes = toks.sliding(3).map { sh =>
       md.reset()
       val d = md.digest(sh.mkString(" ").getBytes("UTF-8"))
-      ((d(0) & 0xffL) << 8) | (d(1) & 0xffL)
+      var h = 0L
+      var k = 0
+      while (k < hexChars) {
+        val b = d(k / 2) & 0xff
+        h = (h << 4) | (if (k % 2 == 0) b >>> 4 else b & 0xf)
+        k += 1
+      }
+      h
     }.toArray
     val w = graft.queries.TextDedup.WinnowW
     if (hashes.length < w) Set.empty
@@ -827,4 +849,101 @@ object CorpusStreams {
         .foreachBatch((b: DataFrame, _: Long) => mergeBatch(b))
         .start()
   }
+
+  /** [[ComponentLedgerMaintainer]] in the BOUNDED winnow space — the
+    * streaming half of [[graft.queries.TextDedup.d34wIncrementalWinnow]]
+    * (r13 verdict, directive 1's ingest seam): arriving micro-batches
+    * compute their per-doc WIDE selections
+    * ([[graft.queries.TextDedup.winnowLocalSelect]] — the same kernel
+    * expressions as the batch asset build, legal inside foreachBatch),
+    * probe the standing capped postings (arrival×standing only, each
+    * standing list ≤ WinnowSweepCap), self-join within the capped
+    * batch, and star-contract (ledger stars) ∪ (new edges).
+    *
+    * Unlike the raw-shingle maintainer, EVERY leg here is the bounded
+    * class: postings are ~2/(w+1) of shingles, rank-capped per
+    * fingerprint, and capped-postings maintenance is exactly
+    * incremental — the cap keeps the `cap` LOWEST doc_ids per
+    * fingerprint, and min-k of a union is min-k of (previous min-k ∪
+    * new), so the standing postings table after any merge equals the
+    * from-scratch capped index over everything arrived (the same
+    * min-k argument as a top-k aggregate). `StreamingSpec` pins
+    * replay ≡ batch: the live ledger equals the batch winnow closure
+    * over all arrivals, and [[dividendFromLedger]] over it reproduces
+    * batch p34's rows.
+    */
+  final class WinnowLedgerMaintainer(standingDocs: DataFrame) {
+    import graft.queries.TextDedup
+    import TextDedup.{WinnowW, WinnowWideHex, WinnowSweepCap}
+    private def ck(df: DataFrame): DataFrame = df.localCheckpoint(true)
+    private var postings: DataFrame = ck(TextDedup.winnowCapped(
+      TextDedup.winnowLocalSelect(standingDocs, WinnowW, WinnowWideHex),
+      WinnowSweepCap))
+    private var nodes: DataFrame =
+      ck(standingDocs.select(col("doc_id").as("id")))
+    private var ledger: DataFrame = ck(TextDedup.starContractComponents(
+      nodes, TextDedup.winnowPairsOf(postings)
+        .select(col("id_a").as("src"), col("id_b").as("dst")))._1)
+
+    /** Merge one arriving shard (the d34w merge verbatim, against the
+      * maintainer's live tables).
+      */
+    def mergeBatch(batch: DataFrame): Unit = synchronized {
+      val b = batch.select(col("doc_id"), col("text"))
+      if (!b.isEmpty) {
+        val bSel = ck(TextDedup.winnowLocalSelect(b, WinnowW, WinnowWideHex))
+        val probe = bSel.as("i")
+          .join(postings.as("s"), col("i.fp") === col("s.fp"))
+          .groupBy(col("i.doc_id").as("src"), col("s.doc_id").as("dst"))
+          .agg(count(lit(1)).as("ns")).filter(col("ns") >= 2)
+          .select(col("src"), col("dst"))
+        val self = TextDedup.winnowPairsOf(
+            TextDedup.winnowCapped(bSel, WinnowSweepCap))
+          .select(col("id_a").as("src"), col("id_b").as("dst"))
+        val ledgerEdges = ledger.filter(col("id") =!= col("component"))
+          .select(col("id").as("src"), col("component").as("dst"))
+        val allNodes = ck(nodes.unionByName(b.select(col("doc_id").as("id"))))
+        ledger = ck(TextDedup.starContractComponents(
+          allNodes, ledgerEdges.unionByName(probe).unionByName(self))._1)
+        nodes = allNodes
+        // min-k of (previous min-k ∪ new) = min-k of the union: the
+        // capped standing index stays exactly the from-scratch one
+        postings = ck(TextDedup.winnowCapped(
+          postings.unionByName(bSel), WinnowSweepCap))
+      }
+    }
+
+    /** The live (id, component) table after all merges so far. */
+    def currentLedger: DataFrame = synchronized(ledger)
+
+    /** Attach to a streaming (doc_id, text) frame: one ledger merge per
+      * micro-batch.
+      */
+    def attach(docs: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
+      docs.writeStream.outputMode("update")
+        .foreachBatch((b: DataFrame, _: Long) => mergeBatch(b))
+        .start()
+  }
+
+  /** Per-document (doc_id, source, n) token counts — the stateless
+    * ingest seam [[dividendFromLedger]] joins (each document's count
+    * depends only on its own row; a pipeline appends these to a
+    * standing table as documents are admitted). Same tokenizer as
+    * batch p34's `size(toks)`.
+    */
+  def docTokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("n"))
+
+  /** p34's dedup dividend as a read-time finisher over a live component
+    * ledger (a [[WinnowLedgerMaintainer]]'s `currentLedger`) joined to
+    * the streamed [[docTokenCounts]] table — the budgeting dashboard
+    * never revisits raw documents: one |docs|-row join + a
+    * |sources|-bounded aggregate, shared verbatim with batch p34
+    * ([[graft.queries.TextDedup.dedupDividendOf]]). `StreamingSpec`
+    * pins replay ≡ batch p34 rows.
+    */
+  def dividendFromLedger(ledger: DataFrame, docTokens: DataFrame): DataFrame =
+    graft.queries.TextDedup.dedupDividendOf(docTokens,
+      ledger.select(col("id").as("doc_id"), col("component")))
 }

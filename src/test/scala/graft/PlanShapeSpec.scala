@@ -978,6 +978,30 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("d34w probe: increment selections join the MATERIALIZED standing " +
+      "postings — kernel selection, no raw-shingle machinery, no " +
+      "cartesian (r13 verdict, directive 1)") {
+    val (post, _) = TextDedup.d34wStandingAssets(spark, dir)
+    val inc = Tables.documents(spark, dir)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 5 === 0)
+    val incSel = TextDedup.winnowLocalSelect(inc,
+      TextDedup.WinnowW, TextDedup.WinnowWideHex)
+    val p = plan(incSel.as("i").join(post.as("s"),
+      org.apache.spark.sql.functions.col("i.fp") ===
+        org.apache.spark.sql.functions.col("s.fp")))
+    // the standing side is the run-scoped parquet asset (production's
+    // checkpointed winnow index), never a recomputed standing selection
+    assert(p.contains("graft-wstanding"), p.take(1500))
+    // the increment side is the codegen'd kernel pass — no md5 string
+    // function, no token posexplode, no window sort over tokens
+    assert(!p.contains("md5(") && !p.toLowerCase.contains("posexplode"),
+      p.take(1500))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p.take(1500))
+  }
+
   test("winnow asset build: per-doc array math — NO token-scale doc_id " +
       "exchange anywhere in the build plan (r13 scale rewrite)") {
     val p = plan(TextDedup.winnowCapped(

@@ -644,7 +644,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batchIdx)
   }
 
-  test("streaming winnow fingerprints equal the batch d30 index row-for-row") {
+  test("streaming winnow fingerprints equal the batch WIDE selection row-for-row") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
     implicit val sqlCtx = spark.sqlContext
@@ -666,13 +666,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
     val streamed = spark.table("winnow_stream")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // r14 (r13 verdict, directive 2): the ingest probe is pinned
+    // against the WIDE selection asset's uncapped base — the space the
+    // gated d30 contract and the standing winnowSelectionAsset live in
+    // (the cap is applied standing-side, so an arriving doc's probe
+    // set is the uncapped per-doc selection).
     val batch = graft.queries.TextDedup
-      .winnowFingerprints(arrivals.toDF("doc_id", "text"))
+      .winnowLocalSelect(arrivals.toDF("doc_id", "text"),
+        graft.queries.TextDedup.WinnowW,
+        graft.queries.TextDedup.WinnowWideHex)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(streamed == batch,
       s"diff=${(streamed diff batch).take(3)} / ${(batch diff streamed).take(3)}")
     assert(streamed.map(_._1).contains(corpus.head._1))
     assert(!streamed.map(_._1).contains(9001L), "sub-window doc must emit nothing")
+
+    // the narrow (16-bit) closure stays pinned to the d30WinnowingNarrow
+    // audit leg's batch selection — the demoted space keeps its parity
+    // proof without any at-scale consumer
+    val narrowClosure = arrivals.flatMap { case (id, text) =>
+      graft.streaming.CorpusStreams.winnowFingerprintSetOf(text, 4)
+        .iterator.map(fp => (id, fp))
+    }.toSet
+    val narrowBatch = graft.queries.TextDedup
+      .winnowFingerprints(arrivals.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(narrowClosure == narrowBatch)
   }
 
   test("watermarked near-dup alerts emit once in append mode and equal the unwatermarked verdicts") {
@@ -1776,6 +1795,54 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getLong(1), r.getBoolean(2)))
     assert(flags.groupBy(_._1).values
       .exists(g => g.exists(_._2) && g.exists(!_._2)))
+  }
+
+  test("winnow-ledger maintainer: replayed shards converge to the batch " +
+      "d34w labels, and the dividend finisher reproduces batch p34 " +
+      "(p34 streaming twin)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val standing = docs.filter(col("doc_id") % 5 =!= 0)
+    val incRows = docs.filter(col("doc_id") % 5 === 0)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val m = new graft.streaming.CorpusStreams.WinnowLedgerMaintainer(standing)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = m.attach(mem.toDS().toDF("doc_id", "text"))
+    try {
+      val (sh1, rest) = incRows.splitAt(incRows.length / 3)
+      val (sh2, sh3) = rest.splitAt(rest.length / 2)
+      for (sh <- Seq(sh1, sh2, sh3) if sh.nonEmpty) {
+        mem.addData(sh.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = m.currentLedger.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = graft.queries.TextDedup
+      .d34wIncrementalWinnow(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch,
+      s"${streamed.size} streamed vs ${batch.size} batch labels; " +
+        s"diff=${(streamed.toSet diff batch.toSet).take(5)}")
+
+    // p34's dividend read off the LIVE ledger ≡ the gated batch rows
+    // (at this fixture scale no fingerprint's posting list reaches
+    // WinnowSweepCap, so the two-phase closure and winnowLabels' full-
+    // corpus capped closure coincide — the cap-free regime where the
+    // pairwise ≥2-shared predicate fully determines connectivity)
+    val tokens = graft.streaming.CorpusStreams.docTokenCounts(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("text")))
+    val fromLedger = graft.streaming.CorpusStreams
+      .dividendFromLedger(m.currentLedger, tokens)
+      .collect().map(_.toSeq).toSeq
+    val p34 = graft.queries.TextDedup.p34DedupDividend(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(fromLedger == p34, s"ledger rows=${fromLedger.size}")
+    assert(p34.nonEmpty)
   }
 
   test("streamed gap facts finish to the batch gap histogram (e36 twin)") {
