@@ -66,9 +66,11 @@ object OraclesText {
        |wfpc AS (SELECT doc_id, fp FROM (SELECT doc_id, fp,
        |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
        |  FROM wfp) WHERE rk <= $cap),
-       |wpairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |wpn AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    count(*) AS ns
        |  FROM wfpc a JOIN wfpc b ON a.fp = b.fp AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |wpairs AS (SELECT id_a, id_b FROM wpn)""".stripMargin
   }
 
   /** Connected components over the ≥0.8 Jaccard pair graph (mirrors
@@ -5703,10 +5705,90 @@ object OraclesText {
         |FROM fl GROUP BY source ORDER BY source""".stripMargin,
   )
 
+  /** Content-hash split CTE shared by the winnow decontamination twins
+    * (mirrors TextDedup.splitCols — the exact spelling d12's oracle
+    * uses).
+    */
+  private val splitCte: String =
+    s"""sp AS (SELECT doc_id,
+       |    CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM (SELECT doc_id,
+       |      ${hex4ToInt("substr(md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), 1, 4)")} % 100 AS bucket
+       |    FROM documents))""".stripMargin
+
+  /** d10w's full SQL, shared with p26w (the p26-over-d10 composition
+    * pattern): split-tagged capped winnow pairs (wpn carries the
+    * shared-selection count), both contamination directions as filtered
+    * selects of the tagged frame.
+    */
+  private val d10wSql: String =
+    s"""WITH $shingleCte,
+       |$winnowPairCte,
+       |$splitCte,
+       |tg AS (SELECT wpn.id_a, wpn.id_b, wpn.ns,
+       |    sa.split AS split_a, sb.split AS split_b
+       |  FROM wpn JOIN sp sa ON wpn.id_a = sa.doc_id
+       |           JOIN sp sb ON wpn.id_b = sb.doc_id)
+       |SELECT id_a AS eval_id, split_a AS eval_split, id_b AS train_id,
+       |    CAST(ns AS BIGINT) AS shared
+       |  FROM tg WHERE split_a IN ('val', 'test') AND split_b = 'train'
+       |UNION ALL
+       |SELECT id_b, split_b, id_a, CAST(ns AS BIGINT)
+       |  FROM tg WHERE split_b IN ('val', 'test') AND split_a = 'train'
+       |ORDER BY eval_id, train_id""".stripMargin
+
+  /** Round-14 session operators: the bounded winnow-space twins of the
+    * decontamination family (d10w/d12w/p26w — the d9/d9w default/audit
+    * split applied to the leakage checks).
+    */
+  val round17: Map[String, String] = Map(
+    // TextDedup.d10wDecontaminationWinnow: eval↔train near-dup pairs in
+    // the capped wide winnow space (wpn = the winnowPairs asset's join
+    // with its shared count kept).
+    "d10w_decontamination_winnow" -> d10wSql,
+
+    // TextDedup.d12wOverlapWinnow: per-eval-doc fraction of UNCAPPED
+    // wide selections (wfp) present among the train split's selected
+    // fingerprints — d12's vocabulary-overlap contract moved from the
+    // shingle index to the selection index.
+    "d12w_overlap_winnow" ->
+      s"""WITH $shingleCte,
+         |$winnowSelCte,
+         |$splitCte,
+         |tv AS (SELECT DISTINCT fp FROM wfp JOIN sp USING (doc_id)
+         |       WHERE split = 'train'),
+         |ev AS (SELECT w.doc_id, sp.split, w.fp
+         |       FROM wfp w JOIN sp ON w.doc_id = sp.doc_id
+         |       WHERE sp.split IN ('val', 'test'))
+         |SELECT ev.doc_id, ev.split,
+         |  count(*) AS n_sel,
+         |  count(tv.fp) AS n_in_train,
+         |  round(CAST(count(tv.fp) AS DOUBLE) / count(*), 6) AS overlap
+         |FROM ev LEFT JOIN tv ON ev.fp = tv.fp
+         |GROUP BY ev.doc_id, ev.split ORDER BY ev.doc_id LIMIT 2000""".stripMargin,
+
+    // TextDedup.p26wContaminationWinnow: p26's per-source rate with the
+    // pair source swapped to the bounded d10w space; same half-up micro
+    // division.
+    "p26w_contamination_winnow" ->
+      s"""WITH d10w AS ($d10wSql),
+         |cont AS (SELECT DISTINCT train_id AS doc_id FROM d10w),
+         |a AS (SELECT d.source, count(*) AS n_docs,
+         |    CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_contaminated
+         |  FROM documents d LEFT JOIN cont c ON d.doc_id = c.doc_id
+         |  GROUP BY 1)
+         |SELECT source, CAST(n_docs AS BIGINT) AS n_docs, n_contaminated,
+         |  CAST((n_contaminated * 1000000 + n_docs // 2) // n_docs
+         |    AS BIGINT) / 1e6 AS contamination_rate
+         |FROM a ORDER BY source""".stripMargin,
+  )
+
   def all: Map[String, String] =
     dedup ++ dedupCapped ++ dedupDecision ++ dedupComponents ++ containment ++
       decontamination ++ simhash ++ text ++ xent ++ pipeline ++ similarity ++
       events ++ multimodal ++ multimodalManifest ++ survival ++ ingest ++
       curation ++ release ++ round11 ++ round10 ++ round12 ++ round14 ++
-      round15 ++ round15b ++ round15c ++ round16
+      round15 ++ round15b ++ round15c ++ round16 ++ round17
 }

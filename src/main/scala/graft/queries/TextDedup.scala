@@ -1738,6 +1738,118 @@ object TextDedup {
       .orderBy(col("eval_id"), col("train_id"))
   }
 
+  /** Benchmark decontamination in the BOUNDED winnow space (d10w) — the
+    * d9/d9w default/audit split applied to the decontamination family
+    * (r14): d10 composes over [[dupPairs]], the exact raw-shingle pair
+    * asset whose build this box cannot rehearse past sf100 (SCALE.md) —
+    * at 100 TB the leakage check that gates every eval number must ride
+    * the bounded index instead. Candidate pairs come from the shared
+    * capped wide [[winnowSelectionAsset]] (the same ≥2-shared-selection
+    * space as d30/winnowPairs — one corpus hash pass per run, pair work
+    * bounded at cap²/2 per bucket), and the split roles attach through
+    * ONE pass over the pair aggregate: the slim (doc_id, split) map
+    * joins each endpoint once, and the two contamination directions are
+    * filtered selects of the tagged frame — the pair aggregate is never
+    * unioned through an exchange (the r13 d9w lesson). d10 stays gated
+    * as the exactness audit; this is the per-release default.
+    */
+  def d10wDecontaminationWinnow(spark: SparkSession,
+      dir: String): DataFrame = {
+    val (_, split) = splitCols
+    val splits = Tables.documents(spark, dir)
+      .select(col("doc_id"), split.as("split"))
+    val fpc = winnowSelectionAsset(spark, dir)
+    val pairs = fpc.as("a").join(fpc.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 2)
+    val tagged = pairs
+      .join(splits.select(col("doc_id").as("id_a"),
+        col("split").as("split_a")), Seq("id_a"))
+      .join(splits.select(col("doc_id").as("id_b"),
+        col("split").as("split_b")), Seq("id_b"))
+      .persist()
+    tagged.count() // both direction legs read it (see d3)
+    val out = tagged
+      .filter(col("split_a").isin("val", "test") &&
+        col("split_b") === "train")
+      .select(col("id_a").as("eval_id"), col("split_a").as("eval_split"),
+        col("id_b").as("train_id"), col("shared"))
+      .unionByName(tagged
+        .filter(col("split_b").isin("val", "test") &&
+          col("split_a") === "train")
+        .select(col("id_b").as("eval_id"), col("split_b").as("eval_split"),
+          col("id_a").as("train_id"), col("shared")))
+      .orderBy(col("eval_id"), col("train_id"))
+    out
+  }
+
+  /** Per-eval-document contamination score in winnow space (d12w) — the
+    * bounded twin of d12's shingle-vocabulary overlap: the fraction of
+    * an eval (val/test) document's UNCAPPED wide winnow selections that
+    * appear among the train split's selected fingerprints. Where d12's
+    * eval join moves the token-scale shingle index, every frame here is
+    * selection-scale: the per-doc selections compute inside the codegen
+    * kernel projection with the split column carried in the SAME select
+    * (no doc-scale join anywhere — split is per-row arithmetic on the
+    * content hash), the train side collapses to a DISTINCT fingerprint
+    * set (bounded by distinct content, with map-side partial distinct),
+    * and the probe join is eval-selections × that set. Uncapped by
+    * design: selections are per-document-local, so no posting list is
+    * ever materialized — the rank cap exists to bound PAIR emission,
+    * and no pair emission exists here.
+    */
+  def d12wOverlapWinnow(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftfn.GraftExpressions.{winnowEk, winnowMinSelect}
+    val (_, split) = splitCols
+    val sel = Tables.documents(spark, dir)
+      .select(col("doc_id"), split.as("split"),
+        explode(winnowMinSelect(winnowEk(toks, WinnowWideHex, WinnowPosField),
+          WinnowW, WinnowPosField)).as("fp"))
+      .persist()
+    sel.count() // train-vocab distinct + eval probe both read it (see d3)
+    val trainFps = sel.filter(col("split") === "train")
+      .select(col("fp")).distinct()
+      .withColumn("seen", lit(true))
+    val out = sel.filter(col("split").isin("val", "test"))
+      .join(trainFps, Seq("fp"), "left")
+      .groupBy(col("doc_id"), col("split"))
+      .agg(count(lit(1)).as("n_sel"), count(col("seen")).as("n_in_train"))
+      .select(col("doc_id"), col("split"), col("n_sel"), col("n_in_train"),
+        round(col("n_in_train").cast("double") / col("n_sel"), 6)
+          .as("overlap"))
+      .orderBy(col("doc_id"))
+      .limit(2000)
+    out
+  }
+
+  /** Per-source contamination budget over the bounded winnow pairs
+    * (p26w) — p26's dashboard aggregation with its pair source swapped
+    * from the exact [[dupPairs]] asset to [[d10wDecontaminationWinnow]]:
+    * the number a 100 TB release pipeline actually publishes per
+    * snapshot, priced in the bounded class (the winnow pair join plus a
+    * doc-scale left join and a sources-bounded agg). Same half-up micro
+    * rate as p26 so the two surfaces stay comparable row for row.
+    */
+  def p26wContaminationWinnow(spark: SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
+    val cont = d10wDecontaminationWinnow(spark, dir)
+      .select(col("train_id").as("doc_id")).distinct()
+      .withColumn("c", lit(true))
+    Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+      .join(cont, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("c"), 1L).otherwise(0L)).as("n_contaminated"))
+      .select(col("source"), col("n_docs"), col("n_contaminated"),
+        (intDiv(col("n_contaminated") * 1000000L + intDiv(col("n_docs"),
+          lit(2L)), col("n_docs")).cast("double") / 1e6)
+          .as("contamination_rate"))
+      .orderBy(col("source"))
+  }
+
   /** Per-language sampling rates out of 1000 — the p2 mixture weights
     * (downsample the over-represented language, keep the rest near-full).
     */
@@ -4883,6 +4995,9 @@ object TextDedup {
     "t33_token_length_profile" -> (t33TokenLengthProfile _),
     "d34_incremental_components" -> (d34IncrementalComponents _),
     "d34w_incremental_winnow" -> (d34wIncrementalWinnow _),
+    "d10w_decontamination_winnow" -> (d10wDecontaminationWinnow _),
+    "d12w_overlap_winnow" -> (d12wOverlapWinnow _),
+    "p26w_contamination_winnow" -> (p26wContaminationWinnow _),
     "d33_winnow_sweep" -> ((s: SparkSession, d: String) => d33WinnowSweep(s, d)),
     "d32_shingle_df_profile" -> (d32ShingleDfProfile _),
     "d36_boiler_shingles" -> (d36BoilerShingles _),

@@ -1002,6 +1002,27 @@ class PlanShapeSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoop"), p.take(1500))
   }
 
+  test("d10w/d12w decontamination twins: the pair leg reads the " +
+      "selection asset, the score leg is one kernel projection — no " +
+      "token-scale explode or doc_id exchange in either plan (r14)") {
+    TextDedup.winnowSelectionAsset(spark, dir).count()
+    val p10 = plan(TextDedup.d10wDecontaminationWinnow(spark, dir))
+    // candidate pairs come from the materialized index (the doc-scale
+    // split fastMd5 is legitimate — the tell for a re-run corpus hash
+    // pass is the token explode, absent here)
+    assert(p10.contains("graft-winnowsel"), p10.take(1500))
+    assert(!p10.toLowerCase.contains("posexplode"), p10.take(1500))
+    assert(!p10.contains("CartesianProduct") &&
+      !p10.contains("BroadcastNestedLoop"), p10.take(1500))
+    val p12 = plan(TextDedup.d12wOverlapWinnow(spark, dir))
+    // d12w's selections compute inside the kernel projection with the
+    // split carried in the SAME select — no doc-scale join back to
+    // documents, no token-scale window sort
+    assert(!p12.toLowerCase.contains("posexplode"), p12.take(1500))
+    // the window-twin tell: a lead() over a token-scale sort
+    assert(!p12.contains("lead("), p12.take(1500))
+  }
+
   test("winnow asset build: per-doc array math — NO token-scale doc_id " +
       "exchange anywhere in the build plan (r13 scale rewrite)") {
     val p = plan(TextDedup.winnowCapped(

@@ -92,4 +92,97 @@ class Round14OpsSpec extends AnyFunSuite {
       assert(a % 5 == 0 && b % 5 == 0, s"self edge ($a,$b) left the shard")
     }
   }
+
+  test("d10w: split roles are exact (eval∈{val,test}, train='train'), " +
+      "every emitted pair exists in the capped winnow pair space with " +
+      "its shared count, and no qualifying direction is dropped") {
+    val (_, split) = TextDedup.splitCols
+    val splits = Tables.documents(spark, dir)
+      .select(col("doc_id"), split.as("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the reference pair space: ≥2-shared pairs over the capped wide
+    // selection, recomputed from first principles
+    val sel = TextDedup.winnowCapped(TextDedup.winnowLocalSelect(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      WinnowW, WinnowWideHex), WinnowSweepCap)
+    val pairs = sel.as("a").join(sel.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("ns")).filter(col("ns") >= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val got = TextDedup.d10wDecontaminationWinnow(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty, "fixture has no eval↔train near-dup — weak data")
+    got.foreach { case (evalId, evalSplit, trainId, shared) =>
+      assert(Set("val", "test")(evalSplit) && splits(evalId) == evalSplit)
+      assert(splits(trainId) == "train")
+      val key = if (evalId < trainId) (evalId, trainId) else (trainId, evalId)
+      assert(pairs.get(key).contains(shared),
+        s"($evalId,$trainId) shared=$shared not in the pair space")
+    }
+    // completeness: every pair-space edge with an eval/train role split
+    // appears exactly once per direction
+    val expected = pairs.keys.flatMap { case (a, b) =>
+      val dir1 = if (Set("val", "test")(splits(a)) && splits(b) == "train")
+        Some((a, b)) else None
+      val dir2 = if (Set("val", "test")(splits(b)) && splits(a) == "train")
+        Some((b, a)) else None
+      dir1 ++ dir2
+    }.toSet
+    assert(got.map(r => (r._1, r._3)).toSet == expected)
+  }
+
+  test("d12w: per-eval-doc overlap is the winnow-selection fraction — " +
+      "n_sel matches the doc's own distinct wide selections, bounds " +
+      "hold, and a train-side fingerprint match is what it claims") {
+    val sel = TextDedup.winnowLocalSelect(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      WinnowW, WinnowWideHex).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val perDoc = sel.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val (_, split) = TextDedup.splitCols
+    val splits = Tables.documents(spark, dir)
+      .select(col("doc_id"), split.as("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val trainFps = perDoc.collect {
+      case (id, fps) if splits(id) == "train" => fps }.flatten.toSet
+    val got = TextDedup.d12wOverlapWinnow(spark, dir).collect()
+    assert(got.nonEmpty)
+    assert(got.exists(_.getLong(3) > 0), "no eval doc overlaps train — " +
+      "the probe join is untested by this fixture")
+    got.foreach { r =>
+      val (id, sp, nSel, nIn) =
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))
+      assert(Set("val", "test")(sp) && splits(id) == sp)
+      assert(nSel == perDoc(id).size, s"doc $id n_sel")
+      assert(nIn == perDoc(id).count(trainFps), s"doc $id n_in_train")
+      assert(math.abs(r.getDouble(4) - math.round(nIn.toDouble / nSel
+        * 1e6) / 1e6) < 1e-9)
+    }
+    // every val/test doc with ≥1 selection is scored (limit permitting)
+    val evalDocs = perDoc.keys.filter(id => Set("val", "test")(splits(id)))
+    assert(got.map(_.getLong(0)).toSet == evalDocs.toSet)
+  }
+
+  test("p26w: per-source counts tie out against d10w's distinct train " +
+      "set and the corpus doc counts; the micro rate is half-up exact") {
+    val cont = TextDedup.d10wDecontaminationWinnow(spark, dir)
+      .select(col("train_id")).distinct().collect()
+      .map(_.getLong(0)).toSet
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val got = TextDedup.p26wContaminationWinnow(spark, dir).collect()
+    assert(got.map(_.getLong(1)).sum == docs.length)
+    assert(got.map(_.getLong(2)).sum == cont.size)
+    got.foreach { r =>
+      val src = r.getString(0)
+      val inSrc = docs.filter(_._2 == src)
+      assert(r.getLong(1) == inSrc.length)
+      val nc = inSrc.count(d => cont(d._1))
+      assert(r.getLong(2) == nc)
+      val micro = (nc.toLong * 1000000L + inSrc.length / 2) / inSrc.length
+      assert(math.abs(r.getDouble(3) - micro / 1e6) < 1e-9)
+    }
+  }
 }
