@@ -1791,22 +1791,28 @@ object TextDedup {
     * appear among the train split's selected fingerprints. Where d12's
     * eval join moves the token-scale shingle index, every frame here is
     * selection-scale: the per-doc selections compute inside the codegen
-    * kernel projection with the split column carried in the SAME select
-    * (no doc-scale join anywhere — split is per-row arithmetic on the
-    * content hash), the train side collapses to a DISTINCT fingerprint
-    * set (bounded by distinct content, with map-side partial distinct),
-    * and the probe join is eval-selections × that set. Uncapped by
-    * design: selections are per-document-local, so no posting list is
-    * ever materialized — the rank cap exists to bound PAIR emission,
-    * and no pair emission exists here.
+    * kernel projection, the split attaches through d12's slim
+    * (doc_id, split) join, the train side collapses to a DISTINCT
+    * fingerprint set (bounded by distinct content, with map-side
+    * partial distinct), and the probe join is eval-selections × that
+    * set. Uncapped by design: selections are per-document-local, so no
+    * posting list is ever materialized — the rank cap exists to bound
+    * PAIR emission, and no pair emission exists here.
+    *
+    * Why the split is a JOIN and not a column in the kernel select
+    * (measured, r14): a per-document expression projected in the same
+    * select as an `explode` lands in the Project ABOVE the Generate —
+    * so the split's regexp + content md5 re-evaluated once per EXPLODED
+    * row, ~17× per-doc blowup, and the materialization leg measured
+    * 178 s vs 4 s without the column at sf10. Doc-scale columns attach
+    * to generator output by doc-scale join (the d12 shape), never by
+    * riding the generator's select list.
     */
   def d12wOverlapWinnow(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.graftfn.GraftExpressions.{winnowEk, winnowMinSelect}
     val (_, split) = splitCols
-    val sel = Tables.documents(spark, dir)
-      .select(col("doc_id"), split.as("split"),
-        explode(winnowMinSelect(winnowEk(toks, WinnowWideHex, WinnowPosField),
-          WinnowW, WinnowPosField)).as("fp"))
+    val docs = Tables.documents(spark, dir)
+    val sel = winnowLocalSelect(docs, WinnowW, WinnowWideHex)
+      .join(docs.select(col("doc_id"), split.as("split")), Seq("doc_id"))
       .persist()
     sel.count() // train-vocab distinct + eval probe both read it (see d3)
     val trainFps = sel.filter(col("split") === "train")

@@ -1015,9 +1015,10 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p10.contains("CartesianProduct") &&
       !p10.contains("BroadcastNestedLoop"), p10.take(1500))
     val p12 = plan(TextDedup.d12wOverlapWinnow(spark, dir))
-    // d12w's selections compute inside the kernel projection with the
-    // split carried in the SAME select — no doc-scale join back to
-    // documents, no token-scale window sort
+    // d12w's selections compute inside the kernel projection; the split
+    // attaches by doc-scale JOIN (a doc-level expression in the
+    // generator's own select re-evaluates per exploded row — the
+    // measured 17× r14 lesson), and no token-scale machinery appears
     assert(!p12.toLowerCase.contains("posexplode"), p12.take(1500))
     // the window-twin tell: a lead() over a token-scale sort
     assert(!p12.contains("lead("), p12.take(1500))
