@@ -39,6 +39,8 @@ object Assets {
       ((s, d) => TextDedup.winnowPairs(s, d).count(): Unit),
     "winnow_labels" ->
       ((s, d) => TextDedup.winnowLabels(s, d).count(): Unit),
+    "winnow_tagged_pairs" ->
+      ((s, d) => TextDedup.winnowTaggedPairs(s, d).count(): Unit),
     "d34w_standing" ->
       ((s, d) => { val (p, l) = TextDedup.d34wStandingAssets(s, d)
         p.count(); l.count(): Unit }),

@@ -8,11 +8,23 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Rel.q1PricingSummary(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2. Every entry
+    * runs under a [[graft.queries.QueryScope.scoped]] cache scope (r15):
+    * held intermediates release when the query returns, and the caller
+    * owns exactly one `result.unpersist()`.
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Rel.all ++ graft.queries.TextDedup.all ++ graft.queries.Embeddings.all ++
       graft.queries.Events.all ++ graft.multimodal.Multimodal.all ++
       graft.queries.Survival.all ++ graft.queries.Ingest.all
+
+  /** The UNSCOPED registry — building a frame never executes it, so
+    * plan-inspection specs (`BoundedWindowSpec`) can walk lazy plans.
+    */
+  private[graft] def rawQueries: Map[String, (SparkSession, String) => DataFrame] =
+    Rel.raw ++ graft.queries.TextDedup.raw ++ graft.queries.Embeddings.raw ++
+      graft.queries.Events.raw ++ graft.multimodal.Multimodal.raw ++
+      graft.queries.Survival.raw ++ graft.queries.Ingest.raw
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

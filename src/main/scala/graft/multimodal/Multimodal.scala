@@ -1,6 +1,7 @@
 package graft.multimodal
 
 import graft.Tables
+import graft.queries.QueryScope.HoldOps
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -358,7 +359,7 @@ object Multimodal {
     */
   def m14AudioFingerprint(spark: SparkSession, dir: String): DataFrame = {
     val fps = audioFingerprintOf(Tables.documents(spark, dir))
-      .persist() // one decode pass feeds both the group stats and the join
+      .held() // one decode pass feeds both the group stats and the join
     fps.count() // eager (see d3): concurrent stages racing a cold cache
                 // could decode partitions twice
     val groups = fps.groupBy(col("n_windows"), col("fingerprint"))
@@ -632,7 +633,7 @@ object Multimodal {
     * walker that misaligns a frame boundary flips the envelope.
     */
   def m15VideoFingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val fps = videoFingerprintOf(Tables.documents(spark, dir)).persist()
+    val fps = videoFingerprintOf(Tables.documents(spark, dir)).held()
     fps.count() // eager (see d3) — one container walk per run
     val groups = fps.groupBy(col("width"), col("height"), col("n_frames"),
         col("fingerprint"))
@@ -876,7 +877,7 @@ object Multimodal {
     // the slim (doc_id, phash) frame feeds TWO consumers (cluster agg +
     // join-back) — persist or the generate+decode pipeline runs twice
     // (the d3 eager-materialization discipline)
-    val hashes = phashOf(media).persist()
+    val hashes = phashOf(media).held()
     hashes.count()
     phashClustersOf(hashes)
   }
@@ -1400,7 +1401,12 @@ object Multimodal {
       .orderBy(col("bit"))
   }
 
-  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** The UNSCOPED registry — plan-inspection specs read this so
+    * building a frame never executes it; every external surface goes
+    * through [[all]], whose entries run under [[QueryScope.scoped]]
+    * (pin the output, release held intermediates — r15 cache hygiene).
+    */
+  private[graft] val raw: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m18_phash_bit_balance" -> (m18PhashBitBalance _),
     "m17_aspect_buckets" -> (m17AspectBuckets _),
     "m16_lum_histogram" -> (m16LumHistogram _),
@@ -1442,4 +1448,11 @@ object Multimodal {
       .withColumn("keep", col("admitted") && col("dims_ok"))
       .orderBy(col("doc_id"))
       .limit(2000)
+
+  /** Every gated entry runs under a [[graft.queries.QueryScope.scoped]]
+    * cache scope: the output pins, held intermediates release, and the
+    * caller owns exactly one `result.unpersist()` (r15 cache hygiene).
+    */
+  val all: Map[String, (SparkSession, String) => DataFrame] =
+    graft.queries.QueryScope.scopedAll(raw)
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.queries.QueryScope.HoldOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -139,7 +140,7 @@ object Embeddings {
       .join(broadcast(candIds), Seq("vec_id"))
       .select(col("q_id"), col("vec_id"), col("embedding"), col("nrm"),
         col("cos"), col("rel_micro"))
-      .persist()
+      .held()
     cand.count() // one candidate pass feeds the pair matrix and 5 rounds
     val slim = cand.select(col("q_id"), col("vec_id"), col("cos"),
       col("rel_micro"))
@@ -151,7 +152,7 @@ object Embeddings {
       .select(col("pq"), col("va"), col("vb"),
         round(round(cosinePre(col("ea"), col("na"), col("eb"), col("nb")), 6)
           * 1e6).cast("long").as("sim_micro"))
-      .persist()
+      .held()
     pairs.count()
     val firstW = Window.partitionBy(col("q_id"))
       .orderBy(col("rel_micro").desc, col("vec_id"))
@@ -232,12 +233,12 @@ object Embeddings {
       .select(col("q_id"), col("crk"), col("vec_id"),
         round(cosinePre(col("q_emb"), col("q_nrm"),
           col("embedding"), col("nrm")), 6).as("cos"))
-      .persist()
+      .held()
     candAll.count() // one candidate pass feeds all three legs
     val exact3 = s1CosineTopK(spark, dir)
       .filter(col("rk") <= 3)
       .select(col("q_id"), col("vec_id"))
-      .persist()
+      .held()
     exact3.count()
     val totalExact = exact3.agg(count(lit(1)).as("total_exact"))
     val legs = Seq(1, 2, 4).map { np =>
@@ -394,7 +395,7 @@ object Embeddings {
         norm(col("embedding")).as("nrm"),
         (0 until 4).map(p => planeSign(p) * (1 << p)).reduce(_ + _).as("b0"),
         (4 until 8).map(p => planeSign(p) * (1 << (p - 4))).reduce(_ + _).as("b1"))
-      .persist()
+      .held()
     sig.count() // eager: both band joins read the cached signatures
     val pairs = Seq("b0", "b1").map { band =>
       sig.as("a").join(sig.as("b"),
@@ -539,7 +540,7 @@ object Embeddings {
       .select(col("vec_id"), col("label"))
     val drops = ivfNearDup(spark, dir, cellCap = None)
       .select(col("id_b").as("vec_id")).distinct()
-      .persist()
+      .held()
     drops.count() // eager: consumers racing a cold cache each recompute
     vecs.join(drops, Seq("vec_id"), "left_anti")
       .withColumn("keep", lit(true))
@@ -570,7 +571,7 @@ object Embeddings {
       .select(col("vec_id"), col("label"), col("embedding"),
         norm(col("embedding")).as("nrm"),
         (pmod(col("vec_id"), lit(20)) === 0).as("is_new"))
-      .persist()
+      .held()
     emb.count() // eager: the new side, old side, and verdict base all read it
     val matches = emb.filter(col("is_new")).as("a")
       .join(emb.filter(!col("is_new")).as("b"),
@@ -612,7 +613,7 @@ object Embeddings {
     val exact3 = s1CosineTopK(spark, dir)
       .filter(col("rk") <= 3)
       .select(col("q_id"), col("vec_id"))
-      .persist()
+      .held()
     exact3.count() // eager: consumers racing a cold cache each recompute
     val base = exact3.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact"))
     def hits(ann: DataFrame, name: String): DataFrame =
@@ -644,7 +645,7 @@ object Embeddings {
     */
   def s24PqRecall(spark: SparkSession, dir: String): DataFrame = {
     val exact3 = s1CosineTopK(spark, dir).filter(col("rk") <= 3)
-      .select(col("q_id"), col("vec_id")).persist()
+      .select(col("q_id"), col("vec_id")).held()
     exact3.count() // feeds both hit joins
     val base = exact3.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact"))
     def hits(ann: DataFrame, name: String): DataFrame =
@@ -735,7 +736,7 @@ object Embeddings {
     val emb = embRaw
       .select(col("vec_id"), col("label"), col("embedding"),
         norm(col("embedding")).as("nrm"))
-      .persist()
+      .held()
     emb.count() // eager: codebook, codes, queries and re-rank all read it
     val codes = pqCodesOf(emb)
     val queries = emb.filter(col("vec_id") < 10)
@@ -788,7 +789,7 @@ object Embeddings {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), col("embedding"),
         norm(col("embedding")).as("nrm"))
-      .persist()
+      .held()
     emb.count() // eager: centroids, codebook, codes, queries, refine
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
@@ -1140,7 +1141,7 @@ object Embeddings {
     val base = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"))
     val counts = base.groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
-      .persist()
+      .held()
     counts.count() // tiny; feeds the sub-split join and the final select
     val capped = base.join(broadcast(counts), Seq("label"))
       .withColumn("cell",
@@ -1293,7 +1294,7 @@ object Embeddings {
     val dec = (c: Column) => c.cast("decimal(38,0)")
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), col("embedding"))
-      .persist()
+      .held()
     emb.count() // eager: codebook + assignment both read it
     val counts = pqCodesOf(emb)
       .groupBy(col("sub").cast("int").as("sub"), col("code"))
@@ -1323,7 +1324,7 @@ object Embeddings {
           .cast("double") / 1e6, 6).as("top_share"),
         (col("top_n") * col("k") <= col("n_vec") * 2L).as("balanced"))
       .orderBy(col("sub"))
-      .persist()
+      .held()
     out.count() // 4 rows: pin the audit, free the embedding cache
     emb.unpersist()
     out
@@ -1348,7 +1349,7 @@ object Embeddings {
     import org.apache.spark.sql.graftfn.GraftExpressions.{floatVecDot, intDiv}
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), col("embedding"))
-      .persist()
+      .held()
     emb.count() // eager: codebook + scoring both read it
     val sl = slice(col("embedding"), lit(1) + col("sub") * 16, lit(16))
     val scored = emb.crossJoin(broadcast(pqCodebook(emb)))
@@ -1372,7 +1373,7 @@ object Embeddings {
           .cast("double") / 1e6, 6).as("mean_distortion"),
         round(col("max_micro").cast("double") / 1e6, 6).as("max_distortion"))
       .orderBy(col("sub"))
-      .persist()
+      .held()
     out.count() // 4 rows: pin the audit, free the embedding cache
     emb.unpersist()
     out
@@ -1398,7 +1399,7 @@ object Embeddings {
       .select(col("label"),
         round(round(floatVecDot(col("embedding"), col("embedding"))
           .cast("double"), 6) * 1e6).cast("long").as("n2_micro"))
-      .persist()
+      .held()
     n2.count() // eager: the aggregate and the outlier probe both read it
     val agg = n2.groupBy(col("label"))
       .agg(count(lit(1)).as("n_vecs"), sum(dec(col("n2_micro"))).as("sum_micro"),
@@ -1417,7 +1418,7 @@ object Embeddings {
         round(col("max_micro").cast("double") / 1e6, 6).as("max_norm2"),
         coalesce(col("n_outliers"), lit(0L)).as("n_outliers"))
       .orderBy(col("label"))
-      .persist()
+      .held()
     out.count() // |labels| rows: pin the audit, free the micro frame
     n2.unpersist()
     out
@@ -1442,9 +1443,9 @@ object Embeddings {
     val emb = Tables.embeddings(spark, dir)
       .select(col("label"), col("embedding"),
         norm(col("embedding")).as("nrm"))
-      .persist()
+      .held()
     emb.count() // eager: centroid build + member pass both read it
-    val cent = coarseCentroids(emb).persist()
+    val cent = coarseCentroids(emb).held()
     cent.count()
     val within = emb.join(broadcast(cent), col("label") === col("c_label"))
       .select(col("label"),
@@ -1478,13 +1479,18 @@ object Embeddings {
         round((least(col("wa"), col("wb")) - col("inter_micro"))
           .cast("double") / 1e6, 6).as("margin"))
       .orderBy(col("label_a"), col("label_b"))
-      .persist()
+      .held()
     out.count() // |labels|² rows: pin the audit, free emb + centroids
     emb.unpersist(); cent.unpersist()
     out
   }
 
-  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** The UNSCOPED registry — plan-inspection specs read this so
+    * building a frame never executes it; every external surface goes
+    * through [[all]], whose entries run under [[QueryScope.scoped]]
+    * (pin the output, release held intermediates — r15 cache hygiene).
+    */
+  private[graft] val raw: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s32_label_margin" -> (s32LabelMargin _),
     "s31_norm_profile" -> (s31NormProfile _),
     "s30_pq_distortion" -> (s30PqDistortion _),
@@ -1518,4 +1524,11 @@ object Embeddings {
     "s5_lsh_neardup" -> (s5LshNearDup _),
     "s4_label_centroids" -> (s4LabelCentroids _),
   )
+
+  /** Every gated entry runs under a [[QueryScope.scoped]]
+    * cache scope: the output pins, held intermediates release, and the
+    * caller owns exactly one `result.unpersist()` (r15 cache hygiene).
+    */
+  val all: Map[String, (SparkSession, String) => DataFrame] =
+    QueryScope.scopedAll(raw)
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.queries.QueryScope.HoldOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -547,7 +548,7 @@ object Events {
       out: String, nParts: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val parts = users.repartitionByRange(nParts, order: _*)
-      .withColumn("pid", spark_partition_id()).persist()
+      .withColumn("pid", spark_partition_id()).held()
     parts.count() // freeze the range sample + pid assignment
     val wIn = Window.partitionBy(col("pid")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -1094,7 +1095,7 @@ object Events {
       .select(col("prev_type"), col("next_type"),
         intDiv(col("n") * 1000000L + intDiv(col("n_from"), lit(2L)),
           col("n_from")).as("p_micro"))
-      .persist()
+      .held()
     mat.count() // three iteration joins read the tiny matrix
     val types = mat.select(col("prev_type").as("t")).distinct()
     val cnt = types.count() // |event types| — bounded scalar
@@ -1302,7 +1303,7 @@ object Events {
   /** Pair-support + lift finisher over (skey, event_type) facts. */
   private[graft] def sessionPairLiftOf(st: DataFrame): DataFrame = {
     import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
-    val sess = st.select(col("skey"), col("event_type")).distinct().persist()
+    val sess = st.select(col("skey"), col("event_type")).distinct().held()
     sess.count() // share the sessionize pass across the three reads
     val totals = sess.select(col("skey")).distinct()
       .agg(count(lit(1)).as("n_sessions"))
@@ -1369,7 +1370,7 @@ object Events {
         col("event_type").as("channel"), col("us").as("t_us"))
     val journeys = purchases.join(touches, Seq("user_id"))
       .filter(col("t_us") < col("p_us") && col("t_us") >= col("p_us") - dayUs)
-      .persist()
+      .held()
     journeys.count() // three model reads share the interval join (see d3)
     val wAsc = Window.partitionBy(col("p_id"))
       .orderBy(col("t_us"), col("t_id"))
@@ -1648,11 +1649,11 @@ object Events {
     val v = Tables.events(spark, dir)
       .filter(col("value").isNotNull)
       .select(col("event_type"), col("value"))
-      .persist()
+      .held()
     v.count() // eager: median pass + deviation pass both read it
     val dev = v.join(broadcast(valueMedianOf(v)), Seq("event_type"))
       .select(col("event_type"), col("med"), deviationMicro)
-      .persist()
+      .held()
     dev.count() // eager: MAD pass + verdict pass both read it
     val mad = dev.groupBy(col("event_type"))
       .agg(round(expr("percentile(dev_micro, 0.5)")).cast("long")
@@ -1670,7 +1671,7 @@ object Events {
             + intDiv(col("n_events"), lit(2L)),
           col("n_events")).cast("double") / 1e6, 6).as("outlier_share"))
       .orderBy(col("event_type"))
-      .persist()
+      .held()
     out.count() // |types| rows: pin the verdict, free the value frames
     v.unpersist(); dev.unpersist()
     out
@@ -1713,7 +1714,12 @@ object Events {
     med.join(mad, Seq("event_type"))
   }
 
-  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** The UNSCOPED registry — plan-inspection specs read this so
+    * building a frame never executes it; every external surface goes
+    * through [[all]], whose entries run under [[QueryScope.scoped]]
+    * (pin the output, release held intermediates — r15 cache hygiene).
+    */
+  private[graft] val raw: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e37_value_outliers" -> (e37ValueOutliers _),
     "e36_gap_histogram" -> (e36GapHistogram _),
     "e35_lag_sweep" -> ((s: SparkSession, d: String) => e35LagSweep(s, d)),
@@ -1753,4 +1759,11 @@ object Events {
     "e12_unconverted_views" -> (e12UnconvertedViews _),
     "e8_approx_users" -> (e8ApproxUsers _),
   )
+
+  /** Every gated entry runs under a [[QueryScope.scoped]]
+    * cache scope: the output pins, held intermediates release, and the
+    * caller owns exactly one `result.unpersist()` (r15 cache hygiene).
+    */
+  val all: Map[String, (SparkSession, String) => DataFrame] =
+    QueryScope.scopedAll(raw)
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.queries.QueryScope.HoldOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -237,7 +238,7 @@ object Ingest {
     val hashes = docs.select(col("doc_id"), col("is_new"),
       fastMd5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")).as("h"))
     val standing = hashes.filter(!col("is_new"))
-      .select(col("h")).distinct().persist()
+      .select(col("h")).distinct().held()
     val n = standing.count() // also freezes the frame for both consumers
     // one driver-sized sketch (the broadcast-side asset); ~1.2 MB at
     // n=10⁶ keys with the default 3% fpp sizing
@@ -277,7 +278,7 @@ object Ingest {
     val raw = TextDedup.shingleIndex(docs)
     val idx = maxShingleDf.fold(raw)(TextDedup.capShingleDf(raw, _))
       .join(docs.select(col("doc_id"), col("is_new")), Seq("doc_id"))
-      .persist()
+      .held()
     idx.count() // eager: consumers racing a cold cache each recompute
     val sizes = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val shared = idx.filter(col("is_new")).as("a")
@@ -340,7 +341,12 @@ object Ingest {
       .orderBy(col("doc_id"))
   }
 
-  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** The UNSCOPED registry — plan-inspection specs read this so
+    * building a frame never executes it; every external surface goes
+    * through [[all]], whose entries run under [[QueryScope.scoped]]
+    * (pin the output, release held intermediates — r15 cache hygiene).
+    */
+  private[graft] val raw: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p4_quality_filter" -> (p4QualityFilter _),
     "t14_pii_redact" -> (t14PiiRedact _),
     "d13_incremental_dedup" -> (d13IncrementalDedup _),
@@ -348,4 +354,11 @@ object Ingest {
     "d19_bloom_dedup" -> (d19BloomDedup _),
     "p6_ingest_manifest" -> (p6IngestManifest _),
   )
+
+  /** Every gated entry runs under a [[QueryScope.scoped]]
+    * cache scope: the output pins, held intermediates release, and the
+    * caller owns exactly one `result.unpersist()` (r15 cache hygiene).
+    */
+  val all: Map[String, (SparkSession, String) => DataFrame] =
+    QueryScope.scopedAll(raw)
 }

@@ -697,7 +697,12 @@ object Relational {
       .orderBy(col("n_name"))
   }
 
-  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** The UNSCOPED registry — plan-inspection specs read this so
+    * building a frame never executes it; every external surface goes
+    * through [[all]], whose entries run under [[QueryScope.scoped]]
+    * (pin the output, release held intermediates — r15 cache hygiene).
+    */
+  private[graft] val raw: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_supplier_hhi" -> (q34SupplierHhi _),
     "q32_basket_pairs" -> (q32BasketPairs _),
     "q28_revenue_share" -> (q28RevenueShare _),
@@ -732,4 +737,11 @@ object Relational {
     "q23_native_topk" -> (q23NativeTopK _),
     "q24_grouping_sets" -> (q24GroupingSets _),
   )
+
+  /** Every gated entry runs under a [[QueryScope.scoped]]
+    * cache scope: the output pins, held intermediates release, and the
+    * caller owns exactly one `result.unpersist()` (r15 cache hygiene).
+    */
+  val all: Map[String, (SparkSession, String) => DataFrame] =
+    QueryScope.scopedAll(raw)
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.queries.QueryScope.HoldOps
 import graft.io.SurvivalClean
 import graft.surv.{CIndex, Clinical}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -305,7 +306,7 @@ object Survival {
       .filter(col("d") > 0)
       .select(col("seg"), col("time"), col("d"), col("d1"),
         col("n0"), col("n1"))
-      .persist()
+      .held()
     terms.count() // three Newton passes + the final read share one build
     var beta = terms.select(col("seg")).distinct()
       .select(col("seg"), lit(0.0).as("beta"))
@@ -675,7 +676,12 @@ object Survival {
       .orderBy(col("seg"))
   }
 
-  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** The UNSCOPED registry — plan-inspection specs read this so
+    * building a frame never executes it; every external surface goes
+    * through [[all]], whose entries run under [[QueryScope.scoped]]
+    * (pin the output, release held intermediates — r15 cache hygiene).
+    */
+  private[graft] val raw: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v14_weibull_fit" -> (v14WeibullFit _),
     "v13_nelson_aalen_ci" -> (v13NelsonAalenCi _),
     "v1_cindex" -> (v1CIndex _),
@@ -691,4 +697,11 @@ object Survival {
     "v9_competing_risks" -> (v9CompetingRisks _),
     "v12_cox_hr" -> (v12CoxHazardRatio _),
   )
+
+  /** Every gated entry runs under a [[QueryScope.scoped]]
+    * cache scope: the output pins, held intermediates release, and the
+    * caller owns exactly one `result.unpersist()` (r15 cache hygiene).
+    */
+  val all: Map[String, (SparkSession, String) => DataFrame] =
+    QueryScope.scopedAll(raw)
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.queries.QueryScope.HoldOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -104,7 +105,7 @@ object TextDedup {
   def d3MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     // the signature table feeds three join branches — materialize once
     // (at lake scale this is a checkpointed signature table)
-    val sig = minhashSignatures(spark, dir).persist()
+    val sig = minhashSignatures(spark, dir).held()
     sig.count() // eager: three consumers racing a cold cache each recompute it
     lshEstimates(sig, lshCandidates(sig))
       .filter(col("est_jaccard") >= 0.5)
@@ -196,7 +197,7 @@ object TextDedup {
     // a composition over the pair table, not the pipeline under
     // measurement → reads the run-scoped materialization (see dupPairs)
     val truth = dupPairs(spark, dir)
-    val sig = minhashSignatures(spark, dir).persist()
+    val sig = minhashSignatures(spark, dir).held()
     sig.count() // eager materialization (see d3)
     truth.join(lshEstimates(sig, lshCandidates(sig)),
         Seq("id_a", "id_b"), "left")
@@ -233,11 +234,11 @@ object TextDedup {
     val sig = minhashSignatures(spark, dir)
     val sk = fastMd5(concat_ws("|",
       (0 until MinhashK).map(i => col(s"mh$i")): _*))
-    val keyed = sig.withColumn("sk", sk).persist()
+    val keyed = sig.withColumn("sk", sk).held()
     keyed.count() // one signature read feeds all three legs
     val dsig = keyed
       .select(col("sk") +: (0 until MinhashK).map(i => col(s"mh$i")): _*)
-      .distinct().persist()
+      .distinct().held()
     dsig.count()
     val sizes = keyed.groupBy(col("sk")).agg(count(lit(1)).as("n"))
     val intraAgg = sizes
@@ -297,7 +298,7 @@ object TextDedup {
     */
   def d26ThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
-    val pairs = dupPairs(spark, dir).persist()
+    val pairs = dupPairs(spark, dir).held()
     pairs.count()
     val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
     val legs = Seq(0.8, 0.9, 0.95).map { thr =>
@@ -381,7 +382,7 @@ object TextDedup {
     * leg), so the oracle is untouched.
     */
   def d5SimhashNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val sig = simhashes(spark, dir).persist() // feeds band + expansion legs
+    val sig = simhashes(spark, dir).held() // feeds band + expansion legs
     sig.count() // eager materialization (see d3)
     val nibbles = (0 until 4).map { j =>
       struct(lit(j).as("band"),
@@ -593,7 +594,7 @@ object TextDedup {
     // lists (capHotPostings — the worst-case bound the valve lacks)
     val raw = shingleIndex(Tables.documents(spark, dir))
     val idx = maxShingleDf.fold(raw)(c =>
-      valveAndRankCap(raw, c, hotPostingCap)).persist()
+      valveAndRankCap(raw, c, hotPostingCap)).held()
     idx.count() // eager materialization (see d3)
     val sizes = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = idx.as("a")
@@ -692,7 +693,7 @@ object TextDedup {
     val fpc = winnowSelectionAsset(spark, dir)
       .withColumn("n", count(lit(1)).over(
         Window.partitionBy(col("doc_id"))))
-      .persist()
+      .held()
     fpc.count() // eager materialization (see d3)
     val shared = fpc.as("a").join(fpc.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
@@ -710,7 +711,7 @@ object TextDedup {
       .select(col("contained_id"), col("container_id"), col("containment"))
       .orderBy(col("contained_id"), col("container_id"))
       .limit(3000)
-    val pinned = out.persist()
+    val pinned = out.held()
     pinned.count()
     fpc.unpersist()
     out
@@ -973,6 +974,46 @@ object TextDedup {
   private val winnowPairPaths =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Split-tagged winnow candidate pairs — the decontamination family's
+    * shared pair asset (r15, round-14 verdict directive 3): the capped
+    * wide winnow pairs WITH their shared-selection counts, each endpoint
+    * tagged with its t9 content-hash split, MATERIALIZED once per
+    * (run, dir) like [[winnowPairs]]. [[d10wDecontaminationWinnow]]
+    * (sorted, published) and [[p26wContaminationWinnow]] (unsorted
+    * dashboard rollup) both read THIS parquet — before r15, p26w
+    * re-invoked d10w and paid the fp self-join per call (and inherited
+    * d10w's global sort, useless under p26w's distinct — the r14 ADVICE
+    * item). The build is the posting join over the shared
+    * [[winnowSelectionAsset]] plus two slim doc-scale split joins;
+    * consumers are pure parquet scans, which `PlanShapeSpec` pins.
+    */
+  private[graft] def winnowTaggedPairs(spark: SparkSession,
+      dir: String): DataFrame = {
+    val path = winnowTaggedPairPaths.computeIfAbsent(dir, _ => {
+      val p = graft.RunAssets.register(
+        s"${System.getProperty("java.io.tmpdir")}/graft-wtagpairs-" +
+        s"$dupPairRunId-${dupPairSeq.getAndIncrement()}.parquet")
+      val (_, split) = splitCols
+      val splits = Tables.documents(spark, dir)
+        .select(col("doc_id"), split.as("split"))
+      val fpc = winnowSelectionAsset(spark, dir)
+      fpc.as("a").join(fpc.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 2)
+        .join(splits.select(col("doc_id").as("id_a"),
+          col("split").as("split_a")), Seq("id_a"))
+        .join(splits.select(col("doc_id").as("id_b"),
+          col("split").as("split_b")), Seq("id_b"))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    spark.read.parquet(path)
+  }
+  private val winnowTaggedPairPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** d30's GATED contract since r13: winnow candidate pairs with their
     * shared-selection counts in the WIDE 36-bit, [[WinnowSweepCap]]-
     * capped space — the same index every at-scale consumer composes
@@ -1022,7 +1063,7 @@ object TextDedup {
       hotPostingCap: Long = HotPostingCap): DataFrame = {
     val raw = shingleIndex(docs)
     val idx = maxShingleDf.fold(raw)(c =>
-      valveAndRankCap(raw, c, hotPostingCap)).persist()
+      valveAndRankCap(raw, c, hotPostingCap)).held()
     idx.count() // eager materialization (see d3)
     val sizes = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val shared = idx.as("a").join(idx.as("b"),
@@ -1059,7 +1100,7 @@ object TextDedup {
     // keeps the (tiny) distinct drop set from being re-derived twice.
     val drops = dupPairs(spark, dir)
       .select(col("id_b").as("doc_id")).distinct()
-      .persist()
+      .held()
     drops.count() // eager: consumers racing a cold cache each recompute
     docs.join(drops, Seq("doc_id"), "left_anti")
       .withColumn("keep", lit(true))
@@ -1494,7 +1535,7 @@ object TextDedup {
     // posexplode + lead-window shingle derivation
     val withSplit = shingleIndex(docs)
       .join(docs.select(col("doc_id"), split.as("split")), Seq("doc_id"))
-      .persist()
+      .held()
     withSplit.count() // eager materialization (see d3)
     val trainVocab = withSplit.filter(col("split") === "train")
       .select(col("shingle")).distinct()
@@ -1755,23 +1796,11 @@ object TextDedup {
     */
   def d10wDecontaminationWinnow(spark: SparkSession,
       dir: String): DataFrame = {
-    val (_, split) = splitCols
-    val splits = Tables.documents(spark, dir)
-      .select(col("doc_id"), split.as("split"))
-    val fpc = winnowSelectionAsset(spark, dir)
-    val pairs = fpc.as("a").join(fpc.as("b"),
-        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("shared"))
-      .filter(col("shared") >= 2)
-    val tagged = pairs
-      .join(splits.select(col("doc_id").as("id_a"),
-        col("split").as("split_a")), Seq("id_a"))
-      .join(splits.select(col("doc_id").as("id_b"),
-        col("split").as("split_b")), Seq("id_b"))
-      .persist()
-    tagged.count() // both direction legs read it (see d3)
-    val out = tagged
+    // both direction legs scan the run-scoped tagged-pair parquet (r15)
+    // — no persist, no fp self-join in this plan, nothing left cached
+    // after the call (the r14 persist-leak fix)
+    val tagged = winnowTaggedPairs(spark, dir)
+    tagged
       .filter(col("split_a").isin("val", "test") &&
         col("split_b") === "train")
       .select(col("id_a").as("eval_id"), col("split_a").as("eval_split"),
@@ -1782,7 +1811,6 @@ object TextDedup {
         .select(col("id_b").as("eval_id"), col("split_b").as("eval_split"),
           col("id_a").as("train_id"), col("shared")))
       .orderBy(col("eval_id"), col("train_id"))
-    out
   }
 
   /** Per-eval-document contamination score in winnow space (d12w) — the
@@ -1813,7 +1841,7 @@ object TextDedup {
     val docs = Tables.documents(spark, dir)
     val sel = winnowLocalSelect(docs, WinnowW, WinnowWideHex)
       .join(docs.select(col("doc_id"), split.as("split")), Seq("doc_id"))
-      .persist()
+      .held()
     sel.count() // train-vocab distinct + eval probe both read it (see d3)
     val trainFps = sel.filter(col("split") === "train")
       .select(col("fp")).distinct()
@@ -1841,8 +1869,19 @@ object TextDedup {
   def p26wContaminationWinnow(spark: SparkSession,
       dir: String): DataFrame = {
     import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
-    val cont = d10wDecontaminationWinnow(spark, dir)
-      .select(col("train_id").as("doc_id")).distinct()
+    // reads the shared tagged-pair asset directly (r15): no re-run of
+    // the fp self-join per call, and no inherited global sort — d10w's
+    // orderBy was useless under this distinct (the r14 ADVICE item)
+    val tagged = winnowTaggedPairs(spark, dir)
+    val cont = tagged
+      .filter(col("split_a").isin("val", "test") &&
+        col("split_b") === "train")
+      .select(col("id_b").as("doc_id"))
+      .unionByName(tagged
+        .filter(col("split_b").isin("val", "test") &&
+          col("split_a") === "train")
+        .select(col("id_a").as("doc_id")))
+      .distinct()
       .withColumn("c", lit(true))
     Tables.documents(spark, dir).select(col("doc_id"), col("source"))
       .join(cont, Seq("doc_id"), "left")
@@ -2083,7 +2122,7 @@ object TextDedup {
       .agg(sum(when(col("split") === "train", col("m")).otherwise(0L))
           .as("cp"),
         sum(when(col("split") === "val", col("m")).otherwise(0L)).as("cq"))
-      .persist()
+      .held()
     tf.count() // feeds the totals and the distance pass
     val totals = tf.groupBy(col("lang"))
       .agg(sum(col("cp")).as("np"), sum(col("cq")).as("nq"))
@@ -2168,7 +2207,7 @@ object TextDedup {
       .select(col("doc_id"), col("quality"), col("n_tokens"))
     val parts = q.repartitionByRange(nParts, col("quality").desc, col("doc_id"))
       .withColumn("pid", spark_partition_id())
-      .persist()
+      .held()
     parts.count() // freeze the range sample + pid assignment (see d3)
     val wIn = Window.partitionBy(col("pid"))
       .orderBy(col("quality").desc, col("doc_id"))
@@ -2215,7 +2254,7 @@ object TextDedup {
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
     val parts = counts.repartitionByRange(nParts, col("cnt").desc, col("tok"))
       .withColumn("pid", spark_partition_id())
-      .persist()
+      .held()
     parts.count() // freeze the range sample + pid assignment (see d3)
     val wIn = Window.partitionBy(col("pid"))
       .orderBy(col("cnt").desc, col("tok"))
@@ -2315,7 +2354,7 @@ object TextDedup {
     val parts = q.repartitionByRange(nParts,
         col("source"), col("quality").desc, col("doc_id"))
       .withColumn("pid", spark_partition_id())
-      .persist()
+      .held()
     parts.count() // freeze the range sample + pid assignment (see d3)
     val wIn = Window.partitionBy(col("source"), col("pid"))
       .orderBy(col("quality").desc, col("doc_id"))
@@ -2476,10 +2515,10 @@ object TextDedup {
     * generator is never all-pairs).
     */
   def d21MinhashCalibration(spark: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSignatures(spark, dir).persist()
+    val sig = minhashSignatures(spark, dir).held()
     sig.count() // eager materialization (see d3)
     val est = lshEstimates(sig, lshCandidates(sig))
-    val idx = shingleIndex(Tables.documents(spark, dir)).persist()
+    val idx = shingleIndex(Tables.documents(spark, dir)).held()
     idx.count()
     val sizes = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val shared = idx.as("a").join(idx.as("b"),
@@ -2527,7 +2566,7 @@ object TextDedup {
     val p = dupPairs(spark, dir).select(col("id_a"), col("id_b"))
     val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .persist()
+      .held()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val nN = deg.agg(count(lit(1)).as("n_nodes"))
     var pr = deg.crossJoin(broadcast(nN))
@@ -2571,7 +2610,7 @@ object TextDedup {
     * frame-generic one builds both from the documents frame. */
   private def dsirBody(tfmIn: DataFrame, vS: DataFrame,
       vT: DataFrame): DataFrame = {
-    val tfm = tfmIn.persist()
+    val tfm = tfmIn.held()
     tfm.count() // eager materialization (see d3)
     def lmCols(sp: String, sfx: String) = {
       val cb = tfm.filter(col("split") === sp)
@@ -2682,7 +2721,7 @@ object TextDedup {
     val q = qualityFrame(spark, dir).select(col("doc_id"), col("quality"))
     val parts = q.repartitionByRange(nParts, col("quality").desc, col("doc_id"))
       .withColumn("pid", spark_partition_id())
-      .persist()
+      .held()
     parts.count() // freeze the range sample + pid assignment (see d3)
     val wIn = Window.partitionBy(col("pid"))
       .orderBy(col("quality").desc, col("doc_id"))
@@ -2969,7 +3008,7 @@ object TextDedup {
       .select(col("doc_id"), explode(toks).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("m"))
-      .persist()
+      .held()
     tfm.count() // eager materialization (see d3)
     val vocab = tfm.groupBy(col("token"))
       .agg(sum(col("m")).as("c"))
@@ -3083,7 +3122,7 @@ object TextDedup {
   /** t16's scoring over a prebuilt (doc_id, split, bigram, m) table
     * and a 1-row train-vocab frame. */
   private def bigramXentBody(tfmIn: DataFrame, vocabN: DataFrame): DataFrame = {
-    val tfm = tfmIn.persist()
+    val tfm = tfmIn.held()
     tfm.count() // eager materialization (see d3)
     val cb = tfm.filter(col("split") === "train")
       .groupBy(col("bigram")).agg(sum(col("m")).as("cb"))
@@ -3170,7 +3209,7 @@ object TextDedup {
         explode(array_distinct(zip_with(slice(col("toks"), lit(1), n - 1),
           slice(col("toks"), lit(2), n - 1),
           (a, b) => concat(a, lit(" "), b)))).as("bigram"))
-      .persist()
+      .held()
     db.count() // eager: feeds both the train vocabulary and the scoring join
     val trainVocab = db.filter(col("split") === "train")
       .select(col("bigram")).distinct().withColumn("seen", lit(true))
@@ -3410,13 +3449,13 @@ object TextDedup {
 
   private[graft] def exactSubstrOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val wins = windowHashes(docs).persist()
+    val wins = windowHashes(docs).held()
     wins.count() // eager: dup-hash derivation + flag join both read it
     val dupHashes = wins.groupBy(col("whash"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)
       .select(col("whash"), lit(true).as("dup"))
-    val flagged = wins.join(dupHashes, Seq("whash"), "left").persist()
+    val flagged = wins.join(dupHashes, Seq("whash"), "left").held()
     flagged.count() // eager: per-doc rollup + run recovery both read it
     val perDoc = flagged.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_windows"),
@@ -3467,7 +3506,7 @@ object TextDedup {
     import org.apache.spark.sql.expressions.Window
     val sizes = docs.select(col("doc_id"), col("source"),
       size(toks).cast("long").as("n_tok"))
-    val wins = windowHashes(docs).persist()
+    val wins = windowHashes(docs).held()
     wins.count() // eager: dup-hash derivation + the semi join read it
     val dupHashes = wins.groupBy(col("whash"))
       .agg(countDistinct(col("doc_id")).as("nd"))
@@ -3521,7 +3560,7 @@ object TextDedup {
       .select(col("doc_id"), explode(toks).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
-      .persist()
+      .held()
     tf.count() // eager: df derivation + score join both read it
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
@@ -3693,7 +3732,7 @@ object TextDedup {
     val tf = termFreqAsset(spark, dir)
       .groupBy(col("source"), col("token"))
       .agg(sum(col("m")).cast("long").as("cst"))
-      .persist()
+      .held()
     tf.count() // eager: feeds the corpus, per-source, and scoring reads
     val corpus = tf.groupBy(col("token"))
       .agg(sum(col("cst")).cast("long").as("cct"))
@@ -3736,11 +3775,11 @@ object TextDedup {
     import org.apache.spark.sql.expressions.Window
     val parts = df.repartitionByRange(nParts, col(groupKey) +: sortCols: _*)
       .withColumn("pid", spark_partition_id())
-      .persist()
+      .held()
     parts.count() // freeze the range sample + pid assignment (see d3)
     val hist = parts.groupBy(col("pid"), col(groupKey))
       .agg(count(lit(1)).as("cnt"))
-      .persist()
+      .held()
     val wOff = Window.partitionBy(col(groupKey)).orderBy(col("pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = hist
@@ -4048,7 +4087,7 @@ object TextDedup {
       .agg(sum(col("m")).as("cs"))
       .withColumn("lnc_s",
         round(log(col("cs").cast("double")) * 1e6).cast("long"))
-      .persist()
+      .held()
     vocabS.count() // corpus vocab rolls up from this, never a second pass
     val vocabC = vocabS.groupBy(col("token"))
       .agg(sum(col("cs")).as("c"))
@@ -4078,7 +4117,7 @@ object TextDedup {
           log(col("n_source").cast("double")) -
           (col("slnc_c") - col("slnc_s")).cast("double")
             / (col("n_tokens") * lit(1e6)), 6).as("excess"))
-      .persist()
+      .held()
     scored.count()
     val thr = scored.agg(
       round(expr("percentile(excess, 0.75)"), 6).as("p75"))
@@ -4124,7 +4163,7 @@ object TextDedup {
         coalesce(col("n_new"), lit(0L)).as("n_new"))
     val parts = frame.repartitionByRange(nParts, col("source"), col("doc_id"))
       .withColumn("pid", spark_partition_id())
-      .persist()
+      .held()
     parts.count() // freeze the range sample + pid assignment (see d3)
     val wIn = Window.partitionBy(col("source"), col("pid"))
       .orderBy(col("doc_id"))
@@ -4163,7 +4202,7 @@ object TextDedup {
         (intDiv(interNum + intDiv(den, lit(2L)), den).cast("double") / 1e6)
           .as("ln_k"))
       .orderBy(col("source"))
-      .persist()
+      .held()
     out.count() // |sources| rows: pin the fit, free the per-doc frame
     parts.unpersist()
     out
@@ -4298,7 +4337,7 @@ object TextDedup {
         Seq("id_b"))
       .select(least(col("lang_a"), col("lang_b")).as("lang_lo"),
         greatest(col("lang_a"), col("lang_b")).as("lang_hi"))
-      .persist()
+      .held()
     val tot = lp.agg(count(lit(1)).as("n_all"))
     val out = lp.groupBy(col("lang_lo"), col("lang_hi"))
       .agg(count(lit(1)).as("n_pairs"))
@@ -4309,7 +4348,7 @@ object TextDedup {
         round(intDiv(col("n_pairs") * 1000000L + intDiv(col("n_all"),
           lit(2L)), col("n_all")).cast("double") / 1e6, 6).as("pair_share"))
       .orderBy(col("lang_lo"), col("lang_hi"))
-      .persist()
+      .held()
     out.count() // ≤|langs|² rows: pin the finisher, free the pair frame
     lp.unpersist()
     out
@@ -4674,7 +4713,7 @@ object TextDedup {
       .withColumn("rank", row_number().over(w))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(
         w.rowsBetween(Window.unboundedPreceding, 0)))
-      .persist()
+      .held()
     val g = ranked.agg(count(lit(1)).as("n_src"),
         sum(dec(col("n_tokens"))).as("s_all"),
         sum(dec(col("rank")) * dec(col("n_tokens"))).as("six"))
@@ -4748,10 +4787,10 @@ object TextDedup {
         hashed.withColumn("n_sh", size(col("ek")).cast("long"))) {
       (df, w) => df.withColumn(s"fps$w",
         winnowMinSelect(col("ek"), w, WinnowPosField))
-    }.drop("ek").persist()
+    }.drop("ek").held()
     val nPostings = sel.agg(sum(col("n_sh"))).head.getLong(0)
     val truth = dupPairs(spark, dir).select(col("id_a"), col("id_b"))
-      .persist()
+      .held()
     val nTrue = truth.count()
     def halfUp(num: Long, den: Long): Option[Double] =
       if (den == 0L) None
@@ -4761,7 +4800,7 @@ object TextDedup {
       // n_fps is a size sum — no distinct shuffle for the count
       val nFp = sel.agg(sum(size(col(s"fps$w")))).head.getLong(0)
       val fp = sel.select(col("doc_id"), explode(col(s"fps$w")).as("fp"))
-      val pairs = winnowPairsCapped(fp, fpCap).persist()
+      val pairs = winnowPairsCapped(fp, fpCap).held()
       val nPairs = pairs.count()
       val nHits = pairs.join(truth, Seq("id_a", "id_b")).count()
       pairs.unpersist()
@@ -4836,7 +4875,7 @@ object TextDedup {
       val standing = Tables.documents(spark, dir)
         .select(col("doc_id"), col("text"))
         .filter(col("doc_id") % 5 =!= 0)
-      val sIdx = shingleIndex(standing).persist()
+      val sIdx = shingleIndex(standing).held()
       sIdx.count() // eager: index write + ledger build both read it
       sIdx.write.mode("overwrite").parquet(pp)
       val sSizes = sIdx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
@@ -4858,7 +4897,7 @@ object TextDedup {
     // standing postings + ledger come from the run-scoped asset — the
     // checkpointed tables a production pipeline keeps between drops
     val (sIdx, sLabels) = d34StandingAssets(spark, dir)
-    val iIdx = shingleIndex(inc).persist()
+    val iIdx = shingleIndex(inc).held()
     iIdx.count()
     // sizes re-derive from the asset in one |standing|-row agg (cheap
     // against the probe; production would checkpoint them alongside)
@@ -4947,7 +4986,7 @@ object TextDedup {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val inc = docs.filter(col("doc_id") % 5 === 0)
     val (post, sLabels) = d34wStandingAssets(spark, dir)
-    val incSel = winnowLocalSelect(inc, WinnowW, WinnowWideHex).persist()
+    val incSel = winnowLocalSelect(inc, WinnowW, WinnowWideHex).held()
     incSel.count() // probe + self + cap all read it
     val probe = incSel.as("i").join(post.as("s"), col("i.fp") === col("s.fp"))
       .groupBy(col("i.doc_id").as("src"), col("s.doc_id").as("dst"))
@@ -4963,7 +5002,7 @@ object TextDedup {
     val out = labels.select(col("id").as("doc_id"), col("component"),
         (col("id") % 5 === 0).as("is_increment"))
       .orderBy(col("doc_id"))
-    val pinned = out.persist()
+    val pinned = out.held()
     pinned.count()
     incSel.unpersist()
     out
@@ -4997,7 +5036,12 @@ object TextDedup {
       .orderBy(col("lang"), col("bucket_lo"))
   }
 
-  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** The UNSCOPED registry — plan-inspection specs read this so
+    * building a frame never executes it; every external surface goes
+    * through [[all]], whose entries run under [[QueryScope.scoped]]
+    * (pin the output, release held intermediates — r15 cache hygiene).
+    */
+  private[graft] val raw: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t33_token_length_profile" -> (t33TokenLengthProfile _),
     "d34_incremental_components" -> (d34IncrementalComponents _),
     "d34w_incremental_winnow" -> (d34wIncrementalWinnow _),
@@ -5110,4 +5154,11 @@ object TextDedup {
     "t30_lang_confusion" -> (t30LangConfusion _),
     "p28_quota_frontier" -> ((s: SparkSession, d: String) => p28QuotaFrontier(s, d)),
   )
+
+  /** Every gated entry runs under a [[QueryScope.scoped]]
+    * cache scope: the output pins, held intermediates release, and the
+    * caller owns exactly one `result.unpersist()` (r15 cache hygiene).
+    */
+  val all: Map[String, (SparkSession, String) => DataFrame] =
+    QueryScope.scopedAll(raw)
 }

@@ -19,4 +19,17 @@ object PlanBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** True when the session's SQL cache holds no entries — the census
+    * `CacheHygieneSpec` takes after each gated query's
+    * `result.unpersist()` (r15). The CacheManager is the right ledger
+    * for the leak contract: it tracks exactly the Dataset persists the
+    * query layer creates, while `sparkContext.getPersistentRDDs` also
+    * carries `localCheckpoint` RDDs whose release is the
+    * ContextCleaner's (GC-driven, asynchronous — a census on it would
+    * flake). `sharedState` is `private[sql]`, hence this bridge.
+    */
+  def cacheIsEmpty(spark: SparkSession): Boolean =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sharedState.cacheManager.isEmpty
 }

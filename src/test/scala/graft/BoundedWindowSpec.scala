@@ -31,7 +31,11 @@ class BoundedWindowSpec extends AnyFunSuite {
 
   test("every empty-partition window in every query reads a bounded frame") {
     val offenders = Seq.newBuilder[String]
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // rawQueries: the scoped registry EXECUTES each query to pin its
+    // output (r15 cache hygiene), which would both slow this walk and
+    // hide Window nodes behind InMemoryRelation leaves — the unscoped
+    // surface keeps the plans lazy and fully visible
+    SparkEntry.rawQueries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan =
         try fn(spark, dir).queryExecution.optimizedPlan
         catch { case e: Throwable => fail(s"$name failed to plan: $e") }

@@ -1003,17 +1003,30 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("d10w/d12w decontamination twins: the pair leg reads the " +
-      "selection asset, the score leg is one kernel projection — no " +
-      "token-scale explode or doc_id exchange in either plan (r14)") {
-    TextDedup.winnowSelectionAsset(spark, dir).count()
+      "tagged-pair asset, the score leg is one kernel projection — no " +
+      "token-scale explode or doc_id exchange in either plan (r14/r15)") {
+    TextDedup.winnowTaggedPairs(spark, dir).count()
     val p10 = plan(TextDedup.d10wDecontaminationWinnow(spark, dir))
-    // candidate pairs come from the materialized index (the doc-scale
-    // split fastMd5 is legitimate — the tell for a re-run corpus hash
-    // pass is the token explode, absent here)
-    assert(p10.contains("graft-winnowsel"), p10.take(1500))
+    // both direction legs scan the run-scoped tagged-pair parquet (r15)
+    // — no fp self-join, no split hash, no token explode in the
+    // published query's own plan
+    assert(p10.contains("graft-wtagpairs"), p10.take(1500))
     assert(!p10.toLowerCase.contains("posexplode"), p10.take(1500))
+    assert(!p10.contains("md5"), p10.take(1500))
+    assert(!p10.contains("SortMergeJoin") && !p10.contains("HashJoin"),
+      p10.take(1500))
     assert(!p10.contains("CartesianProduct") &&
       !p10.contains("BroadcastNestedLoop"), p10.take(1500))
+    // p26w reads the SAME asset instead of re-invoking d10w (r14
+    // verdict directive 3): no fp self-join node, no inherited global
+    // sort below its aggregate — its only join is the doc-scale LEFT
+    // join onto documents
+    val p26 = plan(TextDedup.p26wContaminationWinnow(spark, dir))
+    assert(p26.contains("graft-wtagpairs"), p26.take(1500))
+    assert(!p26.contains("graft-winnowsel"),
+      "p26w re-ran the fp self-join instead of reading the tagged-pair " +
+        "asset:\n" + p26.take(1500))
+    assert(!p26.toLowerCase.contains("posexplode"), p26.take(1500))
     val p12 = plan(TextDedup.d12wOverlapWinnow(spark, dir))
     // d12w's selections compute inside the kernel projection; the split
     // attaches by doc-scale JOIN (a doc-level expression in the
