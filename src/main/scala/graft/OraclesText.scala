@@ -30,6 +30,29 @@ object OraclesText {
 
   private def hex4ToInt(h: String): String = hexToInt(h, 4)
 
+  /** The t9 content-hash split-bucket expression over a `text` column —
+    * THE one spelling of the split rule (mirrors TextDedup.splitCols).
+    */
+  private val splitBucketSql: String =
+    s"${hex4ToInt("substr(md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), 1, 4)")} % 100"
+
+  /** The 80/10/10 bucket→split CASE over an already-computed bucket
+    * column — shared so the boundary constants exist once.
+    */
+  private def splitCaseSql(b: String): String =
+    s"CASE WHEN $b < 80 THEN 'train' WHEN $b < 90 THEN 'val' " +
+      s"ELSE 'test' END"
+
+  /** Content-hash split CTE `sp(doc_id, split)` — shared by every oracle
+    * that tags documents with their t9 split (the r14 ADVICE item: the
+    * spelling must exist once, so a split-rule change can never drift
+    * between the exact and winnow twins).
+    */
+  private val splitCte: String =
+    s"""sp AS (SELECT doc_id, ${splitCaseSql("bucket")} AS split
+       |  FROM (SELECT doc_id, $splitBucketSql AS bucket
+       |    FROM documents))""".stripMargin
+
   /** Wide (36-bit / 9-hex) winnow fingerprint selections — the UNCAPPED
     * per-document half (mirrors TextDedup.winnowLocalSelect with
     * WinnowWideHex; selections are per-doc-local, so this frame is
@@ -396,12 +419,7 @@ object OraclesText {
          |  FROM pairs JOIN sizes sa ON id_a = sa.doc_id
          |       JOIN sizes sb ON id_b = sb.doc_id
          |  WHERE round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) >= 0.8),
-         |sp AS (SELECT doc_id,
-         |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
-         |         ELSE 'test' END AS split
-         |  FROM (SELECT doc_id,
-         |      ${hex4ToInt("substr(md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), 1, 4)")} % 100 AS b
-         |    FROM documents))
+         |$splitCte
          |SELECT jp.id_a, jp.id_b, jp.jaccard,
          |  sa.split AS split_a, sb.split AS split_b,
          |  ((sa.split = 'train') != (sb.split = 'train')) AS leaks
@@ -806,12 +824,7 @@ object OraclesText {
     // shingles present anywhere in the train split's vocabulary.
     "d12_train_overlap" ->
       s"""WITH $shingleCte,
-         |sp AS (SELECT doc_id,
-         |    CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
-         |         ELSE 'test' END AS split
-         |  FROM (SELECT doc_id,
-         |      ${hex4ToInt("substr(md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), 1, 4)")} % 100 AS bucket
-         |    FROM documents)),
+         |$splitCte,
          |tv AS (SELECT DISTINCT shingle FROM sidx JOIN sp USING (doc_id)
          |       WHERE split = 'train'),
          |ev AS (SELECT s.doc_id, sp.split, s.shingle
@@ -871,12 +884,7 @@ object OraclesText {
          |        WHERE round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) >= 0.8),
          |sym AS (SELECT id_a AS eval_id, id_b AS train_id, jaccard FROM jac
          |        UNION ALL SELECT id_b, id_a, jaccard FROM jac),
-         |sp AS (SELECT doc_id,
-         |         CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
-         |              ELSE 'test' END AS split
-         |       FROM (SELECT doc_id,
-         |         ${hex4ToInt("substr(md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), 1, 4)")} % 100 AS bucket
-         |         FROM documents))
+         |$splitCte
          |SELECT eval_id, se.split AS eval_split, train_id, jaccard
          |FROM sym JOIN sp se ON eval_id = se.doc_id
          |         JOIN sp st ON train_id = st.doc_id
@@ -4153,12 +4161,7 @@ object OraclesText {
     // cross products in HUGEINT, one half-up micro division per
     // language (TV, not JSD: no libm anywhere).
     "t29_split_drift" ->
-      s"""WITH sp AS (SELECT doc_id,
-         |    CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
-         |         ELSE 'test' END AS split
-         |  FROM (SELECT doc_id,
-         |    ${hex4ToInt("substr(md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), 1, 4)")} % 100 AS bucket
-         |    FROM documents)),
+      s"""WITH $splitCte,
          |tok AS (SELECT d.doc_id, d.lang, sp.split,
          |    unnest(string_split_regex(trim(lower(d.text)), '\\s+')) AS token
          |  FROM documents d JOIN sp ON d.doc_id = sp.doc_id
@@ -5704,18 +5707,6 @@ object OraclesText {
         |    // CAST(sum(n) AS HUGEINT) AS BIGINT) / 1e6, 6) AS saved_share
         |FROM fl GROUP BY source ORDER BY source""".stripMargin,
   )
-
-  /** Content-hash split CTE shared by the winnow decontamination twins
-    * (mirrors TextDedup.splitCols — the exact spelling d12's oracle
-    * uses).
-    */
-  private val splitCte: String =
-    s"""sp AS (SELECT doc_id,
-       |    CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
-       |         ELSE 'test' END AS split
-       |  FROM (SELECT doc_id,
-       |      ${hex4ToInt("substr(md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), 1, 4)")} % 100 AS bucket
-       |    FROM documents))""".stripMargin
 
   /** d10w's full SQL, shared with p26w (the p26-over-d10 composition
     * pattern): split-tagged capped winnow pairs (wpn carries the
