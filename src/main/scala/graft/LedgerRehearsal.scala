@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Multi-drop ledger rehearsal (r15, round-14 verdict directive 4):
+  * d34w/[[graft.streaming.CorpusStreams.WinnowLedgerMaintainer]] was
+  * measured for ONE merge; a production ledger takes a drop per crawl
+  * cycle. This main drives k successive increments through the live
+  * maintainer and prices each leg separately, so SCALE.md can assert
+  * the two properties a standing service needs:
+  *
+  *  - per-drop merge cost stays FLAT as history accumulates (the
+  *    ledger's star edges grow with components, not with drops — a
+  *    rising per-drop cost would mean the merge re-reads history);
+  *  - the final ledger equals the from-scratch one-shot closure over
+  *    every edge ever emitted (the Round14OpsSpec star-contraction
+  *    algebra, executed at rehearsal scale via the maintainer's
+  *    audit-edge log).
+  *
+  * Args: dataDir k [outFile] [shufflePartitions=32] [audit=1]
+  *
+  * The increment universe is d34w's own arrival split (doc_id ≡ 0
+  * mod 5); drops are round-robin slices of it ((doc_id / 5) % k), so
+  * every drop has the same expected size and content mix. Timing
+  * discipline: the maintainer's `localCheckpoint(eager)` state advance
+  * means each `mergeBatch` call IS the full merge cost — nothing lazy
+  * escapes the timed window. The verify leg (edge-log recompute + label
+  * join) prices separately; it is the audit, not the per-drop path.
+  */
+object LedgerRehearsal {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: LedgerRehearsal dataDir k [outFile] [shuffleParts] [audit]")
+    val dataDir = args(0)
+    val k = args(1).toInt
+    val shuffleParts = if (args.length > 3) args(3).toInt else 32
+    val audit = if (args.length > 4) args(4) != "0" else true
+    val codec = sys.env.get("SPARK_GRAFT_CODEC")
+    val builder = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", shuffleParts.toString)
+    codec.foreach(c => builder.config("spark.io.compression.codec", c))
+    val spark = builder
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Bench.suppressBoundedWindowWarning()
+
+    def timed[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = body
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    def r3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+    val docs = Tables.documents(spark, dataDir)
+      .select(col("doc_id"), col("text"))
+    val standing = docs.filter(col("doc_id") % 5 =!= 0)
+    val inc = docs.filter(col("doc_id") % 5 === 0)
+
+    // the once-per-corpus standing build (constructor state is eager)
+    val (m, buildS) = timed(
+      new graft.streaming.CorpusStreams.WinnowLedgerMaintainer(
+        standing, auditEdges = audit))
+
+    // k drops, each the full merge: selection kernel + postings probe +
+    // self join + star contraction — eager via localCheckpoint
+    val dropRows = (0 until k).map { i =>
+      val batch = inc.filter((col("doc_id") / 5) % k === i)
+      val (_, s) = timed(m.mergeBatch(batch))
+      (i, s)
+    }
+
+    val nLedger = m.currentLedger.count()
+    val verify =
+      if (!audit) ""
+      else {
+        val (mismatches, vs) = timed {
+          m.currentLedger.as("a")
+            .join(m.recomputedLedger.as("b"), col("a.id") === col("b.id"),
+              "full")
+            .filter(col("a.component").isNull || col("b.component").isNull ||
+              col("a.component") =!= col("b.component"))
+            .count()
+        }
+        require(mismatches == 0L,
+          s"merge-k diverged from the from-scratch closure: $mismatches labels")
+        s""","verify_mismatches":$mismatches,"verify_s":${r3(vs)}"""
+      }
+
+    val dropsJson = dropRows
+      .map { case (i, s) => "\"drop" + i + "\":" + r3(s) }
+      .mkString("{", ",", "}")
+    val out = s"""{"metric":"ledger_rehearsal","sf":"$dataDir","k":$k,""" +
+      s""""standing_build_s":${r3(buildS)},"drops":$dropsJson,""" +
+      s""""n_ledger_rows":$nLedger$verify}"""
+    if (args.length > 2)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(args(2)), out + "\n")
+    println(out)
+    spark.stop()
+  }
+}

@@ -872,18 +872,28 @@ object CorpusStreams {
     * over all arrivals, and [[dividendFromLedger]] over it reproduces
     * batch p34's rows.
     */
-  final class WinnowLedgerMaintainer(standingDocs: DataFrame) {
+  final class WinnowLedgerMaintainer(standingDocs: DataFrame,
+      cap: Int = graft.queries.TextDedup.WinnowSweepCap,
+      auditEdges: Boolean = false) {
     import graft.queries.TextDedup
-    import TextDedup.{WinnowW, WinnowWideHex, WinnowSweepCap}
+    import TextDedup.{WinnowW, WinnowWideHex}
     private def ck(df: DataFrame): DataFrame = df.localCheckpoint(true)
     private var postings: DataFrame = ck(TextDedup.winnowCapped(
       TextDedup.winnowLocalSelect(standingDocs, WinnowW, WinnowWideHex),
-      WinnowSweepCap))
+      cap))
     private var nodes: DataFrame =
       ck(standingDocs.select(col("doc_id").as("id")))
+    private def standingEdges: DataFrame = TextDedup.winnowPairsOf(postings)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    // the RAW accumulated edge set (standing pairs ∪ every drop's probe
+    // ∪ self edges) — the audit ledger behind [[recomputedLedger]].
+    // Off by default: production never needs it (edges grow with
+    // history; the star ledger grows with components — keeping both
+    // would forfeit exactly the bound the maintainer exists for).
+    private var edgeLog: DataFrame =
+      if (auditEdges) ck(standingEdges) else null
     private var ledger: DataFrame = ck(TextDedup.starContractComponents(
-      nodes, TextDedup.winnowPairsOf(postings)
-        .select(col("id_a").as("src"), col("id_b").as("dst")))._1)
+      nodes, standingEdges)._1)
 
     /** Merge one arriving shard (the d34w merge verbatim, against the
       * maintainer's live tables).
@@ -898,23 +908,42 @@ object CorpusStreams {
           .agg(count(lit(1)).as("ns")).filter(col("ns") >= 2)
           .select(col("src"), col("dst"))
         val self = TextDedup.winnowPairsOf(
-            TextDedup.winnowCapped(bSel, WinnowSweepCap))
+            TextDedup.winnowCapped(bSel, cap))
           .select(col("id_a").as("src"), col("id_b").as("dst"))
         val ledgerEdges = ledger.filter(col("id") =!= col("component"))
           .select(col("id").as("src"), col("component").as("dst"))
         val allNodes = ck(nodes.unionByName(b.select(col("doc_id").as("id"))))
+        if (auditEdges)
+          edgeLog = ck(edgeLog.unionByName(probe).unionByName(self))
         ledger = ck(TextDedup.starContractComponents(
           allNodes, ledgerEdges.unionByName(probe).unionByName(self))._1)
         nodes = allNodes
         // min-k of (previous min-k ∪ new) = min-k of the union: the
         // capped standing index stays exactly the from-scratch one
         postings = ck(TextDedup.winnowCapped(
-          postings.unionByName(bSel), WinnowSweepCap))
+          postings.unionByName(bSel), cap))
       }
     }
 
     /** The live (id, component) table after all merges so far. */
     def currentLedger: DataFrame = synchronized(ledger)
+
+    /** The FROM-SCRATCH one-shot closure over the raw accumulated edge
+      * set (requires `auditEdges = true`) — the Round14OpsSpec algebra
+      * as an executable check at any scale: replacing each drop's
+      * connected subgraphs by their ledger stars preserves
+      * connectivity, so after ANY number of merges [[currentLedger]]
+      * must equal this recompute label-for-label (min-id labels are
+      * stable under incremental maintenance). `Round15OpsSpec` pins it
+      * in the cap-BINDING regime (cap = 2, where eviction order could
+      * plausibly bite and provably doesn't — the edge log records the
+      * edges actually emitted, which is the gated d34w contract);
+      * `LedgerRehearsal` runs it at rehearsal scale.
+      */
+    def recomputedLedger: DataFrame = synchronized {
+      require(edgeLog != null, "construct with auditEdges = true")
+      TextDedup.starContractComponents(nodes, edgeLog)._1
+    }
 
     /** Attach to a streaming (doc_id, text) frame: one ledger merge per
       * micro-batch.
@@ -946,4 +975,102 @@ object CorpusStreams {
   def dividendFromLedger(ledger: DataFrame, docTokens: DataFrame): DataFrame =
     graft.queries.TextDedup.dedupDividendOf(docTokens,
       ledger.select(col("id").as("doc_id"), col("component")))
+
+  /** Ingest-time eval-set decontamination against a standing corpus —
+    * d12w's streaming half, closing the LAST open batch/ingest seam
+    * (r14 verdict, directive 1): exact dups (d1/d13), near-dups
+    * (winnowStream / nearDupAlerts), semantic dups (s9), image/audio/
+    * video dups (m6/m14/m15) and quality/PII/LM gates all run at
+    * ingest, but an arriving EVAL document could previously only be
+    * checked for train-set leakage at the next batch release audit — a
+    * production pipeline wants to quarantine it on arrival.
+    *
+    * Shape: the STANDING asset is the train split's distinct wide
+    * winnow fingerprint set (d12w's `trainFps` — the split computed by
+    * the same t9 content-hash rule, the selections by the same
+    * [[graft.queries.TextDedup.winnowLocalSelect]] kernel as the batch
+    * query; persisted once, since the static side of a stream-static
+    * join re-evaluates per trigger — the [[lmXentAlerts]] discipline).
+    * Each ARRIVING document computes its per-doc wide selections via
+    * [[winnowFingerprintSetOf]] (the winnowStream closure — per-doc-
+    * local, map-side, UNCAPPED like batch d12w's probe: the rank cap
+    * exists to bound pair emission and no pairs are emitted here), with
+    * its split and arrival instant carried through the flatMap as
+    * per-DOC fields — never computed on the exploded frame (the r14
+    * generator-select-list lesson: a doc-scale expression evaluated
+    * per selection row is the measured 17× blowup). Val/test arrivals
+    * left-join the standing fingerprint set on the slim fp key and
+    * aggregate per (event-time window, doc) — state evicts at the
+    * watermark and each verdict emits EXACTLY ONCE in append mode,
+    * with the d12w columns (n_sel, n_in_train, overlap) so the ingest
+    * quarantine rule and the batch release audit read the same number.
+    * Train-split arrivals pass through untouched (they EXTEND the
+    * train set; re-probing them against themselves is the batch
+    * query's job at the next snapshot). At lake scale the static side
+    * is the snapshot's distinct-fingerprint table — fingerprint-
+    * bucketed, refreshed per release like the d13 hash asset; per-
+    * arrival cost is the doc's own kernel pass plus ~2/(w+1)·tokens
+    * slim probes. `StreamingSpec` pins replay ≡ batch d12w rows.
+    */
+  def contaminationAtIngest(newDocs: DataFrame, standingDocs: DataFrame,
+      watermarkDelay: String = "10 minutes",
+      windowDur: String = "10 minutes"): DataFrame = {
+    import graft.queries.TextDedup
+    val spark = standingDocs.sparkSession
+    import spark.implicits._
+    val (_, split) = TextDedup.splitCols
+    val trainFps = TextDedup.winnowLocalSelect(
+        standingDocs.select(col("doc_id"), col("text"), split.as("split"))
+          .filter(col("split") === "train")
+          .select(col("doc_id"), col("text")),
+        TextDedup.WinnowW, TextDedup.WinnowWideHex)
+      .select(col("fp")).distinct()
+      .withColumn("seen", lit(true))
+      .persist()
+    trainFps.count() // static side re-evaluates per trigger — pin once
+    // EVERY arrival emits one null-fp CLOCK-CARRIER row; only eval
+    // arrivals additionally emit their selections. The carrier is the
+    // liveness guarantee: the verdicts emit when the watermark passes
+    // their window, and the watermark only advances on rows that REACH
+    // the EventTimeWatermark operator — a plain `filter(split …)`
+    // before the aggregation is deterministic and fp/split-only, so
+    // Catalyst pushes it back BELOW the watermark node
+    // (PushPredicateThroughNonJoin splits conjunctions, so guarding
+    // the filter with an event-time conjunct does not survive either;
+    // both shapes were probed: a train-split flush arrival advanced no
+    // watermark and every pending verdict stalled). With the carrier,
+    // a train-heavy ingest lull (~80% of a real stream) still drives
+    // the clock, and train docs cost ONE slim row each — their
+    // selections are never computed, never join, and their state
+    // evicts at the watermark like everything else.
+    val sel = newDocs
+      .select(col("doc_id").cast("long"), col("text"),
+        col("arrival_ts").cast("timestamp"), split.as("split"))
+      .as[(Long, String, java.sql.Timestamp, String)]
+      .flatMap { case (id, text, ts, sp) =>
+        val carrier = Iterator((id, ts, sp, Option.empty[Long]))
+        if (sp == "train") carrier
+        else carrier ++ winnowFingerprintSetOf(text).iterator
+          .map(fp => (id, ts, sp, Some(fp)))
+      }
+      .toDF("doc_id", "arrival_ts", "split", "fp")
+    // the eval cut lives ABOVE the aggregation as a HAVING on an
+    // AGGREGATE expression (max over a group-key predicate): a
+    // predicate on an aggregate function cannot push below the
+    // Aggregate, so it provably stays above the watermark. n_sel
+    // counts non-null fps, so carrier rows never inflate a verdict and
+    // carrier-only groups (train docs, sub-window eval docs) drop —
+    // exactly the batch d12w row set.
+    sel.withWatermark("arrival_ts", watermarkDelay)
+      .join(trainFps, Seq("fp"), "left")
+      .groupBy(window(col("arrival_ts"), windowDur),
+        col("doc_id"), col("split"))
+      .agg(count(col("fp")).as("n_sel"), count(col("seen")).as("n_in_train"),
+        max(when(col("split").isin("val", "test"), 1).otherwise(0))
+          .as("is_eval"))
+      .filter(col("is_eval") === 1 && col("n_sel") > 0)
+      .select(col("doc_id"), col("split"), col("n_sel"), col("n_in_train"),
+        round(col("n_in_train").cast("double") / col("n_sel"), 6)
+          .as("overlap"))
+  }
 }

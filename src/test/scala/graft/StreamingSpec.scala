@@ -1845,6 +1845,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(p34.nonEmpty)
   }
 
+  test("ingest contamination verdicts equal the batch d12w rows for " +
+      "arrived eval docs; train arrivals emit nothing (r14 verdict, " +
+      "directive 1)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val standing = Tables.documents(spark, dir)
+    // replay EVERY document as an arrival: train-split arrivals must
+    // pass through silently (they extend the train set), eval arrivals
+    // must reproduce their batch d12w verdict row-for-row
+    val docs = standing.select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val ts0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val flushTs = java.sql.Timestamp.valueOf("2026-01-01 01:00:00")
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = graft.streaming.CorpusStreams.contaminationAtIngest(
+        mem.toDS().toDF("doc_id", "text", "arrival_ts"), standing)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("contam_ingest").start()
+    try {
+      val (h1, h2) = docs.splitAt(docs.size / 2)
+      mem.addData(h1.map(d => (d._1, d._2, ts0)): _*)
+      q.processAllAvailable()
+      mem.addData(h2.map(d => (d._1, d._2, ts0)): _*)
+      q.processAllAvailable()
+      // a late arrival pushes the watermark past the window end so the
+      // append-mode verdicts emit (the perplexityBucketAlerts idiom);
+      // it must be LONG enough to produce winnow selections — a
+      // sub-window doc emits no event-time rows and moves no clock
+      mem.addData((999999L, "this flush document carries enough novel " +
+        "tokens to produce winnow selections and advance the " +
+        "watermark clock", flushTs))
+      q.processAllAvailable()
+    } finally q.stop()
+    type Verdict = (String, Long, Long, Double)
+    val streamed = spark.table("contam_ingest")
+      .filter(col("doc_id") =!= 999999L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+          : Verdict)).toMap
+    val batch = graft.queries.TextDedup.d12wOverlapWinnow(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+          : Verdict)).toMap
+    assert(batch.nonEmpty)
+    assert(streamed == batch,
+      s"${streamed.size} streamed vs ${batch.size} batch verdicts; " +
+        s"diff=${(streamed.toSet diff batch.toSet).take(3)} / " +
+        s"${(batch.toSet diff streamed.toSet).take(3)}")
+    // exactly-once: one verdict row per eval arrival, none for train
+    assert(spark.table("contam_ingest")
+      .filter(col("doc_id") =!= 999999L).count() == batch.size)
+  }
+
   test("streamed gap facts finish to the batch gap histogram (e36 twin)") {
     import spark.implicits._
     val in = EventStreams.readEvents(spark, streamDir)
