@@ -95,9 +95,14 @@ object LedgerRehearsal {
     val dropsJson = dropRows
       .map { case (i, s) => "\"drop" + i + "\":" + r3(s) }
       .mkString("{", ",", "}")
+    // audit runs carry the edge-log checkpoint INSIDE each timed drop
+    // (the log re-materializes per merge), so their drop numbers are
+    // audit-shape, not production-shape — run audit=0 for the flatness
+    // measurement and audit=1 for the merge-k ≡ recompute gate, and
+    // let the artifact say which it was.
     val out = s"""{"metric":"ledger_rehearsal","sf":"$dataDir","k":$k,""" +
-      s""""standing_build_s":${r3(buildS)},"drops":$dropsJson,""" +
-      s""""n_ledger_rows":$nLedger$verify}"""
+      s""""audit":$audit,"standing_build_s":${r3(buildS)},""" +
+      s""""drops":$dropsJson,"n_ledger_rows":$nLedger$verify}"""
     if (args.length > 2)
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(args(2)), out + "\n")

@@ -10,8 +10,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. Every entry
     * runs under a [[graft.queries.QueryScope.scoped]] cache scope (r15):
-    * held intermediates release when the query returns, and the caller
-    * owns exactly one `result.unpersist()`.
+    * held intermediates park at scope exit and die at the next gated
+    * call or one explicit `QueryScope.releaseAll()`.
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Rel.all ++ graft.queries.TextDedup.all ++ graft.queries.Embeddings.all ++

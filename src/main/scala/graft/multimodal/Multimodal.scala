@@ -1404,7 +1404,8 @@ object Multimodal {
   /** The UNSCOPED registry — plan-inspection specs read this so
     * building a frame never executes it; every external surface goes
     * through [[all]], whose entries run under [[QueryScope.scoped]]
-    * (pin the output, release held intermediates — r15 cache hygiene).
+    * (held intermediates park at scope exit and die at the next gated
+    * call or [[QueryScope.releaseAll]] — r15 cache hygiene).
     */
   private[graft] val raw: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m18_phash_bit_balance" -> (m18PhashBitBalance _),
@@ -1450,8 +1451,8 @@ object Multimodal {
       .limit(2000)
 
   /** Every gated entry runs under a [[graft.queries.QueryScope.scoped]]
-    * cache scope: the output pins, held intermediates release, and the
-    * caller owns exactly one `result.unpersist()` (r15 cache hygiene).
+    * cache scope: held intermediates park at scope exit and die at the
+    * next gated call or `QueryScope.releaseAll()` (r15 cache hygiene).
     */
   val all: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.QueryScope.scopedAll(raw)

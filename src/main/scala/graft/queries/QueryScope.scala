@@ -13,40 +13,48 @@ import scala.collection.mutable.ArrayBuffer
   * mask it with `clearCache()` between queries, but in library/service
   * use every call grew the block manager until eviction pressure — and
   * compositions doubled it (r14's p26w cached the d10w pair frame
-  * twice). A handful of queries hand-rolled the fix (d9w's "pin the
-  * output, release the intermediates"); this object makes that
-  * discipline structural so the next query can't forget it:
+  * twice). This object makes the release structural:
   *
-  *  - intermediates are registered with [[hold]] (or the `.held()`
-  *    postfix) instead of bare `.persist()`;
+  *  - intermediates register with [[hold]] (the `.held()` postfix)
+  *    instead of bare `.persist()`;
   *  - every GATED entry point runs under [[scoped]] (the family
-  *    registries wrap their maps via [[scopedAll]]), which — iff any
-  *    hold happened — pins the output (persist + count, so held
-  *    branches materialize it from cache exactly once), then releases
-  *    every held intermediate.
+  *    registries wrap their maps via [[scopedAll]]): when the OUTERMOST
+  *    scope exits, its held frames are PARKED — and every previously
+  *    parked frame is released. Nested scopes hand their holds to the
+  *    enclosing scope, so a gated query composing another gated query
+  *    still parks exactly one generation.
   *
-  * After a scoped query returns, the only new cached entry is the
-  * returned output itself; the caller releases it with one
-  * `result.unpersist()` (which `CacheHygieneSpec` proves restores the
-  * session's cached-RDD census to baseline for all gated queries).
-  * Scopes nest: a gated query composing another gated query hands the
-  * inner pin to the outer scope, so the outermost caller still holds
-  * exactly one cache entry. Outside any scope, [[hold]] degrades to a
-  * plain `persist()` — private builders keep their old behavior when
-  * specs drive them directly.
+  * Why park-then-release-next rather than pin-the-output-and-release-
+  * now (the design this replaced, measured): eagerly persisting +
+  * counting the output inside the builder inflated the hold-carrying
+  * half of a same-day 16-query A/B by 1.2–3.1× (the pin materializes
+  * global sorts a count-shaped consumer elides, burns a cache write
+  * per call, and double-schedules the final stage), while the
+  * hold-free queries sat at 1.03×. Deferral costs nothing: the
+  * returned frame stays lazy, its first action still reads the cached
+  * intermediates, and the frames die at the NEXT gated call — so a
+  * long-lived service holds at most one query's working set instead of
+  * an unbounded accumulation. A caller that wants the memory back
+  * immediately calls [[releaseAll]] (the harnesses' clearCache()
+  * remains a superset). One documented consequence: acting on a
+  * query's lazy result AFTER a later gated call has run recomputes the
+  * shared intermediates — correct, just uncached.
   *
-  * At lake scale this is the executor-memory half of the [[graft
-  * .RunAssets]] lifecycle rule: run-scoped parquet has a TTL on disk,
-  * and query-scoped cache has a release point in code.
+  * Outside any scope, [[hold]] degrades to a plain `persist()` so
+  * specs driving private builders directly keep the old behavior.
+  * `CacheHygieneSpec` runs EVERY gated query and proves the cache
+  * census returns to baseline after one [[releaseAll]].
   */
 object QueryScope {
 
   private val stack = new ThreadLocal[List[ArrayBuffer[DataFrame]]] {
     override def initialValue(): List[ArrayBuffer[DataFrame]] = Nil
   }
+  private val parked =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
-  /** Persist `df` and register it for release when the enclosing
-    * [[scoped]] block ends (plain persist when no scope is active).
+  /** Persist `df` and register it with the enclosing [[scoped]] block
+    * (plain persist when no scope is active).
     */
   def hold(df: DataFrame): DataFrame = {
     df.persist()
@@ -64,39 +72,50 @@ object QueryScope {
     def held(): DataFrame = hold(df)
   }
 
-  /** Run one gated-query build in a fresh scope. If the build (or
-    * anything it called) held intermediates, pin the output — persist +
-    * eager count, so every held branch materializes it exactly once
-    * from cache — then release the held frames. The pin itself is
-    * handed to the parent scope when one exists (composed gated
-    * queries), otherwise it is the single cache entry the caller
-    * releases via `result.unpersist()`. A build with no holds passes
-    * through untouched (still lazy, nothing cached).
+  /** Release every parked frame from previously completed gated
+    * queries. Harnesses and library callers use this as the one
+    * explicit release point; [[scoped]] also invokes it when the next
+    * outermost query completes, so even a caller that never releases
+    * holds at most one query's cached working set.
+    */
+  def releaseAll(): Unit = {
+    var d = parked.poll()
+    while (d != null) {
+      d.unpersist()
+      d = parked.poll()
+    }
+  }
+
+  /** Run one gated-query build in a fresh scope. Holds made inside the
+    * body (at any composition depth) are handed to the enclosing scope
+    * when nested; at the OUTERMOST exit they are parked and every
+    * previously parked generation is released. On failure the scope's
+    * own holds release immediately.
     */
   def scoped(body: => DataFrame): DataFrame = {
     val held = new ArrayBuffer[DataFrame]()
     stack.set(held :: stack.get())
+    var ok = false
     try {
       val out = body
-      if (held.nonEmpty) {
-        out.persist()
-        out.count()
-        held.filterNot(_ eq out).foreach(_.unpersist())
-        held.clear()
-        // composed gated queries: the outer scope releases this pin
-        stack.get().tail.headOption.foreach(_ += out)
-      }
+      ok = true
       out
     } finally {
       stack.set(stack.get().tail)
-      // exception path (held was cleared on success): drop what we held
-      held.foreach(_.unpersist())
+      stack.get() match {
+        case parent :: _ => parent ++= held // nested: the outer scope owns
+        case Nil =>
+          if (ok) {
+            releaseAll()
+            held.foreach(parked.add)
+          } else held.foreach(_.unpersist())
+      }
     }
   }
 
   /** Wrap a family's query registry so every gated entry runs
     * [[scoped]]. The raw map stays available for plan-inspection specs
-    * that must see the lazy, uncached plan.
+    * that must not trigger the release bookkeeping.
     */
   def scopedAll(
       raw: Map[String, (SparkSession, String) => DataFrame])

@@ -679,7 +679,8 @@ object Survival {
   /** The UNSCOPED registry — plan-inspection specs read this so
     * building a frame never executes it; every external surface goes
     * through [[all]], whose entries run under [[QueryScope.scoped]]
-    * (pin the output, release held intermediates — r15 cache hygiene).
+    * (held intermediates park at scope exit and die at the next gated
+    * call or [[QueryScope.releaseAll]] — r15 cache hygiene).
     */
   private[graft] val raw: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v14_weibull_fit" -> (v14WeibullFit _),
@@ -698,9 +699,9 @@ object Survival {
     "v12_cox_hr" -> (v12CoxHazardRatio _),
   )
 
-  /** Every gated entry runs under a [[QueryScope.scoped]]
-    * cache scope: the output pins, held intermediates release, and the
-    * caller owns exactly one `result.unpersist()` (r15 cache hygiene).
+  /** Every gated entry runs under a [[QueryScope.scoped]] cache
+    * scope: held intermediates park at scope exit and die at the next
+    * gated call or `QueryScope.releaseAll()` (r15 cache hygiene).
     */
   val all: Map[String, (SparkSession, String) => DataFrame] =
     QueryScope.scopedAll(raw)

@@ -919,9 +919,22 @@ object CorpusStreams {
           allNodes, ledgerEdges.unionByName(probe).unionByName(self))._1)
         nodes = allNodes
         // min-k of (previous min-k ∪ new) = min-k of the union: the
-        // capped standing index stays exactly the from-scratch one
-        postings = ck(TextDedup.winnowCapped(
-          postings.unionByName(bSel), cap))
+        // capped standing index stays exactly the from-scratch one.
+        // r15 (measured at sf300: drops 197 → 240 → 327 s): re-ranking
+        // the WHOLE index per merge is a full-index shuffle+sort that
+        // grows with the corpus — but the min-k state can only change
+        // for fps the increment actually carries, so only those
+        // postings enter the rank window (semi-join side); untouched
+        // fps pass through as-is (anti-join side). Exact by the same
+        // min-k argument, per-fp. The checkpoint still rewrites every
+        // row — the local stand-in for the lake shape, where postings
+        // live fp-bucketed and the merge is a bucket-local sorted-run
+        // merge (sequential IO, no shuffle at all).
+        val touched = bSel.select(col("fp")).distinct()
+        val hot = postings.join(touched, Seq("fp"), "leftsemi")
+          .unionByName(bSel)
+        val cold = postings.join(touched, Seq("fp"), "leftanti")
+        postings = ck(TextDedup.winnowCapped(hot, cap).unionByName(cold))
       }
     }
 
