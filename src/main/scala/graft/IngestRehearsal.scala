@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Ingest-decontamination rehearsal (r15 verdict, directives 1–2):
+  * `contaminationAtIngest` shipped spec-pinned at sf0.001 but with no
+  * battery row — every other heavy operator prices its standing build
+  * and its marginal per-trigger cost at rehearsal scale, and the
+  * ingest seam now does too. This main prices, in one per-query JVM:
+  *
+  *  - **snapshot_build_s** — the point-in-time standing asset
+  *    ([[graft.streaming.CorpusStreams.trainFpSnapshot]]): the train
+  *    split's distinct wide winnow fingerprint set, persisted + pinned
+  *    (what `contaminationAtIngest`'s stream-static join re-reads per
+  *    trigger);
+  *  - **maintainer_build_s** — the same set built as
+  *    [[graft.streaming.CorpusStreams.TrainFpMaintainer]] standing
+  *    state (localCheckpoint advance instead of cache pin);
+  *  - **drops** — k successive arrival shards through
+  *    `TrainFpMaintainer.mergeBatch`: each timed window IS one
+  *    foreachBatch trigger's full cost (extend the distinct-fp set by
+  *    the increment's novel train fps + judge the increment's eval
+  *    docs against the post-merge set — `localCheckpoint(eager)` means
+  *    nothing lazy escapes). `drop_rows` carries each shard's arrival
+  *    count so SCALE.md can state a per-arrival cost;
+  *  - **probes / drops_norm** — the LedgerRehearsal normalization
+  *    discipline (r15 verdict, directive 3): a fixed ~1%-slice winnow
+  *    kernel probe after every drop, so box drift divides out of the
+  *    per-drop series;
+  *  - **verify** — the maintained set must equal the from-scratch
+  *    distinct train-fp set over (standing ∪ all arrivals), both
+  *    directions (distinct-union maintenance is order-independent, so
+  *    this holds unconditionally — no train-leads caveat needed for
+  *    the SET, only for verdict equivalence, which StreamingSpec
+  *    pins).
+  *
+  * Args: dataDir k [outFile] [shufflePartitions=32]
+  *
+  * The arrival universe is the maintainer family's own split (doc_id ≡
+  * 0 mod 5), sharded round-robin like LedgerRehearsal, so ingest rows
+  * are comparable with the ledger rows measured on the same corpus.
+  */
+object IngestRehearsal {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: IngestRehearsal dataDir k [outFile] [shuffleParts]")
+    val dataDir = args(0)
+    val k = args(1).toInt
+    val shuffleParts = if (args.length > 3) args(3).toInt else 32
+    val codec = sys.env.get("SPARK_GRAFT_CODEC")
+    val builder = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", shuffleParts.toString)
+    codec.foreach(c => builder.config("spark.io.compression.codec", c))
+    val spark = builder
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Bench.suppressBoundedWindowWarning()
+
+    def timed[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = body
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    def r3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+    val docs = Tables.documents(spark, dataDir)
+      .select(col("doc_id"), col("text"))
+    val standing = docs.filter(col("doc_id") % 5 =!= 0)
+    val inc = docs.filter(col("doc_id") % 5 === 0)
+    val nArrivals = inc.count()
+
+    val probeSlice = standing.filter(col("doc_id") % 97 === 1)
+    def probe(): Double = timed(
+      graft.queries.TextDedup.winnowProbeCount(probeSlice))._2
+
+    // leg 1: the snapshot operator's standing asset (persist + pin)
+    val (snap, snapS) =
+      timed(graft.streaming.CorpusStreams.trainFpSnapshot(standing))
+    snap.release() // priced, not needed: the maintainer owns the set now
+
+    // leg 2: the maintained set's standing build
+    val (m, buildS) = timed(
+      new graft.streaming.CorpusStreams.TrainFpMaintainer(standing))
+
+    // k drops, each one trigger's marginal cost (extend + judge)
+    val dropRows = (0 until k).map { i =>
+      val batch = inc.filter((col("doc_id") / 5) % k === i)
+      val n = batch.count() // shard size, outside the timed window
+      val (_, s) = timed(m.mergeBatch(batch))
+      (i, s, probe(), n)
+    }
+    val nVerdicts = m.verdicts.count()
+
+    // verify: maintained ≡ from-scratch over standing ∪ arrived
+    val (mismatches, verifyS) = timed {
+      val fresh = graft.streaming.CorpusStreams.trainFpsOf(docs)
+      m.currentFps.join(fresh, Seq("fp"), "leftanti")
+        .unionByName(fresh.join(m.currentFps, Seq("fp"), "leftanti"))
+        .count()
+    }
+    require(mismatches == 0L,
+      s"maintained train-fp set diverged from from-scratch: $mismatches fps")
+
+    def seriesJson(name: Int => String, v: Seq[(Int, Double)]): String =
+      v.map { case (i, s) => "\"" + name(i) + "\":" + r3(s) }
+        .mkString("{", ",", "}")
+    val dropsJson = seriesJson(i => s"drop$i",
+      dropRows.map(r => (r._1, r._2)))
+    val probesJson = seriesJson(i => s"probe$i",
+      dropRows.map(r => (r._1, r._3)))
+    val normJson = seriesJson(i => s"norm$i",
+      dropRows.map(r => (r._1, r._2 / r._3)))
+    val rowsJson = dropRows
+      .map { case (i, _, _, n) => s""""rows$i":$n""" }
+      .mkString("{", ",", "}")
+
+    val out = s"""{"metric":"ingest_rehearsal","sf":"$dataDir","k":$k,""" +
+      s""""n_arrivals":$nArrivals,"snapshot_build_s":${r3(snapS)},""" +
+      s""""maintainer_build_s":${r3(buildS)},"drops":$dropsJson,""" +
+      s""""probes":$probesJson,"drops_norm":$normJson,""" +
+      s""""drop_rows":$rowsJson,"n_verdicts":$nVerdicts,""" +
+      s""""verify_fp_mismatches":$mismatches,"verify_s":${r3(verifyS)}}"""
+    if (args.length > 2)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(args(2)), out + "\n")
+    println(out)
+    spark.stop()
+  }
+}

@@ -27,6 +27,18 @@ import org.apache.spark.sql.functions._
   * means each `mergeBatch` call IS the full merge cost — nothing lazy
   * escapes the timed window. The verify leg (edge-log recompute + label
   * join) prices separately; it is the audit, not the per-drop path.
+  *
+  * Probe normalization (r15 verdict, directive 3): the box's same-day
+  * noise (identical standing builds measured 1.8× apart in one r15
+  * session) swamps any <2× per-drop history trend at sf100+. So the
+  * rehearsal times a FIXED probe — the winnow selection kernel +
+  * count over a constant ~1% slice of the standing corpus, work that
+  * cannot depend on how many drops have merged — immediately after
+  * every drop, and emits `drops_norm` = drop_s / probe_s alongside the
+  * raw rows. Box drift (CPU steal, page-cache state, IO contention)
+  * hits the numerator and denominator together and divides out; a
+  * history-depth trend hits only the numerator. The flatness claim is
+  * made on the NORMALIZED series.
   */
 object LedgerRehearsal {
   def main(args: Array[String]): Unit = {
@@ -62,17 +74,25 @@ object LedgerRehearsal {
     val standing = docs.filter(col("doc_id") % 5 =!= 0)
     val inc = docs.filter(col("doc_id") % 5 === 0)
 
+    // the fixed normalization unit: selection kernel + count over a
+    // constant ~1% standing slice — reads the same parquet, burns the
+    // same expression kernel, and CANNOT grow with merge history
+    val probeSlice = standing.filter(col("doc_id") % 97 === 1)
+    def probe(): Double = timed(
+      graft.queries.TextDedup.winnowProbeCount(probeSlice))._2
+
     // the once-per-corpus standing build (constructor state is eager)
     val (m, buildS) = timed(
       new graft.streaming.CorpusStreams.WinnowLedgerMaintainer(
         standing, auditEdges = audit))
 
     // k drops, each the full merge: selection kernel + postings probe +
-    // self join + star contraction — eager via localCheckpoint
+    // self join + star contraction — eager via localCheckpoint; a
+    // probe after every drop prices the box at that instant
     val dropRows = (0 until k).map { i =>
       val batch = inc.filter((col("doc_id") / 5) % k === i)
       val (_, s) = timed(m.mergeBatch(batch))
-      (i, s)
+      (i, s, probe())
     }
 
     val nLedger = m.currentLedger.count()
@@ -93,7 +113,13 @@ object LedgerRehearsal {
       }
 
     val dropsJson = dropRows
-      .map { case (i, s) => "\"drop" + i + "\":" + r3(s) }
+      .map { case (i, s, _) => "\"drop" + i + "\":" + r3(s) }
+      .mkString("{", ",", "}")
+    val probesJson = dropRows
+      .map { case (i, _, p) => "\"probe" + i + "\":" + r3(p) }
+      .mkString("{", ",", "}")
+    val normJson = dropRows
+      .map { case (i, s, p) => "\"norm" + i + "\":" + r3(s / p) }
       .mkString("{", ",", "}")
     // audit runs carry the edge-log checkpoint INSIDE each timed drop
     // (the log re-materializes per merge), so their drop numbers are
@@ -102,7 +128,8 @@ object LedgerRehearsal {
     // let the artifact say which it was.
     val out = s"""{"metric":"ledger_rehearsal","sf":"$dataDir","k":$k,""" +
       s""""audit":$audit,"standing_build_s":${r3(buildS)},""" +
-      s""""drops":$dropsJson,"n_ledger_rows":$nLedger$verify}"""
+      s""""drops":$dropsJson,"probes":$probesJson,""" +
+      s""""drops_norm":$normJson,"n_ledger_rows":$nLedger$verify}"""
     if (args.length > 2)
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(args(2)), out + "\n")

@@ -18,11 +18,11 @@ import scala.collection.mutable.ArrayBuffer
   *  - intermediates register with [[hold]] (the `.held()` postfix)
   *    instead of bare `.persist()`;
   *  - every GATED entry point runs under [[scoped]] (the family
-  *    registries wrap their maps via [[scopedAll]]): when the OUTERMOST
-  *    scope exits, its held frames are PARKED — and every previously
-  *    parked frame is released. Nested scopes hand their holds to the
-  *    enclosing scope, so a gated query composing another gated query
-  *    still parks exactly one generation.
+  *    registries wrap their maps via [[scopedAll]]): the OUTERMOST
+  *    scope releases every previously parked frame at ENTRY, and parks
+  *    its own held frames at successful exit. Nested scopes hand their
+  *    holds to the enclosing scope, so a gated query composing another
+  *    gated query still parks exactly one generation.
   *
   * Why park-then-release-next rather than pin-the-output-and-release-
   * now (the design this replaced, measured): eagerly persisting +
@@ -32,13 +32,33 @@ import scala.collection.mutable.ArrayBuffer
   * per call, and double-schedules the final stage), while the
   * hold-free queries sat at 1.03×. Deferral costs nothing: the
   * returned frame stays lazy, its first action still reads the cached
-  * intermediates, and the frames die at the NEXT gated call — so a
-  * long-lived service holds at most one query's working set instead of
-  * an unbounded accumulation. A caller that wants the memory back
-  * immediately calls [[releaseAll]] (the harnesses' clearCache()
-  * remains a superset). One documented consequence: acting on a
-  * query's lazy result AFTER a later gated call has run recomputes the
-  * shared intermediates — correct, just uncached.
+  * intermediates, and the frames die when the NEXT gated call BEGINS —
+  * so a long-lived service holds at most one query's working set, full
+  * stop (r15 released at the next call's successful EXIT, which let
+  * two generations coexist for the whole of the next query's run and
+  * let a failing-query streak pin the last success's generation
+  * indefinitely — the r15 ADVICE item; entry-release closes both). A
+  * caller that wants the memory back immediately calls [[releaseAll]]
+  * (the harnesses' clearCache() remains a superset). One documented
+  * consequence: acting on a query's lazy result AFTER a later gated
+  * call has started recomputes the shared intermediates — correct,
+  * just uncached.
+  *
+  * Concurrency contract (r15 verdict, directive 4): the park queue is
+  * deliberately GLOBAL while holds-in-flight are per-thread. A query
+  * being BUILT can never lose its holds to another thread — they live
+  * in this thread's scope stack until its own outermost exit; what a
+  * concurrent gated entry releases is only the PARKED generation of
+  * some completed query. So concurrent gated callers are always
+  * CORRECT (a released generation merely uncaches a lazy result the
+  * other caller may still act on — the same documented recompute as
+  * the single-caller case, never a wrong answer), but the
+  * one-generation cache guarantee is service-wide, not per-caller: the
+  * intended service shape is a single query writer (or callers that
+  * don't expect their previous result to stay cached across another
+  * caller's query). `CacheHygieneSpec` pins both halves: in-flight
+  * holds survive a concurrent releaseAll; a parked generation does
+  * not.
   *
   * Outside any scope, [[hold]] degrades to a plain `persist()` so
   * specs driving private builders directly keep the old behavior.
@@ -86,13 +106,17 @@ object QueryScope {
     }
   }
 
-  /** Run one gated-query build in a fresh scope. Holds made inside the
-    * body (at any composition depth) are handed to the enclosing scope
-    * when nested; at the OUTERMOST exit they are parked and every
-    * previously parked generation is released. On failure the scope's
-    * own holds release immediately.
+  /** Run one gated-query build in a fresh scope. An OUTERMOST entry
+    * first releases every previously parked generation (so the old
+    * working set dies BEFORE the new one materializes — never two
+    * generations at peak, and a failing streak can't pin the last
+    * success's frames). Holds made inside the body (at any composition
+    * depth) are handed to the enclosing scope when nested; at the
+    * outermost exit they are parked. On failure the scope's own holds
+    * release immediately.
     */
   def scoped(body: => DataFrame): DataFrame = {
+    if (stack.get().isEmpty) releaseAll()
     val held = new ArrayBuffer[DataFrame]()
     stack.set(held :: stack.get())
     var ok = false
@@ -105,10 +129,8 @@ object QueryScope {
       stack.get() match {
         case parent :: _ => parent ++= held // nested: the outer scope owns
         case Nil =>
-          if (ok) {
-            releaseAll()
-            held.foreach(parked.add)
-          } else held.foreach(_.unpersist())
+          if (ok) held.foreach(parked.add)
+          else held.foreach(_.unpersist())
       }
     }
   }

@@ -849,6 +849,18 @@ object TextDedup {
         w, WinnowPosField)).as("fp"))
   }
 
+  /** Fixed-cost normalization unit for the rehearsal mains (r15
+    * verdict, directive 3): the winnow selection kernel + count over a
+    * caller-fixed document slice. Timed between crawl drops it prices
+    * the BOX at that instant — same parquet scan, same codegen kernel,
+    * provably independent of how much history a maintainer has
+    * accumulated — so drop_s / probe_s divides same-session box drift
+    * out of a per-drop flatness series.
+    */
+  private[graft] def winnowProbeCount(docs: DataFrame): Long =
+    winnowLocalSelect(docs.select(col("doc_id"), col("text")),
+      WinnowW, WinnowWideHex).count()
+
   /** The capped WIDE winnow selection `(doc_id, fp)` as a run-scoped
     * asset (r12 verdict, directive 2): ONE shingle-hash pass per
     * (run, dir), materialized like [[dupPairs]], consumed by
@@ -1836,9 +1848,21 @@ object TextDedup {
     * to generator output by doc-scale join (the d12 shape), never by
     * riding the generator's select list.
     */
-  def d12wOverlapWinnow(spark: SparkSession, dir: String): DataFrame = {
+  def d12wOverlapWinnow(spark: SparkSession, dir: String): DataFrame =
+    d12wVerdicts(Tables.documents(spark, dir))
+      .orderBy(col("doc_id"))
+      .limit(2000)
+
+  /** The FULL (pre-top-2000) d12w verdict set over an arbitrary
+    * document frame — the gated query above is this plus its result
+    * cap; the streaming pins compare against THIS (r15 ADVICE: a pin
+    * against the capped surface only held while the fixture stayed
+    * under 2000 eval rows, so fixture growth would fail it for a
+    * non-semantic reason), and the ingest maintainers take their
+    * batch-equivalence target from it over (standing ∪ arrived) docs.
+    */
+  private[graft] def d12wVerdicts(docs: DataFrame): DataFrame = {
     val (_, split) = splitCols
-    val docs = Tables.documents(spark, dir)
     val sel = winnowLocalSelect(docs, WinnowW, WinnowWideHex)
       .join(docs.select(col("doc_id"), split.as("split")), Seq("doc_id"))
       .held()
@@ -1846,16 +1870,13 @@ object TextDedup {
     val trainFps = sel.filter(col("split") === "train")
       .select(col("fp")).distinct()
       .withColumn("seen", lit(true))
-    val out = sel.filter(col("split").isin("val", "test"))
+    sel.filter(col("split").isin("val", "test"))
       .join(trainFps, Seq("fp"), "left")
       .groupBy(col("doc_id"), col("split"))
       .agg(count(lit(1)).as("n_sel"), count(col("seen")).as("n_in_train"))
       .select(col("doc_id"), col("split"), col("n_sel"), col("n_in_train"),
         round(col("n_in_train").cast("double") / col("n_sel"), 6)
           .as("overlap"))
-      .orderBy(col("doc_id"))
-      .limit(2000)
-    out
   }
 
   /** Per-source contamination budget over the bounded winnow pairs

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
 
 /** Streaming surface over the documents corpus — ingest-time operators.
   *
@@ -1002,8 +1003,16 @@ object CorpusStreams {
     * winnow fingerprint set (d12w's `trainFps` — the split computed by
     * the same t9 content-hash rule, the selections by the same
     * [[graft.queries.TextDedup.winnowLocalSelect]] kernel as the batch
-    * query; persisted once, since the static side of a stream-static
-    * join re-evaluates per trigger — the [[lmXentAlerts]] discipline).
+    * query), passed as a caller-owned [[TrainFpSnapshot]]: the handle
+    * persists it once (the static side of a stream-static join
+    * re-evaluates per trigger — the [[lmXentAlerts]] discipline) and
+    * the CALLER releases it when the stream stops (r15 ADVICE: the
+    * operator building + persisting the set internally left one pinned
+    * cache entry per operator build with no release path — the same
+    * leak class QueryScope closed batch-side). A snapshot is
+    * point-in-time by construction; a stream whose train set must
+    * ADVANCE as train docs arrive uses [[TrainFpMaintainer]] instead
+    * (r15 verdict, directive 1).
     * Each ARRIVING document computes its per-doc wide selections via
     * [[winnowFingerprintSetOf]] (the winnowStream closure — per-doc-
     * local, map-side, UNCAPPED like batch d12w's probe: the rank cap
@@ -1025,22 +1034,14 @@ object CorpusStreams {
     * arrival cost is the doc's own kernel pass plus ~2/(w+1)·tokens
     * slim probes. `StreamingSpec` pins replay ≡ batch d12w rows.
     */
-  def contaminationAtIngest(newDocs: DataFrame, standingDocs: DataFrame,
+  def contaminationAtIngest(newDocs: DataFrame,
+      standing: TrainFpSnapshot,
       watermarkDelay: String = "10 minutes",
       windowDur: String = "10 minutes"): DataFrame = {
-    import graft.queries.TextDedup
-    val spark = standingDocs.sparkSession
+    val spark = standing.fps.sparkSession
     import spark.implicits._
-    val (_, split) = TextDedup.splitCols
-    val trainFps = TextDedup.winnowLocalSelect(
-        standingDocs.select(col("doc_id"), col("text"), split.as("split"))
-          .filter(col("split") === "train")
-          .select(col("doc_id"), col("text")),
-        TextDedup.WinnowW, TextDedup.WinnowWideHex)
-      .select(col("fp")).distinct()
-      .withColumn("seen", lit(true))
-      .persist()
-    trainFps.count() // static side re-evaluates per trigger — pin once
+    val (_, split) = graft.queries.TextDedup.splitCols
+    val trainFps = standing.fps.withColumn("seen", lit(true))
     // EVERY arrival emits one null-fp CLOCK-CARRIER row; only eval
     // arrivals additionally emit their selections. The carrier is the
     // liveness guarantee: the verdicts emit when the watermark passes
@@ -1085,5 +1086,147 @@ object CorpusStreams {
       .select(col("doc_id"), col("split"), col("n_sel"), col("n_in_train"),
         round(col("n_in_train").cast("double") / col("n_sel"), 6)
           .as("overlap"))
+  }
+
+  /** Caller-owned handle on a persisted point-in-time train-fingerprint
+    * set — the static side of [[contaminationAtIngest]]'s stream-static
+    * join. Built by [[trainFpSnapshot]]; [[release]] unpersists it when
+    * the stream stops (the r15 ADVICE leak fix: the persist now has an
+    * owner). At lake scale this is the snapshot's distinct-fingerprint
+    * parquet table, refreshed per release like the d13 hash asset.
+    */
+  final class TrainFpSnapshot private[CorpusStreams] (
+      private[CorpusStreams] val fps: DataFrame) {
+    def release(): Unit = { fps.unpersist(); () }
+  }
+
+  /** The train split's distinct wide winnow fingerprints of `docs` —
+    * the one spelling of the standing set shared by the snapshot
+    * operator and the [[TrainFpMaintainer]] (split by the t9
+    * content-hash rule, selections by the batch d12w kernel).
+    * `private[graft]` so the ingest rehearsal can verify the maintained
+    * set against this from-scratch build at scale.
+    */
+  private[graft] def trainFpsOf(docs: DataFrame): DataFrame = {
+    import graft.queries.TextDedup
+    val (_, split) = TextDedup.splitCols
+    TextDedup.winnowLocalSelect(
+        docs.select(col("doc_id"), col("text"), split.as("split"))
+          .filter(col("split") === "train")
+          .select(col("doc_id"), col("text")),
+        TextDedup.WinnowW, TextDedup.WinnowWideHex)
+      .select(col("fp")).distinct()
+  }
+
+  /** Persist + pin the standing train-fingerprint set and hand the
+    * caller the releasable handle ([[contaminationAtIngest]]'s static
+    * side — pinned eagerly because the static half of a stream-static
+    * join re-evaluates per trigger).
+    */
+  def trainFpSnapshot(standingDocs: DataFrame): TrainFpSnapshot = {
+    val fps = trainFpsOf(standingDocs).persist()
+    fps.count()
+    new TrainFpSnapshot(fps)
+  }
+
+  /** MAINTAINED standing train-fingerprint set (r15 verdict,
+    * directive 1) — the seam [[contaminationAtIngest]]'s snapshot left
+    * ajar: against a point-in-time static side, an eval doc arriving
+    * AFTER its duplicate train doc in the same stream is missed until
+    * the next batch release audit. This maintainer is the
+    * [[WinnowLedgerMaintainer]] pattern on the simplest possible state:
+    * a DISTINCT fingerprint set, whose maintenance is exactly
+    * incremental — distinct(standing ∪ batch) = standing ∪ (batch
+    * anti-join standing), so each merge prices by the INCREMENT (its
+    * own kernel pass plus an increment×standing anti-join probe),
+    * never a re-distinct of history (even simpler than the postings
+    * min-k argument: no rank window at all).
+    *
+    * Per micro-batch, in order:
+    *  1. EXTEND — the batch's train-split arrivals' distinct
+    *     fingerprints anti-join the standing set; novel ones append
+    *     (`localCheckpoint(eager)` advance, the maintainer lineage
+    *     discipline).
+    *  2. PROBE — the batch's eval (val/test) arrivals compute their
+    *     uncapped wide selections (per-doc-local, map-side; the split
+    *     attaches by doc-scale JOIN, never riding the generator select
+    *     list — the r14 17× lesson) and left-join the POST-merge set,
+    *     so an eval doc whose duplicate train doc arrived in the SAME
+    *     batch is caught (batch d12w has no arrival order; merge-first
+    *     is the order that converges to it).
+    *
+    * Verdicts accumulate on the maintainer (one row per eval arrival,
+    * exactly once, the d12w columns). Replay ≡ batch: once every
+    * arrival is in, [[verdicts]] equals the batch d12w verdict set
+    * over (standing ∪ arrived) restricted to the ARRIVED eval docs —
+    * for any shard partition in which no eval doc precedes a
+    * same-fingerprint train doc (the stream converges to the batch
+    * audit exactly when train content leads, and the batch release
+    * audit remains the backstop for the other order — it re-probes
+    * everything against the final set). `StreamingSpec` pins it with
+    * train arrivals split across earlier shards and the same batch.
+    *
+    * At lake scale the standing set is an fp-bucketed parquet table
+    * and step 1 is a bucket-local merge-into (sequential IO, cost
+    * O(touched buckets)); the localCheckpoint full rewrite is this
+    * box's stand-in, as with the ledger maintainers.
+    */
+  final class TrainFpMaintainer(standingDocs: DataFrame) {
+    import graft.queries.TextDedup
+    private def ck(df: DataFrame): DataFrame = df.localCheckpoint(true)
+    private var fps: DataFrame = ck(trainFpsOf(standingDocs))
+    private var verdictLog: DataFrame = {
+      val spark = standingDocs.sparkSession
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(Seq(
+          StructField("doc_id", LongType), StructField("split", StringType),
+          StructField("n_sel", LongType), StructField("n_in_train", LongType),
+          StructField("overlap", DoubleType))))
+    }
+
+    /** Merge one arriving shard: extend the set with its train docs,
+      * then judge its eval docs against the extended set.
+      */
+    def mergeBatch(batch: DataFrame): Unit = synchronized {
+      val b = batch.select(col("doc_id"), col("text"))
+      if (!b.isEmpty) {
+        val (_, split) = TextDedup.splitCols
+        val tagged = b.select(col("doc_id"), col("text"), split.as("split"))
+        val trainSel = trainFpsOf(b)
+        val novel = trainSel.join(fps, Seq("fp"), "leftanti")
+        fps = ck(fps.unionByName(novel))
+        val evalDocs = tagged.filter(col("split").isin("val", "test"))
+        val evalSel = TextDedup.winnowLocalSelect(
+            evalDocs.select(col("doc_id"), col("text")),
+            TextDedup.WinnowW, TextDedup.WinnowWideHex)
+          .join(evalDocs.select(col("doc_id"), col("split")), Seq("doc_id"))
+        val v = evalSel
+          .join(fps.withColumn("seen", lit(true)), Seq("fp"), "left")
+          .groupBy(col("doc_id"), col("split"))
+          .agg(count(lit(1)).as("n_sel"),
+            count(col("seen")).as("n_in_train"))
+          .select(col("doc_id"), col("split"), col("n_sel"),
+            col("n_in_train"),
+            round(col("n_in_train").cast("double") / col("n_sel"), 6)
+              .as("overlap"))
+        verdictLog = ck(verdictLog.unionByName(v))
+      }
+    }
+
+    /** The live distinct train-fingerprint set after all merges. */
+    def currentFps: DataFrame = synchronized(fps)
+
+    /** All contamination verdicts emitted so far — one row per eval
+      * arrival, the batch d12w columns.
+      */
+    def verdicts: DataFrame = synchronized(verdictLog)
+
+    /** Attach to a streaming (doc_id, text) frame: one merge per
+      * micro-batch.
+      */
+    def attach(docs: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
+      docs.writeStream.outputMode("update")
+        .foreachBatch((b: DataFrame, _: Long) => mergeBatch(b))
+        .start()
   }
 }

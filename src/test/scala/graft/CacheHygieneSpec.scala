@@ -44,4 +44,53 @@ class CacheHygieneSpec extends AnyFunSuite {
     assert(leaks.result().isEmpty,
       s"queries leaving cache entries behind: ${leaks.result().mkString(", ")}")
   }
+
+  test("entry-release: the previous parked generation dies when the " +
+      "next gated call BEGINS, and a failing streak pins nothing " +
+      "(r15 verdict, directive 4 + ADVICE)") {
+    import graft.queries.QueryScope
+    spark.catalog.clearCache()
+    QueryScope.scoped { QueryScope.hold(spark.range(10).toDF()) }
+    assert(!PlanBridge.cacheIsEmpty(spark), "gen A should be parked")
+    // a FAILING gated call still releases gen A at entry, and its own
+    // holds on the failure path — so repeated failures retain nothing
+    intercept[RuntimeException](QueryScope.scoped {
+      QueryScope.hold(spark.range(20).toDF())
+      throw new RuntimeException("boom")
+    })
+    assert(PlanBridge.cacheIsEmpty(spark),
+      "entry-release + failure-path unpersist must leave the cache empty")
+  }
+
+  test("concurrent-caller contract: in-flight holds survive a " +
+      "concurrent releaseAll; a parked generation does not " +
+      "(r15 verdict, directive 4)") {
+    import graft.queries.QueryScope
+    spark.catalog.clearCache()
+    QueryScope.scoped { QueryScope.hold(spark.range(5).toDF()) } // gen A
+    val inScope = new java.util.concurrent.CountDownLatch(1)
+    val mayExit = new java.util.concurrent.CountDownLatch(1)
+    val t = new Thread(() => {
+      QueryScope.scoped { // entry releases gen A (the global park queue)
+        val h = QueryScope.hold(spark.range(7).toDF())
+        inScope.countDown()
+        mayExit.await()
+        h
+      }
+      ()
+    })
+    t.start()
+    inScope.await()
+    // gen A died at the other thread's entry; its IN-FLIGHT hold is
+    // cached and must survive this thread's releaseAll — in-flight
+    // holds live in the owning thread's scope stack, never the queue
+    QueryScope.releaseAll()
+    assert(!PlanBridge.cacheIsEmpty(spark),
+      "a concurrent releaseAll must not kill another thread's in-flight hold")
+    mayExit.countDown()
+    t.join()
+    // now it IS parked — one releaseAll from any thread reclaims it
+    QueryScope.releaseAll()
+    assert(PlanBridge.cacheIsEmpty(spark))
+  }
 }

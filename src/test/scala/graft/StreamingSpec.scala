@@ -1861,8 +1861,9 @@ class StreamingSpec extends AnyFunSuite {
     val flushTs = java.sql.Timestamp.valueOf("2026-01-01 01:00:00")
     val mem = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, String, java.sql.Timestamp)]
+    val snap = graft.streaming.CorpusStreams.trainFpSnapshot(standing)
     val q = graft.streaming.CorpusStreams.contaminationAtIngest(
-        mem.toDS().toDF("doc_id", "text", "arrival_ts"), standing)
+        mem.toDS().toDF("doc_id", "text", "arrival_ts"), snap)
       .writeStream.outputMode("append").format("memory")
       .queryName("contam_ingest").start()
     try {
@@ -1879,17 +1880,22 @@ class StreamingSpec extends AnyFunSuite {
         "tokens to produce winnow selections and advance the " +
         "watermark clock", flushTs))
       q.processAllAvailable()
-    } finally q.stop()
+    } finally { q.stop(); snap.release() }
     type Verdict = (String, Long, Long, Double)
     val streamed = spark.table("contam_ingest")
       .filter(col("doc_id") =!= 999999L)
       .collect().map(r => r.getLong(0) ->
         ((r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4))
           : Verdict)).toMap
-    val batch = graft.queries.TextDedup.d12wOverlapWinnow(spark, dir)
+    // the FULL verdict set, not the gated query's top-2000 surface: a
+    // pin against the capped result would fail for a non-semantic
+    // reason the day the fixture grows past 2000 eval rows (r15 ADVICE)
+    val batch = graft.queries.TextDedup
+      .d12wVerdicts(standing.select(col("doc_id"), col("text")))
       .collect().map(r => r.getLong(0) ->
         ((r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4))
           : Verdict)).toMap
+    spark.catalog.clearCache() // d12wVerdicts' spec-side hold (unscoped)
     assert(batch.nonEmpty)
     assert(streamed == batch,
       s"${streamed.size} streamed vs ${batch.size} batch verdicts; " +
@@ -1898,6 +1904,107 @@ class StreamingSpec extends AnyFunSuite {
     // exactly-once: one verdict row per eval arrival, none for train
     assert(spark.table("contam_ingest")
       .filter(col("doc_id") =!= 999999L).count() == batch.size)
+  }
+
+  test("train-fp maintainer: an eval arrival is judged against the " +
+      "MAINTAINED train set (catching a duplicate train doc that " +
+      "arrived earlier in the same stream), and the accumulated " +
+      "verdicts equal the batch d12w set over standing ∪ arrived " +
+      "(r15 verdict, directive 1)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    // the t9 split is CONTENT-derived, so the planted train/eval dup
+    // pair is found by search: same spelling as splitCols (first 4 md5
+    // hex nibbles of the normalized text, mod 100)
+    def bucketOf(text: String): Long = {
+      val norm = text.trim.toLowerCase(java.util.Locale.ROOT)
+        .replaceAll("\\s+", " ")
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(norm.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(2).map(b => f"$b%02x").mkString, 16) % 100
+    }
+    val core = "maintained fingerprint seam witness with a long " +
+      "shared interior of novel tokens aquifer breccia coruscate " +
+      "dirigible effluvium fenestration gossamer hinterland"
+    val trainText = (0 until 100).map(i => s"$core train salt $i")
+      .find(t => bucketOf(t) < 80).get
+    val evalText = (0 until 100).map(i => s"$core eval salt $i")
+      .find(t => bucketOf(t) >= 80).get
+    val tId = 777001L
+    val eId = 777002L
+
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    val standing = docs.filter(col("doc_id") % 5 =!= 0)
+    val arrivals = docs.filter(col("doc_id") % 5 === 0)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // the stream converges to the batch audit when train content leads
+    // its eval duplicates, so the replay orders the corpus arrivals
+    // that way: trains across shards 1–2, evals in shard 2 (the MIXED
+    // final batch also proves merge-first — its evals must see train
+    // docs arriving in the SAME batch)
+    val (trainArr, evalArr) = arrivals.partition(a => bucketOf(a._2) < 80)
+    val (tr1, tr2) = trainArr.splitAt(trainArr.size / 2)
+    val m = new graft.streaming.CorpusStreams.TrainFpMaintainer(standing)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = m.attach(mem.toDS().toDF("doc_id", "text"))
+    try {
+      // the planted TRAIN doc arrives in shard 1 …
+      mem.addData((tr1 :+ (tId, trainText)).toIndexedSeq: _*)
+      q.processAllAvailable()
+      // … its near-dup EVAL doc in shard 2: a point-in-time snapshot
+      // (standing-only) would miss it; the maintained set must not
+      mem.addData((tr2 ++ evalArr :+ (eId, evalText)).toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    type Verdict = (String, Long, Long, Double)
+    val verdictRows = m.verdicts.collect()
+    val streamed = verdictRows.map(r => r.getLong(0) ->
+      ((r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+        : Verdict)).toMap
+    // exactly-once: each eval arrival is judged in its arrival batch
+    // and never again (the map comparison below would mask duplicates)
+    assert(verdictRows.length == streamed.size,
+      s"duplicate verdicts: ${verdictRows.length} rows, ${streamed.size} docs")
+
+    // (a) the seam: the planted eval doc is contaminated ONLY via the
+    // streamed-in train doc (its tokens are novel vs the corpus)
+    assert(streamed.contains(eId), "planted eval arrival got no verdict")
+    assert(streamed(eId)._3 > 0,
+      "the maintained set must catch the train doc that arrived earlier " +
+        s"in the stream; verdict=${streamed(eId)}")
+    // against the standing-only snapshot the same doc is clean — the
+    // difference IS the maintenance
+    val snapOnly = graft.queries.TextDedup.d12wVerdicts(
+        standing.unionByName(Seq((eId, evalText)).toDF("doc_id", "text")))
+      .filter(col("doc_id") === eId).collect()
+    assert(snapOnly.nonEmpty && snapOnly.forall(_.getLong(3) == 0L),
+      "fixture broke: the planted pair must be novel vs the standing corpus")
+
+    // (b) replay ≡ batch: verdicts equal the d12w set over
+    // standing ∪ arrived, restricted to the ARRIVED eval docs (train
+    // content led its eval duplicates in this replay, the regime where
+    // the stream converges to the batch audit)
+    val allDocs = standing.unionByName(
+      (arrivals :+ (tId, trainText) :+ (eId, evalText))
+        .toDF("doc_id", "text"))
+    val arrivedIds = (arrivals.map(_._1) :+ tId :+ eId).toSet
+    val batch = graft.queries.TextDedup.d12wVerdicts(allDocs)
+      .collect()
+      .filter(r => arrivedIds.contains(r.getLong(0)))
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+          : Verdict)).toMap
+    spark.catalog.clearCache() // d12wVerdicts' spec-side holds (unscoped)
+    assert(batch.nonEmpty)
+    assert(streamed == batch,
+      s"${streamed.size} streamed vs ${batch.size} batch verdicts; " +
+        s"diff=${(streamed.toSet diff batch.toSet).take(3)} / " +
+        s"${(batch.toSet diff streamed.toSet).take(3)}")
   }
 
   test("streamed gap facts finish to the batch gap histogram (e36 twin)") {
