@@ -24,10 +24,11 @@ import org.apache.spark.sql.functions._
   *    docs against the post-merge set — `localCheckpoint(eager)` means
   *    nothing lazy escapes). `drop_rows` carries each shard's arrival
   *    count so SCALE.md can state a per-arrival cost;
-  *  - **probes / drops_norm** — the LedgerRehearsal normalization
-  *    discipline (r15 verdict, directive 3): a fixed ~1%-slice winnow
-  *    kernel probe after every drop, so box drift divides out of the
-  *    per-drop series;
+  *  - **probes / drops_norm** — the LedgerRehearsal probe discipline
+  *    (r15 verdict, directive 3): a fixed ~3%-slice winnow kernel
+  *    probe after every drop, documenting the box's instantaneous
+  *    state next to each drop (see the LedgerRehearsal scaladoc for
+  *    the measured sampler-not-normalizer caveat);
   *  - **verify** — the maintained set must equal the from-scratch
   *    distinct train-fp set over (standing ∪ all arrivals), both
   *    directions (distinct-union maintenance is order-independent, so
@@ -76,9 +77,11 @@ object IngestRehearsal {
     val inc = docs.filter(col("doc_id") % 5 === 0)
     val nArrivals = inc.count()
 
-    val probeSlice = standing.filter(col("doc_id") % 97 === 1)
+    val probeSlice = standing.filter(col("doc_id") % 31 === 1)
     def probe(): Double = timed(
       graft.queries.TextDedup.winnowProbeCount(probeSlice))._2
+    probe() // discard: warm the probe's own path (the LedgerRehearsal
+            // confound — a self-warming unit reads as per-drop growth)
 
     // leg 1: the snapshot operator's standing asset (persist + pin)
     val (snap, snapS) =

@@ -28,17 +28,21 @@ import org.apache.spark.sql.functions._
   * escapes the timed window. The verify leg (edge-log recompute + label
   * join) prices separately; it is the audit, not the per-drop path.
   *
-  * Probe normalization (r15 verdict, directive 3): the box's same-day
-  * noise (identical standing builds measured 1.8× apart in one r15
-  * session) swamps any <2× per-drop history trend at sf100+. So the
-  * rehearsal times a FIXED probe — the winnow selection kernel +
-  * count over a constant ~1% slice of the standing corpus, work that
-  * cannot depend on how many drops have merged — immediately after
-  * every drop, and emits `drops_norm` = drop_s / probe_s alongside the
-  * raw rows. Box drift (CPU steal, page-cache state, IO contention)
-  * hits the numerator and denominator together and divides out; a
-  * history-depth trend hits only the numerator. The flatness claim is
-  * made on the NORMALIZED series.
+  * Probe instrumentation (r15 verdict, directive 3): the box's
+  * same-day noise (identical standing builds measured 1.8× apart in
+  * one r15 session) swamps any <2× per-drop history trend at sf100+.
+  * The rehearsal times a FIXED probe — the winnow selection kernel +
+  * count over a constant ~3% slice of the standing corpus, work that
+  * cannot depend on how many drops have merged — after every drop
+  * (one discarded warmup probe first: the probe's own page-cache fill
+  * otherwise reads as per-drop growth) and emits `drops_norm` =
+  * drop_s / probe_s alongside the raw rows. Measured caveat
+  * (SCALE.md r16): a few-second probe SAMPLES whichever contention
+  * burst it lands in (0.87–25.3 s spread within one sf100 run), so
+  * the ratio is noisier than the raw series — the probe documents the
+  * box's instantaneous state next to each drop, while the flatness
+  * CLAIM is made by a trend fit through k ≥ 12 raw drops (slope CI vs
+  * the checkpoint-rewrite floor).
   */
 object LedgerRehearsal {
   def main(args: Array[String]): Unit = {
@@ -75,9 +79,9 @@ object LedgerRehearsal {
     val inc = docs.filter(col("doc_id") % 5 === 0)
 
     // the fixed normalization unit: selection kernel + count over a
-    // constant ~1% standing slice — reads the same parquet, burns the
+    // constant ~3% standing slice — reads the same parquet, burns the
     // same expression kernel, and CANNOT grow with merge history
-    val probeSlice = standing.filter(col("doc_id") % 97 === 1)
+    val probeSlice = standing.filter(col("doc_id") % 31 === 1)
     def probe(): Double = timed(
       graft.queries.TextDedup.winnowProbeCount(probeSlice))._2
 
@@ -85,6 +89,13 @@ object LedgerRehearsal {
     val (m, buildS) = timed(
       new graft.streaming.CorpusStreams.WinnowLedgerMaintainer(
         standing, auditEdges = audit))
+
+    // warm the probe's own page-cache/codegen path before it is used
+    // as a unit: the first sf10 regen showed the probe getting FASTER
+    // across the run (0.72 → 0.32 s) — its own warmup, not box drift —
+    // which would masquerade as per-drop growth in the normalized
+    // series. One discarded probe removes the confound.
+    probe()
 
     // k drops, each the full merge: selection kernel + postings probe +
     // self join + star contraction — eager via localCheckpoint; a

@@ -849,13 +849,15 @@ object TextDedup {
         w, WinnowPosField)).as("fp"))
   }
 
-  /** Fixed-cost normalization unit for the rehearsal mains (r15
-    * verdict, directive 3): the winnow selection kernel + count over a
-    * caller-fixed document slice. Timed between crawl drops it prices
+  /** Fixed-cost probe unit for the rehearsal mains (r15 verdict,
+    * directive 3): the winnow selection kernel + count over a
+    * caller-fixed document slice. Timed between crawl drops it samples
     * the BOX at that instant — same parquet scan, same codegen kernel,
     * provably independent of how much history a maintainer has
-    * accumulated — so drop_s / probe_s divides same-session box drift
-    * out of a per-drop flatness series.
+    * accumulated. Measured caveat (SCALE.md r16): a short probe lands
+    * in a single contention burst, so it documents instantaneous box
+    * state next to each drop rather than normalizing it — flatness
+    * claims use a trend fit through the raw k ≥ 12 series.
     */
   private[graft] def winnowProbeCount(docs: DataFrame): Long =
     winnowLocalSelect(docs.select(col("doc_id"), col("text")),
