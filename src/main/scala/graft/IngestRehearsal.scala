@@ -36,7 +36,19 @@ import org.apache.spark.sql.functions._
   *    the SET, only for verdict equivalence, which StreamingSpec
   *    pins).
   *
-  * Args: dataDir k [outFile] [shufflePartitions=32]
+  * Args: dataDir k [outFile] [shufflePartitions=32] [stream=0]
+  *
+  * With `stream=1`, a final leg drives the ACTUAL
+  * `contaminationAtIngest` streaming query (watermark, stream-static
+  * join, append-mode state) through the same k shards as MemoryStream
+  * triggers and times each `processAllAvailable` — the snapshot
+  * operator's own per-trigger cost, as opposed to the maintainer's
+  * foreachBatch merge. Shard collection to the driver happens OUTSIDE
+  * the timed window (that is harness feeding, not operator cost), and
+  * the leg cross-checks its verdict count against the maintainer's
+  * (both judge exactly the eval arrivals that produce selections).
+  * Driver-memory bound: the shards are collected, so run it at
+  * sf ≤ 100 (the maintainer legs have no such bound).
   *
   * The arrival universe is the maintainer family's own split (doc_id ≡
   * 0 mod 5), sharded round-robin like LedgerRehearsal, so ingest rows
@@ -45,10 +57,11 @@ import org.apache.spark.sql.functions._
 object IngestRehearsal {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: IngestRehearsal dataDir k [outFile] [shuffleParts]")
+      "usage: IngestRehearsal dataDir k [outFile] [shuffleParts] [stream]")
     val dataDir = args(0)
     val k = args(1).toInt
     val shuffleParts = if (args.length > 3) args(3).toInt else 32
+    val streamLeg = args.length > 4 && args(4) != "0"
     val codec = sys.env.get("SPARK_GRAFT_CODEC")
     val builder = SparkSession.builder()
       .master("local[32]")
@@ -114,6 +127,52 @@ object IngestRehearsal {
     def seriesJson(name: Int => String, v: Seq[(Int, Double)]): String =
       v.map { case (i, s) => "\"" + name(i) + "\":" + r3(s) }
         .mkString("{", ",", "}")
+
+    // the snapshot operator's own per-trigger cost: the real streaming
+    // query, one timed processAllAvailable per shard
+    val streamJson = if (!streamLeg) ""
+    else {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val (snap2, snapS2) =
+        timed(graft.streaming.CorpusStreams.trainFpSnapshot(standing))
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, java.sql.Timestamp)]
+      val q = graft.streaming.CorpusStreams.contaminationAtIngest(
+          mem.toDS().toDF("doc_id", "text", "arrival_ts"), snap2)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("ingest_rehearsal_contam").start()
+      val ts0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+      val triggers = (0 until k).map { i =>
+        val rows = inc.filter((col("doc_id") / 5) % k === i)
+          .collect().map(r => (r.getLong(0), r.getString(1), ts0))
+        val (_, s) = timed {
+          mem.addData(rows.toIndexedSeq: _*)
+          q.processAllAvailable()
+        }
+        (i, s)
+      }
+      // one late arrival advances the watermark past the window so the
+      // pending append-mode verdicts emit (the StreamingSpec idiom)
+      val flushTs = java.sql.Timestamp.valueOf("2026-01-01 01:00:00")
+      val (_, flushS) = timed {
+        mem.addData((Long.MaxValue, "this flush document carries " +
+          "enough novel tokens to produce winnow selections and " +
+          "advance the watermark clock", flushTs))
+        q.processAllAvailable()
+      }
+      val nStream = spark.table("ingest_rehearsal_contam")
+        .filter(col("doc_id") =!= Long.MaxValue).count()
+      q.stop()
+      snap2.release()
+      // both operators judge exactly the eval arrivals that produce
+      // selections — a count drift would mean the surfaces diverged
+      require(nStream == nVerdicts,
+        s"stream verdicts $nStream != maintainer verdicts $nVerdicts")
+      s""","stream_snapshot_build_s":${r3(snapS2)},""" +
+        s""""stream_triggers":${seriesJson(i => s"trig$i", triggers)},""" +
+        s""""stream_flush_s":${r3(flushS)},"n_stream_verdicts":$nStream"""
+    }
     val dropsJson = seriesJson(i => s"drop$i",
       dropRows.map(r => (r._1, r._2)))
     val probesJson = seriesJson(i => s"probe$i",
@@ -129,7 +188,8 @@ object IngestRehearsal {
       s""""maintainer_build_s":${r3(buildS)},"drops":$dropsJson,""" +
       s""""probes":$probesJson,"drops_norm":$normJson,""" +
       s""""drop_rows":$rowsJson,"n_verdicts":$nVerdicts,""" +
-      s""""verify_fp_mismatches":$mismatches,"verify_s":${r3(verifyS)}}"""
+      s""""verify_fp_mismatches":$mismatches,""" +
+      s""""verify_s":${r3(verifyS)}$streamJson}"""
     if (args.length > 2)
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(args(2)), out + "\n")
