@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Ingest-decontamination rehearsal (r15 verdict, directives 1–2):
@@ -50,6 +50,16 @@ import org.apache.spark.sql.functions._
   * Driver-memory bound: the shards are collected, so run it at
   * sf ≤ 100 (the maintainer legs have no such bound).
   *
+  * With `stream=2`, the same leg runs on a FILE source instead: each
+  * shard is written as new parquet files into a watched directory
+  * (outside the timed window — landing files is the upstream's job)
+  * and the trigger scans them. This is the lake-shaped harness — no
+  * driver collect, no LocalRelation riding the task binaries (the
+  * MemoryStream leg ships the whole shard as a ~90 MB broadcast per
+  * trigger at sf100, which a real source never does) — so its
+  * trigger times are the honest per-trigger marginal cost, and it
+  * has no sf bound.
+  *
   * The arrival universe is the maintainer family's own split (doc_id ≡
   * 0 mod 5), sharded round-robin like LedgerRehearsal, so ingest rows
   * are comparable with the ledger rows measured on the same corpus.
@@ -61,7 +71,7 @@ object IngestRehearsal {
     val dataDir = args(0)
     val k = args(1).toInt
     val shuffleParts = if (args.length > 3) args(3).toInt else 32
-    val streamLeg = args.length > 4 && args(4) != "0"
+    val streamMode = if (args.length > 4) args(4).toInt else 0
     val codec = sys.env.get("SPARK_GRAFT_CODEC")
     val builder = SparkSession.builder()
       .master("local[32]")
@@ -130,37 +140,69 @@ object IngestRehearsal {
 
     // the snapshot operator's own per-trigger cost: the real streaming
     // query, one timed processAllAvailable per shard
-    val streamJson = if (!streamLeg) ""
+    val streamJson = if (streamMode == 0) ""
     else {
       import spark.implicits._
       implicit val sqlCtx = spark.sqlContext
+      val flushText = "this flush document carries enough novel " +
+        "tokens to produce winnow selections and advance the " +
+        "watermark clock"
+      val ts0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+      val flushTs = java.sql.Timestamp.valueOf("2026-01-01 01:00:00")
       val (snap2, snapS2) =
         timed(graft.streaming.CorpusStreams.trainFpSnapshot(standing))
-      val mem = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, String, java.sql.Timestamp)]
+
+      // the two harnesses feed identically-shaped (doc_id, text,
+      // arrival_ts) shards; feeding happens OUTSIDE the timed window
+      var feed: (Int => Unit, () => Unit, DataFrame) = null
+      if (streamMode == 1) {
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String, java.sql.Timestamp)]
+        feed = (
+          (i: Int) => {
+            val rows = inc.filter((col("doc_id") / 5) % k === i)
+              .collect().map(r => (r.getLong(0), r.getString(1), ts0))
+            mem.addData(rows.toIndexedSeq: _*); ()
+          },
+          () => { mem.addData((Long.MaxValue, flushText, flushTs)); () },
+          mem.toDS().toDF("doc_id", "text", "arrival_ts"))
+      } else {
+        // lake-shaped: shards LAND as parquet files in a watched dir
+        val srcDir = RunAssets.register(
+          s"${System.getProperty("java.io.tmpdir")}/graft-ingestsrc-" +
+          java.util.UUID.randomUUID().toString)
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(srcDir))
+        val sch = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("arrival_ts",
+            org.apache.spark.sql.types.TimestampType)))
+        feed = (
+          (i: Int) => inc.filter((col("doc_id") / 5) % k === i)
+            .withColumn("arrival_ts", lit(ts0))
+            .write.mode("append").parquet(srcDir),
+          () => Seq((Long.MaxValue, flushText, flushTs))
+            .toDF("doc_id", "text", "arrival_ts")
+            .write.mode("append").parquet(srcDir),
+          spark.readStream.schema(sch).parquet(srcDir))
+      }
+
       val q = graft.streaming.CorpusStreams.contaminationAtIngest(
-          mem.toDS().toDF("doc_id", "text", "arrival_ts"), snap2)
+          feed._3, snap2)
         .writeStream.outputMode("append").format("memory")
         .queryName("ingest_rehearsal_contam").start()
-      val ts0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
       val triggers = (0 until k).map { i =>
-        val rows = inc.filter((col("doc_id") / 5) % k === i)
-          .collect().map(r => (r.getLong(0), r.getString(1), ts0))
-        val (_, s) = timed {
-          mem.addData(rows.toIndexedSeq: _*)
-          q.processAllAvailable()
-        }
+        feed._1(i)
+        val (_, s) = timed(q.processAllAvailable())
         (i, s)
       }
       // one late arrival advances the watermark past the window so the
       // pending append-mode verdicts emit (the StreamingSpec idiom)
-      val flushTs = java.sql.Timestamp.valueOf("2026-01-01 01:00:00")
-      val (_, flushS) = timed {
-        mem.addData((Long.MaxValue, "this flush document carries " +
-          "enough novel tokens to produce winnow selections and " +
-          "advance the watermark clock", flushTs))
-        q.processAllAvailable()
-      }
+      feed._2()
+      val (_, flushS) = timed(q.processAllAvailable())
       val nStream = spark.table("ingest_rehearsal_contam")
         .filter(col("doc_id") =!= Long.MaxValue).count()
       q.stop()
@@ -169,7 +211,8 @@ object IngestRehearsal {
       // selections — a count drift would mean the surfaces diverged
       require(nStream == nVerdicts,
         s"stream verdicts $nStream != maintainer verdicts $nVerdicts")
-      s""","stream_snapshot_build_s":${r3(snapS2)},""" +
+      s""","stream_harness":${if (streamMode == 1) "\"memory\"" else "\"files\""},""" +
+        s""""stream_snapshot_build_s":${r3(snapS2)},""" +
         s""""stream_triggers":${seriesJson(i => s"trig$i", triggers)},""" +
         s""""stream_flush_s":${r3(flushS)},"n_stream_verdicts":$nStream"""
     }

@@ -1934,6 +1934,19 @@ class StreamingSpec extends AnyFunSuite {
       .find(t => bucketOf(t) >= 80).get
     val tId = 777001L
     val eId = 777002L
+    // second planted pair, BOTH in the final mixed batch — pins the
+    // merge-first ordering deterministically (extend with the batch's
+    // train fps BEFORE judging its eval docs, so a same-trigger train
+    // duplicate is caught, matching the orderless batch audit)
+    val core2 = "same batch witness pair with its own long shared " +
+      "interior of novel tokens jacaranda kinetoscope lambency " +
+      "marginalia numinous oriflamme palimpsest quillon"
+    val trainText2 = (0 until 100).map(i => s"$core2 train salt $i")
+      .find(t => bucketOf(t) < 80).get
+    val evalText2 = (0 until 100).map(i => s"$core2 eval salt $i")
+      .find(t => bucketOf(t) >= 80).get
+    val tId2 = 777003L
+    val eId2 = 777004L
 
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"))
@@ -1956,8 +1969,10 @@ class StreamingSpec extends AnyFunSuite {
       mem.addData((tr1 :+ (tId, trainText)).toIndexedSeq: _*)
       q.processAllAvailable()
       // … its near-dup EVAL doc in shard 2: a point-in-time snapshot
-      // (standing-only) would miss it; the maintained set must not
-      mem.addData((tr2 ++ evalArr :+ (eId, evalText)).toIndexedSeq: _*)
+      // (standing-only) would miss it; the maintained set must not.
+      // The second planted pair rides shard 2 TOGETHER — same trigger
+      mem.addData((tr2 ++ evalArr :+ (eId, evalText) :+ (tId2, trainText2)
+        :+ (eId2, evalText2)).toIndexedSeq: _*)
       q.processAllAvailable()
     } finally q.stop()
 
@@ -1977,6 +1992,10 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed(eId)._3 > 0,
       "the maintained set must catch the train doc that arrived earlier " +
         s"in the stream; verdict=${streamed(eId)}")
+    // merge-first: the pair that arrived in ONE trigger is also caught
+    assert(streamed.contains(eId2) && streamed(eId2)._3 > 0,
+      "a same-batch train duplicate must be caught (extend before " +
+        s"judge); verdict=${streamed.get(eId2)}")
     // against the standing-only snapshot the same doc is clean — the
     // difference IS the maintenance
     val snapOnly = graft.queries.TextDedup.d12wVerdicts(
@@ -1990,9 +2009,11 @@ class StreamingSpec extends AnyFunSuite {
     // content led its eval duplicates in this replay, the regime where
     // the stream converges to the batch audit)
     val allDocs = standing.unionByName(
-      (arrivals :+ (tId, trainText) :+ (eId, evalText))
+      (arrivals :+ (tId, trainText) :+ (eId, evalText)
+        :+ (tId2, trainText2) :+ (eId2, evalText2))
         .toDF("doc_id", "text"))
-    val arrivedIds = (arrivals.map(_._1) :+ tId :+ eId).toSet
+    val arrivedIds =
+      (arrivals.map(_._1) :+ tId :+ eId :+ tId2 :+ eId2).toSet
     val batch = graft.queries.TextDedup.d12wVerdicts(allDocs)
       .collect()
       .filter(r => arrivedIds.contains(r.getLong(0)))
