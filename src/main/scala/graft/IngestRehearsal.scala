@@ -100,13 +100,13 @@ object IngestRehearsal {
     val inc = docs.filter(col("doc_id") % 5 === 0)
     val nArrivals = inc.count()
 
-    val probeSlice = standing.filter(col("doc_id") % 31 === 1)
-    def probe(): Double = timed(
-      graft.queries.TextDedup.winnowProbeCount(probeSlice))._2
-    probe() // discard: warm the probe's own path (the LedgerRehearsal
-            // confound — a self-warming unit reads as per-drop growth)
+    val probeUnit = graft.queries.TextDedup.rehearsalProbe(standing)
+    def probe(): Double = timed(probeUnit())._2
 
-    // leg 1: the snapshot operator's standing asset (persist + pin)
+    // leg 1: the snapshot operator's standing asset (persist + pin) —
+    // FIRST, cold, like LedgerRehearsal's standing build (an earlier
+    // revision ran the warmup probe before the builds, which measured
+    // them kernel/page-cache-warm and skewed cross-main comparisons)
     val (snap, snapS) =
       timed(graft.streaming.CorpusStreams.trainFpSnapshot(standing))
     snap.release() // priced, not needed: the maintainer owns the set now
@@ -114,6 +114,9 @@ object IngestRehearsal {
     // leg 2: the maintained set's standing build
     val (m, buildS) = timed(
       new graft.streaming.CorpusStreams.TrainFpMaintainer(standing))
+
+    probe() // discard: warm the probe's own path AFTER the timed
+            // builds (a self-warming unit reads as per-drop growth)
 
     // k drops, each one trigger's marginal cost (extend + judge)
     val dropRows = (0 until k).map { i =>
@@ -154,41 +157,36 @@ object IngestRehearsal {
 
       // the two harnesses feed identically-shaped (doc_id, text,
       // arrival_ts) shards; feeding happens OUTSIDE the timed window
-      var feed: (Int => Unit, () => Unit, DataFrame) = null
-      if (streamMode == 1) {
-        val mem = org.apache.spark.sql.execution.streaming.runtime
-          .MemoryStream[(Long, String, java.sql.Timestamp)]
-        feed = (
-          (i: Int) => {
-            val rows = inc.filter((col("doc_id") / 5) % k === i)
-              .collect().map(r => (r.getLong(0), r.getString(1), ts0))
-            mem.addData(rows.toIndexedSeq: _*); ()
-          },
-          () => { mem.addData((Long.MaxValue, flushText, flushTs)); () },
-          mem.toDS().toDF("doc_id", "text", "arrival_ts"))
-      } else {
-        // lake-shaped: shards LAND as parquet files in a watched dir
-        val srcDir = RunAssets.register(
-          s"${System.getProperty("java.io.tmpdir")}/graft-ingestsrc-" +
-          java.util.UUID.randomUUID().toString)
-        java.nio.file.Files.createDirectories(
-          java.nio.file.Paths.get(srcDir))
-        val sch = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("doc_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("text",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("arrival_ts",
-            org.apache.spark.sql.types.TimestampType)))
-        feed = (
-          (i: Int) => inc.filter((col("doc_id") / 5) % k === i)
-            .withColumn("arrival_ts", lit(ts0))
-            .write.mode("append").parquet(srcDir),
-          () => Seq((Long.MaxValue, flushText, flushTs))
-            .toDF("doc_id", "text", "arrival_ts")
-            .write.mode("append").parquet(srcDir),
-          spark.readStream.schema(sch).parquet(srcDir))
-      }
+      val feed: (Int => Unit, () => Unit, DataFrame) =
+        if (streamMode == 1) {
+          val mem = org.apache.spark.sql.execution.streaming.runtime
+            .MemoryStream[(Long, String, java.sql.Timestamp)]
+          (
+            (i: Int) => {
+              val rows = inc.filter((col("doc_id") / 5) % k === i)
+                .collect().map(r => (r.getLong(0), r.getString(1), ts0))
+              mem.addData(rows.toIndexedSeq: _*); ()
+            },
+            () => { mem.addData((Long.MaxValue, flushText, flushTs)); () },
+            mem.toDS().toDF("doc_id", "text", "arrival_ts"))
+        } else {
+          // lake-shaped: shards LAND as parquet files in a watched dir
+          val srcDir = RunAssets.register(
+            s"${System.getProperty("java.io.tmpdir")}/graft-ingestsrc-" +
+            java.util.UUID.randomUUID().toString)
+          java.nio.file.Files.createDirectories(
+            java.nio.file.Paths.get(srcDir))
+          val sch = Seq.empty[(Long, String, java.sql.Timestamp)]
+            .toDF("doc_id", "text", "arrival_ts").schema
+          (
+            (i: Int) => inc.filter((col("doc_id") / 5) % k === i)
+              .withColumn("arrival_ts", lit(ts0))
+              .write.mode("append").parquet(srcDir),
+            () => Seq((Long.MaxValue, flushText, flushTs))
+              .toDF("doc_id", "text", "arrival_ts")
+              .write.mode("append").parquet(srcDir),
+            spark.readStream.schema(sch).parquet(srcDir))
+        }
 
       val q = graft.streaming.CorpusStreams.contaminationAtIngest(
           feed._3, snap2)

@@ -78,12 +78,12 @@ object LedgerRehearsal {
     val standing = docs.filter(col("doc_id") % 5 =!= 0)
     val inc = docs.filter(col("doc_id") % 5 === 0)
 
-    // the fixed normalization unit: selection kernel + count over a
-    // constant ~3% standing slice — reads the same parquet, burns the
-    // same expression kernel, and CANNOT grow with merge history
-    val probeSlice = standing.filter(col("doc_id") % 31 === 1)
-    def probe(): Double = timed(
-      graft.queries.TextDedup.winnowProbeCount(probeSlice))._2
+    // the fixed probe unit: selection kernel + count over a constant
+    // ~3% standing slice — reads the same parquet, burns the same
+    // expression kernel, and CANNOT grow with merge history (one
+    // spelling, shared with IngestRehearsal)
+    val probeUnit = graft.queries.TextDedup.rehearsalProbe(standing)
+    def probe(): Double = timed(probeUnit())._2
 
     // the once-per-corpus standing build (constructor state is eager)
     val (m, buildS) = timed(

@@ -863,6 +863,17 @@ object TextDedup {
     winnowLocalSelect(docs.select(col("doc_id"), col("text")),
       WinnowW, WinnowWideHex).count()
 
+  /** The ONE spelling of the rehearsal probe unit (constant ~3%
+    * standing slice through [[winnowProbeCount]]) shared by the
+    * LedgerRehearsal and IngestRehearsal mains, so their probe series
+    * stay comparable by construction — the t9 "spell it once" rule
+    * applied to a measuring instrument.
+    */
+  private[graft] def rehearsalProbe(standing: DataFrame): () => Long = {
+    val slice = standing.filter(col("doc_id") % 31 === 1)
+    () => winnowProbeCount(slice)
+  }
+
   /** The capped WIDE winnow selection `(doc_id, fp)` as a run-scoped
     * asset (r12 verdict, directive 2): ONE shingle-hash pass per
     * (run, dir), materialized like [[dupPairs]], consumed by

@@ -842,12 +842,18 @@ object CorpusStreams {
     /** The live (id, component) table after all merges so far. */
     def currentLedger: DataFrame = synchronized(ledger)
 
+    private var lastBatchId = -1L
+
     /** Attach to a streaming (doc_id, text) frame: one ledger merge per
-      * micro-batch.
+      * micro-batch. foreachBatch is at-least-once; replayed batch ids
+      * skip (a re-merged shard would duplicate node and posting rows —
+      * the merge is NOT naturally idempotent).
       */
     def attach(docs: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
       docs.writeStream.outputMode("update")
-        .foreachBatch((b: DataFrame, _: Long) => mergeBatch(b))
+        .foreachBatch((b: DataFrame, id: Long) => synchronized {
+          if (id > lastBatchId) { mergeBatch(b); lastBatchId = id }
+        })
         .start()
   }
 
@@ -959,12 +965,18 @@ object CorpusStreams {
       TextDedup.starContractComponents(nodes, edgeLog)._1
     }
 
+    private var lastBatchId = -1L
+
     /** Attach to a streaming (doc_id, text) frame: one ledger merge per
-      * micro-batch.
+      * micro-batch. foreachBatch is at-least-once; replayed batch ids
+      * skip (re-merging a shard would duplicate node and capped-posting
+      * rows — the merge is NOT naturally idempotent).
       */
     def attach(docs: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
       docs.writeStream.outputMode("update")
-        .foreachBatch((b: DataFrame, _: Long) => mergeBatch(b))
+        .foreachBatch((b: DataFrame, id: Long) => synchronized {
+          if (id > lastBatchId) { mergeBatch(b); lastBatchId = id }
+        })
         .start()
   }
 
@@ -1156,7 +1168,25 @@ object CorpusStreams {
     *     is the order that converges to it).
     *
     * Verdicts accumulate on the maintainer (one row per eval arrival,
-    * exactly once, the d12w columns). Replay ≡ batch: once every
+    * exactly once, the d12w columns). Two disciplines make that hold
+    * (r16 review findings, fixed before shipping):
+    *
+    *  - foreachBatch is AT-LEAST-ONCE — a restarted query replays its
+    *    last uncommitted micro-batch against the same maintainer
+    *    instance. The fp extend is naturally idempotent (anti-join),
+    *    but a re-appended verdict batch would double-count, so
+    *    [[attach]] carries the canonical batchId guard: a batch id ≤
+    *    the last completed one is skipped (the same guard now protects
+    *    all three maintainers' attach paths).
+    *  - verdicts are append-only OUTPUT, not maintained state, so the
+    *    log is a buffer of per-batch checkpointed increments — each
+    *    trigger pays O(its own verdicts), never a rewrite of the
+    *    accumulated log (the full-rewrite justification covers only
+    *    the fp SET, whose next merge genuinely reads it). The buffer
+    *    compacts 64 increments into one frame so [[verdicts]]' plan
+    *    width stays bounded for long-lived streams.
+    *
+    * Replay ≡ batch: once every
     * arrival is in, [[verdicts]] equals the batch d12w verdict set
     * over (standing ∪ arrived) restricted to the ARRIVED eval docs —
     * for any shard partition in which no eval doc precedes a
@@ -1171,11 +1201,12 @@ object CorpusStreams {
     * O(touched buckets)); the localCheckpoint full rewrite is this
     * box's stand-in, as with the ledger maintainers.
     */
-  final class TrainFpMaintainer(standingDocs: DataFrame) {
+  final class TrainFpMaintainer(standingDocs: DataFrame,
+      compactEvery: Int = 64) {
     import graft.queries.TextDedup
     private def ck(df: DataFrame): DataFrame = df.localCheckpoint(true)
     private var fps: DataFrame = ck(trainFpsOf(standingDocs))
-    private var verdictLog: DataFrame = {
+    private val emptyVerdicts: DataFrame = {
       val spark = standingDocs.sparkSession
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         StructType(Seq(
@@ -1183,6 +1214,12 @@ object CorpusStreams {
           StructField("n_sel", LongType), StructField("n_in_train", LongType),
           StructField("overlap", DoubleType))))
     }
+    // append-only output: per-batch checkpointed increments, compacted
+    // every 64 so the union plan stays bounded — never a per-trigger
+    // rewrite of the accumulated log
+    private val verdictBatches =
+      scala.collection.mutable.ArrayBuffer[DataFrame]()
+    private var lastBatchId = -1L
 
     /** Merge one arriving shard: extend the set with its train docs,
       * then judge its eval docs against the extended set.
@@ -1209,7 +1246,12 @@ object CorpusStreams {
             col("n_in_train"),
             round(col("n_in_train").cast("double") / col("n_sel"), 6)
               .as("overlap"))
-        verdictLog = ck(verdictLog.unionByName(v))
+        verdictBatches += ck(v)
+        if (verdictBatches.length > compactEvery) {
+          val all = verdictBatches.reduce(_ unionByName _)
+          verdictBatches.clear()
+          verdictBatches += ck(all)
+        }
       }
     }
 
@@ -1219,14 +1261,20 @@ object CorpusStreams {
     /** All contamination verdicts emitted so far — one row per eval
       * arrival, the batch d12w columns.
       */
-    def verdicts: DataFrame = synchronized(verdictLog)
+    def verdicts: DataFrame = synchronized(
+      if (verdictBatches.isEmpty) emptyVerdicts
+      else verdictBatches.reduce(_ unionByName _))
 
     /** Attach to a streaming (doc_id, text) frame: one merge per
-      * micro-batch.
+      * micro-batch. foreachBatch is at-least-once, so replayed batch
+      * ids are skipped — without the guard a replay would double-count
+      * verdicts (the fp extend alone is naturally idempotent).
       */
     def attach(docs: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
       docs.writeStream.outputMode("update")
-        .foreachBatch((b: DataFrame, _: Long) => mergeBatch(b))
+        .foreachBatch((b: DataFrame, id: Long) => synchronized {
+          if (id > lastBatchId) { mergeBatch(b); lastBatchId = id }
+        })
         .start()
   }
 }

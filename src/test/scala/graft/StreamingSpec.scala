@@ -1996,36 +1996,99 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.contains(eId2) && streamed(eId2)._3 > 0,
       "a same-batch train duplicate must be caught (extend before " +
         s"judge); verdict=${streamed.get(eId2)}")
-    // against the standing-only snapshot the same doc is clean — the
-    // difference IS the maintenance
-    val snapOnly = graft.queries.TextDedup.d12wVerdicts(
-        standing.unionByName(Seq((eId, evalText)).toDF("doc_id", "text")))
-      .filter(col("doc_id") === eId).collect()
-    assert(snapOnly.nonEmpty && snapOnly.forall(_.getLong(3) == 0L),
-      "fixture broke: the planted pair must be novel vs the standing corpus")
+    // d12wVerdicts' spec-side holds are unscoped plain persists — the
+    // finally keeps an assertion failure from leaking them into the
+    // rest of the shared-session suite
+    try {
+      // against the standing-only snapshot the same doc is clean — the
+      // difference IS the maintenance
+      val snapOnly = graft.queries.TextDedup.d12wVerdicts(
+          standing.unionByName(Seq((eId, evalText)).toDF("doc_id", "text")))
+        .filter(col("doc_id") === eId).collect()
+      assert(snapOnly.nonEmpty && snapOnly.forall(_.getLong(3) == 0L),
+        "fixture broke: the planted pair must be novel vs the standing corpus")
 
-    // (b) replay ≡ batch: verdicts equal the d12w set over
-    // standing ∪ arrived, restricted to the ARRIVED eval docs (train
-    // content led its eval duplicates in this replay, the regime where
-    // the stream converges to the batch audit)
-    val allDocs = standing.unionByName(
-      (arrivals :+ (tId, trainText) :+ (eId, evalText)
-        :+ (tId2, trainText2) :+ (eId2, evalText2))
-        .toDF("doc_id", "text"))
-    val arrivedIds =
-      (arrivals.map(_._1) :+ tId :+ eId :+ tId2 :+ eId2).toSet
-    val batch = graft.queries.TextDedup.d12wVerdicts(allDocs)
-      .collect()
-      .filter(r => arrivedIds.contains(r.getLong(0)))
-      .map(r => r.getLong(0) ->
-        ((r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4))
-          : Verdict)).toMap
-    spark.catalog.clearCache() // d12wVerdicts' spec-side holds (unscoped)
-    assert(batch.nonEmpty)
-    assert(streamed == batch,
-      s"${streamed.size} streamed vs ${batch.size} batch verdicts; " +
-        s"diff=${(streamed.toSet diff batch.toSet).take(3)} / " +
-        s"${(batch.toSet diff streamed.toSet).take(3)}")
+      // (b) replay ≡ batch: verdicts equal the d12w set over
+      // standing ∪ arrived, restricted to the ARRIVED eval docs (train
+      // content led its eval duplicates in this replay, the regime where
+      // the stream converges to the batch audit)
+      val allDocs = standing.unionByName(
+        (arrivals :+ (tId, trainText) :+ (eId, evalText)
+          :+ (tId2, trainText2) :+ (eId2, evalText2))
+          .toDF("doc_id", "text"))
+      val arrivedIds =
+        (arrivals.map(_._1) :+ tId :+ eId :+ tId2 :+ eId2).toSet
+      val batch = graft.queries.TextDedup.d12wVerdicts(allDocs)
+        .collect()
+        .filter(r => arrivedIds.contains(r.getLong(0)))
+        .map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+            : Verdict)).toMap
+      assert(batch.nonEmpty)
+      assert(streamed == batch,
+        s"${streamed.size} streamed vs ${batch.size} batch verdicts; " +
+          s"diff=${(streamed.toSet diff batch.toSet).take(3)} / " +
+          s"${(batch.toSet diff streamed.toSet).take(3)}")
+    } finally spark.catalog.clearCache()
+  }
+
+  test("train-fp maintainer: replayed micro-batch ids are skipped " +
+      "(foreachBatch is at-least-once) and verdict-buffer compaction " +
+      "preserves the log (r16 review findings)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    val standing = docs.filter(col("doc_id") % 5 =!= 0)
+    val arrivals = docs.filter(col("doc_id") % 5 === 0)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // compactEvery = 2 forces several compactions across the shards,
+    // so a row lost or duplicated by compaction fails the equality
+    val m = new graft.streaming.CorpusStreams.TrainFpMaintainer(
+      standing, compactEvery = 2)
+    val shards = arrivals.grouped(math.max(1, arrivals.size / 7)).toSeq
+    val mem1 = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q1 = m.attach(mem1.toDS().toDF("doc_id", "text"))
+    try {
+      shards.foreach { sh => mem1.addData(sh: _*); q1.processAllAvailable() }
+    } finally q1.stop()
+    type Verdict = (Long, String, Long, Long, Double)
+    def all(): Seq[Verdict] = m.verdicts.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq.sorted
+    val once = all()
+    assert(once.nonEmpty)
+    assert(once.map(_._1).distinct.size == once.size, "duplicate verdicts")
+    val nFps = m.currentFps.count()
+
+    // REPLAY: a second stream re-delivers every shard to the SAME
+    // maintainer. Its batch ids restart at 0 — all ≤ the last
+    // completed id — so the guard must skip them all: verdicts and
+    // the fp set stay bit-identical (without the guard, every verdict
+    // would double and the capped unions would duplicate rows)
+    val mem2 = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q2 = m.attach(mem2.toDS().toDF("doc_id", "text"))
+    try {
+      shards.foreach { sh => mem2.addData(sh: _*); q2.processAllAvailable() }
+      assert(all() == once, "replayed batches were re-merged")
+      assert(m.currentFps.count() == nFps)
+      // a batch id BEYOND the completed ones still merges: after
+      // replaying all |shards| batches, the next one's id equals
+      // |shards|, which exceeds the last completed id (|shards| − 1)
+      mem2.addData(arrivals.head)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    // the re-sent head doc rides a NEW batch id, so it merges: if it
+    // was an eval doc it re-judges (one more verdict), if train it
+    // re-extends idempotently — either way fps are unchanged and the
+    // verdict log grew by 0 or 1 rows, never doubled
+    assert(m.currentFps.count() == nFps)
+    val after = all()
+    assert(after.size == once.size || after.size == once.size + 1,
+      s"${after.size} vs ${once.size}")
   }
 
   test("streamed gap facts finish to the batch gap histogram (e36 twin)") {
