@@ -37,6 +37,23 @@ import org.apache.spark.sql.functions._
   *    pins).
   *
   * Args: dataDir k [outFile] [shufflePartitions=32] [stream=0]
+  * [store=lc]
+  *
+  * Build-order caveat (r16 ADVICE): leg 1 (snapshot build) runs cold
+  * and leg 2 (maintainer build) reads the same standing parquet
+  * page-cache-warm, so the snapshot-vs-maintainer STANDING-BUILD
+  * comparison inside one JVM is biased warm toward leg 2; quote
+  * cross-build comparisons from separate runs (as SCALE.md's rows do)
+  * or read them as a warm bound. The per-drop series is unaffected —
+  * every drop runs equally warm behind both builds.
+  *
+  * With `store=bucketed`, the maintainer runs in its fp-bucketed
+  * parquet mode (r16 verdict, directive 1): the standing set lands as
+  * a `pmod(hash(fp), nBuckets)` directory-partitioned table under a
+  * run-scoped tmp dir, each drop APPENDS its novel fps to only the
+  * buckets they hash into, and the per-drop series prices the lake
+  * shape directly — against the localCheckpoint mode's documented
+  * full-rewrite floor on the same k-drop series.
   *
   * With `stream=1`, a final leg drives the ACTUAL
   * `contaminationAtIngest` streaming query (watermark, stream-static
@@ -67,11 +84,14 @@ import org.apache.spark.sql.functions._
 object IngestRehearsal {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: IngestRehearsal dataDir k [outFile] [shuffleParts] [stream]")
+      "usage: IngestRehearsal dataDir k [outFile] [shuffleParts] [stream] [store]")
     val dataDir = args(0)
     val k = args(1).toInt
     val shuffleParts = if (args.length > 3) args(3).toInt else 32
     val streamMode = if (args.length > 4) args(4).toInt else 0
+    val storeMode = if (args.length > 5) args(5) else "lc"
+    require(storeMode == "lc" || storeMode == "bucketed",
+      s"store must be lc|bucketed, got $storeMode")
     val codec = sys.env.get("SPARK_GRAFT_CODEC")
     val builder = SparkSession.builder()
       .master("local[32]")
@@ -111,9 +131,17 @@ object IngestRehearsal {
       timed(graft.streaming.CorpusStreams.trainFpSnapshot(standing))
     snap.release() // priced, not needed: the maintainer owns the set now
 
-    // leg 2: the maintained set's standing build
+    // leg 2: the maintained set's standing build (note: reads the
+    // standing parquet page-cache-warm behind leg 1 — see the
+    // build-order caveat in the scaladoc)
+    val bucketDir =
+      if (storeMode == "bucketed") Some(RunAssets.register(
+        s"${System.getProperty("java.io.tmpdir")}/graft-fpstore-" +
+        java.util.UUID.randomUUID().toString))
+      else None
     val (m, buildS) = timed(
-      new graft.streaming.CorpusStreams.TrainFpMaintainer(standing))
+      new graft.streaming.CorpusStreams.TrainFpMaintainer(standing,
+        bucketDir = bucketDir))
 
     probe() // discard: warm the probe's own path AFTER the timed
             // builds (a self-warming unit reads as per-drop growth)
@@ -225,6 +253,7 @@ object IngestRehearsal {
       .mkString("{", ",", "}")
 
     val out = s"""{"metric":"ingest_rehearsal","sf":"$dataDir","k":$k,""" +
+      s""""store":"$storeMode",""" +
       s""""n_arrivals":$nArrivals,"snapshot_build_s":${r3(snapS)},""" +
       s""""maintainer_build_s":${r3(buildS)},"drops":$dropsJson,""" +
       s""""probes":$probesJson,"drops_norm":$normJson,""" +

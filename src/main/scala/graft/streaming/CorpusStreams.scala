@@ -843,18 +843,31 @@ object CorpusStreams {
     def currentLedger: DataFrame = synchronized(ledger)
 
     private var lastBatchId = -1L
+    private var wasAttached = false
 
     /** Attach to a streaming (doc_id, text) frame: one ledger merge per
       * micro-batch. foreachBatch is at-least-once; replayed batch ids
       * skip (a re-merged shard would duplicate node and posting rows —
-      * the merge is NOT naturally idempotent).
+      * the merge is NOT naturally idempotent). The guard is per
+      * maintainer lifetime, so attach fails fast on re-attach unless
+      * `resume = true` — a NEW query's ids restart at 0 and would be
+      * silently dropped; re-attach is only valid for a restarted query
+      * re-delivering the same batches (r16 ADVICE).
       */
-    def attach(docs: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
+    def attach(docs: DataFrame, resume: Boolean = false)
+        : org.apache.spark.sql.streaming.StreamingQuery = synchronized {
+      require(!wasAttached || resume,
+        "maintainer already attached: a new query's batch ids restart " +
+        "at 0 and the replay guard would silently drop its first " +
+        "batches; pass resume = true only when re-attaching a " +
+        "restarted query that re-delivers the same batches")
+      wasAttached = true
       docs.writeStream.outputMode("update")
         .foreachBatch((b: DataFrame, id: Long) => synchronized {
           if (id > lastBatchId) { mergeBatch(b); lastBatchId = id }
         })
         .start()
+    }
   }
 
   /** [[ComponentLedgerMaintainer]] in the BOUNDED winnow space — the
@@ -966,18 +979,29 @@ object CorpusStreams {
     }
 
     private var lastBatchId = -1L
+    private var wasAttached = false
 
     /** Attach to a streaming (doc_id, text) frame: one ledger merge per
       * micro-batch. foreachBatch is at-least-once; replayed batch ids
       * skip (re-merging a shard would duplicate node and capped-posting
-      * rows — the merge is NOT naturally idempotent).
+      * rows — the merge is NOT naturally idempotent). Fails fast on
+      * re-attach unless `resume = true` (see
+      * [[ComponentLedgerMaintainer.attach]] — r16 ADVICE).
       */
-    def attach(docs: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
+    def attach(docs: DataFrame, resume: Boolean = false)
+        : org.apache.spark.sql.streaming.StreamingQuery = synchronized {
+      require(!wasAttached || resume,
+        "maintainer already attached: a new query's batch ids restart " +
+        "at 0 and the replay guard would silently drop its first " +
+        "batches; pass resume = true only when re-attaching a " +
+        "restarted query that re-delivers the same batches")
+      wasAttached = true
       docs.writeStream.outputMode("update")
         .foreachBatch((b: DataFrame, id: Long) => synchronized {
           if (id > lastBatchId) { mergeBatch(b); lastBatchId = id }
         })
         .start()
+    }
   }
 
   /** Per-document (doc_id, source, n) token counts — the stateless
@@ -1142,10 +1166,11 @@ object CorpusStreams {
   }
 
   /** MAINTAINED standing train-fingerprint set (r15 verdict,
-    * directive 1) — the seam [[contaminationAtIngest]]'s snapshot left
-    * ajar: against a point-in-time static side, an eval doc arriving
-    * AFTER its duplicate train doc in the same stream is missed until
-    * the next batch release audit. This maintainer is the
+    * directive 1; r16 verdict, directives 1–3) — the seam
+    * [[contaminationAtIngest]]'s snapshot left ajar: against a
+    * point-in-time static side, an eval doc arriving AFTER its
+    * duplicate train doc in the same stream is missed until the next
+    * batch release audit. This maintainer is the
     * [[WinnowLedgerMaintainer]] pattern on the simplest possible state:
     * a DISTINCT fingerprint set, whose maintenance is exactly
     * incremental — distinct(standing ∪ batch) = standing ∪ (batch
@@ -1156,98 +1181,202 @@ object CorpusStreams {
     *
     * Per micro-batch, in order:
     *  1. EXTEND — the batch's train-split arrivals' distinct
-    *     fingerprints anti-join the standing set; novel ones append
-    *     (`localCheckpoint(eager)` advance, the maintainer lineage
-    *     discipline).
-    *  2. PROBE — the batch's eval (val/test) arrivals compute their
+    *     fingerprints anti-join the standing set; novel ones append.
+    *  2. REVISE (r16 verdict, directive 2 — the eval-leads seam) —
+    *     previously judged eval docs whose retained selections contain
+    *     a NEWLY arrived fp re-judge against the post-extend set, and
+    *     a revision verdict supersedes their earlier row. This makes
+    *     replay ≡ batch ORDER-UNCONDITIONAL: an eval doc judged before
+    *     its duplicate train doc arrives no longer keeps a stale clean
+    *     verdict until the batch audit. The state behind it is the
+    *     judged-eval postings table (doc_id, split, fp — the doc's own
+    *     selection rows, retained at first judgment), probed on fp by
+    *     the novel increment; steady-state drops with no contamination
+    *     hits pay only the bucket-pruned phase-1 probe, and the full
+    *     postings fetch runs only when a revision actually fires.
+    *  3. JUDGE — the batch's eval (val/test) arrivals compute their
     *     uncapped wide selections (per-doc-local, map-side; the split
     *     attaches by doc-scale JOIN, never riding the generator select
     *     list — the r14 17× lesson) and left-join the POST-merge set,
     *     so an eval doc whose duplicate train doc arrived in the SAME
     *     batch is caught (batch d12w has no arrival order; merge-first
     *     is the order that converges to it).
+    *  4. RETAIN — the batch's eval selections append to the postings
+    *     table (first arrival wins: a re-delivered doc re-judges but
+    *     never duplicates postings; the small judged-id set keys the
+    *     dedup so the postings table itself is never re-read for it).
     *
-    * Verdicts accumulate on the maintainer (one row per eval arrival,
-    * exactly once, the d12w columns). Two disciplines make that hold
-    * (r16 review findings, fixed before shipping):
+    * STORE (r16 verdict, directive 1 — the lake shape made real):
+    * with `bucketDir = None` the fp set and postings advance by
+    * `localCheckpoint(eager)` — the full set rewrites per merge, the
+    * box stand-in whose per-drop cost floor SCALE.md documents. With
+    * `bucketDir = Some(dir)` both live as fp-hash-bucketed parquet
+    * tables (`pmod(hash(fp), nBuckets)` directory partitions): the
+    * standing build writes every bucket once; each merge APPENDS the
+    * increment's novel fps to only the buckets they hash into (novel
+    * sets are disjoint from standing by the anti-join, so a distinct
+    * set's merge-into degenerates to a pure bucket-local append —
+    * per-trigger write IO is O(increment), not O(set)); the anti-join
+    * and revision probes read only the buckets the increment's fps
+    * hash into (partition pruning on the bucket directory column).
+    * Buckets whose file count passes `maxFilesPerBucket` compact
+    * bucket-locally (read that bucket off a checkpoint, dynamic
+    * partition-overwrite of exactly that directory) — amortized
+    * O(bucket)/`maxFilesPerBucket` per drop. `StreamingSpec` pins
+    * bucketed ≡ localCheckpoint ≡ batch d12w; `IngestRehearsal`
+    * prices both modes on the same k-drop series.
+    *
+    * Verdicts accumulate on the maintainer as an append-only LOG (the
+    * d12w columns + a `rev` sequence; [[verdicts]] finishes
+    * latest-per-doc). Disciplines (r16 review findings + directive 3):
     *
     *  - foreachBatch is AT-LEAST-ONCE — a restarted query replays its
     *    last uncommitted micro-batch against the same maintainer
     *    instance. The fp extend is naturally idempotent (anti-join),
     *    but a re-appended verdict batch would double-count, so
     *    [[attach]] carries the canonical batchId guard: a batch id ≤
-    *    the last completed one is skipped (the same guard now protects
-    *    all three maintainers' attach paths).
+    *    the last completed one is skipped. The guard is per MAINTAINER
+    *    lifetime, so attaching a NEW query (whose batch ids restart at
+    *    0) to a used maintainer would silently drop its first batches —
+    *    [[attach]] therefore fails fast on re-attach unless the caller
+    *    passes `resume = true`, which is only valid for a restarted
+    *    query re-delivering the same batches (r16 ADVICE).
     *  - verdicts are append-only OUTPUT, not maintained state, so the
     *    log is a buffer of per-batch checkpointed increments — each
     *    trigger pays O(its own verdicts), never a rewrite of the
-    *    accumulated log (the full-rewrite justification covers only
-    *    the fp SET, whose next merge genuinely reads it). The buffer
-    *    compacts 64 increments into one frame so [[verdicts]]' plan
-    *    width stays bounded for long-lived streams.
+    *    accumulated log. The buffer compacts every `compactEvery`
+    *    increments into one frame so [[verdicts]]' plan width stays
+    *    bounded for long-lived streams.
+    *  - the log would still grow without bound on a long-lived stream
+    *    (an O(output) driver-side footprint — r16 verdict, directive
+    *    3), so [[drain]] hands the caller every buffered increment and
+    *    drops it: the sink the caller appends to (e.g. [[drainTo]]'s
+    *    parquet dir, the lake shape) owns drained history, and the
+    *    maintainer holds only the post-drain tail. Latest-per-doc is
+    *    then computed over (drained ∪ tail) by `rev` — [[verdicts]]
+    *    after a drain covers only tail docs by design.
     *
-    * Replay ≡ batch: once every
-    * arrival is in, [[verdicts]] equals the batch d12w verdict set
-    * over (standing ∪ arrived) restricted to the ARRIVED eval docs —
-    * for any shard partition in which no eval doc precedes a
-    * same-fingerprint train doc (the stream converges to the batch
-    * audit exactly when train content leads, and the batch release
-    * audit remains the backstop for the other order — it re-probes
-    * everything against the final set). `StreamingSpec` pins it with
-    * train arrivals split across earlier shards and the same batch.
+    * Replay ≡ batch: once every arrival is in, [[verdicts]] equals the
+    * batch d12w verdict set over (standing ∪ arrived) restricted to
+    * the ARRIVED eval docs — for ANY arrival order (step 2 closes the
+    * eval-leads case the r15 cut left to the batch audit; the batch
+    * release audit remains the independent backstop). `StreamingSpec`
+    * pins train-leads, same-trigger, and eval-leads plantings.
     *
-    * At lake scale the standing set is an fp-bucketed parquet table
-    * and step 1 is a bucket-local merge-into (sequential IO, cost
-    * O(touched buckets)); the localCheckpoint full rewrite is this
-    * box's stand-in, as with the ledger maintainers.
+    * Re-delivery of a doc_id assumes identical content (the same
+    * at-least-once contract as the batch-id guard); the judged-id
+    * dedup keeps first-arrival postings, and a re-judged doc's
+    * revision row carries identical values.
     */
   final class TrainFpMaintainer(standingDocs: DataFrame,
-      compactEvery: Int = 64) {
+      compactEvery: Int = 64,
+      bucketDir: Option[String] = None,
+      nBuckets: Int = 64,
+      maxFilesPerBucket: Int = 64) {
     import graft.queries.TextDedup
+    private val spark = standingDocs.sparkSession
     private def ck(df: DataFrame): DataFrame = df.localCheckpoint(true)
-    private var fps: DataFrame = ck(trainFpsOf(standingDocs))
-    private val emptyVerdicts: DataFrame = {
-      val spark = standingDocs.sparkSession
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-        StructType(Seq(
-          StructField("doc_id", LongType), StructField("split", StringType),
-          StructField("n_sel", LongType), StructField("n_in_train", LongType),
-          StructField("overlap", DoubleType))))
+    private def bucketed = bucketDir.isDefined
+    private def fpsPath = bucketDir.get + "/fps"
+    private def postingsPath = bucketDir.get + "/postings"
+    private def withBucket(df: DataFrame): DataFrame =
+      df.withColumn("bucket", pmod(hash(col("fp")), lit(nBuckets)))
+    private def bucketsOf(withB: DataFrame): Seq[Int] =
+      withB.select(col("bucket")).distinct().collect()
+        .map(_.getInt(0)).toSeq // ≤ nBuckets rows — a bounded collect
+
+    // ---- fp-set + postings stores ----
+    private var fpsCk: DataFrame = _ // localCheckpoint mode only
+    private var postingsWritten = false
+    if (bucketed) {
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val root = new org.apache.hadoop.fs.Path(bucketDir.get)
+      root.getFileSystem(hconf).delete(root, true) // fresh store
+      withBucket(trainFpsOf(standingDocs))
+        .repartition(nBuckets, col("bucket"))
+        .write.partitionBy("bucket").mode("overwrite").parquet(fpsPath)
+    } else fpsCk = ck(trainFpsOf(standingDocs))
+
+    /** Compact directory-partitioned buckets whose file count passed
+      * [[maxFilesPerBucket]]: materialize those buckets OFF the files
+      * (localCheckpoint), then dynamic-partition-overwrite exactly
+      * those directories — never a whole-table rewrite.
+      */
+    private def compactBuckets(path: String, touched: Seq[Int]): Unit = {
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hconf)
+      val over = touched.filter { bkt =>
+        val d = new org.apache.hadoop.fs.Path(s"$path/bucket=$bkt")
+        fs.exists(d) && fs.listStatus(d)
+          .count(_.getPath.getName.startsWith("part-")) > maxFilesPerBucket
+      }
+      if (over.nonEmpty) {
+        val rows = ck(spark.read.parquet(path)
+          .filter(col("bucket").isin(over: _*)))
+        rows.repartition(over.size, col("bucket"))
+          .write.partitionBy("bucket")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite").parquet(path)
+      }
     }
+
+    // judged-eval postings: the revision state — (doc_id, split, fp),
+    // one copy of each judged doc's selection rows. Append-only in both
+    // modes (localCheckpoint increments with bounded compaction, or the
+    // fp-bucketed parquet table); read only by the revision probe.
+    private val postingsBatches =
+      scala.collection.mutable.ArrayBuffer[DataFrame]()
+    private def postingsAll: Option[DataFrame] =
+      if (bucketed) {
+        if (postingsWritten) Some(spark.read.parquet(postingsPath))
+        else None
+      } else if (postingsBatches.isEmpty) None
+      else Some(postingsBatches.reduce(_ unionByName _))
+    // the small judged-doc-id set keying first-arrival-wins postings
+    // dedup — O(judged docs), so the postings table itself is never
+    // scanned on the steady-state path
+    private var judgedIds: DataFrame =
+      ck(standingDocs.sparkSession.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        StructType(Seq(StructField("doc_id", LongType)))))
+
+    private val logSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("split", StringType),
+      StructField("n_sel", LongType), StructField("n_in_train", LongType),
+      StructField("overlap", DoubleType), StructField("rev", LongType)))
+    private def emptyLog: DataFrame =
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], logSchema)
     // append-only output: per-batch checkpointed increments, compacted
-    // every 64 so the union plan stays bounded — never a per-trigger
-    // rewrite of the accumulated log
+    // every `compactEvery` (>=, so at most compactEvery frames buffer —
+    // r16 ADVICE off-by-one) — never a per-trigger rewrite of the log
     private val verdictBatches =
       scala.collection.mutable.ArrayBuffer[DataFrame]()
+    private var seq = 0L
     private var lastBatchId = -1L
+    private var wasAttached = false
 
-    /** Merge one arriving shard: extend the set with its train docs,
-      * then judge its eval docs against the extended set.
+    /** The d12w verdict columns + the `rev` sequence for `sel` rows
+      * (doc_id, split, fp) against the CURRENT post-merge set.
       */
-    def mergeBatch(batch: DataFrame): Unit = synchronized {
-      val b = batch.select(col("doc_id"), col("text"))
-      if (!b.isEmpty) {
-        val (_, split) = TextDedup.splitCols
-        val tagged = b.select(col("doc_id"), col("text"), split.as("split"))
-        val trainSel = trainFpsOf(b)
-        val novel = trainSel.join(fps, Seq("fp"), "leftanti")
-        fps = ck(fps.unionByName(novel))
-        val evalDocs = tagged.filter(col("split").isin("val", "test"))
-        val evalSel = TextDedup.winnowLocalSelect(
-            evalDocs.select(col("doc_id"), col("text")),
-            TextDedup.WinnowW, TextDedup.WinnowWideHex)
-          .join(evalDocs.select(col("doc_id"), col("split")), Seq("doc_id"))
-        val v = evalSel
-          .join(fps.withColumn("seen", lit(true)), Seq("fp"), "left")
-          .groupBy(col("doc_id"), col("split"))
-          .agg(count(lit(1)).as("n_sel"),
-            count(col("seen")).as("n_in_train"))
-          .select(col("doc_id"), col("split"), col("n_sel"),
-            col("n_in_train"),
-            round(col("n_in_train").cast("double") / col("n_sel"), 6)
-              .as("overlap"))
-        verdictBatches += ck(v)
-        if (verdictBatches.length > compactEvery) {
+    private def judge(sel: DataFrame): DataFrame = {
+      val probeSide =
+        (if (bucketed) spark.read.parquet(fpsPath).select(col("fp"))
+         else fpsCk)
+          .withColumn("seen", lit(true))
+      sel.join(probeSide, Seq("fp"), "left")
+        .groupBy(col("doc_id"), col("split"))
+        .agg(count(lit(1)).as("n_sel"), count(col("seen")).as("n_in_train"))
+        .select(col("doc_id"), col("split"), col("n_sel"),
+          col("n_in_train"),
+          round(col("n_in_train").cast("double") / col("n_sel"), 6)
+            .as("overlap"), lit(seq).as("rev"))
+    }
+
+    private def appendVerdicts(v: DataFrame): Unit = {
+      val vc = ck(v)
+      if (!vc.isEmpty) {
+        verdictBatches += vc
+        if (verdictBatches.length >= compactEvery) {
           val all = verdictBatches.reduce(_ unionByName _)
           verdictBatches.clear()
           verdictBatches += ck(all)
@@ -1255,26 +1384,155 @@ object CorpusStreams {
       }
     }
 
-    /** The live distinct train-fingerprint set after all merges. */
-    def currentFps: DataFrame = synchronized(fps)
-
-    /** All contamination verdicts emitted so far — one row per eval
-      * arrival, the batch d12w columns.
+    /** Merge one arriving shard: extend the set with its train docs,
+      * revise previously judged evals the novel fps hit, judge its
+      * eval docs against the extended set, retain their postings.
       */
-    def verdicts: DataFrame = synchronized(
-      if (verdictBatches.isEmpty) emptyVerdicts
+    def mergeBatch(batch: DataFrame): Unit = synchronized {
+      val b = batch.select(col("doc_id"), col("text"))
+      if (!b.isEmpty) {
+        val (_, split) = TextDedup.splitCols
+        val tagged = b.select(col("doc_id"), col("text"), split.as("split"))
+        seq += 1
+        // 1. EXTEND — the ck on `novel` is load-bearing in bucketed
+        // mode: it materializes the anti-join against the PRE-extend
+        // file listing before the append below adds files
+        val trainSel = trainFpsOf(b)
+        val novel: DataFrame =
+          if (bucketed) {
+            val cand = withBucket(trainSel)
+            val touched = bucketsOf(cand)
+            val standingSub = spark.read.parquet(fpsPath)
+              .filter(col("bucket").isin(touched: _*)).select(col("fp"))
+            ck(cand.join(standingSub, Seq("fp"), "leftanti"))
+          } else ck(trainSel.join(fpsCk, Seq("fp"), "leftanti"))
+        val hasNovel = !novel.isEmpty
+        val novelBuckets: Seq[Int] =
+          if (bucketed && hasNovel) bucketsOf(novel) else Nil
+        if (hasNovel) {
+          if (bucketed) {
+            novel.repartition(nBuckets, col("bucket"))
+              .write.partitionBy("bucket").mode("append").parquet(fpsPath)
+            compactBuckets(fpsPath, novelBuckets)
+          } else fpsCk = ck(fpsCk.unionByName(novel))
+        }
+        // 2. REVISE — postings do not yet contain THIS batch's evals,
+        // so only earlier-judged docs can be affected. Phase 1 (which
+        // judged docs hold a novel fp) is bucket-pruned in bucketed
+        // mode; phase 2 (their full selection rows) reads the postings
+        // table only when a revision actually fires.
+        if (hasNovel) postingsAll.foreach { p =>
+          val p1 = if (bucketed)
+              p.filter(col("bucket").isin(novelBuckets: _*))
+            else p
+          val affected = p1
+            .join(novel.select(col("fp")), Seq("fp"), "leftsemi")
+            .select(col("doc_id")).distinct()
+          if (!affected.isEmpty) {
+            val revSel = p.select(col("doc_id"), col("split"), col("fp"))
+              .join(affected, Seq("doc_id"), "leftsemi")
+            appendVerdicts(judge(revSel))
+          }
+        }
+        // 3. JUDGE the batch's eval arrivals against the post-merge set
+        val evalDocs = tagged.filter(col("split").isin("val", "test"))
+        val evalSel = ck(TextDedup.winnowLocalSelect(
+            evalDocs.select(col("doc_id"), col("text")),
+            TextDedup.WinnowW, TextDedup.WinnowWideHex)
+          .join(evalDocs.select(col("doc_id"), col("split")), Seq("doc_id")))
+        appendVerdicts(judge(evalSel))
+        // 4. RETAIN first-arrival postings for the newly judged docs
+        val newIds = ck(evalSel.select(col("doc_id")).distinct()
+          .join(judgedIds, Seq("doc_id"), "leftanti"))
+        if (!newIds.isEmpty) {
+          val newPost = evalSel.join(newIds, Seq("doc_id"), "leftsemi")
+          if (bucketed) {
+            withBucket(newPost).repartition(nBuckets, col("bucket"))
+              .write.partitionBy("bucket").mode("append")
+              .parquet(postingsPath)
+            postingsWritten = true
+            compactBuckets(postingsPath, (0 until nBuckets))
+          } else {
+            postingsBatches += ck(newPost)
+            if (postingsBatches.length >= compactEvery) {
+              val all = postingsBatches.reduce(_ unionByName _)
+              postingsBatches.clear()
+              postingsBatches += ck(all)
+            }
+          }
+          judgedIds = ck(judgedIds.unionByName(newIds))
+        }
+      }
+    }
+
+    /** The live distinct train-fingerprint set after all merges. */
+    def currentFps: DataFrame = synchronized(
+      if (bucketed) spark.read.parquet(fpsPath).select(col("fp"))
+      else fpsCk)
+
+    /** The buffered (undrained) verdict log — one row per judgment
+      * event (first judgment or revision), the d12w columns + `rev`.
+      */
+    def verdictLog: DataFrame = synchronized(
+      if (verdictBatches.isEmpty) emptyLog
       else verdictBatches.reduce(_ unionByName _))
 
-    /** Attach to a streaming (doc_id, text) frame: one merge per
-      * micro-batch. foreachBatch is at-least-once, so replayed batch
-      * ids are skipped — without the guard a replay would double-count
-      * verdicts (the fp extend alone is naturally idempotent).
+    /** Latest verdict per judged eval doc over the BUFFERED log (the
+      * d12w columns; revisions supersede by `rev`). After a [[drain]],
+      * covers only docs judged/revised since — the sink owns drained
+      * history and computes latest over (drained ∪ tail).
       */
-    def attach(docs: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
+    def verdicts: DataFrame = synchronized {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("rev").desc, col("n_in_train").desc)
+      verdictLog.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .drop("rn", "rev")
+    }
+
+    /** Hand the caller every buffered verdict-log increment and drop
+      * it from the maintainer (r16 verdict, directive 3): the caller's
+      * sink owns drained history; the maintainer's footprint stays
+      * O(state), not O(output). The returned frame stays valid after
+      * the buffer clears (its checkpoint blocks ride the reference).
+      */
+    def drain(): DataFrame = synchronized {
+      val out = if (verdictBatches.isEmpty) emptyLog
+        else verdictBatches.reduce(_ unionByName _)
+      verdictBatches.clear()
+      out
+    }
+
+    /** [[drain]] straight into an append-only parquet sink — the lake
+      * shape for verdict history (one append per call, O(increment)).
+      */
+    def drainTo(dir: String): Unit = {
+      val out = drain()
+      if (!out.isEmpty) out.write.mode("append").parquet(dir)
+    }
+
+    /** Attach to a streaming (doc_id, text) frame: one merge per
+      * micro-batch, replayed batch ids skipped (foreachBatch is
+      * at-least-once). Fails fast on re-attach unless `resume = true`:
+      * the batch-id guard is per maintainer lifetime, so a NEW query's
+      * ids (restarting at 0) would be silently dropped — re-attach is
+      * only valid for a restarted query re-delivering the same batches
+      * (r16 ADVICE).
+      */
+    def attach(docs: DataFrame, resume: Boolean = false)
+        : org.apache.spark.sql.streaming.StreamingQuery = synchronized {
+      require(!wasAttached || resume,
+        "maintainer already attached: a new query's batch ids restart " +
+        "at 0 and the replay guard would silently drop its first " +
+        "batches; pass resume = true only when re-attaching a " +
+        "restarted query that re-delivers the same batches")
+      wasAttached = true
       docs.writeStream.outputMode("update")
         .foreachBatch((b: DataFrame, id: Long) => synchronized {
           if (id > lastBatchId) { mergeBatch(b); lastBatchId = id }
         })
         .start()
+    }
   }
 }

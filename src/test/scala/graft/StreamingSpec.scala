@@ -2063,14 +2063,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(once.map(_._1).distinct.size == once.size, "duplicate verdicts")
     val nFps = m.currentFps.count()
 
+    // a PLAIN re-attach fails fast (r16 ADVICE): a genuinely new
+    // query's batch ids restart at 0 and the guard would silently
+    // drop its first batches — only a caller asserting identical
+    // re-delivery may resume
+    val memX = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    intercept[IllegalArgumentException] {
+      m.attach(memX.toDS().toDF("doc_id", "text"))
+    }
+
     // REPLAY: a second stream re-delivers every shard to the SAME
-    // maintainer. Its batch ids restart at 0 — all ≤ the last
+    // maintainer (resume = true: the caller asserts identical
+    // re-delivery). Its batch ids restart at 0 — all ≤ the last
     // completed id — so the guard must skip them all: verdicts and
     // the fp set stay bit-identical (without the guard, every verdict
     // would double and the capped unions would duplicate rows)
     val mem2 = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, String)]
-    val q2 = m.attach(mem2.toDS().toDF("doc_id", "text"))
+    val q2 = m.attach(mem2.toDS().toDF("doc_id", "text"), resume = true)
     try {
       shards.foreach { sh => mem2.addData(sh: _*); q2.processAllAvailable() }
       assert(all() == once, "replayed batches were re-merged")
@@ -2082,13 +2093,181 @@ class StreamingSpec extends AnyFunSuite {
       q2.processAllAvailable()
     } finally q2.stop()
     // the re-sent head doc rides a NEW batch id, so it merges: if it
-    // was an eval doc it re-judges (one more verdict), if train it
-    // re-extends idempotently — either way fps are unchanged and the
-    // verdict log grew by 0 or 1 rows, never doubled
+    // was an eval doc it re-judges (a higher-rev row that the
+    // latest-per-doc finisher collapses — identical values, because a
+    // re-judge against the current set equals the doc's latest
+    // revision), if train it re-extends idempotently — either way fps
+    // and the verdict surface are unchanged, never doubled
     assert(m.currentFps.count() == nFps)
     val after = all()
     assert(after.size == once.size || after.size == once.size + 1,
       s"${after.size} vs ${once.size}")
+  }
+
+  test("train-fp maintainer: an EVAL doc arriving BEFORE its duplicate " +
+      "train doc is revised when the train content lands — replay ≡ " +
+      "batch d12w becomes order-unconditional (r16 verdict, directive 2)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    def bucketOf(text: String): Long = {
+      val norm = text.trim.toLowerCase(java.util.Locale.ROOT)
+        .replaceAll("\\s+", " ")
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(norm.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(2).map(b => f"$b%02x").mkString, 16) % 100
+    }
+    val core = "reversed arrival witness pair sharing a long novel " +
+      "interior of tokens rhodopsin syzygy tourbillon umbellifer " +
+      "verdigris wunderkammer xenolith ytterbium zugzwang"
+    val trainText = (0 until 100).map(i => s"$core train salt $i")
+      .find(t => bucketOf(t) < 80).get
+    val evalText = (0 until 100).map(i => s"$core eval salt $i")
+      .find(t => bucketOf(t) >= 80).get
+    val tId = 888001L
+    val eId = 888002L
+
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    val standing = docs.filter(col("doc_id") % 5 =!= 0)
+    val arrivals = docs.filter(col("doc_id") % 5 === 0)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // the HOSTILE order the r15 cut left to the batch audit: every
+    // eval arrival (incl. the planted one) lands in shard 1, every
+    // train arrival (incl. the planted duplicate) in shard 2
+    val (trainArr, evalArr) = arrivals.partition(a => bucketOf(a._2) < 80)
+    val m = new graft.streaming.CorpusStreams.TrainFpMaintainer(standing)
+    m.mergeBatch((evalArr :+ (eId, evalText)).toDF("doc_id", "text"))
+    // mid-stream: the planted eval doc is provably judged CLEAN right
+    // now (its tokens are novel vs standing ∪ the eval arrivals) —
+    // the stale verdict the revision must supersede
+    val stale = m.verdicts.filter(col("doc_id") === eId).collect()
+    assert(stale.length == 1 && stale(0).getLong(3) == 0L,
+      s"fixture broke: planted eval must be clean pre-train; $stale")
+    m.mergeBatch((trainArr :+ (tId, trainText)).toDF("doc_id", "text"))
+
+    type Verdict = (String, Long, Long, Double)
+    val verdictRows = m.verdicts.collect()
+    val streamed = verdictRows.map(r => r.getLong(0) ->
+      ((r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+        : Verdict)).toMap
+    assert(verdictRows.length == streamed.size, "duplicate latest verdicts")
+    assert(streamed(eId)._3 > 0,
+      "the revision must supersede the stale clean verdict once the " +
+        s"duplicate train doc arrives; verdict=${streamed(eId)}")
+    // the revised log keeps BOTH judgment events for the planted doc
+    val logRows = m.verdictLog.filter(col("doc_id") === eId).collect()
+    assert(logRows.length == 2, s"expected judge+revision rows: $logRows")
+    try {
+      val allDocs = standing.unionByName(
+        (arrivals :+ (tId, trainText) :+ (eId, evalText))
+          .toDF("doc_id", "text"))
+      val arrivedIds = (arrivals.map(_._1) :+ tId :+ eId).toSet
+      val batch = graft.queries.TextDedup.d12wVerdicts(allDocs)
+        .collect()
+        .filter(r => arrivedIds.contains(r.getLong(0)))
+        .map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+            : Verdict)).toMap
+      assert(batch.nonEmpty)
+      assert(streamed == batch,
+        s"${streamed.size} streamed vs ${batch.size} batch; " +
+          s"diff=${(streamed.toSet diff batch.toSet).take(3)} / " +
+          s"${(batch.toSet diff streamed.toSet).take(3)}")
+    } finally spark.catalog.clearCache()
+  }
+
+  test("train-fp maintainer: drained verdict increments union to the " +
+      "undrained log, and the maintainer holds only the tail " +
+      "(r16 verdict, directive 3)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    val standing = docs.filter(col("doc_id") % 5 =!= 0)
+    val arrivals = docs.filter(col("doc_id") % 5 === 0)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val shards = arrivals.grouped(math.max(1, arrivals.size / 5)).toSeq
+    val a = new graft.streaming.CorpusStreams.TrainFpMaintainer(standing)
+    val b = new graft.streaming.CorpusStreams.TrainFpMaintainer(standing)
+    val sink = RunAssets.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft-verdictsink-" +
+      java.util.UUID.randomUUID().toString)
+    var drainedAny = false
+    shards.zipWithIndex.foreach { case (sh, i) =>
+      a.mergeBatch(sh.toDF("doc_id", "text"))
+      b.mergeBatch(sh.toDF("doc_id", "text"))
+      if (i % 2 == 1) { b.drainTo(sink); drainedAny = true }
+    }
+    assert(drainedAny)
+    type LogRow = (Long, String, Long, Long, Double, Long)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[LogRow] =
+      df.select(col("doc_id"), col("split"), col("n_sel"),
+          col("n_in_train"), col("overlap"), col("rev"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4), r.getLong(5))).toSeq.sorted
+    val undrained = rows(a.verdictLog)
+    val tail = rows(b.verdictLog)
+    val drained = rows(spark.read.parquet(sink))
+    // the sink ∪ tail IS the log — nothing lost, nothing duplicated
+    assert((drained ++ tail).sorted == undrained,
+      s"sink=${drained.size} tail=${tail.size} vs log=${undrained.size}")
+    // the maintainer genuinely let go: the tail is only what arrived
+    // since the last drain, not the accumulated history
+    assert(tail.size < undrained.size,
+      s"tail=${tail.size} should be a strict subset of ${undrained.size}")
+    // and a final drain empties the buffer completely
+    b.drainTo(sink)
+    assert(rows(b.verdictLog).isEmpty)
+    assert(rows(spark.read.parquet(sink)) == undrained)
+  }
+
+  test("train-fp maintainer: the fp-BUCKETED parquet store maintains " +
+      "the same set and verdicts as the localCheckpoint mode, through " +
+      "bucket-local appends and forced compactions (r16 verdict, " +
+      "directive 1)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    val standing = docs.filter(col("doc_id") % 5 =!= 0)
+    val arrivals = docs.filter(col("doc_id") % 5 === 0)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val shards = arrivals.grouped(math.max(1, arrivals.size / 5)).toSeq
+    val store = RunAssets.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft-fpstore-" +
+      java.util.UUID.randomUUID().toString)
+    val plain = new graft.streaming.CorpusStreams.TrainFpMaintainer(standing)
+    // maxFilesPerBucket = 1 over few buckets forces the bucket-local
+    // dynamic-overwrite compaction on nearly every merge — a row lost
+    // or duplicated by compaction fails the set equality below
+    val bucketed = new graft.streaming.CorpusStreams.TrainFpMaintainer(
+      standing, bucketDir = Some(store), nBuckets = 8,
+      maxFilesPerBucket = 1)
+    shards.foreach { sh =>
+      plain.mergeBatch(sh.toDF("doc_id", "text"))
+      bucketed.mergeBatch(sh.toDF("doc_id", "text"))
+    }
+    // set equality, both directions
+    val pf = plain.currentFps
+    val bf = bucketed.currentFps
+    val setDiff = pf.join(bf, Seq("fp"), "leftanti")
+      .unionByName(bf.join(pf, Seq("fp"), "leftanti")).count()
+    assert(setDiff == 0L, s"$setDiff fps diverged between stores")
+    // and ≡ the from-scratch distinct set over standing ∪ arrived
+    val fresh = graft.streaming.CorpusStreams.trainFpsOf(
+      standing.unionByName(arrivals.toDF("doc_id", "text")))
+    assert(bf.join(fresh, Seq("fp"), "leftanti")
+      .unionByName(fresh.join(bf, Seq("fp"), "leftanti")).count() == 0L)
+    // verdict surface: identical latest-per-doc rows
+    type Verdict = (Long, String, Long, Long, Double)
+    def v(m: graft.streaming.CorpusStreams.TrainFpMaintainer): Seq[Verdict] =
+      m.verdicts.collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq.sorted
+    val pv = v(plain)
+    assert(pv.nonEmpty)
+    assert(v(bucketed) == pv, "bucketed verdicts diverged from plain")
   }
 
   test("streamed gap facts finish to the batch gap histogram (e36 twin)") {
