@@ -19,6 +19,26 @@ import org.apache.spark.sql.functions._
   *    audit-edge log).
   *
   * Args: dataDir k [outFile] [shufflePartitions=32] [audit=1]
+  * [store=lc] [nBuckets=64] [dropDocs=0]
+  *
+  * With `store=bucketed` (r16 verdict, directive 1) the maintainer's
+  * capped postings live as an fp-hash-bucketed parquet table under a
+  * run-scoped tmp dir: per merge only the increment's touched buckets
+  * are read and rewritten (dynamic partition overwrite), pricing the
+  * lake's bucket-local sorted-run merge directly against the
+  * localCheckpoint full-rewrite floor the r16 k = 12 series measured
+  * (+1.33 ± 1.19 s/drop at sf100).
+  *
+  * `dropDocs > 0` caps the arrival universe to its first `dropDocs`
+  * documents (still sharded round-robin into k drops) — the
+  * SMALL-increment regime where bucket locality actually bites: a
+  * ~10-doc drop carries a few hundred distinct fps, so with nBuckets
+  * well above that only a sliver of the index's directories is
+  * touched, while the localCheckpoint mode still rewrites the WHOLE
+  * standing index per merge regardless of increment size. Large drops
+  * (the default) touch every bucket and the two stores converge by
+  * construction — the r17 sf100 k = 12 parity row; the small-drop row
+  * is where O(touched buckets) separates from O(index).
   *
   * The increment universe is d34w's own arrival split (doc_id ≡ 0
   * mod 5); drops are round-robin slices of it ((doc_id / 5) % k), so
@@ -46,11 +66,16 @@ import org.apache.spark.sql.functions._
   */
 object LedgerRehearsal {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: LedgerRehearsal dataDir k [outFile] [shuffleParts] [audit]")
+    require(args.length >= 2, "usage: LedgerRehearsal dataDir k [outFile] [shuffleParts] [audit] [store]")
     val dataDir = args(0)
     val k = args(1).toInt
     val shuffleParts = if (args.length > 3) args(3).toInt else 32
     val audit = if (args.length > 4) args(4) != "0" else true
+    val storeMode = if (args.length > 5) args(5) else "lc"
+    require(storeMode == "lc" || storeMode == "bucketed",
+      s"store must be lc|bucketed, got $storeMode")
+    val nBuckets = if (args.length > 6) args(6).toInt else 64
+    val dropDocs = if (args.length > 7) args(7).toLong else 0L
     val codec = sys.env.get("SPARK_GRAFT_CODEC")
     val builder = SparkSession.builder()
       .master("local[32]")
@@ -76,7 +101,12 @@ object LedgerRehearsal {
     val docs = Tables.documents(spark, dataDir)
       .select(col("doc_id"), col("text"))
     val standing = docs.filter(col("doc_id") % 5 =!= 0)
-    val inc = docs.filter(col("doc_id") % 5 === 0)
+    val incAll = docs.filter(col("doc_id") % 5 === 0)
+    // dropDocs > 0: the small-increment regime — arrival ids are
+    // 0, 5, 10, …, so (doc_id / 5) < dropDocs keeps exactly the first
+    // dropDocs arrivals
+    val inc = if (dropDocs > 0)
+      incAll.filter((col("doc_id") / 5) < dropDocs) else incAll
 
     // the fixed probe unit: selection kernel + count over a constant
     // ~3% standing slice — reads the same parquet, burns the same
@@ -86,9 +116,15 @@ object LedgerRehearsal {
     def probe(): Double = timed(probeUnit())._2
 
     // the once-per-corpus standing build (constructor state is eager)
+    val bucketDir =
+      if (storeMode == "bucketed") Some(RunAssets.register(
+        s"${System.getProperty("java.io.tmpdir")}/graft-ledgerstore-" +
+        java.util.UUID.randomUUID().toString))
+      else None
     val (m, buildS) = timed(
       new graft.streaming.CorpusStreams.WinnowLedgerMaintainer(
-        standing, auditEdges = audit))
+        standing, auditEdges = audit, bucketDir = bucketDir,
+        nBuckets = nBuckets))
 
     // warm the probe's own page-cache/codegen path before it is used
     // as a unit: the first sf10 regen showed the probe getting FASTER
@@ -138,6 +174,8 @@ object LedgerRehearsal {
     // measurement and audit=1 for the merge-k ≡ recompute gate, and
     // let the artifact say which it was.
     val out = s"""{"metric":"ledger_rehearsal","sf":"$dataDir","k":$k,""" +
+      s""""store":"$storeMode","n_buckets":$nBuckets,""" +
+      s""""drop_docs":$dropDocs,""" +
       s""""audit":$audit,"standing_build_s":${r3(buildS)},""" +
       s""""drops":$dropsJson,"probes":$probesJson,""" +
       s""""drops_norm":$normJson,"n_ledger_rows":$nLedger$verify}"""

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
 
@@ -891,16 +891,55 @@ object CorpusStreams {
     * replay ≡ batch: the live ledger equals the batch winnow closure
     * over all arrivals, and [[dividendFromLedger]] over it reproduces
     * batch p34's rows.
+    *
+    * STORE (r16 verdict, directive 1, second act): with
+    * `bucketDir = Some(dir)` the capped postings live as an
+    * fp-hash-bucketed parquet table instead of a localCheckpoint that
+    * rewrites whole per merge. Per merge only the buckets the
+    * increment's fps hash into are READ (one checkpointed slice feeds
+    * both the probe join and the min-k re-rank — the same rows by the
+    * touched-fp argument: a posting outside a touched bucket can
+    * neither match the probe nor change rank) and only those bucket
+    * directories are REWRITTEN (dynamic partition overwrite; min-k can
+    * evict, so unlike the distinct fp set this is a genuine bucket-
+    * local rewrite, the lake's sorted-run merge stand-in made real).
+    * Untouched buckets cost nothing — per-merge IO is O(touched-bucket
+    * content), the claim the scaladoc previously made about the lake
+    * and the box now executes. `StreamingSpec` pins bucketed ≡ plain
+    * ledger label-for-label and capped-postings row-for-row;
+    * `LedgerRehearsal` prices both modes on the same k-drop series
+    * against r16's localCheckpoint floor (+1.33 ± 1.19 s/drop at
+    * sf100).
     */
   final class WinnowLedgerMaintainer(standingDocs: DataFrame,
       cap: Int = graft.queries.TextDedup.WinnowSweepCap,
-      auditEdges: Boolean = false) {
+      auditEdges: Boolean = false,
+      bucketDir: Option[String] = None,
+      nBuckets: Int = 64) {
     import graft.queries.TextDedup
     import TextDedup.{WinnowW, WinnowWideHex}
+    private val spark = standingDocs.sparkSession
     private def ck(df: DataFrame): DataFrame = df.localCheckpoint(true)
-    private var postings: DataFrame = ck(TextDedup.winnowCapped(
+    private def bucketed = bucketDir.isDefined
+    private var postingsCk: DataFrame = _ // localCheckpoint mode only
+    if (bucketed) {
+      clearDir(spark, bucketDir.get) // fresh store
+      withFpBucket(TextDedup.winnowCapped(
+          TextDedup.winnowLocalSelect(standingDocs, WinnowW, WinnowWideHex),
+          cap), nBuckets)
+        .repartition(nBuckets, col("bucket"))
+        .write.partitionBy("bucket").mode("overwrite").parquet(bucketDir.get)
+    } else postingsCk = ck(TextDedup.winnowCapped(
       TextDedup.winnowLocalSelect(standingDocs, WinnowW, WinnowWideHex),
       cap))
+    /** The full capped postings index — a parquet read in bucketed
+      * mode (used by init and audits; the merge path reads only its
+      * touched-bucket slice).
+      */
+    private def postings: DataFrame =
+      if (bucketed) spark.read.parquet(bucketDir.get)
+        .select(col("doc_id"), col("fp"))
+      else postingsCk
     private var nodes: DataFrame =
       ck(standingDocs.select(col("doc_id").as("id")))
     private def standingEdges: DataFrame = TextDedup.winnowPairsOf(postings)
@@ -922,8 +961,24 @@ object CorpusStreams {
       val b = batch.select(col("doc_id"), col("text"))
       if (!b.isEmpty) {
         val bSel = ck(TextDedup.winnowLocalSelect(b, WinnowW, WinnowWideHex))
+        // the standing rows this merge can SEE: only postings whose fp
+        // the increment carries can match the probe, and only those can
+        // change under the min-k re-rank — in bucketed mode that is the
+        // touched-bucket slice, read ONCE (checkpointed, so the
+        // dynamic overwrite below never reads the directories it
+        // replaces) and shared by probe + re-rank; untouched buckets
+        // are neither read nor written
+        val touchedBuckets: Seq[Int] =
+          if (bucketed) bucketsIn(withFpBucket(
+            bSel.select(col("fp")).distinct(), nBuckets))
+          else Nil
+        val standingSlice: DataFrame =
+          if (bucketed) ck(spark.read.parquet(bucketDir.get)
+            .filter(col("bucket").isin(touchedBuckets: _*))
+            .select(col("doc_id"), col("fp")))
+          else postingsCk
         val probe = bSel.as("i")
-          .join(postings.as("s"), col("i.fp") === col("s.fp"))
+          .join(standingSlice.as("s"), col("i.fp") === col("s.fp"))
           .groupBy(col("i.doc_id").as("src"), col("s.doc_id").as("dst"))
           .agg(count(lit(1)).as("ns")).filter(col("ns") >= 2)
           .select(col("src"), col("dst"))
@@ -946,20 +1001,35 @@ object CorpusStreams {
         // for fps the increment actually carries, so only those
         // postings enter the rank window (semi-join side); untouched
         // fps pass through as-is (anti-join side). Exact by the same
-        // min-k argument, per-fp. The checkpoint still rewrites every
-        // row — the local stand-in for the lake shape, where postings
-        // live fp-bucketed and the merge is a bucket-local sorted-run
-        // merge (sequential IO, no shuffle at all).
+        // min-k argument, per-fp. In localCheckpoint mode the
+        // checkpoint still rewrites every row — the box stand-in; in
+        // bucketed mode the rewrite touches ONLY the increment's
+        // bucket directories (the anti-join side shrinks to
+        // cold-within-touched-buckets, which must rewrite anyway
+        // because they share those directories).
         val touched = bSel.select(col("fp")).distinct()
-        val hot = postings.join(touched, Seq("fp"), "leftsemi")
+        val hot = standingSlice.join(touched, Seq("fp"), "leftsemi")
           .unionByName(bSel)
-        val cold = postings.join(touched, Seq("fp"), "leftanti")
-        postings = ck(TextDedup.winnowCapped(hot, cap).unionByName(cold))
+        val cold = standingSlice.join(touched, Seq("fp"), "leftanti")
+        val merged = TextDedup.winnowCapped(hot, cap).unionByName(cold)
+        if (bucketed)
+          withFpBucket(merged, nBuckets)
+            .repartition(math.max(1, touchedBuckets.size), col("bucket"))
+            .write.partitionBy("bucket")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").parquet(bucketDir.get)
+        else postingsCk = ck(merged)
       }
     }
 
     /** The live (id, component) table after all merges so far. */
     def currentLedger: DataFrame = synchronized(ledger)
+
+    /** The live capped postings index — exposed so the spec and the
+      * rehearsal can verify the bucketed store row-for-row against the
+      * localCheckpoint one (min-k maintenance must agree exactly).
+      */
+    private[graft] def currentPostings: DataFrame = synchronized(postings)
 
     /** The FROM-SCRATCH one-shot closure over the raw accumulated edge
       * set (requires `auditEdges = true`) — the Round14OpsSpec algebra
@@ -1165,6 +1235,30 @@ object CorpusStreams {
     new TrainFpSnapshot(fps)
   }
 
+  /** fp-hash bucket column for the bucketed maintainer stores — the
+    * ONE spelling of the lake layout's partitioning rule (directory
+    * partitions `bucket=pmod(hash(fp), n)`), shared by the fp-set and
+    * capped-postings stores so their bucket pruning agrees by
+    * construction.
+    */
+  private def withFpBucket(df: DataFrame, n: Int): DataFrame =
+    df.withColumn("bucket", pmod(hash(col("fp")), lit(n)))
+
+  /** The distinct buckets present in a [[withFpBucket]]-tagged frame —
+    * a bounded collect (≤ n rows), the partition-pruning key for
+    * bucket-local reads and writes.
+    */
+  private def bucketsIn(withB: DataFrame): Seq[Int] =
+    withB.select(col("bucket")).distinct().collect()
+      .map(_.getInt(0)).toSeq
+
+  private def clearDir(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(p, true)
+    ()
+  }
+
   /** MAINTAINED standing train-fingerprint set (r15 verdict,
     * directive 1; r16 verdict, directives 1–3) — the seam
     * [[contaminationAtIngest]]'s snapshot left ajar: against a
@@ -1280,18 +1374,14 @@ object CorpusStreams {
     private def fpsPath = bucketDir.get + "/fps"
     private def postingsPath = bucketDir.get + "/postings"
     private def withBucket(df: DataFrame): DataFrame =
-      df.withColumn("bucket", pmod(hash(col("fp")), lit(nBuckets)))
-    private def bucketsOf(withB: DataFrame): Seq[Int] =
-      withB.select(col("bucket")).distinct().collect()
-        .map(_.getInt(0)).toSeq // ≤ nBuckets rows — a bounded collect
+      withFpBucket(df, nBuckets)
+    private def bucketsOf(withB: DataFrame): Seq[Int] = bucketsIn(withB)
 
     // ---- fp-set + postings stores ----
     private var fpsCk: DataFrame = _ // localCheckpoint mode only
     private var postingsWritten = false
     if (bucketed) {
-      val hconf = spark.sparkContext.hadoopConfiguration
-      val root = new org.apache.hadoop.fs.Path(bucketDir.get)
-      root.getFileSystem(hconf).delete(root, true) // fresh store
+      clearDir(spark, bucketDir.get) // fresh store
       withBucket(trainFpsOf(standingDocs))
         .repartition(nBuckets, col("bucket"))
         .write.partitionBy("bucket").mode("overwrite").parquet(fpsPath)
@@ -1396,8 +1486,11 @@ object CorpusStreams {
         seq += 1
         // 1. EXTEND — the ck on `novel` is load-bearing in bucketed
         // mode: it materializes the anti-join against the PRE-extend
-        // file listing before the append below adds files
-        val trainSel = trainFpsOf(b)
+        // file listing before the append below adds files. trainSel is
+        // ck'd there too: the bucket-distinct collect and the anti-join
+        // would otherwise each re-run the increment's kernel pass
+        val trainSel0 = trainFpsOf(b)
+        val trainSel = if (bucketed) ck(trainSel0) else trainSel0
         val novel: DataFrame =
           if (bucketed) {
             val cand = withBucket(trainSel)
