@@ -118,7 +118,6 @@ object Embeddings {
     * price of SQL-expressibility, paid at build time.
     */
   def s23MmrDiversify(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(spark, dir)
       .withColumn("nrm", norm(col("embedding")))
     val queries = emb.filter(col("vec_id") < 10)
@@ -138,57 +137,71 @@ object Embeddings {
         round(col("cos") * 1e6).cast("long").as("rel_micro"))
     val cand = emb.select(col("vec_id"), col("embedding"), col("nrm"))
       .join(broadcast(candIds), Seq("vec_id"))
-      .select(col("q_id"), col("vec_id"), col("embedding"), col("nrm"),
-        col("cos"), col("rel_micro"))
-      .held()
-    cand.count() // one candidate pass feeds the pair matrix and 5 rounds
-    val slim = cand.select(col("q_id"), col("vec_id"), col("cos"),
-      col("rel_micro"))
-    val pa = cand.select(col("q_id").as("pq"), col("vec_id").as("va"),
-      col("embedding").as("ea"), col("nrm").as("na"))
-    val pb = cand.select(col("q_id").as("pq2"), col("vec_id").as("vb"),
-      col("embedding").as("eb"), col("nrm").as("nb"))
-    val pairs = pa.join(pb, col("pq") === col("pq2") && col("va") =!= col("vb"))
-      .select(col("pq"), col("va"), col("vb"),
-        round(round(cosinePre(col("ea"), col("na"), col("eb"), col("nb")), 6)
-          * 1e6).cast("long").as("sim_micro"))
-      .held()
-    pairs.count()
-    val firstW = Window.partitionBy(col("q_id"))
-      .orderBy(col("rel_micro").desc, col("vec_id"))
-    // Each round's pick table is ≤ |queries| rows but sits at the root
-    // of the next round's lineage — and the pick plan references the
-    // running selection TWICE (exclusion + maxsim), so without lineage
-    // TRUNCATION the logical plan doubles per round and Catalyst
-    // re-optimizes the whole pyramid even with every byte cached
-    // (measured: rounds 2..5 at 2.9→19.9 s under plain persist, the
-    // d8 connected-components lesson). localCheckpoint pins the rows
-    // AND cuts the plan to an RDD scan — rounds drop to ~0.3 s.
-    def pin(df: DataFrame): DataFrame = df.localCheckpoint(true)
-    var selected = pin(slim
-      .withColumn("rn", row_number().over(firstW)).filter(col("rn") === 1)
-      .select(col("q_id"), col("vec_id"), col("cos"),
-        (lit(7L) * col("rel_micro")).as("score10"), lit(1).as("rk")))
-    for (i <- 2 to 5) {
-      val selK = selected.select(col("q_id").as("kq"), col("vec_id").as("kv"))
-      val selS = selected.select(col("q_id").as("sq"), col("vec_id").as("sv"))
-      val pick = slim
-        .join(selK, col("q_id") === col("kq") && col("vec_id") === col("kv"),
-          "left_anti")
-        .join(pairs, col("pq") === col("q_id") && col("va") === col("vec_id"))
-        .join(selS, col("sq") === col("pq") && col("sv") === col("vb"))
-        .groupBy(col("q_id"), col("vec_id"), col("cos"), col("rel_micro"))
-        .agg(max(col("sim_micro")).as("maxsim"))
-        .withColumn("score10",
-          lit(7L) * col("rel_micro") - lit(3L) * col("maxsim"))
-        .withColumn("rn", row_number().over(Window.partitionBy(col("q_id"))
-          .orderBy(col("score10").desc, col("vec_id"))))
-        .filter(col("rn") === 1)
-        .select(col("q_id"), col("vec_id"), col("cos"), col("score10"),
-          lit(i).as("rk"))
-      selected = pin(selected.unionByName(pick))
-    }
-    selected
+      .select(col("q_id"), col("vec_id"), col("cos"), col("rel_micro"),
+        col("embedding"), col("nrm"))
+    // r17 (guide §1.2): the greedy rounds run INSIDE one task per query
+    // over the (queries·k)-bounded pool — flatMapGroups on q_id. The
+    // former spelling materialized the q·k² pair matrix and ran k−1
+    // driver-scheduled rounds, each a join pyramid + localCheckpoint
+    // (measured ~0.3 s of pure scheduling per round on a 400-row
+    // frame); the per-group loop is the same integer argmax chain with
+    // zero extra jobs, and its state is one query's k candidates — the
+    // mapGroups analog of the e31 driver-side finisher, but sharded by
+    // query so ANY query count scales (nothing corpus-sized ever enters
+    // a group: groups are exactly the top-k pools). Arithmetic is
+    // replicated bit-for-bit: the pairwise sim is the same sequential
+    // float dot (FloatVecDot's fold order) and the same two HALF_UP
+    // BigDecimal snaps Spark's round() applies, then pure Long math —
+    // pinned against the unrolled-CTE oracle by the s23 gate hash.
+    import spark.implicits._
+    val picked = cand
+      .as[(Long, Long, Double, Long, Seq[Float], Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (q: Long,
+          it: Iterator[(Long, Long, Double, Long, Seq[Float], Double)]) =>
+        def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        case class C(vid: Long, cos: Double, rel: Long,
+          emb: Array[Float], nrm: Double)
+        val cs = it.map(t => C(t._2, t._3, t._4, t._5.toArray, t._6)).toArray
+        def simMicro(a: C, b: C): Long = {
+          var s = 0.0
+          var i = 0
+          while (i < a.emb.length) {
+            s += a.emb(i).toDouble * b.emb(i).toDouble; i += 1
+          }
+          java.math.BigDecimal.valueOf(r6(s / (a.nrm * b.nrm)) * 1e6)
+            .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+        }
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Int, Long, Double, Long)]
+        val remaining = scala.collection.mutable.ArrayBuffer(cs: _*)
+        // maxsim over the selected set, maintained incrementally
+        val maxsim = scala.collection.mutable.Map.empty[Long, Long]
+        var rk = 1
+        while (rk <= 5 && remaining.nonEmpty) {
+          val pick =
+            if (rk == 1) remaining.minBy(c => (-c.rel, c.vid))
+            else remaining.minBy(c =>
+              (-(7L * c.rel - 3L * maxsim(c.vid)), c.vid))
+          val score10 =
+            if (rk == 1) 7L * pick.rel
+            else 7L * pick.rel - 3L * maxsim(pick.vid)
+          out += ((q, rk, pick.vid, pick.cos, score10))
+          remaining -= pick
+          remaining.foreach { c =>
+            val s = simMicro(c, pick)
+            maxsim.get(c.vid) match {
+              case Some(m) if m >= s => ()
+              case _ => maxsim(c.vid) = s
+            }
+          }
+          rk += 1
+        }
+        out.iterator
+      }
+      .toDF("q_id", "rk", "vec_id", "cos", "score10")
+    picked
       .select(col("q_id"), col("rk"), col("vec_id"), col("cos"),
         (col("score10").cast("double") / 1e7).as("mmr"))
       .orderBy(col("q_id"), col("rk"))
@@ -695,20 +708,25 @@ object Embeddings {
     * is a plain window over groups bounded by the codebook size (the
     * s7 justification — never corpus-sized).
     */
-  private[graft] def pqCodesOf(emb: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  private[graft] def pqCodesOf(emb: DataFrame): DataFrame =
+    // r17: the argmin is min(struct(dist, c_label)) — the same
+    // (dist, label-ascending) order the rank-1 window computed, but as
+    // a partial-aggregatable hash agg: the crossJoin emits each
+    // (vector, subspace) group's codebook rows from one input row, so
+    // the min collapses MAP-SIDE and the exchange carries one row per
+    // (vector, subspace) instead of sorting codebook× that many rows
+    // through a window (guide §2.3 — aggregate before you shuffle).
     emb.crossJoin(broadcast(pqCodebook(emb)))
-      .select(col("vec_id"), col("sub"), col("c_label"),
-        round(col("cnorm2") - lit(2.0) *
-          org.apache.spark.sql.graftfn.GraftExpressions.floatDoubleVecDot(
-            slice(col("embedding"), lit(1) + col("sub") * 16, lit(16)),
-            col("codeword")), 6).as("dist"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("vec_id"), col("sub"))
-          .orderBy(col("dist"), col("c_label"))))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("sub"), col("c_label").as("code"))
-  }
+      .select(col("vec_id"), col("sub"),
+        struct(
+          round(col("cnorm2") - lit(2.0) *
+            org.apache.spark.sql.graftfn.GraftExpressions.floatDoubleVecDot(
+              slice(col("embedding"), lit(1) + col("sub") * 16, lit(16)),
+              col("codeword")), 6).as("dist"),
+          col("c_label")).as("dc"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(col("dc")).as("m"))
+      .select(col("vec_id"), col("sub"), col("m.c_label").as("code"))
 
   /** Product-quantization ANN with asymmetric-distance scoring (s11):
     * the compression leg of a billion-scale vector index — each vector
@@ -975,19 +993,35 @@ object Embeddings {
     val exploded = Tables.embeddings(spark, dir)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .select(col("vec_id"), col("dim"), col("v").cast("double").as("v"))
-    val dims = exploded.groupBy(col("dim"))
+    // r17: the per-dim min/max stay one partial-agg pass, but fold into
+    // ONE broadcast row of (mn, mx) structs sorted by dim (the s27
+    // scales shape); vectors quantize per ROW via zip_with against that
+    // array, and the query dot is the codegen'd longVecDot kernel over
+    // (q_id × candidate) rows — where the dim-exploded spelling shipped
+    // 64 rows per vector into a dim-keyed join and paid a corpus×64-row
+    // (q_id, vec_id) re-aggregation per query (guide §2.3/§4). The
+    // per-element arithmetic is the identical double expression
+    // ((v − mn)·255/(mx − mn), half-up round), and the dot is the same
+    // exact integer sum, so verdicts are unchanged by construction.
+    val dimStats = exploded.groupBy(col("dim"))
       .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
-    val qv = exploded.join(broadcast(dims), Seq("dim"))
-      .select(col("vec_id"), col("dim"),
-        when(col("mx") > col("mn"),
-          round((col("v") - col("mn")) * 255.0 / (col("mx") - col("mn")))
-            .cast("long")).otherwise(0L).as("q"))
-    val queries = qv.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("dim"), col("q").as("qa"))
-    val dotq = qv.join(broadcast(queries), Seq("dim"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .groupBy(col("q_id"), col("vec_id"))
-      .agg(sum(col("qa") * col("q")).as("dotq"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("mn"), col("mx"))))
+        .as("ds"))
+    val qz = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(dimStats)) // 1-row build side
+      .select(col("vec_id"),
+        zip_with(col("embedding"), col("ds"), (v, s) =>
+          when(s.getField("mx") > s.getField("mn"),
+            round((v.cast("double") - s.getField("mn")) * 255.0
+              / (s.getField("mx") - s.getField("mn")))
+              .cast("long")).otherwise(0L)).as("qv"))
+    val queries = qz.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("qv").as("qa"))
+    val dotq = qz.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        org.apache.spark.sql.graftfn.GraftExpressions
+          .longVecDot(col("qa"), col("qv")).as("dotq"))
     val annTop = TopK.saltedTopK(dotq, Seq(col("q_id")),
         Seq(col("dotq").desc, col("vec_id")), k = 5, saltBy = col("vec_id"))
       .select(col("q_id"), col("rk"), col("vec_id"))
@@ -1214,12 +1248,18 @@ object Embeddings {
     val queries = qz.filter(pmod(col("vec_id"), lit(100)) === 0)
       .select(col("vec_id").as("q_id"), col("em").as("q_em"),
         col("qv").as("q_qv"))
+    // r17: the two 64-element dots run through the codegen'd
+    // [[GraftExpressions.longVecDot]] kernel — the interpreted
+    // aggregate(zip_with(...)) lambdas evaluated ~128 boxed expression
+    // nodes per candidate row and were this query's hot path (guide §4:
+    // prefer codegen expressions in the per-row work). Exact integer
+    // sums, so the value is identical by construction.
     val dots = qz.join(broadcast(queries), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        aggregate(zip_with(col("q_em"), col("em"), (a, b) => a * b),
-          lit(0L), (acc, x) => acc + x).as("dot_e"),
-        aggregate(zip_with(col("q_qv"), col("qv"), (a, b) => a * b),
-          lit(0L), (acc, x) => acc + x).as("dot_q"))
+        org.apache.spark.sql.graftfn.GraftExpressions
+          .longVecDot(col("q_em"), col("em")).as("dot_e"),
+        org.apache.spark.sql.graftfn.GraftExpressions
+          .longVecDot(col("q_qv"), col("qv")).as("dot_q"))
     val we = Window.partitionBy(col("q_id"))
       .orderBy(col("dot_e").desc, col("vec_id"))
     val wq = Window.partitionBy(col("q_id"))
@@ -1345,26 +1385,28 @@ object Embeddings {
     * construction (it is a squared distance), which the spec pins.
     */
   def s30PqDistortion(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.graftfn.GraftExpressions.{floatVecDot, intDiv}
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), col("embedding"))
       .held()
     emb.count() // eager: codebook + scoring both read it
     val sl = slice(col("embedding"), lit(1) + col("sub") * 16, lit(16))
+    // r17: argmin as min(struct(dist, c_label)) + max of the
+    // group-constant self-dot — the pqCodesOf rewrite (map-side partial
+    // agg instead of a rank-1 window); xx depends only on
+    // (vector, subspace), so max() recovers the winner's value exactly
     val scored = emb.crossJoin(broadcast(pqCodebook(emb)))
       .select(col("vec_id"), col("sub"),
-        round(col("cnorm2") - lit(2.0) *
-          org.apache.spark.sql.graftfn.GraftExpressions.floatDoubleVecDot(
-            sl, col("codeword")), 6).as("dist"),
-        round(floatVecDot(sl, sl).cast("double"), 6).as("xx"),
-        col("c_label"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("vec_id"), col("sub"))
-          .orderBy(col("dist"), col("c_label"))))
-      .filter(col("rk") === 1)
+        struct(
+          round(col("cnorm2") - lit(2.0) *
+            org.apache.spark.sql.graftfn.GraftExpressions.floatDoubleVecDot(
+              sl, col("codeword")), 6).as("dist"),
+          col("c_label")).as("dc"),
+        round(floatVecDot(sl, sl).cast("double"), 6).as("xx"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(col("dc")).as("m"), max(col("xx")).as("xx"))
       .select(col("sub").cast("int").as("sub"),
-        round((col("dist") + col("xx")) * 1e6).cast("long").as("d_micro"))
+        round((col("m.dist") + col("xx")) * 1e6).cast("long").as("d_micro"))
     val out = scored.groupBy(col("sub"))
       .agg(count(lit(1)).as("n"), sum(col("d_micro")).as("sum_d"),
         max(col("d_micro")).as("max_micro"))

@@ -1091,32 +1091,35 @@ object Events {
     */
   def e28StationaryProfile(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
+    import spark.implicits._
+    // r17: the three unrolled π ← πP steps run DRIVER-SIDE over the
+    // collected ≤|types|² matrix — the e31 removal-effect finisher's
+    // pattern (guide §1.2: the distributed corpus pass is e19's pair
+    // extraction; the iteration state is quantizer-sized, and the
+    // former per-step join + groupBy + localCheckpoint paid ~3 jobs ×
+    // 2 shuffles to move a ≤25-row frame). Identical integer
+    // arithmetic: BigInt products and truncating half-up divisions
+    // mirror the DECIMAL(38,0) sums and LEGACY intDiv of the
+    // distributed spelling term for term, on the same key sets.
     val mat = transitionMatrixOf(Tables.events(spark, dir))
       .select(col("prev_type"), col("next_type"),
         intDiv(col("n") * 1000000L + intDiv(col("n_from"), lit(2L)),
           col("n_from")).as("p_micro"))
-      .held()
-    mat.count() // three iteration joins read the tiny matrix
-    val types = mat.select(col("prev_type").as("t")).distinct()
-    val cnt = types.count() // |event types| — bounded scalar
-    var pi = types.select(col("t"),
-      lit((1000000L + cnt / 2) / cnt).as("pi_micro"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val types = mat.map(_._1).distinct
+    val cnt = types.length.toLong
+    var pi: Map[String, Long] =
+      types.map(t => t -> (1000000L + cnt / 2) / cnt).toMap
     for (_ <- 1 to 3) {
-      val stepped = mat
-        .join(pi.select(col("t").as("prev_type"), col("pi_micro")),
-          Seq("prev_type"))
-        .groupBy(col("next_type"))
-        .agg(sum(col("pi_micro").cast("decimal(38,0)") * col("p_micro"))
-          .as("x"))
-      val z = stepped.agg(sum(col("x")).as("z"))
-      pi = stepped.crossJoin(broadcast(z))
-        .select(col("next_type").as("t"),
-          intDiv(col("x") * 1000000L + intDiv(col("z"), lit(2L)), col("z"))
-            .cast("long").as("pi_micro"))
-        .localCheckpoint(true)
+      val x = mat.filter(r => pi.contains(r._1))
+        .groupBy(_._2)
+        .map { case (next, rows) =>
+          next -> rows.map(r => BigInt(pi(r._1)) * r._3).sum }
+      val z = x.values.sum
+      pi = x.map { case (t, xi) => t -> ((xi * 1000000L + z / 2) / z).toLong }
     }
-    pi.select(col("t").as("event_type"), col("pi_micro"),
-        (col("pi_micro").cast("double") / 1e6).as("stationary"))
+    pi.toSeq.map { case (t, m) => (t, m, m.toDouble / 1e6) }
+      .toDF("event_type", "pi_micro", "stationary")
       .orderBy(col("event_type"))
   }
 

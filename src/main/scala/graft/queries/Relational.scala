@@ -643,12 +643,22 @@ object Relational {
     * one order (different suppliers) counts one basket, not two.
     */
   def q32BasketPairs(spark: SparkSession, dir: String): DataFrame = {
-    val items = Tables.lineitem(spark, dir)
+    // r17 (guide §2.3/§2.4): one shuffle on l_orderkey collapses each
+    // order to its sorted DISTINCT item set (orders hold ≤ 7 lines, so
+    // the set is schema-bounded), and the ≤ C(7,2) pairs per order
+    // generate MAP-SIDE from the sorted array — where the former
+    // distinct-then-self-join spelling paid an extra (okey, p) distinct
+    // exchange and a join for the same pair stream. Sorted set ⇒ pa <
+    // pb pairs, exactly the old a.p < b.p join condition; support
+    // counts are per-order-distinct either way.
+    val sets = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("okey"), col("l_partkey").as("p"))
-      .distinct()
-    items.as("a").join(items.as("b"),
-        col("a.okey") === col("b.okey") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+      .groupBy(col("okey"))
+      .agg(array_sort(collect_set(col("p"))).as("ps"))
+    sets.select(col("ps"), posexplode(col("ps")).as(Seq("i", "pa")))
+      .select(col("pa"),
+        explode(slice(col("ps"), col("i") + 2, size(col("ps")))).as("pb"))
+      .groupBy(col("pa"), col("pb"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= 2)
       .orderBy(desc("support"), col("pa"), col("pb"))

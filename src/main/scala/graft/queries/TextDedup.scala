@@ -25,14 +25,51 @@ object TextDedup {
   private def toks: Column = split(trim(lower(col("text"))), "\\s+")
 
   /** Distinct (doc_id, shingle) word-3-gram pairs — the inverted-index
-    * input. Built generator-first: `posexplode` evaluates the regex
-    * split ONCE per document, then `lead` windows assemble the 3-grams.
-    * (The tempting `transform(sequence(...), i => element_at(toks, ...))`
-    * formulation is quadratic: CollapseProject inlines the split into
-    * every element_at inside the lambda, re-splitting the whole document
-    * per shingle — measured 10× slower at sf0.1.)
+    * input, built per-row by the codegen'd
+    * [[org.apache.spark.sql.graftfn.GraftExpressions.distinctShingles]]
+    * kernel (r17 optimization): shingles and the per-doc distinct are
+    * document-local, so the derivation is one projection + explode —
+    * no doc_id exchange, no window sort, no corpus-wide distinct
+    * (guide §2.4; the window spelling below paid one full postings
+    * exchange + sort + a two-level distinct aggregate before every
+    * pair pipeline). Set-parity with the window spelling — and hence
+    * with the DuckDB oracle, which mirrors it — is pinned by
+    * `ShingleKernelSpec`.
     */
-  private[graft] def shingleIndex(df: DataFrame): DataFrame = {
+  private[graft] def shingleIndex(df: DataFrame): DataFrame =
+    shingleRepartition(df).select(col("doc_id"),
+      explode(org.apache.spark.sql.graftfn.GraftExpressions
+        .distinctShingles(toks)).as("shingle"))
+
+  /** The doc_id exchange in front of the shingle kernel — the same
+    * exchange position as the window spelling (whose corpus-wide
+    * doc_id sort the kernel replaced), but carrying one raw document
+    * row per doc instead of one exploded row per TOKEN (strictly fewer
+    * rows and bytes through the wire, guide §2.3). It exists for two
+    * measured reasons: (1) the kernel + pair-join stage inherits the
+    * SCAN's split count without it — a single small parquet file ran
+    * the whole derivation one-task (2.2 s vs 0.7 s at sf0.1); (2) the
+    * persisted index keeps hash(doc_id) partitioning, which the
+    * per-doc size aggregates downstream reuse exchange-free, exactly
+    * as they did over the window spelling's output. The partition
+    * count is the session's shuffle-partitions knob (the documented
+    * scale lever, conf-set per deployment) — EXPLICIT so AQE cannot
+    * coalesce a small benchmark input back to one task.
+    */
+  private def shingleRepartition(df: DataFrame): DataFrame =
+    df.repartition(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+      col("doc_id"))
+
+  /** The window spelling shingleIndex replaced (posexplode → lead×2 →
+    * distinct) — kept as the parity reference for `ShingleKernelSpec`
+    * (the oracle SQL mirrors THIS derivation; the kernel must stay
+    * set-identical to it). The tempting
+    * `transform(sequence(...), i => element_at(toks, ...))` formulation
+    * is quadratic: CollapseProject inlines the split into every
+    * element_at inside the lambda — measured 10× slower at sf0.1.
+    */
+  private[graft] def shingleIndexWindowed(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     df.select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
@@ -1459,10 +1496,13 @@ object TextDedup {
           slice(col("toks"), col("start") + 1, lit(DedupChunkLen)), " "))
           .as("chash"))
     // hashes seen in ≥2 distinct docs; partial aggregation collapses a
-    // hot chunk to one row per map partition before the shuffle
+    // hot chunk to one row per map partition before the shuffle. The
+    // ≥2-distinct test is min(doc_id) ≠ max(doc_id) — countDistinct
+    // planned a second full (chash, doc_id) exchange + aggregate level
+    // for a verdict that needs only the key range (r17, guide §2.3)
     val dupHashes = chunks.groupBy(col("chash"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2)
+      .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
+      .filter(col("d0") =!= col("d1"))
       .select(col("chash"), lit(true).as("dup"))
     chunks.join(dupHashes, Seq("chash"), "left")
       .groupBy(col("doc_id"))
@@ -1557,9 +1597,16 @@ object TextDedup {
     // the split-tagged shingle index feeds BOTH the train-vocabulary
     // distinct and the eval-side scoring join — persist once (the d6
     // eager-materialization discipline) or each consumer re-runs the
-    // posexplode + lead-window shingle derivation
-    val withSplit = shingleIndex(docs)
-      .join(docs.select(col("doc_id"), split.as("split")), Seq("doc_id"))
+    // shingle derivation. The split tag is a per-row function of the
+    // same document row the shingles come from, so it projects in the
+    // SAME kernel pass — the former doc_id join existed only because
+    // the window spelling had already exploded the document away (r17:
+    // one exchange fewer, guide §2.4)
+    val withSplit = shingleRepartition(docs)
+      .select(col("doc_id"), split.as("split"),
+        explode(org.apache.spark.sql.graftfn.GraftExpressions
+          .distinctShingles(toks)).as("shingle"))
+      .select(col("doc_id"), col("shingle"), col("split"))
       .held()
     withSplit.count() // eager materialization (see d3)
     val trainVocab = withSplit.filter(col("split") === "train")
@@ -2617,6 +2664,12 @@ object TextDedup {
           (halfUp(lit(150000L), col("n_nodes")) +
             intDiv(coalesce(col("inflow"), lit(0L)) * 85L + lit(50L),
               lit(100L))).as("pr_micro"))
+        // each iteration references pr TWICE (shares + the rank join),
+        // so without lineage truncation the plan doubles per iteration
+        // — 2^iters copies of the degree aggregation by the final
+        // action (the s23/d8 lesson). localCheckpoint pins the
+        // node-sized rank table and cuts the plan to an RDD scan (r17).
+        .localCheckpoint(true)
     }
     pr.select(col("id").as("doc_id"), col("deg").as("degree"),
         col("pr_micro"),
@@ -2646,22 +2699,31 @@ object TextDedup {
       vT: DataFrame): DataFrame = {
     val tfm = tfmIn.held()
     tfm.count() // eager materialization (see d3)
-    def lmCols(sp: String, sfx: String) = {
-      val cb = tfm.filter(col("split") === sp)
-        .groupBy(col("bigram")).agg(sum(col("m")).as("cb" + sfx))
-        .withColumn("w1", substring_index(col("bigram"), " ", 1))
-      val cw = cb.groupBy(col("w1")).agg(sum(col("cb" + sfx)).as("cw" + sfx))
-      (cb.select(col("bigram"), col("cb" + sfx)), cw)
-    }
-    val (cbS, cwS) = lmCols("train", "_src")
-    val (cbT, cwT) = lmCols("val", "_tgt")
+    // r17 (guide §2.3): BOTH LMs aggregate in ONE pass — per bigram,
+    // the train-split and val-split counts as conditional sums (sum of
+    // an all-null when() is null, exactly the row-absence the former
+    // per-split aggregates produced through their left joins), and the
+    // per-first-word totals roll up from that table. One bigram
+    // exchange and one w1 exchange instead of two of each, and the
+    // scoring frame re-acquires both LMs through ONE bigram join + ONE
+    // w1 join instead of four.
+    val cb = tfm
+      .groupBy(col("bigram"))
+      .agg(sum(when(col("split") === "train", col("m"))).as("cb_src"),
+        sum(when(col("split") === "val", col("m"))).as("cb_tgt"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .held()
+    cb.count() // eager: the w1 rollup and the scoring join both read it
+    val cw = cb.groupBy(col("w1"))
+      .agg(sum(col("cb_src")).as("cw_src"), sum(col("cb_tgt")).as("cw_tgt"))
     def lnpMicro(cb: Column, cw: Column, v: Column): Column =
       round((log(coalesce(cb, lit(0L)).cast("double") + 1.0)
         - log(coalesce(cw, lit(0L)).cast("double") + v.cast("double")))
         * 1e6).cast("long")
     tfm.withColumn("w1", substring_index(col("bigram"), " ", 1))
-      .join(cbS, Seq("bigram"), "left").join(cwS, Seq("w1"), "left")
-      .join(cbT, Seq("bigram"), "left").join(cwT, Seq("w1"), "left")
+      .join(cb.select(col("bigram"), col("cb_src"), col("cb_tgt")),
+        Seq("bigram"), "left")
+      .join(cw, Seq("w1"), "left")
       .crossJoin(broadcast(vS)).crossJoin(broadcast(vT))
       .withColumn("llr_b",
         lnpMicro(col("cb_tgt"), col("cw_tgt"), col("v_tgt"))
@@ -3485,9 +3547,12 @@ object TextDedup {
     import org.apache.spark.sql.expressions.Window
     val wins = windowHashes(docs).held()
     wins.count() // eager: dup-hash derivation + flag join both read it
+    // ≥2-distinct-docs test as min ≠ max over doc_id — one partial-agg
+    // shuffle instead of countDistinct's two-level distinct aggregate
+    // (r17, guide §2.3; same verdict by construction)
     val dupHashes = wins.groupBy(col("whash"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2)
+      .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
+      .filter(col("d0") =!= col("d1"))
       .select(col("whash"), lit(true).as("dup"))
     val flagged = wins.join(dupHashes, Seq("whash"), "left").held()
     flagged.count() // eager: per-doc rollup + run recovery both read it
@@ -3542,9 +3607,10 @@ object TextDedup {
       size(toks).cast("long").as("n_tok"))
     val wins = windowHashes(docs).held()
     wins.count() // eager: dup-hash derivation + the semi join read it
+    // min ≠ max over doc_id ⟺ ≥2 distinct docs (the d22 rewrite, r17)
     val dupHashes = wins.groupBy(col("whash"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2)
+      .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
+      .filter(col("d0") =!= col("d1"))
       .select(col("whash"))
     val dw = wins.join(dupHashes, Seq("whash"), "left_semi")
       .join(sizes.select(col("doc_id"), col("n_tok")), Seq("doc_id"))
@@ -4184,10 +4250,15 @@ object TextDedup {
       nParts: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
-    val tok = Tables.documents(spark, dir)
+    val docs = Tables.documents(spark, dir)
+    val tok = docs
       .select(col("source"), col("doc_id"), explode(toks).as("token"))
-    val docTok = tok.groupBy(col("source"), col("doc_id"))
-      .agg(count(lit(1)).as("n_toks"))
+    // per-doc token count = size of the token array — a per-row
+    // projection; the former explode + (source, doc_id) groupBy paid a
+    // second corpus token explode and a full postings shuffle for a
+    // value the row already carries (r17, guide §2.3)
+    val docTok = docs.select(col("source"), col("doc_id"),
+      size(toks).cast("long").as("n_toks"))
     val newTypes = tok.groupBy(col("source"), col("token"))
       .agg(min(col("doc_id")).as("doc_id"))
       .groupBy(col("source"), col("doc_id"))
@@ -4822,22 +4893,32 @@ object TextDedup {
       (df, w) => df.withColumn(s"fps$w",
         winnowMinSelect(col("ek"), w, WinnowPosField))
     }.drop("ek").held()
-    val nPostings = sel.agg(sum(col("n_sh"))).head.getLong(0)
+    // r17: ONE aggregate job returns the posting total and every leg's
+    // selection count together (per-doc arrays are already distinct and
+    // doc_id keys rows, so each n_fps is a size sum — no distinct
+    // shuffle; the former per-leg scalar aggs paid a full cached-frame
+    // pass each, guide §1.2: don't re-run what one pass can answer)
+    val sizeRow = sel.agg(sum(col("n_sh")),
+      sorted.map(w => sum(size(col(s"fps$w")))): _*).head
+    val nPostings = sizeRow.getLong(0)
     val truth = dupPairs(spark, dir).select(col("id_a"), col("id_b"))
       .held()
     val nTrue = truth.count()
     def halfUp(num: Long, den: Long): Option[Double] =
       if (den == 0L) None
       else Some(((BigInt(num) * 1000000 + den / 2) / BigInt(den)).toLong / 1e6)
-    val rows = sorted.map { w =>
-      // per-doc arrays are already distinct, and doc_id keys rows, so
-      // n_fps is a size sum — no distinct shuffle for the count
-      val nFp = sel.agg(sum(size(col(s"fps$w")))).head.getLong(0)
+    val rows = sorted.zipWithIndex.map { case (w, wi) =>
+      val nFp = sizeRow.getLong(1 + wi)
       val fp = sel.select(col("doc_id"), explode(col(s"fps$w")).as("fp"))
-      val pairs = winnowPairsCapped(fp, fpCap).held()
-      val nPairs = pairs.count()
-      val nHits = pairs.join(truth, Seq("id_a", "id_b")).count()
-      pairs.unpersist()
+      // nPairs and nHits from ONE action: truth pairs are unique
+      // (id_a, id_b) keys, so the left join preserves pair cardinality
+      // and count(h) counts exactly the inner-join hits — the former
+      // persist + two counts ran the pair subtree's consumers as
+      // separate jobs (r17)
+      val cnt = winnowPairsCapped(fp, fpCap)
+        .join(truth.withColumn("h", lit(1)), Seq("id_a", "id_b"), "left")
+        .agg(count(lit(1)).as("np"), count(col("h")).as("nh")).head
+      val (nPairs, nHits) = (cnt.getLong(0), cnt.getLong(1))
       (w, nPostings, nFp, halfUp(nFp, nPostings).map(Double.box).orNull,
         nPairs, nTrue, nHits, halfUp(nHits, nTrue).map(Double.box).orNull)
     }

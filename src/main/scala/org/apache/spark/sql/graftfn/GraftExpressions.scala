@@ -30,6 +30,23 @@ object GraftExpressions {
   def rollingHash(c: Column): Column =
     ExpressionUtils.column(RollingHashExpr(ExpressionUtils.expression(c)))
 
+  /** Sequential long-array dot — the integer-micro twin of
+    * [[floatVecDot]] (exact, so bit-identity questions don't even
+    * arise; null semantics mirror the `aggregate(zip_with(...))` fold).
+    */
+  def longVecDot(a: Column, b: Column): Column =
+    ExpressionUtils.column(LongVecDot(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Distinct word-3-gram shingles of a token array (first-occurrence
+    * order) — the per-row form of the inverted-index input, so the
+    * shingle derivation needs no doc_id exchange, window, or
+    * corpus-wide distinct (optimization guide §2.4).
+    */
+  def distinctShingles(toks: Column): Column =
+    ExpressionUtils.column(DistinctShinglesExpr(
+      ExpressionUtils.expression(toks)))
+
   /** Per-document composite winnow-key array over a token array. */
   def winnowEk(toks: Column, hexChars: Int, posField: Long): Column =
     ExpressionUtils.column(WinnowEkExpr(
@@ -171,6 +188,58 @@ case class RollingHashExpr(child: Expression) extends UnaryExpression
   override protected def withNewChildInternal(newChild: Expression): RollingHashExpr =
     copy(child = newChild)
   override def prettyName: String = "rolling_hash"
+}
+
+/** Sequential left-fold dot product of two long arrays — exact integer
+  * sum, identical to the `aggregate(zip_with(a, b, _*_), 0L, _+_)` HOF
+  * fold it replaces in s27's hot path (and to DuckDB `list_reduce`);
+  * unequal lengths or a null element yield null, mirroring the HOF
+  * form's null-poisoned fold.
+  */
+case class LongVecDot(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.LongType),
+      ArrayType(org.apache.spark.sql.types.LongType))
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  // null even for non-null children (length mismatch / null element)
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any =
+    graft.functions.VecOps.dotLong(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val boxed = ctx.freshName("dot")
+      s"""java.lang.Long $boxed = graft.functions.VecOps.dotLong($a, $b);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $boxed.longValue(); }""".stripMargin
+    })
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): LongVecDot = copy(left = newLeft, right = newRight)
+  override def prettyName: String = "long_vec_dot"
+}
+
+/** Codegen'd per-document distinct 3-gram shingles
+  * ([[graft.functions.ShingleKernel.distinctShingles]]) — one static
+  * call per row, so the documents projection stays inside whole-stage
+  * codegen while the kernel runs a hash-set loop over the token array.
+  */
+case class DistinctShinglesExpr(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType))
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    graft.functions.ShingleKernel.distinctShingles(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ShingleKernel.distinctShingles($c)")
+  override protected def withNewChildInternal(newChild: Expression): DistinctShinglesExpr =
+    copy(child = newChild)
+  override def prettyName: String = "distinct_shingles"
 }
 
 /** Codegen'd per-document winnow keys: the composite

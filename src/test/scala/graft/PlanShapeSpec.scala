@@ -538,9 +538,12 @@ class PlanShapeSpec extends AnyFunSuite {
       p.take(1200))
     // code assignment + LUT quantization use the codegen'd float×double fold
     assert(p.contains("float_double_vec_dot"), p.take(1200))
-    // the per-(vector, subspace) argmin is the bounded-group window; the
-    // corpus-sized ADC rank is the salted two-phase top-k
-    assert(p.contains("windowspecdefinition(vec_id"), p.take(1200))
+    // the per-(vector, subspace) argmin is a partial-aggregatable
+    // min(struct(dist, c_label)) (r17 — collapses map-side; the rank-1
+    // window it replaced sorted codebook× rows through an exchange),
+    // so the plan must carry a partial_min and NO vec_id-keyed window
+    assert(p.contains("partial_min"), p.take(1200))
+    assert(!p.contains("windowspecdefinition(vec_id"), p.take(1200))
     // saltedTopK phase 1: the rank window partitions on (q_id, salt) —
     // the salt expression itself folds into the aggregate projection as
     // `_w0`, so pin the two-key window spec rather than the pmod text
@@ -908,14 +911,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).length <= 1, p.take(1200))
   }
 
-  test("s23: greedy rounds truncate lineage — final plan reads a checkpointed RDD") {
+  test("s23: greedy rounds run per-query inside one MapGroups task") {
     val p = plan(Embeddings.s23MmrDiversify(spark, dir))
     assert(!p.contains("CartesianProduct"), p.take(1500))
-    // the selection pyramid must NOT replay: after k rounds the result
-    // is a localCheckpoint scan + presentation sort, nothing else
-    assert(p.contains("Scan ExistingRDD"), p.take(1200))
-    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
-      p.take(1200))
+    // r17: the selection loop is a flatMapGroups over the (q·k)-bounded
+    // pool — no pair-matrix join, no per-round checkpoint pyramid; the
+    // pool re-acquires its vectors through a broadcast join only
+    assert(p.contains("MapGroups"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"), p.take(1200))
   }
 
   test("p25: the temperature sweep is one scan — three verdicts map-side") {
