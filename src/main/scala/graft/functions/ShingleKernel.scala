@@ -42,10 +42,18 @@ object ShingleKernel {
     val seen = new java.util.LinkedHashSet[UTF8String](Math.max(16, n))
     var i = 0
     while (i < n - 2) {
-      seen.add(UTF8String.concatWs(Space,
-        if (toks.isNullAt(i)) null else toks.getUTF8String(i),
-        if (toks.isNullAt(i + 1)) null else toks.getUTF8String(i + 1),
-        if (toks.isNullAt(i + 2)) null else toks.getUTF8String(i + 2)))
+      // windowed-spelling parity (r17 ADVICE): shingleIndexWindowed
+      // filters t2.isNotNull, so a position whose THIRD token is null
+      // yields no shingle there (concatWs would have emitted a
+      // truncated one); null first/second tokens are skipped by
+      // concat_ws on both spellings. Unreachable via split()-derived
+      // token arrays, contracted set-identical anyway.
+      if (!toks.isNullAt(i + 2)) {
+        seen.add(UTF8String.concatWs(Space,
+          if (toks.isNullAt(i)) null else toks.getUTF8String(i),
+          if (toks.isNullAt(i + 1)) null else toks.getUTF8String(i + 1),
+          toks.getUTF8String(i + 2)))
+      }
       i += 1
     }
     val out = new Array[AnyRef](seen.size())

@@ -159,8 +159,13 @@ object Embeddings {
       .groupByKey(_._1)
       .flatMapGroups { (q: Long,
           it: Iterator[(Long, Long, Double, Long, Seq[Float], Double)]) =>
-        def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
-          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        // non-finite inputs pass through like Spark's Round (BigDecimal
+        // .valueOf throws on NaN/Inf — a zero-norm embedding must fail
+        // the same way the replaced round() spelling did, not differently)
+        def r6(x: Double): Double =
+          if (x.isNaN || x.isInfinite) x
+          else java.math.BigDecimal.valueOf(x)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
         case class C(vid: Long, cos: Double, rel: Long,
           emb: Array[Float], nrm: Double)
         val cs = it.map(t => C(t._2, t._3, t._4, t._5.toArray, t._6)).toArray
@@ -170,7 +175,9 @@ object Embeddings {
           while (i < a.emb.length) {
             s += a.emb(i).toDouble * b.emb(i).toDouble; i += 1
           }
-          java.math.BigDecimal.valueOf(r6(s / (a.nrm * b.nrm)) * 1e6)
+          val sim6 = r6(s / (a.nrm * b.nrm))
+          if (sim6.isNaN || sim6.isInfinite) sim6.toLong // Spark cast semantics
+          else java.math.BigDecimal.valueOf(sim6 * 1e6)
             .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
         }
         val out = scala.collection.mutable.ArrayBuffer
@@ -254,22 +261,38 @@ object Embeddings {
       .held()
     exact3.count()
     val totalExact = exact3.agg(count(lit(1)).as("total_exact"))
-    val legs = Seq(1, 2, 4).map { np =>
-      val cand = candAll.filter(col("crk") <= np)
-      val stats = cand.agg(count(lit(1)).as("total_cands"),
+    // r18 (guide §2.3/§2.4): the three dial legs each re-ranked the SAME
+    // cached candidate frame — three salted top-k pyramids (two windows
+    // each) plus three scalar aggregates in one plan. The legs are
+    // nested (crk ≤ 1 ⊂ 2 ⊂ 4), so each candidate row now explodes into
+    // the dials it belongs to and ONE salted top-k partitioned by
+    // (nprobe, q_id) + ONE grouped aggregate replace all three pyramids.
+    // Per-dial values are identical: the exploded frame restricted to
+    // nprobe = np is exactly candAll.filter(crk ≤ np), and the rank
+    // order/k/tie-breaks are unchanged.
+    val legVals = Seq(1, 2, 4)
+    val legCand = candAll.withColumn("nprobe",
+      explode(filter(array(legVals.map(lit): _*), np => np >= col("crk"))))
+    val stats = legCand.groupBy(col("nprobe"))
+      .agg(count(lit(1)).as("total_cands"),
         countDistinct(col("q_id")).as("n_queries"))
-      val hits = TopK.saltedTopK(
-          cand.select(col("q_id"), col("vec_id"), col("cos")),
-          Seq(col("q_id")), Seq(col("cos").desc, col("vec_id")),
-          k = 3, saltBy = col("vec_id"))
-        .select(col("q_id"), col("vec_id"))
-        .join(exact3, Seq("q_id", "vec_id"), "left_semi")
-        .agg(count(lit(1)).as("total_hits"))
-      stats.crossJoin(hits).crossJoin(totalExact)
-        .select(lit(np).as("nprobe"), col("n_queries"), col("total_cands"),
-          col("total_hits"), col("total_exact"))
-    }
-    legs.reduce(_.unionByName(_))
+    val hits = TopK.saltedTopK(
+        legCand.select(col("nprobe"), col("q_id"), col("vec_id"), col("cos")),
+        Seq(col("nprobe"), col("q_id")), Seq(col("cos").desc, col("vec_id")),
+        k = 3, saltBy = col("vec_id"))
+      .select(col("nprobe"), col("q_id"), col("vec_id"))
+      .join(exact3, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("total_hits"))
+    import spark.implicits._
+    legVals.toDF("nprobe")
+      .join(stats, Seq("nprobe"), "left")
+      .join(hits, Seq("nprobe"), "left")
+      .crossJoin(totalExact)
+      .select(col("nprobe"),
+        coalesce(col("n_queries"), lit(0L)).as("n_queries"),
+        coalesce(col("total_cands"), lit(0L)).as("total_cands"),
+        coalesce(col("total_hits"), lit(0L)).as("total_hits"),
+        col("total_exact"))
       .select(col("nprobe"), col("n_queries"), col("total_cands"),
         col("total_hits"), col("total_exact"),
         round(col("total_cands").cast("double") / col("n_queries"), 6)
@@ -657,17 +680,44 @@ object Embeddings {
     * the query sample.
     */
   def s24PqRecall(spark: SparkSession, dir: String): DataFrame = {
-    val exact3 = s1CosineTopK(spark, dir).filter(col("rk") <= 3)
-      .select(col("q_id"), col("vec_id")).held()
-    exact3.count() // feeds both hit joins
+    // r18: both audited PQ legs read ONE cached emb frame and ONE
+    // collected codebook instead of each black-box call materializing
+    // its own (two emb counts + two codebook jobs → one of each; the
+    // legs' values are unchanged — same frame definition, same book),
+    // and the exact-truth materialization runs CONCURRENTLY with the
+    // emb+codebook build (guide §2.6 — independent eager legs must not
+    // serialize the driver). Pool-thread holds are adopted back into
+    // this thread's scope (cache hygiene, the e15 pattern).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fExact = Future {
+      QueryScope.collectHolds {
+        val e = s1CosineTopK(spark, dir).filter(col("rk") <= 3)
+          .select(col("q_id"), col("vec_id")).held()
+        e.count() // feeds both hit joins
+        e
+      }
+    }
+    val fBook = Future {
+      QueryScope.collectHolds {
+        val emb = pqEmbFrame(Tables.embeddings(spark, dir))
+        emb.count()
+        (emb, pqCodebookLocal(emb))
+      }
+    }
+    val (exact3, hE) = Await.result(fExact, Duration.Inf)
+    QueryScope.adopt(hE)
+    val ((emb, book), hB) = Await.result(fBook, Duration.Inf)
+    QueryScope.adopt(hB)
     val base = exact3.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact"))
     def hits(ann: DataFrame, name: String): DataFrame =
       ann.select(col("q_id"), col("vec_id"))
         .join(exact3, Seq("q_id", "vec_id"), "left_semi")
         .groupBy(col("q_id")).agg(count(lit(1)).as(name))
     base
-      .join(hits(s11PqAdc(spark, dir), "pq_hits"), Seq("q_id"), "left")
-      .join(hits(s20IvfPq(spark, dir), "ivfpq_hits"), Seq("q_id"), "left")
+      .join(hits(pqAdcWith(emb, book), "pq_hits"), Seq("q_id"), "left")
+      .join(hits(s20IvfPqWith(emb, book), "ivfpq_hits"), Seq("q_id"), "left")
       .select(col("q_id"), col("n_exact"),
         coalesce(col("pq_hits"), lit(0L)).as("pq_hits"),
         coalesce(col("ivfpq_hits"), lit(0L)).as("ivfpq_hits"),
@@ -708,25 +758,68 @@ object Embeddings {
     * is a plain window over groups bounded by the codebook size (the
     * s7 justification — never corpus-sized).
     */
+  /** The codebook collected driver-side — quantizer-bounded by
+    * construction (|labels| × 4 rows, the e31/e28 bounded-collect
+    * pattern), never corpus-sized. Subspaces ascending; candidates
+    * within a subspace label-ASCENDING (the kernel's tie-break
+    * contract). Carries the subspace values, the per-subspace label
+    * lists (for index → label mapping, type-preserving), and the
+    * primitive [[graft.functions.PqKernel.Book]] the kernel loops over.
+    */
+  private[graft] case class PqLocalBook(subs: Seq[Long],
+      labels: Seq[Seq[Any]], kernel: graft.functions.PqKernel.Book,
+      frame: DataFrame)
+
+  private[graft] def pqCodebookLocal(emb: DataFrame): PqLocalBook = {
+    val src = pqCodebook(emb).orderBy(col("sub"), col("c_label"))
+    val rows = src.collect()
+    def sub(r: org.apache.spark.sql.Row) = r.getLong(r.fieldIndex("sub"))
+    val grouped = rows.toSeq.groupBy(sub).toSeq.sortBy(_._1) // order kept
+    // the SAME collected rows as a LocalRelation, so a caller that also
+    // needs the codebook as a join side (the s11/s20 LUT) re-reads the
+    // one collect instead of re-running the codebook aggregate subtree
+    val frame = emb.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), src.schema)
+    PqLocalBook(
+      grouped.map(_._1),
+      grouped.map(_._2.map(r => r.get(r.fieldIndex("c_label")))),
+      new graft.functions.PqKernel.Book(
+        grouped.map(g => (g._1 * 16).toInt).toArray,
+        grouped.map(_._2.map(
+          _.getSeq[Double](rows.head.fieldIndex("codeword")).toArray).toArray)
+          .toArray,
+        grouped.map(_._2.map(
+          _.getDouble(rows.head.fieldIndex("cnorm2"))).toArray).toArray),
+      frame)
+  }
+
   private[graft] def pqCodesOf(emb: DataFrame): DataFrame =
-    // r17: the argmin is min(struct(dist, c_label)) — the same
-    // (dist, label-ascending) order the rank-1 window computed, but as
-    // a partial-aggregatable hash agg: the crossJoin emits each
-    // (vector, subspace) group's codebook rows from one input row, so
-    // the min collapses MAP-SIDE and the exchange carries one row per
-    // (vector, subspace) instead of sorting codebook× that many rows
-    // through a window (guide §2.3 — aggregate before you shuffle).
-    emb.crossJoin(broadcast(pqCodebook(emb)))
-      .select(col("vec_id"), col("sub"),
-        struct(
-          round(col("cnorm2") - lit(2.0) *
-            org.apache.spark.sql.graftfn.GraftExpressions.floatDoubleVecDot(
-              slice(col("embedding"), lit(1) + col("sub") * 16, lit(16)),
-              col("codeword")), 6).as("dist"),
-          col("c_label")).as("dc"))
-      .groupBy(col("vec_id"), col("sub"))
-      .agg(min(col("dc")).as("m"))
-      .select(col("vec_id"), col("sub"), col("m.c_label").as("code"))
+    pqCodesOfBook(emb, pqCodebookLocal(emb))
+
+  private[graft] def pqCodesOfBook(emb: DataFrame, book: PqLocalBook)
+      : DataFrame = {
+    // r18 (guide §4 / §2.4): every (vector, subspace) group of the r17
+    // min(struct) hash aggregate was emitted by ONE input row of the
+    // codebook crossJoin, so its exchange + final-agg level deduped
+    // nothing — and benched BELOW the r16 window spelling it replaced
+    // at sf10 (SCALEBENCH_r18_pq_sf10: r16 17.9 s vs r17 19.6 s over
+    // the family). The codebook is quantizer-bounded, so it collects
+    // driver-side and the argmin runs PER ROW through the codegen'd
+    // [[graft.functions.PqKernel]]: zero exchange, zero aggregate
+    // state, the same dots/rounding/tie-break (kernel scaladoc pins the
+    // exactness contract term for term; PqSpec pins value parity).
+    val b = book
+    val codeSubs = b.subs.zipWithIndex.map { case (s, si) =>
+      struct(lit(s).as("sub"),
+        element_at(array(b.labels(si).map(lit): _*),
+          col("__am").getItem(si).getField("idx") + 1).as("code"))
+    }
+    emb.select(col("vec_id"),
+        org.apache.spark.sql.graftfn.GraftExpressions
+          .pqArgmin(col("embedding"), b.kernel).as("__am"))
+      .select(col("vec_id"), explode(array(codeSubs: _*)).as("sc"))
+      .select(col("vec_id"), col("sc.sub").as("sub"), col("sc.code").as("code"))
+  }
 
   /** Product-quantization ANN with asymmetric-distance scoring (s11):
     * the compression leg of a billion-scale vector index — each vector
@@ -750,17 +843,31 @@ object Embeddings {
   def s11PqAdc(spark: SparkSession, dir: String): DataFrame =
     pqAdcOf(Tables.embeddings(spark, dir))
 
+  /** The cached (vec_id, label, embedding, nrm) frame every PQ leg
+    * reads — split out so compositions (s24) materialize it ONCE.
+    */
+  private[graft] def pqEmbFrame(embRaw: DataFrame): DataFrame = embRaw
+    .select(col("vec_id"), col("label"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    .held()
+
   private[graft] def pqAdcOf(embRaw: DataFrame): DataFrame = {
-    val emb = embRaw
-      .select(col("vec_id"), col("label"), col("embedding"),
-        norm(col("embedding")).as("nrm"))
-      .held()
+    val emb = pqEmbFrame(embRaw)
     emb.count() // eager: codebook, codes, queries and re-rank all read it
-    val codes = pqCodesOf(emb)
+    pqAdcWith(emb, pqCodebookLocal(emb))
+  }
+
+  /** s11's body over an ALREADY-cached emb frame and collected book —
+    * the shared form s24 composes (one emb materialization + one
+    * codebook job for both PQ legs instead of one per leg, r18).
+    */
+  private[graft] def pqAdcWith(emb: DataFrame, book: PqLocalBook)
+      : DataFrame = {
+    val codes = pqCodesOfBook(emb, book)
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"))
-    val lut = queries.crossJoin(broadcast(pqCodebook(emb)))
+    val lut = queries.crossJoin(broadcast(book.frame))
       .select(col("q_id"), col("sub"), col("c_label").as("code"),
         round(org.apache.spark.sql.graftfn.GraftExpressions.floatDoubleVecDot(
           slice(col("q_emb"), lit(1) + col("sub") * 16, lit(16)),
@@ -803,12 +910,17 @@ object Embeddings {
     * output.
     */
   def s20IvfPq(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"), col("embedding"),
-        norm(col("embedding")).as("nrm"))
-      .held()
+    val emb = pqEmbFrame(Tables.embeddings(spark, dir))
     emb.count() // eager: centroids, codebook, codes, queries, refine
+    s20IvfPqWith(emb, pqCodebookLocal(emb))
+  }
+
+  /** s20's body over an ALREADY-cached emb frame and collected book —
+    * the shared form s24 composes (see [[pqAdcWith]]).
+    */
+  private[graft] def s20IvfPqWith(emb: DataFrame, book: PqLocalBook)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"))
@@ -824,8 +936,8 @@ object Embeddings {
       .filter(col("crk") <= 2)
       .select(col("q_id"), col("c_label"))
     // fine stage (s11): integer-micro LUT, 4-term ADC over code bytes
-    val codes = pqCodesOf(emb)
-    val lut = queries.crossJoin(broadcast(pqCodebook(emb)))
+    val codes = pqCodesOfBook(emb, book)
+    val lut = queries.crossJoin(broadcast(book.frame))
       .select(col("q_id"), col("sub"), col("c_label").as("code"),
         round(org.apache.spark.sql.graftfn.GraftExpressions.floatDoubleVecDot(
           slice(col("q_emb"), lit(1) + col("sub") * 16, lit(16)),
@@ -1390,23 +1502,25 @@ object Embeddings {
       .select(col("vec_id"), col("label"), col("embedding"))
       .held()
     emb.count() // eager: codebook + scoring both read it
-    val sl = slice(col("embedding"), lit(1) + col("sub") * 16, lit(16))
-    // r17: argmin as min(struct(dist, c_label)) + max of the
-    // group-constant self-dot — the pqCodesOf rewrite (map-side partial
-    // agg instead of a rank-1 window); xx depends only on
-    // (vector, subspace), so max() recovers the winner's value exactly
-    val scored = emb.crossJoin(broadcast(pqCodebook(emb)))
-      .select(col("vec_id"), col("sub"),
-        struct(
-          round(col("cnorm2") - lit(2.0) *
-            org.apache.spark.sql.graftfn.GraftExpressions.floatDoubleVecDot(
-              sl, col("codeword")), 6).as("dist"),
-          col("c_label")).as("dc"),
-        round(floatVecDot(sl, sl).cast("double"), 6).as("xx"))
-      .groupBy(col("vec_id"), col("sub"))
-      .agg(min(col("dc")).as("m"), max(col("xx")).as("xx"))
-      .select(col("sub").cast("int").as("sub"),
-        round((col("m.dist") + col("xx")) * 1e6).cast("long").as("d_micro"))
+    // r18: the argmin is PER ROW through the codegen'd PqKernel over
+    // the driver-collected codebook (see [[pqCodesOf]] — the r17
+    // min(struct) exchange deduped nothing); the winner's dist rides
+    // the same kernel call and the per-subspace self-dot ‖x_s‖²
+    // projects in the same pass, so the scoring never shuffles or
+    // aggregates anything wider than the 4-row finisher below
+    val b = pqCodebookLocal(emb)
+    val subScores = b.subs.zipWithIndex.map { case (s, si) =>
+      val sl = slice(col("embedding"), lit(1) + lit(s) * 16, lit(16))
+      val dist = col("__am").getItem(si).getField("dist")
+      val xx = round(floatVecDot(sl, sl).cast("double"), 6)
+      struct(lit(s).cast("int").as("sub"),
+        round((dist + xx) * 1e6).cast("long").as("d_micro"))
+    }
+    val scored = emb.select(col("embedding"),
+        org.apache.spark.sql.graftfn.GraftExpressions
+          .pqArgmin(col("embedding"), b.kernel).as("__am"))
+      .select(explode(array(subScores: _*)).as("sd"))
+      .select(col("sd.sub").as("sub"), col("sd.d_micro").as("d_micro"))
     val out = scored.groupBy(col("sub"))
       .agg(count(lit(1)).as("n"), sum(col("d_micro")).as("sum_d"),
         max(col("d_micro")).as("max_micro"))

@@ -545,9 +545,16 @@ object Events {
     * quintile boundary cannot drift across engines or partitionings.
     */
   private def withExactScore(users: DataFrame, order: Seq[Column],
-      out: String, nParts: Int = 32): DataFrame = {
+      out: String, nParts: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val parts = users.repartitionByRange(nParts, order: _*)
+    // scale-adaptive partition count (r18): the emitted score is invariant
+    // to nParts — range partitions are pid-ordered and rank = rank_in +
+    // offset is the global rank under ANY split — so the session's
+    // shuffle-partition knob (the documented scale dial) sizes the sort
+    // instead of a constant tuned for one box
+    val np = if (nParts > 0) nParts
+      else users.sparkSession.sessionState.conf.numShufflePartitions
+    val parts = users.repartitionByRange(np, order: _*)
       .withColumn("pid", spark_partition_id()).held()
     parts.count() // freeze the range sample + pid assignment
     val wIn = Window.partitionBy(col("pid")).orderBy(order: _*)
@@ -605,10 +612,39 @@ object Events {
     val maxDay = profiles.agg(max(col("last_day")).as("corpus_max_day"))
     val base = profiles.crossJoin(broadcast(maxDay))
       .withColumn("recency_days", col("corpus_max_day") - col("last_day"))
-    val scored = withExactScore(withExactScore(withExactScore(base,
-        Seq(col("recency_days"), col("user_id")), "r_score"),
-        Seq(col("frequency").desc, col("user_id")), "f_score"),
-        Seq(col("monetary_cents").desc, col("user_id")), "m_score")
+      .held()
+    base.count() // freeze once: all three legs + the final join read it
+    // r18 (guide §2.6): the three quintile scores are INDEPENDENT total
+    // orders over the same user table. Chaining them serialized three
+    // range-repartition materializations (wall = Σ legs), and leg N's
+    // eager freeze re-ran leg N−1's whole rank machinery. Each score now
+    // ranks a SLIM (metric, user_id) projection of the cached base, the
+    // three legs are submitted concurrently (FIFO back-fill — wall ≈
+    // max leg), and scores re-attach by user_id. Values are identical:
+    // a quintile score depends only on its own order columns, which are
+    // per-user constants of `base` either way. Holds made on the pool
+    // threads are adopted back into this thread's scope (cache hygiene).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val legs = Seq(
+      ("r_score", Seq("recency_days", "user_id"),
+        Seq(col("recency_days"), col("user_id"))),
+      ("f_score", Seq("frequency", "user_id"),
+        Seq(col("frequency").desc, col("user_id"))),
+      ("m_score", Seq("monetary_cents", "user_id"),
+        Seq(col("monetary_cents").desc, col("user_id"))))
+    val futs = legs.map { case (out, slim, ord) =>
+      Future {
+        QueryScope.collectHolds {
+          withExactScore(base.select(slim.map(col): _*), ord, out)
+            .select(col("user_id"), col(out))
+        }
+      }
+    }
+    val scored = futs.map(Await.result(_, Duration.Inf))
+      .map { case (leg, holds) => QueryScope.adopt(holds); leg }
+      .foldLeft(base)((acc, leg) => acc.join(leg, Seq("user_id")))
     scored.select(col("user_id"), col("recency_days"), col("frequency"),
         (col("monetary_cents") / lit(100.0)).as("monetary"),
         col("r_score"), col("f_score"), col("m_score"),

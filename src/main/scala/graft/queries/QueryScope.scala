@@ -135,6 +135,38 @@ object QueryScope {
     }
   }
 
+  /** Run one leg of a query on a WORKER thread (guide §2.6 concurrent
+    * jobs) without losing cache hygiene: the scope stack is
+    * thread-local, so a `.held()` on a pool thread would degrade to a
+    * bare `persist()` that nothing ever releases. `collectHolds` gives
+    * the leg its own scope and RETURNS the held frames instead of
+    * parking them; the submitting thread passes them to [[adopt]] so
+    * they join ITS scope and release on the normal schedule. On failure
+    * the leg's holds unpersist immediately (nothing to adopt).
+    */
+  def collectHolds[A](body: => A): (A, Seq[DataFrame]) = {
+    val held = new ArrayBuffer[DataFrame]()
+    stack.set(held :: stack.get())
+    var ok = false
+    try {
+      val out = body
+      ok = true
+      (out, held.toSeq)
+    } finally {
+      stack.set(stack.get().tail)
+      if (!ok) held.foreach(_.unpersist())
+    }
+  }
+
+  /** Register already-persisted frames (from [[collectHolds]] on a
+    * worker thread) with the current thread's scope; outside any scope
+    * they park directly so [[releaseAll]] still frees them.
+    */
+  def adopt(dfs: Seq[DataFrame]): Unit = stack.get() match {
+    case h :: _ => h ++= dfs
+    case Nil    => dfs.foreach(parked.add)
+  }
+
   /** Wrap a family's query registry so every gated entry runs
     * [[scoped]]. The raw map stays available for plan-inspection specs
     * that must not trigger the release bookkeeping.

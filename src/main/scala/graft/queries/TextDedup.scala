@@ -1191,6 +1191,52 @@ object TextDedup {
     * @param edges  undirected pair list (`src`, `dst`), any orientation
     * @return (labels (id, component = smallest reachable id), rounds)
     */
+  /** Edge-count bound under which [[starContractComponents]] finishes
+    * the closure DRIVER-SIDE (exact union-find over the collected edge
+    * set) instead of iterating distributed rounds: 2M canonical edges ≈
+    * 32 MB of longs — bounded state, the e28/e31 pattern (guide §1.2 /
+    * §5: a ≤bound collect of an already-aggregated frame, never the
+    * corpus). Every distributed round costs a checkpoint job + a count
+    * job (+ a convergence anti-join near the fixpoint) over O(log n)
+    * rounds; when the canonical edge set fits the bound, ONE collect
+    * replaces them all and the result is the same min-id labeling by
+    * construction. Above the bound the distributed loop runs unchanged
+    * — and re-checks the bound each round, so a shrinking frontier
+    * hands over as soon as it fits. Conf-tunable for cluster drivers
+    * with more memory (`spark.graft.star.driverMaxEdges`).
+    */
+  private[graft] val StarDriverMaxEdges = 2000000L
+
+  /** Exact min-id component labels of a collected canonical edge list —
+    * union-find with path compression; returns one (id, componentMin)
+    * row per distinct endpoint. Equivalent to the star-contraction
+    * fixpoint's `centers` (plus explicit self rows for component
+    * minima, which the consumer's coalesce makes value-identical).
+    */
+  private[graft] def driverComponents(edges: Array[(Long, Long)])
+      : Seq[(Long, Long)] = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+      var c = x // path compression
+      while (parent.getOrDefault(c, c) != c) {
+        val nxt = parent.getOrDefault(c, c); parent.put(c, r); c = nxt
+      }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      // union by MIN root: the surviving root is always the component's
+      // smallest id seen so far, so the final root IS the min-id label
+      if (ra != rb) {
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      } else parent.putIfAbsent(ra, ra)
+    }
+    import scala.jdk.CollectionConverters._
+    parent.keySet().asScala.toSeq.map(id => (id, find(id)))
+  }
+
   def starContractComponents(nodes: DataFrame, edges: DataFrame,
       maxRounds: Int = 60): (DataFrame, Int) = {
     def canon(e: DataFrame): DataFrame =
@@ -1232,26 +1278,43 @@ object TextDedup {
     // planner. (On a real cluster use reliable `checkpoint()` — same
     // shape, survives executor loss; superseded round RDDs are freed by
     // the ContextCleaner once unreferenced.)
+    val spark = edges.sparkSession
+    val driverMax = spark.conf.getOption("spark.graft.star.driverMaxEdges")
+      .map(_.toLong).getOrElse(StarDriverMaxEdges)
     var cur = canon(edges).localCheckpoint(true)
     var curCnt = cur.count()
     var rounds = 0
     var converged = curCnt == 0L
-    while (!converged && rounds < maxRounds) {
-      val next = smallStar(largeStar(cur)).localCheckpoint(true)
-      val nextCnt = next.count()
-      // exact stability: same cardinality and next ⊆ cur ⇒ same edge set
-      val changed = nextCnt != curCnt ||
-        next.join(cur, Seq("src", "dst"), "left_anti").limit(1).count() > 0
-      cur = next
-      curCnt = nextCnt
-      rounds += 1
-      converged = !changed
+    var centersOpt: Option[DataFrame] = None
+    while (!converged && rounds < maxRounds && centersOpt.isEmpty) {
+      if (curCnt <= driverMax) {
+        // bounded frontier: ONE collect + exact union-find replaces the
+        // remaining O(log n) checkpoint/count/anti-join rounds (see
+        // [[StarDriverMaxEdges]]); labels are identical by construction
+        import spark.implicits._
+        val collected = cur.select(col("src"), col("dst")).as[(Long, Long)]
+          .collect()
+        centersOpt = Some(driverComponents(collected)
+          .toDF("id", "component"))
+        converged = true
+      } else {
+        val next = smallStar(largeStar(cur)).localCheckpoint(true)
+        val nextCnt = next.count()
+        // exact stability: same cardinality and next ⊆ cur ⇒ same edge set
+        val changed = nextCnt != curCnt ||
+          next.join(cur, Seq("src", "dst"), "left_anti").limit(1).count() > 0
+        cur = next
+        curCnt = nextCnt
+        rounds += 1
+        converged = !changed
+      }
     }
     require(converged,
       s"star contraction did not converge within $maxRounds rounds " +
         s"($curCnt edges live) — refusing to emit a partial labeling")
-    val centers = cur.groupBy(col("src")).agg(min(col("dst")).as("component"))
-      .select(col("src").as("id"), col("component"))
+    val centers = centersOpt.getOrElse(
+      cur.groupBy(col("src")).agg(min(col("dst")).as("component"))
+        .select(col("src").as("id"), col("component")))
     val labels = nodes.join(centers, Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
     (labels, rounds)
@@ -4257,8 +4320,12 @@ object TextDedup {
     // projection; the former explode + (source, doc_id) groupBy paid a
     // second corpus token explode and a full postings shuffle for a
     // value the row already carries (r17, guide §2.3)
+    // null-text docs never reach the exploded groupBy, so the projected
+    // spelling must drop them too (size(null) is null — a spurious
+    // checkpoint row otherwise; r17 ADVICE)
     val docTok = docs.select(col("source"), col("doc_id"),
       size(toks).cast("long").as("n_toks"))
+      .filter(col("n_toks").isNotNull)
     val newTypes = tok.groupBy(col("source"), col("token"))
       .agg(min(col("doc_id")).as("doc_id"))
       .groupBy(col("source"), col("doc_id"))
@@ -4903,22 +4970,52 @@ object TextDedup {
     val nPostings = sizeRow.getLong(0)
     val truth = dupPairs(spark, dir).select(col("id_a"), col("id_b"))
       .held()
-    val nTrue = truth.count()
+    // the one-action (nPairs, nHits) left join below is only ≡ the old
+    // pairs.count()/inner-count pair when the truth keys are UNIQUE
+    // (they are — jaccardPairsUnordered groupBys them); enforce the
+    // assumption inside the count action we already pay (r17 ADVICE)
+    val truthRow = truth.agg(count(lit(1)),
+      countDistinct(col("id_a"), col("id_b"))).head
+    val nTrue = truthRow.getLong(0)
+    require(truthRow.getLong(1) == nTrue,
+      "dupPairs truth table carries duplicate (id_a, id_b) keys — " +
+        "the single-action pair/hit count assumes uniqueness")
     def halfUp(num: Long, den: Long): Option[Double] =
       if (den == 0L) None
       else Some(((BigInt(num) * 1000000 + den / 2) / BigInt(den)).toLong / 1e6)
+    // r18 (guide §2.6 / §1.2): the three width legs ran as SEQUENTIAL
+    // driver-synchronous actions (cap window → self-join → agg, 3×);
+    // the legs are independent, so they now ride ONE job keyed by w —
+    // one exploded (w, doc_id, fp) frame, one rank-cap window
+    // partitioned (w, fp), one self-join on (w, fp), one (nPairs,
+    // nHits) aggregate per w. Per-leg values are identical: adding w to
+    // every partition/join/group key runs the exact same computation on
+    // the disjoint per-w slices. 3 actions → 1, and the three legs'
+    // stages back-fill each other's tails instead of idling the box.
+    val fpAll = sorted.map(w => sel.select(lit(w).as("w"), col("doc_id"),
+        explode(col(s"fps$w")).as("fp")))
+      .reduce(_.unionByName(_))
+    val capped = {
+      import org.apache.spark.sql.expressions.Window
+      fpAll.withColumn("rk", row_number().over(
+          Window.partitionBy(col("w"), col("fp")).orderBy(col("doc_id"))))
+        .filter(col("rk") <= fpCap)
+        .select(col("w"), col("doc_id"), col("fp"))
+    }
+    val legCnts = capped.as("a").join(capped.as("b"),
+        col("a.w") === col("b.w") && col("a.fp") === col("b.fp") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.w").as("w"), col("a.doc_id").as("id_a"),
+        col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("ns")).filter(col("ns") >= 2)
+      .join(truth.withColumn("h", lit(1)), Seq("id_a", "id_b"), "left")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("np"), count(col("h")).as("nh"))
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     val rows = sorted.zipWithIndex.map { case (w, wi) =>
       val nFp = sizeRow.getLong(1 + wi)
-      val fp = sel.select(col("doc_id"), explode(col(s"fps$w")).as("fp"))
-      // nPairs and nHits from ONE action: truth pairs are unique
-      // (id_a, id_b) keys, so the left join preserves pair cardinality
-      // and count(h) counts exactly the inner-join hits — the former
-      // persist + two counts ran the pair subtree's consumers as
-      // separate jobs (r17)
-      val cnt = winnowPairsCapped(fp, fpCap)
-        .join(truth.withColumn("h", lit(1)), Seq("id_a", "id_b"), "left")
-        .agg(count(lit(1)).as("np"), count(col("h")).as("nh")).head
-      val (nPairs, nHits) = (cnt.getLong(0), cnt.getLong(1))
+      val (nPairs, nHits) = legCnts.getOrElse(w, (0L, 0L))
       (w, nPostings, nFp, halfUp(nFp, nPostings).map(Double.box).orNull,
         nPairs, nTrue, nHits, halfUp(nHits, nTrue).map(Double.box).orNull)
     }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, EvalMode, ExpectsInputTypes, Expression, IntegralDivide, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, BinaryType, DataType, DoubleType, FloatType, StringType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, BinaryType, DataType, DoubleType, FloatType, IntegerType, StringType, StructField, StructType}
 
 /** Bridge into the `private[sql]` Column↔Expression API for graft's
   * native Catalyst expressions (the supported pattern for libraries
@@ -106,6 +106,16 @@ object GraftExpressions {
           org.apache.spark.sql.catalyst.expressions.Literal(
             math.max(numBits, 64L)))
         .toAggregateExpression())
+
+  /** Per-row PQ argmin over a driver-collected codebook
+    * ([[graft.functions.PqKernel.argmins]]): array of
+    * (winning candidate index, rounded distance) structs, one per
+    * subspace — the codegen'd replacement for the codebook crossJoin +
+    * per-(vector, subspace) argmin (guide §4; see [[PqArgminExpr]]).
+    */
+  def pqArgmin(emb: Column, book: graft.functions.PqKernel.Book): Column =
+    ExpressionUtils.column(PqArgminExpr(
+      ExpressionUtils.expression(emb), book))
 
   /** Membership probe against a serialized [[bloomAgg]] sketch — the
     * codegen'd `BloomFilterMightContain`, never a UDF. No false
@@ -218,6 +228,33 @@ case class LongVecDot(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): LongVecDot = copy(left = newLeft, right = newRight)
   override def prettyName: String = "long_vec_dot"
+}
+
+/** Codegen'd per-row PQ argmin over a driver-collected quantizer-bounded
+  * codebook ([[graft.functions.PqKernel]]) — one static call per row,
+  * so the embeddings projection stays inside whole-stage codegen while
+  * the kernel loops over primitive codeword arrays. Replaces the
+  * codebook crossJoin + per-(vector, subspace) argmin, whose exchange
+  * deduped nothing (each group came from one input row).
+  */
+case class PqArgminExpr(child: Expression,
+    book: graft.functions.PqKernel.Book)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("idx", IntegerType, nullable = false),
+    StructField("dist", DoubleType, nullable = false))),
+    containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    graft.functions.PqKernel.argmins(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], book)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val b = ctx.addReferenceObj("pqBook", book)
+    defineCodeGen(ctx, ev, c => s"graft.functions.PqKernel.argmins($c, $b)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqArgminExpr =
+    copy(child = newChild)
+  override def prettyName: String = "pq_argmin"
 }
 
 /** Codegen'd per-document distinct 3-gram shingles

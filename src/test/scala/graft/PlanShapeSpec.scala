@@ -538,12 +538,17 @@ class PlanShapeSpec extends AnyFunSuite {
       p.take(1200))
     // code assignment + LUT quantization use the codegen'd float×double fold
     assert(p.contains("float_double_vec_dot"), p.take(1200))
-    // the per-(vector, subspace) argmin is a partial-aggregatable
-    // min(struct(dist, c_label)) (r17 — collapses map-side; the rank-1
-    // window it replaced sorted codebook× rows through an exchange),
-    // so the plan must carry a partial_min and NO vec_id-keyed window
-    assert(p.contains("partial_min"), p.take(1200))
+    // the per-(vector, subspace) argmin runs PER ROW through the
+    // codegen'd pq_argmin kernel over the driver-collected
+    // quantizer-bounded codebook (r18 — the r17 min(struct) hash agg's
+    // exchange deduped nothing because each group came from one input
+    // row, and the r16 rank-1 window sorted codebook× rows through an
+    // exchange), so the plan must carry the kernel projection and
+    // NEITHER a vec_id-keyed window NOR a (vec_id, sub) aggregate
+    assert(p.contains("pq_argmin"), p.take(1200))
+    assert(!p.contains("partial_min"), p.take(1200))
     assert(!p.contains("windowspecdefinition(vec_id"), p.take(1200))
+    assert(!p.contains("HashAggregate(keys=[vec_id"), p.take(1200))
     // saltedTopK phase 1: the rank window partitions on (q_id, salt) —
     // the salt expression itself folds into the aggregate projection as
     // `_w0`, so pin the two-key window spec rather than the pmod text

@@ -50,4 +50,30 @@ class ShingleKernelSpec extends AnyFunSuite {
       ker.filter(_._1 == 5L).toString)
     assert(!ker.exists(_._1 <= 3L))
   }
+
+  test("null token elements mirror the windowed spelling (r17 ADVICE): " +
+      "null third token skips the position, null first/second are " +
+      "concat_ws-elided") {
+    // unreachable via the split() tokenizer (never yields null
+    // elements), but the kernel is contracted set-identical to the
+    // windowed/oracle spelling for ALL inputs: shingleIndexWindowed
+    // filters t2.isNotNull (drop the position) while concat_ws skips
+    // null heads (truncated shingle)
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def arr(ts: Option[String]*): GenericArrayData =
+      new GenericArrayData(
+        ts.map(_.map(UTF8String.fromString).orNull).toArray[Any])
+    def shingles(ts: Option[String]*): Seq[String] = {
+      val out = graft.functions.ShingleKernel.distinctShingles(arr(ts: _*))
+      (0 until out.numElements()).map(out.getUTF8String(_).toString)
+    }
+    val (a, b, c, d, n) =
+      (Some("a"), Some("b"), Some("c"), Some("d"), None)
+    assert(shingles(a, n, c, d) == Seq("a c", "c d"))
+    assert(shingles(n, b, c) == Seq("b c"))
+    assert(shingles(a, b, n) == Seq.empty) // t2 null: position dropped
+    assert(shingles(a, b, n, d) == Seq("b d")) // only i=1 has non-null t2
+    assert(shingles(n, n, c) == Seq("c"))
+  }
 }
