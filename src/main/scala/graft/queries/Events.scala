@@ -545,16 +545,16 @@ object Events {
     * quintile boundary cannot drift across engines or partitionings.
     */
   private def withExactScore(users: DataFrame, order: Seq[Column],
-      out: String, nParts: Int = 0): DataFrame = {
+      out: String, nParts: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // scale-adaptive partition count (r18): the emitted score is invariant
-    // to nParts — range partitions are pid-ordered and rank = rank_in +
-    // offset is the global rank under ANY split — so the session's
-    // shuffle-partition knob (the documented scale dial) sizes the sort
-    // instead of a constant tuned for one box
-    val np = if (nParts > 0) nParts
-      else users.sparkSession.sessionState.conf.numShufflePartitions
-    val parts = users.repartitionByRange(np, order: _*)
+    // nParts sizes the USER-table sort, not the events scan — the score
+    // is invariant to it (range partitions are pid-ordered and rank =
+    // rank_in + offset is the global rank under ANY split), so it is a
+    // pure perf dial: size it to user-table rows on a cluster. Tying it
+    // to the session shuffle knob was tried and MEASURED in r18 (64
+    // partitions over a 15k-user table at the sf10 rehearsal): ~25%
+    // slower — hundreds of rows per task is pure launch overhead.
+    val parts = users.repartitionByRange(nParts, order: _*)
       .withColumn("pid", spark_partition_id()).held()
     parts.count() // freeze the range sample + pid assignment
     val wIn = Window.partitionBy(col("pid")).orderBy(order: _*)
@@ -609,42 +609,28 @@ object Events {
     * days), so the finisher needs nothing but the streamed asset.
     */
   private[graft] def rfmFromProfiles(profiles: DataFrame): DataFrame = {
-    val maxDay = profiles.agg(max(col("last_day")).as("corpus_max_day"))
-    val base = profiles.crossJoin(broadcast(maxDay))
-      .withColumn("recency_days", col("corpus_max_day") - col("last_day"))
-      .held()
-    base.count() // freeze once: all three legs + the final join read it
-    // r18 (guide §2.6): the three quintile scores are INDEPENDENT total
-    // orders over the same user table. Chaining them serialized three
-    // range-repartition materializations (wall = Σ legs), and leg N's
-    // eager freeze re-ran leg N−1's whole rank machinery. Each score now
-    // ranks a SLIM (metric, user_id) projection of the cached base, the
-    // three legs are submitted concurrently (FIFO back-fill — wall ≈
-    // max leg), and scores re-attach by user_id. Values are identical:
-    // a quintile score depends only on its own order columns, which are
-    // per-user constants of `base` either way. Holds made on the pool
-    // threads are adopted back into this thread's scope (cache hygiene).
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val legs = Seq(
-      ("r_score", Seq("recency_days", "user_id"),
-        Seq(col("recency_days"), col("user_id"))),
-      ("f_score", Seq("frequency", "user_id"),
-        Seq(col("frequency").desc, col("user_id"))),
-      ("m_score", Seq("monetary_cents", "user_id"),
-        Seq(col("monetary_cents").desc, col("user_id"))))
-    val futs = legs.map { case (out, slim, ord) =>
-      Future {
-        QueryScope.collectHolds {
-          withExactScore(base.select(slim.map(col): _*), ord, out)
-            .select(col("user_id"), col(out))
-        }
-      }
-    }
-    val scored = futs.map(Await.result(_, Duration.Inf))
-      .map { case (leg, holds) => QueryScope.adopt(holds); leg }
-      .foldLeft(base)((acc, leg) => acc.join(leg, Seq("user_id")))
+    val prof = profiles.held()
+    // ONE action fills the profile cache AND returns the corpus horizon
+    // — a 1-row bounded aggregate collected driver-side (the e31
+    // pattern, r18); the broadcast crossJoin it replaces re-ran the
+    // profile aggregate once per leg materialization
+    val mdRow = prof.agg(max(col("last_day"))).head
+    val md: Column =
+      if (mdRow.isNullAt(0)) lit(null).cast("long") else lit(mdRow.getLong(0))
+    val base = prof.withColumn("recency_days", md - col("last_day"))
+    // The three scores stay CHAINED (r17 shape). The §2.6 alternative —
+    // three concurrent slim legs re-attached by user_id joins — was
+    // built and MEASURED FIRST (r18): flat at sf1 (3.00 s both ways)
+    // and slower at sf10 (5.66→6.95 s min, 6.30→7.77 s median, 5-pass
+    // e15-only A/B) — the legs are a few percent of the query, so the
+    // join-back's extra exchanges/stages cost more than the removed
+    // driver gating. Rejected, recorded here; the wins kept are the
+    // driver-collected horizon above (one profile aggregate instead of
+    // one per consumer) and the scale-adaptive nParts in the scorer.
+    val scored = withExactScore(withExactScore(withExactScore(base,
+        Seq(col("recency_days"), col("user_id")), "r_score"),
+        Seq(col("frequency").desc, col("user_id")), "f_score"),
+        Seq(col("monetary_cents").desc, col("user_id")), "m_score")
     scored.select(col("user_id"), col("recency_days"), col("frequency"),
         (col("monetary_cents") / lit(100.0)).as("monetary"),
         col("r_score"), col("f_score"), col("m_score"),

@@ -4983,39 +4983,40 @@ object TextDedup {
     def halfUp(num: Long, den: Long): Option[Double] =
       if (den == 0L) None
       else Some(((BigInt(num) * 1000000 + den / 2) / BigInt(den)).toLong / 1e6)
-    // r18 (guide §2.6 / §1.2): the three width legs ran as SEQUENTIAL
-    // driver-synchronous actions (cap window → self-join → agg, 3×);
-    // the legs are independent, so they now ride ONE job keyed by w —
-    // one exploded (w, doc_id, fp) frame, one rank-cap window
-    // partitioned (w, fp), one self-join on (w, fp), one (nPairs,
-    // nHits) aggregate per w. Per-leg values are identical: adding w to
-    // every partition/join/group key runs the exact same computation on
-    // the disjoint per-w slices. 3 actions → 1, and the three legs'
-    // stages back-fill each other's tails instead of idling the box.
-    val fpAll = sorted.map(w => sel.select(lit(w).as("w"), col("doc_id"),
-        explode(col(s"fps$w")).as("fp")))
-      .reduce(_.unionByName(_))
-    val capped = {
-      import org.apache.spark.sql.expressions.Window
-      fpAll.withColumn("rk", row_number().over(
-          Window.partitionBy(col("w"), col("fp")).orderBy(col("doc_id"))))
-        .filter(col("rk") <= fpCap)
-        .select(col("w"), col("doc_id"), col("fp"))
+    // r18 (guide §2.6): the three width legs ran as SEQUENTIAL
+    // driver-synchronous actions (cap window → self-join → agg, 3×) —
+    // wall = Σ legs while each leg's tail idled the box. The legs are
+    // independent, so their unchanged per-leg jobs now submit from a
+    // small pool and back-fill each other (FIFO): wall ≈ max(leg).
+    // (A single union job keyed by w was built and MEASURED FIRST: d33
+    // 23.8→25.6 s at sf10 and 5.0→5.8 s at sf1 — tripling the window
+    // sort's and pair join's per-partition rows costs more than the
+    // removed barriers; rejected, recorded here.) No holds are created
+    // on the pool threads (the legs read the already-cached sel/truth).
+    val legFuts = {
+      import scala.concurrent.{ExecutionContext, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      sorted.map { w =>
+        w -> Future {
+          val fp = sel.select(col("doc_id"), explode(col(s"fps$w")).as("fp"))
+          // nPairs and nHits from ONE action: truth pairs are unique
+          // (id_a, id_b) keys — enforced above — so the left join
+          // preserves pair cardinality and count(h) counts exactly the
+          // inner-join hits (r17)
+          val cnt = winnowPairsCapped(fp, fpCap)
+            .join(truth.withColumn("h", lit(1)), Seq("id_a", "id_b"), "left")
+            .agg(count(lit(1)).as("np"), count(col("h")).as("nh")).head
+          (cnt.getLong(0), cnt.getLong(1))
+        }
+      }.toMap
     }
-    val legCnts = capped.as("a").join(capped.as("b"),
-        col("a.w") === col("b.w") && col("a.fp") === col("b.fp") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.w").as("w"), col("a.doc_id").as("id_a"),
-        col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("ns")).filter(col("ns") >= 2)
-      .join(truth.withColumn("h", lit(1)), Seq("id_a", "id_b"), "left")
-      .groupBy(col("w"))
-      .agg(count(lit(1)).as("np"), count(col("h")).as("nh"))
-      .collect()
-      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     val rows = sorted.zipWithIndex.map { case (w, wi) =>
       val nFp = sizeRow.getLong(1 + wi)
-      val (nPairs, nHits) = legCnts.getOrElse(w, (0L, 0L))
+      val (nPairs, nHits) = {
+        import scala.concurrent.Await
+        import scala.concurrent.duration.Duration
+        Await.result(legFuts(w), Duration.Inf)
+      }
       (w, nPostings, nFp, halfUp(nFp, nPostings).map(Double.box).orNull,
         nPairs, nTrue, nHits, halfUp(nHits, nTrue).map(Double.box).orNull)
     }
