@@ -243,10 +243,40 @@ object Multimodal {
     * boundary — only real video containers (mp4/webm) remain behind
     * the documented stub.
     */
+  /** The JDK's WAV `AudioFileReader` SPI, bound ONCE per JVM (guide
+    * §4.5 — heavyweight lookup out of the per-row path): the
+    * `AudioSystem.getAudioInputStream` facade enters a GLOBAL
+    * `synchronized` provider lookup (`JDK13Services.getProviders`) and
+    * a provider trial loop on EVERY call, which serializes concurrent
+    * decode tasks — measured r18 at the 10× rehearsal: the audio
+    * family (m4/m9/m14) ran 4–5× slower than the byte-heavier video
+    * twin (m15) whose RIFF walk has no facade. Binding the provider
+    * once keeps the per-row call = the provider's own header parse —
+    * the identical `AudioInputStream` the facade returns for these
+    * payloads (same decoder, same bytes; the m4/m9/m14 oracle gates
+    * pin the decoded integers bit-for-bit).
+    */
+  private lazy val wavReader: javax.sound.sampled.spi.AudioFileReader = {
+    import scala.jdk.CollectionConverters._
+    val probe = AudioGen.wavBytes(8000, 4, 0L)
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .iterator().asScala.find { r =>
+        try {
+          r.getAudioInputStream(
+            new java.io.ByteArrayInputStream(probe)).close()
+          true
+        } catch { case _: Exception => false }
+      }
+      .getOrElse(sys.error("no WAV-capable AudioFileReader SPI on this JVM"))
+  }
+
+  private def wavStream(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream =
+    wavReader.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+
   object WavDecoder extends Serializable {
     def decode(bytes: Array[Byte]): AudioFeatures.Raw = {
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(bytes))
+      val ais = wavStream(bytes)
       try {
         val fmt = ais.getFormat
         require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
@@ -320,8 +350,7 @@ object Multimodal {
   private def windowEnergies(id: Long, winLen: Int): (Int, Array[Long]) = {
     val rate = 8000 + (id % 3).toInt * 4000
     val n = 1000 + (id % 500).toInt * 8
-    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-      new java.io.ByteArrayInputStream(AudioGen.wavBytes(rate, n, id)))
+    val ais = wavStream(AudioGen.wavBytes(rate, n, id))
     val data = try ais.readAllBytes() finally ais.close()
     val nSamples = data.length / 2
     val nWin = (nSamples + winLen - 1) / winLen
