@@ -2760,7 +2760,13 @@ object TextDedup {
     * frame-generic one builds both from the documents frame. */
   private def dsirBody(tfmIn: DataFrame, vS: DataFrame,
       vT: DataFrame): DataFrame = {
-    val tfm = tfmIn.held()
+    // r18 (guide §2.4): cache the bigram table ALREADY hash-partitioned
+    // on bigram — the cb aggregate below then groups exchange-free and
+    // the scoring join co-partitions against cb's cached layout, so the
+    // one up-front shuffle replaces the former cb-agg exchange + the
+    // join's re-exchange of the full table (values unaffected:
+    // partitioning only).
+    val tfm = tfmIn.repartition(col("bigram")).held()
     tfm.count() // eager materialization (see d3)
     // r17 (guide §2.3): BOTH LMs aggregate in ONE pass — per bigram,
     // the train-split and val-split counts as conditional sums (sum of
