@@ -1328,20 +1328,26 @@ object Events {
   /** Pair-support + lift finisher over (skey, event_type) facts. */
   private[graft] def sessionPairLiftOf(st: DataFrame): DataFrame = {
     import org.apache.spark.sql.graftfn.GraftExpressions.intDiv
-    val sess = st.select(col("skey"), col("event_type")).distinct().held()
-    sess.count() // share the sessionize pass across the three reads
-    val totals = sess.select(col("skey")).distinct()
-      .agg(count(lit(1)).as("n_sessions"))
-    val typeCounts = sess.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("cnt"))
-    // per-side renames (not .as() aliases): a memory-sink relation joins
-    // itself with SHARED expression ids that alias-qualified resolution
-    // rejects as ambiguous; globally unique column names sidestep the
-    // resolver entirely and read the same from either producer
-    val aa = sess.select(col("skey").as("k_a"), col("event_type").as("ta"))
-    val bb = sess.select(col("skey").as("k_b"), col("event_type").as("tb"))
-    val pairs = aa.join(bb,
-        col("k_a") === col("k_b") && col("ta") < col("tb"))
+    // r18 (guide §2.3/§2.4 — the q32 pattern): one skey shuffle
+    // collapses each session to its sorted DISTINCT type set (bounded
+    // by the event-type vocabulary), pairs generate MAP-SIDE from the
+    // sorted array (ta < tb by construction — the old self-join
+    // condition), and n_sessions / per-type counts aggregate over the
+    // SAME collapsed frame — where the former spelling paid a
+    // (skey, type) distinct exchange, a skey self-join, and a second
+    // skey distinct for the session count.
+    val sets = st.groupBy(col("skey"))
+      .agg(array_sort(collect_set(col("event_type"))).as("types"))
+      .held()
+    sets.count() // share the sessionize pass across the three reads
+    val totals = sets.agg(count(lit(1)).as("n_sessions"))
+    val typeCounts = sets.select(explode(col("types")).as("event_type"))
+      .groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+    val pairs = sets
+      .select(col("types"), posexplode(col("types")).as(Seq("i", "ta")))
+      .select(col("ta"),
+        explode(slice(col("types"), col("i") + 2, size(col("types"))))
+          .as("tb"))
       .groupBy(col("ta"), col("tb"))
       .agg(count(lit(1)).as("support"))
     // lift arithmetic in DECIMAL(38,0): support·n_sessions·10⁶ wraps a
